@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`
+  * (same column NAMES and engine-exact values — see Tables.dec2 and the
+  * portable-hash design notes in graft.functions.PortableHash).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: CDC snapshot-replay + validation end-to-end on sf0.001 —
+    * reduce a change log to final state, diff it against a mutated copy,
+    * return the per-status report (driver smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CdcQueries.diffSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational coverage (SURVEY.md §2.2)
+    "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
+    "q6_forecast_revenue" -> (RelationalQueries.q6ForecastRevenue _),
+    "q3_top_revenue" -> (RelationalQueries.q3TopRevenue _),
+    "q5_local_revenue" -> (RelationalQueries.q5LocalRevenue _),
+    "q_window_top_shipments" -> (RelationalQueries.qWindowTopShipments _),
+    "q_rollup_orders" -> (RelationalQueries.qRollup _),
+    "q_semi_anti_join" -> (RelationalQueries.qSemiAnti _),
+    "q_set_ops" -> (RelationalQueries.qSetOps _),
+    "q_event_windows" -> (RelationalQueries.qEventWindows _),
+    // CDC core (SURVEY.md §2.1 S/O/K/D operators, set-based)
+    "cdc_reduce" -> (CdcQueries.cdcReduce _),
+    "cdc_reduce_window" -> (CdcQueries.cdcReduceWindow _),
+    "cdc_diff_detail" -> (CdcQueries.diffDetail _),
+    "cdc_diff_summary" -> (CdcQueries.diffSummary _),
+    "cdc_chunk_digest" -> (CdcQueries.chunkDigest _),
+    "cdc_bucket_digest" -> (CdcQueries.bucketDigest _),
+    // LLM-data-pipeline ops
+    "dedup_exact" -> (DedupQueries.exact _)
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> RelationalQueries.q1Sql,
+    "q6_forecast_revenue" -> RelationalQueries.q6Sql,
+    "q3_top_revenue" -> RelationalQueries.q3Sql,
+    "q5_local_revenue" -> RelationalQueries.q5Sql,
+    "q_window_top_shipments" -> RelationalQueries.qWindowSql,
+    "q_rollup_orders" -> RelationalQueries.qRollupSql,
+    "q_semi_anti_join" -> RelationalQueries.qSemiAntiSql,
+    "q_set_ops" -> RelationalQueries.qSetOpsSql,
+    "q_event_windows" -> RelationalQueries.qEventWindowsSql,
+    "cdc_reduce" -> CdcQueries.cdcReduceSql,
+    "cdc_reduce_window" -> CdcQueries.cdcReduceSql,
+    "cdc_diff_detail" -> CdcQueries.diffDetailSql,
+    "cdc_diff_summary" -> CdcQueries.diffSummarySql,
+    "cdc_chunk_digest" -> CdcQueries.chunkDigestSql,
+    "cdc_bucket_digest" -> CdcQueries.bucketDigestSql,
+    "dedup_exact" -> DedupQueries.exactSql
+  )
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with`, `aggregate`) — no UDFs,
+  * so whole-stage codegen stays intact around them.
+  *
+  * Numeric contract: every elementwise product is computed in DOUBLE and
+  * accumulated left-to-right from 0.0. A strict sequential fold is
+  * bit-reproducible in ANY engine (IEEE-754 double ops are deterministic),
+  * which makes scores comparable across engines — important when an
+  * external system (or the validation oracle) recomputes them.
+  */
+object VectorFunctions {
+
+  /** Σ a_i * b_i, double accumulation, left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Σ a_i^2 (squared L2 norm). */
+  def normSq(a: Column): Column = dot(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; NULL when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(sqrt(normSq(a)) * sqrt(normSq(b)), lit(0.0))
+
+  /** Cosine from a precomputed dot and squared norms (lets callers compute
+    * norms once per row instead of once per pair — the O(n·k) savings that
+    * matters in a top-k scan).
+    */
+  def cosineFrom(dotCol: Column, normSqA: Column, normSqB: Column): Column =
+    dotCol / nullif(sqrt(normSqA) * sqrt(normSqB), lit(0.0))
+}

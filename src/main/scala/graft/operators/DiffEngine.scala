@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Table-vs-table validation, the Spark-native replacement for the
+  * reference's delegated `rust-pgdatadiff` diff (call site
+  * src/cdc/cdc_operator.rs:254-288): per-table count compare + chunked
+  * PK-ordered content compare (chunk_size default 1000,
+  * dms-cdc-operator-client/src/main.rs:76-77).
+  *
+  * Three modes, chosen by data size:
+  *
+  *  - `rowDiff`: full-outer join on the PK with null-safe (`<=>`) payload
+  *    comparison. Exact, row-level, reports WHICH columns mismatch.
+  *    Shuffles both sides once on the PK; with AQE this is a plain
+  *    sort-merge join that scales linearly.
+  *  - `chunkDigest` + `compareDigests`: pgdatadiff's economics for huge
+  *    tables — ship one digest per chunk instead of rows. PK-ordered
+  *    chunks reproduce the reference's resumable chunk semantics.
+  *  - `bucketDigest`: hash-bucketed (order-independent) digests. Unlike
+  *    PK-ordered chunking it needs NO global sort/row_number, so it is the
+  *    100 TB path: digest = sum of per-row hashes per bucket, fully
+  *    map-side aggregatable.
+  *
+  * Every value is canonicalized to text before hashing
+  * (`canonicalColumn`) — fixed decimal rendering for floats, fixed
+  * `yyyy-MM-dd HH:mm:ss.SSS` for timestamps, explicit NULL sentinel —
+  * mirroring pgdatadiff's text-level row hashing and making digests
+  * portable across engines.
+  */
+object DiffEngine {
+
+  val StatusCol = "diff_status"
+  val MismatchCol = "mismatch_cols"
+  private val NullSentinel = "\u0001N"
+  private val FieldSep = "\u0001"
+
+  /** Engine-portable text rendering of a column for hashing/digesting. */
+  def canonicalColumn(c: Column, dt: DataType): Column = {
+    val rendered = dt match {
+      case DoubleType | FloatType =>
+        // fixed-scale decimal rendering: "1.500000" in any engine
+        c.cast(DecimalType(38, 6)).cast(StringType)
+      case d: DecimalType => c.cast(StringType)
+      // epoch micros as text: engine string formats for timestamps differ
+      // (fraction trimming), integer micros never do
+      case TimestampType | TimestampNTZType =>
+        unix_micros(c.cast(TimestampType)).cast(StringType)
+      case DateType => date_format(c, "yyyy-MM-dd")
+      case BooleanType => when(c, lit("t")).otherwise(lit("f"))
+      case ArrayType(et, _) =>
+        array_join(transform(c, e => canonicalColumn(e, et)), ",", NullSentinel)
+      case _ => c.cast(StringType)
+    }
+    coalesce(rendered, lit(NullSentinel))
+  }
+
+  /** md5 over the canonical rendering of `cols` in order. */
+  def rowHash(df: DataFrame, cols: Seq[String]): Column = {
+    val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    val byName = fields.map(f => f.name -> f.dataType).toMap
+    md5(concat_ws(FieldSep,
+      cols.map(c => canonicalColumn(col(c), byName(c))): _*))
+  }
+
+  /** Row-level diff. Output: pk columns + diff_status ∈ {match, mismatch,
+    * only_left, only_right} + mismatch_cols (names of differing columns).
+    */
+  def rowDiff(left: DataFrame, right: DataFrame, pks: Seq[String])
+      : DataFrame = {
+    val payloadCols =
+      left.columns.filterNot(pks.contains).toSeq
+    val l = left.select(pks.map(col) :+
+      struct(payloadCols.map(col): _*).as("_l"): _*)
+    val r = right.select(pks.map(col) :+
+      struct(payloadCols.map(col): _*).as("_r"): _*)
+    val joined = l.join(r, pks, "full_outer")
+    val status = when(col("_l").isNull, lit("only_right"))
+      .when(col("_r").isNull, lit("only_left"))
+      .when(col("_l") <=> col("_r"), lit("match"))
+      .otherwise(lit("mismatch"))
+    val mismatches = filter(
+      array(payloadCols.map(c =>
+        when(col(s"_l.`$c`") <=> col(s"_r.`$c`"), lit(null))
+          .otherwise(lit(c))): _*),
+      x => x.isNotNull)
+    joined
+      .withColumn(StatusCol, status)
+      .withColumn(MismatchCol,
+        when(status === "mismatch", mismatches).otherwise(array()))
+      .drop("_l", "_r")
+  }
+
+  /** Aggregate a rowDiff into per-status counts (the per-table report the
+    * reference logs).
+    */
+  def summarize(diff: DataFrame): DataFrame =
+    diff.groupBy(StatusCol).agg(count(lit(1)).as("n")).orderBy(StatusCol)
+
+  /** PK-ordered chunk digests (reference-parity mode; resumable compare).
+    * NOTE: global row_number — fine up to ~10^8 rows/table; beyond that
+    * use `bucketDigest`.
+    */
+  def chunkDigest(df: DataFrame, pks: Seq[String], chunkSize: Int)
+      : DataFrame = {
+    val dataCols = df.columns.toSeq
+    val w = Window.orderBy(pks.map(col): _*)
+    val rh = rowHash(df, dataCols)
+    df.withColumn("_rh", rh)
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("chunk_id", ((col("_rn") - 1) / chunkSize).cast(LongType))
+      .groupBy(col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        // deterministic order inside the digest: sort collected (rn, hash)
+        // pairs, then fold — portable to any engine's ordered string_agg
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("_rn"), col("_rh")))),
+          s => s.getField("_rh")), "|")).as("digest"))
+  }
+
+  /** Order-independent bucketed digests: bucket = first `hexChars` hex
+    * digits of the PK hash (256 buckets for hexChars=2); digest = sum of
+    * per-row 60-bit hashes, commutative so it map-side aggregates with no
+    * sort anywhere. The 100 TB compare path.
+    */
+  def bucketDigest(df: DataFrame, pks: Seq[String], hexChars: Int = 2)
+      : DataFrame = {
+    val dataCols = df.columns.toSeq
+    val pkHash = md5(concat_ws(FieldSep,
+      pks.map(c => canonicalColumn(col(c),
+        df.schema(c).dataType)): _*))
+    val rowH = conv(substring(rowHash(df, dataCols), 1, 15), 16, 10)
+      .cast(LongType)
+    df.withColumn("bucket", substring(pkHash, 1, hexChars))
+      .withColumn("_h", rowH % lit(1000000007L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_h")).cast(LongType).as("digest"))
+  }
+
+  /** Join two digest tables (from chunkDigest or bucketDigest) and report
+    * per-chunk equality.
+    */
+  def compareDigests(left: DataFrame, right: DataFrame, keyCol: String)
+      : DataFrame = {
+    val l = left.withColumnRenamed("digest", "l_digest")
+      .withColumnRenamed("n_rows", "l_rows")
+    val r = right.withColumnRenamed("digest", "r_digest")
+      .withColumnRenamed("n_rows", "r_rows")
+    l.join(r, Seq(keyCol), "full_outer")
+      .withColumn("ok",
+        col("l_digest") <=> col("r_digest") && col("l_rows") <=> col("r_rows"))
+  }
+}

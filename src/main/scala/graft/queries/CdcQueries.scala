@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.model.{CdcColumns => C}
+import graft.operators.{ChangeLogReducer, DiffEngine}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** CDC-core queries: the reference's two verbs (snapshot-replay and
+  * validate) exercised over a change log synthesized DETERMINISTICALLY
+  * from `lineitem`, so a SQL oracle can derive the identical log and the
+  * driver can hash-compare end states.
+  *
+  * Synthetic log shape: PK = l_orderkey; events for a key are its line
+  * items applied in (l_linenumber, row-md5) order — the md5 tie-break
+  * matters because the synthetic data contains repeated
+  * (l_orderkey, l_linenumber) pairs; a total order keeps both physical
+  * strategies and the oracle in exact agreement. Op derives from
+  * l_quantity: <3 → D, <25 → U, else I. This produces keys whose last
+  * event is a delete (dropped), updated keys, and plain inserts — the
+  * reference's replay semantics (last-event-wins per PK, trailing D
+  * removes the key — src/cdc/cdc_operator.rs:170-215, SURVEY.md §7.3).
+  */
+object CdcQueries {
+
+  private val LineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private val opExpr =
+    when(col("l_quantity") < 3, lit("D"))
+      .when(col("l_quantity") < 25, lit("U"))
+      .otherwise(lit("I"))
+
+  /** Portable per-row content hash used as the deterministic seq
+    * tie-break (same construction in the oracle).
+    */
+  private def rowTieBreak(df: DataFrame): Column =
+    DiffEngine.rowHash(df, LineitemCols)
+
+  /** SQL equivalent of rowTieBreak for the DuckDB oracle. */
+  private val rowTieBreakSql =
+    """md5(concat_ws(chr(1),
+      |    coalesce(CAST(l_orderkey AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(l_partkey AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(l_suppkey AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(l_linenumber AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(CAST(l_quantity AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(CAST(l_discount AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(CAST(CAST(l_tax AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
+      |    coalesce(l_returnflag, chr(1) || 'N'),
+      |    coalesce(l_linestatus, chr(1) || 'N'),
+      |    coalesce(CAST(epoch_us(l_shipdate) AS VARCHAR), chr(1) || 'N')))""".stripMargin
+
+  /** The deterministic synthetic change log. */
+  def syntheticChangeLog(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .withColumn(C.Op, opExpr)
+      .withColumn(C.IngestTs,
+        date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+
+  private def eventSeq(log: DataFrame): Column =
+    struct(col("l_linenumber"), rowTieBreak(log))
+
+  /** Replay the change log to final state with the set-based reducer
+    * (single shuffle, map-side partial agg — the plan that replaces the
+    * reference's per-row SQL round-trips).
+    */
+  def cdcReduce(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+    ChangeLogReducer.reduce(log, Seq("l_orderkey"), eventSeq(log))
+      .orderBy(col("l_orderkey"))
+  }
+
+  def cdcReduceSql: String =
+    s"""WITH cl AS (
+      |  SELECT *, CASE WHEN l_quantity < 3 THEN 'D'
+      |                 WHEN l_quantity < 25 THEN 'U' ELSE 'I' END AS op,
+      |    $rowTieBreakSql AS rh
+      |  FROM lineitem),
+      |last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber DESC, rh DESC) AS rn
+      |  FROM cl)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |  l_shipdate
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Window-based reduction variant — must agree with cdcReduce (same
+    * oracle); kept as a declared op so the driver verifies both physical
+    * strategies.
+    */
+  def cdcReduceWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+    ChangeLogReducer.reduceWithWindow(log, Seq("l_orderkey"), eventSeq(log))
+      .select(LineitemCols.map(col): _*)
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** Deterministically mutated copy of orders for diff testing
+    * (o_orderkey is unique, unlike lineitem's (orderkey, linenumber)):
+    *  - o_orderkey % 997 = 3 deleted (→ only_left)
+    *  - o_orderkey % 1000 = 7 gets totalprice+1.50 (→ mismatch)
+    *  - o_orderkey % 998 = 5 duplicated with key+10000000 (→ only_right)
+    */
+  def mutatedOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = tbl(spark, sfDir, "orders")
+    val kept = ord.filter(col("o_orderkey") % 997 =!= 3)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 1000 === 7,
+          (dec2(col("o_totalprice")) + dec2(lit(1.5))).cast("double"))
+          .otherwise(col("o_totalprice")))
+    val extra = ord.filter(col("o_orderkey") % 998 === 5)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    kept.unionByName(extra)
+  }
+
+  private val mutatedSql =
+    """mut AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 1000 = 7
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1.5 AS DECIMAL(18,2)) AS DOUBLE)
+      |      ELSE o_totalprice END AS o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 997 <> 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 998 = 5)""".stripMargin
+
+  private val payloadCols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  /** Row-level diff detail (non-matching rows only), pk + status +
+    * comma-joined mismatching column names.
+    */
+  def diffDetail(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = tbl(spark, sfDir, "orders")
+    val mut = mutatedOrders(spark, sfDir)
+    DiffEngine.rowDiff(ord, mut, Seq("o_orderkey"))
+      .filter(col(DiffEngine.StatusCol) =!= "match")
+      .select(col("o_orderkey"), col(DiffEngine.StatusCol),
+        array_join(col(DiffEngine.MismatchCol), ",").as("mismatch_cols"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def notSame(c: String) =
+    s"NOT (a.$c IS NOT DISTINCT FROM b.$c)"
+
+  def diffDetailSql: String =
+    s"""WITH $mutatedSql
+      |SELECT
+      |  coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'only_right'
+      |       WHEN b.o_orderkey IS NULL THEN 'only_left'
+      |       ELSE 'mismatch' END AS diff_status,
+      |  CASE WHEN a.o_orderkey IS NULL OR b.o_orderkey IS NULL THEN ''
+      |       ELSE array_to_string(list_filter([
+      |${payloadCols.map(c => s"    CASE WHEN ${notSame(c)} THEN '$c' END").mkString(",\n")}
+      |  ], x -> x IS NOT NULL), ',') END AS mismatch_cols
+      |FROM orders a
+      |FULL OUTER JOIN mut b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR ${payloadCols.map(notSame).mkString("\n   OR ")}
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Per-status diff summary (the per-table report the reference logs). */
+  def diffSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = tbl(spark, sfDir, "orders")
+    val mut = mutatedOrders(spark, sfDir)
+    DiffEngine.summarize(DiffEngine.rowDiff(ord, mut, Seq("o_orderkey")))
+  }
+
+  def diffSummarySql: String =
+    s"""WITH $mutatedSql
+      |SELECT CASE WHEN a.o_orderkey IS NULL THEN 'only_right'
+      |            WHEN b.o_orderkey IS NULL THEN 'only_left'
+      |            WHEN ${payloadCols.map(c => s"(a.$c IS NOT DISTINCT FROM b.$c)").mkString("\n             AND ")}
+      |            THEN 'match' ELSE 'mismatch' END AS diff_status,
+      |  count(*) AS n
+      |FROM orders a
+      |FULL OUTER JOIN mut b ON a.o_orderkey = b.o_orderkey
+      |GROUP BY 1 ORDER BY diff_status""".stripMargin
+
+  private val ordersCanonSql =
+    """md5(concat_ws(chr(1),
+      |      coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'N'),
+      |      coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'N'),
+      |      coalesce(o_orderstatus, chr(1) || 'N'),
+      |      coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
+      |      coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(1) || 'N'),
+      |      coalesce(o_orderpriority, chr(1) || 'N')))""".stripMargin
+
+  /** PK-ordered chunk digests over orders (pgdatadiff-parity compare
+    * unit, chunk = 1000 like the reference default).
+    */
+  def chunkDigest(spark: SparkSession, sfDir: String): DataFrame =
+    DiffEngine.chunkDigest(tbl(spark, sfDir, "orders"), Seq("o_orderkey"), 1000)
+      .orderBy(col("chunk_id"))
+
+  def chunkDigestSql: String =
+    s"""WITH h AS (
+      |  SELECT row_number() OVER (ORDER BY o_orderkey) AS rn,
+      |    $ordersCanonSql AS rh
+      |  FROM orders)
+      |SELECT CAST(floor((rn - 1) / 1000) AS BIGINT) AS chunk_id,
+      |  count(*) AS n_rows,
+      |  md5(string_agg(rh, '|' ORDER BY rn)) AS digest
+      |FROM h GROUP BY 1 ORDER BY chunk_id""".stripMargin
+
+  /** Order-independent bucketed digests over orders — the no-global-sort
+    * 100 TB compare path.
+    */
+  def bucketDigest(spark: SparkSession, sfDir: String): DataFrame =
+    DiffEngine.bucketDigest(tbl(spark, sfDir, "orders"), Seq("o_orderkey"))
+      .orderBy(col("bucket"))
+
+  def bucketDigestSql: String =
+    s"""WITH h AS (
+      |  SELECT substr(md5(coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'N')), 1, 2) AS bucket,
+      |    ('0x' || substr($ordersCanonSql, 1, 15))::BIGINT % 1000000007 AS h
+      |  FROM orders)
+      |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS digest
+      |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.DiffEngine
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class DiffEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, "a", Some(1.0)), (2L, "b", Some(2.0)), (3L, "c", None))
+    .toDF("id", "name", "val")
+
+  test("diff of a table with itself is all match") {
+    val d = DiffEngine.rowDiff(sample, sample, Seq("id"))
+    assert(d.filter(col(DiffEngine.StatusCol) =!= "match").count() === 0)
+  }
+
+  test("diff detects value change, missing and extra rows, NULL-safely") {
+    val right = Seq(
+      (1L, "a", Some(1.5)),   // val changed
+      (3L, "c", None),        // identical incl. NULL — must MATCH (<=>)
+      (4L, "d", Some(4.0)))   // extra
+      .toDF("id", "name", "val")
+    val d = DiffEngine.rowDiff(sample, right, Seq("id"))
+      .select("id", DiffEngine.StatusCol, DiffEngine.MismatchCol).sort("id")
+    val rows = d.collect().toSeq
+    assert(rows === Seq(
+      Row(1L, "mismatch", Seq("val")),
+      Row(2L, "only_left", Seq()),
+      Row(3L, "match", Seq()),
+      Row(4L, "only_right", Seq())))
+  }
+
+  test("NULL vs value is a mismatch, not a match") {
+    val right = Seq((3L, "c", Some(0.0))).toDF("id", "name", "val")
+    val d = DiffEngine.rowDiff(sample.filter($"id" === 3), right, Seq("id"))
+    assert(d.select(DiffEngine.StatusCol).head().getString(0) === "mismatch")
+  }
+
+  test("chunk digests equal iff content equal") {
+    val a = spark.range(0, 5000).select($"id",
+      concat(lit("p"), $"id").as("payload"))
+    val b = a.withColumn("payload",
+      when($"id" === 4321, lit("CHANGED")).otherwise($"payload"))
+    val da = DiffEngine.chunkDigest(a, Seq("id"), 1000)
+    val db = DiffEngine.chunkDigest(b, Seq("id"), 1000)
+    val cmp = DiffEngine.compareDigests(da, db, "chunk_id")
+    assert(cmp.filter(!$"ok").select("chunk_id").collect().toSeq ===
+      Seq(Row(4L)))
+    val self = DiffEngine.compareDigests(da,
+      DiffEngine.chunkDigest(a, Seq("id"), 1000), "chunk_id")
+    assert(self.filter(!$"ok").count() === 0)
+  }
+
+  test("bucket digests localize a difference to one bucket") {
+    val a = spark.range(0, 5000).select($"id",
+      concat(lit("p"), $"id").as("payload"))
+    val b = a.withColumn("payload",
+      when($"id" === 1234, lit("CHANGED")).otherwise($"payload"))
+    val cmp = DiffEngine.compareDigests(
+      DiffEngine.bucketDigest(a, Seq("id")),
+      DiffEngine.bucketDigest(b, Seq("id")), "bucket")
+    assert(cmp.filter(!$"ok").count() === 1)
+  }
+}

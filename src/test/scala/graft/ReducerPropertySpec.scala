@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.{CdcColumns => C}
+import graft.operators.ChangeLogReducer
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property-style invariant (SURVEY.md §5.2): for random I/U/D event logs,
+  * the distributed set-based reduction equals a naive sequential replay
+  * (the reference's row-at-a-time semantics, src/postgres/
+  * postgres_operator_impl.rs:292-401). Seeded generators keep runs
+  * reproducible.
+  */
+class ReducerPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveReplay(events: Seq[(String, Long, String)])
+      : Map[Long, String] =
+    events.foldLeft(Map.empty[Long, String]) {
+      case (state, (op, key, value)) =>
+        op match {
+          case "D" => state - key
+          case _   => state.updated(key, value) // I and U both upsert
+        }
+    }
+
+  test("reduce == naive sequential replay on random event logs") {
+    val rnd = new Random(42)
+    for (iter <- 1 to 15) {
+      val nKeys = 1 + rnd.nextInt(30)
+      val nEvents = 1 + rnd.nextInt(300)
+      val events = (0 until nEvents).map { i =>
+        val op = rnd.nextInt(4) match {
+          case 0 => "D"
+          case 1 => "U"
+          case _ => "I"
+        }
+        (op, rnd.nextInt(nKeys).toLong, s"v${rnd.nextInt(1000)}")
+      }
+      val expected = naiveReplay(events)
+
+      val log = events.zipWithIndex
+        .map { case ((op, k, v), i) => (op, k, v, i.toLong) }
+        .toDF(C.Op, "id", "value", "seq")
+        .repartition(4) // scramble physical order; seq must restore it
+      val got = ChangeLogReducer
+        .reduce(log, Seq("id"), struct(col("seq")))
+        .select("id", "value").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, s"iteration $iter (events=$nEvents)")
+
+      val gotW = ChangeLogReducer
+        .reduceWithWindow(log, Seq("id"), struct(col("seq")))
+        .select("id", "value").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotW === expected, s"window variant, iteration $iter")
+    }
+  }
+}
