@@ -37,8 +37,21 @@ object SparkEntry {
     "cdc_diff_summary" -> (CdcQueries.diffSummary _),
     "cdc_chunk_digest" -> (CdcQueries.chunkDigest _),
     "cdc_bucket_digest" -> (CdcQueries.bucketDigest _),
-    // LLM-data-pipeline ops
-    "dedup_exact" -> (DedupQueries.exact _)
+    "q_json_extract" -> (RelationalQueries.qJsonExtract _),
+    "q_scalar_funcs" -> (RelationalQueries.qScalarFuncs _),
+    // LLM-data-pipeline ops: dedup family
+    "dedup_exact" -> (DedupQueries.exact _),
+    "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
+    "dedup_simhash" -> (DedupQueries.simHash _),
+    "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    // similarity search
+    "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
+    "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
+    "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
+    // text analysis
+    "text_profile" -> (TextQueries.profile _),
+    "text_fingerprint" -> (TextQueries.fingerprint _),
+    "text_lang_dist" -> (TextQueries.langDist _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -58,6 +71,17 @@ object SparkEntry {
     "cdc_diff_summary" -> CdcQueries.diffSummarySql,
     "cdc_chunk_digest" -> CdcQueries.chunkDigestSql,
     "cdc_bucket_digest" -> CdcQueries.bucketDigestSql,
-    "dedup_exact" -> DedupQueries.exactSql
+    "q_json_extract" -> RelationalQueries.qJsonExtractSql,
+    "q_scalar_funcs" -> RelationalQueries.qScalarFuncsSql,
+    "dedup_exact" -> DedupQueries.exactSql,
+    "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
+    "dedup_simhash" -> DedupQueries.simHashSql,
+    "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
+    "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
+    "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
+    "text_profile" -> TextQueries.profileSql,
+    "text_fingerprint" -> TextQueries.fingerprintSql,
+    "text_lang_dist" -> TextQueries.langDistSql
   )
 }

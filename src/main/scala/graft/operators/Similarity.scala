@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.{Column, DataFrame}
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Embedding similarity search over `array<float>` columns.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set against
+  *    the full corpus; cost O(corpus × queries). The correctness baseline.
+  *  - `lshTopK`: random-hyperplane LSH — corpus and queries are bucketed
+  *    by an 8-bit sign signature; candidates come only from the query's
+  *    bucket. At 100 TB the bucket join is a plain shuffle join on a
+  *    low-cardinality key; the brute-force cross product never happens.
+  *
+  * Hyperplanes are DERIVED FROM md5 (component sign = high bit of a hex
+  * digit of md5("plane:dim")), so any engine — or an external oracle —
+  * regenerates the identical planes; no RNG state is shipped anywhere.
+  * All dot products are sequential double folds (VectorFunctions), making
+  * scores bit-reproducible across engines.
+  */
+object Similarity {
+
+  /** Deterministic ±1 sign matrix: signs(p)(i) for plane p, dimension i. */
+  def hyperplaneSigns(planes: Int, dim: Int): Seq[Seq[Int]] = {
+    val mdm = MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val h = mdm.digest(s"$p:$i".getBytes(StandardCharsets.UTF_8))
+        if ((h(0) & 0x80) != 0) 1 else -1
+      }
+    }
+  }
+
+  /** Bit-string LSH bucket for a vector column given the sign matrix. */
+  def lshBucket(vec: Column, signs: Seq[Seq[Int]]): Column = {
+    val bitChars = signs.map { s =>
+      val sArr = array(s.map(v => lit(v)): _*)
+      val proj = aggregate(
+        zip_with(vec, sArr, (x, sg) => x.cast(DoubleType) * sg),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bitChars: _*)
+  }
+
+  /** Exact top-k cosine neighbors of each query vector (self excluded).
+    * Output: q_id, n_id, score — deterministic (score desc, n_id asc).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket.
+    * Same output shape as bruteForceTopK; recall trades against the
+    * number of planes (8 planes ⇒ 256 buckets ⇒ ~1/256 of the corpus
+    * scanned per query).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    val signs = hyperplaneSigns(planes, dim)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
+    * (pairs must share a bucket — the all-pairs product never
+    * materializes).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int, dim: Int): DataFrame = {
+    val signs = hyperplaneSigns(planes, dim)
+    val side = corpus.select(col(idCol), col(vecCol),
+      VectorFunctions.normSq(col(vecCol)).as("norm"),
+      lshBucket(col(vecCol), signs).as("bucket"))
+    val a = side.select(col("bucket"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("norm").as("a_norm"))
+    val b = side.select(col("bucket"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("norm").as("b_norm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+      .distinct()
+  }
+}

@@ -32,4 +32,124 @@ object DedupQueries {
       |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB CTE producing the distinct (doc_id, shingle) table for word
+    * n-grams — must mirror TextFunctions.wordShingles exactly.
+    */
+  private def shingleCte(n: Int, cteName: String): String =
+    s"""toks_$cteName AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |$cteName AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
+      |      ELSE array_to_string(t[i:i+${n - 1}], ' ') END AS shingle
+      |    FROM (SELECT doc_id, t,
+      |            unnest(range(1, greatest(len(t) - ${n - 1}, 1) + 1)) AS i
+      |          FROM toks_$cteName)))""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
+    * 12 portable (md5) min-hashes, 4 bands × 3 rows, Jaccard ≥ 0.5 over
+    * word 3-gram shingles.
+    */
+  def minHashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.minHashNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  def minHashLshSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min(md5(concat_ws('|', $i, shingle))) AS h$i").mkString(",\n    ")
+    val bandKeys = (0 until 4).map { b =>
+      val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCte(3, "sh3")},
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM sh3 GROUP BY doc_id),
+      |bk AS (
+      |  $bandKeys),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+      |common AS (
+      |  SELECT p.a_id, p.b_id, count(*) AS common
+      |  FROM pairs p
+      |  JOIN sh3 x ON x.doc_id = p.a_id
+      |  JOIN sh3 y ON y.doc_id = p.b_id AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.a_id, c.b_id, c.common, ca.n AS na, cb.n AS nb,
+      |  CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) AS jaccard
+      |FROM common c
+      |JOIN cnt ca ON ca.doc_id = c.a_id
+      |JOIN cnt cb ON cb.doc_id = c.b_id
+      |WHERE CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Per-doc 32-bit SimHash + identical-signature dup groups. */
+  def simHash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.simHashGroups(
+      graft.operators.Dedup.simHash(
+        tbl(spark, sfDir, "documents"), "doc_id", "text"), "doc_id")
+      .orderBy(col("doc_id"))
+
+  def simHashSql: String = {
+    val sums = (1 to 32).map(j =>
+      s"sum(CASE WHEN substr(th, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS s$j")
+      .mkString(",\n    ")
+    val bits = (1 to 32).map(j =>
+      s"CASE WHEN s$j * 2 > n_tok THEN '1' ELSE '0' END").mkString(" || ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
+      |  FROM documents),
+      |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_tok,
+      |    $sums
+      |  FROM hashed GROUP BY doc_id),
+      |sh AS (SELECT doc_id, $bits AS simhash FROM agg)
+      |SELECT doc_id, simhash,
+      |  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
+      |  count(*) OVER (PARTITION BY simhash) AS group_size,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
+      |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
+  /** N-gram Jaccard near-dups: exact word-5-gram blocking, Jaccard ≥ 0.5
+    * over word 3-grams.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      blockN = 5, shingleN = 3, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  def ngramJaccardSql: String =
+    s"""WITH ${shingleCte(5, "sh5")},
+      |${shingleCte(3, "sh3")},
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+      |common AS (
+      |  SELECT p.a_id, p.b_id, count(*) AS common
+      |  FROM pairs p
+      |  JOIN sh3 x ON x.doc_id = p.a_id
+      |  JOIN sh3 y ON y.doc_id = p.b_id AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.a_id, c.b_id, c.common, ca.n AS na, cb.n AS nb,
+      |  CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) AS jaccard
+      |FROM common c
+      |JOIN cnt ca ON ca.doc_id = c.a_id
+      |JOIN cnt cb ON cb.doc_id = c.b_id
+      |WHERE CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
 }

@@ -249,4 +249,52 @@ object RelationalQueries {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY win_start, event_type""".stripMargin
+
+  /** JSON extraction from the events `props` column (semi-structured
+    * path): per-type stats over a JSON-embedded metric.
+    */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = tbl(spark, sfDir, "events")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  def qJsonExtractSql: String =
+    """SELECT event_type,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** String + math scalar function coverage over part (upper, substring,
+    * length, abs, sqrt/ln with deterministic floor-truncation instead of
+    * rounding — round() half-way rules differ across engines).
+    */
+  def qScalarFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = tbl(spark, sfDir, "part")
+    part.select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        (floor(sqrt(col("p_retailprice")) * 100) / lit(100.0)).as("sqrt_price_2dp"),
+        (floor(ln(col("p_retailprice") + 1) * 10000) / lit(10000.0)).as("ln_price_4dp"),
+        abs(col("p_size") - 25).as("size_dev"))
+      .orderBy(col("p_partkey"))
+  }
+
+  def qScalarFuncsSql: String =
+    """SELECT p_partkey,
+      |  upper(substr(p_name, 1, 8)) AS name_prefix,
+      |  CAST(len(p_name) AS BIGINT) AS name_len,
+      |  concat_ws('/', p_brand, p_type) AS brand_type,
+      |  floor(sqrt(p_retailprice) * 100) / 100.0 AS sqrt_price_2dp,
+      |  floor(ln(p_retailprice + 1) * 10000) / 10000.0 AS ln_price_4dp,
+      |  abs(p_size - 25) AS size_dev
+      |FROM part ORDER BY p_partkey""".stripMargin
 }

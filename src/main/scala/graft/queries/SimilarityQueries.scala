@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Tables._
+
+/** Embedding similarity-search queries over the `embeddings` table
+  * (array<float> dim=64). Scores are sequential double folds —
+  * bit-reproducible in the DuckDB oracle (see VectorFunctions).
+  */
+object SimilarityQueries {
+
+  private val Dim = 64
+  private val K = 5
+  private val QueryPred = "vec_id < 10"
+
+  /** DuckDB expression: left-fold double dot product of two list columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def normSqSql(v: String): String = dotSql(v, v)
+
+  /** Exact brute-force cosine top-k for a fixed query set (the
+    * correctness baseline for ANN).
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(QueryPred),
+        "vec_id", "embedding", K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def bruteForceTopKSql: String =
+    s"""WITH c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |scored AS (
+      |  SELECT q_id, n_id,
+      |    ${dotSql("n_vec", "q_vec")} / nullif(sqrt(n_norm) * sqrt(q_norm), 0.0) AS score
+      |  FROM c CROSS JOIN q WHERE n_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Random-hyperplane LSH bucket expression for the oracle, with the
+    * md5-derived sign matrix inlined as list literals (identical to
+    * Similarity.hyperplaneSigns).
+    */
+  private def bucketSql(vec: String, planes: Int): String = {
+    val signs = Similarity.hyperplaneSigns(planes, Dim)
+    signs.map { s =>
+      val arr = s.mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_transform(list_zip($vec, $arr), z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y) > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
+
+  /** Approximate (LSH-bucketed) top-k — the 100 TB path: candidates come
+    * only from the query's bucket, no cross product.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
+        K, planes = 4, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def lshTopKSql: String =
+    s"""WITH c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm,
+      |    ${bucketSql("embedding", 4)} AS bucket
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm,
+      |    ${bucketSql("embedding", 4)} AS bucket
+      |  FROM embeddings WHERE $QueryPred),
+      |scored AS (
+      |  SELECT q_id, n_id,
+      |    ${dotSql("n_vec", "q_vec")} / nullif(sqrt(n_norm) * sqrt(q_norm), 0.0) AS score
+      |  FROM c JOIN q USING (bucket) WHERE n_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (LSH-blocked, cos ≥ 0.35,
+    * 2 planes so moderately-similar pairs still collide).
+    */
+  def cosineNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDupPairs(tbl(spark, sfDir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim)
+      .orderBy(col("a_id"), col("b_id"))
+
+  def cosineNearDupsSql: String =
+    s"""WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    ${normSqSql("embedding")} AS norm,
+      |    ${bucketSql("embedding", 2)} AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(a.norm) * sqrt(b.norm), 0.0) AS score
+      |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT DISTINCT a_id, b_id, score FROM pairs WHERE score >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+}

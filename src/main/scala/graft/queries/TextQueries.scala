@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Tables._
+
+/** Text-analysis queries over `documents`: token counting, quality
+  * scoring, language ID, fingerprinting. Pure codegen'd column
+  * expressions — every score derivable (and derived, in the oracle) by
+  * an external engine.
+  */
+object TextQueries {
+
+  private val Stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document profile: counts, ratios, composite quality, language. */
+  def profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    docs.select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.lexTokenCount(col("text")).as("n_lex_tokens"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text"), Stopwords).as("stopword_ratio"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  def profileSql: String = {
+    val toks = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val toksLower = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    val punct =
+      s"(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END)"
+    val stop =
+      s"(CASE WHEN len($toksLower) = 0 THEN 0.0 ELSE CAST(len(list_filter($toksLower, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END)"
+    // langId: fold over (en, de, fr, es) profiles, strict > to win,
+    // count of needle occurrences via the length-difference idiom
+    def cnt(w: String) =
+      s"CAST((len(p) - len(replace(p, '$w', ''))) / ${w.length} AS INTEGER)"
+    def score(ws: Seq[String]) = ws.map(cnt).mkString("(", " + ", ")")
+    val profiles = TextFunctions.DefaultProfiles
+    val s0 = score(profiles.head._2)
+    val folds = profiles.tail.zipWithIndex.map { case ((lang, ws), i) =>
+      val prev = if (i == 0) s"'${profiles.head._1}'" else s"l$i"
+      val prevS = if (i == 0) "s0" else s"sc$i"
+      s"CASE WHEN ${score(ws)} > $prevS THEN '$lang' ELSE $prev END AS l${i + 1}, " +
+        s"CASE WHEN ${score(ws)} > $prevS THEN ${score(ws)} ELSE $prevS END AS sc${i + 1}"
+    }
+    s"""WITH base AS (
+      |  SELECT doc_id, text, n_chars,
+      |    concat(' ', lower(text), ' ') AS p
+      |  FROM documents),
+      |l0 AS (SELECT *, $s0 AS s0 FROM base),
+      |l1 AS (SELECT *, ${folds(0)} FROM l0),
+      |l2 AS (SELECT *, ${folds(1)} FROM l1),
+      |l3 AS (SELECT *, ${folds(2)} FROM l2)
+      |SELECT doc_id,
+      |  len($toks) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_lex_tokens,
+      |  $punct AS punct_ratio,
+      |  $stop AS stopword_ratio,
+      |  CASE WHEN len($toks) = 0 THEN 0.0
+      |    ELSE CAST(list_reduce(list_transform($toks, t -> CAST(len(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(len($toks) AS DOUBLE) END AS mean_token_len,
+      |  0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+      |    + 0.3 * (1.0 - least($punct * 10.0, 1.0))
+      |    + 0.3 * least($stop * 4.0, 1.0) AS quality,
+      |  CASE WHEN sc3 > 0 THEN l3 ELSE 'und' END AS lang_pred
+      |FROM l3
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Winnowing-style fingerprints: selected md5 shingle hashes (suffix
+    * '0'/'1'), sorted, joined — compact near-dup sketch per doc.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val fp = TextFunctions.fingerprint(col("text"), shingleLen = 5)
+    docs.select(col("doc_id"), size(fp).as("n_fp"),
+        array_join(fp, ",").as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fingerprintSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, CASE WHEN len(t) < 5 THEN array_to_string(t, ' ')
+      |      ELSE array_to_string(t[i:i+4], ' ') END AS shingle
+      |    FROM (SELECT doc_id, t,
+      |            unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |          FROM toks))),
+      |hashes AS (
+      |  SELECT doc_id, md5(shingle) AS h FROM sh),
+      |sel AS (
+      |  SELECT doc_id, h FROM hashes
+      |  WHERE h LIKE '%0' OR h LIKE '%1'),
+      |fp AS (
+      |  SELECT doc_id, count(*) AS n_fp,
+      |    string_agg(h, ',' ORDER BY h) AS fingerprint
+      |  FROM sel GROUP BY doc_id)
+      |SELECT t.doc_id, coalesce(fp.n_fp, 0) AS n_fp,
+      |  coalesce(fp.fingerprint, '') AS fingerprint
+      |FROM toks t LEFT JOIN fp ON fp.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Aggregate language distribution (declared-vs-predicted contingency). */
+  def langDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    docs.groupBy(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  def langDistSql: String = {
+    def cnt(w: String) =
+      s"CAST((len(p) - len(replace(p, '$w', ''))) / ${w.length} AS INTEGER)"
+    def score(ws: Seq[String]) = ws.map(cnt).mkString("(", " + ", ")")
+    val profiles = TextFunctions.DefaultProfiles
+    val folds = profiles.tail.zipWithIndex.map { case ((lang, ws), i) =>
+      val prev = if (i == 0) s"'${profiles.head._1}'" else s"l$i"
+      val prevS = if (i == 0) "s0" else s"sc$i"
+      s"CASE WHEN ${score(ws)} > $prevS THEN '$lang' ELSE $prev END AS l${i + 1}, " +
+        s"CASE WHEN ${score(ws)} > $prevS THEN ${score(ws)} ELSE $prevS END AS sc${i + 1}"
+    }
+    s"""WITH base AS (
+      |  SELECT lang, n_chars, concat(' ', lower(text), ' ') AS p FROM documents),
+      |l0 AS (SELECT *, ${score(profiles.head._2)} AS s0 FROM base),
+      |l1 AS (SELECT *, ${folds(0)} FROM l0),
+      |l2 AS (SELECT *, ${folds(1)} FROM l1),
+      |l3 AS (SELECT *, ${folds(2)} FROM l2)
+      |SELECT lang, CASE WHEN sc3 > 0 THEN l3 ELSE 'und' END AS lang_pred,
+      |  count(*) AS n, sum(n_chars) AS total_chars
+      |FROM l3 GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+  }
+}
