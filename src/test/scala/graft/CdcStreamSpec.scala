@@ -1,0 +1,92 @@
+package graft
+
+import graft.model.{CdcColumns => C, ListingMode}
+import graft.operators.ChangeLogReducer
+import graft.sources.{CdcFileLister, ChangeLogReader}
+import graft.streaming.CdcStream
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Streaming replay must be state-equivalent to batch replay at every
+  * micro-batch boundary, and the streaming windowed aggregation must
+  * equal its batch counterpart on the same inputs.
+  */
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(dir: String, name: String,
+      rows: Seq[(String, String, Long, String)]): Unit = {
+    val df = rows.toDF(C.Op, C.IngestTs, "id", "payload")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/_tmp")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/_tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tmp"), true)
+  }
+
+  test("incremental merge equals batch replay after each batch") {
+    val src = Files.createTempDirectory("stream_src").toString
+    val state = Files.createTempDirectory("stream_state").toString + "/st"
+
+    writeFile(src, "LOAD00000001.parquet", Seq(
+      ("I", "t0", 1L, "a"), ("I", "t0", 2L, "b"), ("I", "t0", 3L, "c")))
+
+    // batch 1: just the LOAD file
+    val files1 = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val log1 = ChangeLogReader.read(spark, files1)
+    CdcStream.mergeBatch(spark, log1, Seq("id"), state)
+    assert(spark.read.parquet(state).sort("id")
+      .select("id", "payload").collect().toSeq ===
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+
+    // batch 2: updates + delete + insert arrive as a later CDC file
+    writeFile(src, "20240102-0001.parquet", Seq(
+      ("U", "t1", 1L, "a2"), ("D", "t1", 2L, "b"), ("I", "t1", 4L, "d")))
+    val files2 = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+      .filter(_.path.contains("20240102"))
+    val log2 = ChangeLogReader.read(spark, files2)
+    CdcStream.mergeBatch(spark, log2, Seq("id"), state)
+
+    val streamed = spark.read.parquet(state).sort("id")
+      .select("id", "payload").collect().toSeq
+
+    // ground truth: full batch replay over all files
+    val all = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val fullLog = ChangeLogReader.read(spark, all)
+    val batch = ChangeLogReducer.reduce(fullLog, Seq("id"),
+        ChangeLogReader.eventSeq(fullLog))
+      .sort("id").select("id", "payload").collect().toSeq
+
+    assert(streamed === batch)
+    assert(streamed === Seq(Row(1L, "a2"), Row(3L, "c"), Row(4L, "d")))
+  }
+
+  test("streaming windowed aggregation equals batch aggregation") {
+    val dir = Files.createTempDirectory("stream_ev").toString
+    val events = (0 until 200).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"),
+        if (i % 3 == 0) "click" else "view", i.toDouble)
+    }.toDF("ts", "event_type", "value")
+    events.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(events.schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = CdcStream.windowedCounts(stream, "ts", "event_type",
+      "1 hour", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_out")
+      .sort("win_start", "event_type").collect().toSeq
+    val batch = CdcStream.windowedCounts(
+        spark.read.parquet(dir), "ts", "event_type", "1 hour", "10 minutes")
+      .sort("win_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
