@@ -16,8 +16,21 @@ import org.apache.spark.sql.types.DoubleType
   */
 object VectorFunctions {
 
-  /** Σ a_i * b_i, double accumulation, left fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i * b_i over array<float>, double accumulation, left fold —
+    * native codegen'd expression (see plans.DotProductF; bit-identical
+    * to `dotFold`).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.plans.DotProductF(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The same fold via built-in higher-order functions (interpreted
+    * lambda path) — kept as the portable reference form; tests assert
+    * dot === dotFold bit-for-bit.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0),

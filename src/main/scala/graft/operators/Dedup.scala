@@ -25,12 +25,26 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
-  /** Distinct (id, shingle) pairs — the shared primitive. */
+  /** Rebalance a source whose file layout under-parallelizes the cluster
+    * (one small parquet file = one partition = one core doing all the
+    * CPU-heavy shingling/hashing). No-op when the source is already
+    * parallel enough — at real scale inputs arrive with many splits.
+    */
+  private[operators] def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(target / 2, 2))
+      df.repartition(target)
+    else df
+  }
+
+  /** Distinct (id, shingle) pairs — the shared primitive. wordShingles
+    * already array_distinct-s per document, and id rides along, so the
+    * exploded rows ARE globally distinct — no extra shuffle needed.
+    */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
-    docs.select(col(idCol),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
-      .distinct()
+    balanced(docs).select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
   /** Per-id MinHash signature columns h0..h{k-1}.
     * One explode + one groupBy with k min-aggregates: partial aggregation
@@ -67,10 +81,16 @@ object Dedup {
     */
   def candidatePairs(bandKeys: DataFrame, idCol: String,
       maxBucket: Int = 1000): (DataFrame, DataFrame) = {
-    val sizes = bandKeys.groupBy(col("band"), col("band_key"))
+    // bandKeys feeds FOUR branches (sizes, the anti-join probe, and both
+    // self-join sides); without a persist Spark recomputes the whole
+    // upstream shingle→signature pipeline once per branch
+    val keys = bandKeys.persist()
+    keys.count() // eager: populate the cache ONCE; concurrent branch
+                 // materialization would otherwise race and recompute
+    val sizes = keys.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_size"))
     val oversized = sizes.filter(col("bucket_size") > maxBucket)
-    val ok = bandKeys.join(oversized.select("band", "band_key"),
+    val ok = keys.join(oversized.select("band", "band_key"),
       Seq("band", "band_key"), "left_anti")
     val a = ok.select(col("band"), col("band_key"), col(idCol).as("a_id"))
     val b = ok.select(col("band"), col("band_key"), col(idCol).as("b_id"))
@@ -105,7 +125,10 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5, portable: Boolean = true): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    // the shingle table feeds signatures AND the Jaccard verify (3 branch
+    // reads) — persist it once instead of re-exploding the corpus per use
+    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+    sh.count() // eager cache fill (3 downstream branches)
     val sig = minHashSignatures(sh, idCol, numHashes, portable)
     val (pairs, _) = candidatePairs(
       lshBandKeys(sig, idCol, bands, numHashes / bands), idCol)
@@ -121,7 +144,7 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32): DataFrame = {
     require(bits <= 32, "portable simhash uses one md5 hex digit per bit")
-    val toks = docs.select(col(idCol),
+    val toks = balanced(docs).select(col(idCol),
       explode(array_distinct(TextFunctions.tokens(lower(col(textCol)))))
         .as("tok"))
     val hashed = toks.withColumn("th", md5(col("tok")))
@@ -159,7 +182,9 @@ object Dedup {
       .withColumnRenamed("shingle", "band_key")
       .withColumn("band", lit(0))
     val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
-    jaccardFor(pairs, shingleTable(docs, idCol, textCol, shingleN), idCol)
+    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+    sh.count() // eager cache fill (both sides of the common-shingle join)
+    jaccardFor(pairs, sh, idCol)
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -38,13 +38,14 @@ object Similarity {
     }
   }
 
-  /** Bit-string LSH bucket for a vector column given the sign matrix. */
+  /** Bit-string LSH bucket for a vector column given the sign matrix.
+    * Projections go through the codegen'd dot expression; ±1 signs are
+    * exact in float, so results match the lambda-fold form bit-for-bit.
+    */
   def lshBucket(vec: Column, signs: Seq[Seq[Int]]): Column = {
     val bitChars = signs.map { s =>
-      val sArr = array(s.map(v => lit(v)): _*)
-      val proj = aggregate(
-        zip_with(vec, sArr, (x, sg) => x.cast(DoubleType) * sg),
-        lit(0.0), (acc, v) => acc + v)
+      val sArr = array(s.map(v => lit(v.toFloat)): _*)
+      val proj = VectorFunctions.dot(vec, sArr)
       when(proj > 0, lit("1")).otherwise(lit("0"))
     }
     concat(bitChars: _*)

@@ -53,6 +53,21 @@ class DiffEngineSpec extends SparkSpec {
     assert(self.filter(!$"ok").count() === 0)
   }
 
+  test("native dot product is bit-identical to the portable fold") {
+    import graft.functions.VectorFunctions
+    val vecs = Seq(
+      (1L, Array(0.1f, -2.5f, 3.25f, 0.7f), Array(1.5f, 0.25f, -0.125f, 2.0f)),
+      (2L, Array(1e-7f, 1e7f, -1e-7f, 1e7f), Array(1e7f, 1e-7f, 1e7f, 1e-7f)))
+      .toDF("id", "a", "b")
+    val r = vecs.select(
+      VectorFunctions.dot($"a", $"b").as("fast"),
+      VectorFunctions.dotFold($"a", $"b").as("fold")).collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(row.getDouble(1)))
+    }
+  }
+
   test("bucket digests localize a difference to one bucket") {
     val a = spark.range(0, 5000).select($"id",
       concat(lit("p"), $"id").as("payload"))
