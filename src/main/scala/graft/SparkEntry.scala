@@ -39,6 +39,11 @@ object SparkEntry {
     "cdc_bucket_digest" -> (CdcQueries.bucketDigest _),
     "q_json_extract" -> (RelationalQueries.qJsonExtract _),
     "q_scalar_funcs" -> (RelationalQueries.qScalarFuncs _),
+    "q_cube_orders" -> (AdvancedQueries.qCube _),
+    "q_distinct_agg" -> (AdvancedQueries.qDistinctAgg _),
+    "q_sessionize" -> (AdvancedQueries.qSessionize _),
+    "q_percentile" -> (AdvancedQueries.qPercentile _),
+    "q_asof_join" -> (AdvancedQueries.qAsOfJoin _),
     // LLM-data-pipeline ops: dedup family
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
@@ -73,6 +78,11 @@ object SparkEntry {
     "cdc_bucket_digest" -> CdcQueries.bucketDigestSql,
     "q_json_extract" -> RelationalQueries.qJsonExtractSql,
     "q_scalar_funcs" -> RelationalQueries.qScalarFuncsSql,
+    "q_cube_orders" -> AdvancedQueries.qCubeSql,
+    "q_distinct_agg" -> AdvancedQueries.qDistinctAggSql,
+    "q_sessionize" -> AdvancedQueries.qSessionizeSql,
+    "q_percentile" -> AdvancedQueries.qPercentileSql,
+    "q_asof_join" -> AdvancedQueries.qAsOfJoinSql,
     "dedup_exact" -> DedupQueries.exactSql,
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
     "dedup_simhash" -> DedupQueries.simHashSql,

@@ -1,0 +1,126 @@
+package graft.cli
+
+import graft.cdc.{CdcConfig, SnapshotJob, ValidateJob}
+import graft.model.{ListingMode, TableSpec}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+
+import java.time.Instant
+
+/** CLI with flag parity to the reference client
+  * (dms-cdc-operator-client: README.md:58-99 / src/main.rs:109-155) —
+  * same verbs, same mutual exclusions, Spark execution underneath.
+  *
+  * Usage:
+  *   graft.cli.Main \
+  *     --base-dir /data/bucket/db/schema [--schema public] \
+  *     --table t1 --table t2 | --exclude-table t3 \
+  *     --mode full-load-only | date-aware | absolute-path \
+  *     [--start-date 2024-01-01T00:00:00Z] [--stop-date ...] \
+  *     [--pk t1=id1,id2 ...] \
+  *     --out /data/reconstructed \
+  *     [--expected /data/source-state]      # enables validate
+  *     [--only-snapshot | --only-datadiff] [--chunk-size 1000]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args.toList, Map.empty.withDefault(_ => Nil))
+    def one(k: String): Option[String] = opts(k).headOption
+    def flag(k: String): Boolean = opts(k).nonEmpty
+
+    val baseDir = one("base-dir").getOrElse(
+      sys.error("--base-dir is required"))
+    val outDir = one("out").getOrElse(sys.error("--out is required"))
+    val schema = one("schema").getOrElse("public")
+
+    val mode = one("mode").getOrElse("full-load-only") match {
+      case "full-load-only" => ListingMode.FullLoadOnly
+      case "absolute-path" =>
+        ListingMode.AbsolutePath(one("path").getOrElse(
+          sys.error("--path required for absolute-path mode")))
+      case "date-aware" =>
+        // DateAware requires a start date, like the reference
+        // (cdc_operator.rs:116-118)
+        val start = one("start-date").getOrElse(
+          sys.error("--start-date is required for date-aware mode"))
+        ListingMode.DateAware(
+          Instant.parse(start).toEpochMilli,
+          one("stop-date").map(s => Instant.parse(s).toEpochMilli))
+      case other => sys.error(s"unknown mode: $other")
+    }
+
+    val cfg = CdcConfig(
+      baseDir = baseDir,
+      schema = schema,
+      includeTables = opts("table"),
+      excludeTables = opts("exclude-table"),
+      mode = mode,
+      onlySnapshot = flag("only-snapshot"),
+      onlyDatadiff = flag("only-datadiff"),
+      chunkSize = one("chunk-size").map(_.toInt).getOrElse(1000))
+
+    val pks: Map[String, Seq[String]] = opts("pk").map { spec =>
+      val Array(t, cols) = spec.split("=", 2)
+      t -> cols.split(",").toSeq
+    }.toMap
+
+    val spark = SparkSession.builder()
+      .appName("graft-cdc")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+
+    try {
+      val tableNames = cfg.selectTables(listTableDirs(spark, baseDir))
+      val specs = tableNames.map(t =>
+        TableSpec(t, s"$baseDir/$t", pks.getOrElse(t, Seq.empty)))
+      specs.foreach(s => require(s.primaryKey.nonEmpty,
+        s"--pk ${s.name}=<cols> is required"))
+
+      if (!cfg.onlyDatadiff) {
+        val counts = SnapshotJob.run(spark, cfg, specs, outDir)
+        counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
+          println(s"[snapshot] $t: $n rows reconstructed")
+        }
+      }
+      if (!cfg.onlySnapshot) {
+        one("expected").foreach { expectedDir =>
+          specs.foreach { s =>
+            val source = spark.read.parquet(s"$expectedDir/${s.name}")
+            val target = spark.read.parquet(s"$outDir/${s.name}")
+            val rep = ValidateJob.validateTable(source, target, s)
+            println(s"[validate] ${s.name}: " +
+              (if (rep.ok) s"OK (${rep.matched} rows)"
+               else s"MISMATCH only_left=${rep.onlyLeft} " +
+                 s"only_right=${rep.onlyRight} mismatched=${rep.mismatched}"))
+          }
+        }
+      }
+    } finally spark.stop()
+  }
+
+  private def listTableDirs(spark: SparkSession, baseDir: String)
+      : Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
+  }
+
+  @annotation.tailrec
+  private def parse(args: List[String], acc: Map[String, List[String]])
+      : Map[String, List[String]] = args match {
+    case Nil => acc
+    case key :: rest if key.startsWith("--") =>
+      val k = key.drop(2)
+      rest match {
+        case v :: tail if !v.startsWith("--") =>
+          parse(tail, acc.updated(k, acc(k) :+ v))
+        case _ => parse(rest, acc.updated(k, acc(k) :+ "true"))
+      }
+    case other :: _ => sys.error(s"unexpected argument: $other")
+  }
+}

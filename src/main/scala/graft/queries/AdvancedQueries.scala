@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Tables._
+
+/** Second-ring relational coverage (SURVEY.md §2.2): CUBE grouping sets,
+  * multi-distinct aggregation, gap-based sessionization, interpolated
+  * percentiles, and an as-of join expressed with running-window maxima.
+  */
+object AdvancedQueries {
+
+  /** CUBE over two dimensions (all four grouping sets in one pass). */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  def qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Multiple exact COUNT(DISTINCT) in one aggregation (expand-based). */
+  def qDistinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  def qDistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Gap-based sessionization of the event stream: a >30-minute silence
+    * starts a new session; one output row per (user, session) with span
+    * and exact value total. The lag + running-sum idiom — the batch form
+    * of streaming session windows.
+    */
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = tbl(spark, sfDir, "events")
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(wOrd)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(prevTs.cast("timestamp")) > 1800L * 1000000L, 1L)
+      .otherwise(0L)
+    ev.withColumn("is_new", isNew)
+      .withColumn("session_ord", sum(col("is_new"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_ord"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("user_id"), col("session_ord"))
+  }
+
+  def qSessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_ord
+      |  FROM marked)
+      |SELECT user_id, session_ord, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_ord
+      |ORDER BY user_id, session_ord""".stripMargin
+
+  /** Interpolated percentiles (PERCENTILE_CONT semantics) per group. */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  def qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** As-of join via running-window maxima: for every `error` event, the
+    * most recent preceding `click` by the same user (NULL if none) and
+    * the gap in microseconds. The union-then-running-max idiom is the
+    * shuffle-minimal way to express as-of joins on a shared key.
+    */
+  def qAsOfJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = tbl(spark, sfDir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_click_ts"),
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("last_click_ts").cast("timestamp")))
+          .as("gap_micros"))
+      .orderBy(col("event_id"))
+  }
+
+  def qAsOfJoinSql: String =
+    """WITH runup AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN ts END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      |  FROM events)
+      |SELECT event_id, user_id, ts, last_click_ts,
+      |  epoch_us(ts) - epoch_us(last_click_ts) AS gap_micros
+      |FROM runup WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+}
