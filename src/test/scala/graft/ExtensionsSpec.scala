@@ -10,7 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   test("dot_product_f callable from SQL through GraftExtensions") {
-    // separate session: extensions bind at session build time
+    // extensions bind at session BUILD time; getOrCreate would return the
+    // suite-shared session, so detach it first and build a fresh session
+    // (the underlying SparkContext is reused either way)
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder().master("local[2]")
       .appName("graft-ext-test")
       .withExtensions(new GraftExtensions)
@@ -31,8 +36,10 @@ class ExtensionsSpec extends AnyFunSuite {
         err.getMessage.toLowerCase.contains("requires"))
     } finally {
       // don't stop(): shares the JVM-wide SparkContext with other suites;
-      // just clear the active session binding
+      // restore the prior default session binding
       SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setDefaultSession)
     }
   }
 }
