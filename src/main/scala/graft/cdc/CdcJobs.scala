@@ -56,8 +56,21 @@ object SnapshotJob {
             s"schema drift for ${table.name}: $rep")
       } else SchemaChecker.requireSubset(log.schema, cols)
     }
-    ChangeLogReducer.reduce(log, table.primaryKey,
-      ChangeLogReader.eventSeq(log))
+    if (table.primaryKey.nonEmpty)
+      ChangeLogReducer.reduce(log, table.primaryKey,
+        ChangeLogReader.eventSeq(log))
+    else {
+      // PK-less table: the reference can only bulk-insert these (its
+      // upsert path needs ON CONFLICT (pk)); state = concatenation of
+      // insert events, no reduction possible
+      require(files.forall(_.isLoad) ||
+          cfg.mode == graft.model.ListingMode.FullLoadOnly,
+        s"table ${table.name} has no primary key: CDC replay undefined, " +
+          "use FullLoadOnly mode")
+      import graft.model.{CdcColumns => C}
+      log.filter(org.apache.spark.sql.functions.col(C.Op) === C.OpInsert)
+        .drop(C.MetaColumns ++ C.InternalColumns: _*)
+    }
   }
 
   /** Snapshot all selected tables under baseDir into parquet state dirs;

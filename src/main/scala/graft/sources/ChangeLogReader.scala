@@ -29,9 +29,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object ChangeLogReader {
 
-  def read(spark: SparkSession, files: Seq[CdcFile]): DataFrame = {
+  /** @param mergeSchemas true tolerates schema drift across CDC files
+    *        (columns added over time arrive as NULL in older events —
+    *        the reference never checks CDC-file schemas at all, so drift
+    *        crashes it; we absorb it instead)
+    */
+  def read(spark: SparkSession, files: Seq[CdcFile],
+      mergeSchemas: Boolean = true): DataFrame = {
     require(files.nonEmpty, "change-log read of zero files")
-    val df = spark.read.parquet(files.map(_.path): _*)
+    val df = spark.read
+      .option("mergeSchema", mergeSchemas.toString)
+      .parquet(files.map(_.path): _*)
     withOrdering(df)
   }
 
