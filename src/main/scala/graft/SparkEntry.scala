@@ -52,6 +52,7 @@ object SparkEntry {
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
+    "ann_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
+    "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
     "text_profile" -> TextQueries.profileSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,

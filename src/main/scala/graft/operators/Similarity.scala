@@ -98,6 +98,57 @@ object Similarity {
       .select("q_id", "n_id", "rank", "score")
   }
 
+  /** IVF-style approximate top-k: an inverted file over deterministic
+    * centroids (a fixed id-predicate subset of the corpus — no RNG, no
+    * training state to ship). Every vector joins its nearest centroid's
+    * list; a query probes its `nprobe` closest lists only.
+    *
+    * At 100 TB: the assignment pass is one broadcast join over the
+    * centroid set, the inverted lists are just a `cent_id` column to
+    * shuffle-partition by, and each query touches ~nprobe/C of the
+    * corpus. Complements `lshTopK` (bit-signature buckets) with the
+    * list-probing trade-off real IVF indexes make.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidPred: Column, nprobe: Int)
+      : DataFrame = {
+    val cent = corpus.filter(centroidPred)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    val assignW = Window.partitionBy(col("n_id"))
+      .orderBy(col("cent_score").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("cent_vec")),
+        col("n_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(assignW))
+      .filter(col("crk") === 1)
+      .select(col("n_id"), col("n_vec"), col("n_norm"), col("cent_id"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("q_vec"), col("cent_vec")),
+        col("q_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
     * (pairs must share a bucket — the all-pairs product never
     * materializes).

@@ -96,6 +96,57 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF approximate top-k: deterministic centroids (vec_id % 53 = 1),
+    * nearest-centroid inverted lists, 3-list probe.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
+        K, col("vec_id") % 53 === 1, nprobe = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfTopKSql: String =
+    s"""WITH cent AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+      |    ${normSqSql("embedding")} AS cent_norm
+      |  FROM embeddings WHERE vec_id % 53 = 1),
+      |c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |assigned AS (
+      |  SELECT n_id, n_vec, n_norm, cent_id FROM (
+      |    SELECT c.n_id, c.n_vec, c.n_norm, cent.cent_id,
+      |      row_number() OVER (PARTITION BY c.n_id ORDER BY
+      |        ${dotSql("c.n_vec", "cent.cent_vec")} / nullif(sqrt(c.n_norm) * sqrt(cent.cent_norm), 0.0) DESC,
+      |        cent.cent_id) AS crk
+      |    FROM c CROSS JOIN cent) t
+      |  WHERE crk = 1),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |probes AS (
+      |  SELECT q_id, q_vec, q_norm, cent_id FROM (
+      |    SELECT q.q_id, q.q_vec, q.q_norm, cent.cent_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        ${dotSql("q.q_vec", "cent.cent_vec")} / nullif(sqrt(q.q_norm) * sqrt(cent.cent_norm), 0.0) DESC,
+      |        cent.cent_id) AS crk
+      |    FROM q CROSS JOIN cent) t
+      |  WHERE crk <= 3),
+      |scored AS (
+      |  SELECT p.q_id, a.n_id,
+      |    ${dotSql("a.n_vec", "p.q_vec")} / nullif(sqrt(a.n_norm) * sqrt(p.q_norm), 0.0) AS score
+      |  FROM assigned a JOIN probes p USING (cent_id)
+      |  WHERE a.n_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (LSH-blocked, cos ≥ 0.35,
     * 2 planes so moderately-similar pairs still collide).
     */
