@@ -44,6 +44,9 @@ object SparkEntry {
     "q_sessionize" -> (AdvancedQueries.qSessionize _),
     "q_percentile" -> (AdvancedQueries.qPercentile _),
     "q_asof_join" -> (AdvancedQueries.qAsOfJoin _),
+    // HLL sketches: engine-specific internals, no SQL oracle possible —
+    // intentionally absent from oracleSql (driver does rows-only check)
+    "q_approx_distinct" -> (AdvancedQueries.qApproxDistinct _),
     // LLM-data-pipeline ops: dedup family
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),

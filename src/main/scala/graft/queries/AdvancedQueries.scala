@@ -112,6 +112,22 @@ object AdvancedQueries {
       |  max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** HLL sketch aggregation (approx_count_distinct) next to exact
+    * counts. No cross-engine oracle exists for HLL internals (Spark's
+    * relative-error HLL++ differs from other engines' sketches), so this
+    * op is declared WITHOUT an oracle — the driver records the weaker
+    * rows-only check. At 100 TB, sketches are how you count distinct
+    * URLs/users per slice without a distinct-expand shuffle.
+    */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
   /** As-of join via running-window maxima: for every `error` event, the
     * most recent preceding `click` by the same user (NULL if none) and
     * the gap in microseconds. The union-then-running-max idiom is the
