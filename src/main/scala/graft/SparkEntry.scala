@@ -60,7 +60,10 @@ object SparkEntry {
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
-    "text_lang_dist" -> (TextQueries.langDist _)
+    "text_lang_dist" -> (TextQueries.langDist _),
+    // multimodal decode is a mapPartitions stub (no codecs in env) —
+    // not SQL-expressible, intentionally no oracle (rows-only check)
+    "mm_features" -> (TextQueries.multimodalFeatures _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */

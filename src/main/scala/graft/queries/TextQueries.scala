@@ -113,6 +113,24 @@ object TextQueries {
       |FROM toks t LEFT JOIN fp ON fp.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Multimodal plumbing as a declared op: synthesize binary payloads
+    * from text (the env has no codecs), run the per-partition batch
+    * feature extractor, emit id + byte count + an exact feature moment.
+    * The decode stub is mapPartitions Scala — not SQL-expressible, so no
+    * oracle (rows-only check); determinism is covered by MultimodalSpec.
+    */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val withPayload = graft.operators.Multimodal.withFakePayload(docs, "text")
+    graft.operators.Multimodal
+      .extractFeatures(withPayload, "doc_id", "payload")
+      .withColumn("feat_l1",
+        aggregate(col("features"), lit(0.0d),
+          (acc, v) => acc + abs(v.cast("double"))))
+      .select(col("doc_id"), col("n_bytes"), col("feat_l1"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
