@@ -94,6 +94,53 @@ object CdcStream {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Event for the stateful sessionizer. */
+  final case class SessEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** Cross-batch state: last seen event time + current session ordinal. */
+  final case class SessState(lastTsMicros: Long, sessionOrd: Long)
+
+  /** Session assignment emitted per event. */
+  final case class SessAssign(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, session_ord: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState: a
+    * gap > `gapSeconds` of event-time silence per user starts a new
+    * session; state (last ts, session ordinal) survives across
+    * micro-batches, so a session spanning two triggers keeps its
+    * ordinal — the custom-state capability the batch `q_sessionize`
+    * cannot express incrementally.
+    *
+    * Within a batch, a group's events are sorted by (ts, event_id)
+    * before folding — the file source guarantees no cross-batch
+    * reordering per key here; production deployments add a watermark +
+    * event-time timeout to bound state.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessEvent],
+      gapSeconds: Long)
+      : org.apache.spark.sql.Dataset[SessAssign] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val isNew = st.lastTsMicros == Long.MinValue ||
+              tsMicros - st.lastTsMicros > gapSeconds * 1000000L
+            st = SessState(tsMicros,
+              if (isNew) st.sessionOrd + 1 else st.sessionOrd)
+            SessAssign(user, e.event_id, e.ts, st.sessionOrd)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming windowed aggregation over an event stream (watermark +
     * tumbling window) — mirrors the batch q_event_windows so stream and
     * batch results can be asserted equal.

@@ -65,6 +65,37 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed === Seq(Row(1L, "a2"), Row(3L, "c"), Row(4L, "d")))
   }
 
+  test("stateful sessionization carries state across micro-batches") {
+    import graft.streaming.CdcStream.{SessAssign, SessEvent}
+    val dir = Files.createTempDirectory("sess_src").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+    // batch 1: user 1 events at 10:00, 10:05 (one session)
+    Seq(SessEvent(1L, 1L, ts(0), 1.0), SessEvent(1L, 2L, ts(5), 1.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/b1")
+    // batch 2: 10:10 continues session 1 (gap 5m < 30m);
+    //          10:55 starts session 2 (gap 45m)
+    Seq(SessEvent(1L, 3L, ts(10), 1.0), SessEvent(1L, 4L, ts(55), 1.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/b2")
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[SessEvent]].schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/b*/")
+      .as[SessEvent]
+    val q = graft.streaming.CdcStream.sessionizeStream(stream, 1800L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sess_out").as[SessAssign]
+      .collect().sortBy(_.event_id)
+      .map(a => a.event_id -> a.session_ord).toSeq
+    // events 1-3 share session 1 even though 3 arrived in a later
+    // micro-batch; event 4's 45-minute gap starts session 2
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("streaming windowed aggregation equals batch aggregation") {
     val dir = Files.createTempDirectory("stream_ev").toString
     val events = (0 until 200).map { i =>
