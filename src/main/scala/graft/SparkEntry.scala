@@ -44,6 +44,9 @@ object SparkEntry {
     "q_sessionize" -> (AdvancedQueries.qSessionize _),
     "q_percentile" -> (AdvancedQueries.qPercentile _),
     "q_asof_join" -> (AdvancedQueries.qAsOfJoin _),
+    "q_pivot" -> (AdvancedQueries.qPivot _),
+    "q_unpivot" -> (AdvancedQueries.qUnpivot _),
+    "q_scalar_subquery" -> (AdvancedQueries.qScalarSubquery _),
     // HLL sketches: engine-specific internals, no SQL oracle possible —
     // intentionally absent from oracleSql (driver does rows-only check)
     "q_approx_distinct" -> (AdvancedQueries.qApproxDistinct _),
@@ -90,6 +93,9 @@ object SparkEntry {
     "q_sessionize" -> AdvancedQueries.qSessionizeSql,
     "q_percentile" -> AdvancedQueries.qPercentileSql,
     "q_asof_join" -> AdvancedQueries.qAsOfJoinSql,
+    "q_pivot" -> AdvancedQueries.qPivotSql,
+    "q_unpivot" -> AdvancedQueries.qUnpivotSql,
+    "q_scalar_subquery" -> AdvancedQueries.qScalarSubquerySql,
     "dedup_exact" -> DedupQueries.exactSql,
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
     "dedup_simhash" -> DedupQueries.simHashSql,

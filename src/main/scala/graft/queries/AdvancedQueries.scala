@@ -112,6 +112,72 @@ object AdvancedQueries {
       |  max(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** PIVOT: order counts per priority pivoted across statuses (explicit
+    * value list keeps output columns deterministic in both engines).
+    */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+
+  def qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** UNPIVOT/melt: wide part metrics to (key, metric, value) long form,
+    * then aggregate — schema-reshaping coverage.
+    */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "part")
+      .select(col("p_brand"), col("p_size").cast(DoubleType).as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_brand")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "value")
+      .groupBy(col("p_brand"), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total"))
+      .orderBy(col("p_brand"), col("metric"))
+
+  def qUnpivotSql: String =
+    """WITH long AS (
+      |  SELECT p_brand, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_brand, 'p_retailprice', p_retailprice FROM part)
+      |SELECT p_brand, metric, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM long GROUP BY p_brand, metric ORDER BY p_brand, metric""".stripMargin
+
+  /** Correlated scalar subquery through the SQL text surface
+    * (spark.sql + temp views): parts priced above their brand's average.
+    * Catalyst decorrelates the subquery into a join.
+    */
+  def qScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    tbl(spark, sfDir, "part").createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part_v p
+        |WHERE CAST(p_retailprice AS DOUBLE) > (
+        |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / CAST(count(*) AS DOUBLE)
+        |  FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  def qScalarSubquerySql: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part p
+      |WHERE CAST(p_retailprice AS DOUBLE) > (
+      |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       / CAST(count(*) AS DOUBLE)
+      |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p_partkey""".stripMargin
+
   /** HLL sketch aggregation (approx_count_distinct) next to exact
     * counts. No cross-engine oracle exists for HLL internals (Spark's
     * relative-error HLL++ differs from other engines' sketches), so this
