@@ -80,7 +80,8 @@ object CdcStream {
         val stamped = asInserts.withColumn("_b_seq",
           struct(lit(-1).as("load_rank"), lit("").as("file_path"),
             lit(0L).as("row_index")))
-        stamped.select(events.columns.map(col): _*).unionByName(events)
+        stamped.select(events.columns.toIndexedSeq.map(col): _*)
+          .unionByName(events)
       }
 
     val newState = ChangeLogReducer.reduce(combined, pks, col("_b_seq"))

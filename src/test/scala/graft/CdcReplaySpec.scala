@@ -105,7 +105,9 @@ class CdcReplaySpec extends SparkSpec {
     val a = ChangeLogReducer.reduce(log, Seq("id"),
       ChangeLogReader.eventSeq(log)).sort("id")
     val b = ChangeLogReducer.reduceWithWindow(log, Seq("id"),
-      ChangeLogReader.eventSeq(log)).select(a.columns.map(org.apache.spark.sql.functions.col): _*).sort("id")
+      ChangeLogReader.eventSeq(log))
+      .select(a.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
+      .sort("id")
     assert(a.collect().toSeq === b.collect().toSeq)
   }
 }
