@@ -120,12 +120,16 @@ object TextFunctions {
     * text. The shared shingling primitive for fingerprint / MinHash /
     * Jaccard dedup.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(lower(text)), n)
+
+  /** Same, from a pre-tokenized array column — lets pipelines that need
+    * several shingle widths tokenize (and cache) once.
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(transform(
           sequence(lit(0), size(toks) - lit(n)),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
 }

@@ -178,11 +178,18 @@ object Dedup {
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
       blockN: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    val blocks = shingleTable(docs, idCol, textCol, blockN)
+    // tokenize ONCE for both shingle widths; the token table is tiny
+    // (one row per doc) and feeds two explode chains
+    val toks = balanced(docs).select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("_toks")).persist()
+    toks.count()
+    def shingles(n: Int) = toks.select(col(idCol),
+      explode(TextFunctions.shinglesOfTokens(col("_toks"), n)).as("shingle"))
+    val blocks = shingles(blockN)
       .withColumnRenamed("shingle", "band_key")
       .withColumn("band", lit(0))
     val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
-    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+    val sh = shingles(shingleN).persist()
     sh.count() // eager cache fill (both sides of the common-shingle join)
     jaccardFor(pairs, sh, idCol)
       .filter(col("jaccard") >= threshold)
