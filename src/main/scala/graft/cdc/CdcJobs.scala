@@ -52,8 +52,8 @@ object SnapshotJob {
       if (cfg.lenient) {
         val rep = SchemaChecker.check(log.schema, cols)
         if (!rep.ok)
-          spark.sparkContext.setJobDescription(
-            s"schema drift for ${table.name}: $rep")
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"schema drift for ${table.name}: $rep")
       } else SchemaChecker.requireSubset(log.schema, cols)
     }
     if (table.primaryKey.nonEmpty)

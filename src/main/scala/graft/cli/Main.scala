@@ -76,8 +76,11 @@ object Main {
       val tableNames = cfg.selectTables(listTableDirs(spark, baseDir))
       val specs = tableNames.map(t =>
         TableSpec(t, s"$baseDir/$t", pks.getOrElse(t, Seq.empty)))
-      specs.foreach(s => require(s.primaryKey.nonEmpty,
-        s"--pk ${s.name}=<cols> is required"))
+      // PK-less tables are legal in full-load-only mode (bulk-insert
+      // reconstruction); CDC replay and validation need a key
+      if (mode != ListingMode.FullLoadOnly)
+        specs.foreach(s => require(s.primaryKey.nonEmpty,
+          s"--pk ${s.name}=<cols> is required for CDC replay modes"))
 
       if (!cfg.onlyDatadiff) {
         val counts = SnapshotJob.run(spark, cfg, specs, outDir)
@@ -88,6 +91,10 @@ object Main {
       if (!cfg.onlySnapshot) {
         one("expected").foreach { expectedDir =>
           specs.foreach { s =>
+            if (s.primaryKey.isEmpty) {
+              println(s"[validate] ${s.name}: SKIPPED (no primary key; " +
+                "row-level validation needs one)")
+            } else {
             val source = spark.read.parquet(s"$expectedDir/${s.name}")
             val target = spark.read.parquet(s"$outDir/${s.name}")
             val rep = ValidateJob.validateTable(source, target, s)
@@ -95,6 +102,7 @@ object Main {
               (if (rep.ok) s"OK (${rep.matched} rows)"
                else s"MISMATCH only_left=${rep.onlyLeft} " +
                  s"only_right=${rep.onlyRight} mismatched=${rep.mismatched}"))
+            }
           }
         }
       }

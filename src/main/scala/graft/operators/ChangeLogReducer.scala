@@ -51,7 +51,9 @@ object ChangeLogReducer {
     val restored = pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))
     reduced
       .select(restored: _*)
-      .filter(col(C.Op) =!= lit("D"))
+      // null-SAFE: a NULL Op (e.g. a drifted file without the column)
+      // must survive as an insert, not vanish (NULL =!= 'D' is NULL)
+      .filter(!(col(C.Op) <=> lit("D")))
       .drop(dropCols: _*)
   }
 
@@ -62,7 +64,7 @@ object ChangeLogReducer {
     changeLog
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .filter(col(C.Op) =!= lit("D"))
+      .filter(!(col(C.Op) <=> lit("D")))
       .drop("_rn")
       .drop(dropCols: _*)
   }

@@ -106,7 +106,10 @@ object DiffEngine {
     */
   def chunkDigest(df: DataFrame, pks: Seq[String], chunkSize: Int)
       : DataFrame = {
-    val dataCols = df.columns.toSeq
+    // hash columns in NAME order so two sides with different physical
+    // column layouts (e.g. source parquet vs reducer output) still
+    // produce comparable digests
+    val dataCols = df.columns.sorted.toSeq
     val w = Window.orderBy(pks.map(col): _*)
     val rh = rowHash(df, dataCols)
     df.withColumn("_rh", rh)
@@ -129,7 +132,7 @@ object DiffEngine {
     */
   def bucketDigest(df: DataFrame, pks: Seq[String], hexChars: Int = 2)
       : DataFrame = {
-    val dataCols = df.columns.toSeq
+    val dataCols = df.columns.sorted.toSeq
     val pkHash = md5(concat_ws(FieldSep,
       pks.map(c => canonicalColumn(col(c),
         df.schema(c).dataType)): _*))

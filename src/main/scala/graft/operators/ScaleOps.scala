@@ -32,6 +32,12 @@ object ScaleOps {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would emit each unmatched RIGHT row once per salt
+    // replica — only left-preserving join types keep plain-join equality
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin does not support right/full outer joins (got $joinType)")
     val saltSrc = left.columns.map(col).toSeq
     val l = left.withColumn("_salt",
       pmod(xxhash64(saltSrc: _*), lit(saltFactor)))

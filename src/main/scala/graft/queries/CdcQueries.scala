@@ -180,14 +180,16 @@ object CdcQueries {
       |FULL OUTER JOIN mut b ON a.o_orderkey = b.o_orderkey
       |GROUP BY 1 ORDER BY diff_status""".stripMargin
 
+  // digest row hash: columns in sorted NAME order (matches
+  // DiffEngine.chunkDigest/bucketDigest layout-independence)
   private val ordersCanonSql =
     """md5(concat_ws(chr(1),
-      |      coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'N'),
       |      coalesce(CAST(o_custkey AS VARCHAR), chr(1) || 'N'),
-      |      coalesce(o_orderstatus, chr(1) || 'N'),
-      |      coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N'),
       |      coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(1) || 'N'),
-      |      coalesce(o_orderpriority, chr(1) || 'N')))""".stripMargin
+      |      coalesce(CAST(o_orderkey AS VARCHAR), chr(1) || 'N'),
+      |      coalesce(o_orderpriority, chr(1) || 'N'),
+      |      coalesce(o_orderstatus, chr(1) || 'N'),
+      |      coalesce(CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), chr(1) || 'N')))""".stripMargin
 
   /** PK-ordered chunk digests over orders (pgdatadiff-parity compare
     * unit, chunk = 1000 like the reference default).

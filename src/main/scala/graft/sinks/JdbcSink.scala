@@ -27,17 +27,15 @@ object JdbcSink {
       user: String, password: String,
       batchSize: Int = DefaultBatchSize, maxConnections: Int = 8): Unit = {
     val clean = state.drop(C.MetaColumns ++ C.InternalColumns: _*)
-    val bounded =
-      if (clean.rdd.getNumPartitions > maxConnections)
-        clean.coalesce(maxConnections)
-      else clean
-    bounded.write
+    clean.write
       .format("jdbc")
       .option("url", url)
       .option("dbtable", PgDdl.qualified(schema, table))
       .option("user", user)
       .option("password", password)
       .option("batchsize", batchSize)
+      // built-in write-side cap: coalesces to ≤ maxConnections partitions
+      .option("numPartitions", maxConnections)
       .option("isolationLevel", "READ_COMMITTED")
       .mode("append")
       .save()

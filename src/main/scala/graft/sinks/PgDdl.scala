@@ -16,6 +16,12 @@ object PgDdl {
   /** Quote an identifier, escaping embedded quotes. */
   def ident(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
 
+  /** Escape a string LITERAL (single-quote doubling) — catalog queries
+    * embed schema/table names as literals, which must not break on names
+    * containing quotes.
+    */
+  def literal(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def qualified(schema: String, table: String): String =
     s"${ident(schema)}.${ident(table)}"
 
@@ -25,18 +31,20 @@ object PgDdl {
   def findAllColumns(schema: String, table: String): String =
     s"""SELECT column_name, data_type
        |FROM information_schema.columns
-       |WHERE table_schema = '$schema' AND table_name = '$table'
+       |WHERE table_schema = ${literal(schema)} AND table_name = ${literal(table)}
        |ORDER BY ordinal_position""".stripMargin
 
   /** Primary-key columns via pg_index (reference: FindPrimaryKey,
     * table_query.rs:48-60).
     */
   def findPrimaryKey(schema: String, table: String): String =
+    // regclass literal uses QUOTED identifiers so mixed-case/special
+    // names resolve (an unquoted regclass literal would lowercase them)
     s"""SELECT a.attname
        |FROM pg_index i
        |JOIN pg_attribute a ON a.attrelid = i.indrelid
        |  AND a.attnum = ANY(i.indkey)
-       |WHERE i.indrelid = '${schema}.${table}'::regclass
+       |WHERE i.indrelid = ${literal(s"${ident(schema)}.${ident(table)}")}::regclass
        |  AND i.indisprimary
        |ORDER BY array_position(i.indkey, a.attnum)""".stripMargin
 
@@ -47,10 +55,10 @@ object PgDdl {
       exclude: Boolean): String = {
     val base =
       s"""SELECT table_name FROM information_schema.tables
-         |WHERE table_schema = '$schema' AND table_type = 'BASE TABLE'""".stripMargin
+         |WHERE table_schema = ${literal(schema)} AND table_type = 'BASE TABLE'""".stripMargin
     if (tables.isEmpty) base
     else {
-      val list = tables.map(t => s"'$t'").mkString(", ")
+      val list = tables.map(literal).mkString(", ")
       val op = if (exclude) "NOT IN" else "IN"
       s"$base AND table_name $op ($list)"
     }

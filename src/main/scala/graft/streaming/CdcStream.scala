@@ -56,9 +56,10 @@ object CdcStream {
   /** One merge step; also the unit the tests drive directly. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, pks: Seq[String],
       stateDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    // resolve the filesystem FROM the path — stateDir may live on a
+    // different FS (s3a, abfs) than fs.defaultFS
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasState = fs.exists(statePath)
 
     val events = batch.withColumn("_b_seq", ChangeLogReader.eventSeq(batch))

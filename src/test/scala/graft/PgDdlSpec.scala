@@ -23,8 +23,16 @@ class PgDdlSpec extends AnyFunSuite {
     val sql = PgDdl.findPrimaryKey("public", "t1")
     assert(sql.contains("pg_index"))
     assert(sql.contains("indisprimary"))
-    assert(sql.contains("'public.t1'::regclass"))
+    // quoted-identifier regclass literal (mixed case survives)
+    assert(sql.contains("'\"public\".\"t1\"'::regclass"))
     assert(sql.contains("array_position"))
+  }
+
+  test("literals escape embedded quotes in catalog queries") {
+    assert(PgDdl.findAllColumns("s", "it's")
+      .contains("table_name = 'it''s'"))
+    assert(PgDdl.findTablesInSchema("s", Seq("a'b"), exclude = false)
+      .endsWith("AND table_name IN ('a''b')"))
   }
 
   test("table list: include, exclude, all") {
