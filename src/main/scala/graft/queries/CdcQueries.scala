@@ -13,10 +13,10 @@ import Tables._
   * driver can hash-compare end states.
   *
   * Synthetic log shape: PK = l_orderkey; events for a key are its line
-  * items applied in (l_linenumber, row-md5) order — the md5 tie-break
-  * matters because the synthetic data contains repeated
-  * (l_orderkey, l_linenumber) pairs; a total order keeps both physical
-  * strategies and the oracle in exact agreement. Op derives from
+  * items applied in (l_linenumber, payload-columns) order — the
+  * plain-column tie-break matters because the synthetic data contains
+  * repeated (l_orderkey, l_linenumber) pairs; a total order keeps both
+  * physical strategies and the oracle in exact agreement. Op derives from
   * l_quantity: <3 → D, <25 → U, else I. This produces keys whose last
   * event is a delete (dropped), updated keys, and plain inserts — the
   * reference's replay semantics (last-event-wins per PK, trailing D
@@ -56,7 +56,7 @@ object CdcQueries {
       .withColumn(C.IngestTs,
         date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
-  private def eventSeq(log: DataFrame): Column =
+  private val eventSeq: Column =
     struct((col("l_linenumber") +: tieBreakCols.map(col)): _*)
 
   /** Replay the change log to final state with the set-based reducer
@@ -65,7 +65,7 @@ object CdcQueries {
     */
   def cdcReduce(spark: SparkSession, sfDir: String): DataFrame = {
     val log = syntheticChangeLog(spark, sfDir)
-    ChangeLogReducer.reduce(log, Seq("l_orderkey"), eventSeq(log))
+    ChangeLogReducer.reduce(log, Seq("l_orderkey"), eventSeq)
       .orderBy(col("l_orderkey"))
   }
 
@@ -90,7 +90,7 @@ object CdcQueries {
     */
   def cdcReduceWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val log = syntheticChangeLog(spark, sfDir)
-    ChangeLogReducer.reduceWithWindow(log, Seq("l_orderkey"), eventSeq(log))
+    ChangeLogReducer.reduceWithWindow(log, Seq("l_orderkey"), eventSeq)
       .select(LineitemCols.map(col): _*)
       .orderBy(col("l_orderkey"))
   }

@@ -48,7 +48,7 @@ object CdcFileLister {
       case ListingMode.FullLoadOnly =>
         val dir = new Path(tableDir)
         val fs = dir.getFileSystem(conf)
-        listParquet(fs, dir, recurse = false)
+        listParquet(fs, dir)
           .filter(_.isLoad)
           .sortBy(_.path)
 
@@ -58,11 +58,11 @@ object CdcFileLister {
         val startDay = LocalDate.ofInstant(
           java.time.Instant.ofEpochMilli(start), ZoneOffset.UTC)
         val files = listDateAware(fs, dir, startDay)
-        files.filter { f =>
+        ordered(files.filter { f =>
           // LOAD files bypass the date filter (reference contract).
           f.isLoad ||
             (f.mtimeMillis > start && stopOpt.forall(f.mtimeMillis < _))
-        }.sortBy(f => (!f.isLoad, f.path))
+        })
     }
   }
 
@@ -80,15 +80,11 @@ object CdcFileLister {
   /** Name-contains-LOAD, exactly like S3ParquetFile::is_load_file. */
   def isLoadFile(name: String): Boolean = name.contains("LOAD")
 
-  private def listParquet(fs: FileSystem, dir: Path, recurse: Boolean)
-      : Seq[CdcFile] = {
+  private def listParquet(fs: FileSystem, dir: Path): Seq[CdcFile] = {
     if (!fs.exists(dir)) return Seq.empty
-    val it = fs.listStatus(dir)
-    it.toIndexedSeq.flatMap {
-      case d if d.isDirectory && recurse => listParquet(fs, d.getPath, recurse)
+    fs.listStatus(dir).toIndexedSeq.collect {
       case f if f.isFile && f.getPath.getName.endsWith(".parquet") =>
-        Seq(toCdcFile(f))
-      case _ => Seq.empty
+        toCdcFile(f)
     }
   }
 

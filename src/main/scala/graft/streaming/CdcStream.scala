@@ -13,10 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Model: the DMS folder is a file stream; every micro-batch is a slice
   * of the change log. `foreachBatch` merges each slice into the target
-  * parquet state with the SAME set-based reduction used in batch mode —
-  * union(current_state_as_inserts, new_events) → last-event-wins. State
-  * transitions are therefore identical to a full batch replay at every
-  * point (tested against the batch reducer).
+  * parquet state with the SAME set-based reduction used in batch mode.
+  * The state persists each key's last event WITH its global sequence and
+  * keeps delete tombstones, so the merged state equals a full batch
+  * replay REGARDLESS of the order files arrive in (tested, including a
+  * LOAD file landing after the CDC file that supersedes it).
   *
   * Scale: each micro-batch shuffles only on touched PKs; the rewrite of
   * the state parquet is the simple-and-correct form (a production deploy
@@ -37,10 +38,7 @@ object CdcStream {
     ChangeLogReader.withOrdering(raw)
   }
 
-  /** Start continuous replay into a parquet state dir. Each micro-batch:
-    * read current state (if any) → stamp it as the earliest events →
-    * append the batch slice (which carries real ordering) → reduce.
-    */
+  /** Start continuous replay into a parquet state dir. */
   def startReplay(spark: SparkSession, stream: DataFrame, pks: Seq[String],
       stateDir: String, checkpointDir: String): StreamingQuery = {
     stream.writeStream
@@ -53,47 +51,85 @@ object CdcStream {
       .start()
   }
 
-  /** One merge step; also the unit the tests drive directly. */
+  // flattened seq columns persisted WITH the state so later-arriving but
+  // earlier-ordered files can never override newer events
+  private val SeqCols = Seq("_seq_load_rank", "_seq_file_path", "_seq_row_index")
+
+  /** The consumer-facing current state: tombstones filtered, seq columns
+    * dropped.
+    */
+  def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    val st = spark.read.parquet(stateDir)
+    st.filter(!(col(C.Op) <=> lit(C.OpDelete)))
+      .drop((SeqCols :+ C.Op): _*)
+  }
+
+  /** One merge step; also the unit the tests drive directly.
+    *
+    * Correctness under ANY arrival order: the state parquet keeps, per
+    * PK, the LAST EVENT (including delete tombstones) together with its
+    * global sequence (load_rank, file_path, row_index). Each batch
+    * unions state events (with their SAVED seq) and new events (real
+    * seq) and reduces by the true global order — so a LOAD file that
+    * lands in a later micro-batch than a CDC file still loses to it,
+    * exactly as in a full batch replay. Tombstones make that hold for
+    * deletes too.
+    *
+    * Crash safety: the new state is written to a versioned sibling dir
+    * and swapped in with two renames; an interrupted swap is repaired on
+    * the next merge (rename back), so a durable copy of the state always
+    * exists.
+    */
   def mergeBatch(spark: SparkSession, batch: DataFrame, pks: Seq[String],
       stateDir: String): Unit = {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     // resolve the filesystem FROM the path — stateDir may live on a
     // different FS (s3a, abfs) than fs.defaultFS
     val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    val newPath = new org.apache.hadoop.fs.Path(stateDir + "__new")
+    // crash recovery: a previous merge may have died between the two
+    // renames, leaving only the __old copy — restore it
+    if (!fs.exists(statePath) && fs.exists(oldPath))
+      fs.rename(oldPath, statePath)
+    fs.delete(newPath, true)
     val hasState = fs.exists(statePath)
 
-    val events = batch.withColumn("_b_seq", ChangeLogReader.eventSeq(batch))
+    val seqStruct = ChangeLogReader.eventSeq(batch)
+    val events = batch
+      .withColumn(SeqCols(0), seqStruct.getField("load_rank"))
+      .withColumn(SeqCols(1), seqStruct.getField("file_path"))
+      .withColumn(SeqCols(2), seqStruct.getField("row_index"))
     val dataCols = batch.columns.toSeq
       .filterNot((C.MetaColumns ++ C.InternalColumns).contains)
+    val stateCols = (dataCols :+ C.Op) ++ SeqCols
 
     val combined =
-      if (!hasState) events
+      if (!hasState) events.select((stateCols :+ C.IngestTs).map(col): _*)
       else {
-        // current state re-enters as rank-(-1) inserts: any real event in
-        // this batch outranks it, absent keys survive unchanged
+        // state rows re-enter carrying their PERSISTED seq (not a
+        // sentinel), so true global event order decides every conflict
         val st = spark.read.parquet(stateDir)
-        val asInserts = st
-          .withColumn(C.Op, lit(C.OpInsert))
           .withColumn(C.IngestTs, lit(""))
-          .withColumn(C.FilePath, lit(""))
-          .withColumn(C.RowIndex, lit(0L))
-          .withColumn(C.IsLoad, lit(true))
-        val stamped = asInserts.withColumn("_b_seq",
-          struct(lit(-1).as("load_rank"), lit("").as("file_path"),
-            lit(0L).as("row_index")))
-        stamped.select(events.columns.toIndexedSeq.map(col): _*)
-          .unionByName(events)
+          .select((stateCols :+ C.IngestTs).map(col): _*)
+        st.unionByName(events.select((stateCols :+ C.IngestTs).map(col): _*))
       }
 
-    val newState = ChangeLogReducer.reduce(combined, pks, col("_b_seq"))
-      .drop("_b_seq")
-      .select(dataCols.map(col): _*)
+    val seq = struct(col(SeqCols(0)), col(SeqCols(1)), col(SeqCols(2)))
+    // keep tombstones: reduce to last-event-per-key WITHOUT the D filter
+    val payloadCols = combined.columns.toSeq.filterNot(pks.contains)
+    val lastEvents = combined
+      .groupBy(pks.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), seq).as("_last"))
+      .select((pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))): _*)
+      .select(stateCols.map(col): _*)
 
-    // rewrite via temp dir (parquet has no atomic overwrite-while-reading)
-    val tmp = stateDir + "__tmp"
-    newState.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(stateDir)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // crash-safe swap: write __new, park current as __old, promote, clean
+    lastEvents.write.mode("overwrite").parquet(newPath.toString)
+    fs.delete(oldPath, true)
+    if (fs.exists(statePath)) fs.rename(statePath, oldPath)
+    fs.rename(newPath, statePath)
+    fs.delete(oldPath, true)
   }
 
   /** Event for the stateful sessionizer. */
@@ -148,12 +184,17 @@ object CdcStream {
     * batch results can be asserted equal.
     */
   def windowedCounts(events: DataFrame, tsCol: String, typeCol: String,
-      window: String, watermark: String): DataFrame =
+      window: String, watermark: String, valueCol: String = "value")
+      : DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window)
         .as("w"), col(typeCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact like the batch q_event_windows (double sums are
+        // shuffle-order-sensitive; stream vs batch must agree exactly)
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
       .select(col("w.start").as("win_start"), col(typeCol), col("n"),
         col("total_value"))
 }

@@ -39,7 +39,7 @@ class CdcStreamSpec extends SparkSpec {
     val files1 = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
     val log1 = ChangeLogReader.read(spark, files1)
     CdcStream.mergeBatch(spark, log1, Seq("id"), state)
-    assert(spark.read.parquet(state).sort("id")
+    assert(CdcStream.readState(spark, state).sort("id")
       .select("id", "payload").collect().toSeq ===
       Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
 
@@ -51,7 +51,7 @@ class CdcStreamSpec extends SparkSpec {
     val log2 = ChangeLogReader.read(spark, files2)
     CdcStream.mergeBatch(spark, log2, Seq("id"), state)
 
-    val streamed = spark.read.parquet(state).sort("id")
+    val streamed = CdcStream.readState(spark, state).sort("id")
       .select("id", "payload").collect().toSeq
 
     // ground truth: full batch replay over all files
@@ -63,6 +63,40 @@ class CdcStreamSpec extends SparkSpec {
 
     assert(streamed === batch)
     assert(streamed === Seq(Row(1L, "a2"), Row(3L, "c"), Row(4L, "d")))
+  }
+
+  test("out-of-order file arrival still equals batch replay") {
+    // the CDC file arrives in batch 1, the LOAD file (earlier in global
+    // order!) only in batch 2 — e.g. a lagging multipart upload; and a
+    // delete in batch 1 must not be resurrected by batch 2's LOAD
+    val src = Files.createTempDirectory("ooo_src").toString
+    val state = Files.createTempDirectory("ooo_state").toString + "/st"
+
+    writeFile(src, "20240102-0001.parquet", Seq(
+      ("U", "t1", 1L, "updated"), ("D", "t1", 2L, "gone")))
+    val cdc = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    CdcStream.mergeBatch(spark,
+      ChangeLogReader.read(spark, cdc), Seq("id"), state)
+
+    writeFile(src, "LOAD00000001.parquet", Seq(
+      ("I", "t0", 1L, "loaded"), ("I", "t0", 2L, "loaded"),
+      ("I", "t0", 3L, "loaded")))
+    val load = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+      .filter(_.isLoad)
+    CdcStream.mergeBatch(spark,
+      ChangeLogReader.read(spark, load), Seq("id"), state)
+
+    val streamed = CdcStream.readState(spark, state).sort("id")
+      .select("id", "payload").collect().toSeq
+    // ground truth: full batch replay over all files (LOAD first)
+    val all = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val fullLog = ChangeLogReader.read(spark, all)
+    val batch = ChangeLogReducer.reduce(fullLog, Seq("id"),
+        ChangeLogReader.eventSeq(fullLog))
+      .sort("id").select("id", "payload").collect().toSeq
+    assert(streamed === batch)
+    // key 1 keeps the CDC update, key 2 stays deleted, key 3 from LOAD
+    assert(streamed === Seq(Row(1L, "updated"), Row(3L, "loaded")))
   }
 
   test("stateful sessionization carries state across micro-batches") {

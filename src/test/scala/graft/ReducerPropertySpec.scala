@@ -25,6 +25,23 @@ class ReducerPropertySpec extends SparkSpec {
         }
     }
 
+  test("NULL Op survives as insert (schema-drifted files)") {
+    // a file written without the Op column yields NULL after mergeSchema;
+    // such rows must behave like inserts, not be dropped by the D-filter
+    val log = Seq(
+      (Some("I"), 1L, "a", 0L),
+      (None: Option[String], 2L, "b", 1L), // drifted: no Op
+      (Some("D"), 1L, "a", 2L))
+      .toDF(C.Op, "id", "value", "seq")
+    val got = ChangeLogReducer.reduce(log, Seq("id"), struct(col("seq")))
+      .select("id", "value").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet === Set((2L, "b"))) // key 1 deleted, NULL-Op key kept
+    val gotW = ChangeLogReducer
+      .reduceWithWindow(log, Seq("id"), struct(col("seq")))
+      .select("id", "value").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(gotW.toSet === Set((2L, "b")))
+  }
+
   test("reduce == naive sequential replay on random event logs") {
     val rnd = new Random(42)
     for (iter <- 1 to 15) {
