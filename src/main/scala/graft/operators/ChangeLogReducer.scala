@@ -60,6 +60,9 @@ object ChangeLogReducer {
   /** Window-based variant (shuffle + sort). Same semantics as `reduce`. */
   def reduceWithWindow(changeLog: DataFrame, pks: Seq[String], seq: Column)
       : DataFrame = {
+    // same guard as reduce: an empty partitionBy would funnel the whole
+    // log through one task's sort
+    require(pks.nonEmpty, "change-log reduction needs a primary key")
     val w = Window.partitionBy(pks.map(col): _*).orderBy(seq.desc)
     changeLog
       .withColumn("_rn", row_number().over(w))

@@ -22,6 +22,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * shingle shared by everything). `maxBucket` caps the pairs a single
   * bucket may generate — dropped buckets are REPORTED via the returned
   * DataFrame of `oversizedBuckets`, never silently ignored.
+  *
+  * Caching contract: the pipelines persist branch-shared intermediates
+  * (shingle/band-key tables) and do NOT unpersist them — the returned
+  * DataFrame still reads from those caches lazily. Long-lived sessions
+  * running many dedup jobs should call `spark.catalog.clearCache()`
+  * between corpora (or rely on LRU eviction of the MEMORY_AND_DISK
+  * blocks).
   */
 object Dedup {
 

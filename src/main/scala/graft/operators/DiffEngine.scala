@@ -52,7 +52,10 @@ object DiffEngine {
       case DateType => date_format(c, "yyyy-MM-dd")
       case BooleanType => when(c, lit("t")).otherwise(lit("f"))
       case ArrayType(et, _) =>
-        array_join(transform(c, e => canonicalColumn(e, et)), ",", NullSentinel)
+        // elements joined with the sentinel separator — a plain comma
+        // would make ["a,b"] and ["a","b"] canonicalize identically
+        array_join(transform(c, e => canonicalColumn(e, et)), FieldSep,
+          NullSentinel)
       case _ => c.cast(StringType)
     }
     coalesce(rendered, lit(NullSentinel))
@@ -71,6 +74,12 @@ object DiffEngine {
     */
   def rowDiff(left: DataFrame, right: DataFrame, pks: Seq[String])
       : DataFrame = {
+    // schema drift is exactly what a validator must catch — a column on
+    // one side only must be an ERROR, not silently excluded
+    require(left.columns.toSet == right.columns.toSet,
+      s"rowDiff requires identical column sets; only-left=" +
+        s"${left.columns.toSet -- right.columns.toSet}, only-right=" +
+        s"${right.columns.toSet -- left.columns.toSet}")
     val payloadCols =
       left.columns.filterNot(pks.contains).toSeq
     val l = left.select(pks.map(col) :+

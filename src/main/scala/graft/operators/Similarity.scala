@@ -169,7 +169,9 @@ object Similarity {
         VectorFunctions.dot(col("a_vec"), col("b_vec")),
         col("a_norm"), col("b_norm")))
       .filter(col("score") >= threshold)
+      // no distinct needed: each vector lives in exactly ONE bucket (a
+      // single signature string), so the self-join emits each unordered
+      // pair at most once — a distinct would re-shuffle the result
       .select("a_id", "b_id", "score")
-      .distinct()
   }
 }

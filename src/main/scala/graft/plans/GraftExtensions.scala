@@ -22,7 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2,
           "dot_product_f(arrayFloat, arrayFloat) takes exactly 2 arguments")
-        DotProductF(children.head, children(1))
+        // SQL array literals default to array<double>; the expression
+        // reads float slots, so coerce explicitly (no-op for float input)
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, FloatType}
+        val coerced = children.map(c => Cast(c, ArrayType(FloatType)))
+        DotProductF(coerced.head, coerced(1))
       }))
   }
 }

@@ -25,16 +25,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers must bind array<float> children (VectorFunctions.dot is the
-  // only entry point); AbstractDataType/ExpectsInputTypes are sql-private
+  // children must be array<float>: VectorFunctions.dot binds them
+  // directly; the SQL surface (GraftExtensions) inserts explicit Casts.
+  // AbstractDataType/ExpectsInputTypes are sql-private, hence no
+  // inputTypes override.
   override def dataType: DataType = DoubleType
+
+  // the result can be NULL even for non-null children (null element, or
+  // mismatched vector lengths) — without this override, codegen would
+  // emit an assignment to a FalseLiteral isNull slot (invalid Java)
+  override def nullable: Boolean = true
 
   override def prettyName: String = "dot_product_f"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val arrA = a.asInstanceOf[ArrayData]
     val arrB = b.asInstanceOf[ArrayData]
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    // mismatched lengths → NULL, matching the HOF fold (zip_with pads
+    // with null and the null product poisons the aggregate)
+    if (arrA.numElements() != arrB.numElements()) return null
+    val n = arrA.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -52,11 +62,15 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

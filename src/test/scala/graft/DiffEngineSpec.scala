@@ -66,6 +66,13 @@ class DiffEngineSpec extends SparkSpec {
       assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ===
         java.lang.Double.doubleToLongBits(row.getDouble(1)))
     }
+    // mismatched lengths: both forms must agree on NULL
+    val mism = Seq((Array(1f, 2f), Array(3f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.dot($"a", $"b").as("fast"),
+        VectorFunctions.dotFold($"a", $"b").as("fold"))
+      .head()
+    assert(mism.isNullAt(0) && mism.isNullAt(1))
   }
 
   test("bucket digests localize a difference to one bucket") {

@@ -29,6 +29,11 @@ class ExtensionsSpec extends AnyFunSuite {
           |  array(CAST(2.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS d""".stripMargin)
         .head().getDouble(0)
       assert(r === 3.5)
+      // SQL array literals are array<double>: the registration inserts
+      // float coercion, so plain literals give the right answer too
+      val r2 = spark.sql("SELECT dot_product_f(array(1.5, 2.0), array(2.0, 0.25)) AS d")
+        .head().getDouble(0)
+      assert(r2 === 3.5)
       val err = intercept[Exception] {
         spark.sql("SELECT dot_product_f(array(CAST(1.0 AS FLOAT)))").collect()
       }
