@@ -68,7 +68,10 @@ object SnapshotJob {
         s"table ${table.name} has no primary key: CDC replay undefined, " +
           "use FullLoadOnly mode")
       import graft.model.{CdcColumns => C}
-      log.filter(org.apache.spark.sql.functions.col(C.Op) === C.OpInsert)
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      // NULL Op (drifted file without the column) counts as an insert —
+      // same rule as ChangeLogReducer's null-safe delete filter
+      log.filter(coalesce(col(C.Op), lit(C.OpInsert)) === C.OpInsert)
         .drop(C.MetaColumns ++ C.InternalColumns: _*)
     }
   }

@@ -74,6 +74,16 @@ object Main {
 
     try {
       val tableNames = cfg.selectTables(listTableDirs(spark, baseDir))
+      // absolute-path mode names ONE file; fanning it out over several
+      // tables would reconstruct every table from the same data
+      mode match {
+        case _: ListingMode.AbsolutePath =>
+          require(tableNames.size == 1,
+            s"absolute-path mode requires exactly one table " +
+              s"(use --table; found ${tableNames.size}: " +
+              s"${tableNames.mkString(", ")})")
+        case _ => ()
+      }
       val specs = tableNames.map(t =>
         TableSpec(t, s"$baseDir/$t", pks.getOrElse(t, Seq.empty)))
       // PK-less tables are legal in full-load-only mode (bulk-insert
@@ -102,6 +112,13 @@ object Main {
               (if (rep.ok) s"OK (${rep.matched} rows)"
                else s"MISMATCH only_left=${rep.onlyLeft} " +
                  s"only_right=${rep.onlyRight} mismatched=${rep.mismatched}"))
+            // chunked-digest compare (the reference's pgdatadiff chunk
+            // economics): report mismatching chunk ids at --chunk-size
+            val badChunks = ValidateJob.validateByDigest(
+              source, target, s, cfg.chunkSize)
+            println(s"[validate] ${s.name}: digest chunks " +
+              (if (badChunks.isEmpty) s"OK (chunk size ${cfg.chunkSize})"
+               else s"MISMATCH at chunk ids ${badChunks.mkString(", ")}"))
             }
           }
         }

@@ -82,6 +82,7 @@ object CdcStream {
     */
   def mergeBatch(spark: SparkSession, batch: DataFrame, pks: Seq[String],
       stateDir: String): Unit = {
+    require(pks.nonEmpty, "streaming CDC merge needs a primary key")
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     // resolve the filesystem FROM the path — stateDir may live on a
     // different FS (s3a, abfs) than fs.defaultFS
@@ -105,14 +106,12 @@ object CdcStream {
     val stateCols = (dataCols :+ C.Op) ++ SeqCols
 
     val combined =
-      if (!hasState) events.select((stateCols :+ C.IngestTs).map(col): _*)
+      if (!hasState) events.select(stateCols.map(col): _*)
       else {
         // state rows re-enter carrying their PERSISTED seq (not a
         // sentinel), so true global event order decides every conflict
-        val st = spark.read.parquet(stateDir)
-          .withColumn(C.IngestTs, lit(""))
-          .select((stateCols :+ C.IngestTs).map(col): _*)
-        st.unionByName(events.select((stateCols :+ C.IngestTs).map(col): _*))
+        val st = spark.read.parquet(stateDir).select(stateCols.map(col): _*)
+        st.unionByName(events.select(stateCols.map(col): _*))
       }
 
     val seq = struct(col(SeqCols(0)), col(SeqCols(1)), col(SeqCols(2)))
@@ -124,11 +123,19 @@ object CdcStream {
       .select((pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))): _*)
       .select(stateCols.map(col): _*)
 
-    // crash-safe swap: write __new, park current as __old, promote, clean
+    // crash-safe swap: write __new, park current as __old, promote, clean.
+    // Hadoop rename signals failure via BOOLEAN — a swallowed false here
+    // could delete the only durable copy, so every rename is checked.
+    def mustRename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"state swap rename failed: $src -> $dst (state preserved; " +
+            "batch will be retried from the checkpoint)")
     lastEvents.write.mode("overwrite").parquet(newPath.toString)
     fs.delete(oldPath, true)
-    if (fs.exists(statePath)) fs.rename(statePath, oldPath)
-    fs.rename(newPath, statePath)
+    if (fs.exists(statePath)) mustRename(statePath, oldPath)
+    mustRename(newPath, statePath)
     fs.delete(oldPath, true)
   }
 
