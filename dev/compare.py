@@ -51,6 +51,20 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
     if gc != ec:
         print(f"FAIL {name}: columns {gc} vs {ec}"); fails += 1; continue
+    # Type-aware check: the driver hashes *rendered* values, and DuckDB renders
+    # e.g. HUGEINT (int128, the default for sum() over integers) differently
+    # from BIGINT even when the numbers are equal. Python stringification hides
+    # that, so compare DuckDB result types explicitly.
+    # INT32 vs INT64 both render as plain ints (driver-verified benign in r01);
+    # HUGEINT does not fold into the family on purpose.
+    def fold(t):
+        return "INTFAM" if str(t) in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT") else str(t)
+    gt = [fold(t) for _, t in sorted(zip(got.columns, got.types), key=lambda p: p[0])]
+    et = [fold(t) for _, t in sorted(zip(exp.columns, exp.types), key=lambda p: p[0])]
+    if gt != et:
+        print(f"FAIL {name}: column types {gt} vs {et}"); fails += 1; continue
+    if any(t == "HUGEINT" for t in et):
+        print(f"FAIL {name}: oracle emits HUGEINT (cast sums to BIGINT)"); fails += 1; continue
     if len(gr) != len(er):
         print(f"FAIL {name}: rows {len(gr)} vs {len(er)}"); fails += 1; continue
     if gr != er:

@@ -82,8 +82,8 @@ object AdvancedQueries {
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
-      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS UNBOUNDED PRECEDING) AS session_ord
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_ord
       |  FROM marked)
       |SELECT user_id, session_ord, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end,

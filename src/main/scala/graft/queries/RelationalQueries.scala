@@ -266,7 +266,7 @@ object RelationalQueries {
   def qJsonExtractSql: String =
     """SELECT event_type,
       |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -158,7 +158,7 @@ object TextQueries {
       |l2 AS (SELECT *, ${folds(1)} FROM l1),
       |l3 AS (SELECT *, ${folds(2)} FROM l2)
       |SELECT lang, CASE WHEN sc3 > 0 THEN l3 ELSE 'und' END AS lang_pred,
-      |  count(*) AS n, sum(n_chars) AS total_chars
+      |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM l3 GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
   }
 }
