@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -110,19 +109,46 @@ object DiffEngine {
     diff.groupBy(StatusCol).agg(count(lit(1)).as("n")).orderBy(StatusCol)
 
   /** PK-ordered chunk digests (reference-parity mode; resumable compare).
-    * NOTE: global row_number — fine up to ~10^8 rows/table; beyond that
-    * use `bucketDigest`.
+    *
+    * Global row numbers WITHOUT a global sort: range-partition on the PK
+    * (plus the row hash as a deterministic tie-break for duplicate PKs),
+    * sort within partitions, take partition-local indices from
+    * `monotonically_increasing_id`, and lift them to global row numbers
+    * with per-partition count offsets collected in one light pre-job.
+    * Both jobs recompute the same deterministic plan (static input, seeded
+    * range sampling), so partition ids and local order agree between them.
     */
   def chunkDigest(df: DataFrame, pks: Seq[String], chunkSize: Int)
       : DataFrame = {
+    require(chunkSize > 0, s"chunkDigest: chunkSize must be > 0, got $chunkSize")
     // hash columns in NAME order so two sides with different physical
     // column layouts (e.g. source parquet vs reducer output) still
     // produce comparable digests
     val dataCols = df.columns.sorted.toSeq
-    val w = Window.orderBy(pks.map(col): _*)
-    val rh = rowHash(df, dataCols)
-    df.withColumn("_rh", rh)
-      .withColumn("_rn", row_number().over(w))
+    // shuffle only pks + 32-char hash, never the full payload
+    val narrow = df.select(pks.map(col) :+ rowHash(df, dataCols).as("_rh"): _*)
+    val sortCols = pks.map(col) :+ col("_rh")
+    val localIdxBits = 33 // monotonically_increasing_id: pid << 33 | local index
+    val sorted = narrow
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+    val pidOf = shiftright(col("_mid"), localIdxBits)
+    val counts = sorted.groupBy(pidOf.as("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .collect() // one row per shuffle partition — tiny
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = counts.scanLeft((0L, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), pidOf)
+    val localIdx = col("_mid").bitwiseAND(lit((1L << localIdxBits) - 1))
+    sorted
+      .withColumn("_rn", offsetExpr + localIdx + lit(1L))
       .withColumn("chunk_id", ((col("_rn") - 1) / chunkSize).cast(LongType))
       .groupBy(col("chunk_id"))
       .agg(

@@ -53,6 +53,33 @@ class DiffEngineSpec extends SparkSpec {
     assert(self.filter(!$"ok").count() === 0)
   }
 
+  test("chunk digest matches a naive single-partition global sort") {
+    // exercises the offset lifting across many range partitions, including
+    // duplicate PKs (tie-broken by row hash on both paths)
+    val a = spark.range(0, 5000)
+      .select(($"id" % 997).as("k"), concat(lit("p"), $"id" % 3).as("payload"))
+    val fast = DiffEngine.chunkDigest(a, Seq("k"), 300)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"k", $"_rh")
+    val naive = a
+      .withColumn("_rh", DiffEngine.rowHash(a, a.columns.sorted.toSeq))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("chunk_id", (($"_rn" - 1) / 300).cast("long"))
+      .groupBy($"chunk_id")
+      .agg(count(lit(1)).as("n_rows"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct($"_rn", $"_rh"))),
+          s => s.getField("_rh")), "|")).as("digest"))
+    val cmp = DiffEngine.compareDigests(fast, naive, "chunk_id")
+    assert(cmp.filter(!$"ok").count() === 0)
+    assert(fast.count() === math.ceil(5000.0 / 300).toLong)
+  }
+
+  test("chunk digest rejects non-positive chunk size") {
+    intercept[IllegalArgumentException] {
+      DiffEngine.chunkDigest(sample, Seq("id"), 0)
+    }
+  }
+
   test("native dot product is bit-identical to the portable fold") {
     import graft.functions.VectorFunctions
     val vecs = Seq(
