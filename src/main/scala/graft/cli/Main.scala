@@ -19,7 +19,9 @@ import java.time.Instant
   *     [--start-date 2024-01-01T00:00:00Z] [--stop-date ...] \
   *     [--pk t1=id1,id2 ...] \
   *     --out /data/reconstructed \
-  *     [--expected /data/source-state]      # enables validate
+  *     [--expected /data/source-state]      # enables validate (parquet)
+  *     [--expected-jdbc jdbc:postgresql://… # enables validate (live DB)
+  *       --jdbc-user u --jdbc-password p [--jdbc-schema public]] \
   *     [--only-snapshot | --only-datadiff] [--chunk-size 1000]
   */
 object Main {
@@ -65,6 +67,10 @@ object Main {
       t -> cols.split(",").toSeq
     }.toMap
 
+    // only stop a session this invocation created — embedders (and tests)
+    // calling main() inside a live Spark app keep their session
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .appName("graft-cdc")
       .withExtensions(new GraftExtensions)
@@ -99,13 +105,30 @@ object Main {
         }
       }
       if (!cfg.onlySnapshot) {
-        one("expected").foreach { expectedDir =>
+        // expected side: a parquet state dir (--expected) or a live
+        // database (--expected-jdbc, the reference's source-DB validate
+        // verb — cdc_operator.rs:254-288) read in parallel on the PK
+        val readExpected: Option[TableSpec => org.apache.spark.sql.DataFrame] =
+          (one("expected"), one("expected-jdbc")) match {
+            case (Some(_), Some(_)) =>
+              sys.error("--expected and --expected-jdbc are mutually exclusive")
+            case (Some(dir), None) =>
+              Some(s => spark.read.parquet(s"$dir/${s.name}"))
+            case (None, Some(jdbcUrl)) =>
+              val jdbcSchema = one("jdbc-schema").getOrElse(schema)
+              Some(s => graft.sources.JdbcSource.readTable(
+                spark, jdbcUrl, jdbcSchema, s.name, s.primaryKey.headOption,
+                one("jdbc-user").getOrElse(""),
+                one("jdbc-password").getOrElse("")))
+            case (None, None) => None
+          }
+        readExpected.foreach { readSource =>
           specs.foreach { s =>
             if (s.primaryKey.isEmpty) {
               println(s"[validate] ${s.name}: SKIPPED (no primary key; " +
                 "row-level validation needs one)")
             } else {
-            val source = spark.read.parquet(s"$expectedDir/${s.name}")
+            val source = readSource(s)
             val target = spark.read.parquet(s"$outDir/${s.name}")
             val rep = ValidateJob.validateTable(source, target, s)
             println(s"[validate] ${s.name}: " +
@@ -123,7 +146,7 @@ object Main {
           }
         }
       }
-    } finally spark.stop()
+    } finally if (!preExisting) spark.stop()
   }
 
   private def listTableDirs(spark: SparkSession, baseDir: String)

@@ -57,6 +57,26 @@ object ChangeLogReducer {
       .drop(dropCols: _*)
   }
 
+  /** Last event per key INCLUDING delete tombstones, with the `Op`
+    * column retained — the feed contract for [[graft.sinks.JdbcSink.upsert]],
+    * which routes `Op = D` rows to batched deletes and everything else to
+    * upserts. Same single-shuffle `max_by` plan as `reduce`; only the
+    * final filter/drop differ.
+    */
+  def reduceKeepOp(changeLog: DataFrame, pks: Seq[String], seq: Column)
+      : DataFrame = {
+    require(pks.nonEmpty, "change-log reduction needs a primary key")
+    val payloadCols = changeLog.columns.filterNot(pks.contains).toSeq
+    val payload = struct(payloadCols.map(col): _*)
+    val reduced = changeLog
+      .groupBy(pks.map(col): _*)
+      .agg(max_by(payload, seq).as("_last"))
+    val restored = pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))
+    reduced
+      .select(restored: _*)
+      .drop(dropCols.filterNot(_ == C.Op): _*)
+  }
+
   /** Window-based variant (shuffle + sort). Same semantics as `reduce`. */
   def reduceWithWindow(changeLog: DataFrame, pks: Seq[String], seq: Column)
       : DataFrame = {

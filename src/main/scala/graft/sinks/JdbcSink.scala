@@ -41,23 +41,39 @@ object JdbcSink {
       .save()
   }
 
-  /** Incremental upsert of reduced changes: one prepared
-    * `INSERT … ON CONFLICT (pk) DO UPDATE` per executor partition,
-    * executed in batches — contrast with the reference's one statement
-    * per row. Deletes (`Op = D` rows in `reducedLog`) run as batched
+  /** Incremental upsert of reduced changes, executed in batches per
+    * executor partition — contrast with the reference's one statement per
+    * row. Deletes (`Op = D` rows in `reducedLog`) run as batched
     * `DELETE WHERE (pk…) = (?…)`.
+    *
+    * Dialects: Postgres URLs use one prepared
+    * `INSERT … ON CONFLICT (pk) DO UPDATE`; every other JDBC engine gets
+    * the portable two-phase form — batch-UPDATE, then batch-INSERT the
+    * rows whose update count came back 0 (reducedLog has one row per key,
+    * so the two phases never race within a batch).
+    *
+    * Feed contract: `ChangeLogReducer.reduceKeepOp` output (last event
+    * per key INCLUDING delete tombstones, `Op` retained).
     */
   def upsert(reducedLog: DataFrame, url: String, schema: String,
       table: String, pk: Seq[String], user: String, password: String,
       batchSize: Int = DefaultBatchSize): Unit = {
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
     val dataCols = reducedLog.columns.toSeq
       .filterNot((C.MetaColumns ++ C.InternalColumns).contains)
-    val upsertSql = PgDdl.upsert(schema, table, dataCols, pk)
     val deleteSql = PgDdl.deleteByPk(schema, table, pk)
     val opIdx = reducedLog.columns.indexOf(C.Op)
-    require(opIdx >= 0, s"upsert needs the ${C.Op} column to route deletes")
+    require(opIdx >= 0, s"upsert needs the ${C.Op} column to route deletes " +
+      s"(feed it ChangeLogReducer.reduceKeepOp output)")
     val colIdx = dataCols.map(c => reducedLog.columns.indexOf(c))
     val pkIdx = pk.map(c => reducedLog.columns.indexOf(c))
+    val nonPkIdx = dataCols.filterNot(pk.contains)
+      .map(c => reducedLog.columns.indexOf(c))
+    val pgStyle = url.startsWith("jdbc:postgresql:")
+    val upsertSql = PgDdl.upsert(schema, table, dataCols, pk)
+    val updateSql =
+      if (nonPkIdx.isEmpty) "" else PgDdl.updateByPk(schema, table, dataCols, pk)
+    val insertSql = PgDdl.insert(schema, table, dataCols)
 
     reducedLog.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -67,26 +83,87 @@ object JdbcSink {
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val up = conn.prepareStatement(upsertSql)
           val del = conn.prepareStatement(deleteSql)
-          var nUp = 0
           var nDel = 0
-          rows.foreach { row =>
-            if (row.getString(opIdx) == C.OpDelete) {
-              pkIdx.zipWithIndex.foreach { case (src, i) =>
-                del.setObject(i + 1, row.get(src))
-              }
-              del.addBatch(); nDel += 1
-              if (nDel % batchSize == 0) del.executeBatch()
-            } else {
-              colIdx.zipWithIndex.foreach { case (src, i) =>
-                up.setObject(i + 1, row.get(src))
-              }
-              up.addBatch(); nUp += 1
-              if (nUp % batchSize == 0) up.executeBatch()
+          def bindPk(st: java.sql.PreparedStatement, row: org.apache.spark.sql.Row,
+              offset: Int): Unit =
+            pkIdx.zipWithIndex.foreach { case (src, i) =>
+              st.setObject(offset + i + 1, row.get(src))
             }
+
+          if (pgStyle) {
+            val up = conn.prepareStatement(upsertSql)
+            var nUp = 0
+            rows.foreach { row =>
+              if (row.getString(opIdx) == C.OpDelete) {
+                bindPk(del, row, 0)
+                del.addBatch(); nDel += 1
+                if (nDel % batchSize == 0) del.executeBatch()
+              } else {
+                colIdx.zipWithIndex.foreach { case (src, i) =>
+                  up.setObject(i + 1, row.get(src))
+                }
+                up.addBatch(); nUp += 1
+                if (nUp % batchSize == 0) up.executeBatch()
+              }
+            }
+            up.executeBatch()
+          } else {
+            val upd = if (nonPkIdx.isEmpty) null
+              else conn.prepareStatement(updateSql)
+            val ins = conn.prepareStatement(insertSql)
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[org.apache.spark.sql.Row]
+            def bindInsert(row: org.apache.spark.sql.Row): Unit = {
+              colIdx.zipWithIndex.foreach { case (src, i) =>
+                ins.setObject(i + 1, row.get(src))
+              }
+              ins.addBatch()
+            }
+            def flush(): Unit = {
+              if (nonPkIdx.isEmpty) {
+                // PK-only table: delete+insert is the idempotent upsert
+                buf.foreach { row => bindPk(del, row, 0); del.addBatch() }
+                del.executeBatch()
+                buf.foreach(bindInsert)
+              } else {
+                buf.foreach { row =>
+                  nonPkIdx.zipWithIndex.foreach { case (src, i) =>
+                    upd.setObject(i + 1, row.get(src))
+                  }
+                  bindPk(upd, row, nonPkIdx.length)
+                  upd.addBatch()
+                }
+                val counts = upd.executeBatch()
+                buf.iterator.zip(counts.iterator).foreach { case (row, n) =>
+                  val missed =
+                    if (n == java.sql.Statement.SUCCESS_NO_INFO) {
+                      // driver hides batch counts: re-check this row alone
+                      nonPkIdx.zipWithIndex.foreach { case (src, i) =>
+                        upd.setObject(i + 1, row.get(src))
+                      }
+                      bindPk(upd, row, nonPkIdx.length)
+                      upd.executeUpdate() == 0
+                    } else n == 0
+                  if (missed) bindInsert(row)
+                }
+              }
+              ins.executeBatch()
+              buf.clear()
+            }
+            rows.foreach { row =>
+              if (row.getString(opIdx) == C.OpDelete) {
+                bindPk(del, row, 0)
+                del.addBatch(); nDel += 1
+                if (nDel % batchSize == 0) del.executeBatch()
+              } else {
+                buf += row
+                if (buf.length >= batchSize) flush()
+              }
+            }
+            flush()
           }
-          up.executeBatch(); del.executeBatch()
+          del.executeBatch()
           conn.commit()
         } finally conn.close()
     }

@@ -116,6 +116,18 @@ object PgDdl {
       s"ON CONFLICT (${pk.map(ident).mkString(", ")}) $conflict"
   }
 
+  /** Parameterized UPDATE of non-PK columns by composite PK — one half of
+    * the portable (non-Postgres) upsert: UPDATE the batch, then INSERT the
+    * rows whose update count was 0.
+    */
+  def updateByPk(schema: String, table: String, columns: Seq[String],
+      pk: Seq[String]): String = {
+    val sets = columns.filterNot(pk.contains)
+      .map(c => s"${ident(c)} = ?").mkString(", ")
+    val cond = pk.map(c => s"${ident(c)} = ?").mkString(" AND ")
+    s"UPDATE ${qualified(schema, table)} SET $sets WHERE $cond"
+  }
+
   def insert(schema: String, table: String, columns: Seq[String]): String = {
     val collist = columns.map(ident).mkString(", ")
     val params = columns.map(_ => "?").mkString(", ")

@@ -1,0 +1,142 @@
+package graft
+
+import graft.model.{CdcColumns => C, TableSpec}
+import graft.cdc.ValidateJob
+import graft.operators.ChangeLogReducer
+import graft.sinks.JdbcSink
+import graft.sources.JdbcSource
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.DriverManager
+
+/** Live-database integration tests for the JDBC layer (K4-K6 + the
+  * JDBC-source validate path), executed against embedded Derby — the
+  * JDBC engine available in-env. Postgres-only statement text (ON
+  * CONFLICT) stays golden-tested in PgDdlSpec; these specs prove the
+  * binding/batching/commit behavior the golden strings can't.
+  */
+class JdbcRoundTripSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftit;create=true"
+
+  private def exec(sqls: String*): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      sqls.foreach(st.execute)
+    } finally conn.close()
+  }
+
+  private def readBack(table: String) =
+    JdbcSource.readTable(spark, url, "graft", table, None, "", "")
+
+  exec("""CREATE SCHEMA "graft"""")
+
+  test("append bulk-writes final state through the Spark JDBC writer") {
+    exec("""CREATE TABLE "graft"."t_app" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    val df = (1L to 250L).map(i => (i, s"v$i")).toDF("id", "v")
+    JdbcSink.append(df, url, "graft", "t_app", "", "", batchSize = 100)
+    val got = readBack("t_app").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.length === 250 && got(41) === (42L, "v42"))
+  }
+
+  test("upsert round-trip: update, delete, insert via the portable path") {
+    exec("""CREATE TABLE "graft"."t_up" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    JdbcSink.append((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+      url, "graft", "t_up", "", "")
+    // one row per key: update id=1, delete id=2, fresh insert id=6
+    val reduced = Seq(
+      (1L, "updated", "U"), (2L, "v2", "D"), (6L, "new", "I"))
+      .toDF("id", "v", C.Op)
+    JdbcSink.upsert(reduced, url, "graft", "t_up", Seq("id"), "", "",
+      batchSize = 2) // tiny batch: exercises mid-stream flushes
+    val got = readBack("t_up").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(1L -> "updated", 3L -> "v3", 4L -> "v4",
+      5L -> "v5", 6L -> "new"))
+  }
+
+  test("reduceKeepOp output feeds upsert directly (tombstones retained)") {
+    exec("""CREATE TABLE "graft"."t_feed" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    JdbcSink.append(Seq((1L, "old"), (2L, "doomed")).toDF("id", "v"),
+      url, "graft", "t_feed", "", "")
+    val log = Seq(
+      ("I", "t1", 1L, 1L, "old"), ("U", "t2", 2L, 1L, "newer"),
+      ("I", "t1", 3L, 2L, "doomed"), ("D", "t3", 4L, 2L, "doomed"),
+      ("I", "t5", 5L, 9L, "born"))
+      .toDF(C.Op, C.IngestTs, "seq", "id", "v")
+    val reduced = ChangeLogReducer.reduceKeepOp(log, Seq("id"), col("seq"))
+    assert(reduced.columns.contains(C.Op)) // tombstones visible to the sink
+    assert(reduced.filter(col(C.Op) === "D").count() === 1)
+    JdbcSink.upsert(reduced.drop("seq"), url, "graft", "t_feed",
+      Seq("id"), "", "")
+    val got = readBack("t_feed").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(1L -> "newer", 9L -> "born"))
+  }
+
+  test("PK-only table upserts via delete+insert without UPDATE SQL") {
+    exec("""CREATE TABLE "graft"."t_pkonly" ("id" BIGINT PRIMARY KEY)""")
+    JdbcSink.append(Seq(Tuple1(1L), Tuple1(2L)).toDF("id"),
+      url, "graft", "t_pkonly", "", "")
+    val reduced = Seq((1L, "I"), (2L, "D"), (3L, "I")).toDF("id", C.Op)
+    JdbcSink.upsert(reduced, url, "graft", "t_pkonly", Seq("id"), "", "")
+    assert(readBack("t_pkonly").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("JDBC source range-partitions the pull on the PK") {
+    exec("""CREATE TABLE "graft"."t_part" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    JdbcSink.append((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      url, "graft", "t_part", "", "")
+    val df = JdbcSource.readTable(spark, url, "graft", "t_part",
+      Some("id"), "", "", numPartitions = 4)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 1000)
+    // non-numeric partition column degrades to a single-partition read
+    val fallback = JdbcSource.readTable(spark, url, "graft", "t_part",
+      Some("v"), "", "", numPartitions = 4)
+    assert(fallback.rdd.getNumPartitions === 1 && fallback.count() === 1000)
+  }
+
+  test("validate compares a live database against reconstructed parquet") {
+    exec("""CREATE TABLE "graft"."t_val" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    JdbcSink.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      url, "graft", "t_val", "", "")
+    val spec = TableSpec("t_val", "", Seq("id"))
+    val live = JdbcSource.readTable(spark, url, "graft", "t_val",
+      Some("id"), "", "", numPartitions = 4)
+    val target = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    assert(ValidateJob.validateTable(live, target, spec).ok)
+    val drifted = target.withColumn("v",
+      when($"id" === 7L, lit("XX")).otherwise($"v"))
+    val rep = ValidateJob.validateTable(live, drifted, spec)
+    assert(!rep.ok && rep.mismatched === 1)
+  }
+
+  test("CLI end-to-end: snapshot a CDC dir, validate against --expected-jdbc") {
+    val base = Files.createTempDirectory("clijdbc").toString
+    val tdir = s"$base/db/items"
+    val load = (1L to 50L).map(i => ("I", "t0", i, s"v$i"))
+      .toDF(C.Op, C.IngestTs, "id", "v")
+    load.coalesce(1).write.parquet(s"$tdir/_w")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tdir/_w"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$tdir/LOAD00000001.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tdir/_w"), true)
+
+    exec("""CREATE TABLE "graft"."items" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    JdbcSink.append((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      url, "graft", "items", "", "")
+
+    graft.cli.Main.main(Array(
+      "--base-dir", s"$base/db", "--table", "items",
+      "--mode", "full-load-only", "--pk", "items=id",
+      "--out", s"$base/out",
+      "--expected-jdbc", url, "--jdbc-schema", "graft"))
+    // session must survive (pre-existing), and the reconstruction must exist
+    assert(!spark.sparkContext.isStopped)
+    assert(spark.read.parquet(s"$base/out/items").count() === 50)
+  }
+}
