@@ -106,6 +106,7 @@ object SparkEntry {
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
     "text_profile" -> TextQueries.profileSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
-    "text_lang_dist" -> TextQueries.langDistSql
+    "text_lang_dist" -> TextQueries.langDistSql,
+    "mm_features" -> TextQueries.multimodalFeaturesSql
   )
 }

@@ -99,20 +99,26 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: an inverted file over deterministic
-    * centroids (a fixed id-predicate subset of the corpus — no RNG, no
-    * training state to ship). Every vector joins its nearest centroid's
-    * list; a query probes its `nprobe` closest lists only.
+    * centroids — the `numCentroids` corpus vectors that sort first by
+    * md5(id). Hash order is a uniform pseudo-random sample, reproducible
+    * in any engine, and BOUNDED: the broadcast centroid set is O(C) no
+    * matter how large the corpus grows (an id-predicate subset would
+    * scale linearly with data and eventually kill the driver). Every
+    * vector joins its nearest centroid's list; a query probes its
+    * `nprobe` closest lists only.
     *
-    * At 100 TB: the assignment pass is one broadcast join over the
-    * centroid set, the inverted lists are just a `cent_id` column to
-    * shuffle-partition by, and each query touches ~nprobe/C of the
-    * corpus. Complements `lshTopK` (bit-signature buckets) with the
+    * At 100 TB: centroid selection is a distributed top-C (per-partition
+    * heads merged on the driver), the assignment pass is one broadcast
+    * join over the C centroids, the inverted lists are just a `cent_id`
+    * column to shuffle-partition by, and each query touches ~nprobe/C of
+    * the corpus. Complements `lshTopK` (bit-signature buckets) with the
     * list-probing trade-off real IVF indexes make.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroidPred: Column, nprobe: Int)
+      vecCol: String, k: Int, numCentroids: Int, nprobe: Int)
       : DataFrame = {
-    val cent = corpus.filter(centroidPred)
+    require(numCentroids > 0, s"numCentroids must be > 0, got $numCentroids")
+    val cent = selectCentroids(corpus, idCol, numCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
         VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
@@ -149,9 +155,22 @@ object Similarity {
       .select("q_id", "n_id", "rank", "score")
   }
 
+  /** Bounded deterministic centroid sample: the `n` rows sorting first by
+    * md5(id) — a uniform hash-order sample any engine reproduces.
+    * Physically a TakeOrdered (per-partition top-n, merged once), never a
+    * full sort.
+    */
+  def selectCentroids(corpus: DataFrame, idCol: String, n: Int): DataFrame =
+    corpus.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
     * (pairs must share a bucket — the all-pairs product never
     * materializes).
+    *
+    * `planes` must grow with the corpus: within-bucket pairing is
+    * ~N²/2^planes, so hold bucket occupancy constant with
+    * planes ≈ log2(N) - log2(target bucket size). The declared test
+    * query uses 2 planes for recall at test scale only.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int, dim: Int): DataFrame = {

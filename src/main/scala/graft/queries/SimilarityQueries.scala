@@ -96,13 +96,16 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
-  /** IVF approximate top-k: deterministic centroids (vec_id % 53 = 1),
-    * nearest-centroid inverted lists, 3-list probe.
+  private val Centroids = 20
+
+  /** IVF approximate top-k: bounded deterministic centroids (the 20
+    * vectors sorting first by md5(vec_id) — O(C) broadcast at any corpus
+    * size), nearest-centroid inverted lists, 3-list probe.
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = tbl(spark, sfDir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
-        K, col("vec_id") % 53 === 1, nprobe = 3)
+        K, numCentroids = Centroids, nprobe = 3)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -110,7 +113,8 @@ object SimilarityQueries {
     s"""WITH cent AS (
       |  SELECT vec_id AS cent_id, embedding AS cent_vec,
       |    ${normSqSql("embedding")} AS cent_norm
-      |  FROM embeddings WHERE vec_id % 53 = 1),
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
       |c AS (
       |  SELECT vec_id AS n_id, embedding AS n_vec,
       |    ${normSqSql("embedding")} AS n_norm

@@ -116,8 +116,10 @@ object TextQueries {
   /** Multimodal plumbing as a declared op: synthesize binary payloads
     * from text (the env has no codecs), run the per-partition batch
     * feature extractor, emit id + byte count + an exact feature moment.
-    * The decode stub is mapPartitions Scala — not SQL-expressible, so no
-    * oracle (rows-only check); determinism is covered by MultimodalSpec.
+    * The decode STUB is deterministic byte-histogram moments, which ARE
+    * SQL-expressible — so the whole mapPartitions pipeline is oracle
+    * hash-checked (multimodalFeaturesSql); a real codec swap would drop
+    * back to rows-only.
     */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
@@ -130,6 +132,33 @@ object TextQueries {
       .select(col("doc_id"), col("n_bytes"), col("feat_l1"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replica of the stub decode: per-byte 8-bin histogram over the
+    * UTF-8 payload (via hex(encode(text)) two-char slices), bin
+    * frequencies in FLOAT like the Scala stub, L1-folded in bin order as
+    * doubles — bit-identical to Multimodal.fakeDecode + the Spark
+    * aggregate fold.
+    */
+  def multimodalFeaturesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, n,
+      |    ('0x' || substr(hx, CAST(2*i - 1 AS INTEGER), 2))::INTEGER % 8 AS bin
+      |  FROM base, UNNEST(range(1, n + 1)) AS t(i)),
+      |hist AS (
+      |  SELECT doc_id, n, bin, count(*) AS cnt FROM bytes GROUP BY 1, 2, 3),
+      |feats AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) ORDER BY bin)),
+      |      (x, y) -> x + y) AS feat_l1
+      |  FROM hist GROUP BY doc_id)
+      |SELECT b.doc_id, b.n AS n_bytes, coalesce(f.feat_l1, 0.0) AS feat_l1
+      |FROM base b LEFT JOIN feats f ON f.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
 
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(0, n).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => ($"id" % 17 + d).cast("float")).as("embedding"))
+
+  test("centroid count is bounded regardless of corpus size") {
+    assert(Similarity.selectCentroids(corpus(1000), "vec_id", 20).count() === 20)
+    assert(Similarity.selectCentroids(corpus(20000), "vec_id", 20).count() === 20)
+    // deterministic: same corpus → identical selection
+    val a = Similarity.selectCentroids(corpus(5000), "vec_id", 10)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val b = Similarity.selectCentroids(corpus(5000), "vec_id", 10)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+
+  test("ivfTopK returns k ranked neighbors per query") {
+    val c = corpus(500)
+    val out = Similarity.ivfTopK(c, c.filter($"vec_id" < 3), "vec_id",
+      "embedding", k = 4, numCentroids = 8, nprobe = 2)
+    val byQ = out.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(byQ.keySet === Set(0L, 1L, 2L) && byQ.values.forall(_ === 4L))
+  }
+}
