@@ -18,6 +18,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CdcQueries.diffSummary(spark, "/root/testdata/sf0.001")
 
+  /** Production-flavor (xxhash64) variants, timed by Bench alongside
+    * `queries` but NOT part of the correctness gate: xxhash64 has no
+    * cross-engine oracle. DedupSpec pins them to the portable flavors'
+    * results instead.
+    */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_fast" -> (DedupQueries.minHashLshFast _),
+    "dedup_ngram_fast" -> (DedupQueries.ngramJaccardFast _)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational coverage (SURVEY.md §2.2)

@@ -22,8 +22,13 @@ object VectorFunctions {
     */
   def dot(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge
+    // normalize to array<float> here (like the SQL surface does in
+    // GraftExtensions): without the cast, an array<double> child would
+    // read 4 bytes of 8-byte slots via getFloat — silently wrong scores.
+    // DotProductF.checkInputDataTypes rejects anything the cast can't fix.
     ColumnBridge.column(graft.plans.DotProductF(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(a.cast("array<float>")),
+      ColumnBridge.expression(b.cast("array<float>"))))
   }
 
   /** The same fold via built-in higher-order functions (interpreted

@@ -67,15 +67,18 @@ object Dedup {
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** (id, band, bandKey): bandKey = md5 of the band's minhash slice.
-    * Ids sharing a bandKey in any band are LSH candidates.
+  /** (id, band, bandKey): bandKey = hash of the band's minhash slice
+    * (md5 when portable, codegen'd xxhash64 otherwise). Ids sharing a
+    * bandKey in any band are LSH candidates.
     */
   def lshBandKeys(signatures: DataFrame, idCol: String, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, portable: Boolean = true): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", slice: _*)).as("band_key")).as(s"_b$b")
+      val key =
+        if (portable) md5(concat_ws("|", slice: _*))
+        else xxhash64(slice: _*).cast("string")
+      struct(lit(b).as("band"), key.as("band_key")).as(s"_b$b")
     }
     signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
@@ -138,7 +141,7 @@ object Dedup {
     sh.count() // eager cache fill (3 downstream branches)
     val sig = minHashSignatures(sh, idCol, numHashes, portable)
     val (pairs, _) = candidatePairs(
-      lshBandKeys(sig, idCol, bands, numHashes / bands), idCol)
+      lshBandKeys(sig, idCol, bands, numHashes / bands, portable), idCol)
     jaccardFor(pairs, sh, idCol).filter(col("jaccard") >= threshold)
   }
 
@@ -184,7 +187,7 @@ object Dedup {
     */
   def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
       blockN: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, portable: Boolean = true): DataFrame = {
     // tokenize ONCE for both shingle widths; the token table is tiny
     // (one row per doc) and feeds two explode chains
     val toks = balanced(docs).select(col(idCol),
@@ -192,8 +195,15 @@ object Dedup {
     toks.count()
     def shingles(n: Int) = toks.select(col(idCol),
       explode(TextFunctions.shinglesOfTokens(col("_toks"), n)).as("shingle"))
+    // fast flavor hashes block keys to 64-bit before the shuffle: the
+    // candidate-pair exchange moves fixed-width longs-as-strings instead
+    // of full multi-word shingle text
+    val blockKey =
+      if (portable) col("shingle")
+      else xxhash64(col("shingle")).cast("string")
     val blocks = shingles(blockN)
-      .withColumnRenamed("shingle", "band_key")
+      .withColumn("band_key", blockKey)
+      .drop("shingle")
       .withColumn("band", lit(0))
     val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
     val sh = shingles(shingleN).persist()

@@ -25,10 +25,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // children must be array<float>: VectorFunctions.dot binds them
-  // directly; the SQL surface (GraftExtensions) inserts explicit Casts.
-  // AbstractDataType/ExpectsInputTypes are sql-private, hence no
-  // inputTypes override.
+  // children must be array<float>: VectorFunctions.dot and the SQL
+  // surface (GraftExtensions) insert explicit Casts. ExpectsInputTypes
+  // is sql-private, so enforce via checkInputDataTypes instead — a raw
+  // array<double> child would otherwise getFloat() halves of 8-byte
+  // slots and return silently wrong scores.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> inputs, got " +
+        bad.map(_.catalogString).mkString(", "))
+  }
+
   override def dataType: DataType = DoubleType
 
   // the result can be NULL even for non-null children (null element, or

@@ -93,6 +93,19 @@ object DedupQueries {
       |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Production (xxhash64) flavor of minHashLsh — bench-only: xxhash64 is
+    * Spark-specific so no cross-engine oracle exists; correctness is
+    * covered by DedupSpec asserting it finds the same verified pairs as
+    * the portable flavor (the exact-Jaccard verify makes final results
+    * hash-independent given equal candidate recall).
+    */
+  def minHashLshFast(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.minHashNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5,
+      portable = false)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** Per-doc 32-bit SimHash + identical-signature dup groups. */
   def simHash(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup.simHashGroups(
@@ -130,6 +143,15 @@ object DedupQueries {
     graft.operators.Dedup.ngramJaccardNearDups(
       tbl(spark, sfDir, "documents"), "doc_id", "text",
       blockN = 5, shingleN = 3, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Production (xxhash64-blocked) flavor of ngramJaccard — bench-only,
+    * same rationale as minHashLshFast.
+    */
+  def ngramJaccardFast(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.ngramJaccardNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      blockN = 5, shingleN = 3, threshold = 0.5, portable = false)
       .orderBy(col("a_id"), col("b_id"))
 
   def ngramJaccardSql: String =

@@ -38,15 +38,23 @@ object CdcStream {
     ChangeLogReader.withOrdering(raw)
   }
 
-  /** Start continuous replay into a parquet state dir. */
+  /** Start continuous replay into a parquet state dir.
+    *
+    * `stateBuckets > 0` (default) uses the hash-bucketed incremental
+    * state — each trigger rewrites only touched buckets; `0` keeps the
+    * full-rewrite form for tiny states.
+    */
   def startReplay(spark: SparkSession, stream: DataFrame, pks: Seq[String],
-      stateDir: String, checkpointDir: String): StreamingQuery = {
+      stateDir: String, checkpointDir: String,
+      stateBuckets: Int = 64): StreamingQuery = {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(spark, batch, pks, stateDir)
+        if (stateBuckets > 0)
+          mergeBatchBucketed(spark, batch, pks, stateDir, stateBuckets)
+        else mergeBatch(spark, batch, pks, stateDir)
       }
       .start()
   }
@@ -62,6 +70,7 @@ object CdcStream {
     val st = spark.read.parquet(stateDir)
     st.filter(!(col(C.Op) <=> lit(C.OpDelete)))
       .drop((SeqCols :+ C.Op): _*)
+      .drop(BucketCol) // present only in the bucketed layout
   }
 
   /** One merge step; also the unit the tests drive directly.
@@ -90,9 +99,14 @@ object CdcStream {
     val oldPath = new org.apache.hadoop.fs.Path(stateDir + "__old")
     val newPath = new org.apache.hadoop.fs.Path(stateDir + "__new")
     // crash recovery: a previous merge may have died between the two
-    // renames, leaving only the __old copy — restore it
-    if (!fs.exists(statePath) && fs.exists(oldPath))
-      fs.rename(oldPath, statePath)
+    // renames, leaving only the __old copy — restore it. A failed
+    // restore must ABORT (a silently false rename would make the merge
+    // below treat the stream as stateless and drop every merged key)
+    if (!fs.exists(statePath) && fs.exists(oldPath) &&
+        !fs.rename(oldPath, statePath))
+      throw new java.io.IOException(
+        s"state recovery rename failed: $oldPath -> $statePath " +
+          "(old state preserved; batch will be retried from the checkpoint)")
     fs.delete(newPath, true)
     val hasState = fs.exists(statePath)
 
@@ -137,6 +151,127 @@ object CdcStream {
     if (fs.exists(statePath)) mustRename(statePath, oldPath)
     mustRename(newPath, statePath)
     fs.delete(oldPath, true)
+  }
+
+  // ---- bucketed incremental state ------------------------------------
+
+  private val BucketCol = "_bucket"
+  private val BucketMarker = "_graft_buckets"
+
+  /** Incremental merge into a HASH-BUCKETED state: the state parquet is
+    * partitioned by `_bucket = pmod(xxhash64(pks), numBuckets)` and a
+    * micro-batch rewrites ONLY the buckets its keys touch — O(touched
+    * buckets), not O(state), per trigger. This is the 100 TB form of
+    * `mergeBatch` (which rewrites everything and stays as the
+    * simple-and-correct reference).
+    *
+    * Crash safety: per-bucket rename swap (current bucket parked as a
+    * dot-prefixed sibling, stage promoted, park deleted), repaired on
+    * the next merge. A crash mid-swap can leave SOME buckets merged and
+    * others not; that is safe because re-merging the same batch is
+    * idempotent — max_by over the persisted global seq picks the same
+    * winners whether or not the batch already applied.
+    *
+    * The bucket count is pinned by a marker file on first merge and
+    * reused forever after (a different `numBuckets` later would re-home
+    * keys and corrupt pruning), so callers may pass any default.
+    */
+  def mergeBatchBucketed(spark: SparkSession, batch: DataFrame,
+      pks: Seq[String], stateDir: String, numBuckets: Int = 64): Unit = {
+    require(pks.nonEmpty, "streaming CDC merge needs a primary key")
+    require(numBuckets > 0, s"numBuckets must be > 0, got $numBuckets")
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mustRename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"bucket swap rename failed: $src -> $dst (state preserved; " +
+            "batch will be retried from the checkpoint)")
+    def bucketPath(k: Int) =
+      new org.apache.hadoop.fs.Path(statePath, s"$BucketCol=$k")
+    def parkPath(k: Int) = // dot-prefixed: invisible to parquet readers
+      new org.apache.hadoop.fs.Path(statePath, s".old_bucket_$k")
+    val stagePath = new org.apache.hadoop.fs.Path(statePath, ".stage")
+
+    fs.mkdirs(statePath)
+    // pin the bucket count on first use; later merges follow the marker
+    val markerPath = new org.apache.hadoop.fs.Path(statePath, BucketMarker)
+    val buckets =
+      if (fs.exists(markerPath)) {
+        val in = fs.open(markerPath)
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      } else {
+        val out = fs.create(markerPath, true)
+        try out.write(numBuckets.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        numBuckets
+      }
+
+    // repair an interrupted swap: restore parked buckets whose promote
+    // never happened; drop parks that were already superseded
+    fs.listStatus(statePath).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".old_bucket_")) {
+        val k = name.stripPrefix(".old_bucket_").toInt
+        if (!fs.exists(bucketPath(k))) mustRename(st.getPath, bucketPath(k))
+        else fs.delete(st.getPath, true)
+      }
+    }
+    fs.delete(stagePath, true)
+
+    val seqStruct = ChangeLogReader.eventSeq(batch)
+    val events = batch
+      .withColumn(SeqCols(0), seqStruct.getField("load_rank"))
+      .withColumn(SeqCols(1), seqStruct.getField("file_path"))
+      .withColumn(SeqCols(2), seqStruct.getField("row_index"))
+      .withColumn(BucketCol,
+        pmod(xxhash64(pks.map(col): _*), lit(buckets)).cast("int"))
+    val dataCols = batch.columns.toSeq
+      .filterNot((C.MetaColumns ++ C.InternalColumns).contains)
+    val stateCols = (dataCols :+ C.Op) ++ SeqCols :+ BucketCol
+
+    val touched = events.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existing = touched.filter(k => fs.exists(bucketPath(k)))
+
+    val newEvents = events.select(stateCols.map(col): _*)
+    val combined =
+      if (existing.isEmpty) newEvents
+      else {
+        // partition-pruned read: only the touched buckets' files load
+        val st = spark.read
+          .option("basePath", stateDir)
+          .parquet(existing.map(k => bucketPath(k).toString): _*)
+          .select(stateCols.map(col): _*)
+        st.unionByName(newEvents)
+      }
+
+    val seq = struct(col(SeqCols(0)), col(SeqCols(1)), col(SeqCols(2)))
+    val payloadCols = combined.columns.toSeq.filterNot(pks.contains)
+    val lastEvents = combined
+      .groupBy(pks.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), seq).as("_last"))
+      .select((pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))): _*)
+      .select(stateCols.map(col): _*)
+
+    lastEvents.write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(stagePath.toString)
+    touched.foreach { k =>
+      val staged = new org.apache.hadoop.fs.Path(stagePath, s"$BucketCol=$k")
+      if (fs.exists(staged)) {
+        fs.delete(parkPath(k), true)
+        if (fs.exists(bucketPath(k))) mustRename(bucketPath(k), parkPath(k))
+        mustRename(staged, bucketPath(k))
+        fs.delete(parkPath(k), true)
+      }
+    }
+    fs.delete(stagePath, true)
   }
 
   /** Event for the stateful sessionizer. */

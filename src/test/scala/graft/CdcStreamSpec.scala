@@ -99,6 +99,87 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed === Seq(Row(1L, "updated"), Row(3L, "loaded")))
   }
 
+  test("bucketed merge equals batch replay and rewrites only touched buckets") {
+    val src = Files.createTempDirectory("bkt_src").toString
+    val state = Files.createTempDirectory("bkt_state").toString + "/st"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .map(_.getPath.getName).filter(_.startsWith("_bucket=")).sorted.toSeq
+    def mtimes = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+
+    writeFile(src, "LOAD00000001.parquet",
+      (1L to 40L).map(i => ("I", "t0", i, s"v$i")))
+    val load = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    CdcStream.mergeBatchBucketed(spark,
+      ChangeLogReader.read(spark, load), Seq("id"), state, numBuckets = 8)
+    assert(bucketDirs.nonEmpty)
+    assert(CdcStream.readState(spark, state).count() === 40)
+    val before = mtimes
+
+    // batch 2 touches a handful of keys → only their buckets may change
+    Thread.sleep(1100) // local FS mtime granularity
+    writeFile(src, "20240102-0001.parquet", Seq(
+      ("U", "t1", 1L, "u1"), ("D", "t1", 2L, "v2")))
+    val cdc = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+      .filter(_.path.contains("20240102"))
+    CdcStream.mergeBatchBucketed(spark,
+      ChangeLogReader.read(spark, cdc), Seq("id"), state, numBuckets = 8)
+
+    val after = mtimes
+    val changed = after.filter { case (k, t) => before.get(k).exists(_ != t) }
+    assert(changed.size < before.size, "every bucket was rewritten")
+
+    // state equals a full batch replay
+    val all = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val fullLog = ChangeLogReader.read(spark, all)
+    val batch = ChangeLogReducer.reduce(fullLog, Seq("id"),
+        ChangeLogReader.eventSeq(fullLog))
+      .sort("id").select("id", "payload").collect().toSeq
+    val streamed = CdcStream.readState(spark, state).sort("id")
+      .select("id", "payload").collect().toSeq
+    assert(streamed === batch)
+    assert(!streamed.exists(_.getLong(0) == 2L) &&
+      streamed.exists(r => r.getLong(0) == 1L && r.getString(1) == "u1"))
+  }
+
+  test("bucketed merge repairs an interrupted swap and retry is idempotent") {
+    val src = Files.createTempDirectory("crash_src").toString
+    val state = Files.createTempDirectory("crash_state").toString + "/st"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    writeFile(src, "LOAD00000001.parquet",
+      (1L to 20L).map(i => ("I", "t0", i, s"v$i")))
+    val load = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val log = ChangeLogReader.read(spark, load)
+    CdcStream.mergeBatchBucketed(spark, log, Seq("id"), state, numBuckets = 4)
+
+    // simulate a crash between park and promote: bucket dir exists only
+    // as its .old park
+    val parked = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .map(_.getPath).find(_.getName.startsWith("_bucket=")).get
+    val k = parked.getName.stripPrefix("_bucket=")
+    assert(fs.rename(parked,
+      new org.apache.hadoop.fs.Path(state, s".old_bucket_$k")))
+
+    // checkpoint retry re-runs the SAME batch: repair must restore the
+    // bucket first, and re-merging already-applied events must be a no-op
+    CdcStream.mergeBatchBucketed(spark, log, Seq("id"), state, numBuckets = 4)
+    assert(CdcStream.readState(spark, state).sort("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq ===
+      (1L to 20L).map(i => i -> s"v$i"))
+
+    // the marker pins the original bucket count even if callers drift
+    CdcStream.mergeBatchBucketed(spark, log, Seq("id"), state, numBuckets = 16)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .map(_.getPath.getName).filter(_.startsWith("_bucket="))
+      .map(_.stripPrefix("_bucket=").toInt)
+    assert(dirs.forall(_ < 4), s"bucket ids exceeded pinned count: ${dirs.toSeq}")
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import graft.streaming.CdcStream.{SessAssign, SessEvent}
     val dir = Files.createTempDirectory("sess_src").toString

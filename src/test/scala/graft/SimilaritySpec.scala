@@ -22,6 +22,18 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("dot normalizes array<double> inputs instead of misreading them") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Array(1.0d, 2.0d), Array(3.0d, 4.0d))).toDF("a", "b")
+    val v = df.select(VectorFunctions.dot($"a", $"b").as("d")).head().getDouble(0)
+    assert(v === 11.0)
+    // un-castable inputs fail analysis instead of computing garbage
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(VectorFunctions.dot($"a", $"b")).head()
+    }
+  }
+
   test("ivfTopK returns k ranked neighbors per query") {
     val c = corpus(500)
     val out = Similarity.ivfTopK(c, c.filter($"vec_id" < 3), "vec_id",
