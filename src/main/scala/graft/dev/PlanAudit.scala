@@ -23,6 +23,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // materialize THIS df's QueryExecution (count() would
+                   // build its own): AQE only shows the FINAL plan (with
+                   // codegen markers and chosen joins) post-run
       val plan = df.queryExecution.executedPlan
       val s = plan.toString
       def count(p: String) = p.r.findAllIn(s).length
@@ -30,7 +33,8 @@ object PlanAudit {
         .filterNot(_.contains("[]")).length
       println(f"$name%-24s bhj=${count("BroadcastHashJoin")}%d smj=${count("SortMergeJoin")}%d " +
         f"hashAgg=${count("HashAggregate")}%d objAgg=${count("ObjectHashAggregate")}%d sortAgg=${count("SortAggregate")}%d " +
-        f"exch=${count("Exchange")}%d wsc=${count("WholeStageCodegen")}%d pushedF=$pushed%d")
+        // executedPlan renders whole-stage-codegen spans as "*(n)" markers
+        f"exch=${count("Exchange")}%d wsc=${count("\\*\\(\\d+\\)")}%d pushedF=$pushed%d")
     }
   }
 }
