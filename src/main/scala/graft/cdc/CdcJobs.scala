@@ -87,6 +87,28 @@ object SnapshotJob {
       state.write.mode("overwrite").parquet(s"$outDir/${t.name}")
       t.name -> spark.read.parquet(s"$outDir/${t.name}").count()
     }.toMap
+
+  /** Snapshot into a LIVE database — the reference's actual snapshot
+    * target (it reconstructs tables inside the target Postgres,
+    * cdc_operator.rs:26-251). `createTables = true` issues
+    * CREATE SCHEMA / CREATE TABLE IF NOT EXISTS through PgDdl (Postgres
+    * dialect); pass false when the target tables already exist (or the
+    * engine's DDL dialect differs — e.g. the Derby integration tests).
+    */
+  def runToJdbc(spark: SparkSession, cfg: CdcConfig, tables: Seq[TableSpec],
+      url: String, jdbcSchema: String, user: String, password: String,
+      createTables: Boolean): Map[String, Long] = {
+    import graft.sinks.{JdbcCatalog, JdbcSink}
+    val catalog = new JdbcCatalog(url, user, password)
+    if (createTables) catalog.createSchema(jdbcSchema)
+    tables.map { t =>
+      val state = reconstructTable(spark, cfg, t)
+      if (createTables)
+        catalog.createTable(jdbcSchema, t.name, state.schema, t.primaryKey)
+      JdbcSink.append(state, url, jdbcSchema, t.name, user, password)
+      t.name -> state.count()
+    }.toMap
+  }
 }
 
 object ValidateJob {

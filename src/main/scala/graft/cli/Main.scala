@@ -18,7 +18,8 @@ import java.time.Instant
   *     --mode full-load-only | date-aware | absolute-path \
   *     [--start-date 2024-01-01T00:00:00Z] [--stop-date ...] \
   *     [--pk t1=id1,id2 ...] \
-  *     --out /data/reconstructed \
+  *     --out /data/reconstructed | --target-jdbc jdbc:postgresql://…
+  *       [--create-tables]                  # snapshot into a live DB
   *     [--expected /data/source-state]      # enables validate (parquet)
   *     [--expected-jdbc jdbc:postgresql://… # enables validate (live DB)
   *       --jdbc-user u --jdbc-password p [--jdbc-schema public]] \
@@ -33,7 +34,13 @@ object Main {
 
     val baseDir = one("base-dir").getOrElse(
       sys.error("--base-dir is required"))
-    val outDir = one("out").getOrElse(sys.error("--out is required"))
+    val targetJdbc = one("target-jdbc")
+    // parquet out dir is optional when the snapshot target is a live DB
+    val outDirOpt = one("out")
+    def outDir = outDirOpt.getOrElse(
+      sys.error("--out is required (or use --target-jdbc)"))
+    if (targetJdbc.isEmpty && outDirOpt.isEmpty)
+      sys.error("--out is required (or use --target-jdbc)")
     val schema = one("schema").getOrElse("public")
 
     val mode = one("mode").getOrElse("full-load-only") match {
@@ -98,8 +105,18 @@ object Main {
         specs.foreach(s => require(s.primaryKey.nonEmpty,
           s"--pk ${s.name}=<cols> is required for CDC replay modes"))
 
+      val jdbcSchema = one("jdbc-schema").getOrElse(schema)
+      val jdbcUser = one("jdbc-user").getOrElse("")
+      val jdbcPassword = one("jdbc-password").getOrElse("")
       if (!cfg.onlyDatadiff) {
-        val counts = SnapshotJob.run(spark, cfg, specs, outDir)
+        // reference parity: snapshot INTO a live target database
+        // (cdc_operator.rs:26-251); parquet out is the file-side form
+        val counts = targetJdbc match {
+          case Some(url) => SnapshotJob.runToJdbc(spark, cfg, specs, url,
+            jdbcSchema, jdbcUser, jdbcPassword,
+            createTables = flag("create-tables"))
+          case None => SnapshotJob.run(spark, cfg, specs, outDir)
+        }
         counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
           println(s"[snapshot] $t: $n rows reconstructed")
         }
@@ -115,11 +132,9 @@ object Main {
             case (Some(dir), None) =>
               Some(s => spark.read.parquet(s"$dir/${s.name}"))
             case (None, Some(jdbcUrl)) =>
-              val jdbcSchema = one("jdbc-schema").getOrElse(schema)
               Some(s => graft.sources.JdbcSource.readTable(
                 spark, jdbcUrl, jdbcSchema, s.name, s.primaryKey.headOption,
-                one("jdbc-user").getOrElse(""),
-                one("jdbc-password").getOrElse("")))
+                jdbcUser, jdbcPassword))
             case (None, None) => None
           }
         readExpected.foreach { readSource =>
@@ -129,7 +144,13 @@ object Main {
                 "row-level validation needs one)")
             } else {
             val source = readSource(s)
-            val target = spark.read.parquet(s"$outDir/${s.name}")
+            // target side mirrors where the snapshot landed
+            val target = targetJdbc match {
+              case Some(url) => graft.sources.JdbcSource.readTable(
+                spark, url, jdbcSchema, s.name, s.primaryKey.headOption,
+                jdbcUser, jdbcPassword)
+              case None => spark.read.parquet(s"$outDir/${s.name}")
+            }
             val rep = ValidateJob.validateTable(source, target, s)
             println(s"[validate] ${s.name}: " +
               (if (rep.ok) s"OK (${rep.matched} rows)"

@@ -113,6 +113,34 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(!rep.ok && rep.mismatched === 1)
   }
 
+  test("CLI end-to-end: snapshot INTO a live database (--target-jdbc)") {
+    val base = Files.createTempDirectory("clitgt").toString
+    val tdir = s"$base/db/tgt_items"
+    val load = ((1L to 30L).map(i => ("I", "t0", i, s"v$i")) ++
+      Seq(("D", "t1", 7L, "v7"), ("U", "t1", 9L, "u9")))
+      .toDF(C.Op, C.IngestTs, "id", "v")
+    load.coalesce(1).write.parquet(s"$tdir/_w")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tdir/_w"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$tdir/LOAD00000001.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tdir/_w"), true)
+
+    // Derby can't take PgDdl's Postgres DDL → pre-create, no --create-tables
+    exec("""CREATE TABLE "graft"."tgt_items" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
+    graft.cli.Main.main(Array(
+      "--base-dir", s"$base/db", "--table", "tgt_items",
+      "--mode", "full-load-only", "--pk", "tgt_items=id",
+      "--target-jdbc", url, "--jdbc-schema", "graft",
+      "--only-snapshot"))
+    // PK present → full reduction: id 7's trailing D drops it, id 9 updates
+    val got = readBack("tgt_items").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.length === 29)
+    assert(!got.exists(_._1 == 7L))
+    assert(got.find(_._1 == 9L).map(_._2) === Some("u9"))
+  }
+
   test("CLI end-to-end: snapshot a CDC dir, validate against --expected-jdbc") {
     val base = Files.createTempDirectory("clijdbc").toString
     val tdir = s"$base/db/items"
