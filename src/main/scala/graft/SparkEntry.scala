@@ -42,7 +42,7 @@ object SparkEntry {
     "q_event_windows" -> (RelationalQueries.qEventWindows _),
     // CDC core (SURVEY.md §2.1 S/O/K/D operators, set-based)
     "cdc_reduce" -> (CdcQueries.cdcReduce _),
-    "cdc_reduce_window" -> (CdcQueries.cdcReduceWindow _),
+    "cdc_reduce_maxby" -> (CdcQueries.cdcReduceMaxBy _),
     "cdc_diff_detail" -> (CdcQueries.diffDetail _),
     "cdc_diff_summary" -> (CdcQueries.diffSummary _),
     "cdc_chunk_digest" -> (CdcQueries.chunkDigest _),
@@ -74,8 +74,8 @@ object SparkEntry {
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_lang_dist" -> (TextQueries.langDist _),
-    // multimodal decode is a mapPartitions stub (no codecs in env) —
-    // not SQL-expressible, intentionally no oracle (rows-only check)
+    // multimodal decode is a mapPartitions stub (no codecs in env); the
+    // deterministic stub IS oracle-checked via DuckDB byte histograms
     "mm_features" -> (TextQueries.multimodalFeatures _)
   )
 
@@ -91,7 +91,7 @@ object SparkEntry {
     "q_set_ops" -> RelationalQueries.qSetOpsSql,
     "q_event_windows" -> RelationalQueries.qEventWindowsSql,
     "cdc_reduce" -> CdcQueries.cdcReduceSql,
-    "cdc_reduce_window" -> CdcQueries.cdcReduceSql,
+    "cdc_reduce_maxby" -> CdcQueries.cdcReduceSql,
     "cdc_diff_detail" -> CdcQueries.diffDetailSql,
     "cdc_diff_summary" -> CdcQueries.diffSummarySql,
     "cdc_chunk_digest" -> CdcQueries.chunkDigestSql,

@@ -42,18 +42,18 @@ object StressProbe {
       .withColumn(C.IngestTs, lit("2024-01-01T00:00:00Z"))
     val seq = struct(col("l_linenumber"),
       DiffEngine.rowHash(log, Seq("l_orderkey", "l_partkey", "l_linenumber")))
-    time(s"reduce ${factor}x (max_by, md5 tie-break seq)")(
+    time(s"reduce ${factor}x (window default, md5 tie-break seq)")(
       println("  -> " + ChangeLogReducer.reduce(log, Seq("l_orderkey"), seq)
         .count() + " final rows"))
     // the REAL replay path orders by (load_rank, file, row_index) — plain
     // comparable columns, no hashing; time that shape too
     val plainSeq = struct(col("l_linenumber"), col("l_partkey"),
       col("l_suppkey"), col("l_extendedprice"))
-    time(s"reduce ${factor}x (max_by, plain column seq)")(
+    time(s"reduce ${factor}x (window default, plain seq)")(
       println("  -> " + ChangeLogReducer.reduce(log, Seq("l_orderkey"), plainSeq)
         .count() + " final rows"))
-    time(s"reduce ${factor}x (window variant, plain seq)")(
-      println("  -> " + ChangeLogReducer.reduceWithWindow(log, Seq("l_orderkey"), plainSeq)
+    time(s"reduce ${factor}x (max_by variant, plain seq)")(
+      println("  -> " + ChangeLogReducer.reduceViaMaxBy(log, Seq("l_orderkey"), plainSeq)
         .count() + " final rows"))
 
     val mutated = big.filter(col("l_orderkey") % 997 =!= 3)
@@ -68,5 +68,10 @@ object StressProbe {
     time(s"bucketDigest ${factor}x")(
       println("  -> " + DiffEngine.bucketDigest(big,
         Seq("l_orderkey", "l_linenumber", "l_partkey")).count() + " buckets"))
+
+    time(s"chunkDigest ${factor}x (range-partitioned, no global window)")(
+      println("  -> " + DiffEngine.chunkDigest(big,
+        Seq("l_orderkey", "l_linenumber", "l_partkey"), 100000).count() +
+        " chunks"))
   }
 }

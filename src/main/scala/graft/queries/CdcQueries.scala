@@ -84,13 +84,14 @@ object CdcQueries {
       |FROM last WHERE rn = 1 AND op <> 'D'
       |ORDER BY l_orderkey""".stripMargin
 
-  /** Window-based reduction variant — must agree with cdcReduce (same
-    * oracle); kept as a declared op so the driver verifies both physical
-    * strategies.
+  /** max_by-aggregation reduction variant — must agree with cdcReduce
+    * (same oracle); kept as a declared op so the driver verifies both
+    * physical strategies (window default vs partial-aggregating max_by —
+    * see ChangeLogReducer for the measured trade-off).
     */
-  def cdcReduceWindow(spark: SparkSession, sfDir: String): DataFrame = {
+  def cdcReduceMaxBy(spark: SparkSession, sfDir: String): DataFrame = {
     val log = syntheticChangeLog(spark, sfDir)
-    ChangeLogReducer.reduceWithWindow(log, Seq("l_orderkey"), eventSeq)
+    ChangeLogReducer.reduceViaMaxBy(log, Seq("l_orderkey"), eventSeq)
       .select(LineitemCols.map(col): _*)
       .orderBy(col("l_orderkey"))
   }

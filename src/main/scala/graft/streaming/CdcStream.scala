@@ -129,12 +129,14 @@ object CdcStream {
       }
 
     val seq = struct(col(SeqCols(0)), col(SeqCols(1)), col(SeqCols(2)))
-    // keep tombstones: reduce to last-event-per-key WITHOUT the D filter
-    val payloadCols = combined.columns.toSeq.filterNot(pks.contains)
+    // keep tombstones: last-event-per-key WITHOUT the D filter, via the
+    // codegen'd window plan (max_by's struct buffer forces interpreted
+    // SortAggregate — measured 13x slower; see ChangeLogReducer)
     val lastEvents = combined
-      .groupBy(pks.map(col): _*)
-      .agg(max_by(struct(payloadCols.map(col): _*), seq).as("_last"))
-      .select((pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))): _*)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pks.map(col): _*).orderBy(seq.desc)))
+      .filter(col("_rn") === 1)
       .select(stateCols.map(col): _*)
 
     // crash-safe swap: write __new, park current as __old, promote, clean.
@@ -253,11 +255,11 @@ object CdcStream {
       }
 
     val seq = struct(col(SeqCols(0)), col(SeqCols(1)), col(SeqCols(2)))
-    val payloadCols = combined.columns.toSeq.filterNot(pks.contains)
     val lastEvents = combined
-      .groupBy(pks.map(col): _*)
-      .agg(max_by(struct(payloadCols.map(col): _*), seq).as("_last"))
-      .select((pks.map(col) ++ payloadCols.map(c => col(s"_last.`$c`").as(c))): _*)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pks.map(col): _*).orderBy(seq.desc)))
+      .filter(col("_rn") === 1)
       .select(stateCols.map(col): _*)
 
     lastEvents.write.partitionBy(BucketCol).mode("overwrite")

@@ -104,7 +104,7 @@ class CdcReplaySpec extends SparkSpec {
     val log = ChangeLogReader.read(spark, files)
     val a = ChangeLogReducer.reduce(log, Seq("id"),
       ChangeLogReader.eventSeq(log)).sort("id")
-    val b = ChangeLogReducer.reduceWithWindow(log, Seq("id"),
+    val b = ChangeLogReducer.reduceViaMaxBy(log, Seq("id"),
       ChangeLogReader.eventSeq(log))
       .select(a.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
       .sort("id")

@@ -37,7 +37,7 @@ class ReducerPropertySpec extends SparkSpec {
       .select("id", "value").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSet === Set((2L, "b"))) // key 1 deleted, NULL-Op key kept
     val gotW = ChangeLogReducer
-      .reduceWithWindow(log, Seq("id"), struct(col("seq")))
+      .reduceViaMaxBy(log, Seq("id"), struct(col("seq")))
       .select("id", "value").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(gotW.toSet === Set((2L, "b")))
   }
@@ -68,10 +68,10 @@ class ReducerPropertySpec extends SparkSpec {
       assert(got === expected, s"iteration $iter (events=$nEvents)")
 
       val gotW = ChangeLogReducer
-        .reduceWithWindow(log, Seq("id"), struct(col("seq")))
+        .reduceViaMaxBy(log, Seq("id"), struct(col("seq")))
         .select("id", "value").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(gotW === expected, s"window variant, iteration $iter")
+      assert(gotW === expected, s"max_by variant, iteration $iter")
     }
   }
 }
