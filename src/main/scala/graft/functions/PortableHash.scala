@@ -28,6 +28,15 @@ object PortableHash {
   def seeded(seed: Int, c: Column): Column =
     md5(concat_ws("|", lit(seed), c))
 
+  /** Portable seeded hash as a 60-bit LONG — the MinHash primitive that
+    * keeps aggregation in Tungsten's HashAggregate: a long min-buffer is
+    * mutable, a string one is not (string mins fall back to interpreted
+    * SortAggregate). DuckDB replica:
+    * `('0x' || substr(md5(concat_ws('|', s, x)), 1, 15))::BIGINT`.
+    */
+  def seededLong(seed: Int, c: Column): Column =
+    conv(substring(seeded(seed, c), 1, 15), 16, 10).cast(LongType)
+
   /** Fast seeded 64-bit hash (xxhash64). */
   def fastSeeded(seed: Int, c: Column): Column =
     xxhash64(lit(seed), c)

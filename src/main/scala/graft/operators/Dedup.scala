@@ -53,15 +53,18 @@ object Dedup {
     balanced(docs).select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
-  /** Per-id MinHash signature columns h0..h{k-1}.
+  /** Per-id MinHash signature columns h0..h{k-1}, as LONGS in both
+    * flavors: long min-buffers keep all k aggregates in codegen'd
+    * HashAggregate (string buffers would force interpreted SortAggregate
+    * — the same trap measured 13× slow in ChangeLogReducer).
     * One explode + one groupBy with k min-aggregates: partial aggregation
     * reduces each map partition to one row per id before the shuffle.
     */
   def minHashSignatures(shingles: DataFrame, idCol: String, numHashes: Int,
       portable: Boolean = true): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
-      val h = if (portable) PortableHash.seeded(i, col("shingle"))
-              else PortableHash.fastSeeded(i, col("shingle")).cast("string")
+      val h = if (portable) PortableHash.seededLong(i, col("shingle"))
+              else PortableHash.fastSeeded(i, col("shingle"))
       min(h).as(s"h$i")
     }
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -76,7 +79,7 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       val key =
-        if (portable) md5(concat_ws("|", slice: _*))
+        if (portable) md5(concat_ws("|", slice.map(_.cast("string")): _*))
         else xxhash64(slice: _*).cast("string")
       struct(lit(b).as("band"), key.as("band_key")).as(s"_b$b")
     }

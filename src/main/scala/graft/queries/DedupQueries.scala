@@ -60,8 +60,11 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
 
   def minHashLshSql: String = {
+    // signatures are 60-bit longs (first 15 md5 hex chars), matching
+    // PortableHash.seededLong — long min-buffers stay in HashAggregate
     val mins = (0 until 12).map(i =>
-      s"min(md5(concat_ws('|', $i, shingle))) AS h$i").mkString(",\n    ")
+      s"min(('0x' || substr(md5(concat_ws('|', $i, shingle)), 1, 15))::BIGINT) AS h$i")
+      .mkString(",\n    ")
     val bandKeys = (0 until 4).map { b =>
       val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
