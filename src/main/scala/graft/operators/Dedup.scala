@@ -53,6 +53,18 @@ object Dedup {
     balanced(docs).select(col(idCol),
       explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
 
+  /** Shingle table with each shingle hashed ONCE to a portable 60-bit
+    * long. Every downstream consumer wins: the k seeded min-hashes run
+    * md5 over an ≤19-char decimal instead of full shingle text, and the
+    * Jaccard-verify joins shuffle fixed-width longs. Hash collisions are
+    * shared with the DuckDB oracle (same function), so results stay
+    * bit-identical.
+    */
+  def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleTable(docs, idCol, textCol, n)
+      .withColumn("shingle", PortableHash.md5Long(col("shingle")))
+
   /** Per-id MinHash signature columns h0..h{k-1}, as LONGS in both
     * flavors: long min-buffers keep all k aggregates in codegen'd
     * HashAggregate (string buffers would force interpreted SortAggregate
@@ -139,8 +151,10 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5, portable: Boolean = true): DataFrame = {
     // the shingle table feeds signatures AND the Jaccard verify (3 branch
-    // reads) — persist it once instead of re-exploding the corpus per use
-    val sh = shingleTable(docs, idCol, textCol, shingleN).persist()
+    // reads) — persist it once instead of re-exploding the corpus per use;
+    // hashed-to-long so the 12 seeded hashes and the verify joins never
+    // touch shingle text again
+    val sh = hashedShingleTable(docs, idCol, textCol, shingleN).persist()
     sh.count() // eager cache fill (3 downstream branches)
     val sig = minHashSignatures(sh, idCol, numHashes, portable)
     val (pairs, _) = candidatePairs(
@@ -198,18 +212,21 @@ object Dedup {
     toks.count()
     def shingles(n: Int) = toks.select(col(idCol),
       explode(TextFunctions.shinglesOfTokens(col("_toks"), n)).as("shingle"))
-    // fast flavor hashes block keys to 64-bit before the shuffle: the
-    // candidate-pair exchange moves fixed-width longs-as-strings instead
-    // of full multi-word shingle text
+    // block keys hashed before the shuffle: the candidate-pair exchange
+    // moves fixed-width hashes instead of full multi-word shingle text
     val blockKey =
-      if (portable) col("shingle")
+      if (portable) PortableHash.md5Long(col("shingle")).cast("string")
       else xxhash64(col("shingle")).cast("string")
     val blocks = shingles(blockN)
       .withColumn("band_key", blockKey)
       .drop("shingle")
       .withColumn("band", lit(0))
     val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
-    val sh = shingles(shingleN).persist()
+    // verify shingles hashed to longs too (same function as the oracle,
+    // so any collision is shared and results stay identical)
+    val sh = shingles(shingleN)
+      .withColumn("shingle", PortableHash.md5Long(col("shingle")))
+      .persist()
     sh.count() // eager cache fill (both sides of the common-shingle join)
     jaccardFor(pairs, sh, idCol)
       .filter(col("jaccard") >= threshold)

@@ -69,7 +69,10 @@ object DedupQueries {
       val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${shingleCte(3, "sh3")},
+    s"""WITH ${shingleCte(3, "sh3_raw")},
+      |sh3 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh3_raw),
       |sig AS (
       |  SELECT doc_id,
       |    $mins
@@ -158,8 +161,14 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
 
   def ngramJaccardSql: String =
-    s"""WITH ${shingleCte(5, "sh5")},
-      |${shingleCte(3, "sh3")},
+    s"""WITH ${shingleCte(5, "sh5_raw")},
+      |${shingleCte(3, "sh3_raw")},
+      |sh5 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh5_raw),
+      |sh3 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh3_raw),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
