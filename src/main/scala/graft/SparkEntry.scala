@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "dedup_components" -> (DedupQueries.components _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "dedup_components" -> DedupQueries.componentsSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,

@@ -125,6 +125,60 @@ object Dedup {
     (pairs, oversized)
   }
 
+  /** Connected components over near-duplicate pairs — the
+    * canonicalization step after ANY pair detector (minhash, simhash,
+    * embedding): every document in a transitively-connected dup cluster
+    * gets the cluster's minimum id as its component.
+    *
+    * Distributed min-label propagation: each round joins current labels
+    * across the (symmetrized) edge set and keeps the per-node minimum;
+    * converges in O(cluster diameter) rounds (near-dup clusters are
+    * small and dense, so a handful). Each round is two shuffles, fully
+    * codegen'd; `localCheckpoint` truncates the growing plan lineage so
+    * round N+1 doesn't re-execute rounds 1..N.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component_id", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component_id")).as("component_id"))
+      val propagated = labels.select("id", "component_id")
+        .union(viaEdges)
+        .groupBy("id").agg(min("component_id").as("component_id"))
+      // pointer jump: adopt the label's OWN label, halving chain depth
+      // each round — O(log n) convergence instead of O(diameter)
+      val parents = propagated
+        .select(col("id").as("_cid"), col("component_id").as("_pcid"))
+      val next = propagated
+        .join(parents, propagated("component_id") === parents("_cid"), "left")
+        .select(propagated("id"),
+          coalesce(col("_pcid"), propagated("component_id"))
+            .as("component_id"))
+        .localCheckpoint(true)
+      // converged when no node's label shrank this round
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.component_id") < col("o.component_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard over the shingle table for given pairs — relational
     * (join + count), no arrays shipped.
     */

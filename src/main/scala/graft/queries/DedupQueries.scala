@@ -99,6 +99,34 @@ object DedupQueries {
       |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Transitive dup clusters over the MinHash near-dup pairs: every doc
+    * in a connected cluster labeled with the cluster's min doc_id — the
+    * canonicalization step a real dedup pipeline runs after pair
+    * detection (keep one representative per component).
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.minHashNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .orderBy(col("id"))
+  }
+
+  def componentsSql: String =
+    s"""WITH RECURSIVE mh AS (
+      |  SELECT a_id, b_id FROM (${minHashLshSql.replace("\n", "\n      |  ")})),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mh
+      |  UNION
+      |  SELECT b_id, a_id FROM mh),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id, min(lab) AS component_id
+      |FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** Production (xxhash64) flavor of minHashLsh — bench-only: xxhash64 is
     * Spark-specific so no cross-engine oracle exists; correctness is
     * covered by DedupSpec asserting it finds the same verified pairs as

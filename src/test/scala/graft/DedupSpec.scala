@@ -16,6 +16,23 @@ class DedupSpec extends SparkSpec {
   private def pairs(df: DataFrame): Seq[(Long, Long)] =
     df.select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
 
+  test("connected components label transitive clusters with the min id") {
+    import graft.operators.Dedup
+    // two clusters: a 30-node CHAIN (exercises pointer-jumping — plain
+    // 1-hop propagation would need 29 rounds, over the default cap) and
+    // a triangle, plus an isolated pair
+    val chain = (1L to 29L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val pairs = (chain ++ tri ++ pair).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 30L).forall(comp(_) === 1L), "chain not fully labeled")
+    assert(Seq(100L, 101L, 102L).forall(comp(_) === 100L))
+    assert(comp(200L) === 200L && comp(201L) === 200L)
+    assert(comp.size === 35)
+  }
+
   test("fast minhash flavor finds the portable flavor's verified pairs") {
     assert(pairs(DedupQueries.minHashLshFast(spark, sf)) ===
       pairs(DedupQueries.minHashLsh(spark, sf)))
