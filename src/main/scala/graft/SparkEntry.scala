@@ -75,6 +75,9 @@ object SparkEntry {
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
     "text_lang_dist" -> (TextQueries.langDist _),
+    "text_quality_topk" -> (TextQueries.qualityTopK _),
+    "corpus_split" -> (TextQueries.corpusSplit _),
+    "decontaminate" -> (DedupQueries.decontaminateReport _),
     // multimodal decode is a mapPartitions stub (no codecs in env); the
     // deterministic stub IS oracle-checked via DuckDB byte histograms
     "mm_features" -> (TextQueries.multimodalFeatures _)
@@ -119,6 +122,9 @@ object SparkEntry {
     "text_profile" -> TextQueries.profileSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_lang_dist" -> TextQueries.langDistSql,
+    "text_quality_topk" -> TextQueries.qualityTopKSql,
+    "corpus_split" -> TextQueries.corpusSplitSql,
+    "decontaminate" -> DedupQueries.decontaminateReportSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql
   )
 }

@@ -179,6 +179,33 @@ object Dedup {
     labels
   }
 
+  /** Decontamination: find corpus documents sharing any word n-gram with
+    * a probe set (the eval-set leakage check every training-data pipeline
+    * runs before a model sees the corpus). Returns (id, n_hits) for
+    * contaminated docs only; `decontaminate` anti-joins them away.
+    *
+    * Shape: two shingle tables joined on the 60-bit shingle hash — the
+    * probe side is distinct shingles only (eval sets are small, so AQE
+    * broadcasts it), and the corpus side never shuffles more than
+    * (id, hash) pairs.
+    */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val c = hashedShingleTable(corpus, idCol, textCol, n)
+    val p = hashedShingleTable(probes, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    c.join(p, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // rows are distinct (id, shingle)
+  }
+
+  /** Corpus minus every document flagged by [[contaminationReport]]. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, probes, idCol, textCol, n).select(idCol),
+      Seq(idCol), "left_anti")
+
   /** Exact Jaccard over the shingle table for given pairs — relational
     * (join + count), no arrays shipped.
     */

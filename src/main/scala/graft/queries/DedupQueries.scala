@@ -140,6 +140,30 @@ object DedupQueries {
       portable = false)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Decontamination report: docs (doc_id % 7 ≠ 0, the "training"
+    * corpus) sharing any word 5-gram with the probe set (doc_id % 7 =
+    * 0, the stand-in "eval" set), with the count of shared 5-grams.
+    */
+  def decontaminateReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.contaminationReport(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateReportSql: String =
+    s"""WITH ${shingleCte(5, "sh5_raw")},
+      |sh5 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh5_raw),
+      |corpus_sh AS (SELECT * FROM sh5 WHERE doc_id % 7 <> 0),
+      |probe_sh AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 7 = 0)
+      |SELECT doc_id, count(*) AS n_hits
+      |FROM corpus_sh JOIN probe_sh USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-doc 32-bit SimHash + identical-signature dup groups. */
   def simHash(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup.simHashGroups(

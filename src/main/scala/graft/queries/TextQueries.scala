@@ -76,6 +76,70 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus curation: top-20 highest-quality docs per declared language
+    * — the per-group quota sampling step of a training-data pipeline.
+    * One shuffle on lang (keyed window, never global).
+    */
+  def qualityTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  def qualityTopKSql: String = {
+    val toksLower = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    val punct =
+      s"(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END)"
+    val stop =
+      s"(CASE WHEN len($toksLower) = 0 THEN 0.0 ELSE CAST(len(list_filter($toksLower, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END)"
+    s"""WITH q AS (
+      |  SELECT doc_id, lang,
+      |    0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+      |      + 0.3 * (1.0 - least($punct * 10.0, 1.0))
+      |      + 0.3 * least($stop * 4.0, 1.0) AS quality
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, quality,
+      |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+      |  FROM q)
+      |SELECT doc_id, lang, quality, rk FROM r WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+  }
+
+  /** Deterministic train/validation/test split by salted content hash —
+    * reproducible in any engine, stable under corpus growth (a doc's
+    * split never depends on other docs), the standard hash-mod split of
+    * training pipelines.
+    */
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val bucket = graft.functions.PortableHash.md5Long(
+      concat_ws("|", col("doc_id"), lit("split-v1"))) % 1000
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 800, lit("train"))
+          .when(col("bucket") < 900, lit("validation"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(concat_ws('|', doc_id, 'split-v1')), 1, 15))::BIGINT % 1000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 800 THEN 'train'
+      |       WHEN bucket < 900 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** Winnowing-style fingerprints: selected md5 shingle hashes (suffix
     * '0'/'1'), sorted, joined — compact near-dup sketch per doc.
     */
