@@ -161,18 +161,20 @@ object Dedup {
       // each round — O(log n) convergence instead of O(diameter)
       val parents = propagated
         .select(col("id").as("_cid"), col("component_id").as("_pcid"))
+      // carry the previous label through the SAME plan so the round costs
+      // exactly one materializing action; the convergence probe is then a
+      // cheap scan of the checkpointed result
       val next = propagated
         .join(parents, propagated("component_id") === parents("_cid"), "left")
-        .select(propagated("id"),
+        .join(labels.select(col("id"), col("component_id").as("_old")),
+          Seq("id"))
+        .select(col("id"),
           coalesce(col("_pcid"), propagated("component_id"))
-            .as("component_id"))
+            .as("component_id"),
+          col("_old"))
         .localCheckpoint(true)
-      // converged when no node's label shrank this round
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.component_id") < col("o.component_id"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("component_id") < col("_old")).isEmpty
+      labels = next.drop("_old")
       iter += 1
     }
     edges.unpersist()
