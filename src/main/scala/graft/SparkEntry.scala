@@ -77,6 +77,8 @@ object SparkEntry {
     "text_lang_dist" -> (TextQueries.langDist _),
     "text_quality_topk" -> (TextQueries.qualityTopK _),
     "corpus_split" -> (TextQueries.corpusSplit _),
+    "corpus_source_mix" -> (TextQueries.sourceMix _),
+    "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (DedupQueries.decontaminateReport _),
     // multimodal decode is a mapPartitions stub (no codecs in env); the
     // deterministic stub IS oracle-checked via DuckDB byte histograms
@@ -124,6 +126,8 @@ object SparkEntry {
     "text_lang_dist" -> TextQueries.langDistSql,
     "text_quality_topk" -> TextQueries.qualityTopKSql,
     "corpus_split" -> TextQueries.corpusSplitSql,
+    "corpus_source_mix" -> TextQueries.sourceMixSql,
+    "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> DedupQueries.decontaminateReportSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql
   )

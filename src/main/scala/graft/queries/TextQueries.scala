@@ -140,6 +140,81 @@ object TextQueries {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /** Corpus mixture report: per (source, lang) document counts, total
+    * characters and mean quality — the composition dashboard a training
+    * mix is tuned against. One partial-aggregating shuffle.
+    */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextFunctions.qualityScore(col("text"), col("n_chars")).as("q"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        // decimal-exact mean (shuffle-order-independent), final as double
+        (sum(col("q").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("mean_quality"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  def sourceMixSql: String = {
+    val toksLower = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    val punct =
+      s"(CASE WHEN len(text) = 0 THEN 0.0 ELSE CAST(len(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END)"
+    val stop =
+      s"(CASE WHEN len($toksLower) = 0 THEN 0.0 ELSE CAST(len(list_filter($toksLower, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len($toksLower) AS DOUBLE) END)"
+    s"""WITH q AS (
+      |  SELECT source, lang, n_chars,
+      |    0.4 * least(CAST(n_chars AS DOUBLE) / 400.0, 1.0)
+      |      + 0.3 * (1.0 - least($punct * 10.0, 1.0))
+      |      + 0.3 * least($stop * 4.0, 1.0) AS q
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_quality
+      |FROM q GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  }
+
+  /** Within-document repetition: 1 - distinct/total word 3-grams — the
+    * self-repetition quality signal (boilerplate and looped text score
+    * high). Pure per-row expressions, no shuffle at all.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val total = greatest(size(toks) - lit(2), lit(1))
+    val distinctN = size(TextFunctions.wordShingles(col("text"), 3))
+    docs.select(col("doc_id"),
+        total.as("n_shingles"),
+        distinctN.as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
+  def repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    greatest(len(toks) - 2, 1) AS n_shingles,
+      |    CASE WHEN len(toks) < 3 THEN 1
+      |      ELSE len(list_distinct(list_transform(
+      |        range(1, greatest(len(toks) - 2, 1) + 1),
+      |        i -> array_to_string(toks[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' '))))
+      |    END AS n_distinct
+      |  FROM t)
+      |SELECT doc_id, CAST(n_shingles AS INTEGER) AS n_shingles,
+      |  CAST(n_distinct AS INTEGER) AS n_distinct,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS rep_ratio
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Winnowing-style fingerprints: selected md5 shingle hashes (suffix
     * '0'/'1'), sorted, joined — compact near-dup sketch per doc.
     */
