@@ -155,6 +155,19 @@ object Similarity {
       .select("q_id", "n_id", "rank", "score")
   }
 
+  /** Plane count that holds expected LSH bucket occupancy at
+    * `targetBucket` as the corpus grows: planes ≈ log2(n / targetBucket).
+    * Within-bucket pairing is ~occupancy², so FIXING planes while n grows
+    * reverts toward all-pairs; deriving it keeps the near-dup join
+    * linear-ish. Capped at 30 (past that, signature length — not bucket
+    * count — is the tool).
+    */
+  def planesFor(corpusSize: Long, targetBucket: Int = 256): Int = {
+    require(targetBucket > 0, s"targetBucket must be > 0, got $targetBucket")
+    val ratio = math.max(corpusSize.toDouble / targetBucket, 1.0)
+    math.min(math.max(math.ceil(math.log(ratio) / math.log(2)).toInt, 1), 30)
+  }
+
   /** Bounded deterministic centroid sample: the `n` rows sorting first by
     * md5(id) — a uniform hash-order sample any engine reproduces.
     * Physically a TakeOrdered (per-partition top-n, merged once), never a

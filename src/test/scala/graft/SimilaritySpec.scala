@@ -22,6 +22,19 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("planesFor holds bucket occupancy as the corpus grows") {
+    import graft.operators.Similarity.planesFor
+    // occupancy n / 2^planes stays within ~2x of the target
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val p = planesFor(n, targetBucket = 256)
+      val occupancy = n.toDouble / math.pow(2, p)
+      assert(occupancy <= 256.0 && occupancy >= 64.0,
+        s"n=$n planes=$p occupancy=$occupancy")
+    }
+    assert(planesFor(10, 256) === 1)    // tiny corpus floors at 1
+    assert(planesFor(Long.MaxValue, 1) === 30) // cap
+  }
+
   test("dot normalizes array<double> inputs instead of misreading them") {
     import graft.functions.VectorFunctions
     val df = Seq((Array(1.0d, 2.0d), Array(3.0d, 4.0d))).toDF("a", "b")
