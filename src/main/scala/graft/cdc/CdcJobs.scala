@@ -98,15 +98,23 @@ object SnapshotJob {
   def runToJdbc(spark: SparkSession, cfg: CdcConfig, tables: Seq[TableSpec],
       url: String, jdbcSchema: String, user: String, password: String,
       createTables: Boolean): Map[String, Long] = {
-    import graft.sinks.{JdbcCatalog, JdbcSink}
+    import graft.sinks.{JdbcCatalog, JdbcSink, PgDdl}
     val catalog = new JdbcCatalog(url, user, password)
     if (createTables) catalog.createSchema(jdbcSchema)
     tables.map { t =>
-      val state = reconstructTable(spark, cfg, t)
-      if (createTables)
-        catalog.createTable(jdbcSchema, t.name, state.schema, t.primaryKey)
-      JdbcSink.append(state, url, jdbcSchema, t.name, user, password)
-      t.name -> state.count()
+      // persist: the write and the reported count must execute the
+      // reconstruction ONCE (and agree with each other)
+      val state = reconstructTable(spark, cfg, t).persist()
+      try {
+        if (createTables)
+          catalog.createTable(jdbcSchema, t.name, state.schema, t.primaryKey)
+        // snapshot semantics are full reconstruction — clear previous
+        // contents so a retry (or re-run) is idempotent, like the parquet
+        // path's overwrite mode
+        catalog.execute(s"DELETE FROM ${PgDdl.qualified(jdbcSchema, t.name)}")
+        JdbcSink.append(state, url, jdbcSchema, t.name, user, password)
+        t.name -> state.count()
+      } finally state.unpersist()
     }.toMap
   }
 }

@@ -33,8 +33,9 @@ object PlanAudit {
         .filterNot(_.contains("[]")).length
       println(f"$name%-24s bhj=${count("BroadcastHashJoin")}%d smj=${count("SortMergeJoin")}%d " +
         f"hashAgg=${count("HashAggregate")}%d objAgg=${count("ObjectHashAggregate")}%d sortAgg=${count("SortAggregate")}%d " +
-        // executedPlan renders whole-stage-codegen spans as "*(n)" markers
-        f"exch=${count("Exchange")}%d wsc=${count("\\*\\(\\d+\\)")}%d pushedF=$pushed%d")
+        // whole-stage-codegen SPANS = distinct "*(n)" ids (every operator
+        // in a span repeats its id; raw marker counts would inflate)
+        f"exch=${count("Exchange")}%d wsc=${"\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size}%d pushedF=$pushed%d")
     }
   }
 }

@@ -61,9 +61,11 @@ object Dedup {
     * bit-identical.
     */
   def hashedShingleTable(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int, portable: Boolean = true): DataFrame =
     shingleTable(docs, idCol, textCol, n)
-      .withColumn("shingle", PortableHash.md5Long(col("shingle")))
+      .withColumn("shingle",
+        if (portable) PortableHash.md5Long(col("shingle"))
+        else xxhash64(col("shingle")))
 
   /** Per-id MinHash signature columns h0..h{k-1}, as LONGS in both
     * flavors: long min-buffers keep all k aggregates in codegen'd
@@ -237,7 +239,8 @@ object Dedup {
     // reads) — persist it once instead of re-exploding the corpus per use;
     // hashed-to-long so the 12 seeded hashes and the verify joins never
     // touch shingle text again
-    val sh = hashedShingleTable(docs, idCol, textCol, shingleN).persist()
+    val sh = hashedShingleTable(docs, idCol, textCol, shingleN, portable)
+      .persist()
     sh.count() // eager cache fill (3 downstream branches)
     val sig = minHashSignatures(sh, idCol, numHashes, portable)
     val (pairs, _) = candidatePairs(
@@ -297,9 +300,9 @@ object Dedup {
       explode(TextFunctions.shinglesOfTokens(col("_toks"), n)).as("shingle"))
     // block keys hashed before the shuffle: the candidate-pair exchange
     // moves fixed-width hashes instead of full multi-word shingle text
-    val blockKey =
-      if (portable) PortableHash.md5Long(col("shingle")).cast("string")
-      else xxhash64(col("shingle")).cast("string")
+    val blockKey = (
+      if (portable) PortableHash.md5Long(col("shingle"))
+      else xxhash64(col("shingle"))).cast("string")
     val blocks = shingles(blockN)
       .withColumn("band_key", blockKey)
       .drop("shingle")
@@ -308,7 +311,9 @@ object Dedup {
     // verify shingles hashed to longs too (same function as the oracle,
     // so any collision is shared and results stay identical)
     val sh = shingles(shingleN)
-      .withColumn("shingle", PortableHash.md5Long(col("shingle")))
+      .withColumn("shingle",
+        if (portable) PortableHash.md5Long(col("shingle"))
+        else xxhash64(col("shingle")))
       .persist()
     sh.count() // eager cache fill (both sides of the common-shingle join)
     jaccardFor(pairs, sh, idCol)

@@ -115,8 +115,11 @@ object DiffEngine {
     * sort within partitions, take partition-local indices from
     * `monotonically_increasing_id`, and lift them to global row numbers
     * with per-partition count offsets collected in one light pre-job.
-    * Both jobs recompute the same deterministic plan (static input, seeded
-    * range sampling), so partition ids and local order agree between them.
+    * The range-partitioned projection is persisted so the pre-job and the
+    * final aggregation read ONE materialized layout (range boundaries are
+    * re-sampled per execution otherwise); the returned DataFrame reads
+    * from that cache — long-lived sessions reclaim it via catalog
+    * `clearCache()`/LRU, same contract as the Dedup pipelines.
     */
   def chunkDigest(df: DataFrame, pks: Seq[String], chunkSize: Int)
       : DataFrame = {
@@ -129,10 +132,17 @@ object DiffEngine {
     val narrow = df.select(pks.map(col) :+ rowHash(df, dataCols).as("_rh"): _*)
     val sortCols = pks.map(col) :+ col("_rh")
     val localIdxBits = 33 // monotonically_increasing_id: pid << 33 | local index
+    // PERSIST is load-bearing, not an optimization: the counts pre-job and
+    // the final aggregation are two separate query executions, and
+    // RangePartitioner re-SAMPLES boundaries per execution (seeded by
+    // rdd.id), so without the cache the two jobs see different partition
+    // layouts and the offsets are applied to the wrong partitions.
+    // Reading the materialized cache pins one layout for both.
     val sorted = narrow
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("_mid", monotonically_increasing_id())
+      .persist()
     val pidOf = shiftright(col("_mid"), localIdxBits)
     val counts = sorted.groupBy(pidOf.as("_pid"))
       .agg(count(lit(1)).as("_n"))

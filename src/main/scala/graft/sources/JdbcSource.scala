@@ -39,9 +39,10 @@ object JdbcSource {
       (lo, hi) <- numericBounds(url, schema, table, pkCol, user, password)
       if hi > lo && numPartitions > 1
     } yield base
-      // quoted so mixed-case/reserved names survive verbatim in the
-      // generated `WHERE <col> >= ?` predicates
-      .option("partitionColumn", PgDdl.ident(pkCol))
+      // BARE name: Spark resolves it against the relation schema, which
+      // works on every dialect; a Postgres-style quoted form breaks
+      // resolution on engines with different identifier quoting
+      .option("partitionColumn", pkCol)
       .option("lowerBound", lo)
       .option("upperBound", hi)
       .option("numPartitions", numPartitions)

@@ -227,31 +227,47 @@ object CdcStream {
     fs.delete(stagePath, true)
 
     val seqStruct = ChangeLogReader.eventSeq(batch)
+    val bucketOf = pmod(xxhash64(pks.map(col): _*), lit(buckets)).cast("int")
     val events = batch
       .withColumn(SeqCols(0), seqStruct.getField("load_rank"))
       .withColumn(SeqCols(1), seqStruct.getField("file_path"))
       .withColumn(SeqCols(2), seqStruct.getField("row_index"))
-      .withColumn(BucketCol,
-        pmod(xxhash64(pks.map(col): _*), lit(buckets)).cast("int"))
+      .withColumn(BucketCol, bucketOf)
     val dataCols = batch.columns.toSeq
       .filterNot((C.MetaColumns ++ C.InternalColumns).contains)
     val stateCols = (dataCols :+ C.Op) ++ SeqCols :+ BucketCol
 
-    val touched = events.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // one-time migration: state written by the flat-layout mergeBatch is
+    // part files directly under stateDir — fold them in (bucketed by key)
+    // and delete them after the swap. A crash mid-migration just re-runs
+    // it: re-merging identical (key, seq) rows is a no-op.
+    val flatFiles = fs.listStatus(statePath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val flatState =
+      if (flatFiles.isEmpty) None
+      else Some(spark.read.parquet(flatFiles.map(_.toString): _*)
+        .withColumn(BucketCol, bucketOf)
+        .select(stateCols.map(col): _*))
+
+    val touchedSrc = flatState
+      .map(f => events.select(col(BucketCol)).unionByName(f.select(col(BucketCol))))
+      .getOrElse(events.select(col(BucketCol)))
+    val touched = touchedSrc.distinct().collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
     val existing = touched.filter(k => fs.exists(bucketPath(k)))
 
     val newEvents = events.select(stateCols.map(col): _*)
+    val withFlat = flatState.map(newEvents.unionByName(_)).getOrElse(newEvents)
     val combined =
-      if (existing.isEmpty) newEvents
+      if (existing.isEmpty) withFlat
       else {
         // partition-pruned read: only the touched buckets' files load
         val st = spark.read
           .option("basePath", stateDir)
           .parquet(existing.map(k => bucketPath(k).toString): _*)
           .select(stateCols.map(col): _*)
-        st.unionByName(newEvents)
+        st.unionByName(withFlat)
       }
 
     val seq = struct(col(SeqCols(0)), col(SeqCols(1)), col(SeqCols(2)))
@@ -274,6 +290,10 @@ object CdcStream {
       }
     }
     fs.delete(stagePath, true)
+    // flat-layout leftovers are now fully represented in the buckets
+    flatFiles.foreach(fs.delete(_, false))
+    if (flatFiles.nonEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath, "_SUCCESS"), false)
   }
 
   /** Event for the stateful sessionizer. */

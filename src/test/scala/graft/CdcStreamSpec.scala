@@ -145,6 +145,43 @@ class CdcStreamSpec extends SparkSpec {
       streamed.exists(r => r.getLong(0) == 1L && r.getString(1) == "u1"))
   }
 
+  test("bucketed merge migrates flat-layout state transparently") {
+    val src = Files.createTempDirectory("mig_src").toString
+    val state = Files.createTempDirectory("mig_state").toString + "/st"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    // batch 1 written by the OLD flat-layout merge
+    writeFile(src, "LOAD00000001.parquet",
+      (1L to 20L).map(i => ("I", "t0", i, s"v$i")))
+    val load = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    CdcStream.mergeBatch(spark,
+      ChangeLogReader.read(spark, load), Seq("id"), state)
+
+    // batch 2 through the bucketed merge: must keep ALL flat keys, apply
+    // the new events, and leave a pure bucketed layout behind
+    writeFile(src, "20240102-0001.parquet", Seq(
+      ("U", "t1", 1L, "u1"), ("D", "t1", 2L, "v2")))
+    val cdc = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+      .filter(_.path.contains("20240102"))
+    CdcStream.mergeBatchBucketed(spark,
+      ChangeLogReader.read(spark, cdc), Seq("id"), state, numBuckets = 4)
+
+    val all = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val fullLog = ChangeLogReader.read(spark, all)
+    val batch = ChangeLogReducer.reduce(fullLog, Seq("id"),
+        ChangeLogReader.eventSeq(fullLog))
+      .sort("id").select("id", "payload").collect().toSeq
+    val streamed = CdcStream.readState(spark, state).sort("id")
+      .select("id", "payload").collect().toSeq
+    assert(streamed === batch && streamed.size === 19)
+
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+    assert(!entries.exists(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet")), "flat files remain")
+    assert(entries.exists(_.getPath.getName.startsWith("_bucket=")))
+  }
+
   test("bucketed merge repairs an interrupted swap and retry is idempotent") {
     val src = Files.createTempDirectory("crash_src").toString
     val state = Files.createTempDirectory("crash_state").toString + "/st"

@@ -55,8 +55,11 @@ class DiffEngineSpec extends SparkSpec {
 
   test("chunk digest matches a naive single-partition global sort") {
     // exercises the offset lifting across many range partitions, including
-    // duplicate PKs (tie-broken by row hash on both paths)
-    val a = spark.range(0, 5000)
+    // duplicate PKs (tie-broken by row hash on both paths); 200k rows so
+    // range-boundary SAMPLING is real — at this size, unpinned layouts
+    // between the counts pre-job and the final job diverge (regression
+    // test for the per-execution resampling bug)
+    val a = spark.range(0, 200000)
       .select(($"id" % 997).as("k"), concat(lit("p"), $"id" % 3).as("payload"))
     val fast = DiffEngine.chunkDigest(a, Seq("k"), 300)
     val w = org.apache.spark.sql.expressions.Window.orderBy($"k", $"_rh")
@@ -71,7 +74,7 @@ class DiffEngineSpec extends SparkSpec {
           s => s.getField("_rh")), "|")).as("digest"))
     val cmp = DiffEngine.compareDigests(fast, naive, "chunk_id")
     assert(cmp.filter(!$"ok").count() === 0)
-    assert(fast.count() === math.ceil(5000.0 / 300).toLong)
+    assert(fast.count() === math.ceil(200000.0 / 300).toLong)
   }
 
   test("chunk digest rejects non-positive chunk size") {
