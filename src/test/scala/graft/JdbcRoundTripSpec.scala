@@ -135,10 +135,18 @@ class JdbcRoundTripSpec extends SparkSpec {
       "--target-jdbc", url, "--jdbc-schema", "graft",
       "--only-snapshot"))
     // PK present → full reduction: id 7's trailing D drops it, id 9 updates
-    val got = readBack("tgt_items").as[(Long, String)].collect().sortBy(_._1)
+    def readAll() = readBack("tgt_items").as[(Long, String)].collect().sortBy(_._1)
+    val got = readAll()
     assert(got.length === 29)
     assert(!got.exists(_._1 == 7L))
     assert(got.find(_._1 == 9L).map(_._2) === Some("u9"))
+    // snapshot is idempotent: a retry clears and rewrites, never doubles
+    graft.cli.Main.main(Array(
+      "--base-dir", s"$base/db", "--table", "tgt_items",
+      "--mode", "full-load-only", "--pk", "tgt_items=id",
+      "--target-jdbc", url, "--jdbc-schema", "graft",
+      "--only-snapshot"))
+    assert(readAll().toSeq === got.toSeq)
   }
 
   test("CLI end-to-end: snapshot a CDC dir, validate against --expected-jdbc") {
