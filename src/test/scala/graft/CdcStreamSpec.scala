@@ -145,6 +145,41 @@ class CdcStreamSpec extends SparkSpec {
       streamed.exists(r => r.getLong(0) == 1L && r.getString(1) == "u1"))
   }
 
+  test("startReplay end-to-end: file stream to bucketed state") {
+    val src = Files.createTempDirectory("replay_src").toString
+    val state = Files.createTempDirectory("replay_state").toString + "/st"
+    val ckpt = Files.createTempDirectory("replay_ckpt").toString
+
+    writeFile(src, "LOAD00000001.parquet",
+      (1L to 30L).map(i => ("I", "t0", i, s"v$i")))
+    writeFile(src, "20240102-0001.parquet", Seq(
+      ("U", "t1", 3L, "u3"), ("D", "t1", 4L, "v4")))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(C.Op,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(C.IngestTs,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    val stream = CdcStream.changeStream(spark, src, schema)
+    val q = CdcStream.startReplay(spark, stream, Seq("id"), state, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val got = CdcStream.readState(spark, state).sort("id")
+      .select("id", "payload").collect().toSeq
+    assert(got.size === 29) // 30 loaded, one deleted
+    assert(got.exists(r => r.getLong(0) == 3L && r.getString(1) == "u3"))
+    assert(!got.exists(_.getLong(0) == 4L))
+    // default stateBuckets > 0 → bucketed layout on disk
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .exists(_.getPath.getName.startsWith("_bucket=")))
+  }
+
   test("bucketed merge migrates flat-layout state transparently") {
     val src = Files.createTempDirectory("mig_src").toString
     val state = Files.createTempDirectory("mig_state").toString + "/st"
