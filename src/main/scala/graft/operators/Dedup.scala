@@ -141,14 +141,20 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // reliable checkpoints when a checkpoint dir is configured (local
+    // blocks die with their executor and would abort the whole loop on a
+    // real cluster); localCheckpoint otherwise (single-JVM / tests)
+    val sc = pairs.sparkSession.sparkContext
+    val ckpt: DataFrame => DataFrame =
+      if (sc.getCheckpointDir.isDefined) _.checkpoint(true)
+      else _.localCheckpoint(true)
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id"))
+    var labels = ckpt(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("component_id", col("id"))
-      .localCheckpoint(true)
+      .withColumn("component_id", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -166,15 +172,14 @@ object Dedup {
       // carry the previous label through the SAME plan so the round costs
       // exactly one materializing action; the convergence probe is then a
       // cheap scan of the checkpointed result
-      val next = propagated
+      val next = ckpt(propagated
         .join(parents, propagated("component_id") === parents("_cid"), "left")
         .join(labels.select(col("id"), col("component_id").as("_old")),
           Seq("id"))
         .select(col("id"),
           coalesce(col("_pcid"), propagated("component_id"))
             .as("component_id"),
-          col("_old"))
-        .localCheckpoint(true)
+          col("_old")))
       converged = next.filter(col("component_id") < col("_old")).isEmpty
       labels = next.drop("_old")
       iter += 1

@@ -176,14 +176,28 @@ object Similarity {
   def selectCentroids(corpus: DataFrame, idCol: String, n: Int): DataFrame =
     corpus.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
 
+  /** `cosineNearDupPairs` with the plane count DERIVED from the corpus
+    * size (one count job + planesFor) — the production entry point, so
+    * bucket occupancy holds as data grows. The fixed-planes form below
+    * exists for the oracle-pinned declared queries (the oracle inlines
+    * the sign matrix, which must not depend on row counts).
+    */
+  def cosineNearDupPairsAuto(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, dim: Int,
+      targetBucket: Int = 256): DataFrame = {
+    val planes = planesFor(corpus.count(), targetBucket)
+    cosineNearDupPairs(corpus, idCol, vecCol, threshold, planes, dim)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, LSH-blocked
     * (pairs must share a bucket — the all-pairs product never
     * materializes).
     *
     * `planes` must grow with the corpus: within-bucket pairing is
     * ~N²/2^planes, so hold bucket occupancy constant with
-    * planes ≈ log2(N) - log2(target bucket size). The declared test
-    * query uses 2 planes for recall at test scale only.
+    * planes ≈ log2(N) - log2(target bucket size) (use
+    * `cosineNearDupPairsAuto` / `planesFor`). The declared test query
+    * uses 2 planes for recall at test scale only.
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int, dim: Int): DataFrame = {

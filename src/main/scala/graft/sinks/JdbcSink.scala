@@ -136,6 +136,12 @@ object JdbcSink {
                 }
                 val counts = upd.executeBatch()
                 buf.iterator.zip(counts.iterator).foreach { case (row, n) =>
+                  // drivers configured to continue on batch errors report
+                  // EXECUTE_FAILED instead of throwing — that must surface,
+                  // not read as "updated"
+                  if (n == java.sql.Statement.EXECUTE_FAILED)
+                    throw new java.sql.SQLException(
+                      s"batched UPDATE failed for a row of $schema.$table")
                   val missed =
                     if (n == java.sql.Statement.SUCCESS_NO_INFO) {
                       // driver hides batch counts: re-check this row alone

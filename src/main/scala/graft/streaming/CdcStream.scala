@@ -67,6 +67,24 @@ object CdcStream {
     * dropped.
     */
   def readState(spark: SparkSession, stateDir: String): DataFrame = {
+    // a crash mid-migration (flat -> bucketed) can briefly leave BOTH
+    // layouts; Spark's partition discovery would throw a confusing
+    // conflicting-structure error — fail with the actual situation and
+    // the remedy instead
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val entries = fs.listStatus(p)
+      val hasFlat = entries.exists(e =>
+        e.isFile && e.getPath.getName.endsWith(".parquet"))
+      val hasBuckets = entries.exists(
+        _.getPath.getName.startsWith(s"$BucketCol="))
+      if (hasFlat && hasBuckets)
+        throw new IllegalStateException(
+          s"$stateDir holds both flat and bucketed state (interrupted " +
+            "migration); the next merge repairs it — retry the stream's " +
+            "pending batch before reading state")
+    }
     val st = spark.read.parquet(stateDir)
     st.filter(!(col(C.Op) <=> lit(C.OpDelete)))
       .drop((SeqCols :+ C.Op): _*)
@@ -228,11 +246,15 @@ object CdcStream {
 
     val seqStruct = ChangeLogReader.eventSeq(batch)
     val bucketOf = pmod(xxhash64(pks.map(col): _*), lit(buckets)).cast("int")
+    // persisted: the batch feeds BOTH touched-bucket discovery and the
+    // state write — without the cache every trigger re-executes the
+    // streaming source scan twice
     val events = batch
       .withColumn(SeqCols(0), seqStruct.getField("load_rank"))
       .withColumn(SeqCols(1), seqStruct.getField("file_path"))
       .withColumn(SeqCols(2), seqStruct.getField("row_index"))
       .withColumn(BucketCol, bucketOf)
+      .persist()
     val dataCols = batch.columns.toSeq
       .filterNot((C.MetaColumns ++ C.InternalColumns).contains)
     val stateCols = (dataCols :+ C.Op) ++ SeqCols :+ BucketCol
@@ -254,7 +276,7 @@ object CdcStream {
       .map(f => events.select(col(BucketCol)).unionByName(f.select(col(BucketCol))))
       .getOrElse(events.select(col(BucketCol)))
     val touched = touchedSrc.distinct().collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { events.unpersist(); return }
     val existing = touched.filter(k => fs.exists(bucketPath(k)))
 
     val newEvents = events.select(stateCols.map(col): _*)
@@ -294,6 +316,7 @@ object CdcStream {
     flatFiles.foreach(fs.delete(_, false))
     if (flatFiles.nonEmpty)
       fs.delete(new org.apache.hadoop.fs.Path(statePath, "_SUCCESS"), false)
+    events.unpersist()
   }
 
   /** Event for the stateful sessionizer. */

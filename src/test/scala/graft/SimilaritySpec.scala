@@ -35,6 +35,17 @@ class SimilaritySpec extends SparkSpec {
     assert(planesFor(Long.MaxValue, 1) === 30) // cap
   }
 
+  test("auto near-dup pairing derives planes from the corpus size") {
+    import graft.operators.Similarity
+    val c = corpus(1000)
+      .select($"vec_id", transform($"embedding", x => x / lit(20f)).as("embedding"))
+    val auto = Similarity.cosineNearDupPairsAuto(c, "vec_id", "embedding",
+      threshold = 0.99, dim = 8, targetBucket = 64)
+    val manual = Similarity.cosineNearDupPairs(c, "vec_id", "embedding",
+      threshold = 0.99, planes = Similarity.planesFor(1000, 64), dim = 8)
+    assert(auto.collect().toSet === manual.collect().toSet)
+  }
+
   test("dot normalizes array<double> inputs instead of misreading them") {
     import graft.functions.VectorFunctions
     val df = Seq((Array(1.0d, 2.0d), Array(3.0d, 4.0d))).toDF("a", "b")
