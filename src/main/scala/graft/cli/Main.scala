@@ -41,6 +41,12 @@ object Main {
       sys.error("--out is required (or use --target-jdbc)"))
     if (targetJdbc.isEmpty && outDirOpt.isEmpty)
       sys.error("--out is required (or use --target-jdbc)")
+    // both supplied would silently ignore --out (the JDBC target wins for
+    // both the snapshot and the validate read) — reject, mirroring the
+    // --expected/--expected-jdbc mutual exclusion
+    if (targetJdbc.nonEmpty && outDirOpt.nonEmpty)
+      sys.error("--out and --target-jdbc are mutually exclusive " +
+        "(the snapshot lands in exactly one target)")
     val schema = one("schema").getOrElse("public")
 
     val mode = one("mode").getOrElse("full-load-only") match {

@@ -185,6 +185,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // an unconverged exit would hand callers silently-wrong cluster ids;
+    // pointer jumping converges in O(log n) rounds, so hitting maxIter
+    // means the input is pathological — fail loudly rather than corrupt
+    // downstream dedup canonicalization
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds; " +
+          "raise maxIter (labels would be incorrect)")
     labels
   }
 

@@ -52,6 +52,13 @@ object JdbcSink {
     * rows whose update count came back 0 (reducedLog has one row per key,
     * so the two phases never race within a batch).
     *
+    * Update counts are interpreted as MATCHED rows (the JDBC default).
+    * Drivers configured to report CHANGED rows instead (e.g. MySQL with
+    * `useAffectedRows=true`) return 0 for a matched-but-identical update,
+    * mis-routing live rows to phase two; duplicate-key failures there are
+    * therefore recovered row-by-row (insert if absent, re-update if
+    * present) instead of failing the batch.
+    *
     * Feed contract: `ChangeLogReducer.reduceKeepOp` output (last event
     * per key INCLUDING delete tombstones, `Op` retained).
     */
@@ -120,12 +127,19 @@ object JdbcSink {
               }
               ins.addBatch()
             }
+            // SQLState class 23 = integrity-constraint violation, walked
+            // through the chain (BatchUpdateException nests the cause)
+            def dupKey(e: java.sql.SQLException): Boolean =
+              Iterator.iterate(e)(_.getNextException)
+                .takeWhile(_ != null).take(8)
+                .exists(x => Option(x.getSQLState).exists(_.startsWith("23")))
             def flush(): Unit = {
               if (nonPkIdx.isEmpty) {
                 // PK-only table: delete+insert is the idempotent upsert
                 buf.foreach { row => bindPk(del, row, 0); del.addBatch() }
                 del.executeBatch()
                 buf.foreach(bindInsert)
+                ins.executeBatch()
               } else {
                 buf.foreach { row =>
                   nonPkIdx.zipWithIndex.foreach { case (src, i) =>
@@ -135,6 +149,8 @@ object JdbcSink {
                   upd.addBatch()
                 }
                 val counts = upd.executeBatch()
+                val insRows = scala.collection.mutable.ArrayBuffer
+                  .empty[org.apache.spark.sql.Row]
                 buf.iterator.zip(counts.iterator).foreach { case (row, n) =>
                   // drivers configured to continue on batch errors report
                   // EXECUTE_FAILED instead of throwing — that must surface,
@@ -151,10 +167,33 @@ object JdbcSink {
                       bindPk(upd, row, nonPkIdx.length)
                       upd.executeUpdate() == 0
                     } else n == 0
-                  if (missed) bindInsert(row)
+                  if (missed) { bindInsert(row); insRows += row }
+                }
+                try ins.executeBatch()
+                catch {
+                  case e: java.sql.BatchUpdateException if dupKey(e) =>
+                    // a changed-rows driver (scaladoc above) sent live rows
+                    // here; which batch entries applied is driver-specific,
+                    // so recover row-by-row — insert if absent, re-update
+                    // (idempotent) if present
+                    ins.clearBatch()
+                    insRows.foreach { row =>
+                      try {
+                        colIdx.zipWithIndex.foreach { case (src, i) =>
+                          ins.setObject(i + 1, row.get(src))
+                        }
+                        ins.executeUpdate()
+                      } catch {
+                        case e2: java.sql.SQLException if dupKey(e2) =>
+                          nonPkIdx.zipWithIndex.foreach { case (src, i) =>
+                            upd.setObject(i + 1, row.get(src))
+                          }
+                          bindPk(upd, row, nonPkIdx.length)
+                          upd.executeUpdate()
+                      }
+                    }
                 }
               }
-              ins.executeBatch()
               buf.clear()
             }
             rows.foreach { row =>

@@ -215,20 +215,35 @@ object CdcStream {
     val stagePath = new org.apache.hadoop.fs.Path(statePath, ".stage")
 
     fs.mkdirs(statePath)
-    // pin the bucket count on first use; later merges follow the marker
+    // pin the bucket count on first use; later merges follow the marker.
+    // The marker is written to a dot-prefixed temp name and renamed into
+    // place so a crash can never leave a visible-but-empty marker; if an
+    // old-layout empty/corrupt marker is found anyway, fall back to the
+    // caller's numBuckets and re-pin it.
     val markerPath = new org.apache.hadoop.fs.Path(statePath, BucketMarker)
+    def writeMarker(n: Int): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(statePath, s".$BucketMarker.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(n.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(markerPath, false)
+      mustRename(tmp, markerPath)
+    }
     val buckets =
       if (fs.exists(markerPath)) {
         val in = fs.open(markerPath)
-        try new String(
-          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
+        val txt =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+        txt.toIntOption match {
+          case Some(n) if n > 0 => n
+          case _                => writeMarker(numBuckets); numBuckets
+        }
       } else {
-        val out = fs.create(markerPath, true)
-        try out.write(numBuckets.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        writeMarker(numBuckets)
         numBuckets
       }
 

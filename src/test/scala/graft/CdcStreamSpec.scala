@@ -252,6 +252,36 @@ class CdcStreamSpec extends SparkSpec {
     assert(dirs.forall(_ < 4), s"bucket ids exceeded pinned count: ${dirs.toSeq}")
   }
 
+  test("bucketed merge recovers from an empty bucket-count marker") {
+    val src = Files.createTempDirectory("marker_src").toString
+    val state = Files.createTempDirectory("marker_state").toString + "/st"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+
+    // simulate the old non-atomic layout's crash window: a marker that
+    // exists but is empty (created, never written)
+    val statePath = new org.apache.hadoop.fs.Path(state)
+    fs.mkdirs(statePath)
+    val marker = new org.apache.hadoop.fs.Path(statePath, "_graft_buckets")
+    fs.create(marker, true).close()
+
+    writeFile(src, "LOAD00000001.parquet",
+      (1L to 10L).map(i => ("I", "t0", i, s"v$i")))
+    val load = CdcFileLister.list(spark, src, ListingMode.DateAware(0, None))
+    val log = ChangeLogReader.read(spark, load)
+    // must not throw: falls back to the caller's numBuckets and re-pins
+    CdcStream.mergeBatchBucketed(spark, log, Seq("id"), state, numBuckets = 4)
+
+    val in = fs.open(marker)
+    val pinned =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    assert(pinned === "4")
+    assert(CdcStream.readState(spark, state).count() === 10L)
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import graft.streaming.CdcStream.{SessAssign, SessEvent}
     val dir = Files.createTempDirectory("sess_src").toString

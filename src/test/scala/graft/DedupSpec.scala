@@ -33,6 +33,15 @@ class DedupSpec extends SparkSpec {
     assert(comp.size === 35)
   }
 
+  test("connected components throw instead of returning unconverged labels") {
+    import graft.operators.Dedup
+    val chain = (1L to 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a_id", "b_id", maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("fast minhash flavor finds the portable flavor's verified pairs") {
     assert(pairs(DedupQueries.minHashLshFast(spark, sf)) ===
       pairs(DedupQueries.minHashLsh(spark, sf)))

@@ -149,6 +149,15 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(readAll().toSeq === got.toSeq)
   }
 
+  test("CLI rejects --out together with --target-jdbc") {
+    val e = intercept[RuntimeException] {
+      graft.cli.Main.main(Array(
+        "--base-dir", "/tmp/nope", "--out", "/tmp/nope_out",
+        "--target-jdbc", url))
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("CLI end-to-end: snapshot a CDC dir, validate against --expected-jdbc") {
     val base = Files.createTempDirectory("clijdbc").toString
     val tdir = s"$base/db/items"
