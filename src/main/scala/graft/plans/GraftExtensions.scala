@@ -29,5 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val coerced = children.map(c => Cast(c, ArrayType(FloatType)))
         DotProductF(coerced.head, coerced(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 2,
+          "md5_long60(value[, prefix]) takes 1 or 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.StringType
+        val prefix = children.lift(1).map {
+          case Literal(p, StringType) if p != null => p.toString
+          case other => throw new IllegalArgumentException(
+            s"md5_long60 prefix must be a string literal, got $other")
+        }.getOrElse("")
+        Md5Long60(Cast(children.head, StringType), prefix)
+      }))
   }
 }
