@@ -80,6 +80,11 @@ object SparkEntry {
     "corpus_source_mix" -> (TextQueries.sourceMix _),
     "text_repetition" -> (TextQueries.repetition _),
     "decontaminate" -> (DedupQueries.decontaminateReport _),
+    // training-pipeline assembly ops
+    "pack_sequences" -> (PipelineQueries.packSequences _),
+    "sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "pii_redact" -> (PipelineQueries.piiRedact _),
+    "vocab_topk" -> (PipelineQueries.vocabTopK _),
     // multimodal decode is a mapPartitions stub (no codecs in env); the
     // deterministic stub IS oracle-checked via DuckDB byte histograms
     "mm_features" -> (TextQueries.multimodalFeatures _)
@@ -129,6 +134,10 @@ object SparkEntry {
     "corpus_source_mix" -> TextQueries.sourceMixSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "decontaminate" -> DedupQueries.decontaminateReportSql,
+    "pack_sequences" -> PipelineQueries.packSequencesSql,
+    "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
+    "pii_redact" -> PipelineQueries.piiRedactSql,
+    "vocab_topk" -> PipelineQueries.vocabTopKSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql
   )
 }

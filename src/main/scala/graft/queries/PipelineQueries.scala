@@ -1,0 +1,150 @@
+package graft.queries
+
+import graft.functions.{PortableHash, TextFunctions}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Tables._
+
+/** Training-data pipeline operators beyond dedup/text-scoring: sequence
+  * packing, deterministic stratified sampling, PII redaction and corpus
+  * vocabulary — each oracle-checkable against DuckDB on the `documents`
+  * table.
+  */
+object PipelineQueries {
+
+  val PackBudget = 2048L
+
+  /** Token-budget sequence packing: documents in doc_id order assigned
+    * to ~2048-token bins (see operators.Packing for the scale story).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing
+      .packByTokenBudget(docs, "doc_id", "n_tokens", PackBudget)
+      .orderBy(col("doc_id"))
+  }
+
+  def packSequencesSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM t)
+      |SELECT doc_id, n_tokens, cum_before,
+      |  cum_before // $PackBudget AS bin_id,
+      |  cum_before % $PackBudget AS bin_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val SamplePerStratum = 40
+
+  /** Deterministic stratified sample: exactly N docs per language,
+    * chosen by hash order (reproducible across runs and engines — the
+    * ranking key is the portable 60-bit md5 of the doc id). One keyed
+    * window, no global sort; the per-stratum top-N is the standard
+    * rank-filter shape that scales with stratum count.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(PortableHash.md5Long(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= SamplePerStratum)
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
+  def sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, sample_rank FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      doc_id) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= $SamplePerStratum
+      |ORDER BY lang, sample_rank""".stripMargin
+
+  // shared by the Spark and DuckDB sides: Java regex and RE2 agree on
+  // these subsets (plain classes, greedy quantifiers, no alternation)
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhoneRe = "\\+[0-9][0-9\\-]{6,}[0-9]"
+
+  /** PII redaction: scrub emails / IPv4s / phone-like tokens, reporting
+    * per-document counts and the digest of the scrubbed text. The corpus
+    * is synthetic (no real PII), so each doc gets a deterministic PII
+    * suffix injected first — the scrub itself is the operator under
+    * test, a single codegen'd regexp_replace chain at scan speed.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7 tel +1-555-010-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(aug, lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(aug, lit(Ipv4Re), lit(0))).cast("long")
+        .as("n_ips"),
+      size(regexp_extract_all(aug, lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phones"),
+      md5(redacted).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def piiRedactSql: String =
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |    '.7 tel +1-555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      |    '$EmailRe', '<EMAIL>', 'g'),
+      |    '$Ipv4Re', '<IP>', 'g'),
+      |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  val VocabK = 100
+
+  /** Corpus vocabulary: top-K tokens by frequency (ties broken by token
+    * text). Explode + partial-agg groupBy + global top-K — the final
+    * LIMIT sees one row per distinct token ABOVE the cut, not the corpus.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    docs.select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(VocabK)
+  }
+
+  def vocabTopKSql: String =
+    s"""WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      |    x -> x <> '')) AS tok
+      |  FROM documents)
+      |SELECT tok, CAST(count(*) AS BIGINT) AS n
+      |FROM toks GROUP BY tok
+      |ORDER BY n DESC, tok LIMIT $VocabK""".stripMargin
+}
