@@ -149,6 +149,44 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(readAll().toSeq === got.toSeq)
   }
 
+  test("sequence compare diffs current sequence values across databases") {
+    import graft.sources.SequenceCompare
+    val urlA = "jdbc:derby:memory:seqA;create=true"
+    val urlB = "jdbc:derby:memory:seqB;create=true"
+    def execOn(u: String)(sqls: String*): Unit = {
+      val conn = DriverManager.getConnection(u)
+      try { val st = conn.createStatement(); sqls.foreach(st.execute) }
+      finally conn.close()
+    }
+    Seq(urlA, urlB).foreach { u =>
+      execOn(u)("""CREATE SCHEMA "graft"""",
+        """CREATE SEQUENCE "graft"."s_ord" START WITH 10""",
+        """CREATE SEQUENCE "graft"."s_cust" START WITH 5""")
+    }
+    // advance s_ord on A only; s_extra exists on A only. The NEXT VALUE
+    // row must actually be READ — execute() without consuming the result
+    // may never allocate
+    execOn(urlA)("""CREATE SEQUENCE "graft"."s_extra"""")
+    locally {
+      val conn = DriverManager.getConnection(urlA)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("""VALUES NEXT VALUE FOR "graft"."s_ord"""")
+        assert(rs.next() && rs.getLong(1) === 10L)
+      } finally conn.close()
+    }
+
+    val rep = SequenceCompare.compare(spark, urlA, urlB, "graft")
+      .collect().map(r => r.getString(0) ->
+        (r.get(1), r.get(2), r.getBoolean(3))).toMap
+    assert(rep.size === 3)
+    assert(rep("s_cust")._3, "untouched sequences must match")
+    assert(!rep("s_ord")._3, "advanced-on-one-side must mismatch")
+    val (extraE, extraT, extraOk) = rep("s_extra")
+    assert(extraT == null && extraE != null && !extraOk,
+      "one-sided sequence must surface as a mismatch")
+  }
+
   test("CLI rejects --out together with --target-jdbc") {
     val e = intercept[RuntimeException] {
       graft.cli.Main.main(Array(
