@@ -399,4 +399,24 @@ object CdcStream {
           .cast("double").as("total_value"))
       .select(col("w.start").as("win_start"), col(typeCol), col("n"),
         col("total_value"))
+
+  /** Streaming exact deduplication: emit each key's FIRST occurrence and
+    * drop replays — the streaming form of hash-dedup, for ingest
+    * pipelines where the same document (or CDC event) can arrive
+    * repeatedly across micro-batches.
+    *
+    * `dropDuplicatesWithinWatermark` keys state by `keyCols` and expires
+    * entries once the watermark passes `horizon` — bounded state at any
+    * corpus size (a plain dropDuplicates stream would grow state
+    * forever). Duplicates arriving within the horizon are dropped
+    * exactly; replays older than the watermark are the deployment's
+    * at-least-once tail, same contract as any watermarked operator.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, horizon: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "streaming dedup needs at least one key column")
+    events
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
 }

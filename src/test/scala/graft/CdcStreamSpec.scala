@@ -313,6 +313,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("streaming dedup drops cross-batch replays within the watermark") {
+    val dir = Files.createTempDirectory("stream_dd").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: docs 1, 2; batch 2 replays doc 1 (later ts) + new doc 3
+    Seq((1L, ts(0), "a"), (2L, ts(1), "b"))
+      .toDF("doc_id", "ts", "payload").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((1L, ts(2), "a-replay"), (3L, ts(3), "c"))
+      .toDF("doc_id", "ts", "payload").coalesce(1).write.parquet(s"$dir/b2")
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/b*/")
+    val q = graft.streaming.CdcStream
+      .dedupStream(stream, "ts", "1 hour", Seq("doc_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("dedup_out")
+      .select("doc_id", "payload").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(1L -> "a", 2L -> "b", 3L -> "c"),
+      "first occurrence kept, within-watermark replay dropped")
+  }
+
   test("streaming windowed aggregation equals batch aggregation") {
     val dir = Files.createTempDirectory("stream_ev").toString
     val events = (0 until 200).map { i =>
