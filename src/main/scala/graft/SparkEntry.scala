@@ -85,6 +85,8 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "pii_redact" -> (PipelineQueries.piiRedact _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
+    "chunk_documents" -> (PipelineQueries.chunkDocuments _),
+    "tfidf_topk" -> (PipelineQueries.tfidfTopK _),
     // multimodal decode is a mapPartitions stub (no codecs in env); the
     // deterministic stub IS oracle-checked via DuckDB byte histograms
     "mm_features" -> (TextQueries.multimodalFeatures _)
@@ -138,6 +140,8 @@ object SparkEntry {
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "pii_redact" -> PipelineQueries.piiRedactSql,
     "vocab_topk" -> PipelineQueries.vocabTopKSql,
+    "chunk_documents" -> PipelineQueries.chunkDocumentsSql,
+    "tfidf_topk" -> PipelineQueries.tfidfTopKSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql
   )
 }

@@ -125,6 +125,114 @@ object PipelineQueries {
       |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
       |FROM base ORDER BY doc_id""".stripMargin
 
+  val ChunkTokens = 64
+  val ChunkOverlap = 16
+
+  /** Tokenizer-window document chunking: split each document into
+    * ~`ChunkTokens`-token chunks with `ChunkOverlap`-token overlap (the
+    * standard RAG/packing pre-step). Pure per-row explode — no shuffle
+    * at all until the output sort; at 100 TB this is scan-speed.
+    *
+    * Chunk starts stride by (chunk - overlap); the last chunk is the
+    * final full-or-partial window and short docs yield exactly one.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    val docs = tbl(spark, sfDir, "documents")
+    // number of chunks = 1 + ceil(max(n - chunk, 0) / stride), as integer
+    // arithmetic: 1 + ((greatest(n - chunk, 0) + stride - 1) DIV stride)
+    val n = size(col("_toks"))
+    val nChunks = lit(1) +
+      floor((greatest(n - lit(ChunkTokens), lit(0)) + lit(stride - 1))
+        / lit(stride)).cast("int")
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("_toks"), col("chunk_id") * stride + lit(1),
+          lit(ChunkTokens))).as("chunk_text"),
+        least(size(col("_toks")) - col("chunk_id") * stride, lit(ChunkTokens))
+          .cast("long").as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def chunkDocumentsSql: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    1 + (greatest(len(toks) - $ChunkTokens, 0) + ${stride - 1}) // $stride
+      |      AS n_chunks
+      |  FROM t)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |  array_to_string(toks[i*$stride + 1 : i*$stride + $ChunkTokens],
+      |    ' ') AS chunk_text,
+      |  CAST(least(n - i*$stride, $ChunkTokens) AS BIGINT) AS chunk_tokens
+      |FROM n, UNNEST(range(0, n_chunks)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  val TfIdfK = 5
+
+  /** Top-K terms per document by TF-IDF — the classic relevance scoring
+    * over the corpus: one token-count aggregation (partial-agg
+    * friendly), document frequencies from the same table, a broadcast
+    * idf join (vocab is naturally bounded — tens of MB even at corpus
+    * scale), and a keyed window for the per-doc top-K.
+    *
+    * Rational idf (`N / df`, no log damping): `score = (tf * N) / df` as
+    * ONE IEEE double division of exactly-representable integers —
+    * division is correctly rounded, so Spark and any oracle get the
+    * same bits. (`ln`-based idf is a 1-ulp libm lottery across engines;
+    * see the oracle-parity rules.) Ranking per document is the same
+    * monotone order in tf/df.
+    */
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val nDocs = docs.count() // one tiny job; the corpus row count
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, tok)
+    val scored = tf.join(broadcast(df_), Seq("tok"))
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfIdfK)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  def tfidfTopKSql: String =
+    s"""WITH tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      |            x -> x <> '')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      |  FROM tf JOIN df USING (tok), n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, tok) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, tok, tf, df, score, rnk
+      |FROM ranked WHERE rnk <= $TfIdfK
+      |ORDER BY doc_id, rnk""".stripMargin
+
   val VocabK = 100
 
   /** Corpus vocabulary: top-K tokens by frequency (ties broken by token
