@@ -68,6 +68,17 @@ object DiffEngine {
       cols.map(c => canonicalColumn(col(c), byName(c))): _*))
   }
 
+  /** Same canonical row hash as a portable 60-bit long (the first 15 hex
+    * digits of [[rowHash]]), via the fused Md5Long60 expression — skips
+    * the hex-string round trip on hot digest paths.
+    */
+  def rowHashLong(df: DataFrame, cols: Seq[String]): Column = {
+    val fields = df.schema.fields.filter(f => cols.contains(f.name))
+    val byName = fields.map(f => f.name -> f.dataType).toMap
+    graft.functions.PortableHash.md5Long(concat_ws(FieldSep,
+      cols.map(c => canonicalColumn(col(c), byName(c))): _*))
+  }
+
   /** Row-level diff. Output: pk columns + diff_status ∈ {match, mismatch,
     * only_left, only_right} + mismatch_cols (names of differing columns).
     */
@@ -181,8 +192,7 @@ object DiffEngine {
     val pkHash = md5(concat_ws(FieldSep,
       pks.map(c => canonicalColumn(col(c),
         df.schema(c).dataType)): _*))
-    val rowH = conv(substring(rowHash(df, dataCols), 1, 15), 16, 10)
-      .cast(LongType)
+    val rowH = rowHashLong(df, dataCols)
     df.withColumn("bucket", substring(pkHash, 1, hexChars))
       .withColumn("_h", rowH % lit(1000000007L))
       .groupBy(col("bucket"))
