@@ -40,6 +40,13 @@ object PortableHash {
     * SortAggregate). DuckDB replica:
     * `('0x' || substr(md5(concat_ws('|', s, x)), 1, 15))::BIGINT`.
     * The seed rides as a fused digest prefix — no per-row concat.
+    *
+    * NULL CONTRACT: null input → null (the fused expression is
+    * null-intolerant). The old concat_ws chain — and the DuckDB replica
+    * above — instead hash the bare seed for null input (concat_ws skips
+    * nulls). Feed non-null columns only (all engine callers hash
+    * shingles, which are never null); a nullable column must be
+    * coalesced first or its oracle diverges.
     */
   def seededLong(seed: Int, c: Column): Column =
     ColumnBridge.column(graft.plans.Md5Long60(

@@ -60,24 +60,27 @@ object DiffEngine {
     coalesce(rendered, lit(NullSentinel))
   }
 
-  /** md5 over the canonical rendering of `cols` in order. */
-  def rowHash(df: DataFrame, cols: Seq[String]): Column = {
-    val fields = df.schema.fields.filter(f => cols.contains(f.name))
-    val byName = fields.map(f => f.name -> f.dataType).toMap
-    md5(concat_ws(FieldSep,
-      cols.map(c => canonicalColumn(col(c), byName(c))): _*))
+  /** Canonical rendering of `cols` in order, FieldSep-joined — the ONE
+    * definition both row-hash flavors digest (a canonicalization change
+    * must never let the hex and long paths diverge).
+    */
+  private def canonicalConcat(df: DataFrame, cols: Seq[String]): Column = {
+    val byName = df.schema.fields
+      .filter(f => cols.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    concat_ws(FieldSep, cols.map(c => canonicalColumn(col(c), byName(c))): _*)
   }
+
+  /** md5 over the canonical rendering of `cols` in order. */
+  def rowHash(df: DataFrame, cols: Seq[String]): Column =
+    md5(canonicalConcat(df, cols))
 
   /** Same canonical row hash as a portable 60-bit long (the first 15 hex
     * digits of [[rowHash]]), via the fused Md5Long60 expression — skips
     * the hex-string round trip on hot digest paths.
     */
-  def rowHashLong(df: DataFrame, cols: Seq[String]): Column = {
-    val fields = df.schema.fields.filter(f => cols.contains(f.name))
-    val byName = fields.map(f => f.name -> f.dataType).toMap
-    graft.functions.PortableHash.md5Long(concat_ws(FieldSep,
-      cols.map(c => canonicalColumn(col(c), byName(c))): _*))
-  }
+  def rowHashLong(df: DataFrame, cols: Seq[String]): Column =
+    graft.functions.PortableHash.md5Long(canonicalConcat(df, cols))
 
   /** Row-level diff. Output: pk columns + diff_status ∈ {match, mismatch,
     * only_left, only_right} + mismatch_cols (names of differing columns).

@@ -32,7 +32,11 @@ object Packing {
     // pre-job and the final projection are separate executions, and
     // RangePartitioner re-samples boundaries per execution — the cache
     // pins ONE layout for both.
-    val sorted = docs.select(col(idCol), col(tokenCol))
+    // null token counts fold as 0 in BOTH running-sum halves (the
+    // per-partition totals and the window) — without the coalesce an
+    // all-null partition makes sum() NULL and the driver-side getLong NPEs
+    val sorted = docs.select(col(idCol),
+        coalesce(col(tokenCol).cast("long"), lit(0L)).as(tokenCol))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("_mid", monotonically_increasing_id())

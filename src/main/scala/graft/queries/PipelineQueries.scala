@@ -139,12 +139,11 @@ object PipelineQueries {
   def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val stride = ChunkTokens - ChunkOverlap
     val docs = tbl(spark, sfDir, "documents")
-    // number of chunks = 1 + ceil(max(n - chunk, 0) / stride), as integer
-    // arithmetic: 1 + ((greatest(n - chunk, 0) + stride - 1) DIV stride)
-    val n = size(col("_toks"))
-    val nChunks = lit(1) +
-      floor((greatest(n - lit(ChunkTokens), lit(0)) + lit(stride - 1))
-        / lit(stride)).cast("int")
+    // number of chunks = 1 + ceil(max(n - chunk, 0) / stride), in pure
+    // integer arithmetic (DIV, matching the oracle's `//`)
+    val nChunks = lit(1) + expr(
+      s"(greatest(size(_toks) - $ChunkTokens, 0) + ${stride - 1}) DIV $stride")
+      .cast("int")
     docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("_toks"),
         explode(sequence(lit(0), nChunks - lit(1))).as("chunk_id"))

@@ -189,7 +189,12 @@ object JdbcSink {
                             upd.setObject(i + 1, row.get(src))
                           }
                           bindPk(upd, row, nonPkIdx.length)
-                          upd.executeUpdate()
+                          // class 23 covers MORE than duplicate keys (FK,
+                          // NOT NULL, CHECK). Only an actually-present row
+                          // proves this was a dup-key mis-route; 0 matched
+                          // means a genuine constraint violation — rethrow,
+                          // never swallow the row
+                          if (upd.executeUpdate() == 0) throw e2
                       }
                     }
                 }

@@ -59,6 +59,13 @@ object SequenceCompare {
     */
   def compare(spark: SparkSession, expectedUrl: String, targetUrl: String,
       schema: String, user: String = "", password: String = ""): DataFrame = {
+    // same-dialect only: the two catalogs report different positions
+    // (pg last_value = last allocated; Derby peek = next to allocate),
+    // so a cross-dialect compare would be off by one increment per side
+    def dialect(u: String) = u.split(":").take(2).mkString(":")
+    require(dialect(expectedUrl) == dialect(targetUrl),
+      s"sequence compare requires same-dialect URLs, got " +
+        s"${dialect(expectedUrl)} vs ${dialect(targetUrl)}")
     val e = readSide(spark, expectedUrl, schema, user, password)
       .withColumnRenamed("seq_value", "expected_value")
     val t = readSide(spark, targetUrl, schema, user, password)

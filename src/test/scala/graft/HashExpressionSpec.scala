@@ -64,6 +64,12 @@ class HashExpressionSpec extends SparkSpec {
       PortableHash.seededLong(3, $"v").as("fused"),
       chainSeeded(3, $"v").as("chain")).filter($"fused" =!= $"chain")
     assert(diff.isEmpty)
+    // NULL CONTRACT (scaladoc): null input → null, unlike the concat_ws
+    // chain which hashes the bare seed — pinned so a change is deliberate
+    val nulls = Seq(Option.empty[String]).toDF("s")
+      .select(PortableHash.seededLong(3, $"s").as("fused"),
+        PortableHash.md5Long($"s").as("unseeded"))
+    assert(nulls.head().isNullAt(0) && nulls.head().isNullAt(1))
   }
 
   test("md5_long60 callable from SQL and null-safe") {
