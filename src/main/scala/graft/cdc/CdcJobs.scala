@@ -19,18 +19,53 @@ final case class CdcConfig(
     onlySnapshot: Boolean = false,
     onlyDatadiff: Boolean = false,
     chunkSize: Int = 1000,                // reference default (main.rs:76-77)
-    lenient: Boolean = false) {
+    lenient: Boolean = false,
+    // digest-validate resume: skip chunk ids below this (the reference's
+    // --start-position, main.rs:81-83 — re-validating a huge table that
+    // failed at chunk N must not re-pay chunks 0..N-1)
+    startChunk: Long = 0L,
+    // bounded per-table driver concurrency (the reference runs <= 80
+    // table loops concurrently, cdc_operator.rs:233-248; each of our
+    // per-table bodies is itself a parallel Spark job, so a small pool
+    // keeps the cluster busy across many SMALL tables without flooding
+    // the scheduler)
+    maxConcurrentTables: Int = 8) {
   // mutual exclusion enforced exactly like the reference
   // (cdc_operator_payload.rs:70-72 + clap conflicts_with)
   require(!(onlySnapshot && onlyDatadiff),
     "only_datadiff and only_snapshot cannot be both true")
   require(includeTables.isEmpty || excludeTables.isEmpty,
     "use include OR exclude table list, not both")
+  require(startChunk >= 0, s"startChunk must be >= 0, got $startChunk")
+  require(maxConcurrentTables > 0,
+    s"maxConcurrentTables must be > 0, got $maxConcurrentTables")
 
   def selectTables(all: Seq[String]): Seq[String] =
     if (includeTables.nonEmpty) all.filter(includeTables.contains)
     else if (excludeTables.nonEmpty) all.filterNot(excludeTables.contains)
     else all
+}
+
+/** Bounded driver-side table fan-out (reference parity: the Rust client
+  * awaits <= 80 concurrent per-table loops, cdc_operator.rs:233-248).
+  * Spark's scheduler accepts jobs from many driver threads, so N tables
+  * × one-job-each overlap instead of serializing — with thousands of
+  * small tables a sequential loop leaves the cluster idle between jobs.
+  * Results keep input order; the first failure propagates (fail-fast,
+  * like the sequential form).
+  */
+private[graft] object TablePool {
+  def map[T, A](items: Seq[T], maxConcurrent: Int)(f: T => A): Seq[A] =
+    if (items.sizeIs <= 1 || maxConcurrent <= 1) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxConcurrent, items.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.traverse(items)(i => Future(f(i))), Duration.Inf)
+      finally pool.shutdown()
+    }
 }
 
 object SnapshotJob {
@@ -82,7 +117,7 @@ object SnapshotJob {
     */
   def run(spark: SparkSession, cfg: CdcConfig, tables: Seq[TableSpec],
       outDir: String): Map[String, Long] =
-    tables.map { t =>
+    TablePool.map(tables, cfg.maxConcurrentTables) { t =>
       val state = reconstructTable(spark, cfg, t)
       state.write.mode("overwrite").parquet(s"$outDir/${t.name}")
       t.name -> spark.read.parquet(s"$outDir/${t.name}").count()
@@ -97,11 +132,12 @@ object SnapshotJob {
     */
   def runToJdbc(spark: SparkSession, cfg: CdcConfig, tables: Seq[TableSpec],
       url: String, jdbcSchema: String, user: String, password: String,
-      createTables: Boolean): Map[String, Long] = {
+      createTables: Boolean,
+      jdbcProps: Map[String, String] = Map.empty): Map[String, Long] = {
     import graft.sinks.{JdbcCatalog, JdbcSink, PgDdl}
-    val catalog = new JdbcCatalog(url, user, password)
+    val catalog = new JdbcCatalog(url, user, password, jdbcProps)
     if (createTables) catalog.createSchema(jdbcSchema)
-    tables.map { t =>
+    TablePool.map(tables, cfg.maxConcurrentTables) { t =>
       // persist: the write and the reported count must execute the
       // reconstruction ONCE (and agree with each other)
       val state = reconstructTable(spark, cfg, t).persist()
@@ -112,7 +148,8 @@ object SnapshotJob {
         // contents so a retry (or re-run) is idempotent, like the parquet
         // path's overwrite mode
         catalog.execute(s"DELETE FROM ${PgDdl.qualified(jdbcSchema, t.name)}")
-        JdbcSink.append(state, url, jdbcSchema, t.name, user, password)
+        JdbcSink.append(state, url, jdbcSchema, t.name, user, password,
+          extraProps = jdbcProps)
         t.name -> state.count()
       } finally state.unpersist()
     }.toMap
@@ -143,13 +180,22 @@ object ValidateJob {
   /** Digest-mode validation: compares per-chunk digests (chunkSize rows,
     * PK-ordered) and returns the ids of mismatching chunks — pgdatadiff's
     * chunked early-exit economics (D2), distributed.
+    *
+    * `startChunk` resumes a previously-interrupted validation (the
+    * reference's --start-position, main.rs:81-83): chunk ids are stable
+    * (global PK-order rank / chunkSize), so chunks below the start are
+    * filtered from BOTH digest sides before the compare join — mismatches
+    * there are neither computed in the join nor reported.
     */
   def validateByDigest(source: DataFrame, target: DataFrame,
-      table: TableSpec, chunkSize: Int): Seq[Long] = {
-    val l = DiffEngine.chunkDigest(source, table.primaryKey, chunkSize)
-    val r = DiffEngine.chunkDigest(target, table.primaryKey, chunkSize)
+      table: TableSpec, chunkSize: Int, startChunk: Long = 0L): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    def resume(df: DataFrame) =
+      if (startChunk <= 0) df else df.filter(col("chunk_id") >= startChunk)
+    val l = resume(DiffEngine.chunkDigest(source, table.primaryKey, chunkSize))
+    val r = resume(DiffEngine.chunkDigest(target, table.primaryKey, chunkSize))
     DiffEngine.compareDigests(l, r, "chunk_id")
-      .filter(!org.apache.spark.sql.functions.col("ok"))
+      .filter(!col("ok"))
       .select("chunk_id").collect().map(_.getLong(0)).toSeq.sorted
   }
 }

@@ -23,7 +23,12 @@ import java.time.Instant
   *     [--expected /data/source-state]      # enables validate (parquet)
   *     [--expected-jdbc jdbc:postgresql://… # enables validate (live DB)
   *       --jdbc-user u --jdbc-password p [--jdbc-schema public]] \
-  *     [--only-snapshot | --only-datadiff] [--chunk-size 1000]
+  *     [--source-jdbc jdbc:postgresql://…]  # discover the table list from
+  *                                          # the live source catalog
+  *     [--jdbc-prop sslmode=require]...     # arbitrary driver properties
+  *     [--only-snapshot | --only-datadiff] [--chunk-size 1000] \
+  *     [--start-position 0]                 # resume digest validate here
+  *     [--max-concurrent-tables 8]          # driver-side table fan-out
   */
 object Main {
 
@@ -73,7 +78,10 @@ object Main {
       mode = mode,
       onlySnapshot = flag("only-snapshot"),
       onlyDatadiff = flag("only-datadiff"),
-      chunkSize = one("chunk-size").map(_.toInt).getOrElse(1000))
+      chunkSize = one("chunk-size").map(_.toInt).getOrElse(1000),
+      startChunk = one("start-position").map(_.toLong).getOrElse(0L),
+      maxConcurrentTables =
+        one("max-concurrent-tables").map(_.toInt).getOrElse(8))
 
     val pks: Map[String, Seq[String]] = opts("pk").map { spec =>
       val Array(t, cols) = spec.split("=", 2)
@@ -91,8 +99,27 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
 
+    val jdbcSchema = one("jdbc-schema").getOrElse(schema)
+    val jdbcUser = one("jdbc-user").getOrElse("")
+    val jdbcPassword = one("jdbc-password").getOrElse("")
+    val jdbcProps = graft.sinks.JdbcProps.parse(opts("jdbc-prop"))
+
     try {
-      val tableNames = cfg.selectTables(listTableDirs(spark, baseDir))
+      // table discovery: the live source catalog when --source-jdbc is
+      // given (reference parity: postgres_operator_impl.rs:110-154 reads
+      // information_schema with the include/exclude list applied IN the
+      // query), the CDC directory listing otherwise
+      val discovered = one("source-jdbc") match {
+        case Some(srcUrl) =>
+          val cat = new graft.sinks.JdbcCatalog(
+            srcUrl, jdbcUser, jdbcPassword, jdbcProps)
+          if (cfg.includeTables.nonEmpty)
+            cat.tablesInSchema(jdbcSchema, cfg.includeTables, exclude = false)
+          else cat.tablesInSchema(jdbcSchema, cfg.excludeTables,
+            exclude = true)
+        case None => listTableDirs(spark, baseDir)
+      }
+      val tableNames = cfg.selectTables(discovered).sorted
       // absolute-path mode names ONE file; fanning it out over several
       // tables would reconstruct every table from the same data
       mode match {
@@ -111,16 +138,13 @@ object Main {
         specs.foreach(s => require(s.primaryKey.nonEmpty,
           s"--pk ${s.name}=<cols> is required for CDC replay modes"))
 
-      val jdbcSchema = one("jdbc-schema").getOrElse(schema)
-      val jdbcUser = one("jdbc-user").getOrElse("")
-      val jdbcPassword = one("jdbc-password").getOrElse("")
       if (!cfg.onlyDatadiff) {
         // reference parity: snapshot INTO a live target database
         // (cdc_operator.rs:26-251); parquet out is the file-side form
         val counts = targetJdbc match {
           case Some(url) => SnapshotJob.runToJdbc(spark, cfg, specs, url,
             jdbcSchema, jdbcUser, jdbcPassword,
-            createTables = flag("create-tables"))
+            createTables = flag("create-tables"), jdbcProps = jdbcProps)
           case None => SnapshotJob.run(spark, cfg, specs, outDir)
         }
         counts.toSeq.sortBy(_._1).foreach { case (t, n) =>
@@ -140,37 +164,46 @@ object Main {
             case (None, Some(jdbcUrl)) =>
               Some(s => graft.sources.JdbcSource.readTable(
                 spark, jdbcUrl, jdbcSchema, s.name, s.primaryKey.headOption,
-                jdbcUser, jdbcPassword))
+                jdbcUser, jdbcPassword, extraProps = jdbcProps))
             case (None, None) => None
           }
         readExpected.foreach { readSource =>
-          specs.foreach { s =>
+          // per-table validations fan out through the bounded pool (each
+          // body is its own Spark job); report lines are collected and
+          // printed in table order so concurrent runs stay readable
+          val report = graft.cdc.TablePool.map(
+            specs, cfg.maxConcurrentTables) { s =>
             if (s.primaryKey.isEmpty) {
-              println(s"[validate] ${s.name}: SKIPPED (no primary key; " +
+              Seq(s"[validate] ${s.name}: SKIPPED (no primary key; " +
                 "row-level validation needs one)")
             } else {
-            val source = readSource(s)
-            // target side mirrors where the snapshot landed
-            val target = targetJdbc match {
-              case Some(url) => graft.sources.JdbcSource.readTable(
-                spark, url, jdbcSchema, s.name, s.primaryKey.headOption,
-                jdbcUser, jdbcPassword)
-              case None => spark.read.parquet(s"$outDir/${s.name}")
-            }
-            val rep = ValidateJob.validateTable(source, target, s)
-            println(s"[validate] ${s.name}: " +
-              (if (rep.ok) s"OK (${rep.matched} rows)"
-               else s"MISMATCH only_left=${rep.onlyLeft} " +
-                 s"only_right=${rep.onlyRight} mismatched=${rep.mismatched}"))
-            // chunked-digest compare (the reference's pgdatadiff chunk
-            // economics): report mismatching chunk ids at --chunk-size
-            val badChunks = ValidateJob.validateByDigest(
-              source, target, s, cfg.chunkSize)
-            println(s"[validate] ${s.name}: digest chunks " +
-              (if (badChunks.isEmpty) s"OK (chunk size ${cfg.chunkSize})"
-               else s"MISMATCH at chunk ids ${badChunks.mkString(", ")}"))
+              val source = readSource(s)
+              // target side mirrors where the snapshot landed
+              val target = targetJdbc match {
+                case Some(url) => graft.sources.JdbcSource.readTable(
+                  spark, url, jdbcSchema, s.name, s.primaryKey.headOption,
+                  jdbcUser, jdbcPassword, extraProps = jdbcProps)
+                case None => spark.read.parquet(s"$outDir/${s.name}")
+              }
+              val rep = ValidateJob.validateTable(source, target, s)
+              // chunked-digest compare (the reference's pgdatadiff chunk
+              // economics): report mismatching chunk ids at --chunk-size,
+              // resuming at --start-position
+              val badChunks = ValidateJob.validateByDigest(
+                source, target, s, cfg.chunkSize, cfg.startChunk)
+              Seq(
+                s"[validate] ${s.name}: " +
+                  (if (rep.ok) s"OK (${rep.matched} rows)"
+                   else s"MISMATCH only_left=${rep.onlyLeft} " +
+                     s"only_right=${rep.onlyRight} mismatched=${rep.mismatched}"),
+                s"[validate] ${s.name}: digest chunks " +
+                  (if (badChunks.isEmpty) s"OK (chunk size ${cfg.chunkSize}" +
+                    (if (cfg.startChunk > 0) s", from chunk ${cfg.startChunk}"
+                     else "") + ")"
+                   else s"MISMATCH at chunk ids ${badChunks.mkString(", ")}"))
             }
           }
+          report.flatten.foreach(println)
         }
       }
     } finally if (!preExisting) spark.stop()

@@ -123,15 +123,27 @@ object Similarity {
         VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
-    val assignW = Window.partitionBy(col("n_id"))
-      .orderBy(col("cent_score").desc, col("cent_id"))
+    // Assignment pass = map-side argmax. The broadcast nested-loop join
+    // expands each corpus row into C candidate rows, but all C rows for a
+    // vector are CO-LOCATED (and consecutive) in their map partition, so
+    // the partial min_by collapses them back to one row per vector before
+    // any exchange — the shuffle moves N rows, not N×C (at C=256 on
+    // 100 TB that is the difference between shuffling the corpus once and
+    // shuffling it 256 times, which the previous row_number-window form
+    // did). Ordering key struct(-score, cent_id) is totally ordered
+    // (cent_id unique), so the argmax is deterministic: best score, ties
+    // to the lowest centroid id — identical to the oracle's
+    // row_number() OVER (ORDER BY cent_score DESC, cent_id) semantics.
     val assigned = c.crossJoin(broadcast(cent))
       .withColumn("cent_score", VectorFunctions.cosineFrom(
         VectorFunctions.dot(col("n_vec"), col("cent_vec")),
         col("n_norm"), col("cent_norm")))
-      .withColumn("crk", row_number().over(assignW))
-      .filter(col("crk") === 1)
-      .select(col("n_id"), col("n_vec"), col("n_norm"), col("cent_id"))
+      .groupBy(col("n_id"))
+      .agg(min_by(
+        struct(col("n_vec"), col("n_norm"), col("cent_id")),
+        struct(negate(col("cent_score")), col("cent_id"))).as("_best"))
+      .select(col("n_id"), col("_best.n_vec").as("n_vec"),
+        col("_best.n_norm").as("n_norm"), col("_best.cent_id").as("cent_id"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"))
     val probeW = Window.partitionBy(col("q_id"))

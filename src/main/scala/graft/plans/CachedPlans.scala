@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+import scala.collection.mutable
+
+/** Session-scoped registry of persisted intermediates, keyed by the
+  * CANONICALIZED analyzed plan — the same semantic dedup Spark's
+  * CacheManager applies, surfaced so pipelines can share one persisted
+  * branch instead of each calling `persist()` on an identical plan
+  * (which logs "Asked to cache already cached data" and re-runs the
+  * eager fill job per caller).
+  *
+  * The dedup/similarity pipelines derive the same shingle/edge tables in
+  * several declared queries (minhash, components, decontaminate); routing
+  * every branch-shared persist through [[cached]] means:
+  *   - `persist()` + the eager fill `count()` run ONCE per distinct plan
+  *     per session (the count is load-bearing: concurrent lazy branch
+  *     materialization would race and recompute the upstream pipeline);
+  *   - repeated query construction (benchmark reps, verify reruns) reuses
+  *     the already-warm cache with zero extra jobs.
+  *
+  * Lifetime contract: entries live until [[clear]] (which unpersists) or
+  * session end — the same "long-lived sessions call clearCache() between
+  * corpora" contract the Dedup pipelines already document. Entries are
+  * tiny (a plan reference + DataFrame), the cached BLOCKS are governed by
+  * Spark's MEMORY_AND_DISK storage with LRU eviction.
+  */
+object CachedPlans {
+
+  // key includes the session: identical plans from different sessions
+  // must not share a DataFrame (its execution is bound to its session)
+  private val entries =
+    mutable.Map.empty[(org.apache.spark.sql.SparkSession, LogicalPlan), DataFrame]
+
+  /** Persist-and-eagerly-fill `df` once per (session, canonical plan);
+    * later calls with a semantically identical plan return the SAME
+    * cached DataFrame without touching the CacheManager again.
+    */
+  def cached(df: DataFrame): DataFrame = synchronized {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    entries.getOrElseUpdate(key, {
+      df.persist()
+      df.count() // eager: populate ONCE before branches fan out
+      df
+    })
+  }
+
+  /** Unpersist every registered intermediate and forget it. */
+  def clear(): Unit = synchronized {
+    entries.values.foreach(_.unpersist(false))
+    entries.clear()
+  }
+}

@@ -19,13 +19,9 @@ import java.util.Properties
   */
 final class JdbcCatalog(url: String, props: Properties) {
 
-  def this(url: String, user: String, password: String) = {
-    this(url, {
-      val p = new Properties()
-      p.setProperty("user", user)
-      p.setProperty("password", password)
-      p
-    })
+  def this(url: String, user: String, password: String,
+      extraProps: Map[String, String] = Map.empty) = {
+    this(url, JdbcProps.toProperties(user, password, extraProps))
   }
 
   def withConnection[A](f: Connection => A): A = {
@@ -64,15 +60,36 @@ final class JdbcCatalog(url: String, props: Properties) {
       buf.result()
     }
 
+  /** Table list for a schema with include/exclude applied IN the catalog
+    * query (reference parity: postgres_operator_impl.rs:110-154 renders
+    * the list as IN/NOT IN). Dialect-sniffed like SequenceCompare:
+    * Postgres (and standards-compliant engines) read
+    * `information_schema.tables`; Derby — the in-env test engine — has no
+    * information_schema, so its `SYS.SYSTABLES` catalog is queried with
+    * the same IN/NOT IN shape.
+    */
   def tablesInSchema(schema: String, tables: Seq[String],
-      exclude: Boolean): Seq[String] =
+      exclude: Boolean): Seq[String] = {
+    val sql =
+      if (url.startsWith("jdbc:derby:")) {
+        val base =
+          s"""SELECT t.TABLENAME FROM SYS.SYSTABLES t
+             |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+             |WHERE s.SCHEMANAME = ${PgDdl.literal(schema)} AND t.TABLETYPE = 'T'""".stripMargin
+        if (tables.isEmpty) base
+        else {
+          val list = tables.map(PgDdl.literal).mkString(", ")
+          val op = if (exclude) "NOT IN" else "IN"
+          s"$base AND t.TABLENAME $op ($list)"
+        }
+      } else PgDdl.findTablesInSchema(schema, tables, exclude)
     withConnection { conn =>
-      val rs = conn.createStatement()
-        .executeQuery(PgDdl.findTablesInSchema(schema, tables, exclude))
+      val rs = conn.createStatement().executeQuery(sql)
       val buf = Seq.newBuilder[String]
       while (rs.next()) buf += rs.getString(1)
       buf.result()
     }
+  }
 
   def execute(sql: String): Unit =
     withConnection(_.createStatement().execute(sql))

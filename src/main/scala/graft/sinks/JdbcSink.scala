@@ -25,10 +25,12 @@ object JdbcSink {
     */
   def append(state: DataFrame, url: String, schema: String, table: String,
       user: String, password: String,
-      batchSize: Int = DefaultBatchSize, maxConnections: Int = 8): Unit = {
+      batchSize: Int = DefaultBatchSize, maxConnections: Int = 8,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     val clean = state.drop(C.MetaColumns ++ C.InternalColumns: _*)
     clean.write
       .format("jdbc")
+      .options(extraProps) // TLS etc. — explicit options below win
       .option("url", url)
       .option("dbtable", PgDdl.qualified(schema, table))
       .option("user", user)
@@ -64,7 +66,8 @@ object JdbcSink {
     */
   def upsert(reducedLog: DataFrame, url: String, schema: String,
       table: String, pk: Seq[String], user: String, password: String,
-      batchSize: Int = DefaultBatchSize): Unit = {
+      batchSize: Int = DefaultBatchSize,
+      extraProps: Map[String, String] = Map.empty): Unit = {
     require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
     val dataCols = reducedLog.columns.toSeq
       .filterNot((C.MetaColumns ++ C.InternalColumns).contains)
@@ -84,10 +87,8 @@ object JdbcSink {
 
     reducedLog.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val props = new java.util.Properties()
-        props.setProperty("user", user)
-        props.setProperty("password", password)
-        val conn = java.sql.DriverManager.getConnection(url, props)
+        val conn = java.sql.DriverManager.getConnection(url,
+          JdbcProps.toProperties(user, password, extraProps))
         try {
           conn.setAutoCommit(false)
           val del = conn.prepareStatement(deleteSql)

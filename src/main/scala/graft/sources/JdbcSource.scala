@@ -4,7 +4,6 @@ import graft.sinks.PgDdl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.sql.DriverManager
-import java.util.Properties
 
 /** Parallel JDBC table reads — the live-database side of `validate`
   * (reference verb at src/cdc/cdc_operator.rs:254-288, which compares a
@@ -22,13 +21,17 @@ object JdbcSource {
 
   /** Read one table. `partitionPk` names the column to range-partition
     * the pull on (normally the first PK column); pass None for a plain
-    * single-connection read.
+    * single-connection read. `extraProps` passes arbitrary driver
+    * options (TLS: `sslmode`, `sslrootcert`, …) through to the Spark
+    * JDBC reader; explicit options here win over a colliding key.
     */
   def readTable(spark: SparkSession, url: String, schema: String,
       table: String, partitionPk: Option[String], user: String,
-      password: String, numPartitions: Int = 8): DataFrame = {
+      password: String, numPartitions: Int = 8,
+      extraProps: Map[String, String] = Map.empty): DataFrame = {
     require(numPartitions > 0, s"numPartitions must be > 0, got $numPartitions")
     val base = spark.read.format("jdbc")
+      .options(extraProps)
       .option("url", url)
       .option("dbtable", PgDdl.qualified(schema, table))
       .option("user", user)
@@ -36,7 +39,8 @@ object JdbcSource {
       .option("fetchsize", DefaultFetchSize)
     val partitioned = for {
       pkCol <- partitionPk
-      (lo, hi) <- numericBounds(url, schema, table, pkCol, user, password)
+      (lo, hi) <- numericBounds(url, schema, table, pkCol, user, password,
+        extraProps)
       if hi > lo && numPartitions > 1
     } yield base
       // BARE name: Spark resolves it against the relation schema, which
@@ -54,11 +58,10 @@ object JdbcSource {
     * then read unpartitioned instead of erroring.
     */
   def numericBounds(url: String, schema: String, table: String,
-      column: String, user: String, password: String): Option[(Long, Long)] = {
-    val props = new Properties()
-    props.setProperty("user", user)
-    props.setProperty("password", password)
-    val conn = DriverManager.getConnection(url, props)
+      column: String, user: String, password: String,
+      extraProps: Map[String, String] = Map.empty): Option[(Long, Long)] = {
+    val conn = DriverManager.getConnection(url,
+      graft.sinks.JdbcProps.toProperties(user, password, extraProps))
     try {
       val q = s"SELECT MIN(${PgDdl.ident(column)}), MAX(${PgDdl.ident(column)}) " +
         s"FROM ${PgDdl.qualified(schema, table)}"

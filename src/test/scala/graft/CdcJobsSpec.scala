@@ -61,4 +61,77 @@ class CdcJobsSpec extends SparkSpec {
     val bad = ValidateJob.validateByDigest(source, corrupted, spec, 25)
     assert(bad.length === 1)
   }
+
+  test("digest resume skips mismatches before --start-position") {
+    // stable chunk ids: PK-order rank / chunkSize → ids 0..9 at size 10
+    val spec = TableSpec("t", "", Seq("id"))
+    val source = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "payload")
+    // corrupt one row in chunk 0 (id=3 → rank 2) and one in chunk 7 (id=75)
+    val target = source.withColumn("payload",
+      when($"id" === 3L || $"id" === 75L, lit("XX")).otherwise($"payload"))
+    assert(ValidateJob.validateByDigest(source, target, spec, 10)
+      === Seq(0L, 7L))
+    // resume at chunk 1: the chunk-0 mismatch is neither computed in the
+    // compare join nor reported; the later one still is
+    assert(ValidateJob.validateByDigest(source, target, spec, 10,
+      startChunk = 1L) === Seq(7L))
+    // resume past every mismatch: clean report
+    assert(ValidateJob.validateByDigest(source, target, spec, 10,
+      startChunk = 8L) === Seq.empty)
+  }
+
+  test("pooled per-table snapshot reconstructs every table correctly") {
+    val base = Files.createTempDirectory("pool").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def place(src: String, dst: String): Unit = {
+      val p = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(p, new org.apache.hadoop.fs.Path(dst))
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    }
+    // four tables with distinct row counts so a cross-wired result is
+    // impossible to miss; the pool (4 driver threads) runs their Spark
+    // jobs concurrently
+    val sizes = Map("ta" -> 10L, "tb" -> 25L, "tc" -> 40L, "td" -> 55L)
+    sizes.foreach { case (t, n) =>
+      val tdir = s"$base/db/public/$t"
+      (1L to n).map(i => ("I", "t0", i, s"$t$i"))
+        .toDF(C.Op, C.IngestTs, "id", "payload")
+        .coalesce(1).write.parquet(s"$tdir/_w")
+      place(s"$tdir/_w", s"$tdir/LOAD00000001.parquet")
+    }
+    val cfg = CdcConfig(s"$base/db/public", "public",
+      mode = ListingMode.FullLoadOnly, maxConcurrentTables = 4)
+    val specs = sizes.keys.toSeq.sorted.map(t =>
+      TableSpec(t, s"$base/db/public/$t", Seq("id")))
+    val counts = SnapshotJob.run(spark, cfg, specs, s"$base/out")
+    assert(counts === sizes)
+    // content, not just counts: each table's rows carry its own prefix
+    sizes.foreach { case (t, n) =>
+      val got = spark.read.parquet(s"$base/out/$t")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(got.length === n && got.head === (1L, s"${t}1") &&
+        got.last === (n, s"$t$n"))
+    }
+  }
+
+  test("TablePool keeps input order and fails fast on error") {
+    import graft.cdc.TablePool
+    assert(TablePool.map(Seq(3, 1, 2), maxConcurrent = 4)(_ * 10)
+      === Seq(30, 10, 20))
+    // concurrency actually happens: with a pool of 4, four tasks that
+    // each wait on a shared barrier all enter before any finishes
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val r = TablePool.map(1 to 4, maxConcurrent = 4) { i =>
+      barrier.await(10, java.util.concurrent.TimeUnit.SECONDS); i
+    }
+    assert(r === Seq(1, 2, 3, 4))
+    val e = intercept[RuntimeException] {
+      TablePool.map(Seq(1, 2, 3), maxConcurrent = 2) { i =>
+        if (i == 2) sys.error("boom") else i
+      }
+    }
+    assert(e.getMessage.contains("boom"))
+  }
 }

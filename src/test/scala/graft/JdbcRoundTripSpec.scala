@@ -187,6 +187,86 @@ class JdbcRoundTripSpec extends SparkSpec {
       "one-sided sequence must surface as a mismatch")
   }
 
+  test("extra JDBC props reach DriverManager and the Spark writer/reader") {
+    // Derby honors URL attributes passed as connection PROPERTIES
+    // (`create=true`): a connection to a not-yet-created in-memory db
+    // succeeds only if the prop actually arrives — the strongest
+    // observable proof available without a TLS endpoint in-env.
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection("jdbc:derby:memory:propcat")
+    }
+    // driver-side path (JdbcCatalog → DriverManager)
+    val cat = new graft.sinks.JdbcCatalog(
+      "jdbc:derby:memory:propcat", "", "", Map("create" -> "true"))
+    cat.execute("""CREATE SCHEMA "graft"""")
+    // Spark writer path (JdbcSink.append → .options(extraProps)):
+    // append-mode save onto a fresh db both creates the db (prop) and
+    // the table (Derby dialect DDL)
+    JdbcSink.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "jdbc:derby:memory:propwrite", "graft", "t_props", "", "",
+      extraProps = Map("create" -> "true"))
+    // Spark reader path (JdbcSource.readTable → .options(extraProps)),
+    // partitioned so numericBounds' DriverManager path gets the prop too
+    val got = JdbcSource.readTable(spark, "jdbc:derby:memory:propwrite",
+      "graft", "t_props", Some("id"), "", "", numPartitions = 2,
+      extraProps = Map("create" -> "true"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(1L -> "a", 2L -> "b"))
+    // malformed CLI spec is rejected with a usable message
+    val e = intercept[RuntimeException] {
+      graft.sinks.JdbcProps.parse(Seq("not-a-pair"))
+    }
+    assert(e.getMessage.contains("key=value"))
+    // user/password stay first-class over a colliding extra key
+    val p = graft.sinks.JdbcProps.toProperties("real", "pw",
+      Map("user" -> "shadowed"))
+    assert(p.getProperty("user") === "real")
+  }
+
+  test("CLI discovers the table list from a live source catalog") {
+    // two CDC dirs exist but discovery must come from the DATABASE
+    // catalog (reference parity: postgres_operator_impl.rs:110-154), with
+    // the exclude list applied in the catalog query
+    val base = Files.createTempDirectory("clidisc").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def place(src: String, dst: String): Unit = {
+      val p = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(p, new org.apache.hadoop.fs.Path(dst))
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    }
+    Seq("disc_a", "disc_b").foreach { t =>
+      val tdir = s"$base/db/$t"
+      (1L to 20L).map(i => ("I", "t0", i, s"$t$i"))
+        .toDF(C.Op, C.IngestTs, "id", "v")
+        .coalesce(1).write.parquet(s"$tdir/_w")
+      place(s"$tdir/_w", s"$tdir/LOAD00000001.parquet")
+    }
+    // catalog: disc_a and disc_b are real tables in a DEDICATED schema
+    // (the suite-shared "graft" accumulates other tests' tables, which
+    // have no CDC dirs); disc_junk exists only in the catalog and is
+    // excluded via --exclude-table
+    exec("""CREATE SCHEMA "disc"""",
+      """CREATE TABLE "disc"."disc_a" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""",
+      """CREATE TABLE "disc"."disc_b" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""",
+      """CREATE TABLE "disc"."disc_junk" ("id" BIGINT PRIMARY KEY)""")
+    graft.cli.Main.main(Array(
+      "--base-dir", s"$base/db",
+      "--source-jdbc", url, "--jdbc-schema", "disc",
+      "--exclude-table", "disc_junk",
+      "--mode", "full-load-only",
+      "--pk", "disc_a=id", "--pk", "disc_b=id",
+      "--out", s"$base/out", "--only-snapshot"))
+    assert(spark.read.parquet(s"$base/out/disc_a").count() === 20)
+    assert(spark.read.parquet(s"$base/out/disc_b").count() === 20)
+    assert(!new java.io.File(s"$base/out/disc_junk").exists())
+    // include-list form goes through the IN branch of the catalog query
+    val cat = new graft.sinks.JdbcCatalog(url, "", "")
+    assert(cat.tablesInSchema("disc", Seq("disc_a", "disc_junk"),
+      exclude = false).sorted === Seq("disc_a", "disc_junk"))
+  }
+
   test("CLI rejects --out together with --target-jdbc") {
     val e = intercept[RuntimeException] {
       graft.cli.Main.main(Array(
