@@ -151,12 +151,13 @@ object DiffEngine {
     // RangePartitioner re-SAMPLES boundaries per execution (seeded by
     // rdd.id), so without the cache the two jobs see different partition
     // layouts and the offsets are applied to the wrong partitions.
-    // Reading the materialized cache pins one layout for both.
-    val sorted = narrow
+    // Reading the materialized cache pins one layout for both. Registry-
+    // routed: several diff queries digest the SAME side (chunk compare +
+    // detail drill-down), and the shared entry serves them one fill.
+    val sorted = graft.plans.CachedPlans.cached(narrow
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .persist()
+      .withColumn("_mid", monotonically_increasing_id()))
     val pidOf = shiftright(col("_mid"), localIdxBits)
     val counts = sorted.groupBy(pidOf.as("_pid"))
       .agg(count(lit(1)).as("_n"))

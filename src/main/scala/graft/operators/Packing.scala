@@ -35,12 +35,12 @@ object Packing {
     // null token counts fold as 0 in BOTH running-sum halves (the
     // per-partition totals and the window) — without the coalesce an
     // all-null partition makes sum() NULL and the driver-side getLong NPEs
-    val sorted = docs.select(col(idCol),
+    val sorted = graft.plans.CachedPlans.cached(
+      docs.select(col(idCol),
         coalesce(col(tokenCol).cast("long"), lit(0L)).as(tokenCol))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
-      .withColumn("_mid", monotonically_increasing_id())
-      .persist()
+      .withColumn("_mid", monotonically_increasing_id()))
     val pidOf = shiftright(col("_mid"), localIdxBits)
     val totals = sorted.groupBy(pidOf.as("_pid"))
       .agg(sum(col(tokenCol)).as("_t"))
