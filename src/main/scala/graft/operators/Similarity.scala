@@ -118,32 +118,60 @@ object Similarity {
       vecCol: String, k: Int, numCentroids: Int, nprobe: Int)
       : DataFrame = {
     require(numCentroids > 0, s"numCentroids must be > 0, got $numCentroids")
+    require(numCentroids <= 1024,
+      s"numCentroids must be <= 1024 (dense index packs into 10 bits), " +
+        s"got $numCentroids")
+    // dense 0-based centroid index in cent_id order: the set is O(C) and
+    // broadcast, so the single-partition ranking window is trivial
     val cent = selectCentroids(corpus, idCol, numCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
         VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
+      .withColumn("cent_idx",
+        row_number().over(Window.orderBy(col("cent_id"))) - 1)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
-    // Assignment pass = map-side argmax. The broadcast nested-loop join
-    // expands each corpus row into C candidate rows, but all C rows for a
-    // vector are CO-LOCATED (and consecutive) in their map partition, so
-    // the partial min_by collapses them back to one row per vector before
-    // any exchange — the shuffle moves N rows, not N×C (at C=256 on
-    // 100 TB that is the difference between shuffling the corpus once and
-    // shuffling it 256 times, which the previous row_number-window form
-    // did). Ordering key struct(-score, cent_id) is totally ordered
-    // (cent_id unique), so the argmax is deterministic: best score, ties
-    // to the lowest centroid id — identical to the oracle's
-    // row_number() OVER (ORDER BY cent_score DESC, cent_id) semantics.
-    val assigned = c.crossJoin(broadcast(cent))
+    // Assignment pass = map-side argmax over a PRIMITIVE key, so the
+    // partial aggregation stays in whole-stage-codegen HashAggregate (an
+    // argmax via min_by/max_by carries a struct buffer, which forces
+    // interpreted SortAggregate — the same trap the reducer's max_by
+    // variant documents). The broadcast nested-loop join expands each
+    // corpus row into C candidates, but the projection keeps only
+    // (n_id, key): the map-side max collapses C rows to one BEFORE any
+    // exchange, so the shuffle moves N skinny rows, not N×C vector
+    // payloads (at C=256 on 100 TB that is the difference between
+    // shuffling 16-byte rows once and shuffling the corpus 256 times).
+    //
+    // The key packs (score, centroid) into ONE order-preserving BIGINT:
+    //   floor(score * 2^52) * 1024 + (1023 - cent_idx)
+    // Scaling by 2^52 is exact (power of two — only the exponent moves),
+    // floor is exact, and |score| <= 1 keeps the product inside int64, so
+    // the encoding is deterministic and identical in any engine; max()
+    // picks the best quantized score with ties to the LOWEST centroid
+    // index. Quantization at 2^-52 equals double-precision ULP at
+    // |score| ~ 1, and the oracle mirrors the same encoding, so both
+    // engines agree bit-for-bit. Null scores (zero-norm vectors) coalesce
+    // below every real key and still assign deterministically.
+    val pow52 = 4503599627370496.0 // 2^52
+    val nullKey = -4503599627370497L // < floor(-1 * 2^52)
+    val candKey = (coalesce(
+      floor(col("cent_score") * lit(pow52)), lit(nullKey)) * lit(1024L)
+      + (lit(1023L) - col("cent_idx"))).as("_ck")
+    val best = c.crossJoin(broadcast(cent))
       .withColumn("cent_score", VectorFunctions.cosineFrom(
         VectorFunctions.dot(col("n_vec"), col("cent_vec")),
         col("n_norm"), col("cent_norm")))
+      .select(col("n_id"), candKey)
       .groupBy(col("n_id"))
-      .agg(min_by(
-        struct(col("n_vec"), col("n_norm"), col("cent_id")),
-        struct(negate(col("cent_score")), col("cent_id"))).as("_best"))
-      .select(col("n_id"), col("_best.n_vec").as("n_vec"),
-        col("_best.n_norm").as("n_norm"), col("_best.cent_id").as("cent_id"))
+      .agg(max(col("_ck")).as("_ck"))
+      .withColumn("cent_idx", lit(1023L) - pmod(col("_ck"), lit(1024L)))
+    // re-attach the winning centroid id (broadcast, O(C)) and the vector
+    // payload (one corpus-sized hash join — the same single corpus
+    // exchange the aggregate itself would otherwise have carried)
+    val assigned = best
+      .join(broadcast(cent.select(col("cent_idx").cast("long").as("cent_idx"),
+        col("cent_id"))), Seq("cent_idx"))
+      .join(c, Seq("n_id"))
+      .select(col("n_id"), col("n_vec"), col("n_norm"), col("cent_id"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"))
     val probeW = Window.partitionBy(col("q_id"))

@@ -110,23 +110,33 @@ object SimilarityQueries {
   }
 
   def ivfTopKSql: String =
-    s"""WITH cent AS (
+    s"""WITH cent0 AS (
       |  SELECT vec_id AS cent_id, embedding AS cent_vec,
       |    ${normSqSql("embedding")} AS cent_norm
       |  FROM embeddings
       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+      |cent AS (
+      |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
+      |  FROM cent0),
       |c AS (
       |  SELECT vec_id AS n_id, embedding AS n_vec,
       |    ${normSqSql("embedding")} AS n_norm
       |  FROM embeddings),
+      |-- argmax centroid via the engine's order-preserving BIGINT key:
+      |-- floor(score * 2^52) * 1024 + (1023 - cent_idx); scaling by a
+      |-- power of two and floor are exact, so both engines compute the
+      |-- identical key and max() picks the identical centroid
+      |best AS (
+      |  SELECT n_id, max(coalesce(CAST(floor(
+      |      ${dotSql("c.n_vec", "cent.cent_vec")} / nullif(sqrt(c.n_norm) * sqrt(cent.cent_norm), 0.0)
+      |      * 4503599627370496.0) AS BIGINT), -4503599627370497) * 1024
+      |      + (1023 - cent_idx)) AS ck
+      |  FROM c CROSS JOIN cent GROUP BY n_id),
       |assigned AS (
-      |  SELECT n_id, n_vec, n_norm, cent_id FROM (
-      |    SELECT c.n_id, c.n_vec, c.n_norm, cent.cent_id,
-      |      row_number() OVER (PARTITION BY c.n_id ORDER BY
-      |        ${dotSql("c.n_vec", "cent.cent_vec")} / nullif(sqrt(c.n_norm) * sqrt(cent.cent_norm), 0.0) DESC,
-      |        cent.cent_id) AS crk
-      |    FROM c CROSS JOIN cent) t
-      |  WHERE crk = 1),
+      |  SELECT b.n_id, c.n_vec, c.n_norm, cent.cent_id
+      |  FROM best b
+      |  JOIN cent ON cent.cent_idx = 1023 - (((b.ck % 1024) + 1024) % 1024)
+      |  JOIN c ON c.n_id = b.n_id),
       |q AS (
       |  SELECT vec_id AS q_id, embedding AS q_vec,
       |    ${normSqSql("embedding")} AS q_norm
