@@ -66,6 +66,8 @@ object SparkEntry {
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_components" -> (DedupQueries.components _),
+    "dedup_canonicalize" -> (DedupQueries.canonicalize _),
+    "span_overlap" -> (DedupQueries.spanOverlap _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
@@ -124,6 +126,8 @@ object SparkEntry {
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_components" -> DedupQueries.componentsSql,
+    "dedup_canonicalize" -> DedupQueries.canonicalizeSql,
+    "span_overlap" -> DedupQueries.spanOverlapSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,

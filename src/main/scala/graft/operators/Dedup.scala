@@ -224,6 +224,57 @@ object Dedup {
     labels
   }
 
+  /** The dedup capstone: fold transitive near-dup clusters back onto the
+    * FULL corpus as a per-document verdict — `canonical_id` (the
+    * cluster's min id, or the doc's own id when it has no near-dups) and
+    * `kept` (is this doc the cluster representative?). Filtering
+    * `kept` yields the deduplicated corpus; the `canonical_id` column is
+    * the redirect map a pipeline persists for provenance.
+    *
+    * Shape: components run over the (small) pair set only; the corpus
+    * join is one hash-shuffle on the id, and docs outside any cluster
+    * never enter the CC loop at all — at 100 TB the expensive iteration
+    * touches just the duplicated slice.
+    */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component_id"), col(idCol)).as("canonical_id"))
+      .withColumn("kept", col(idCol) === col("canonical_id"))
+  }
+
+  /** Intra-corpus span duplication: for each document, how many of its
+    * word n-gram spans appear in at least one OTHER document — the
+    * sub-document-granularity dedup signal (boilerplate, quotations,
+    * template text) that document-level near-dup detection misses.
+    * Returns (id, n_spans, n_dup_spans, dup_ratio).
+    *
+    * Shape: the distinct (id, hashed-span) table aggregates to per-span
+    * document counts (partial-agg friendly: long keys, long counts),
+    * joins back, and re-aggregates per doc — two hash-shuffles of
+    * fixed-width longs, no text after the initial hashing, no pairwise
+    * expansion anywhere.
+    */
+  def spanOverlap(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, portable: Boolean = true): DataFrame = {
+    // both branches (per-span counts + the join-back) read one cache
+    val sh = CachedPlans.cached(
+      hashedShingleTable(docs, idCol, textCol, n, portable))
+    val spanDocs = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_n_docs"))
+    sh.join(spanDocs, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_n_docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+  }
+
   /** Decontamination: find corpus documents sharing any word n-gram with
     * a probe set (the eval-set leakage check every training-data pipeline
     * runs before a model sees the corpus). Returns (id, n_hits) for

@@ -127,6 +127,59 @@ object DedupQueries {
       |SELECT id, min(lab) AS component_id
       |FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Dedup capstone: per-document canonical id + kept verdict over the
+    * FULL corpus (near-dup clusters collapse to their min id; everything
+    * else keeps itself). `WHERE kept` IS the deduplicated corpus.
+    */
+  def canonicalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val pairs = graft.operators.Dedup.minHashNearDups(
+      docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    graft.operators.Dedup.canonicalize(docs, "doc_id", pairs, "a_id", "b_id")
+      .orderBy(col("doc_id"))
+  }
+
+  def canonicalizeSql: String =
+    s"""WITH RECURSIVE mh AS (
+      |  SELECT a_id, b_id FROM (${minHashLshSql.replace("\n", "\n      |  ")})),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mh
+      |  UNION
+      |  SELECT b_id, a_id FROM mh),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id)
+      |SELECT d.doc_id,
+      |  coalesce(c.component_id, d.doc_id) AS canonical_id,
+      |  d.doc_id = coalesce(c.component_id, d.doc_id) AS kept
+      |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Intra-corpus span duplication: per doc, the count and ratio of its
+    * word 5-gram spans that appear in at least one other document.
+    */
+  def spanOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.spanOverlap(
+      tbl(spark, sfDir, "documents"), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
+  def spanOverlapSql: String =
+    s"""WITH ${shingleCte(5, "sho_raw")},
+      |sho AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sho_raw),
+      |span_docs AS (SELECT shingle, count(*) AS n_docs FROM sho GROUP BY shingle)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+      |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+      |FROM sho JOIN span_docs USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Production (xxhash64) flavor of minHashLsh — bench-only: xxhash64 is
     * Spark-specific so no cross-engine oracle exists; correctness is
     * covered by DedupSpec asserting it finds the same verified pairs as

@@ -42,6 +42,36 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("canonicalize folds clusters onto the full corpus as kept verdicts") {
+    import graft.operators.Dedup
+    val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // cluster {2,5,7} (transitive via 5) and pair {3,9}
+    val p = Seq((2L, 5L), (5L, 7L), (3L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.canonicalize(docs, "doc_id", p, "a_id", "b_id")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val expected = (1L to 10L).map {
+      case 5L => (5L, 2L, false)
+      case 7L => (7L, 2L, false)
+      case 9L => (9L, 3L, false)
+      case i  => (i, i, true)
+    }
+    assert(got === expected)
+  }
+
+  test("spanOverlap counts spans shared across documents") {
+    import graft.operators.Dedup
+    // doc 1 and 2 share one 3-gram span ("b c d"); doc 3 is disjoint
+    val docs = Seq(
+      (1L, "a b c d"),   // spans: "a b c", "b c d"
+      (2L, "b c d e"),   // spans: "b c d", "c d e"
+      (3L, "x y z w"))   // spans: "x y z", "y z w"
+      .toDF("doc_id", "text")
+    val got = Dedup.spanOverlap(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
+
   test("fast minhash flavor finds the portable flavor's verified pairs") {
     assert(pairs(DedupQueries.minHashLshFast(spark, sf)) ===
       pairs(DedupQueries.minHashLsh(spark, sf)))
