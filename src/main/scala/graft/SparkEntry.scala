@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_components" -> (DedupQueries.components _),
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
     "span_overlap" -> (DedupQueries.spanOverlap _),
+    "text_quality_filter" -> (TextQueries.qualityFilter _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "dedup_components" -> DedupQueries.componentsSql,
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,
     "span_overlap" -> DedupQueries.spanOverlapSql,
+    "text_quality_filter" -> TextQueries.qualityFilterSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,

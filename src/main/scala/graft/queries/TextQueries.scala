@@ -76,6 +76,42 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** C4-style corpus filter: per-document keep/reject verdict with the
+    * FIRST failing rule as the reason (too_short → too_long →
+    * low_diversity → kept) — the actionable form of quality scoring: a
+    * pipeline partitions the corpus by `verdict` and a curator reads the
+    * per-reason counts. Pure scan-shape column expressions; integer
+    * counts and an exact two-int division, so every engine agrees on
+    * each branch decision bit-for-bit.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val toks = TextFunctions.tokens(lower(col("text")))
+    docs.select(col("doc_id"), size(toks).as("n_words"),
+        (size(array_distinct(toks)).cast(DoubleType) /
+          size(toks).cast(DoubleType)).as("distinct_ratio"))
+      .withColumn("verdict",
+        when(col("n_words") < 25, "too_short")
+          .when(col("n_words") > 90, "too_long")
+          .when(col("distinct_ratio") < 0.45, "low_diversity")
+          .otherwise("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityFilterSql: String = {
+    val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+      |SELECT doc_id, len(toks) AS n_words,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      |    AS distinct_ratio,
+      |  CASE WHEN len(toks) < 25 THEN 'too_short'
+      |       WHEN len(toks) > 90 THEN 'too_long'
+      |       WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+      |            / CAST(len(toks) AS DOUBLE) < 0.45 THEN 'low_diversity'
+      |       ELSE 'kept' END AS verdict
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus curation: top-20 highest-quality docs per declared language
     * — the per-group quota sampling step of a training-data pipeline.
     * One shuffle on lang (keyed window, never global).
