@@ -69,10 +69,12 @@ object SparkEntry {
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
     "span_overlap" -> (DedupQueries.spanOverlap _),
     "text_quality_filter" -> (TextQueries.qualityFilter _),
+    "shard_export" -> (PipelineQueries.shardExport _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
     "ann_ivf_topk" -> (SimilarityQueries.ivfTopK _),
+    "ann_ivf_refined" -> (SimilarityQueries.ivfRefinedTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
@@ -130,9 +132,11 @@ object SparkEntry {
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,
     "span_overlap" -> DedupQueries.spanOverlapSql,
     "text_quality_filter" -> TextQueries.qualityFilterSql,
+    "shard_export" -> PipelineQueries.shardExportSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,
+    "ann_ivf_refined" -> SimilarityQueries.ivfRefinedTopKSql,
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
     "text_profile" -> TextQueries.profileSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,

@@ -114,6 +114,48 @@ object Similarity {
     * the corpus. Complements `lshTopK` (bit-signature buckets) with the
     * list-probing trade-off real IVF indexes make.
     */
+  /** Nearest-centroid assignment as a map-side argmax over a PRIMITIVE
+    * key: `c` is (n_id, n_vec, n_norm), `cent` must carry (cent_idx,
+    * cent_vec, cent_norm) with cent_idx dense in [0, 1024); returns
+    * (n_id, cent_idx).
+    *
+    * The key packs (score, centroid) into ONE order-preserving BIGINT:
+    *   floor(score * 2^52) * 1024 + (1023 - cent_idx)
+    * Scaling by 2^52 is exact (power of two — only the exponent moves),
+    * floor is exact, and |score| <= 1 keeps the product inside int64, so
+    * the encoding is deterministic and identical in any engine; max()
+    * picks the best quantized score with ties to the LOWEST centroid
+    * index. Quantization at 2^-52 equals double-precision ULP at
+    * |score| ~ 1, and the oracles mirror the same encoding, so both
+    * engines agree bit-for-bit. Null scores (zero-norm vectors) coalesce
+    * below every real key and still assign deterministically.
+    *
+    * Primitive key = the aggregation stays in whole-stage-codegen
+    * HashAggregate (an argmax via min_by/max_by carries a struct buffer,
+    * forcing interpreted SortAggregate — the trap the reducer's max_by
+    * variant documents). The broadcast nested-loop join expands each
+    * corpus row into C candidates, but the projection keeps only
+    * (n_id, key): the map-side max collapses C rows to one BEFORE any
+    * exchange, so the shuffle moves N skinny rows, not N×C vector
+    * payloads.
+    */
+  private def nearestCentIdx(c: DataFrame, cent: DataFrame): DataFrame = {
+    val pow52 = 4503599627370496.0 // 2^52
+    val nullKey = -4503599627370497L // < floor(-1 * 2^52)
+    val candKey = (coalesce(
+      floor(col("cent_score") * lit(pow52)), lit(nullKey)) * lit(1024L)
+      + (lit(1023L) - col("cent_idx"))).as("_ck")
+    c.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("cent_vec")),
+        col("n_norm"), col("cent_norm")))
+      .select(col("n_id"), candKey)
+      .groupBy(col("n_id"))
+      .agg(max(col("_ck")).as("_ck"))
+      .select(col("n_id"),
+        (lit(1023L) - pmod(col("_ck"), lit(1024L))).as("cent_idx"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int, nprobe: Int)
       : DataFrame = {
@@ -130,44 +172,12 @@ object Similarity {
         row_number().over(Window.orderBy(col("cent_id"))) - 1)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
-    // Assignment pass = map-side argmax over a PRIMITIVE key, so the
-    // partial aggregation stays in whole-stage-codegen HashAggregate (an
-    // argmax via min_by/max_by carries a struct buffer, which forces
-    // interpreted SortAggregate — the same trap the reducer's max_by
-    // variant documents). The broadcast nested-loop join expands each
-    // corpus row into C candidates, but the projection keeps only
-    // (n_id, key): the map-side max collapses C rows to one BEFORE any
-    // exchange, so the shuffle moves N skinny rows, not N×C vector
-    // payloads (at C=256 on 100 TB that is the difference between
-    // shuffling 16-byte rows once and shuffling the corpus 256 times).
-    //
-    // The key packs (score, centroid) into ONE order-preserving BIGINT:
-    //   floor(score * 2^52) * 1024 + (1023 - cent_idx)
-    // Scaling by 2^52 is exact (power of two — only the exponent moves),
-    // floor is exact, and |score| <= 1 keeps the product inside int64, so
-    // the encoding is deterministic and identical in any engine; max()
-    // picks the best quantized score with ties to the LOWEST centroid
-    // index. Quantization at 2^-52 equals double-precision ULP at
-    // |score| ~ 1, and the oracle mirrors the same encoding, so both
-    // engines agree bit-for-bit. Null scores (zero-norm vectors) coalesce
-    // below every real key and still assign deterministically.
-    val pow52 = 4503599627370496.0 // 2^52
-    val nullKey = -4503599627370497L // < floor(-1 * 2^52)
-    val candKey = (coalesce(
-      floor(col("cent_score") * lit(pow52)), lit(nullKey)) * lit(1024L)
-      + (lit(1023L) - col("cent_idx"))).as("_ck")
-    val best = c.crossJoin(broadcast(cent))
-      .withColumn("cent_score", VectorFunctions.cosineFrom(
-        VectorFunctions.dot(col("n_vec"), col("cent_vec")),
-        col("n_norm"), col("cent_norm")))
-      .select(col("n_id"), candKey)
-      .groupBy(col("n_id"))
-      .agg(max(col("_ck")).as("_ck"))
-      .withColumn("cent_idx", lit(1023L) - pmod(col("_ck"), lit(1024L)))
-    // re-attach the winning centroid id (broadcast, O(C)) and the vector
-    // payload (one corpus-sized hash join — the same single corpus
-    // exchange the aggregate itself would otherwise have carried)
-    val assigned = best
+    // assignment = nearestCentIdx's map-side argmax (see its scaladoc for
+    // the shuffle/codegen contract); re-attach the winning centroid id
+    // (broadcast, O(C)) and the vector payload (one corpus-sized hash
+    // join — the same single corpus exchange the aggregate itself would
+    // otherwise have carried)
+    val assigned = nearestCentIdx(c, cent)
       .join(broadcast(cent.select(col("cent_idx").cast("long").as("cent_idx"),
         col("cent_id"))), Seq("cent_idx"))
       .join(c, Seq("n_id"))
@@ -184,6 +194,84 @@ object Similarity {
       .filter(col("crk") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("q_norm"), col("cent_id"))
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
+  /** IVF with one Lloyd (k-means) refinement round — the real IVF build
+    * path: seed centroids are assigned, re-estimated as the mean of
+    * their members, and the index is rebuilt over the refined centroids
+    * before probing. Tighter cells than raw sampled seeds, same probe
+    * economics.
+    *
+    * Cross-engine-exact mean: each float component is quantized to
+    * floor(value * 2^20) (exact power-of-two scaling), summed as LONGS —
+    * order-independent, so shuffle/AQE scheduling can't move the result —
+    * and the mean is reconstructed with a fixed double-op sequence
+    * (sum → /count → /2^20 → float), every step IEEE-deterministic. 2^-20
+    * quantization error on centroid COORDINATES only nudges cell
+    * boundaries (assignment quality, not correctness), and the long sums
+    * hold ~2^43 members per centroid before overflow — far past any real
+    * cell.
+    *
+    * Scale shape per round: one broadcast-NLJ argmax (nearestCentIdx's
+    * skinny shuffle), one posexplode → (cent_idx, dim) partial-agg
+    * groupBy — C×D result rows, trivially small — and one broadcast
+    * rebuild. Empty cells drop out, standard k-means behavior.
+    */
+  def ivfRefinedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, nprobe: Int)
+      : DataFrame = {
+    require(numCentroids > 0 && numCentroids <= 1024,
+      s"numCentroids must be in (0, 1024], got $numCentroids")
+    val seed = selectCentroids(corpus, idCol, numCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
+      .withColumn("cent_idx",
+        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    val pow20 = 1048576.0 // 2^20
+    // Lloyd step: members' component means, exact long arithmetic
+    val refined = nearestCentIdx(c, seed)
+      .join(c, Seq("n_id"))
+      .select(col("cent_idx"), posexplode(col("n_vec")).as(Seq("pos", "v")))
+      .select(col("cent_idx"), col("pos"),
+        floor(col("v").cast(DoubleType) * lit(pow20)).as("q"))
+      .groupBy(col("cent_idx"), col("pos"))
+      .agg(sum(col("q")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("cent_idx"), col("pos"),
+        (col("_s").cast(DoubleType) / col("_n").cast(DoubleType) / lit(pow20))
+          .cast("float").as("m"))
+      .groupBy(col("cent_idx"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent_vec"))
+      .select(col("cent_idx").cast("long").as("cent_idx"), col("cent_vec"),
+        VectorFunctions.normSq(col("cent_vec")).as("cent_norm"))
+    // rebuild the index over refined centroids; centroid identity is now
+    // the dense index (refined cells have no source vector id)
+    val assigned = nearestCentIdx(c, refined)
+      .join(c, Seq("n_id"))
+      .select(col("n_id"), col("n_vec"), col("n_norm"), col("cent_idx"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_idx"))
+    val probes = q.crossJoin(broadcast(refined))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("q_vec"), col("cent_vec")),
+        col("q_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cent_idx"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_idx"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("score", VectorFunctions.cosineFrom(
         VectorFunctions.dot(col("n_vec"), col("q_vec")),

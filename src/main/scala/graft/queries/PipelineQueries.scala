@@ -45,6 +45,46 @@ object PipelineQueries {
       |  cum_before % $PackBudget AS bin_offset
       |FROM c ORDER BY doc_id""".stripMargin
 
+  val ExportShards = 8L
+
+  /** Deterministic training-shard export manifest: every document lands
+    * in a shard by content-free id hash (md5 → 60-bit long, mod shards)
+    * and gets its position within the shard by hash order — a
+    * reproducible global pseudo-random permutation, the final step
+    * before a training run reads the corpus.
+    *
+    * Scale shape: shard count scales WITH the corpus (thousands at
+    * 100 TB, 8 here), so the per-shard ranking window is really
+    * "repartition by shard, sort within partition, write" — one shuffle
+    * whose reducers are the shard files themselves; no global sort
+    * anywhere.
+    */
+  def shardExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h"), col("doc_id"))
+    docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        PortableHash.md5Long(col("doc_id").cast("string")).as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(ExportShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def shardExportSql: String =
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      |  FROM documents)
+      |SELECT hh % $ExportShards AS shard,
+      |  row_number() OVER (PARTITION BY hh % $ExportShards
+      |    ORDER BY hh, doc_id) AS pos,
+      |  doc_id, n_tokens
+      |FROM h ORDER BY shard, pos""".stripMargin
+
   val SamplePerStratum = 40
 
   /** Deterministic stratified sample: exactly N docs per language,

@@ -161,6 +161,100 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  /** IVF with one exact-arithmetic Lloyd refinement round (see
+    * operators.Similarity.ivfRefinedTopK for the quantized-mean
+    * contract).
+    */
+  def ivfRefinedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfRefinedTopK(emb, emb.filter(QueryPred), "vec_id",
+        "embedding", K, numCentroids = Centroids, nprobe = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfRefinedTopKSql: String = {
+    // the engine's order-preserving packed argmax key, on a given score
+    def key(score: String) =
+      s"""coalesce(CAST(floor(($score) * 4503599627370496.0) AS BIGINT),
+         |      -4503599627370497) * 1024 + (1023 - cent_idx)""".stripMargin
+    def centScore(vec: String, norm: String) =
+      s"${dotSql(vec, "cent_vec")} / nullif(sqrt($norm) * sqrt(cent_norm), 0.0)"
+    s"""WITH cent0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+      |    ${normSqSql("embedding")} AS cent_norm
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+      |seed AS (
+      |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
+      |  FROM cent0),
+      |c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |-- pass 1: assign to seed centroids via the packed argmax key
+      |asg0 AS (
+      |  SELECT n_id, 1023 - (((ck % 1024) + 1024) % 1024) AS cent_idx FROM (
+      |    SELECT n_id, max(${key(centScore("c.n_vec", "c.n_norm"))
+        .replace("cent_vec", "seed.cent_vec")
+        .replace("cent_norm", "seed.cent_norm")
+        .replace("cent_idx", "seed.cent_idx")}) AS ck
+      |    FROM c CROSS JOIN seed GROUP BY n_id)),
+      |-- Lloyd step: exact quantized component means (floor(v * 2^20)
+      |-- summed as BIGINT — order-independent — then a fixed double-op
+      |-- sequence back to FLOAT, every step IEEE-deterministic)
+      |zipped AS (
+      |  SELECT cent_idx, unnest(list_zip(n_vec,
+      |      range(1, len(n_vec) + 1))) AS z
+      |  FROM asg0 JOIN c USING (n_id)),
+      |qsum AS (
+      |  SELECT cent_idx, CAST(z[2] AS BIGINT) AS pos,
+      |    CAST(sum(CAST(floor(CAST(z[1] AS DOUBLE) * 1048576.0) AS BIGINT))
+      |      AS BIGINT) AS s,
+      |    count(*) AS n
+      |  FROM zipped GROUP BY 1, 2),
+      |refined0 AS (
+      |  SELECT cent_idx, list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / 1048576.0 AS FLOAT) ORDER BY pos) AS cent_vec
+      |  FROM qsum GROUP BY cent_idx),
+      |refined AS (
+      |  SELECT cent_idx, cent_vec, ${normSqSql("cent_vec")} AS cent_norm
+      |  FROM refined0),
+      |-- pass 2: rebuild the index over refined centroids
+      |asg1 AS (
+      |  SELECT n_id, 1023 - (((ck % 1024) + 1024) % 1024) AS cent_idx FROM (
+      |    SELECT n_id, max(${key(centScore("c.n_vec", "c.n_norm"))
+        .replace("cent_vec", "refined.cent_vec")
+        .replace("cent_norm", "refined.cent_norm")
+        .replace("cent_idx", "refined.cent_idx")}) AS ck
+      |    FROM c CROSS JOIN refined GROUP BY n_id)),
+      |assigned AS (
+      |  SELECT a.n_id, c.n_vec, c.n_norm, a.cent_idx
+      |  FROM asg1 a JOIN c USING (n_id)),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |probes AS (
+      |  SELECT q_id, q_vec, q_norm, cent_idx FROM (
+      |    SELECT q.q_id, q.q_vec, q.q_norm, refined.cent_idx,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        ${dotSql("q.q_vec", "refined.cent_vec")} / nullif(sqrt(q.q_norm) * sqrt(refined.cent_norm), 0.0) DESC,
+      |        refined.cent_idx) AS crk
+      |    FROM q CROSS JOIN refined) t
+      |  WHERE crk <= 3),
+      |scored AS (
+      |  SELECT p.q_id, a.n_id,
+      |    ${dotSql("a.n_vec", "p.q_vec")} / nullif(sqrt(a.n_norm) * sqrt(p.q_norm), 0.0) AS score
+      |  FROM assigned a JOIN probes p USING (cent_idx)
+      |  WHERE a.n_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs (LSH-blocked, cos ≥ 0.35,
     * 2 planes so moderately-similar pairs still collide).
     */
