@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
     "dedup_simhash" -> (DedupQueries.simHash _),
+    "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_components" -> (DedupQueries.components _),
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "dedup_exact" -> DedupQueries.exactSql,
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
+    "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_components" -> DedupQueries.componentsSql,
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,

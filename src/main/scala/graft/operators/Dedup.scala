@@ -365,6 +365,44 @@ object Dedup {
     agg.select(col(idCol), concat(bitChars: _*).as("simhash"))
   }
 
+  /** Banded SimHash near-duplicates: pairs within `maxHamming` bit flips
+    * over `bits`-bit signatures. Unlike probabilistic LSH, recall here is
+    * EXACT by pigeonhole: with `bands` > maxHamming, any pair within the
+    * distance leaves at least one band untouched, so it collides in that
+    * band's bucket — Manku/Jain/Sarma's web-dedup construction.
+    *
+    * Shape: signatures once (one explode + one partial-agg groupBy),
+    * band buckets via `candidatePairs` (capped, oversized REPORTED), and
+    * a 32-term codegen'd Hamming verify on the candidate pairs only —
+    * never all-pairs.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, s"bands must divide bits: $bands, $bits")
+    require(bands > maxHamming,
+      s"exact recall needs bands > maxHamming, got $bands <= $maxHamming")
+    val rows = bits / bands
+    // the signature table feeds bands + both verify sides
+    val sh = CachedPlans.cached(simHash(docs, idCol, textCol, bits))
+    val blocks = (0 until bands).map(b => sh.select(col(idCol),
+        lit(b).as("band"),
+        substring(col("simhash"), b * rows + 1, rows).as("band_key")))
+      .reduce(_ unionByName _)
+    val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
+    val ham = (1 to bits).map(i =>
+      when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairs
+      .join(sh.select(col(idCol).as("a_id"), col("simhash").as("_sa")),
+        Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
+        Seq("b_id"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** SimHash dup groups: identical signatures clustered, canonical id =
     * min id in group.
     */

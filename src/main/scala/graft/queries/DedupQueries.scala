@@ -224,13 +224,16 @@ object DedupQueries {
         tbl(spark, sfDir, "documents"), "doc_id", "text"), "doc_id")
       .orderBy(col("doc_id"))
 
-  def simHashSql: String = {
+  /** DuckDB CTE chain ending in `sh(doc_id, simhash)` — must mirror
+    * operators.Dedup.simHash exactly.
+    */
+  private def simhashSigCtes: String = {
     val sums = (1 to 32).map(j =>
       s"sum(CASE WHEN substr(th, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS s$j")
       .mkString(",\n    ")
     val bits = (1 to 32).map(j =>
       s"CASE WHEN s$j * 2 > n_tok THEN '1' ELSE '0' END").mkString(" || ")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
       |  FROM documents),
@@ -239,12 +242,45 @@ object DedupQueries {
       |  SELECT doc_id, count(*) AS n_tok,
       |    $sums
       |  FROM hashed GROUP BY doc_id),
-      |sh AS (SELECT doc_id, $bits AS simhash FROM agg)
+      |sh AS (SELECT doc_id, $bits AS simhash FROM agg)""".stripMargin
+  }
+
+  def simHashSql: String =
+    s"""WITH $simhashSigCtes
       |SELECT doc_id, simhash,
       |  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
       |  count(*) OVER (PARTITION BY simhash) AS group_size,
       |  doc_id <> min(doc_id) OVER (PARTITION BY simhash) AS is_dup
       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Banded SimHash near-dups: Hamming ≤ 3 over 32-bit signatures,
+    * 4 bands of 8 bits — exact recall by pigeonhole (bands > maxHamming).
+    */
+  def simHashNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.simHashNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
+  def simHashNearDupsSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${b * 8 + 1}, 8) AS band_key FROM sh")
+      .mkString("\n  UNION ALL\n  ")
+    val ham = (1 to 32).map(i =>
+      s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $simhashSigCtes,
+      |bk AS (
+      |  $bandSelects),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id)
+      |SELECT p.a_id, p.b_id, $ham AS hamming
+      |FROM pairs p
+      |JOIN sh x ON x.doc_id = p.a_id
+      |JOIN sh y ON y.doc_id = p.b_id
+      |WHERE $ham <= 3
+      |ORDER BY p.a_id, p.b_id""".stripMargin
   }
 
   /** N-gram Jaccard near-dups: exact word-5-gram blocking, Jaccard ≥ 0.5

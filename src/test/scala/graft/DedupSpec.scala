@@ -72,6 +72,26 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
 
+  test("simHashNearDups finds close signatures and honors the band guard") {
+    import graft.operators.Dedup
+    // signatures hash the DISTINCT token set, so reordered/repeated
+    // tokens give Hamming 0; a disjoint doc stays far away
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha alpha"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simHashNearDups(docs, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // exact-recall precondition is enforced, not assumed
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDups(docs, "doc_id", "text", bands = 2, maxHamming = 3)
+    }
+    assert(e.getMessage.contains("bands > maxHamming"))
+  }
+
   test("fast minhash flavor finds the portable flavor's verified pairs") {
     assert(pairs(DedupQueries.minHashLshFast(spark, sf)) ===
       pairs(DedupQueries.minHashLsh(spark, sf)))
