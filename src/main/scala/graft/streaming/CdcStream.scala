@@ -419,4 +419,99 @@ object CdcStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
   }
+
+  final case class BandRow(band: Int, band_key: String, doc_id: Long,
+      sig: Seq[Long])
+  final case class BandDoc(doc_id: Long, sig: Seq[Long])
+  final case class BandState(docs: List[BandDoc], overflowed: Boolean)
+  final case class NearDupCand(a_id: Long, b_id: Long, band: Int,
+      est_jaccard: Double)
+
+  /** Streaming NEAR-duplicate candidate detection: as documents arrive,
+    * emit pairs whose MinHash signatures agree on ≥ `threshold` of
+    * components (the standard unbiased Jaccard estimator) against every
+    * previously-seen doc sharing an LSH band bucket — the ingest-time
+    * form of `Dedup.minHashNearDups`, matching its portable hashing
+    * bit-for-bit (same shingles, same seeded md5 min-hashes, same band
+    * keys), so stream-flagged candidates are exactly the batch
+    * pipeline's candidates.
+    *
+    * Streaming-specific shape: the signature is computed PER ROW with
+    * higher-order array functions (shingles → k seeded mins via
+    * `transform`/`array_min`) instead of the batch explode + groupBy —
+    * zero shuffle and zero aggregation state before the band-keyed
+    * stateful operator, which is what makes the operator legal in a
+    * stream (a streaming groupBy-min per doc would pin every doc's
+    * shingles in state). Band-bucket state holds (doc_id, 12-long
+    * signature) per seen doc — fixed width, and capped at `maxBucket`
+    * docs per bucket: beyond the cap new docs pass through unflagged and
+    * the bucket is marked overflowed (consistent with the batch
+    * pipeline's REPORTED oversized buckets; a production deployment
+    * also ages state out by event time).
+    *
+    * Exactly-once caveat: a pair straddling micro-batches is emitted
+    * once (state sees the earlier doc); both docs in ONE batch emit
+    * once, deterministically ordered by doc id.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000)
+      : org.apache.spark.sql.Dataset[NearDupCand] = {
+    require(numHashes % bands == 0,
+      s"bands must divide numHashes: $bands, $numHashes")
+    import graft.functions.{PortableHash, TextFunctions}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val shingles = TextFunctions.shinglesOfTokens(
+      TextFunctions.tokens(lower(col(textCol))), shingleN)
+    // hash shingle text to 60-bit longs ONCE per row, then the k seeded
+    // hashes run over short decimal strings — same two-level scheme (and
+    // identical bits) as hashedShingleTable + minHashSignatures
+    val withSig = docs
+      .withColumn("_hsh", transform(shingles, s => PortableHash.md5Long(s)))
+      .withColumn("sig", array((0 until numHashes).map(i =>
+        array_min(transform(col("_hsh"),
+          h => PortableHash.seededLong(i, h)))): _*))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(r => element_at(col("sig"), r + 1))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice.map(_.cast("string")): _*)).as("band_key"))
+        .as(s"_b$b")
+    }
+    val bandRows = withSig
+      .select(col(idCol).as("doc_id"), col("sig"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
+        col("doc_id"), col("sig"))
+      .as[BandRow]
+    bandRows.groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState[BandState, NearDupCand](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), batch: Iterator[BandRow],
+            state: GroupState[BandState]) =>
+          var st = state.getOption.getOrElse(BandState(Nil, overflowed = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCand]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (!st.docs.exists(_.doc_id == d.doc_id)) {
+              if (st.docs.sizeIs >= maxBucket) st = st.copy(overflowed = true)
+              else {
+                st.docs.foreach { p =>
+                  val matches =
+                    p.sig.iterator.zip(d.sig.iterator).count(t => t._1 == t._2)
+                  val est = matches.toDouble / numHashes
+                  if (est >= threshold)
+                    out += NearDupCand(math.min(p.doc_id, d.doc_id),
+                      math.max(p.doc_id, d.doc_id), d.band, est)
+                }
+                st = st.copy(docs = BandDoc(d.doc_id, d.sig) :: st.docs)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

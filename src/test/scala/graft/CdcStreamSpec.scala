@@ -363,4 +363,39 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming near-dup detection flags pairs within and across batches") {
+    val dir = Files.createTempDirectory("stream_nd").toString
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // batch 1: two identical docs (within-batch pair); batch 2: a third
+    // identical doc (cross-batch pairs vs state) + a disjoint doc
+    Seq((1L, same), (2L, same))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, same), (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b2")
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.nearDupStream(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val cands = spark.table("neardup_out")
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    // identical docs agree on every minhash component in every band
+    assert(cands.forall(_._3 === 1.0))
+    val pairs = cands.map(c => (c._1, c._2)).distinct.sorted
+    assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      "within-batch pair + both cross-batch pairs, disjoint doc unflagged")
+    // ingest-time candidates match the batch pipeline's verified pairs
+    // on the same corpus (same hashing, bit-for-bit)
+    val batchPairs = graft.operators.Dedup.minHashNearDups(
+        spark.read.parquet(s"$dir/b*/"), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(batchPairs === pairs)
+  }
 }
