@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_components" -> (DedupQueries.components _),
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
+    "dedup_cluster_stats" -> (DedupQueries.clusterStats _),
     "span_overlap" -> (DedupQueries.spanOverlap _),
     "text_quality_filter" -> (TextQueries.qualityFilter _),
     "shard_export" -> (PipelineQueries.shardExport _),
@@ -95,7 +96,8 @@ object SparkEntry {
     "tfidf_topk" -> (PipelineQueries.tfidfTopK _),
     // multimodal decode is a mapPartitions stub (no codecs in env); the
     // deterministic stub IS oracle-checked via DuckDB byte histograms
-    "mm_features" -> (TextQueries.multimodalFeatures _)
+    "mm_features" -> (TextQueries.multimodalFeatures _),
+    "mm_frame_sample" -> (TextQueries.multimodalFrames _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -132,6 +134,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_components" -> DedupQueries.componentsSql,
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,
+    "dedup_cluster_stats" -> DedupQueries.clusterStatsSql,
     "span_overlap" -> DedupQueries.spanOverlapSql,
     "text_quality_filter" -> TextQueries.qualityFilterSql,
     "shard_export" -> PipelineQueries.shardExportSql,
@@ -154,6 +157,7 @@ object SparkEntry {
     "vocab_topk" -> PipelineQueries.vocabTopKSql,
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,
     "tfidf_topk" -> PipelineQueries.tfidfTopKSql,
-    "mm_features" -> TextQueries.multimodalFeaturesSql
+    "mm_features" -> TextQueries.multimodalFeaturesSql,
+    "mm_frame_sample" -> TextQueries.multimodalFramesSql
   )
 }

@@ -159,6 +159,42 @@ object DedupQueries {
       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Dup-cluster size histogram: how many near-dup clusters exist at
+    * each size — the curator's one-glance view of corpus duplication
+    * structure (a long tail of pairs vs a few megaclusters demand
+    * different remediation).
+    */
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.minHashNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  def clusterStatsSql: String =
+    s"""WITH RECURSIVE mh AS (
+      |  SELECT a_id, b_id FROM (${minHashLshSql.replace("\n", "\n      |  ")})),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mh
+      |  UNION
+      |  SELECT b_id, a_id FROM mh),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id),
+      |sizes AS (
+      |  SELECT component_id, count(*) AS cluster_size
+      |  FROM comp GROUP BY component_id)
+      |SELECT cluster_size, count(*) AS n_clusters
+      |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   /** Intra-corpus span duplication: per doc, the count and ratio of its
     * word 5-gram spans that appear in at least one other document.
     */

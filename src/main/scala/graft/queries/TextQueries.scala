@@ -335,6 +335,38 @@ object TextQueries {
       |FROM base b LEFT JOIN feats f ON f.doc_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  /** Frame sampling as a declared op: every 16th 32-byte window of the
+    * payload becomes a frame row (the video-pipeline one-row-in →
+    * many-frames-out shape), digested so the oracle can check content,
+    * not just counts. The corpus is ASCII, so the DuckDB mirror frames
+    * the text directly (byte offsets == char offsets — the same
+    * ASCII-payload contract multimodalFeaturesSql already leans on).
+    */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val withPayload = graft.operators.Multimodal.withFakePayload(docs, "text")
+    graft.operators.Multimodal
+      .sampleFrames(withPayload, "doc_id", "payload",
+        frameSize = 32, stride = 16)
+      .select(col("doc_id"), col("frame_no"),
+        length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  def multimodalFramesSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |offs AS (
+      |  SELECT doc_id, text, n, CAST(t.o AS BIGINT) AS off
+      |  FROM base, UNNEST(range(0, greatest(n - 31, 1), 16)) AS t(o))
+      |SELECT doc_id, CAST(off // 16 AS INTEGER) AS frame_no,
+      |  CAST(least(32, n - off) AS INTEGER) AS frame_len,
+      |  md5(substr(text, CAST(off + 1 AS INTEGER), 32)) AS frame_md5
+      |FROM offs ORDER BY doc_id, frame_no""".stripMargin
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
