@@ -166,6 +166,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, jumpEvery: Int = 3): DataFrame = {
     require(jumpEvery > 0, s"jumpEvery must be > 0, got $jumpEvery")
+    // the loop's checkpoints make every run's OUTPUT plan unique, so the
+    // result is memoized on the INPUT pair-set plan: queries deriving
+    // components of the same pairs (labels, canonicalization, cluster
+    // stats) share one iteration run per session
+    CachedPlans.memo(s"cc|$aCol|$bCol|$maxIter|$jumpEvery", pairs) {
+      connectedComponentsRun(pairs, aCol, bCol, maxIter, jumpEvery)
+    }
+  }
+
+  private def connectedComponentsRun(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int, jumpEvery: Int): DataFrame = {
     // reliable checkpoints when a checkpoint dir is configured (local
     // blocks die with their executor and would abort the whole loop on a
     // real cluster); localCheckpoint otherwise (single-JVM / tests)

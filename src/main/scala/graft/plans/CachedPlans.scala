@@ -47,9 +47,29 @@ object CachedPlans {
     })
   }
 
+  // iterative operators (connected components) materialize checkpoints,
+  // so their OUTPUT plan is unique per run and [[cached]] can never
+  // dedup them; memoizing on the INPUT plan + an operator tag shares one
+  // run across queries deriving the same upstream
+  private val memos =
+    mutable.Map.empty[(org.apache.spark.sql.SparkSession, LogicalPlan, String), DataFrame]
+
+  /** Memoize `build` once per (session, canonical plan of `key`, `tag`).
+    * Same lifetime contract as [[cached]]: entries live until [[clear]]
+    * or session end — callers re-running against CHANGED underlying data
+    * in one session must clear first.
+    */
+  def memo(tag: String, key: DataFrame)(build: => DataFrame): DataFrame =
+    synchronized {
+      memos.getOrElseUpdate(
+        (key.sparkSession, key.queryExecution.analyzed.canonicalized, tag),
+        build)
+    }
+
   /** Unpersist every registered intermediate and forget it. */
   def clear(): Unit = synchronized {
     entries.values.foreach(_.unpersist(false))
     entries.clear()
+    memos.clear()
   }
 }
