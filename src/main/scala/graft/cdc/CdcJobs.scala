@@ -63,7 +63,17 @@ private[graft] object TablePool {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(maxConcurrent, items.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.traverse(items)(i => Future(f(i))), Duration.Inf)
+      // fail-fast parity with the sequential form: after any failure,
+      // QUEUED tables must not run their side effects (a DELETE+append
+      // against a live target, say). In-flight tables finish — never
+      // interrupt a Spark job mid-write — but every not-yet-started task
+      // sees the flag and skips.
+      val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(i: T): A =
+        if (failed.get) throw new java.util.concurrent.CancellationException(
+          "skipped: an earlier table failed")
+        else try f(i) catch { case e: Throwable => failed.set(true); throw e }
+      try Await.result(Future.traverse(items)(i => Future(run(i))), Duration.Inf)
       finally pool.shutdown()
     }
 }

@@ -167,6 +167,11 @@ object Main {
                 jdbcUser, jdbcPassword, extraProps = jdbcProps))
             case (None, None) => None
           }
+        // the snapshot phase just (re)wrote the data validate reads:
+        // drop any registry-cached plans from earlier phases (or a
+        // previous run on a shared session) so digests are computed
+        // against CURRENT table contents, never a stale cache
+        graft.plans.CachedPlans.clear()
         readExpected.foreach { readSource =>
           // per-table validations fan out through the bounded pool (each
           // body is its own Spark job); report lines are collected and

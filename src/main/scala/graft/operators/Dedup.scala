@@ -47,9 +47,14 @@ object Dedup {
     */
   private[operators] def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val files = df.inputFiles.length
-    val parallelism = if (files > 0) files else df.rdd.getNumPartitions
-    if (parallelism < math.max(target / 2, 2)) df.repartition(target)
+    val threshold = math.max(target / 2, 2)
+    // cheap sufficient check first: many input files ⇒ many splits. A
+    // LOW file count is NOT sufficient to conclude under-parallelism
+    // (one big parquet file still splits into many partitions), so only
+    // then pay the accurate rdd-partition probe — on the simple scan
+    // plans this helper receives, that conversion is cheap.
+    if (df.inputFiles.length >= threshold) df
+    else if (df.rdd.getNumPartitions < threshold) df.repartition(target)
     else df
   }
 
@@ -185,11 +190,15 @@ object Dedup {
       if (sc.getCheckpointDir.isDefined) _.checkpoint(true)
       else _.localCheckpoint(true)
     val idType = pairs.schema(aCol).dataType
-    val edges = CachedPlans.cached(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct()
-        .repartition(col("src")))
+    // plain scoped persist, NOT the session registry: the whole run is
+    // memoized on the pair-set plan, so no other query ever rebuilds
+    // these edges — and they can be billions of rows, released the
+    // moment the loop converges (labels read only from checkpoints)
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
     var labels = ckpt(edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component_id", col("id")))
@@ -223,6 +232,7 @@ object Dedup {
       converged = next.filter(col("component_id") < col("_old")).isEmpty
       labels = next.drop("_old")
     }
+    edges.unpersist(false) // labels read only from checkpoints now
     // an unconverged exit would hand callers silently-wrong cluster ids;
     // propagation converges in O(diameter) rounds with pointer jumps
     // contracting long chains, so hitting maxIter means the input is

@@ -154,6 +154,11 @@ object DiffEngine {
     // Reading the materialized cache pins one layout for both. Registry-
     // routed: several diff queries digest the SAME side (chunk compare +
     // detail drill-down), and the shared entry serves them one fill.
+    // Staleness contract: the entry is keyed on the PLAN, so re-running
+    // after the underlying table changed in the SAME session returns the
+    // first run's digests — callers that mutate data between validations
+    // (the CLI does, between its snapshot and validate phases) must
+    // CachedPlans.clear() at the boundary.
     val sorted = graft.plans.CachedPlans.cached(narrow
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

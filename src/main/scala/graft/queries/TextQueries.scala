@@ -88,8 +88,11 @@ object TextQueries {
     val docs = tbl(spark, sfDir, "documents")
     val toks = TextFunctions.tokens(lower(col("text")))
     docs.select(col("doc_id"), size(toks).as("n_words"),
-        (size(array_distinct(toks)).cast(DoubleType) /
-          size(toks).cast(DoubleType)).as("distinct_ratio"))
+        // zero-token guard mirrored in the oracle: Spark's 0/0 is NULL
+        // while DuckDB's is NaN — both sides pin empty docs to 0.0
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(array_distinct(toks)).cast(DoubleType) /
+            size(toks).cast(DoubleType)).as("distinct_ratio"))
       .withColumn("verdict",
         when(col("n_words") < 25, "too_short")
           .when(col("n_words") > 90, "too_long")
@@ -102,8 +105,9 @@ object TextQueries {
     val toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
       |SELECT doc_id, len(toks) AS n_words,
-      |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-      |    AS distinct_ratio,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |    ELSE CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+      |    END AS distinct_ratio,
       |  CASE WHEN len(toks) < 25 THEN 'too_short'
       |       WHEN len(toks) > 90 THEN 'too_long'
       |       WHEN CAST(len(list_distinct(toks)) AS DOUBLE)

@@ -19,8 +19,13 @@ object JdbcProps {
       extra: Map[String, String] = Map.empty): Properties = {
     val p = new Properties()
     extra.foreach { case (k, v) => p.setProperty(k, v) }
-    p.setProperty("user", user)
-    p.setProperty("password", password)
+    // first-class credentials win over a colliding extra key — but a
+    // BLANK first-class value (the CLI's default when --jdbc-user is
+    // omitted) must not clobber credentials supplied via --jdbc-prop
+    if (user.nonEmpty || !p.containsKey("user"))
+      p.setProperty("user", user)
+    if (password.nonEmpty || !p.containsKey("password"))
+      p.setProperty("password", password)
     p
   }
 

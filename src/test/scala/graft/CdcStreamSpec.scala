@@ -383,6 +383,7 @@ class CdcStreamSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
 
     val cands = spark.table("neardup_out")
+      .filter(!$"overflow")
       .select("a_id", "b_id", "est_jaccard")
       .as[(Long, Long, Double)].collect().toSeq
     // identical docs agree on every minhash component in every band
@@ -390,8 +391,9 @@ class CdcStreamSpec extends SparkSpec {
     val pairs = cands.map(c => (c._1, c._2)).distinct.sorted
     assert(pairs === Seq((1L, 2L), (1L, 3L), (2L, 3L)),
       "within-batch pair + both cross-batch pairs, disjoint doc unflagged")
-    // ingest-time candidates match the batch pipeline's verified pairs
-    // on the same corpus (same hashing, bit-for-bit)
+    // on identical docs the estimate equals exact Jaccard, so the
+    // stream's output matches the batch pipeline's verified pairs here
+    // (in general streams emit CANDIDATES; batch re-verifies exactly)
     val batchPairs = graft.operators.Dedup.minHashNearDups(
         spark.read.parquet(s"$dir/b*/"), "doc_id", "text",
         shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
