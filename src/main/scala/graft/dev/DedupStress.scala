@@ -49,6 +49,26 @@ object DedupStress {
     time(s"ngram portable ${factor}x")(
       println("  -> " + Dedup.ngramJaccardNearDups(big, "doc_id", "text",
         blockN = 5, shingleN = 3, threshold = 0.5).count() + " pairs"))
+    spark.catalog.clearCache()
+    graft.plans.CachedPlans.clear(); big.persist().count()
+    time(s"canonicalize (pairs + CC + corpus fold) ${factor}x") {
+      val pairs = Dedup.minHashNearDups(big, "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val c = Dedup.canonicalize(big, "doc_id", pairs, "a_id", "b_id")
+      println("  -> " + c.filter(!col("kept")).count() + " docs dropped of "
+        + c.count())
+    }
+    spark.catalog.clearCache()
+    graft.plans.CachedPlans.clear(); big.persist().count()
+    time(s"spanOverlap ${factor}x")(
+      println("  -> " + Dedup.spanOverlap(big, "doc_id", "text", n = 5)
+        .filter(col("n_dup_spans") > 0).count() + " docs with shared spans"))
+    spark.catalog.clearCache()
+    graft.plans.CachedPlans.clear(); big.persist().count()
+    time(s"simHashNearDups ${factor}x")(
+      println("  -> " + Dedup.simHashNearDups(big, "doc_id", "text").count()
+        + " pairs"))
     spark.stop()
   }
 }
