@@ -60,6 +60,7 @@ object SparkEntry {
     // HLL sketches: engine-specific internals, no SQL oracle possible —
     // intentionally absent from oracleSql (driver does rows-only check)
     "q_approx_distinct" -> (AdvancedQueries.qApproxDistinct _),
+    "q_kmv_distinct" -> (AdvancedQueries.qKmvDistinct _),
     // LLM-data-pipeline ops: dedup family
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_distinct_agg" -> AdvancedQueries.qDistinctAggSql,
     "q_sessionize" -> AdvancedQueries.qSessionizeSql,
     "q_percentile" -> AdvancedQueries.qPercentileSql,
+    "q_kmv_distinct" -> AdvancedQueries.qKmvDistinctSql,
     "q_asof_join" -> AdvancedQueries.qAsOfJoinSql,
     "q_pivot" -> AdvancedQueries.qPivotSql,
     "q_unpivot" -> AdvancedQueries.qUnpivotSql,

@@ -194,6 +194,54 @@ object AdvancedQueries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE sketch:
+    * unlike HLL (whose internals differ per engine, forcing
+    * q_approx_distinct to a rows-only check), KMV is pure integer
+    * hashing + one IEEE division, so an external engine reproduces the
+    * ESTIMATE bit-for-bit. The k smallest distinct 60-bit md5 hashes of
+    * the key give est = (k-1) · 2^60 / h_k; with fewer than k distinct
+    * values the sample IS the exact count.
+    *
+    * Scale shape: distinct-hash → global k-smallest is a TakeOrdered
+    * (per-partition heads, no full sort); the sketch state is k longs no
+    * matter the corpus size — the same reason you'd run it at 100 TB.
+    */
+  def qKmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 512
+    val li = tbl(spark, sfDir, "lineitem")
+    val topk = li
+      .select(graft.functions.PortableHash.md5Long(col("l_orderkey")).as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+    val sketch = topk.agg(
+      count(lit(1)).as("n_sample"), max(col("h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_sample") < k, col("n_sample").cast(DoubleType))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("kth_hash").cast(DoubleType)))
+    val exact = li.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    sketch.crossJoin(exact)
+      .select(col("n_sample"), col("kth_hash"), col("est_distinct"),
+        col("exact_distinct"))
+  }
+
+  def qKmvDistinctSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |topk AS (SELECT h FROM h ORDER BY h LIMIT 512),
+      |sketch AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_sample, max(h) AS kth_hash,
+      |    CASE WHEN count(*) < 512 THEN CAST(count(*) AS DOUBLE)
+      |         ELSE (511.0 * 1152921504606846976.0) / CAST(max(h) AS DOUBLE)
+      |         END AS est_distinct
+      |  FROM topk)
+      |SELECT n_sample, kth_hash, est_distinct, exact_distinct
+      |FROM sketch CROSS JOIN (
+      |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      |  FROM lineitem)""".stripMargin
+
   /** As-of join via running-window maxima: for every `error` event, the
     * most recent preceding `click` by the same user (NULL if none) and
     * the gap in microseconds. The union-then-running-max idiom is the
