@@ -61,6 +61,7 @@ object SparkEntry {
     // intentionally absent from oracleSql (driver does rows-only check)
     "q_approx_distinct" -> (AdvancedQueries.qApproxDistinct _),
     "q_kmv_distinct" -> (AdvancedQueries.qKmvDistinct _),
+    "q_kmv_groups" -> (AdvancedQueries.qKmvGroups _),
     // LLM-data-pipeline ops: dedup family
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q_sessionize" -> AdvancedQueries.qSessionizeSql,
     "q_percentile" -> AdvancedQueries.qPercentileSql,
     "q_kmv_distinct" -> AdvancedQueries.qKmvDistinctSql,
+    "q_kmv_groups" -> AdvancedQueries.qKmvGroupsSql,
     "q_asof_join" -> AdvancedQueries.qAsOfJoinSql,
     "q_pivot" -> AdvancedQueries.qPivotSql,
     "q_unpivot" -> AdvancedQueries.qUnpivotSql,

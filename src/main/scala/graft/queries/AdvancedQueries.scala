@@ -242,6 +242,51 @@ object AdvancedQueries {
       |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
       |  FROM lineitem)""".stripMargin
 
+  /** Per-group KMV sketches via the bounded typed Aggregator — distinct
+    * orders per return flag with k longs of state per group (partial
+    * aggregation combines map-side), next to nothing at any scale; the
+    * window-rank oracle formulation sorts every group row, which is
+    * exactly the cost the aggregator avoids.
+    */
+  def qKmvGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    val pow60 = math.pow(2, 60) // exact: power of two
+    val hashed = tbl(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        graft.functions.PortableHash.md5Long(col("l_orderkey")).as("h"))
+      .as[(String, Long)]
+    val sketch = new graft.functions.KmvSketchAggregator(k).toColumn
+    hashed.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(sketch.name("sk"))
+      .map { case (flag, sk) =>
+        val est =
+          if (sk.n_sample < k) sk.n_sample.toDouble
+          else ((k - 1).toDouble * pow60) / sk.kth_hash.toDouble
+        (flag, sk.n_sample, sk.kth_hash, est)
+      }
+      .toDF("l_returnflag", "n_sample", "kth_hash", "est_distinct")
+      .orderBy(col("l_returnflag"))
+  }
+
+  def qKmvGroupsSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |rk AS (
+      |  SELECT l_returnflag, h,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+      |  FROM h),
+      |topk AS (SELECT * FROM rk WHERE rk <= 256)
+      |SELECT l_returnflag, CAST(count(*) AS INTEGER) AS n_sample,
+      |  max(h) AS kth_hash,
+      |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+      |       ELSE (255.0 * 1152921504606846976.0) / CAST(max(h) AS DOUBLE)
+      |       END AS est_distinct
+      |FROM topk GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** As-of join via running-window maxima: for every `error` event, the
     * most recent preceding `click` by the same user (NULL if none) and
     * the gap in microseconds. The union-then-running-max idiom is the
