@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_components" -> (DedupQueries.components _),
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
     "dedup_cluster_stats" -> (DedupQueries.clusterStats _),
+    "dedup_canonicalize_best" -> (DedupQueries.canonicalizeBest _),
     "span_overlap" -> (DedupQueries.spanOverlap _),
     "text_quality_filter" -> (TextQueries.qualityFilter _),
     "shard_export" -> (PipelineQueries.shardExport _),
@@ -139,6 +140,7 @@ object SparkEntry {
     "dedup_components" -> DedupQueries.componentsSql,
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,
     "dedup_cluster_stats" -> DedupQueries.clusterStatsSql,
+    "dedup_canonicalize_best" -> DedupQueries.canonicalizeBestSql,
     "span_overlap" -> DedupQueries.spanOverlapSql,
     "text_quality_filter" -> TextQueries.qualityFilterSql,
     "shard_export" -> PipelineQueries.shardExportSql,

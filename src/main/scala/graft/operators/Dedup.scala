@@ -268,6 +268,36 @@ object Dedup {
       .withColumn("kept", col(idCol) === col("canonical_id"))
   }
 
+  /** Policy-driven canonicalization: keep the cluster member maximizing
+    * `scoreCol` (ties to the smallest id) instead of the smallest id —
+    * the "keep the best copy" policy real pipelines want (longest doc,
+    * highest quality score) rather than "keep the first".
+    *
+    * Shape: representative selection runs on cluster MEMBERS only (the
+    * duplicated slice, tiny next to the corpus): a per-cluster max, an
+    * equality join back, and a tie-breaking min — all partial-agg
+    * hash shapes; the corpus-wide fold is the same single hash-join as
+    * [[canonicalize]].
+    */
+  def canonicalizeBy(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val members = comp.join(docs.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val bestScore = members.groupBy(col("component_id"))
+      .agg(max(col(scoreCol)).as("_best"))
+    val reps = members.join(bestScore, Seq("component_id"))
+      .filter(col(scoreCol) === col("_best"))
+      .groupBy(col("component_id"))
+      .agg(min(col(idCol)).as("_rep"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .join(reps, Seq("component_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_rep"), col(idCol)).as("canonical_id"))
+      .withColumn("kept", col(idCol) === col("canonical_id"))
+  }
+
   /** Intra-corpus span duplication: for each document, how many of its
     * word n-gram spans appear in at least one OTHER document — the
     * sub-document-granularity dedup signal (boilerplate, quotations,

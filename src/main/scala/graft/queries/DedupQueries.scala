@@ -159,6 +159,48 @@ object DedupQueries {
       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Policy-driven canonicalization: per cluster, keep the LONGEST
+    * member (ties to the smallest id) — "keep the best copy", not "keep
+    * the first".
+    */
+  def canonicalizeBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val pairs = graft.operators.Dedup.minHashNearDups(
+      docs, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    graft.operators.Dedup.canonicalizeBy(docs, "doc_id", "n_chars",
+        pairs, "a_id", "b_id")
+      .orderBy(col("doc_id"))
+  }
+
+  def canonicalizeBestSql: String =
+    s"""WITH RECURSIVE mh AS (
+      |  SELECT a_id, b_id FROM (${minHashLshSql.replace("\n", "\n      |  ")})),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mh
+      |  UNION
+      |  SELECT b_id, a_id FROM mh),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id),
+      |reps AS (
+      |  SELECT component_id, id AS rep FROM (
+      |    SELECT c.component_id, c.id,
+      |      row_number() OVER (PARTITION BY c.component_id
+      |        ORDER BY d.n_chars DESC, c.id) AS rk
+      |    FROM comp c JOIN documents d ON d.doc_id = c.id) t
+      |  WHERE rk = 1)
+      |SELECT d.doc_id,
+      |  coalesce(r.rep, d.doc_id) AS canonical_id,
+      |  d.doc_id = coalesce(r.rep, d.doc_id) AS kept
+      |FROM documents d
+      |LEFT JOIN comp c ON c.id = d.doc_id
+      |LEFT JOIN reps r ON r.component_id = c.component_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Dup-cluster size histogram: how many near-dup clusters exist at
     * each size — the curator's one-glance view of corpus duplication
     * structure (a long tail of pairs vs a few megaclusters demand

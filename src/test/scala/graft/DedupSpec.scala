@@ -58,6 +58,23 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("canonicalizeBy keeps the best-scoring member, ties to min id") {
+    import graft.operators.Dedup
+    val docs = (1L to 10L).map(i =>
+      (i, s"doc$i", if (i == 5L) 99L else 10L)) // 5 is the best of {2,5,7}
+      .toDF("doc_id", "text", "score")
+    val p = Seq((2L, 5L), (5L, 7L), (3L, 9L)).toDF("a_id", "b_id")
+    val got = Dedup.canonicalizeBy(docs, "doc_id", "score", p, "a_id", "b_id")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val expected = (1L to 10L).map {
+      case 2L => (2L, 5L, false)
+      case 7L => (7L, 5L, false)
+      case 9L => (9L, 3L, false) // tie on score → min id wins
+      case i  => (i, i, true)
+    }
+    assert(got === expected)
+  }
+
   test("spanOverlap counts spans shared across documents") {
     import graft.operators.Dedup
     // doc 1 and 2 share one 3-gram span ("b c d"); doc 3 is disjoint
