@@ -26,13 +26,21 @@ class KmvSketchAggregator(k: Int)
 
   override def zero: List[Long] = Nil
 
-  /** Insert keeping the buffer sorted ascending, DISTINCT, capped at k. */
+  /** Insert keeping the buffer sorted DESCENDING, distinct, capped at k:
+    * the head is the current k-th-smallest, so the saturated-rejection
+    * fast path — the common case once a big group fills the sketch — is
+    * one head comparison, not a walk to the tail.
+    */
   private def insert(buf: List[Long], v: Long): List[Long] = {
-    if (buf.lengthCompare(k) >= 0 && v >= buf.last) buf
+    if (buf.lengthCompare(k) >= 0 && v >= buf.head) buf
     else {
-      val (front, back) = buf.span(_ < v)
+      val (front, back) = buf.span(_ > v)
       if (back.headOption.contains(v)) buf
-      else (front ::: v :: back).take(k)
+      else {
+        val merged = front ::: v :: back
+        // over capacity by exactly one → evict the largest (the head)
+        if (merged.lengthCompare(k) > 0) merged.tail else merged
+      }
     }
   }
 
@@ -42,7 +50,7 @@ class KmvSketchAggregator(k: Int)
     b.foldLeft(a)(insert)
 
   override def finish(buf: List[Long]): KmvSketch =
-    KmvSketch(buf.size, if (buf.isEmpty) 0L else buf.last)
+    KmvSketch(buf.size, if (buf.isEmpty) 0L else buf.head)
 
   override def bufferEncoder: Encoder[List[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()

@@ -290,11 +290,20 @@ object Dedup {
       .filter(col(scoreCol) === col("_best"))
       .groupBy(col("component_id"))
       .agg(min(col(idCol)).as("_rep"))
-    docs.select(col(idCol))
-      .join(comp, Seq(idCol), "left")
-      .join(reps, Seq("component_id"), "left")
+    // per-member redirect built on the SMALL duplicated slice first:
+    // component_id is the cluster's min id, so an all-NULL-score cluster
+    // (no reps row) degrades to the min-id policy instead of silently
+    // keeping every duplicate — the same row a NULLS-LAST ranking picks
+    val redirect = comp.join(reps, Seq("component_id"), "left")
       .select(col(idCol),
-        coalesce(col("_rep"), col(idCol)).as("canonical_id"))
+        coalesce(col("_rep"), col("component_id")).as("_canon"))
+    // ONE corpus-wide hash-join on the id (same shape as canonicalize);
+    // joining the full corpus on component_id would send every
+    // non-clustered row's NULL key to a single shuffle partition
+    docs.select(col(idCol))
+      .join(redirect, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_canon"), col(idCol)).as("canonical_id"))
       .withColumn("kept", col(idCol) === col("canonical_id"))
   }
 

@@ -73,6 +73,16 @@ class DedupSpec extends SparkSpec {
       case i  => (i, i, true)
     }
     assert(got === expected)
+    // an all-NULL-score cluster degrades to the min-id policy (it must
+    // still deduplicate, not silently keep every member)
+    val nullDocs = Seq[(Long, String, Option[Long])](
+      (2L, "a", None), (5L, "b", None), (7L, "c", None), (8L, "d", Some(1L)))
+      .toDF("doc_id", "text", "score")
+    val gotNull = Dedup.canonicalizeBy(nullDocs, "doc_id", "score",
+        Seq((2L, 5L), (5L, 7L)).toDF("a_id", "b_id"), "a_id", "b_id")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(gotNull === Seq((2L, 2L, true), (5L, 2L, false),
+      (7L, 2L, false), (8L, 8L, true)))
   }
 
   test("spanOverlap counts spans shared across documents") {
