@@ -421,7 +421,7 @@ object CdcStream {
   }
 
   final case class BandRow(band: Int, band_key: String, doc_id: Long,
-      sig: Seq[Long])
+      sig: Seq[Long], ts: java.sql.Timestamp)
   final case class BandDoc(doc_id: Long, sig: Seq[Long])
   final case class BandState(docs: List[BandDoc], overflowed: Boolean)
   final case class NearDupCand(a_id: Long, b_id: Long, band: Int,
@@ -463,10 +463,20 @@ object CdcStream {
     * Exactly-once caveat: a pair straddling micro-batches is emitted
     * once (state sees the earlier doc); both docs in ONE batch emit
     * once, deterministically ordered by doc id.
+    *
+    * `eventTime = Some((tsCol, horizon))` bounds state by EVENT TIME:
+    * the input gets a `horizon` watermark, each bucket's expiry extends
+    * to `horizon` past its newest member, and buckets idle past the
+    * watermark are REMOVED — docs further apart than the horizon are
+    * not compared, the same contract as `dedupStream`'s
+    * dropDuplicatesWithinWatermark. Without it state grows with the
+    * number of distinct band buckets forever (fine for tests, not for
+    * an unbounded production stream).
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5, maxBucket: Int = 1000)
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      eventTime: Option[(String, String)] = None)
       : org.apache.spark.sql.Dataset[NearDupCand] = {
     require(numHashes % bands == 0,
       s"bands must divide numHashes: $bands, $numHashes")
@@ -480,7 +490,15 @@ object CdcStream {
     // hash shingle text to 60-bit longs ONCE per row, then the k seeded
     // hashes run over short decimal strings — same two-level scheme (and
     // identical bits) as hashedShingleTable + minHashSignatures
-    val withSig = docs
+    val watermarked = eventTime match {
+      case Some((tsCol, horizon)) => docs.withWatermark(tsCol, horizon)
+      case None => docs
+    }
+    val tsExpr = eventTime match {
+      case Some((tsCol, _)) => col(tsCol)
+      case None => lit(null).cast("timestamp")
+    }
+    val withSig = watermarked
       .withColumn("_hsh", transform(shingles, s => PortableHash.md5Long(s)))
       .withColumn("sig", array((0 until numHashes).map(i =>
         array_min(transform(col("_hsh"),
@@ -493,19 +511,28 @@ object CdcStream {
         .as(s"_b$b")
     }
     val bandRows = withSig
-      .select(col(idCol).as("doc_id"), col("sig"),
+      .select(col(idCol).as("doc_id"), col("sig"), tsExpr.as("_nd_ts"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
-        col("doc_id"), col("sig"))
+        col("doc_id"), col("sig"), col("_nd_ts").as("ts"))
       .as[BandRow]
+    val timeoutConf =
+      if (eventTime.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bandRows.groupByKey(r => (r.band, r.band_key))
       .flatMapGroupsWithState[BandState, NearDupCand](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_: (Int, String), batch: Iterator[BandRow],
             state: GroupState[BandState]) =>
+          if (state.hasTimedOut) {
+            // idle past the horizon: release the bucket entirely
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(BandState(Nil, overflowed = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCand]
-          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+          val rows = batch.toSeq
+          rows.sortBy(_.doc_id).foreach { d =>
             if (!st.docs.exists(_.doc_id == d.doc_id)) {
               if (st.docs.sizeIs >= maxBucket) {
                 if (!st.overflowed) // surface recall loss ONCE per bucket
@@ -526,7 +553,13 @@ object CdcStream {
             }
           }
           state.update(st)
+          eventTime.foreach { case (_, horizon) =>
+            // expiry rides the newest member: horizon past max event time
+            state.setTimeoutTimestamp(
+              rows.iterator.map(_.ts.getTime).max, horizon)
+          }
           out.iterator
+          }
       }
   }
 }

@@ -400,4 +400,38 @@ class CdcStreamSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
     assert(batchPairs === pairs)
   }
+
+  test("near-dup state expires past the event-time horizon") {
+    val dir = Files.createTempDirectory("stream_ndttl").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two three four five six seven eight nine ten"
+    val third = "red green blue cyan magenta yellow black white gray pink"
+    // b1 seeds bucket A at 10:00 (expiry 11:00 with a 1h horizon);
+    // b2 advances the watermark to 12:00; b3 gives bucket A an idle
+    // trigger at watermark > expiry → state removed; b4's identical doc
+    // must NOT pair with doc 1 — only with its same-batch twin
+    Seq((1L, ts(10, 0), same)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, ts(13, 0), other)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    Seq((4L, ts(13, 30), third)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(s"$dir/b3")
+    Seq((5L, ts(13, 45), same), (6L, ts(13, 50), same))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b4")
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.nearDupStream(stream, "doc_id", "text",
+        eventTime = Some(("ts", "1 hour")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndttl_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val pairs = spark.table("ndttl_out").filter(!$"overflow")
+      .select("a_id", "b_id").as[(Long, Long)].collect().distinct.sorted.toSeq
+    assert(pairs === Seq((5L, 6L)),
+      "expired bucket must not pair across the horizon; fresh twins must")
+  }
 }
