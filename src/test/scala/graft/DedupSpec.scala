@@ -42,6 +42,33 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("connected components equal driver-side union-find on random graphs") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // ground truth: classic union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(v => v -> find(v)).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("a_id", "b_id"), "a_id", "b_id")
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"trial $trial diverged from union-find")
+    }
+  }
+
   test("canonicalize folds clusters onto the full corpus as kept verdicts") {
     import graft.operators.Dedup
     val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
