@@ -29,11 +29,24 @@ import java.time.Instant
   *     [--only-snapshot | --only-datadiff] [--chunk-size 1000] \
   *     [--start-position 0]                 # resume digest validate here
   *     [--max-concurrent-tables 8]          # driver-side table fan-out
+  *     [--interactive]                      # prompt for every field instead
   */
 object Main {
 
   def main(args: Array[String]): Unit = {
-    val opts = parse(args.toList, Map.empty.withDefault(_ => Nil))
+    // reference parity: the client's no-flags build prompts for every
+    // parameter with a default (main.rs:157-285, inquire). `--interactive`
+    // collects the same fields from stdin and then runs the normal flow.
+    val effectiveArgs =
+      if (args.contains("--interactive"))
+        interactiveArgs { (label, default) =>
+          Console.out.print(
+            if (default.isEmpty) s"$label: " else s"$label [$default]: ")
+          Console.out.flush()
+          Option(scala.io.StdIn.readLine()).map(_.trim).getOrElse("")
+        }
+      else args.toList
+    val opts = parse(effectiveArgs, Map.empty.withDefault(_ => Nil))
     def one(k: String): Option[String] = opts(k).headOption
     def flag(k: String): Boolean = opts(k).nonEmpty
 
@@ -221,6 +234,51 @@ object Main {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
       .toSeq.sorted
+  }
+
+  /** Prompt-driven argument assembly (reference main.rs:157-285): each
+    * field asks once with a default; EMPTY answers take the default, and
+    * fields whose resolved value is empty are omitted entirely. The
+    * result feeds the SAME parser/flow as flag invocation, so the two
+    * entry styles cannot drift.
+    */
+  private[graft] def interactiveArgs(ask: (String, String) => String)
+      : List[String] = {
+    def get(label: String, default: String): String = {
+      val a = ask(label, default)
+      if (a.isEmpty) default else a
+    }
+    val out = List.newBuilder[String]
+    def opt(flag: String, label: String, default: String = ""): String = {
+      val v = get(label, default)
+      if (v.nonEmpty) out ++= List(s"--$flag", v)
+      v
+    }
+    def multi(flag: String, label: String, sep: String = "[,\\s]+"): Unit =
+      get(label, "").split(sep).filter(_.nonEmpty)
+        .foreach(v => out ++= List(s"--$flag", v))
+    opt("base-dir", "CDC base dir (bucket/prefix/db/schema)")
+    opt("schema", "Database schema", "public")
+    val mode = opt("mode",
+      "Mode (full-load-only | date-aware | absolute-path)", "full-load-only")
+    if (mode == "date-aware") {
+      opt("start-date", "Start date (ISO-8601, e.g. 2024-01-01T00:00:00Z)")
+      opt("stop-date", "Stop date (blank = none)")
+    }
+    if (mode == "absolute-path") opt("path", "Absolute file path")
+    multi("table", "Tables to include (comma/space separated, blank = all)")
+    multi("exclude-table", "Tables to exclude (comma/space separated)")
+    // pk specs keep their commas (table=col1,col2) — split on spaces only
+    multi("pk", "Primary keys (table=col1,col2, space separated)", "\\s+")
+    val target = opt("target-jdbc", "Target JDBC URL (blank = parquet out)")
+    if (target.isEmpty) opt("out", "Parquet output dir")
+    opt("expected-jdbc", "Source JDBC URL to validate against (blank = skip)")
+    opt("jdbc-user", "JDBC user")
+    opt("jdbc-password", "JDBC password")
+    opt("chunk-size", "Digest chunk size", "1000")
+    opt("start-position", "Digest resume position", "0")
+    if (get("Snapshot only? (y/n)", "n") == "y") out += "--only-snapshot"
+    out.result()
   }
 
   @annotation.tailrec

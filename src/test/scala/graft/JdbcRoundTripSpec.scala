@@ -267,6 +267,66 @@ class JdbcRoundTripSpec extends SparkSpec {
       exclude = false).sorted === Seq("disc_a", "disc_junk"))
   }
 
+  test("interactive prompts assemble the same flags the parser takes") {
+    val answers = Map(
+      "CDC base dir (bucket/prefix/db/schema)" -> "/data/db",
+      "Mode (full-load-only | date-aware | absolute-path)" -> "date-aware",
+      "Start date (ISO-8601, e.g. 2024-01-01T00:00:00Z)" ->
+        "2024-01-01T00:00:00Z",
+      "Tables to include (comma/space separated, blank = all)" -> "t1, t2",
+      "Primary keys (table=col1,col2, space separated)" -> "t1=id,v t2=id",
+      "Parquet output dir" -> "/data/out",
+      "Digest chunk size" -> "",         // blank → default
+      "Snapshot only? (y/n)" -> "y")
+    val args = graft.cli.Main.interactiveArgs(
+      (label, _) => answers.getOrElse(label, ""))
+    assert(args.containsSlice(List("--base-dir", "/data/db")))
+    assert(args.containsSlice(List("--mode", "date-aware")))
+    assert(args.containsSlice(List("--start-date", "2024-01-01T00:00:00Z")))
+    assert(args.containsSlice(List("--table", "t1", "--table", "t2")))
+    // pk specs keep their commas; only spaces separate specs
+    assert(args.containsSlice(List("--pk", "t1=id,v", "--pk", "t2=id")))
+    assert(args.containsSlice(List("--chunk-size", "1000"))) // default
+    assert(args.contains("--only-snapshot"))
+    assert(args.containsSlice(List("--out", "/data/out")))
+    assert(!args.contains("--target-jdbc") && !args.contains("--stop-date"))
+  }
+
+  test("CLI end-to-end: --interactive snapshots from scripted stdin") {
+    val base = Files.createTempDirectory("cliint").toString
+    val tdir = s"$base/db/int_items"
+    val load = (1L to 20L).map(i => ("I", "t0", i, s"v$i"))
+      .toDF(C.Op, C.IngestTs, "id", "v")
+    load.coalesce(1).write.parquet(s"$tdir/_w")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tdir/_w"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$tdir/LOAD00000001.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tdir/_w"), true)
+    // answers in prompt order; blanks take defaults / omit the field
+    val stdin = Seq(
+      s"$base/db", // base dir
+      "",          // schema → public
+      "",          // mode → full-load-only
+      "int_items", // include
+      "",          // exclude
+      "int_items=id",
+      "",          // target-jdbc → blank (parquet out)
+      s"$base/out",
+      "",          // expected-jdbc
+      "", "",      // user/password
+      "", "",      // chunk size, start position
+      "y"          // snapshot only
+    ).mkString("\n") + "\n"
+    val in = new java.io.ByteArrayInputStream(
+      stdin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Console.withIn(in) {
+      graft.cli.Main.main(Array("--interactive"))
+    }
+    assert(spark.read.parquet(s"$base/out/int_items").count() === 20)
+  }
+
   test("CLI rejects --out together with --target-jdbc") {
     val e = intercept[RuntimeException] {
       graft.cli.Main.main(Array(
