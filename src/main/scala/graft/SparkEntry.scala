@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
+    "dedup_simhash_buckets" -> (DedupQueries.simHashOversized _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_components" -> (DedupQueries.components _),
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
+    "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_components" -> DedupQueries.componentsSql,
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,

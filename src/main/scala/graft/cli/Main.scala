@@ -257,6 +257,7 @@ object Main {
     def multi(flag: String, label: String, sep: String = "[,\\s]+"): Unit =
       get(label, "").split(sep).filter(_.nonEmpty)
         .foreach(v => out ++= List(s"--$flag", v))
+    def yes(label: String): Boolean = get(label, "n") == "y"
     opt("base-dir", "CDC base dir (bucket/prefix/db/schema)")
     opt("schema", "Database schema", "public")
     val mode = opt("mode",
@@ -272,12 +273,30 @@ object Main {
     multi("pk", "Primary keys (table=col1,col2, space separated)", "\\s+")
     val target = opt("target-jdbc", "Target JDBC URL (blank = parquet out)")
     if (target.isEmpty) opt("out", "Parquet output dir")
-    opt("expected-jdbc", "Source JDBC URL to validate against (blank = skip)")
+    else if (yes("Create target tables from the source catalog? (y/n)"))
+      out += "--create-tables"
+    opt("source-jdbc",
+      "Source JDBC URL for table discovery (blank = list the CDC dir)")
+    // mutual exclusion by construction: the parquet-expected prompt only
+    // appears when no live validate source was named (the flag parser
+    // rejects the pair, so prompting for both would dead-end the run)
+    val expectedJdbc = opt("expected-jdbc",
+      "Source JDBC URL to validate against (blank = skip)")
+    if (expectedJdbc.isEmpty)
+      opt("expected",
+        "Expected parquet state dir to validate against (blank = skip)")
     opt("jdbc-user", "JDBC user")
     opt("jdbc-password", "JDBC password")
+    multi("jdbc-prop",
+      "JDBC driver properties (key=value, space separated)", "\\s+")
     opt("chunk-size", "Digest chunk size", "1000")
     opt("start-position", "Digest resume position", "0")
-    if (get("Snapshot only? (y/n)", "n") == "y") out += "--only-snapshot"
+    opt("max-concurrent-tables", "Max concurrent tables", "8")
+    // reference inquire order asks datadiff-only before snapshot-only
+    // (main.rs:235-243); asking the second only when the first is
+    // declined keeps the two flags mutually exclusive by construction
+    if (yes("Data comparison only? (y/n)")) out += "--only-datadiff"
+    else if (yes("Snapshot only? (y/n)")) out += "--only-snapshot"
     out.result()
   }
 

@@ -21,8 +21,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Scale guards: LSH buckets and blocking keys can skew (a boilerplate
   * shingle shared by everything). `maxBucket` caps the pairs a single
-  * bucket may generate — dropped buckets are REPORTED via the returned
-  * DataFrame of `oversizedBuckets`, never silently ignored.
+  * bucket may generate — dropped buckets are REPORTED via
+  * [[Dedup.NearDupReport]]'s `oversizedBuckets` (each detector has a
+  * `...Report` form returning it; the pairs-only forms document that
+  * their recall claim is conditional on that report being empty).
   *
   * Caching contract: the pipelines persist branch-shared intermediates
   * (shingle/band-key/edge tables) through the [[graft.plans.CachedPlans]]
@@ -35,27 +37,38 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** A near-dup detector's complete result: the verified `pairs` plus
+    * the `oversizedBuckets` report — one row `(band, band_key,
+    * bucket_size)` per LSH/blocking bucket whose population exceeded
+    * `maxBucket` and was therefore EXCLUDED from pair generation.
+    *
+    * An EMPTY report certifies the producing detector's recall claim
+    * (for simhash: exact by pigeonhole; for minhash/ngram: the standard
+    * LSH probability). A non-empty one quantifies exactly which blocking
+    * keys lost candidates — typically boilerplate shared by everything
+    * (inspect the keys, raise `maxBucket`, or strip the template
+    * upstream). Both members are lazy plans sharing the cached band-key
+    * table, so asking for the report costs one extra aggregate over an
+    * already-persisted intermediate, not a pipeline re-run.
+    */
+  final case class NearDupReport(pairs: DataFrame, oversizedBuckets: DataFrame)
+
   /** Rebalance a source whose file layout under-parallelizes the cluster
     * (one small parquet file = one partition = one core doing all the
     * CPU-heavy shingling/hashing). No-op when the source is already
     * parallel enough — at real scale inputs arrive with many splits.
     *
-    * Parallelism probe: `inputFiles` for file-backed plans (a pure
-    * catalog lookup — `df.rdd` would instantiate the full plan-to-RDD
-    * conversion, which on a wide plan at scale is itself expensive);
-    * non-file sources fall back to the RDD partition count.
+    * Parallelism probe: the PLANNED scan partitions, not the raw file
+    * count — Spark bin-packs small files (`maxPartitionBytes` /
+    * `openCostInBytes`), so many tiny files can still collapse into a
+    * handful of splits, and one big parquet file can split into many.
+    * The plan-to-RDD conversion is cheap on the simple scan plans this
+    * helper receives (a wide plan would be handed to it pre-balanced).
     */
-  private[operators] def balanced(df: DataFrame): DataFrame = {
+  private[graft] def balanced(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val threshold = math.max(target / 2, 2)
-    // cheap sufficient check first: many input files ⇒ many splits. A
-    // LOW file count is NOT sufficient to conclude under-parallelism
-    // (one big parquet file still splits into many partitions), so only
-    // then pay the accurate rdd-partition probe — on the simple scan
-    // plans this helper receives, that conversion is cheap.
-    if (df.inputFiles.length >= threshold) df
-    else if (df.rdd.getNumPartitions < threshold) df.repartition(target)
-    else df
+    if (df.rdd.getNumPartitions < threshold) df.repartition(target) else df
   }
 
   /** Distinct (id, shingle) pairs — the shared primitive. wordShingles
@@ -382,11 +395,13 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
-    * pairs → exact-Jaccard verify ≥ threshold.
+    * pairs → exact-Jaccard verify ≥ threshold, with the oversized-bucket
+    * report propagated (see [[NearDupReport]]).
     */
-  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+  def minHashNearDupsReport(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5, portable: Boolean = true): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      portable: Boolean = true): NearDupReport = {
     // the shingle table feeds signatures AND the Jaccard verify (3 branch
     // reads) — persist it once instead of re-exploding the corpus per use;
     // hashed-to-long so the 12 seeded hashes and the verify joins never
@@ -395,10 +410,23 @@ object Dedup {
     val sh = CachedPlans.cached(
       hashedShingleTable(docs, idCol, textCol, shingleN, portable))
     val sig = minHashSignatures(sh, idCol, numHashes, portable)
-    val (pairs, _) = candidatePairs(
-      lshBandKeys(sig, idCol, bands, numHashes / bands, portable), idCol)
-    jaccardFor(pairs, sh, idCol).filter(col("jaccard") >= threshold)
+    val (pairs, oversized) = candidatePairs(
+      lshBandKeys(sig, idCol, bands, numHashes / bands, portable), idCol,
+      maxBucket)
+    NearDupReport(
+      jaccardFor(pairs, sh, idCol).filter(col("jaccard") >= threshold),
+      oversized)
   }
+
+  /** Pairs-only convenience form of [[minHashNearDupsReport]]. Recall is
+    * the standard LSH probability ONLY over buckets within `maxBucket`;
+    * use the Report form to learn which (if any) buckets were excluded.
+    */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, portable: Boolean = true): DataFrame =
+    minHashNearDupsReport(docs, idCol, textCol, shingleN, numHashes, bands,
+      threshold, portable = portable).pairs
 
   /** Per-doc SimHash bit-string over distinct tokens: bit j is the
     * majority vote of hash-bit j across the doc's tokens (strict
@@ -426,22 +454,29 @@ object Dedup {
   }
 
   /** Banded SimHash near-duplicates: pairs within `maxHamming` bit flips
-    * over `bits`-bit signatures. Unlike probabilistic LSH, recall here is
-    * EXACT by pigeonhole: with `bands` > maxHamming, any pair within the
-    * distance leaves at least one band untouched, so it collides in that
-    * band's bucket — Manku/Jain/Sarma's web-dedup construction.
+    * over `bits`-bit signatures, plus the oversized-bucket report.
+    *
+    * Recall: with `bands` > maxHamming, any pair within the distance
+    * leaves at least one band untouched, so it collides in that band's
+    * bucket — Manku/Jain/Sarma's web-dedup construction. The pigeonhole
+    * guarantee is EXACT if and only if `oversizedBuckets` is EMPTY: a
+    * band bucket over `maxBucket` (template/boilerplate-heavy corpora —
+    * real data skews hard, one hot bucket can hold most of the corpus)
+    * is excluded from pair generation, and pairs whose only untouched
+    * band landed in it are lost. The report row names that bucket, so
+    * the loss is quantified rather than silent.
     *
     * Shape: signatures once (one explode + one partial-agg groupBy),
-    * band buckets via `candidatePairs` (capped, oversized REPORTED), and
+    * band buckets via `candidatePairs` (capped, oversized reported), and
     * a 32-term codegen'd Hamming verify on the candidate pairs only —
     * never all-pairs.
     */
-  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+  def simHashNearDupsReport(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): NearDupReport = {
     require(bits % bands == 0, s"bands must divide bits: $bands, $bits")
     require(bands > maxHamming,
-      s"exact recall needs bands > maxHamming, got $bands <= $maxHamming")
+      s"pigeonhole recall needs bands > maxHamming, got $bands <= $maxHamming")
     val rows = bits / bands
     // the signature table feeds bands + both verify sides
     val sh = CachedPlans.cached(simHash(docs, idCol, textCol, bits))
@@ -449,11 +484,11 @@ object Dedup {
         lit(b).as("band"),
         substring(col("simhash"), b * rows + 1, rows).as("band_key")))
       .reduce(_ unionByName _)
-    val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
+    val (pairs, oversized) = candidatePairs(blocks, idCol, maxBucket)
     val ham = (1 to bits).map(i =>
       when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)
-    pairs
+    val verified = pairs
       .join(sh.select(col(idCol).as("a_id"), col("simhash").as("_sa")),
         Seq("a_id"))
       .join(sh.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
@@ -461,7 +496,20 @@ object Dedup {
       .withColumn("hamming", ham)
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
+    NearDupReport(verified, oversized)
   }
+
+  /** Pairs-only convenience form of [[simHashNearDupsReport]]. Recall is
+    * exact by pigeonhole ONLY when no band bucket exceeds `maxBucket`;
+    * this form cannot tell you whether that held — callers who need the
+    * guarantee (or the list of excluded buckets) must use the Report
+    * form and check `oversizedBuckets`.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    simHashNearDupsReport(docs, idCol, textCol, bits, bands, maxHamming,
+      maxBucket).pairs
 
   /** SimHash dup groups: identical signatures clustered, canonical id =
     * min id in group.
@@ -478,9 +526,10 @@ object Dedup {
     * one `blockN`-gram (rarer, selective) verified with Jaccard over
     * `shingleN`-grams.
     */
-  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
-      blockN: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
-      maxBucket: Int = 1000, portable: Boolean = true): DataFrame = {
+  def ngramJaccardNearDupsReport(docs: DataFrame, idCol: String,
+      textCol: String, blockN: Int = 5, shingleN: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      portable: Boolean = true): NearDupReport = {
     // tokenize ONCE for both shingle widths; the token table is tiny
     // (one row per doc) and feeds two explode chains
     val toks = CachedPlans.cached(balanced(docs).select(col(idCol),
@@ -496,7 +545,7 @@ object Dedup {
       .withColumn("band_key", blockKey)
       .drop("shingle")
       .withColumn("band", lit(0))
-    val (pairs, _) = candidatePairs(blocks, idCol, maxBucket)
+    val (pairs, oversized) = candidatePairs(blocks, idCol, maxBucket)
     // verify shingles hashed to longs too (same function as the oracle,
     // so any collision is shared and results stay identical); cached for
     // both sides of the common-shingle join
@@ -504,7 +553,18 @@ object Dedup {
       .withColumn("shingle",
         if (portable) PortableHash.md5Long(col("shingle"))
         else xxhash64(col("shingle"))))
-    jaccardFor(pairs, sh, idCol)
-      .filter(col("jaccard") >= threshold)
+    NearDupReport(
+      jaccardFor(pairs, sh, idCol).filter(col("jaccard") >= threshold),
+      oversized)
   }
+
+  /** Pairs-only convenience form of [[ngramJaccardNearDupsReport]];
+    * blocking keys over `maxBucket` are excluded — use the Report form
+    * to learn which.
+    */
+  def ngramJaccardNearDups(docs: DataFrame, idCol: String, textCol: String,
+      blockN: Int = 5, shingleN: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = 1000, portable: Boolean = true): DataFrame =
+    ngramJaccardNearDupsReport(docs, idCol, textCol, blockN, shingleN,
+      threshold, maxBucket, portable).pairs
 }

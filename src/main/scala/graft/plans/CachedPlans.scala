@@ -21,11 +21,22 @@ import scala.collection.mutable
   *   - repeated query construction (benchmark reps, verify reruns) reuses
   *     the already-warm cache with zero extra jobs.
   *
-  * Lifetime contract: entries live until [[clear]] (which unpersists) or
-  * session end — the same "long-lived sessions call clearCache() between
-  * corpora" contract the Dedup pipelines already document. Entries are
-  * tiny (a plan reference + DataFrame), the cached BLOCKS are governed by
-  * Spark's MEMORY_AND_DISK storage with LRU eviction.
+  * Staleness guard: the key also carries a SNAPSHOT FINGERPRINT — the
+  * digest of the plan's input-file listing. Two reads of the same path
+  * canonicalize to the same plan even when the files underneath were
+  * rewritten in between (Spark writes fresh unique part-file names per
+  * job, so a rewrite always changes the listing); fingerprinting the
+  * listing makes the post-rewrite build MISS the stale entry and rebuild
+  * from current data, while byte-identical re-reads still hit. Non-file
+  * sources (JDBC, in-memory) have an empty listing and fall back to pure
+  * plan keying. The fingerprint reads the FileIndex listing already
+  * materialized by `spark.read` — no extra filesystem calls.
+  *
+  * Lifetime contract: entries live until [[clear]] (which unpersists
+  * registry persists AND releases checkpoint blocks backing memoized
+  * results) or session end. Entries are tiny (a plan reference + a
+  * DataFrame); the cached BLOCKS are governed by Spark's MEMORY_AND_DISK
+  * storage with LRU eviction.
   */
 object CachedPlans {
 
@@ -43,17 +54,35 @@ object CachedPlans {
     def peek: Option[DataFrame] = result
   }
 
+  /** MD5 of the sorted input-file listing — the plan's data snapshot
+    * identity. Empty string for non-file-backed plans.
+    */
+  private def snapshot(df: DataFrame): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.sorted.foreach { f =>
+        md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0.toByte)
+      }
+      java.util.Base64.getEncoder.encodeToString(md.digest())
+    }
+  }
+
   // key includes the session: identical plans from different sessions
   // must not share a DataFrame (its execution is bound to its session)
-  private val entries =
-    mutable.Map.empty[(org.apache.spark.sql.SparkSession, LogicalPlan), Lazy]
+  private val entries = mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, LogicalPlan, String), Lazy]
 
-  /** Persist-and-eagerly-fill `df` once per (session, canonical plan);
-    * later calls with a semantically identical plan return the SAME
-    * cached DataFrame without touching the CacheManager again.
+  /** Persist-and-eagerly-fill `df` once per (session, canonical plan,
+    * input snapshot); later calls with a semantically identical plan
+    * over the SAME files return the SAME cached DataFrame without
+    * touching the CacheManager again.
     */
   def cached(df: DataFrame): DataFrame = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val key = (df.sparkSession,
+      df.queryExecution.analyzed.canonicalized, snapshot(df))
     val holder = synchronized {
       entries.getOrElseUpdate(key, new Lazy(() => {
         df.persist()
@@ -68,27 +97,48 @@ object CachedPlans {
   // so their OUTPUT plan is unique per run and [[cached]] can never
   // dedup them; memoizing on the INPUT plan + an operator tag shares one
   // run across queries deriving the same upstream
-  private val memos =
-    mutable.Map.empty[(org.apache.spark.sql.SparkSession, LogicalPlan, String), Lazy]
+  private val memos = mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, LogicalPlan, String, String), Lazy]
 
-  /** Memoize `build` once per (session, canonical plan of `key`, `tag`).
-    * Same lifetime contract as [[cached]]: entries live until [[clear]]
-    * or session end — callers re-running against CHANGED underlying data
-    * in one session must clear first. The build runs outside the
-    * registry lock (see [[Lazy]]).
+  /** Memoize `build` once per (session, canonical plan of `key`, input
+    * snapshot of `key`, `tag`). Same lifetime contract as [[cached]]:
+    * entries live until [[clear]] or session end; a rewrite of the
+    * underlying files changes the snapshot and triggers a fresh build.
+    * The build runs outside the registry lock (see [[Lazy]]).
     */
   def memo(tag: String, key: DataFrame)(build: => DataFrame): DataFrame = {
     val holder = synchronized {
       memos.getOrElseUpdate(
-        (key.sparkSession, key.queryExecution.analyzed.canonicalized, tag),
+        (key.sparkSession, key.queryExecution.analyzed.canonicalized,
+          snapshot(key), tag),
         new Lazy(() => build))
     }
     holder.value
   }
 
-  /** Unpersist every registered intermediate and forget it. */
+  /** Release the storage behind a built result: the registry persist
+    * (if any) and any checkpoint blocks its plan reads from —
+    * `localCheckpoint` results are LogicalRDD leaves over persisted
+    * RDDs that `DataFrame.unpersist` alone would never touch. Reliable
+    * checkpoint files are left to the ContextCleaner (they survive
+    * executor loss by design; deleting them under a live reference
+    * would be worse than the leak).
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist(false)
+    df.queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Unpersist every registered intermediate (including checkpoint
+    * blocks backing memoized iterative results) and forget it.
+    */
   def clear(): Unit = synchronized {
-    entries.values.foreach(_.peek.foreach(_.unpersist(false)))
+    entries.values.foreach(_.peek.foreach(release))
+    memos.values.foreach(_.peek.foreach(release))
     entries.clear()
     memos.clear()
   }

@@ -182,16 +182,25 @@ object AdvancedQueries {
     * counts. No cross-engine oracle exists for HLL internals (Spark's
     * relative-error HLL++ differs from other engines' sketches), so this
     * op is declared WITHOUT an oracle — the driver records the weaker
-    * rows-only check. At 100 TB, sketches are how you count distinct
-    * URLs/users per slice without a distinct-expand shuffle.
+    * rows-only check. The check that IS possible rides in the result:
+    * each estimate sits next to its exact count, so any consumer (and
+    * ApproxDistinctSpec) can assert the relative error against the
+    * configured rsd without reproducing the sketch. At 100 TB, sketches
+    * are how you count distinct URLs/users per slice without a
+    * distinct-expand shuffle.
     */
+  val ApproxDistinctRsd = 0.02
+
   def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     tbl(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), ApproxDistinctRsd)
+          .as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        approx_count_distinct(col("l_orderkey"), ApproxDistinctRsd)
+          .as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
 
   /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE sketch:

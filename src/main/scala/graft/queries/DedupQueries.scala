@@ -339,6 +339,32 @@ object DedupQueries {
       tbl(spark, sfDir, "documents"), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Oversized-bucket REPORT for the banded-simhash detector at a low
+    * cap (maxBucket = 100): which band buckets were excluded from pair
+    * generation and how big they were. This is the recall-loss audit a
+    * 100 TB run reads before trusting the pair set — real corpora skew
+    * hard (at sf0.01 one band bucket holds 421 of 500 docs), so the
+    * report is non-empty on the shipped test data by construction.
+    */
+  def simHashOversized(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.simHashNearDupsReport(
+      tbl(spark, sfDir, "documents"), "doc_id", "text", maxBucket = 100)
+      .oversizedBuckets
+      .orderBy(col("band"), col("band_key"))
+
+  def simHashOversizedSql: String = {
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${b * 8 + 1}, 8) AS band_key FROM sh")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $simhashSigCtes,
+      |bk AS (
+      |  $bandSelects)
+      |SELECT band, band_key, count(*) AS bucket_size
+      |FROM bk GROUP BY band, band_key
+      |HAVING count(*) > 100
+      |ORDER BY band, band_key""".stripMargin
+  }
+
   def simHashNearDupsSql: String = {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, substr(simhash, ${b * 8 + 1}, 8) AS band_key FROM sh")

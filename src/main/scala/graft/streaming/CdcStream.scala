@@ -460,9 +460,15 @@ object CdcStream {
     * buckets. A production deployment also ages state out by event
     * time.
     *
-    * Exactly-once caveat: a pair straddling micro-batches is emitted
-    * once (state sees the earlier doc); both docs in ONE batch emit
-    * once, deterministically ordered by doc id.
+    * Emission multiplicity: a pair straddling micro-batches is emitted
+    * once PER COLLIDING BAND (state sees the earlier doc; the `band`
+    * column disambiguates); both docs in ONE batch likewise emit once
+    * per shared band, deterministically ordered by doc id. A pair whose
+    * signatures agree on several bands therefore appears up to `bands`
+    * times — downstream consumers needing unique pairs drop the band
+    * column and dedupe on (a_id, b_id). Collapsing inside the operator
+    * would require cross-bucket state (buckets are the state keys), so
+    * the per-band form is the scalable contract.
     *
     * `eventTime = Some((tsCol, horizon))` bounds state by EVENT TIME:
     * the input gets a `horizon` watermark, each bucket's expiry extends
@@ -513,6 +519,11 @@ object CdcStream {
     val bandRows = withSig
       .select(col(idCol).as("doc_id"), col("sig"), tsExpr.as("_nd_ts"),
         explode(array(bandCols: _*)).as("bk"))
+      // a null event time cannot be placed on the watermark timeline
+      // (and would NPE the bucket-expiry max below): drop such rows
+      // BEFORE the stateful operator, mirroring how Spark's own
+      // watermark-driven stateful ops treat null event-time rows
+      .filter(eventTime.fold(lit(true))(_ => col("_nd_ts").isNotNull))
       .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
         col("doc_id"), col("sig"), col("_nd_ts").as("ts"))
       .as[BandRow]

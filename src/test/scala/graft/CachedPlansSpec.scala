@@ -33,4 +33,41 @@ class CachedPlansSpec extends SparkSpec {
     assert(d.storageLevel.useMemory && d.count() === 33)
     CachedPlans.clear()
   }
+
+  test("rewritten input files miss the stale entry and rebuild") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    spark.range(0, 10).toDF("n").write.mode("overwrite").parquet(dir)
+    val a = CachedPlans.cached(spark.read.parquet(dir))
+    assert(a.count() === 10)
+    // same path, same canonical plan — but the files underneath changed;
+    // the snapshot fingerprint must force a rebuild, not serve 10 rows
+    spark.range(0, 25).toDF("n").write.mode("overwrite").parquet(dir)
+    val b = CachedPlans.cached(spark.read.parquet(dir))
+    assert(!(b eq a), "rewritten input must not hit the stale entry")
+    assert(b.count() === 25)
+    // unchanged files still hit (one entry, same instance back)
+    val c = CachedPlans.cached(spark.read.parquet(dir))
+    assert(c eq b)
+    CachedPlans.clear()
+  }
+
+  test("clear releases checkpoint blocks behind memoized results") {
+    CachedPlans.clear()
+    val pairs = Seq((11L, 12L), (12L, 13L), (21L, 22L)).toDF("a_id", "b_id")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "a_id", "b_id")
+    assert(cc.count() === 5)
+    // the memoized label table is localCheckpoint-backed: its plan reads
+    // persisted RDD blocks that DataFrame.unpersist alone never touches
+    val rdds = cc.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    assert(rdds.nonEmpty, "expected a checkpoint-backed plan")
+    assert(rdds.exists(r => r.getStorageLevel.useMemory
+      || r.getStorageLevel.useDisk), "checkpoint blocks should be live")
+    CachedPlans.clear()
+    assert(rdds.forall(_.getStorageLevel ===
+      org.apache.spark.storage.StorageLevel.NONE),
+      "clear() must release memoized checkpoint blocks")
+  }
 }

@@ -434,4 +434,30 @@ class CdcStreamSpec extends SparkSpec {
     assert(pairs === Seq((5L, 6L)),
       "expired bucket must not pair across the horizon; fresh twins must")
   }
+
+  test("near-dup stream survives null event-time rows") {
+    val dir = Files.createTempDirectory("stream_ndnull").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // a null-timestamp row rides along in BOTH batches: it must be
+    // dropped (not NPE the bucket-expiry max) and never pair
+    Seq((1L, Option(ts(10, 0)), same), (2L, Option.empty[java.sql.Timestamp], same))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((3L, Option(ts(10, 5)), same), (4L, Option.empty[java.sql.Timestamp], same))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b2")
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.nearDupStream(stream, "doc_id", "text",
+        eventTime = Some(("ts", "1 hour")))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndnull_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val pairs = spark.table("ndnull_out").filter(!$"overflow")
+      .select("a_id", "b_id").as[(Long, Long)].collect().distinct.sorted.toSeq
+    assert(pairs === Seq((1L, 3L)),
+      "timestamped twins pair; null-ts rows are dropped, not fatal")
+  }
 }

@@ -146,6 +146,38 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("bands > maxHamming"))
   }
 
+  test("simHashNearDupsReport surfaces buckets dropped by the cap") {
+    import graft.operators.Dedup
+    // ten identical docs share one signature, hence every band bucket,
+    // so maxBucket = 4 drops those hot buckets; an unrelated close pair
+    // must still be found through its own small buckets
+    val template = "alpha beta gamma delta epsilon zeta eta theta"
+    val hot = (1L to 10L).map(i => (i, template))
+    val other = Seq(
+      (100L, "one two three four five six seven eight"),
+      (101L, "eight seven six five four three two one one"))
+    val docs = (hot ++ other).toDF("doc_id", "text")
+
+    val capped = Dedup.simHashNearDupsReport(docs, "doc_id", "text",
+      maxBucket = 4)
+    val over = capped.oversizedBuckets
+      .select("band", "band_key", "bucket_size")
+      .as[(Int, String, Long)].collect()
+    assert(over.nonEmpty, "hot buckets must be reported, not dropped")
+    assert(over.forall(_._3 > 4))
+    // recall loss is REAL under the cap (template pairs lost) and the
+    // report explains it; the independent small-bucket pair survives
+    val cappedPairs = pairs(capped.pairs).toSet
+    assert(cappedPairs.contains((100L, 101L)))
+    assert(!cappedPairs.contains((1L, 2L)))
+    // with a generous cap the report is empty — certifying exact recall —
+    // and the template pairs reappear
+    val full = Dedup.simHashNearDupsReport(docs, "doc_id", "text",
+      maxBucket = 1000)
+    assert(full.oversizedBuckets.isEmpty)
+    assert(pairs(full.pairs).toSet.contains((1L, 2L)))
+  }
+
   test("fast minhash flavor finds the portable flavor's verified pairs") {
     assert(pairs(DedupQueries.minHashLshFast(spark, sf)) ===
       pairs(DedupQueries.minHashLsh(spark, sf)))

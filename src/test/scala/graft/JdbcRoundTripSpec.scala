@@ -292,6 +292,52 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(!args.contains("--target-jdbc") && !args.contains("--stop-date"))
   }
 
+  test("interactive prompts cover datadiff-only JDBC-target runs") {
+    val answers = Map(
+      "CDC base dir (bucket/prefix/db/schema)" -> "/data/db",
+      "Target JDBC URL (blank = parquet out)" -> "jdbc:postgresql://h/db",
+      "Create target tables from the source catalog? (y/n)" -> "y",
+      "Source JDBC URL for table discovery (blank = list the CDC dir)" ->
+        "jdbc:postgresql://src/db",
+      "Expected parquet state dir to validate against (blank = skip)" ->
+        "/data/state",
+      "JDBC driver properties (key=value, space separated)" ->
+        "sslmode=require ssl=true",
+      "Max concurrent tables" -> "4",
+      "Data comparison only? (y/n)" -> "y")
+    val args = graft.cli.Main.interactiveArgs(
+      (label, _) => answers.getOrElse(label, ""))
+    assert(args.containsSlice(List("--target-jdbc", "jdbc:postgresql://h/db")))
+    assert(args.contains("--create-tables"))
+    assert(args.containsSlice(
+      List("--source-jdbc", "jdbc:postgresql://src/db")))
+    assert(args.containsSlice(List("--expected", "/data/state")))
+    assert(args.containsSlice(List("--jdbc-prop", "sslmode=require",
+      "--jdbc-prop", "ssl=true")))
+    assert(args.containsSlice(List("--max-concurrent-tables", "4")))
+    assert(args.contains("--only-datadiff") && !args.contains("--only-snapshot"))
+    // a JDBC target means no parquet out dir is prompted for or emitted
+    assert(!args.contains("--out"))
+  }
+
+  test("a live validate source suppresses the parquet-expected prompt") {
+    val asked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val answers = Map(
+      "CDC base dir (bucket/prefix/db/schema)" -> "/d",
+      "Parquet output dir" -> "/o",
+      "Source JDBC URL to validate against (blank = skip)" ->
+        "jdbc:postgresql://s/db")
+    val args = graft.cli.Main.interactiveArgs { (label, _) =>
+      asked += label; answers.getOrElse(label, "")
+    }
+    assert(args.containsSlice(
+      List("--expected-jdbc", "jdbc:postgresql://s/db")))
+    // the parser rejects --expected with --expected-jdbc, so the prompt
+    // flow must never collect both
+    assert(!asked.exists(_.startsWith("Expected parquet")))
+    assert(!args.contains("--expected"))
+  }
+
   test("CLI end-to-end: --interactive snapshots from scripted stdin") {
     val base = Files.createTempDirectory("cliint").toString
     val tdir = s"$base/db/int_items"
@@ -314,9 +360,14 @@ class JdbcRoundTripSpec extends SparkSpec {
       "int_items=id",
       "",          // target-jdbc → blank (parquet out)
       s"$base/out",
+      "",          // source-jdbc → list the CDC dir
       "",          // expected-jdbc
+      "",          // expected (parquet state dir)
       "", "",      // user/password
+      "",          // jdbc-prop
       "", "",      // chunk size, start position
+      "",          // max concurrent tables → default
+      "",          // datadiff only → n
       "y"          // snapshot only
     ).mkString("\n") + "\n"
     val in = new java.io.ByteArrayInputStream(

@@ -53,4 +53,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(top.getLong(1) === 900L)
     assert(math.abs(top.getDouble(2) - 0.9) < 1e-9)
   }
+
+  test("balanced repartitions tiny files bin-packed into few splits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-balanced")
+      .toString
+    spark.range(0, 8).repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    val prevMin = spark.conf.getOption("spark.sql.files.minPartitionNum")
+    try {
+      // bin-pack all files into one split: a raw file count would call
+      // this "parallel enough" while the planned scan is 1 partition
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.conf.set("spark.sql.files.minPartitionNum", "1")
+      val df = spark.read.parquet(dir)
+      assert(df.inputFiles.length >= 4, "fixture needs many tiny files")
+      assert(df.rdd.getNumPartitions === 1, "fixture must bin-pack")
+      val got = graft.operators.Dedup.balanced(df)
+      assert(got.rdd.getNumPartitions ===
+        spark.sparkContext.defaultParallelism)
+      assert(got.count() === 8)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+      prevMin match {
+        case Some(v) => spark.conf.set("spark.sql.files.minPartitionNum", v)
+        case None => spark.conf.unset("spark.sql.files.minPartitionNum")
+      }
+    }
+  }
 }
