@@ -98,10 +98,13 @@ object SparkEntry {
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "chunk_documents" -> (PipelineQueries.chunkDocuments _),
     "tfidf_topk" -> (PipelineQueries.tfidfTopK _),
-    // multimodal decode is a mapPartitions stub (no codecs in env); the
-    // deterministic stub IS oracle-checked via DuckDB byte histograms
+    // mm_features keeps the deterministic byte-histogram stub (itself
+    // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
+    // codecs end-to-end with exact integer stats oracle-checked from md5
     "mm_features" -> (TextQueries.multimodalFeatures _),
-    "mm_frame_sample" -> (TextQueries.multimodalFrames _)
+    "mm_frame_sample" -> (TextQueries.multimodalFrames _),
+    "mm_decode_bmp" -> (TextQueries.multimodalDecodeBmp _),
+    "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -166,6 +169,8 @@ object SparkEntry {
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,
     "tfidf_topk" -> PipelineQueries.tfidfTopKSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
-    "mm_frame_sample" -> TextQueries.multimodalFramesSql
+    "mm_frame_sample" -> TextQueries.multimodalFramesSql,
+    "mm_decode_bmp" -> TextQueries.multimodalDecodeBmpSql,
+    "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql
   )
 }

@@ -1,0 +1,427 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+/** Pure-JVM media codecs behind a pluggable decoder interface.
+  *
+  * This closes the "decode is a stub" gap declared in [[Multimodal]]:
+  * the formats below are decoded for real, with zero non-JDK
+  * dependencies, so the same jars that run the engine also run the
+  * decoders on every executor.
+  *
+  *  - [[BmpDecoder]]  — hand-rolled BMP (BITMAPINFOHEADER, BI_RGB,
+  *    24/32 bpp, bottom-up or top-down rows, 4-byte row padding).
+  *  - [[WavDecoder]]  — hand-rolled RIFF/WAVE PCM (8-bit unsigned /
+  *    16-bit signed LE, any channel count, chunk-walk for `fmt `/`data`).
+  *  - [[ImageIoDecoder]] — PNG / JPEG / GIF via `javax.imageio`
+  *    (JDK-builtin plugins; headless-safe, no display needed).
+  *
+  * Bytes that match none of the registered magics fall back to
+  * [[Multimodal.fakeDecode]] so pipelines stay total over mixed or
+  * unknown payloads — the fallback is REPORTED via `format = "opaque"`
+  * in [[Multimodal.decodeMedia]], never silently conflated with a real
+  * decode.
+  *
+  * Scale notes: decoders are stateless `object`s (serializable by
+  * construction, shared per-executor, no per-row allocation beyond the
+  * output arrays); detection is an O(1) magic sniff so the registry walk
+  * never reads payload bodies for non-matching formats.
+  */
+object MediaCodecs {
+
+  /** Decoded media summary: typed metadata + a fixed-dim feature vector
+    * (see each decoder for the exact feature layout).
+    */
+  final case class DecodedMedia(
+      kind: String, // "image" | "audio"
+      format: String, // "bmp" | "wav" | "png" | "jpeg" | "gif"
+      width: Int, // image pixels; 0 for audio
+      height: Int, // image pixels; 0 for audio
+      channels: Int, // color or audio channels
+      sampleRate: Int, // audio Hz; 0 for images
+      nSamples: Long, // audio frames; width*height for images
+      features: Array[Float])
+
+  /** A sniff-then-decode codec. Implementations must be cheap to
+    * `detect` (magic bytes only) and total for any input `detect`
+    * accepts structurally (throw `MediaDecodeException` on a body that
+    * contradicts its header rather than returning garbage).
+    */
+  trait MediaDecoder extends Serializable {
+    def name: String
+    def detect(bytes: Array[Byte]): Boolean
+    def decode(bytes: Array[Byte]): DecodedMedia
+  }
+
+  final class MediaDecodeException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Registry walked in order by [[auto]]; hand-rolled parsers first so
+    * the BMP path never depends on which ImageIO plugins are present.
+    */
+  val registry: Seq[MediaDecoder] =
+    Seq(BmpDecoder, WavDecoder, ImageIoDecoder)
+
+  /** Sniff + decode, or None when no registered decoder matches. */
+  def auto(bytes: Array[Byte]): Option[DecodedMedia] = {
+    if (bytes == null || bytes.length < 4) return None
+    registry.find(_.detect(bytes)).map(_.decode(bytes))
+  }
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Windows BMP parser. Supports the overwhelmingly-common on-disk
+    * shape: BITMAPFILEHEADER + BITMAPINFOHEADER(-or-larger), BI_RGB
+    * (no compression), 24 or 32 bits per pixel, rows padded to 4-byte
+    * boundaries, bottom-up (positive height) or top-down (negative).
+    * This is exactly what `ImageIO.write(..., "bmp", ...)` emits, which
+    * the spec uses as an independent encode oracle.
+    */
+  object BmpDecoder extends MediaDecoder {
+    val name = "bmp"
+
+    def detect(bytes: Array[Byte]): Boolean =
+      bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M'
+
+    private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def i16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** Parse to packed top-down RGB triples (3 bytes per pixel, pad
+      * stripped, BGR→RGB swapped). Exposed separately from [[decode]]
+      * so callers needing exact integer pixel stats (e.g. the
+      * `mm_decode_bmp` oracle query) hit the same parse path as the
+      * feature extractor.
+      */
+    def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      if (!detect(bytes))
+        throw new MediaDecodeException("not a BMP (missing 'BM' magic)")
+      val dataOff = i32(bytes, 10)
+      val hdrSize = i32(bytes, 14)
+      if (hdrSize < 40)
+        throw new MediaDecodeException(s"BITMAPCOREHEADER ($hdrSize) unsupported")
+      val width = i32(bytes, 18)
+      val rawHeight = i32(bytes, 22)
+      val bpp = i16(bytes, 28)
+      val compression = i32(bytes, 30)
+      if (compression != 0)
+        throw new MediaDecodeException(s"compression $compression unsupported (BI_RGB only)")
+      if (bpp != 24 && bpp != 32)
+        throw new MediaDecodeException(s"$bpp bpp unsupported (24/32 only)")
+      if (width <= 0 || rawHeight == 0)
+        throw new MediaDecodeException(s"bad dimensions ${width}x$rawHeight")
+      val height = math.abs(rawHeight)
+      val topDown = rawHeight < 0
+      val pxBytes = bpp / 8
+      val rowBytes = ((width * pxBytes + 3) / 4) * 4
+      if (dataOff.toLong + rowBytes.toLong * height > bytes.length)
+        throw new MediaDecodeException("pixel data truncated vs header dimensions")
+      val out = new Array[Byte](width * height * 3)
+      var row = 0
+      while (row < height) {
+        // file rows run bottom-up unless height was negative
+        val srcRow = if (topDown) row else height - 1 - row
+        var x = 0
+        var src = dataOff + srcRow * rowBytes
+        var dst = row * width * 3
+        while (x < width) {
+          out(dst) = bytes(src + 2) // R (file order is B,G,R[,A])
+          out(dst + 1) = bytes(src + 1) // G
+          out(dst + 2) = bytes(src) // B
+          src += pxBytes
+          dst += 3
+          x += 1
+        }
+        row += 1
+      }
+      (width, height, out)
+    }
+
+    /** Features: [w, h, channels, meanR, meanG, meanB, meanLum, stdLum]
+      * with channel means normalized to [0,1].
+      */
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      val (w, h, px) = decodePixels(bytes)
+      DecodedMedia("image", "bmp", w, h, 3, 0, w.toLong * h,
+        imageFeatures(w, h, px))
+    }
+  }
+
+  /** Shared image feature layout over packed top-down RGB bytes. */
+  private[operators] def imageFeatures(
+      w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+    val n = w.toLong * h
+    var sr, sg, sb = 0L
+    var sLum, sLum2 = 0.0
+    var i = 0
+    while (i < rgb.length) {
+      val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff; val b = rgb(i + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+      sLum += lum; sLum2 += lum * lum
+      i += 3
+    }
+    val mLum = sLum / n
+    val varLum = math.max(sLum2 / n - mLum * mLum, 0.0)
+    Array(w.toFloat, h.toFloat, 3f,
+      (sr / (255.0 * n)).toFloat, (sg / (255.0 * n)).toFloat,
+      (sb / (255.0 * n)).toFloat, (mLum / 255.0).toFloat,
+      (math.sqrt(varLum) / 255.0).toFloat)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** RIFF/WAVE PCM parser: walks chunks for `fmt ` and `data`, supports
+    * audio format 1 (PCM) at 8-bit unsigned or 16-bit signed LE, any
+    * channel count. Matches what `javax.sound.sampled.AudioSystem`
+    * writes for `AudioFileFormat.Type.WAVE`, which the spec uses as an
+    * independent parse oracle.
+    */
+  object WavDecoder extends MediaDecoder {
+    val name = "wav"
+
+    def detect(bytes: Array[Byte]): Boolean =
+      bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+    private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    private def i16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+    /** Parse to interleaved 16-bit samples (8-bit input upscaled to the
+      * centered 16-bit range). Returns (sampleRate, channels, samples).
+      * Exposed separately from [[decode]] for exact integer sample
+      * stats (the `mm_decode_wav` oracle query).
+      */
+    def decodeSamples(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      if (!detect(bytes))
+        throw new MediaDecodeException("not a WAV (missing RIFF/WAVE magic)")
+      var off = 12
+      var sampleRate = -1; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val len = i32(bytes, off + 4)
+        if (len < 0 || off + 8 + len > bytes.length)
+          throw new MediaDecodeException(s"chunk '$id' overruns file")
+        if (id == "fmt ") {
+          if (len < 16) throw new MediaDecodeException("fmt chunk too short")
+          val fmt = i16(bytes, off + 8)
+          if (fmt != 1)
+            throw new MediaDecodeException(s"audio format $fmt unsupported (PCM only)")
+          channels = i16(bytes, off + 10)
+          sampleRate = i32(bytes, off + 12)
+          bits = i16(bytes, off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8; dataLen = len
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (sampleRate < 0) throw new MediaDecodeException("no fmt chunk")
+      if (dataOff < 0) throw new MediaDecodeException("no data chunk")
+      if (bits != 8 && bits != 16)
+        throw new MediaDecodeException(s"$bits-bit PCM unsupported (8/16 only)")
+      if (channels <= 0)
+        throw new MediaDecodeException(s"bad channel count $channels")
+      val out =
+        if (bits == 16) {
+          val n = dataLen / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            s(i) = ((bytes(dataOff + 2 * i) & 0xff) |
+              (bytes(dataOff + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          s
+        } else {
+          val s = new Array[Short](dataLen)
+          var i = 0
+          while (i < dataLen) {
+            // 8-bit WAV is unsigned, centered at 128
+            s(i) = (((bytes(dataOff + i) & 0xff) - 128) << 8).toShort
+            i += 1
+          }
+          s
+        }
+      (sampleRate, channels, out)
+    }
+
+    /** Features: [sampleRate, channels, frames, durationSec, mean, rms,
+      * peak, zeroCrossRate] with amplitude stats normalized to [-1,1].
+      */
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      val (rate, ch, samples) = decodeSamples(bytes)
+      val n = samples.length
+      var sum = 0.0; var sum2 = 0.0; var peak = 0.0; var zc = 0L
+      var i = 0
+      while (i < n) {
+        val v = samples(i) / 32768.0
+        sum += v; sum2 += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i >= ch && (samples(i) >= 0) != (samples(i - ch) >= 0)) zc += 1
+        i += 1
+      }
+      val frames = if (ch > 0) n.toLong / ch else 0L
+      val dur = if (rate > 0) frames.toDouble / rate else 0.0
+      DecodedMedia("audio", "wav", 0, 0, ch, rate, frames,
+        Array(rate.toFloat, ch.toFloat, frames.toFloat, dur.toFloat,
+          (if (n == 0) 0.0 else sum / n).toFloat,
+          (if (n == 0) 0.0 else math.sqrt(sum2 / n)).toFloat,
+          peak.toFloat,
+          (if (n <= ch) 0.0 else zc.toDouble / (n - ch)).toFloat))
+    }
+  }
+
+  // ---------------------------------------------------- PNG / JPEG / GIF
+
+  /** JDK `javax.imageio` decoder for the formats its builtin plugins
+    * ship with (PNG, JPEG, GIF). Headless-safe: `BufferedImage` needs
+    * no display. Kept after the hand-rolled parsers in the registry so
+    * BMP never routes through plugin discovery.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    val name = "imageio"
+
+    private def fmtOf(bytes: Array[Byte]): String =
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+      else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8') "gif"
+      else ""
+
+    def detect(bytes: Array[Byte]): Boolean = fmtOf(bytes).nonEmpty
+
+    def decode(bytes: Array[Byte]): DecodedMedia = {
+      val fmt = fmtOf(bytes)
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new MediaDecodeException(s"ImageIO could not decode sniffed $fmt")
+      val w = img.getWidth; val h = img.getHeight
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val d = (y * w + x) * 3
+          rgb(d) = ((p >> 16) & 0xff).toByte
+          rgb(d + 1) = ((p >> 8) & 0xff).toByte
+          rgb(d + 2) = (p & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      DecodedMedia("image", fmt, w, h, 3, 0, w.toLong * h,
+        imageFeatures(w, h, rgb))
+    }
+  }
+
+  // ------------------------------------------------------------ encoders
+
+  /** Write a 24bpp bottom-up BI_RGB BMP from packed top-down RGB
+    * triples. Row padding to 4-byte boundaries, standard 54-byte
+    * header — round-trips through [[BmpDecoder]] and through
+    * `ImageIO.read`.
+    */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowBytes * height
+    val out = new Array[Byte](54 + dataSize)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54); put32(14, 40)
+    put32(18, width); put32(22, height)
+    out(26) = 1; out(28) = 24 // planes=1, bpp=24
+    put32(34, dataSize)
+    put32(38, 2835); put32(42, 2835) // 72 DPI
+    var row = 0
+    while (row < height) {
+      val dstRow = 54 + (height - 1 - row) * rowBytes // bottom-up
+      var x = 0
+      while (x < width) {
+        val s = (row * width + x) * 3
+        val d = dstRow + x * 3
+        out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s) // RGB→BGR
+        x += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Write a 16-bit signed LE PCM RIFF/WAVE file from interleaved
+    * samples — round-trips through [[WavDecoder]] and through
+    * `AudioSystem.getAudioInputStream`.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "bad rate/channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not divisible by $channels channels")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); put32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); put32(16, 16); put16(20, 1) // PCM
+    put16(22, channels); put32(24, sampleRate)
+    put32(28, sampleRate * channels * 2) // byte rate
+    put16(32, channels * 2); put16(34, 16) // block align, bits
+    tag(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + 2 * i, samples(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resize over packed top-down RGB triples — the
+    * thumbnail/normalize step of an image pipeline, pure JVM. Exact for
+    * integer scale factors; O(outW*outH) regardless of input size.
+    */
+  def resizeNearest(w: Int, h: Int, rgb: Array[Byte],
+      outW: Int, outH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0, "bad dimensions")
+    require(rgb.length == w * h * 3, "rgb length mismatch")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min((y.toLong * h / outH).toInt, h - 1)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min((x.toLong * w / outW).toInt, w - 1)
+        val s = (sy * w + sx) * 3
+        val d = (y * outW + x) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+}

@@ -8,12 +8,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `binary` columns with typed metadata, and run batch-shaped decode /
   * feature-extraction over executor partitions.
   *
-  * The Spark-side contract is real and tested — schema, partitioning,
-  * batch iteration, output shape. The DECODE ITSELF IS A STUB: this
-  * container has no image/audio codecs, so `fakeDecode` derives a
-  * deterministic feature vector from the raw bytes (byte histogram
-  * moments). Swap `decodeFn` for a real codec (e.g. JNI/ONNX call) at
-  * deploy time; nothing else changes.
+  * Decode is REAL for BMP, WAV, PNG, JPEG and GIF via the pure-JVM
+  * codecs in [[MediaCodecs]] ([[realDecode]] / [[decodeMedia]]).
+  * `fakeDecode` remains as the deterministic fallback for payload bytes
+  * matching no registered format (and as the historical oracle-checked
+  * byte-histogram path for the synthetic test payloads, which are UTF-8
+  * text, not media containers). Additional formats plug in by extending
+  * `MediaCodecs.registry`; nothing else changes.
   *
   * Scale notes: rows are processed per-partition through one reusable
   * decoder instance (the expensive-init pattern real codecs need);
@@ -48,6 +49,53 @@ object Multimodal {
     }
     val n = bytes.length.toFloat
     hist.map(_ / n)
+  }
+
+  /** Real decode: sniff the payload against `MediaCodecs.registry`
+    * (BMP/WAV/PNG/JPEG/GIF) and return that codec's feature vector;
+    * unknown bytes fall back to the byte-histogram stub so mixed
+    * corpora stay total. Pass as `decodeFn` to [[extractFeatures]].
+    */
+  def realDecode(bytes: Array[Byte]): Array[Float] =
+    MediaCodecs.auto(bytes).map(_.features)
+      .getOrElse(fakeDecode(bytes))
+
+  /** Full typed decode: one output row per input row with the media
+    * metadata a downstream pipeline filters/groups on (kind, format,
+    * dimensions, sample rate) plus the codec feature vector. Rows whose
+    * bytes match no registered codec are kept — reported as
+    * `format = "opaque"` with stub features — so a mixed 100 TB corpus
+    * never loses rows to a decode miss silently.
+    */
+  def decodeMedia(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val idIdx = df.columns.indexOf(idCol)
+    val payloadIdx = df.columns.indexOf(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        MediaCodecs.auto(bytes) match {
+          case Some(m) =>
+            Row(row.get(idIdx), m.kind, m.format, m.width, m.height,
+              m.channels, m.sampleRate, m.nSamples, m.features.toSeq)
+          case None =>
+            Row(row.get(idIdx), "opaque", "opaque", 0, 0, 0, 0,
+              if (bytes == null) 0L else bytes.length.toLong,
+              fakeDecode(bytes).toSeq)
+        }
+      }
+    }(enc)
   }
 
   /** Batch feature extraction: mapPartitions so a per-partition decoder

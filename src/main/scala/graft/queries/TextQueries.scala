@@ -371,6 +371,121 @@ object TextQueries {
       |  md5(substr(text, CAST(off + 1 AS INTEGER), 32)) AS frame_md5
       |FROM offs ORDER BY doc_id, frame_no""".stripMargin
 
+  private def hexToBytes(h: String): Array[Byte] =
+    Array.tabulate(h.length / 2)(k =>
+      Integer.parseInt(h.substring(2 * k, 2 * k + 2), 16).toByte)
+
+  /** REAL-codec decode as a declared op: build a 5x2 24bpp BMP whose 30
+    * RGB bytes cycle the 16 md5(text) bytes, push it through the
+    * pure-JVM [[graft.operators.MediaCodecs.BmpDecoder]] on executors,
+    * and emit the decoded metadata plus exact integer channel sums. The
+    * oracle recomputes the sums straight from the md5 hex (Spark and
+    * DuckDB md5 agree byte-for-byte), so a parse bug anywhere — header
+    * fields, the 5-wide rows' 1-byte padding, BGR order, bottom-up row
+    * flip — breaks the hash match. Unlike mm_features this is no stub:
+    * the bytes on the wire are a spec-compliant BMP container
+    * (MultimodalSpec cross-checks the same codec against JDK ImageIO).
+    */
+  def multimodalDecodeBmp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val md5b = hexToBytes(r.getString(1))
+        val rgb = Array.tabulate(30)(i => md5b(i % 16))
+        val bmp = MediaCodecs.encodeBmp(5, 2, rgb)
+        val m = MediaCodecs.BmpDecoder.decode(bmp)
+        val (w, hgt, px) = MediaCodecs.BmpDecoder.decodePixels(bmp)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          sr += px(i) & 0xff; sg += px(i + 1) & 0xff; sb += px(i + 2) & 0xff
+          i += 3
+        }
+        org.apache.spark.sql.Row(
+          r.getLong(0), m.kind, m.format, w, hgt, sr, sg, sb)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  def multimodalDecodeBmpSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    ('0x' || substr(h, CAST(2*(t.i % 16) + 1 AS INTEGER), 2))::INTEGER AS v
+      |  FROM b, UNNEST(range(0, 30)) AS t(i))
+      |SELECT doc_id, 'image' AS kind, 'bmp' AS format,
+      |  CAST(5 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+      |  CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+      |  CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+      |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** REAL-codec WAV twin of [[multimodalDecodeBmp]]: 8 signed 16-bit LE
+    * samples from the md5(text) bytes, wrapped in a RIFF/WAVE container
+    * by `encodeWavPcm16`, parsed back by the pure-JVM WavDecoder chunk
+    * walk; exact integer sample sums oracle-checked from the hex.
+    */
+  def multimodalDecodeWav(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_s", LongType, nullable = false),
+      StructField("sum_abs", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val b = hexToBytes(r.getString(1))
+        val samples = Array.tabulate(8)(j =>
+          ((b(2 * j) & 0xff) | (b(2 * j + 1) << 8)).toShort)
+        val wav = MediaCodecs.encodeWavPcm16(16000, 1, samples)
+        val m = MediaCodecs.WavDecoder.decode(wav)
+        val (_, _, parsed) = MediaCodecs.WavDecoder.decodeSamples(wav)
+        var s = 0L; var sa = 0L
+        parsed.foreach { v => s += v; sa += math.abs(v.toInt) }
+        org.apache.spark.sql.Row(
+          r.getLong(0), m.kind, m.format, m.sampleRate, m.channels,
+          m.nSamples, s, sa)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  def multimodalDecodeWavSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |smp AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(h, CAST(4*t.j + 1 AS INTEGER), 2))::INTEGER
+      |    + 256 * ('0x' || substr(h, CAST(4*t.j + 3 AS INTEGER), 2))::INTEGER AS raw
+      |  FROM b, UNNEST(range(0, 8)) AS t(j)),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM smp)
+      |SELECT doc_id, 'audio' AS kind, 'wav' AS format,
+      |  CAST(16000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+      |  CAST(8 AS BIGINT) AS n_samples,
+      |  CAST(sum(v) AS BIGINT) AS sum_s,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")

@@ -46,4 +46,165 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(rows(0).getAs[Array[Byte]]("frame")) === "hell")
     assert(new String(rows(1).getAs[Array[Byte]]("frame")) === "lo w")
   }
+
+  // ------------------------------------------------ real pure-JVM codecs
+
+  import graft.operators.MediaCodecs
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+  /** Deterministic RGB test card: gradient + channel stripes, odd width
+    * so BMP rows need padding.
+    */
+  private def testCard(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      (i % 3 match {
+        case 0 => (px * 7) % 256 // R gradient
+        case 1 => ((px / w) * 40) % 256 // G by row
+        case 2 => ((px % w) * 60) % 256 // B by column
+      }).toByte
+    }
+
+  test("encodeBmp round-trips through JDK ImageIO (encode oracle)") {
+    val (w, h) = (5, 3) // width 5 → 15-byte rows padded to 16
+    val rgb = testCard(w, h)
+    val bmp = MediaCodecs.encodeBmp(w, h, rgb)
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bmp))
+    assert(img != null, "JDK ImageIO rejected our BMP bytes")
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      val s = (y * w + x) * 3
+      assert(((p >> 16) & 0xff) === (rgb(s) & 0xff), s"R at ($x,$y)")
+      assert(((p >> 8) & 0xff) === (rgb(s + 1) & 0xff), s"G at ($x,$y)")
+      assert((p & 0xff) === (rgb(s + 2) & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("BmpDecoder parses JDK-ImageIO-written BMPs (decode oracle)") {
+    val (w, h) = (7, 4) // 21-byte rows padded to 24
+    val rgb = testCard(w, h)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(s) & 0xff) << 16) |
+        ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val (dw, dh, dpx) = MediaCodecs.BmpDecoder.decodePixels(bos.toByteArray)
+    assert(dw === w && dh === h)
+    assert(dpx.toSeq === rgb.toSeq)
+    val m = MediaCodecs.BmpDecoder.decode(bos.toByteArray)
+    assert(m.kind === "image" && m.format === "bmp" && m.nSamples === w.toLong * h)
+  }
+
+  test("BmpDecoder rejects malformed input loudly") {
+    val good = MediaCodecs.encodeBmp(4, 4, testCard(4, 4))
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.BmpDecoder.decodePixels(java.util.Arrays.copyOf(good, 60))
+    }
+    val rle = good.clone(); rle(30) = 1 // compression = BI_RLE8
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.BmpDecoder.decodePixels(rle)
+    }
+  }
+
+  test("encodeWavPcm16 round-trips through JDK AudioSystem (encode oracle)") {
+    val samples = Array.tabulate(16)(i => ((i - 8) * 3000).toShort)
+    val wav = MediaCodecs.encodeWavPcm16(8000, 2, samples)
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate === 8000f)
+    assert(fmt.getChannels === 2)
+    assert(fmt.getSampleSizeInBits === 16)
+    assert(ais.getFrameLength === 8) // 16 samples / 2 channels
+    val pcm = ais.readAllBytes()
+    val decodedViaJdk = Array.tabulate(16)(i =>
+      ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort)
+    assert(decodedViaJdk.toSeq === samples.toSeq)
+  }
+
+  test("WavDecoder parses JDK-AudioSystem-written WAVs, incl. 8-bit") {
+    // 16-bit via the JDK writer
+    val samples = Array.tabulate(10)(i => (i * 2500 - 12000).toShort)
+    val pcm = new Array[Byte](20)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt16 = new javax.sound.sampled.AudioFormat(11025f, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt16, 10),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (rate, ch, parsed) = MediaCodecs.WavDecoder.decodeSamples(bos.toByteArray)
+    assert(rate === 11025 && ch === 1)
+    assert(parsed.toSeq === samples.toSeq)
+
+    // 8-bit unsigned via the JDK writer → centered, upscaled to 16-bit
+    val raw8 = Array[Byte](0, 64.toByte, 128.toByte, 192.toByte, 255.toByte)
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val bos8 = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(raw8), fmt8, 5),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    val (rate8, _, parsed8) = MediaCodecs.WavDecoder.decodeSamples(bos8.toByteArray)
+    assert(rate8 === 8000)
+    assert(parsed8.toSeq === raw8.toSeq.map(b => (((b & 0xff) - 128) << 8).toShort))
+  }
+
+  test("ImageIoDecoder decodes PNG with correct dims and features") {
+    val (w, h) = (6, 2)
+    val rgb = testCard(w, h)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(s) & 0xff) << 16) |
+        ((rgb(s + 1) & 0xff) << 8) | (rgb(s + 2) & 0xff))
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val m = MediaCodecs.ImageIoDecoder.decode(bos.toByteArray)
+    assert(m.format === "png" && m.width === w && m.height === h)
+    // PNG is lossless → features must equal the BMP route's features
+    val viaBmp = MediaCodecs.BmpDecoder.decode(MediaCodecs.encodeBmp(w, h, rgb))
+    assert(m.features.toSeq === viaBmp.features.toSeq)
+  }
+
+  test("decodeMedia over a mixed corpus: real codecs + reported opaque fallback") {
+    val bmp = MediaCodecs.encodeBmp(4, 4, testCard(4, 4))
+    val wav = MediaCodecs.encodeWavPcm16(16000, 1,
+      Array.tabulate(8)(i => (i * 1000).toShort))
+    val junk = "not a media file".getBytes("UTF-8")
+    val df = Seq((1L, bmp), (2L, wav), (3L, junk))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, "doc_id", "payload")
+      .sort("doc_id").collect()
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("image", "bmp"), ("audio", "wav"), ("opaque", "opaque")))
+    assert(out(0).getInt(3) === 4 && out(0).getInt(4) === 4) // width, height
+    assert(out(1).getInt(6) === 16000 && out(1).getLong(7) === 8L)
+    // opaque rows carry the stub features, never a crash or a dropped row
+    assert(out(2).getAs[Seq[Float]]("features") ===
+      Multimodal.fakeDecode(junk).toSeq)
+    // and realDecode routes the same way
+    assert(Multimodal.realDecode(junk).toSeq === Multimodal.fakeDecode(junk).toSeq)
+    assert(Multimodal.realDecode(bmp).toSeq ===
+      MediaCodecs.BmpDecoder.decode(bmp).features.toSeq)
+  }
+
+  test("resizeNearest halves a test card exactly") {
+    val (w, h) = (4, 4)
+    val rgb = testCard(w, h)
+    val out = MediaCodecs.resizeNearest(w, h, rgb, 2, 2)
+    for (y <- 0 until 2; x <- 0 until 2; c <- 0 until 3) {
+      val expected = rgb(((2 * y) * w + 2 * x) * 3 + c)
+      assert(out((y * 2 + x) * 3 + c) === expected, s"at ($x,$y,$c)")
+    }
+  }
 }
