@@ -104,7 +104,8 @@ object SparkEntry {
     "mm_features" -> (TextQueries.multimodalFeatures _),
     "mm_frame_sample" -> (TextQueries.multimodalFrames _),
     "mm_decode_bmp" -> (TextQueries.multimodalDecodeBmp _),
-    "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _)
+    "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
+    "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -171,6 +172,7 @@ object SparkEntry {
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_decode_bmp" -> TextQueries.multimodalDecodeBmpSql,
-    "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql
+    "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
+    "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql
   )
 }

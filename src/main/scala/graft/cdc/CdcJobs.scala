@@ -69,11 +69,28 @@ private[graft] object TablePool {
       // interrupt a Spark job mid-write — but every not-yet-started task
       // sees the flag and skips.
       val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // the ROOT failure, not whichever task Future.traverse happens to
+      // surface: when the flag wins a race against an earlier-in-order
+      // task that hadn't started, traverse would report that task's
+      // CancellationException and hide the actual error
+      val rootFailure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
       def run(i: T): A =
         if (failed.get) throw new java.util.concurrent.CancellationException(
           "skipped: an earlier table failed")
-        else try f(i) catch { case e: Throwable => failed.set(true); throw e }
+        else try f(i) catch {
+          case e: Throwable =>
+            failed.set(true)
+            rootFailure.compareAndSet(null, e)
+            throw e
+        }
       try Await.result(Future.traverse(items)(i => Future(run(i))), Duration.Inf)
+      catch {
+        case e: Throwable =>
+          val root = rootFailure.get
+          if (root != null && !(root eq e)) { root.addSuppressed(e); throw root }
+          else throw e
+      }
       finally pool.shutdown()
     }
 }

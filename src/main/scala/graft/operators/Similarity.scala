@@ -348,4 +348,81 @@ object Similarity {
       // pair at most once — a distinct would re-shuffle the result
       .select("a_id", "b_id", "score")
   }
+
+  // -------------------------------------------- int8 scalar quantization
+
+  /** Per-dimension (min, max) over the corpus — the SQ8 training step.
+    *
+    * Shape: posexplode is a NARROW transform; the groupBy on `pos` (≤dim
+    * distinct keys) partial-aggregates map-side, so each partition ships
+    * at most `dim` (min,max) rows into the final shuffle regardless of
+    * corpus size — O(partitions × dim) network, 100 TB-safe. The collect
+    * is bounded at `dim` rows (same bounded-broadcast contract as the
+    * IVF centroid set).
+    */
+  def sq8Ranges(corpus: DataFrame, vecCol: String,
+      dim: Int): Seq[(Double, Double)] = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast(DoubleType)).as("mn"),
+        max(col("v").cast(DoubleType)).as("mx"))
+      .collect()
+    val byPos = rows.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    (0 until dim).map(i => byPos.getOrElse(i, (0.0, 0.0)))
+  }
+
+  /** Encode a float vector to uint8 codes against per-dim ranges:
+    * `code_d = floor((v_d - min_d) / scale_d + 0.5)` with
+    * `scale_d = (max_d - min_d) / 255` (constant dims → code 0). All
+    * arithmetic in double with an explicit floor(x + 0.5) — not a
+    * platform `round` — so any engine reproduces the codes bit-exactly.
+    */
+  def sq8Encode(vec: Column, mins: Seq[Double],
+      scales: Seq[Double]): Column = {
+    val minA = array(mins.map(lit(_)): _*)
+    val scaleA = array(scales.map(lit(_)): _*)
+    transform(vec, (v, i) =>
+      when(element_at(scaleA, i + 1) === 0.0, lit(0))
+        .otherwise(floor(
+          (v.cast(DoubleType) - element_at(minA, i + 1)) /
+            element_at(scaleA, i + 1) + lit(0.5)).cast("int")))
+  }
+
+  /** Approximate top-k by asymmetric distance: full-precision query
+    * against the uint8-quantized corpus (`score = Σ q_d · (min_d +
+    * code_d · scale_d)`, a left double fold — bit-reproducible).
+    *
+    * This is the memory lever for 100 TB ANN: codes are dim bytes per
+    * vector vs 4·dim for floats — the corpus side scans/caches at ¼ the
+    * footprint, and the ranges are a 2·dim-value broadcast. Quantization
+    * error is bounded per dim by scale_d/2. Composes with the pruning
+    * levers ([[ivfTopK]] inverted lists / [[lshTopK]] buckets) — this
+    * form scans all codes, pruning is deliberately orthogonal.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int): DataFrame = {
+    val ranges = sq8Ranges(corpus, vecCol, dim)
+    val mins = ranges.map(_._1)
+    val scales = ranges.map(r => (r._2 - r._1) / 255.0)
+    val minA = array(mins.map(lit(_)): _*)
+    val scaleA = array(scales.map(lit(_)): _*)
+    val c = corpus.select(col(idCol).as("n_id"),
+      sq8Encode(col(vecCol), mins, scales).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", aggregate(
+        transform(col("codes"), (code, i) =>
+          element_at(col("q_vec"), i + 1).cast(DoubleType) *
+            (element_at(minA, i + 1) +
+              code.cast(DoubleType) * element_at(scaleA, i + 1))),
+        lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
 }

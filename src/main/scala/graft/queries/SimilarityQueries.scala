@@ -275,4 +275,54 @@ object SimilarityQueries {
       |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       |SELECT DISTINCT a_id, b_id, score FROM pairs WHERE score >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** SQ8 asymmetric top-k: corpus quantized to uint8 codes against
+    * per-dim (min, max) ranges, full-precision queries scored on the
+    * reconstruction — the ¼-memory corpus representation for 100 TB ANN.
+    * Codes and scores are exact across engines: ranges come from
+    * order-independent min/max, encoding uses floor(x + 0.5) in double,
+    * and the score is the usual sequential double fold.
+    */
+  def sq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.sq8TopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
+        K, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def sq8TopKSql: String =
+    s"""WITH rng AS (
+      |  SELECT CAST(t.i AS INTEGER) AS pos,
+      |    CAST(min(embedding[t.i]) AS DOUBLE) AS mn,
+      |    CAST(max(embedding[t.i]) AS DOUBLE) AS mx
+      |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)
+      |  GROUP BY 1),
+      |rlist AS (
+      |  SELECT list(mn ORDER BY pos) AS minA,
+      |    list((mx - mn) / 255.0 ORDER BY pos) AS scaleA
+      |  FROM rng),
+      |c AS (
+      |  SELECT vec_id AS n_id,
+      |    list_transform(range(1, ${Dim + 1}), i ->
+      |      CASE WHEN scaleA[i] = 0.0 THEN 0
+      |        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
+      |          / scaleA[i] + 0.5) AS INTEGER) END) AS codes
+      |  FROM embeddings CROSS JOIN rlist),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec
+      |  FROM embeddings WHERE $QueryPred),
+      |scored AS (
+      |  SELECT q_id, n_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, ${Dim + 1}), i ->
+      |        CAST(q_vec[i] AS DOUBLE)
+      |          * (minA[i] + CAST(codes[i] AS DOUBLE) * scaleA[i]))),
+      |      (x, y) -> x + y) AS score
+      |  FROM c CROSS JOIN q CROSS JOIN rlist WHERE n_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
 }

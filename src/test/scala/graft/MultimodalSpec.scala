@@ -176,6 +176,43 @@ class MultimodalSpec extends SparkSpec {
     assert(m.features.toSeq === viaBmp.features.toSeq)
   }
 
+  test("ImageIoDecoder decodes GIF and JPEG with correct dims") {
+    // two-tone image survives GIF's 256-color palette exactly
+    val (w, h) = (8, 4)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    // oracle: whatever ImageIO.read itself sees in those bytes (the JDK
+    // GIF *encoder* palettizes lossily, so compare post-decode to
+    // post-decode, not to the pre-encode image)
+    def meanLum(bytes: Array[Byte]): Float = {
+      val back = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      var s = 0.0
+      for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
+        val p = back.getRGB(x, y)
+        s += 0.2126 * ((p >> 16) & 0xff) + 0.7152 * ((p >> 8) & 0xff) +
+          0.0722 * (p & 0xff)
+      }
+      (s / (back.getWidth * back.getHeight) / 255.0).toFloat
+    }
+    val gifB = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", gifB))
+    val gif = MediaCodecs.ImageIoDecoder.decode(gifB.toByteArray)
+    assert(gif.format === "gif" && gif.width === w && gif.height === h)
+    assert(math.abs(gif.features(6) - meanLum(gifB.toByteArray)) < 1e-4)
+
+    // JPEG: dims exact, decoded luminance matches the JDK's own decode
+    val jpgB = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", jpgB))
+    val jpg = MediaCodecs.ImageIoDecoder.decode(jpgB.toByteArray)
+    assert(jpg.format === "jpeg" && jpg.width === w && jpg.height === h)
+    assert(math.abs(jpg.features(6) - meanLum(jpgB.toByteArray)) < 1e-4)
+    // and the registry sniffs both without being told the format
+    assert(MediaCodecs.auto(gifB.toByteArray).get.format === "gif")
+    assert(MediaCodecs.auto(jpgB.toByteArray).get.format === "jpeg")
+  }
+
   test("decodeMedia over a mixed corpus: real codecs + reported opaque fallback") {
     val bmp = MediaCodecs.encodeBmp(4, 4, testCard(4, 4))
     val wav = MediaCodecs.encodeWavPcm16(16000, 1,

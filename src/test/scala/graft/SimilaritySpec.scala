@@ -65,4 +65,51 @@ class SimilaritySpec extends SparkSpec {
     val byQ = out.groupBy("q_id").count().as[(Long, Long)].collect().toMap
     assert(byQ.keySet === Set(0L, 1L, 2L) && byQ.values.forall(_ === 4L))
   }
+
+  test("sq8 codes are uint8-bounded with per-dim reconstruction error ≤ scale/2") {
+    val c = corpus(200)
+    val dim = 8
+    val ranges = Similarity.sq8Ranges(c, "embedding", dim)
+    val mins = ranges.map(_._1)
+    val scales = ranges.map(r => (r._2 - r._1) / 255.0)
+    val rows = c.select($"vec_id",
+        $"embedding",
+        Similarity.sq8Encode($"embedding", mins, scales).as("codes"))
+      .collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](r.fieldIndex("embedding"))
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      codes.foreach(code => assert(code >= 0 && code <= 255))
+      vec.indices.foreach { d =>
+        val recon = mins(d) + codes(d) * scales(d)
+        val bound = math.max(scales(d) / 2.0, 1e-9) * (1 + 1e-9)
+        assert(math.abs(recon - vec(d)) <= bound,
+          s"dim $d: |${recon} - ${vec(d)}| > ${bound}")
+      }
+    }
+  }
+
+  test("sq8 top-k agrees with brute force on well-separated clusters") {
+    // two tight clusters far apart: quantization noise cannot flip the
+    // nearest-cluster decision, so sq8's top hit matches exact search
+    val pts = (0 until 20).map(i => (i.toLong,
+      Array.tabulate(8)(d => (if (i < 10) 1000f else -1000f) + i + d)))
+    val c = pts.toDF("vec_id", "embedding")
+    val q = c.filter($"vec_id" === 0 || $"vec_id" === 15)
+    val sq = Similarity.sq8TopK(c, q, "vec_id", "embedding", k = 3, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    val exact = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 3)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    // same-cluster neighbor wins under both scorings
+    assert(sq.keySet === Set(0L, 15L))
+    assert(sq(0L) < 10L && sq(15L) >= 10L)
+    assert(exact(0L) < 10L && exact(15L) >= 10L)
+    // deterministic across runs
+    val again = Similarity.sq8TopK(c, q, "vec_id", "embedding", k = 3, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sq === again)
+  }
 }
