@@ -65,6 +65,8 @@ object SparkEntry {
     // LLM-data-pipeline ops: dedup family
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
+    "dedup_incremental" -> (DedupQueries.incrementalExact _),
+    "dedup_incremental_lsh" -> (DedupQueries.incrementalLsh _),
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
     "dedup_simhash_buckets" -> (DedupQueries.simHashOversized _),
@@ -139,6 +141,8 @@ object SparkEntry {
     "q_scalar_subquery" -> AdvancedQueries.qScalarSubquerySql,
     "dedup_exact" -> DedupQueries.exactSql,
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
+    "dedup_incremental" -> DedupQueries.incrementalExactSql,
+    "dedup_incremental_lsh" -> DedupQueries.incrementalLshSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,

@@ -428,6 +428,80 @@ object Dedup {
     minHashNearDupsReport(docs, idCol, textCol, shingleN, numHashes, bands,
       threshold, portable = portable).pairs
 
+  // ------------------------------------------------- incremental dedup
+
+  /** Incremental EXACT dedup: verdict each document of a NEW batch
+    * against an EXISTING corpus by content hash — the production
+    * ingestion pattern where the corpus is never re-deduped, only probed.
+    *
+    * Verdicts: `dup_of_existing` (hash already in the corpus),
+    * `dup_within_batch` (hash new to the corpus but an earlier-id batch
+    * doc claims it), `kept` (first sight anywhere). Id spaces of the two
+    * sides must be disjoint.
+    *
+    * Scale shape: the existing side reduces to DISTINCT hashes (partial
+    * agg before shuffle — in a real deployment this is the stored hash
+    * index, read directly); the probe is one equi-join on the hash plus
+    * a within-batch window keyed by the same hash, so a 100 TB corpus
+    * costs one distinct-digest scan, never a re-pairing.
+    */
+  def incrementalExact(newDocs: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val nh = newDocs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val eh = existing.select(md5(col(textCol)).as("content_hash"))
+      .distinct().withColumn("_seen", lit(true))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    nh.join(eh, Seq("content_hash"), "left")
+      .withColumn("verdict",
+        when(col("_seen"), lit("dup_of_existing"))
+          .when(row_number().over(w) > 1, lit("dup_within_batch"))
+          .otherwise(lit("kept")))
+      .select(col(idCol), col("content_hash"), col("verdict"))
+  }
+
+  /** Incremental MinHash+LSH near-dup probe: candidate pairs are
+    * NEW × EXISTING band-key collisions ONLY — existing × existing is
+    * never paired (it was when the corpus itself was deduped), and
+    * batch-internal pairs are left to the batch-level
+    * [[minHashNearDupsReport]]. Pairs come back as
+    * `(a_id existing, b_id new, common, na, nb, jaccard)` ≥ threshold.
+    *
+    * The `maxBucket` cap (and the oversized report) applies to the
+    * EXISTING side's band buckets — the side that is unbounded at scale;
+    * in a real deployment the existing band-key table is the stored LSH
+    * index, so the probe costs one equi-join per band against it, sized
+    * by the new batch, not the corpus. Id spaces must be disjoint.
+    */
+  def incrementalMinHashNearDupsReport(newDocs: DataFrame,
+      existing: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      portable: Boolean = true): NearDupReport = {
+    val shNew = CachedPlans.cached(
+      hashedShingleTable(newDocs, idCol, textCol, shingleN, portable))
+    val shOld = CachedPlans.cached(
+      hashedShingleTable(existing, idCol, textCol, shingleN, portable))
+    def bandKeysOf(sh: DataFrame) = lshBandKeys(
+      minHashSignatures(sh, idCol, numHashes, portable),
+      idCol, bands, numHashes / bands, portable)
+    val bkOld = CachedPlans.cached(bandKeysOf(shOld))
+    val sizes = bkOld.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversized = sizes.filter(col("bucket_size") > maxBucket)
+    val okOld = bkOld.join(oversized.select("band", "band_key"),
+      Seq("band", "band_key"), "left_anti")
+    val pairs = okOld
+      .select(col("band"), col("band_key"), col(idCol).as("a_id"))
+      .join(bandKeysOf(shNew)
+        .select(col("band"), col("band_key"), col(idCol).as("b_id")),
+        Seq("band", "band_key"))
+      .select("a_id", "b_id").distinct()
+    NearDupReport(
+      jaccardFor(pairs, shNew.unionByName(shOld), idCol)
+        .filter(col("jaccard") >= threshold),
+      oversized)
+  }
+
   /** Per-doc SimHash bit-string over distinct tokens: bit j is the
     * majority vote of hash-bit j across the doc's tokens (strict
     * majority; tie → 0). Portable flavor derives bit j from hex digit j

@@ -59,6 +59,93 @@ object DedupQueries {
       shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Incremental exact dedup as a declared op: even doc_ids play the
+    * already-deduped corpus, odd ids the arriving batch; each batch doc
+    * gets a kept / dup_of_existing / dup_within_batch verdict from one
+    * hash-probe join (the corpus is never re-paired).
+    */
+  def incrementalExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExact(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalExactSql: String =
+    """WITH eh AS (
+      |  SELECT DISTINCT md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |nh AS (
+      |  SELECT doc_id, md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |j AS (
+      |  SELECT n.doc_id, n.content_hash,
+      |    e.content_hash IS NOT NULL AS seen,
+      |    row_number() OVER (PARTITION BY n.content_hash ORDER BY n.doc_id) AS rk
+      |  FROM nh n LEFT JOIN eh e USING (content_hash))
+      |SELECT doc_id, content_hash,
+      |  CASE WHEN seen THEN 'dup_of_existing'
+      |       WHEN rk > 1 THEN 'dup_within_batch'
+      |       ELSE 'kept' END AS verdict
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  /** Incremental MinHash near-dup probe as a declared op: same even/odd
+    * corpus/batch split; candidates only from NEW×EXISTING band-key
+    * collisions, Jaccard-verified ≥ 0.5.
+    */
+  def incrementalLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalMinHashNearDupsReport(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Oracle: the batch minHashLshSql machinery with the pair condition
+    * swapped from `a < b` to `a existing (even), b new (odd)`.
+    */
+  def incrementalLshSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min(('0x' || substr(md5(concat_ws('|', $i, shingle)), 1, 15))::BIGINT) AS h$i")
+      .mkString(",\n    ")
+    val bandKeys = (0 until 4).map { b =>
+      val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCte(3, "sh3_raw")},
+      |sh3 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh3_raw),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM sh3 GROUP BY doc_id),
+      |bk AS (
+      |  $bandKeys),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+      |common AS (
+      |  SELECT p.a_id, p.b_id, count(*) AS common
+      |  FROM pairs p
+      |  JOIN sh3 x ON x.doc_id = p.a_id
+      |  JOIN sh3 y ON y.doc_id = p.b_id AND y.shingle = x.shingle
+      |  GROUP BY 1, 2)
+      |SELECT c.a_id, c.b_id, c.common, ca.n AS na, cb.n AS nb,
+      |  CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) AS jaccard
+      |FROM common c
+      |JOIN cnt ca ON ca.doc_id = c.a_id
+      |JOIN cnt cb ON cb.doc_id = c.b_id
+      |WHERE CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def minHashLshSql: String = {
     // signatures are 60-bit longs (first 15 md5 hex chars), matching
     // PortableHash.seededLong — long min-buffers stay in HashAggregate

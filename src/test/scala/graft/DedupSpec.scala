@@ -187,4 +187,54 @@ class DedupSpec extends SparkSpec {
     assert(pairs(DedupQueries.ngramJaccardFast(spark, sf)) ===
       pairs(DedupQueries.ngramJaccard(spark, sf)))
   }
+
+  test("incrementalExact verdicts a batch against the corpus without re-pairing it") {
+    import graft.operators.Dedup
+    val existing = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"), // already in the corpus
+      (11L, "gamma"), // first sight anywhere
+      (12L, "gamma"), // second sight within the batch
+      (13L, "delta")) // first sight anywhere
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, existing, "doc_id", "text")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "dup_of_existing", 11L -> "kept",
+      12L -> "dup_within_batch", 13L -> "kept"))
+  }
+
+  test("incremental minhash probe pairs new against existing only, cap reported") {
+    import graft.operators.Dedup
+    graft.plans.CachedPlans.clear()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = Seq(
+      (2L, base), (4L, base + " tail"), // near-dups of each other: must NOT pair
+      (6L, "completely different content about spark catalyst plans"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base + " indeed"), // near-dup of 2 and 4
+      (3L, "unrelated fresh text nothing shares shingles with this"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.incrementalMinHashNearDupsReport(
+      batch, existing, "doc_id", "text", threshold = 0.5)
+    val got = rep.pairs.select("a_id", "b_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got.contains((2L, 1L)), s"missing (2,1) in $got")
+    // a_id is always existing (even), b_id always batch (odd): the
+    // existing×existing near-dup (2,4) must not re-emerge
+    assert(got.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 }, got)
+    assert(rep.oversizedBuckets.isEmpty)
+
+    // cap on the EXISTING side: maxBucket=1 with three same-template
+    // existing docs overflows their shared band buckets and reports them
+    graft.plans.CachedPlans.clear()
+    val template = Seq((2L, base), (4L, base), (8L, base))
+      .toDF("doc_id", "text")
+    val capped = Dedup.incrementalMinHashNearDupsReport(
+      batch, template, "doc_id", "text", threshold = 0.5, maxBucket = 1)
+    assert(capped.oversizedBuckets.count() > 0)
+    assert(capped.pairs.isEmpty) // every colliding bucket was dropped
+    graft.plans.CachedPlans.clear()
+  }
 }
