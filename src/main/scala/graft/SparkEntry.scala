@@ -84,6 +84,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "ann_ivf_refined" -> (SimilarityQueries.ivfRefinedTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
+    "embed_incremental" -> (SimilarityQueries.incrementalCosineNearDups _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "ann_ivf_refined" -> SimilarityQueries.ivfRefinedTopKSql,
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
+    "embed_incremental" -> SimilarityQueries.incrementalCosineNearDupsSql,
     "text_profile" -> TextQueries.profileSql,
     "text_fingerprint" -> TextQueries.fingerprintSql,
     "text_lang_dist" -> TextQueries.langDistSql,

@@ -349,6 +349,30 @@ object Similarity {
       .select("a_id", "b_id", "score")
   }
 
+  /** Incremental embedding near-dup probe: pairs are EXISTING × NEW
+    * bucket collisions only — the embedding twin of
+    * `Dedup.incrementalMinHashNearDupsReport`. The existing side's
+    * buckets are in a real deployment the stored LSH index; the probe
+    * joins the (small) new batch against it without ever re-pairing
+    * existing×existing. Output: (a_id existing, b_id new, score ≥
+    * threshold). Id spaces must be disjoint.
+    */
+  def incrementalCosineNearDups(newVecs: DataFrame, existing: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, planes: Int,
+      dim: Int): DataFrame = {
+    val signs = hyperplaneSigns(planes, dim)
+    def side(df: DataFrame, prefix: String) = df.select(
+      lshBucket(col(vecCol), signs).as("bucket"),
+      col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
+      VectorFunctions.normSq(col(vecCol)).as(s"${prefix}_norm"))
+    side(existing, "a").join(side(newVecs, "b"), Seq("bucket"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+
   // -------------------------------------------- int8 scalar quantization
 
   /** Per-dimension (min, max) over the corpus — the SQ8 training step.

@@ -276,6 +276,34 @@ object SimilarityQueries {
       |SELECT DISTINCT a_id, b_id, score FROM pairs WHERE score >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Incremental embedding near-dup probe as a declared op: even
+    * vec_ids play the indexed corpus, odd the arriving batch; pairs are
+    * EXISTING×NEW bucket collisions only (cos ≥ 0.35, 2 planes — same
+    * recall contract as embed_near_dups at test scale).
+    */
+  def incrementalCosineNearDups(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDups(
+        emb.filter("vec_id % 2 = 1"), emb.filter("vec_id % 2 = 0"),
+        "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsSql: String =
+    s"""WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    ${normSqSql("embedding")} AS norm,
+      |    ${bucketSql("embedding", 2)} AS bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(a.norm) * sqrt(b.norm), 0.0) AS score
+      |  FROM s a JOIN s b ON a.bucket = b.bucket
+      |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+      |SELECT a_id, b_id, score FROM pairs WHERE score >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** SQ8 asymmetric top-k: corpus quantized to uint8 codes against
     * per-dim (min, max) ranges, full-precision queries scored on the
     * reconstruction — the ¼-memory corpus representation for 100 TB ANN.

@@ -66,6 +66,25 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.keySet === Set(0L, 1L, 2L) && byQ.values.forall(_ === 4L))
   }
 
+  test("incremental cosine probe pairs existing against new only") {
+    // vectors 0..9 similar to each other, 100..104 a distant cluster
+    val pts = ((0 until 10).map(i => (i.toLong,
+        Array.tabulate(8)(d => 100f + i + d))) ++
+      (100 until 105).map(i => (i.toLong,
+        Array.tabulate(8)(d => -100f - (i - 100) - d))))
+    val all = pts.toDF("vec_id", "embedding")
+    val got = Similarity.incrementalCosineNearDups(
+        all.filter($"vec_id" % 2 === 1), all.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", threshold = 0.9, planes = 2, dim = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    // a is always existing (even), b always new (odd); the similar
+    // even×even pairs (e.g. 0,2) must never appear
+    assert(got.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 }, got)
+    // near-identical neighbors in the same cluster do collide
+    assert(got.contains((0L, 1L)) || got.contains((2L, 1L)), got)
+  }
+
   test("sq8 codes are uint8-bounded with per-dim reconstruction error ≤ scale/2") {
     val c = corpus(200)
     val dim = 8
