@@ -420,6 +420,30 @@ object CdcStream {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Streaming INCREMENTAL exact dedup: the ingest-time form of
+    * `Dedup.incrementalExact` — arriving documents are probed against a
+    * STATIC already-deduped corpus hash index (stream-static left anti
+    * join: Spark re-plans the static side per micro-batch, no state for
+    * it), then first-in-stream-wins within the watermark for hashes the
+    * corpus has never seen. Output = only the rows a downstream sink
+    * should KEEP; corpus hits and within-stream repeats never leave the
+    * operator.
+    *
+    * `existingHashes` must expose one `content_hash` column (md5 hex) —
+    * at scale the stored index the batch pipeline maintains. State is
+    * bounded by the watermark exactly as in [[dedupStream]]; the static
+    * side contributes none.
+    */
+  def incrementalDedupStream(events: DataFrame, existingHashes: DataFrame,
+      textCol: String, tsCol: String, horizon: String): DataFrame = {
+    events
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .join(existingHashes.select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+  }
+
   final case class BandRow(band: Int, band_key: String, doc_id: Long,
       sig: Seq[Long], ts: java.sql.Timestamp)
   final case class BandDoc(doc_id: Long, sig: Seq[Long])

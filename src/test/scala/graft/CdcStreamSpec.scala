@@ -339,6 +339,35 @@ class CdcStreamSpec extends SparkSpec {
       "first occurrence kept, within-watermark replay dropped")
   }
 
+  test("streaming incremental dedup probes the static corpus index") {
+    val dir = Files.createTempDirectory("stream_incr").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // batch 1: corpus dup + fresh doc; batch 2: replay of the fresh text
+    // (within-stream dup) + another fresh doc
+    Seq((10L, ts(0), "known text"), (11L, ts(1), "fresh one"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((12L, ts(2), "fresh one"), (13L, ts(3), "fresh two"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/b2")
+    // the already-deduped corpus's stored hash index
+    val corpusIndex = Seq("known text").toDF("t")
+      .select(md5($"t").as("content_hash"))
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/b*/")
+    val q = graft.streaming.CdcStream
+      .incrementalDedupStream(stream, corpusIndex, "text", "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incr_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("incr_out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 10 hits the corpus index, 12 replays 11 within the watermark
+    assert(got === Seq(11L, 13L))
+  }
+
   test("streaming windowed aggregation equals batch aggregation") {
     val dir = Files.createTempDirectory("stream_ev").toString
     val events = (0 until 200).map { i =>
