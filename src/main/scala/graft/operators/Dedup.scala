@@ -495,6 +495,9 @@ object Dedup {
       .join(bandKeysOf(shNew)
         .select(col("band"), col("band_key"), col(idCol).as("b_id")),
         Seq("band", "band_key"))
+      // disjoint-id contract backstop: a caller feeding overlapping id
+      // spaces must not get jaccard=1 self-pairs
+      .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     NearDupReport(
       jaccardFor(pairs, shNew.unionByName(shOld), idCol)

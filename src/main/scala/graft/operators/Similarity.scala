@@ -366,6 +366,9 @@ object Similarity {
       col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec"),
       VectorFunctions.normSq(col(vecCol)).as(s"${prefix}_norm"))
     side(existing, "a").join(side(newVecs, "b"), Seq("bucket"))
+      // disjoint-id contract backstop: overlapping id spaces must not
+      // produce score=1 self-pairs
+      .filter(col("a_id") =!= col("b_id"))
       .withColumn("score", VectorFunctions.cosineFrom(
         VectorFunctions.dot(col("a_vec"), col("b_vec")),
         col("a_norm"), col("b_norm")))
