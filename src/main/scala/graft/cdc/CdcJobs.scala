@@ -80,8 +80,10 @@ private[graft] object TablePool {
           "skipped: an earlier table failed")
         else try f(i) catch {
           case e: Throwable =>
-            failed.set(true)
+            // record BEFORE raising the flag: a queued task observing the
+            // flag must find the root cause already in place
             rootFailure.compareAndSet(null, e)
+            failed.set(true)
             throw e
         }
       try Await.result(Future.traverse(items)(i => Future(run(i))), Duration.Inf)

@@ -62,11 +62,50 @@ object MediaCodecs {
   val registry: Seq[MediaDecoder] =
     Seq(BmpDecoder, WavDecoder, ImageIoDecoder)
 
-  /** Sniff + decode, or None when no registered decoder matches. */
+  /** Sniff + decode, or None when no registered decoder matches.
+    * Throws when a decoder matched but the body is corrupt — pipeline
+    * callers that must stay total over dirty corpora use [[tryAuto]].
+    */
   def auto(bytes: Array[Byte]): Option[DecodedMedia] = {
     if (bytes == null || bytes.length < 4) return None
     registry.find(_.detect(bytes)).map(_.decode(bytes))
   }
+
+  /** Totality outcome for a payload: distinguishes "no codec claims
+    * these bytes" from "a codec claimed them but the body is corrupt" —
+    * the latter must be REPORTED, not conflated with unknown formats
+    * and never allowed to kill a task over one bad row.
+    */
+  sealed trait DecodeOutcome
+  final case class Decoded(media: DecodedMedia) extends DecodeOutcome
+  case object UnknownFormat extends DecodeOutcome
+  final case class Corrupt(format: String, reason: String)
+      extends DecodeOutcome
+
+  /** Total sniff + decode: corrupt bodies (a sniffed magic whose decode
+    * throws — hostile headers, truncation, unsupported sub-formats)
+    * come back as [[Corrupt]] instead of propagating the exception.
+    */
+  def tryAuto(bytes: Array[Byte]): DecodeOutcome = {
+    if (bytes == null || bytes.length < 4) return UnknownFormat
+    registry.find(_.detect(bytes)) match {
+      case None => UnknownFormat
+      case Some(d) =>
+        try Decoded(d.decode(bytes))
+        catch {
+          case e if scala.util.control.NonFatal(e) =>
+            Corrupt(d.name, String.valueOf(e.getMessage))
+        }
+    }
+  }
+
+  // shared little-endian readers (byte-order handling lives ONCE)
+  private def leI32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leI16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   // ---------------------------------------------------------------- BMP
 
@@ -83,12 +122,8 @@ object MediaCodecs {
     def detect(bytes: Array[Byte]): Boolean =
       bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M'
 
-    private def i32(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-    private def i16(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], off: Int): Int = leI32(b, off)
+    private def i16(b: Array[Byte], off: Int): Int = leI16(b, off)
 
     /** Parse to packed top-down RGB triples (3 bytes per pixel, pad
       * stripped, BGR→RGB swapped). Exposed separately from [[decode]]
@@ -113,19 +148,28 @@ object MediaCodecs {
         throw new MediaDecodeException(s"$bpp bpp unsupported (24/32 only)")
       if (width <= 0 || rawHeight == 0)
         throw new MediaDecodeException(s"bad dimensions ${width}x$rawHeight")
-      val height = math.abs(rawHeight)
+      // hostile-header guards: a negative/into-the-header dataOff must
+      // not pass the truncation check or decode header bytes as pixels,
+      // and the dimension math must not overflow Int into a bad alloc
+      if (dataOff < 14 + hdrSize || dataOff > bytes.length)
+        throw new MediaDecodeException(s"pixel data offset $dataOff out of range")
+      val height = math.abs(rawHeight.toLong)
       val topDown = rawHeight < 0
       val pxBytes = bpp / 8
-      val rowBytes = ((width * pxBytes + 3) / 4) * 4
-      if (dataOff.toLong + rowBytes.toLong * height > bytes.length)
+      val rowBytes = ((width.toLong * pxBytes + 3) / 4) * 4
+      if (width.toLong * height * 3 > Int.MaxValue - 8)
+        throw new MediaDecodeException(s"dimensions ${width}x$height overflow")
+      if (dataOff + rowBytes * height > bytes.length)
         throw new MediaDecodeException("pixel data truncated vs header dimensions")
-      val out = new Array[Byte](width * height * 3)
+      val h = height.toInt // safe: bounded by the overflow check above
+      val rb = rowBytes.toInt // safe: dataOff + rb*h fits in bytes.length
+      val out = new Array[Byte](width * h * 3)
       var row = 0
-      while (row < height) {
+      while (row < h) {
         // file rows run bottom-up unless height was negative
-        val srcRow = if (topDown) row else height - 1 - row
+        val srcRow = if (topDown) row else h - 1 - row
         var x = 0
-        var src = dataOff + srcRow * rowBytes
+        var src = dataOff + srcRow * rb
         var dst = row * width * 3
         while (x < width) {
           out(dst) = bytes(src + 2) // R (file order is B,G,R[,A])
@@ -137,7 +181,7 @@ object MediaCodecs {
         }
         row += 1
       }
-      (width, height, out)
+      (width, h, out)
     }
 
     /** Features: [w, h, channels, meanR, meanG, meanB, meanLum, stdLum]
@@ -188,12 +232,8 @@ object MediaCodecs {
         bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
-    private def i32(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-
-    private def i16(b: Array[Byte], off: Int): Int =
-      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], off: Int): Int = leI32(b, off)
+    private def i16(b: Array[Byte], off: Int): Int = leI16(b, off)
 
     /** Parse to interleaved 16-bit samples (8-bit input upscaled to the
       * centered 16-bit range). Returns (sampleRate, channels, samples).
@@ -203,22 +243,26 @@ object MediaCodecs {
     def decodeSamples(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
       if (!detect(bytes))
         throw new MediaDecodeException("not a WAV (missing RIFF/WAVE magic)")
-      var off = 12
+      // RIFF chunk lengths are UNSIGNED 32-bit; walk in Long so a
+      // hostile length can neither wrap the overrun check nor drive the
+      // cursor negative — every bad length dies here as the contracted
+      // MediaDecodeException, not an index error or a giant allocation
+      var off = 12L
       var sampleRate = -1; var channels = -1; var bits = -1
-      var dataOff = -1; var dataLen = -1
+      var dataOff = -1L; var dataLen = -1L
       while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
-        val id = new String(bytes, off, 4, "US-ASCII")
-        val len = i32(bytes, off + 4)
-        if (len < 0 || off + 8 + len > bytes.length)
+        val id = new String(bytes, off.toInt, 4, "US-ASCII")
+        val len = i32(bytes, off.toInt + 4).toLong & 0xffffffffL
+        if (off + 8 + len > bytes.length)
           throw new MediaDecodeException(s"chunk '$id' overruns file")
         if (id == "fmt ") {
           if (len < 16) throw new MediaDecodeException("fmt chunk too short")
-          val fmt = i16(bytes, off + 8)
+          val fmt = i16(bytes, off.toInt + 8)
           if (fmt != 1)
             throw new MediaDecodeException(s"audio format $fmt unsupported (PCM only)")
-          channels = i16(bytes, off + 10)
-          sampleRate = i32(bytes, off + 12)
-          bits = i16(bytes, off + 22)
+          channels = i16(bytes, off.toInt + 10)
+          sampleRate = i32(bytes, off.toInt + 12)
+          bits = i16(bytes, off.toInt + 22)
         } else if (id == "data") {
           dataOff = off + 8; dataLen = len
         }
@@ -230,23 +274,26 @@ object MediaCodecs {
         throw new MediaDecodeException(s"$bits-bit PCM unsupported (8/16 only)")
       if (channels <= 0)
         throw new MediaDecodeException(s"bad channel count $channels")
+      // the overrun check bounded dataOff+dataLen by bytes.length
+      val dOff = dataOff.toInt
+      val dLen = dataLen.toInt
       val out =
         if (bits == 16) {
-          val n = dataLen / 2
+          val n = dLen / 2
           val s = new Array[Short](n)
           var i = 0
           while (i < n) {
-            s(i) = ((bytes(dataOff + 2 * i) & 0xff) |
-              (bytes(dataOff + 2 * i + 1) << 8)).toShort
+            s(i) = ((bytes(dOff + 2 * i) & 0xff) |
+              (bytes(dOff + 2 * i + 1) << 8)).toShort
             i += 1
           }
           s
         } else {
-          val s = new Array[Short](dataLen)
+          val s = new Array[Short](dLen)
           var i = 0
-          while (i < dataLen) {
+          while (i < dLen) {
             // 8-bit WAV is unsigned, centered at 128
-            s(i) = (((bytes(dataOff + i) & 0xff) - 128) << 8).toShort
+            s(i) = (((bytes(dOff + i) & 0xff) - 128) << 8).toShort
             i += 1
           }
           s

@@ -53,19 +53,25 @@ object Multimodal {
 
   /** Real decode: sniff the payload against `MediaCodecs.registry`
     * (BMP/WAV/PNG/JPEG/GIF) and return that codec's feature vector;
-    * unknown bytes fall back to the byte-histogram stub so mixed
-    * corpora stay total. Pass as `decodeFn` to [[extractFeatures]].
+    * unknown AND corrupt bytes fall back to the byte-histogram stub so
+    * mixed corpora stay total — one truncated container must never
+    * fail a task. Pass as `decodeFn` to [[extractFeatures]].
     */
   def realDecode(bytes: Array[Byte]): Array[Float] =
-    MediaCodecs.auto(bytes).map(_.features)
-      .getOrElse(fakeDecode(bytes))
+    MediaCodecs.tryAuto(bytes) match {
+      case MediaCodecs.Decoded(m) => m.features
+      case _ => fakeDecode(bytes)
+    }
 
   /** Full typed decode: one output row per input row with the media
     * metadata a downstream pipeline filters/groups on (kind, format,
     * dimensions, sample rate) plus the codec feature vector. Rows whose
-    * bytes match no registered codec are kept — reported as
-    * `format = "opaque"` with stub features — so a mixed 100 TB corpus
-    * never loses rows to a decode miss silently.
+    * bytes match no registered codec are kept (`kind = "opaque"`), and
+    * rows a codec CLAIMED but could not parse — truncation, hostile
+    * headers, unsupported sub-formats — are kept as `kind = "corrupt"`
+    * with the sniffed codec in `format`; both carry stub features. A
+    * mixed 100 TB corpus never loses rows (or a whole task) to a decode
+    * miss, and the two miss reasons stay distinguishable.
     */
   def decodeMedia(df: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {
@@ -85,13 +91,16 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](payloadIdx)
-        MediaCodecs.auto(bytes) match {
-          case Some(m) =>
+        val nBytes = if (bytes == null) 0L else bytes.length.toLong
+        MediaCodecs.tryAuto(bytes) match {
+          case MediaCodecs.Decoded(m) =>
             Row(row.get(idIdx), m.kind, m.format, m.width, m.height,
               m.channels, m.sampleRate, m.nSamples, m.features.toSeq)
-          case None =>
-            Row(row.get(idIdx), "opaque", "opaque", 0, 0, 0, 0,
-              if (bytes == null) 0L else bytes.length.toLong,
+          case MediaCodecs.Corrupt(format, _) =>
+            Row(row.get(idIdx), "corrupt", format, 0, 0, 0, 0, nBytes,
+              fakeDecode(bytes).toSeq)
+          case MediaCodecs.UnknownFormat =>
+            Row(row.get(idIdx), "opaque", "opaque", 0, 0, 0, 0, nBytes,
               fakeDecode(bytes).toSeq)
         }
       }

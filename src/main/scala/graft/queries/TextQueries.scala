@@ -406,7 +406,7 @@ object TextQueries {
         val md5b = hexToBytes(r.getString(1))
         val rgb = Array.tabulate(30)(i => md5b(i % 16))
         val bmp = MediaCodecs.encodeBmp(5, 2, rgb)
-        val m = MediaCodecs.BmpDecoder.decode(bmp)
+        // one parse: kind/format are pinned by the decoder class itself
         val (w, hgt, px) = MediaCodecs.BmpDecoder.decodePixels(bmp)
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
@@ -415,7 +415,7 @@ object TextQueries {
           i += 3
         }
         org.apache.spark.sql.Row(
-          r.getLong(0), m.kind, m.format, w, hgt, sr, sg, sb)
+          r.getLong(0), "image", "bmp", w, hgt, sr, sg, sb)
       }
     }(enc).orderBy("doc_id")
   }
@@ -459,13 +459,13 @@ object TextQueries {
         val samples = Array.tabulate(8)(j =>
           ((b(2 * j) & 0xff) | (b(2 * j + 1) << 8)).toShort)
         val wav = MediaCodecs.encodeWavPcm16(16000, 1, samples)
-        val m = MediaCodecs.WavDecoder.decode(wav)
-        val (_, _, parsed) = MediaCodecs.WavDecoder.decodeSamples(wav)
+        // one parse: kind/format are pinned by the decoder class itself
+        val (rate, channels, parsed) = MediaCodecs.WavDecoder.decodeSamples(wav)
         var s = 0L; var sa = 0L
         parsed.foreach { v => s += v; sa += math.abs(v.toInt) }
         org.apache.spark.sql.Row(
-          r.getLong(0), m.kind, m.format, m.sampleRate, m.channels,
-          m.nSamples, s, sa)
+          r.getLong(0), "audio", "wav", rate, channels,
+          parsed.length.toLong / channels, s, sa)
       }
     }(enc).orderBy("doc_id")
   }

@@ -235,6 +235,46 @@ class MultimodalSpec extends SparkSpec {
       MediaCodecs.BmpDecoder.decode(bmp).features.toSeq)
   }
 
+  test("corrupt-but-sniffed payloads are reported, never fail the job") {
+    val good = MediaCodecs.encodeBmp(4, 4, testCard(4, 4))
+    val truncated = java.util.Arrays.copyOf(good, 60) // BM magic, no pixels
+    val rle = good.clone(); rle(30) = 1 // unsupported compression
+    val badWav = "RIFF????WAVE".getBytes("US-ASCII") ++
+      Array.fill[Byte](40)(0x7f.toByte) // magic ok, chunk soup
+    // tryAuto: Corrupt (with the sniffed codec), not an exception
+    assert(MediaCodecs.tryAuto(truncated) ===
+      MediaCodecs.Corrupt("bmp", "pixel data truncated vs header dimensions"))
+    assert(MediaCodecs.tryAuto(rle).isInstanceOf[MediaCodecs.Corrupt])
+    assert(MediaCodecs.tryAuto(badWav) match {
+      case MediaCodecs.Corrupt("wav", _) => true
+      case _ => false
+    })
+    // ...and through the DataFrame op: rows survive with kind=corrupt
+    val df = Seq((1L, good), (2L, truncated), (3L, rle))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, "doc_id", "payload")
+      .sort("doc_id").collect()
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSeq ===
+      Seq(("image", "bmp"), ("corrupt", "bmp"), ("corrupt", "bmp")))
+    // realDecode falls back to the stub instead of throwing
+    assert(Multimodal.realDecode(truncated).toSeq ===
+      Multimodal.fakeDecode(truncated).toSeq)
+    // hostile BMP headers die as MediaDecodeException, not index errors
+    val evilOff = good.clone()
+    evilOff(10) = 2; evilOff(11) = 0; evilOff(12) = 0; evilOff(13) = 0
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.BmpDecoder.decodePixels(evilOff)
+    }
+    // hostile WAV chunk length (0xFFFFFFF0) dies the same way
+    val evilWav = MediaCodecs.encodeWavPcm16(8000, 1,
+      Array.tabulate(4)(_.toShort))
+    evilWav(40) = 0xf0.toByte; evilWav(41) = 0xff.toByte
+    evilWav(42) = 0xff.toByte; evilWav(43) = 0xff.toByte
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.WavDecoder.decodeSamples(evilWav)
+    }
+  }
+
   test("resizeNearest halves a test card exactly") {
     val (w, h) = (4, 4)
     val rgb = testCard(w, h)
