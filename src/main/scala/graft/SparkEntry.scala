@@ -108,6 +108,7 @@ object SparkEntry {
     "mm_frame_sample" -> (TextQueries.multimodalFrames _),
     "mm_decode_bmp" -> (TextQueries.multimodalDecodeBmp _),
     "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
+    "mm_resize" -> (TextQueries.multimodalResize _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _)
   )
 
@@ -179,6 +180,7 @@ object SparkEntry {
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_decode_bmp" -> TextQueries.multimodalDecodeBmpSql,
     "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
+    "mm_resize" -> TextQueries.multimodalResizeSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql
   )
 }

@@ -433,6 +433,67 @@ object TextQueries {
       |  CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
       |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** REAL resize on REAL containers: the md5-derived 5x2 BMP from
+    * [[multimodalDecodeBmp]] is parsed and nearest-neighbor-resized to
+    * 3x2; exact channel sums of the resized image are oracle-checked.
+    * Nearest-neighbor source indices are deterministic
+    * (`sx = floor(x·w/outW)` → columns 0,1,3 of both rows), so DuckDB
+    * recomputes the same sums straight from the md5 hex — pinning the
+    * parse AND the resize arithmetic cross-engine.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val md5b = hexToBytes(r.getString(1))
+        val rgb = Array.tabulate(30)(i => md5b(i % 16))
+        val bmp = MediaCodecs.encodeBmp(5, 2, rgb)
+        val (w, hgt, px) = MediaCodecs.BmpDecoder.decodePixels(bmp)
+        val small = MediaCodecs.resizeNearest(w, hgt, px, 3, 2)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < small.length) {
+          sr += small(i) & 0xff; sg += small(i + 1) & 0xff
+          sb += small(i + 2) & 0xff
+          i += 3
+        }
+        org.apache.spark.sql.Row(r.getLong(0), 3, 2, sr, sg, sb)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  /** Oracle: nearest-neighbor 5x2→3x2 keeps pixels (y, x·5/3) =
+    * columns {0,1,3} of rows {0,1} — top-down RGB offsets
+    * {0,3,9,15,18,24}; channel byte c of offset o is md5 byte (o+c)%16.
+    */
+  def multimodalResizeSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |px AS (
+      |  SELECT doc_id, h, CAST(t.o AS INTEGER) AS o
+      |  FROM b, UNNEST([0, 3, 9, 15, 18, 24]) t(o)),
+      |bytes AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(h, CAST(2*((o + 0) % 16) + 1 AS INTEGER), 2))::INTEGER AS r,
+      |    ('0x' || substr(h, CAST(2*((o + 1) % 16) + 1 AS INTEGER), 2))::INTEGER AS g,
+      |    ('0x' || substr(h, CAST(2*((o + 2) % 16) + 1 AS INTEGER), 2))::INTEGER AS bl
+      |  FROM px)
+      |SELECT doc_id, CAST(3 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+      |  CAST(sum(r) AS BIGINT) AS sum_r,
+      |  CAST(sum(g) AS BIGINT) AS sum_g,
+      |  CAST(sum(bl) AS BIGINT) AS sum_b
+      |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** REAL-codec WAV twin of [[multimodalDecodeBmp]]: 8 signed 16-bit LE
     * samples from the md5(text) bytes, wrapped in a RIFF/WAVE container
     * by `encodeWavPcm16`, parsed back by the pure-JVM WavDecoder chunk
