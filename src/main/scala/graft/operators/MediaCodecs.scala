@@ -151,7 +151,9 @@ object MediaCodecs {
       // hostile-header guards: a negative/into-the-header dataOff must
       // not pass the truncation check or decode header bytes as pixels,
       // and the dimension math must not overflow Int into a bad alloc
-      if (dataOff < 14 + hdrSize || dataOff > bytes.length)
+      // Long math: a hostile hdrSize near Int.MaxValue would overflow
+      // `14 + hdrSize` to negative and let header bytes decode as pixels
+      if (dataOff.toLong < 14L + hdrSize.toLong || dataOff > bytes.length)
         throw new MediaDecodeException(s"pixel data offset $dataOff out of range")
       val height = math.abs(rawHeight.toLong)
       val topDown = rawHeight < 0
@@ -277,6 +279,11 @@ object MediaCodecs {
       // the overrun check bounded dataOff+dataLen by bytes.length
       val dOff = dataOff.toInt
       val dLen = dataLen.toInt
+      // a 16-bit data chunk with an odd byte count is a truncated/corrupt
+      // chunk — reject loudly rather than silently dropping the tail byte
+      if (bits == 16 && (dLen & 1) == 1)
+        throw new MediaDecodeException(
+          s"16-bit data chunk has odd length $dLen")
       val out =
         if (bits == 16) {
           val n = dLen / 2
@@ -354,6 +361,11 @@ object MediaCodecs {
       if (img == null)
         throw new MediaDecodeException(s"ImageIO could not decode sniffed $fmt")
       val w = img.getWidth; val h = img.getHeight
+      // decompression-bomb guard: a huge PNG would overflow w*h*3 in Int
+      // and throw NegativeArraySizeException instead of the documented
+      // MediaDecodeException (same bound BmpDecoder applies)
+      if (w.toLong * h * 3 > Int.MaxValue - 8)
+        throw new MediaDecodeException(s"dimensions ${w}x$h overflow")
       val rgb = new Array[Byte](w * h * 3)
       var y = 0
       while (y < h) {

@@ -401,10 +401,14 @@ object Similarity {
   }
 
   /** Encode a float vector to uint8 codes against per-dim ranges:
-    * `code_d = floor((v_d - min_d) / scale_d + 0.5)` with
-    * `scale_d = (max_d - min_d) / 255` (constant dims → code 0). All
-    * arithmetic in double with an explicit floor(x + 0.5) — not a
-    * platform `round` — so any engine reproduces the codes bit-exactly.
+    * `code_d = floor((v_d - min_d) / scale_d + 0.5)` clamped to
+    * `[0, 255]`, with `scale_d = (max_d - min_d) / 255` (constant dims →
+    * code 0). The clamp makes the encoder total over vectors OUTSIDE the
+    * training range — the incremental pattern (encode a new batch against
+    * stored corpus ranges) would otherwise silently emit codes < 0 or
+    * > 255 and break the uint8 bound. All arithmetic in double with an
+    * explicit floor(x + 0.5) — not a platform `round` — so any engine
+    * reproduces the codes bit-exactly.
     */
   def sq8Encode(vec: Column, mins: Seq[Double],
       scales: Seq[Double]): Column = {
@@ -412,9 +416,9 @@ object Similarity {
     val scaleA = array(scales.map(lit(_)): _*)
     transform(vec, (v, i) =>
       when(element_at(scaleA, i + 1) === 0.0, lit(0))
-        .otherwise(floor(
+        .otherwise(greatest(lit(0), least(lit(255), floor(
           (v.cast(DoubleType) - element_at(minA, i + 1)) /
-            element_at(scaleA, i + 1) + lit(0.5)).cast("int")))
+            element_at(scaleA, i + 1) + lit(0.5)).cast("int")))))
   }
 
   /** Approximate top-k by asymmetric distance: full-precision query

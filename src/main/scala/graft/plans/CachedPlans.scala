@@ -22,15 +22,17 @@ import scala.collection.mutable
   *     the already-warm cache with zero extra jobs.
   *
   * Staleness guard: the key also carries a SNAPSHOT FINGERPRINT — the
-  * digest of the plan's input-file listing. Two reads of the same path
-  * canonicalize to the same plan even when the files underneath were
-  * rewritten in between (Spark writes fresh unique part-file names per
-  * job, so a rewrite always changes the listing); fingerprinting the
-  * listing makes the post-rewrite build MISS the stale entry and rebuild
-  * from current data, while byte-identical re-reads still hit. Non-file
+  * digest of the plan's input-file listing, each file tagged with its
+  * length and modification time. Two reads of the same path canonicalize
+  * to the same plan even when the files underneath were rewritten in
+  * between; fingerprinting the listing makes the post-rewrite build MISS
+  * the stale entry and rebuild from current data, while unchanged
+  * re-reads still hit. Including length+mtime covers SAME-NAME in-place
+  * rewrites too (Spark's own writers use fresh UUID part names, but the
+  * streaming state sink's `bucket_<k>` swap keeps names stable). Non-file
   * sources (JDBC, in-memory) have an empty listing and fall back to pure
-  * plan keying. The fingerprint reads the FileIndex listing already
-  * materialized by `spark.read` — no extra filesystem calls.
+  * plan keying. Cost: one `listStatus` per distinct input directory per
+  * key computation.
   *
   * Lifetime contract: entries live until [[clear]] (which unpersists
   * registry persists AND releases checkpoint blocks backing memoized
@@ -54,16 +56,42 @@ object CachedPlans {
     def peek: Option[DataFrame] = result
   }
 
-  /** MD5 of the sorted input-file listing — the plan's data snapshot
-    * identity. Empty string for non-file-backed plans.
+  /** MD5 of the sorted input-file listing PLUS each file's length and
+    * modification time — the plan's data snapshot identity. Empty string
+    * for non-file-backed plans.
+    *
+    * Name alone is not enough: an in-place rewrite that keeps file names
+    * (the streaming state sink's `bucket_<k>` swap, any overwrite with
+    * stable names) would leave a name-only digest unchanged and serve
+    * stale results. Length+mtime comes from one `listStatus` per distinct
+    * parent directory (not one RPC per file); a file deleted between
+    * listing and stat simply digests as absent, which still changes the
+    * key.
     */
   private def snapshot(df: DataFrame): String = {
     val files = df.inputFiles
     if (files.isEmpty) ""
     else {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      // one listStatus per parent dir: (path -> (len, mtime)) for every
+      // sibling, probed below per input file
+      val stats = files.map(new org.apache.hadoop.fs.Path(_).getParent)
+        .distinct.flatMap { dir =>
+          try {
+            dir.getFileSystem(conf).listStatus(dir).map(s =>
+              s.getPath.toUri.getPath ->
+                (s.getLen, s.getModificationTime))
+          } catch { case _: java.io.IOException => Array.empty[
+            (String, (Long, Long))] }
+        }.toMap
       val md = java.security.MessageDigest.getInstance("MD5")
       files.sorted.foreach { f =>
         md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0.toByte)
+        val (len, mtime) = stats.getOrElse(
+          new org.apache.hadoop.fs.Path(f).toUri.getPath, (-1L, -1L))
+        md.update(s"$len:$mtime".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
         md.update(0.toByte)
       }
       java.util.Base64.getEncoder.encodeToString(md.digest())

@@ -106,7 +106,11 @@ object DedupQueries {
   }
 
   /** Oracle: the batch minHashLshSql machinery with the pair condition
-    * swapped from `a < b` to `a existing (even), b new (odd)`.
+    * swapped from `a < b` to `a existing (even), b new (odd)`, and the
+    * Scala op's existing-side bucket cap (default maxBucket = 1000)
+    * mirrored via `HAVING count(*) <= 1000` on existing band keys — so
+    * the oracle stays semantically equivalent at any scale factor, not
+    * just ones where no bucket exceeds the cap.
     */
   def incrementalLshSql: String = {
     val mins = (0 until 12).map(i =>
@@ -126,10 +130,16 @@ object DedupQueries {
       |  FROM sh3 GROUP BY doc_id),
       |bk AS (
       |  $bandKeys),
+      |ok_keys AS (
+      |  SELECT band, band_key FROM bk WHERE doc_id % 2 = 0
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-      |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+      |  FROM bk a
+      |  JOIN ok_keys k ON a.band = k.band AND a.band_key = k.band_key
+      |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND b.doc_id % 2 = 1
+      |  WHERE a.doc_id % 2 = 0),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
       |common AS (
       |  SELECT p.a_id, p.b_id, count(*) AS common

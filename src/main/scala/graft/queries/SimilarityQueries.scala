@@ -333,8 +333,9 @@ object SimilarityQueries {
       |  SELECT vec_id AS n_id,
       |    list_transform(range(1, ${Dim + 1}), i ->
       |      CASE WHEN scaleA[i] = 0.0 THEN 0
-      |        ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
-      |          / scaleA[i] + 0.5) AS INTEGER) END) AS codes
+      |        ELSE greatest(0, least(255,
+      |          CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
+      |            / scaleA[i] + 0.5) AS INTEGER))) END) AS codes
       |  FROM embeddings CROSS JOIN rlist),
       |q AS (
       |  SELECT vec_id AS q_id, embedding AS q_vec

@@ -52,6 +52,41 @@ class CachedPlansSpec extends SparkSpec {
     CachedPlans.clear()
   }
 
+  test("in-place rewrite keeping file names misses the stale entry") {
+    // the streaming state sink's bucket swap rewrites files under STABLE
+    // names (bucket_<k>), so the snapshot must fingerprint length+mtime,
+    // not just the listing
+    CachedPlans.clear()
+    val dirA = java.nio.file.Files.createTempDirectory("graft-swap-a")
+    val dirB = java.nio.file.Files.createTempDirectory("graft-swap-b")
+    spark.range(0, 10).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(dirA.toString)
+    val a = CachedPlans.cached(spark.read.parquet(dirA.toString))
+    assert(a.count() === 10)
+    // craft a replacement with DIFFERENT content but the SAME file name
+    spark.range(0, 25).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(dirB.toString)
+    def part(d: java.nio.file.Path) = new java.io.File(d.toString)
+      .listFiles.find(_.getName.startsWith("part-")).get.toPath
+    val (pa, pb) = (part(dirA), part(dirB))
+    java.nio.file.Files.copy(pb, pa,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the local FS keeps a checksum sidecar per file — swap it too, as
+    // the real bucket-swap writer does
+    java.nio.file.Files.copy(
+      pb.resolveSibling("." + pb.getFileName + ".crc"),
+      pa.resolveSibling("." + pa.getFileName + ".crc"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // refresh Spark's OWN file-status cache (any in-place writer must —
+    // stale lengths break parquet footer reads); the point under test is
+    // that the CachedPlans registry ALSO misses, via its own snapshot
+    spark.catalog.refreshByPath(dirA.toString)
+    val b = CachedPlans.cached(spark.read.parquet(dirA.toString))
+    assert(!(b eq a), "same-name rewrite must not hit the stale entry")
+    assert(b.count() === 25)
+    CachedPlans.clear()
+  }
+
   test("clear releases checkpoint blocks behind memoized results") {
     CachedPlans.clear()
     val pairs = Seq((11L, 12L), (12L, 13L), (21L, 22L)).toDF("a_id", "b_id")

@@ -273,6 +273,22 @@ class MultimodalSpec extends SparkSpec {
     intercept[MediaCodecs.MediaDecodeException] {
       MediaCodecs.WavDecoder.decodeSamples(evilWav)
     }
+    // hostile BMP hdrSize near Int.MaxValue must not overflow 14+hdrSize
+    // into a negative bound and decode header bytes as pixels
+    val evilHdr = good.clone()
+    evilHdr(14) = 0xf0.toByte; evilHdr(15) = 0xff.toByte
+    evilHdr(16) = 0xff.toByte; evilHdr(17) = 0x7f.toByte
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.BmpDecoder.decodePixels(evilHdr)
+    }
+    // a 16-bit data chunk with an ODD byte count is corrupt, not one
+    // sample shorter
+    val oddWav = MediaCodecs.encodeWavPcm16(8000, 1,
+      Array.tabulate(4)(_.toShort))
+    oddWav(40) = 7 // data chunk claims 7 of the 8 payload bytes
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.WavDecoder.decodeSamples(oddWav)
+    }
   }
 
   test("resizeNearest halves a test card exactly") {

@@ -108,6 +108,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8 encoding is total over vectors outside the training range") {
+    // the incremental pattern: NEW vectors encoded against STORED corpus
+    // ranges can fall outside (min, max) — codes must clamp to [0, 255],
+    // not silently break the uint8 bound
+    val mins = Seq(0.0, 0.0)
+    val scales = Seq(1.0 / 255.0, 1.0 / 255.0) // trained on [0, 1]
+    val out = Seq((1L, Array(-5.0f, 9.0f)), (2L, Array(0.5f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id",
+        Similarity.sq8Encode($"embedding", mins, scales).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) === Seq(0, 255), "out-of-range must clamp")
+    assert(out(2L) === Seq(128, 255), "in-range codes unchanged by clamp")
+  }
+
   test("sq8 top-k agrees with brute force on well-separated clusters") {
     // two tight clusters far apart: quantization noise cannot flip the
     // nearest-cluster decision, so sq8's top hit matches exact search
