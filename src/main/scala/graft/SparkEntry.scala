@@ -67,6 +67,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
     "dedup_incremental" -> (DedupQueries.incrementalExact _),
     "dedup_incremental_lsh" -> (DedupQueries.incrementalLsh _),
+    // indexed probes: same semantics/oracles as the recompute forms
+    // above, but the corpus side reads the PERSISTED DedupIndex
+    "dedup_incremental_indexed" -> (DedupQueries.incrementalExactIndexed _),
+    "dedup_incremental_lsh_indexed" -> (DedupQueries.incrementalLshIndexed _),
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
     "dedup_simhash_buckets" -> (DedupQueries.simHashOversized _),
@@ -85,6 +89,8 @@ object SparkEntry {
     "ann_ivf_refined" -> (SimilarityQueries.ivfRefinedTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
     "embed_incremental" -> (SimilarityQueries.incrementalCosineNearDups _),
+    "embed_incremental_indexed" ->
+      (SimilarityQueries.incrementalCosineNearDupsIndexed _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -145,6 +151,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
     "dedup_incremental" -> DedupQueries.incrementalExactSql,
     "dedup_incremental_lsh" -> DedupQueries.incrementalLshSql,
+    // the indexed probes must reproduce the recompute forms bit-exactly,
+    // so they share those forms' oracles
+    "dedup_incremental_indexed" -> DedupQueries.incrementalExactSql,
+    "dedup_incremental_lsh_indexed" -> DedupQueries.incrementalLshSql,
+    "embed_incremental_indexed" ->
+      SimilarityQueries.incrementalCosineNearDupsSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,

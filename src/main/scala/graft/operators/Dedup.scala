@@ -505,6 +505,84 @@ object Dedup {
       oversized)
   }
 
+  /** Index-backed form of [[incrementalExact]]: the corpus side is the
+    * PERSISTED distinct content-hash table ([[DedupIndex.writeText]]) —
+    * the probe reads only the index, never corpus text, so a new batch
+    * costs one scan of the batch plus one bucketed-index equi-join
+    * regardless of corpus size. Verdicts are bit-identical to the
+    * recompute form: they depend only on hash-set membership, and the
+    * index IS that set.
+    */
+  def incrementalExactIndexed(newDocs: DataFrame, idCol: String,
+      textCol: String, idx: DedupIndex.TextIndex): DataFrame = {
+    val nh = newDocs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val eh = idx.hashes.withColumn("_seen", lit(true))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    nh.join(eh, Seq("content_hash"), "left")
+      .withColumn("verdict",
+        when(col("_seen"), lit("dup_of_existing"))
+          .when(row_number().over(w) > 1, lit("dup_within_batch"))
+          .otherwise(lit("kept")))
+      .select(col(idCol), col("content_hash"), col("verdict"))
+  }
+
+  /** Index-backed form of [[incrementalMinHashNearDupsReport]]: band
+    * keys, shingles and shingle counts for the corpus side all come from
+    * the PERSISTED index — corpus text is never scanned, shingled or
+    * minhashed again. The index tables are bucketed on their join keys
+    * (`band_key`, `id`), so the bucket-size aggregate and every
+    * corpus-side join run without an Exchange on the corpus side; only
+    * the (small) new batch shuffles. Pairs are bit-identical to the
+    * recompute form: the index stores exactly the tables that form
+    * derives, and the split-sided Jaccard verify (a-rows from the index,
+    * b-rows from the batch) equals the union form because id spaces are
+    * disjoint.
+    *
+    * Probe parameters (shingleN, numHashes, bands, hash flavor) come from
+    * the index's params file — a probe can't accidentally mix hash
+    * geometries with the stored tables.
+    */
+  def incrementalMinHashNearDupsReportIndexed(newDocs: DataFrame,
+      idCol: String, textCol: String, idx: DedupIndex.TextIndex,
+      threshold: Double = 0.5, maxBucket: Int = 1000): NearDupReport = {
+    val p = idx.params
+    val shNew = CachedPlans.cached(
+      hashedShingleTable(newDocs, idCol, textCol, p.shingleN, p.portable))
+    val bkNew = lshBandKeys(
+      minHashSignatures(shNew, idCol, p.numHashes, p.portable),
+      idCol, p.bands, p.numHashes / p.bands, p.portable)
+    val bkOld = idx.bandKeys
+    val sizes = bkOld.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversized = sizes.filter(col("bucket_size") > maxBucket)
+    val okOld = bkOld.join(oversized.select("band", "band_key"),
+      Seq("band", "band_key"), "left_anti")
+    val pairs = okOld
+      .select(col("band"), col("band_key"), col("id").as("a_id"))
+      .join(bkNew.select(col("band"), col("band_key"), col(idCol).as("b_id")),
+        Seq("band", "band_key"))
+      // disjoint-id contract backstop, as in the recompute form
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val common = pairs
+      .join(idx.shingles.select(col("id").as("a_id"), col("shingle")),
+        Seq("a_id"))
+      .join(shNew.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    val countsNew = shNew.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val verified = common
+      .join(idx.counts.select(col("id").as("a_id"),
+        col("n_shingles").as("na")), Seq("a_id"))
+      .join(countsNew.select(col(idCol).as("b_id"),
+        col("n_shingles").as("nb")), Seq("b_id"))
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("na") + col("nb") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+    NearDupReport(verified, oversized)
+  }
+
   /** Per-doc SimHash bit-string over distinct tokens: bit j is the
     * majority vote of hash-bit j across the doc's tokens (strict
     * majority; tie → 0). Portable flavor derives bit j from hex digit j

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Persisted corpus-side dedup/ANN indexes — the store/load half of the
+  * incremental-probe design. The probe operators
+  * ([[Dedup.incrementalExact]], [[Dedup.incrementalMinHashNearDupsReport]],
+  * [[Similarity.incrementalCosineNearDups]]) verdict a NEW batch against
+  * an EXISTING corpus; their recompute forms re-derive the corpus-side
+  * tables (distinct content hashes, band keys, shingles, LSH buckets)
+  * from corpus TEXT on every run. At 100 TB that means every daily batch
+  * pays a full corpus scan + shingle + minhash. This object materializes
+  * those tables ONCE as bucketed parquet, so a probe run reads only the
+  * index — never corpus text — and the bucket layout feeds the probe
+  * joins and aggregations without shuffling the corpus side (the same
+  * no-Exchange property ScaleOpsSpec proves for
+  * [[ScaleOps.writeBucketed]]).
+  *
+  * A TEXT index (one directory) holds four bucketed tables plus a params
+  * file:
+  *   - `hashes/`    (content_hash)            bucketed by content_hash
+  *   - `bands/`     (id, band, band_key)      bucketed by band_key
+  *   - `shingles/`  (id, shingle)             bucketed by id
+  *   - `counts/`    (id, n_shingles)          bucketed by id
+  * A VECTOR index holds one:
+  *   - `buckets/`   (id, bucket, vec, norm)   bucketed by bucket
+  * `_params.json` pins the hash/geometry parameters (shingleN, numHashes,
+  * bands, portable / planes, dim) so a probe can only run with the SAME
+  * functions that built the index — loading validates, probing reuses.
+  *
+  * Ids are stored as BIGINT (the engine's document/vector id contract).
+  * Bucket counts default to the session's shuffle partitioning.
+  *
+  * Catalog lifecycle: Spark only exposes bucket metadata through the
+  * catalog, so [[writeText]]/[[writeVectors]] register each component as
+  * an EXTERNAL bucketed table (name derived from the index directory) and
+  * the load path re-issues `CREATE TABLE ... CLUSTERED BY ... LOCATION`
+  * when the session doesn't know the table yet (fresh session over an
+  * existing index — the daily-batch pattern).
+  */
+object DedupIndex {
+
+  final case class TextParams(shingleN: Int, numHashes: Int, bands: Int,
+      portable: Boolean, numBuckets: Int)
+
+  final case class VectorParams(planes: Int, dim: Int, numBuckets: Int)
+
+  /** Loaded text index: every member is a bucketed-table scan. */
+  final case class TextIndex(dir: String, params: TextParams,
+      hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
+      counts: DataFrame)
+
+  /** Loaded vector index: `buckets` is a bucketed-table scan. */
+  final case class VectorIndex(dir: String, params: VectorParams,
+      buckets: DataFrame)
+
+  // ------------------------------------------------------------- write
+
+  /** Build and persist the text-dedup index of `corpus` under `dir`
+    * (overwriting any previous index there): distinct content hashes for
+    * the exact probe, band keys for the LSH probe, hashed shingles +
+    * per-doc counts for the Jaccard verify. One corpus scan feeds all
+    * four tables (the shingle table is computed once and reused).
+    */
+  def writeText(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      portable: Boolean = true, numBuckets: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val n = bucketsOrDefault(spark, numBuckets)
+    dropComponents(spark, dir, Seq("hashes", "bands", "shingles", "counts"))
+    val sh = graft.plans.CachedPlans.cached(
+      Dedup.hashedShingleTable(corpus, idCol, textCol, shingleN, portable))
+    writeComponent(
+      corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
+      dir, "hashes", Seq("content_hash"), n)
+    writeComponent(
+      Dedup.lshBandKeys(
+          Dedup.minHashSignatures(sh, idCol, numHashes, portable),
+          idCol, bands, numHashes / bands, portable)
+        .select(col(idCol).cast("long").as("id"), col("band"),
+          col("band_key")),
+      dir, "bands", Seq("band_key"), n)
+    writeComponent(
+      sh.select(col(idCol).cast("long").as("id"), col("shingle")),
+      dir, "shingles", Seq("id"), n)
+    writeComponent(
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+        .select(col(idCol).cast("long").as("id"), col("n_shingles")),
+      dir, "counts", Seq("id"), n)
+    writeParams(spark, dir,
+      s"""{"kind":"text","shingleN":$shingleN,"numHashes":$numHashes,""" +
+        s""""bands":$bands,"portable":$portable,"numBuckets":$n}""")
+  }
+
+  /** Build and persist the vector-ANN index of `corpus` under `dir`:
+    * each vector with its hyperplane-LSH bucket and precomputed squared
+    * norm, bucketed (in the parquet sense) by the LSH bucket so a probe
+    * batch joins against co-located candidates.
+    */
+  def writeVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, planes: Int, dim: Int, numBuckets: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val n = bucketsOrDefault(spark, numBuckets)
+    dropComponents(spark, dir, Seq("buckets"))
+    val signs = Similarity.hyperplaneSigns(planes, dim)
+    writeComponent(
+      corpus.select(col(idCol).cast("long").as("id"),
+        Similarity.lshBucket(col(vecCol), signs).as("bucket"),
+        col(vecCol).as("vec"),
+        graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm")),
+      dir, "buckets", Seq("bucket"), n)
+    writeParams(spark, dir,
+      s"""{"kind":"vector","planes":$planes,"dim":$dim,"numBuckets":$n}""")
+  }
+
+  // -------------------------------------------------------------- load
+
+  /** Load a text index written by [[writeText]], re-registering the
+    * bucketed external tables if this session hasn't seen them.
+    */
+  def loadText(spark: SparkSession, dir: String): TextIndex = {
+    val p = readParams(spark, dir, "text")
+    val params = TextParams(p("shingleN").toInt, p("numHashes").toInt,
+      p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt)
+    TextIndex(dir, params,
+      hashes = component(spark, dir, "hashes", Seq("content_hash"),
+        params.numBuckets),
+      bandKeys = component(spark, dir, "bands", Seq("band_key"),
+        params.numBuckets),
+      shingles = component(spark, dir, "shingles", Seq("id"),
+        params.numBuckets),
+      counts = component(spark, dir, "counts", Seq("id"),
+        params.numBuckets))
+  }
+
+  /** Load a vector index written by [[writeVectors]]. */
+  def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
+    val p = readParams(spark, dir, "vector")
+    val params = VectorParams(p("planes").toInt, p("dim").toInt,
+      p("numBuckets").toInt)
+    VectorIndex(dir, params,
+      buckets = component(spark, dir, "buckets", Seq("bucket"),
+        params.numBuckets))
+  }
+
+  // --------------------------------------------------------- internals
+
+  private def bucketsOrDefault(spark: SparkSession, n: Int): Int =
+    if (n > 0) n
+    else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Deterministic catalog name for a component: the directory digest
+    * keys it, so two indexes never collide and the same index always
+    * re-registers under the same name.
+    */
+  private def tableName(dir: String, component: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+    s"graft_idx_${hex}_$component"
+  }
+
+  private def componentPath(dir: String, component: String) =
+    new org.apache.hadoop.fs.Path(dir, component)
+
+  private def dropComponents(spark: SparkSession, dir: String,
+      components: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    components.foreach { c =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, c)}")
+      val p = componentPath(dir, c)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  private def writeComponent(df: DataFrame, dir: String, component: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit =
+    ScaleOps.writeBucketedAt(df,
+      tableName(dir, component),
+      componentPath(dir, component).toString,
+      bucketCols, numBuckets)
+
+  /** Register-if-absent and scan one bucketed component. The CREATE
+    * TABLE path (fresh session over an existing index) infers the column
+    * schema from the parquet footers and re-declares the bucket spec —
+    * Spark keeps bucket metadata only in the catalog.
+    */
+  private def component(spark: SparkSession, dir: String, name: String,
+      bucketCols: Seq[String], numBuckets: Int): DataFrame = {
+    val table = tableName(dir, name)
+    if (!spark.catalog.tableExists(table)) {
+      val path = componentPath(dir, name).toString
+      val schemaDdl = spark.read.parquet(path).schema.toDDL
+      val cols = bucketCols.mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE $table ($schemaDdl) USING parquet
+           |CLUSTERED BY ($cols) SORTED BY ($cols)
+           |INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    spark.table(table)
+  }
+
+  private def writeParams(spark: SparkSession, dir: String,
+      json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_params.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readParams(spark: SparkSession, dir: String,
+      expectKind: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_params.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"no dedup index at $dir")
+    val in = fs.open(p)
+    val json =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val fields = """"(\w+)":("?)([^",}]+)\2""".r
+      .findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(3)).toMap
+    require(fields.get("kind").contains(expectKind),
+      s"index at $dir is kind=${fields.getOrElse("kind", "?")}, " +
+        s"expected $expectKind")
+    fields
+  }
+}

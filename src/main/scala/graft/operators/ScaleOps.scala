@@ -24,6 +24,21 @@ object ScaleOps {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]] at an EXPLICIT directory (external table): the
+    * data outlives the session catalog, so another session can re-attach
+    * to the same bucketed layout — the persistence contract behind
+    * [[DedupIndex]].
+    */
+  def writeBucketedAt(df: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Equi-join with explicit key salting: the skewed LEFT side gets a
     * deterministic salt derived from its whole row, the (smaller) RIGHT
     * side is replicated across all salt values. Result equals the plain

@@ -376,6 +376,34 @@ object Similarity {
       .select("a_id", "b_id", "score")
   }
 
+  /** Index-backed form of [[incrementalCosineNearDups]]: the corpus side
+    * is the PERSISTED LSH-bucket table ([[DedupIndex.writeVectors]]) —
+    * vectors, buckets and squared norms read directly, nothing
+    * recomputed, and the parquet bucketing on the LSH bucket key means
+    * the probe join shuffles only the new batch. Hyperplane signs are
+    * re-derived from the index's stored (planes, dim) so the probe can't
+    * bucket with a different geometry than the index. Pairs are
+    * bit-identical to the recompute form (same signs, same stored
+    * vectors, same norm expression evaluated at write time).
+    */
+  def incrementalCosineNearDupsIndexed(newVecs: DataFrame, idCol: String,
+      vecCol: String, idx: DedupIndex.VectorIndex,
+      threshold: Double): DataFrame = {
+    val signs = hyperplaneSigns(idx.params.planes, idx.params.dim)
+    val a = idx.buckets.select(col("bucket"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("norm").as("a_norm"))
+    val b = newVecs.select(lshBucket(col(vecCol), signs).as("bucket"),
+      col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("b_norm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+
   // -------------------------------------------- int8 scalar quantization
 
   /** Per-dimension (min, max) over the corpus — the SQ8 training step.

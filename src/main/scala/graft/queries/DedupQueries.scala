@@ -105,6 +105,33 @@ object DedupQueries {
       .pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[incrementalExact]] probing the PERSISTED corpus index instead of
+    * recomputing the corpus side — same even/odd split, same oracle,
+    * bit-identical verdicts; the probe plan never scans corpus text
+    * (DedupIndexSpec asserts it).
+    */
+  def incrementalExactIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExactIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.text(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[incrementalLsh]] probing the PERSISTED band-key/shingle index —
+    * same split, same oracle, bit-identical pairs.
+    */
+  def incrementalLshIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalMinHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.text(spark, sfDir),
+        threshold = 0.5)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Oracle: the batch minHashLshSql machinery with the pair condition
     * swapped from `a < b` to `a existing (even), b new (odd)`, and the
     * Scala op's existing-side bucket cap (default maxBucket = 1000)

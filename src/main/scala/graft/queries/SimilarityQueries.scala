@@ -290,6 +290,19 @@ object SimilarityQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[incrementalCosineNearDups]] probing the PERSISTED LSH-bucket
+    * index — same split, same oracle, bit-identical pairs; the corpus
+    * side reads stored (bucket, vec, norm) rows, recomputing nothing.
+    */
+  def incrementalCosineNearDupsIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsIndexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectors(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def incrementalCosineNearDupsSql: String =
     s"""WITH s AS (
       |  SELECT vec_id, embedding,

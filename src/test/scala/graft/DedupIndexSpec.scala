@@ -1,0 +1,159 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex, Similarity}
+import graft.plans.CachedPlans
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persisted dedup/ANN corpus index: probes against a loaded index
+  * must (a) reproduce the recompute forms bit-exactly, (b) never scan
+  * the corpus text/vector source, and (c) keep the corpus side
+  * shuffle-free thanks to the bucketed layout.
+  */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(ids: Seq[Long]): Seq[(Long, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet gray town square every single evening"
+    ids.map { i =>
+      // groups of 4 share a template; member 0/1 of a group are exact
+      // dups, member 2 a near-dup (one word swapped), member 3 distinct
+      val g = i / 4
+      i % 4 match {
+        case 0 | 1 => (i, s"group $g: $base")
+        case 2 => (i, s"group $g: ${base.replace("lazy", "sleepy")}")
+        case _ => (i, s"doc $i is entirely different text " +
+          s"about topic ${i * 37} with its own unique vocabulary $i")
+      }
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+  }
+
+  test("indexed text probes match recompute bit-exactly, reading only the index") {
+    CachedPlans.clear()
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-corpus").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-text").toString
+    // corpus is FILE-backed so a leaked text scan would show up in the
+    // probe's inputFiles; the batch stays in-memory (contributes none)
+    mkDocs((0L until 120L).filter(_ % 2 == 0)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val batch = mkDocs((0L until 120L).filter(_ % 2 == 1))
+      .toDF("doc_id", "text")
+
+    DedupIndex.writeText(corpus, "doc_id", "text", indexDir)
+    val idx = DedupIndex.loadText(spark, indexDir)
+    assert(idx.params === DedupIndex.TextParams(3, 12, 4, portable = true,
+      numBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt))
+
+    // exact probe: bit-identical verdicts
+    val exactIdx = Dedup.incrementalExactIndexed(
+      batch, "doc_id", "text", idx)
+    val exactRe = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+    assert(sortedRows(exactIdx) === sortedRows(exactRe))
+    assert(exactIdx.count() > 0)
+
+    // minhash probe: bit-identical pairs (incl. jaccard doubles)
+    val lshIdx = Dedup.incrementalMinHashNearDupsReportIndexed(
+      batch, "doc_id", "text", idx).pairs
+    val lshRe = Dedup.incrementalMinHashNearDupsReport(
+      batch, corpus, "doc_id", "text").pairs
+    assert(sortedRows(lshIdx) === sortedRows(lshRe))
+    assert(lshIdx.count() > 0, "fixture must produce near-dup pairs")
+
+    // neither probe may scan the corpus text source
+    Seq(exactIdx, lshIdx).foreach { probe =>
+      val files = probe.inputFiles
+      assert(files.nonEmpty, "probe should read the index parquet")
+      assert(files.forall(!_.contains(corpusDir)),
+        s"probe scanned corpus text:\n${files.mkString("\n")}")
+      assert(files.forall(_.contains(indexDir)),
+        s"unexpected extra input:\n${files.mkString("\n")}")
+    }
+  }
+
+  test("corpus-side bucket aggregation and probe join run without exchanging the index") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-plan").toString
+    DedupIndex.writeText(
+      mkDocs((0L until 200L).filter(_ % 2 == 0)).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    val idx = DedupIndex.loadText(spark, indexDir)
+    // the oversized-bucket aggregate groups on (band, band_key); the
+    // table is hash-bucketed on band_key, which satisfies the clustering
+    val agg = idx.bandKeys.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"bucket-size aggregate shuffles the index:\n$aggPlan")
+    assert(agg.count() > 0)
+  }
+
+  test("indexed vector probe matches recompute bit-exactly, reading only the index") {
+    CachedPlans.clear()
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-embcorpus").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-vec").toString
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
+      (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    val all = (0L until 80L).map(i => (i, vec(i)))
+    all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val batch = all.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+
+    DedupIndex.writeVectors(corpus, "vec_id", "embedding", indexDir,
+      planes = 2, dim = dim)
+    val idx = DedupIndex.loadVectors(spark, indexDir)
+    assert(idx.params.planes === 2 && idx.params.dim === dim)
+
+    val probeIdx = Similarity.incrementalCosineNearDupsIndexed(
+      batch, "vec_id", "embedding", idx, threshold = 0.9)
+    val probeRe = Similarity.incrementalCosineNearDups(
+      batch, corpus, "vec_id", "embedding", threshold = 0.9,
+      planes = 2, dim = dim)
+    assert(sortedRows(probeIdx) === sortedRows(probeRe))
+    assert(probeIdx.count() > 0, "fixture must produce near-dup pairs")
+
+    val files = probeIdx.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(indexDir)),
+      s"probe must read only the index:\n${files.mkString("\n")}")
+
+    // kind mismatch is rejected loudly
+    intercept[IllegalArgumentException] {
+      DedupIndex.loadText(spark, indexDir)
+    }
+  }
+
+  test("a fresh catalog re-attaches to an existing index via DDL") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-reload").toString
+    val corpus = mkDocs((0L until 40L).filter(_ % 2 == 0))
+      .toDF("doc_id", "text")
+    DedupIndex.writeText(corpus, "doc_id", "text", indexDir)
+    val before = DedupIndex.loadText(spark, indexDir).hashes.count()
+    // simulate a NEW session: the catalog has never heard of the tables
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val idx = DedupIndex.loadText(spark, indexDir)
+    assert(idx.hashes.count() === before)
+    // and the re-registered table still carries the bucket spec
+    val agg = idx.bandKeys.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)))
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "re-registered table lost its bucket metadata")
+  }
+}
