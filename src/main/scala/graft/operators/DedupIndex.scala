@@ -17,12 +17,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * no-Exchange property ScaleOpsSpec proves for
   * [[ScaleOps.writeBucketed]]).
   *
-  * A TEXT index (one directory) holds four bucketed tables plus a params
+  * A TEXT index (one directory) holds five bucketed tables plus a params
   * file:
   *   - `hashes/`    (content_hash)            bucketed by content_hash
   *   - `bands/`     (id, band, band_key)      bucketed by band_key
   *   - `shingles/`  (id, shingle)             bucketed by id
   *   - `counts/`    (id, n_shingles)          bucketed by id
+  *   - `sigs/`      (id, sig: array<bigint>)  bucketed by id — the full
+  *     MinHash signatures, for consumers that verify by signature
+  *     agreement instead of exact Jaccard (the streaming probe)
   * A VECTOR index holds one:
   *   - `buckets/`   (id, bucket, vec, norm)   bucketed by bucket
   * `_params.json` pins the hash/geometry parameters (shingleN, numHashes,
@@ -49,7 +52,7 @@ object DedupIndex {
   /** Loaded text index: every member is a bucketed-table scan. */
   final case class TextIndex(dir: String, params: TextParams,
       hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
-      counts: DataFrame)
+      counts: DataFrame, sigs: DataFrame)
 
   /** Loaded vector index: `buckets` is a bucketed-table scan. */
   final case class VectorIndex(dir: String, params: VectorParams,
@@ -68,19 +71,26 @@ object DedupIndex {
       portable: Boolean = true, numBuckets: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
-    dropComponents(spark, dir, Seq("hashes", "bands", "shingles", "counts"))
+    dropComponents(spark, dir,
+      Seq("hashes", "bands", "shingles", "counts", "sigs"))
     val sh = graft.plans.CachedPlans.cached(
       Dedup.hashedShingleTable(corpus, idCol, textCol, shingleN, portable))
+    // the signature table feeds both the band-key table and the stored
+    // sigs component — cache so the k min-aggregates run once
+    val sig = graft.plans.CachedPlans.cached(
+      Dedup.minHashSignatures(sh, idCol, numHashes, portable))
     writeComponent(
       corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
       dir, "hashes", Seq("content_hash"), n)
     writeComponent(
-      Dedup.lshBandKeys(
-          Dedup.minHashSignatures(sh, idCol, numHashes, portable),
-          idCol, bands, numHashes / bands, portable)
+      Dedup.lshBandKeys(sig, idCol, bands, numHashes / bands, portable)
         .select(col(idCol).cast("long").as("id"), col("band"),
           col("band_key")),
       dir, "bands", Seq("band_key"), n)
+    writeComponent(
+      sig.select(col(idCol).cast("long").as("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")),
+      dir, "sigs", Seq("id"), n)
     writeComponent(
       sh.select(col(idCol).cast("long").as("id"), col("shingle")),
       dir, "shingles", Seq("id"), n)
@@ -131,6 +141,8 @@ object DedupIndex {
       shingles = component(spark, dir, "shingles", Seq("id"),
         params.numBuckets),
       counts = component(spark, dir, "counts", Seq("id"),
+        params.numBuckets),
+      sigs = component(spark, dir, "sigs", Seq("id"),
         params.numBuckets))
   }
 

@@ -430,9 +430,12 @@ object CdcStream {
     * operator.
     *
     * `existingHashes` must expose one `content_hash` column (md5 hex) —
-    * at scale the stored index the batch pipeline maintains. State is
-    * bounded by the watermark exactly as in [[dedupStream]]; the static
-    * side contributes none.
+    * the persisted index's hash table,
+    * `DedupIndex.loadText(spark, dir).hashes` (any one-column equivalent
+    * works). State is bounded by the watermark exactly as in
+    * [[dedupStream]]; the static side contributes none, and a rewritten
+    * index is picked up at the next micro-batch (the static side is
+    * re-planned per batch).
     */
   def incrementalDedupStream(events: DataFrame, existingHashes: DataFrame,
       textCol: String, tsCol: String, horizon: String): DataFrame = {
@@ -443,6 +446,35 @@ object CdcStream {
         Seq("content_hash"), "left_anti")
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
   }
+
+  /** Per-ROW MinHash signature expression (shingles → k seeded mins via
+    * `transform`/`array_min`): bit-identical to the batch
+    * `hashedShingleTable` + `minHashSignatures` pipeline, but computed
+    * with zero shuffle — the shape that makes signatures legal before a
+    * stateful streaming operator.
+    */
+  private def rowSignature(textCol: String, shingleN: Int,
+      numHashes: Int): org.apache.spark.sql.Column = {
+    import graft.functions.{PortableHash, TextFunctions}
+    val shingles = TextFunctions.shinglesOfTokens(
+      TextFunctions.tokens(lower(col(textCol))), shingleN)
+    val hashed = transform(shingles, s => PortableHash.md5Long(s))
+    array((0 until numHashes).map(i =>
+      array_min(transform(hashed, h => PortableHash.seededLong(i, h)))): _*)
+  }
+
+  /** Array of (band, band_key) structs over a signature column — the
+    * same band keys `Dedup.lshBandKeys` derives in batch.
+    */
+  private def bandKeyStructs(sig: org.apache.spark.sql.Column, bands: Int,
+      rowsPerBand: Int): org.apache.spark.sql.Column =
+    array((0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(r => element_at(sig, r + 1))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", slice.map(_.cast("string")): _*)).as("band_key"))
+        .as(s"_b$b")
+    }: _*)
 
   final case class BandRow(band: Int, band_key: String, doc_id: Long,
       sig: Seq[Long], ts: java.sql.Timestamp)
@@ -510,13 +542,9 @@ object CdcStream {
       : org.apache.spark.sql.Dataset[NearDupCand] = {
     require(numHashes % bands == 0,
       s"bands must divide numHashes: $bands, $numHashes")
-    import graft.functions.{PortableHash, TextFunctions}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
-    val rowsPerBand = numHashes / bands
-    val shingles = TextFunctions.shinglesOfTokens(
-      TextFunctions.tokens(lower(col(textCol))), shingleN)
     // hash shingle text to 60-bit longs ONCE per row, then the k seeded
     // hashes run over short decimal strings — same two-level scheme (and
     // identical bits) as hashedShingleTable + minHashSignatures
@@ -529,20 +557,11 @@ object CdcStream {
       case None => lit(null).cast("timestamp")
     }
     val withSig = watermarked
-      .withColumn("_hsh", transform(shingles, s => PortableHash.md5Long(s)))
-      .withColumn("sig", array((0 until numHashes).map(i =>
-        array_min(transform(col("_hsh"),
-          h => PortableHash.seededLong(i, h)))): _*))
-    val bandCols = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(r => element_at(col("sig"), r + 1))
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", slice.map(_.cast("string")): _*)).as("band_key"))
-        .as(s"_b$b")
-    }
+      .withColumn("sig", rowSignature(textCol, shingleN, numHashes))
     val bandRows = withSig
       .select(col(idCol).as("doc_id"), col("sig"), tsExpr.as("_nd_ts"),
-        explode(array(bandCols: _*)).as("bk"))
+        explode(bandKeyStructs(col("sig"), bands, numHashes / bands))
+          .as("bk"))
       // a null event time cannot be placed on the watermark timeline
       // (and would NPE the bucket-expiry max below): drop such rows
       // BEFORE the stateful operator, mirroring how Spark's own
@@ -596,5 +615,72 @@ object CdcStream {
           out.iterator
           }
       }
+  }
+
+  /** Index-aware streaming near-dup: [[nearDupStream]]'s new×new
+    * detector UNIONed with a STATELESS stream-static probe of the
+    * persisted corpus index ([[graft.operators.DedupIndex]]) — so the
+    * corpus is consulted from micro-batch 1, survives any restart (it
+    * lives in parquet, not in stream state), and never costs state.
+    *
+    * Probe shape: each arriving doc's band keys (computed per-row,
+    * bit-identical to the index's) equi-join the index `bands` table on
+    * (band, band_key); the collided corpus doc's STORED signature joins
+    * in by id, and the pair is accepted on the same signature-agreement
+    * estimate the new×new path uses — corpus×new and new×new verdicts
+    * are mutually consistent. Spark re-plans the static side per
+    * micro-batch, so a newly-written index is picked up without
+    * restarting the query.
+    *
+    * Oversized corpus buckets (population > `maxBucket`) are excluded
+    * from the probe — same cap as the batch probe. No in-stream overflow
+    * marker is needed: unlike stream state, the exclusion is a STATIC
+    * fact, queryable ahead of time as
+    * `idx.bandKeys.groupBy("band","band_key").count.filter(_ > maxBucket)`
+    * (the batch probe's `oversizedBuckets` report).
+    *
+    * Emission multiplicity matches [[nearDupStream]]: one row per
+    * colliding band. Corpus-pair rows carry `a_id` = corpus doc,
+    * `b_id` = arriving doc. Id spaces must be disjoint.
+    */
+  def nearDupStreamIndexed(docs: DataFrame, idCol: String, textCol: String,
+      idx: graft.operators.DedupIndex.TextIndex,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      eventTime: Option[(String, String)] = None)
+      : org.apache.spark.sql.Dataset[NearDupCand] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = idx.params
+    val withSig = docs
+      .withColumn("sig", rowSignature(textCol, p.shingleN, p.numHashes))
+      .select(col(idCol).cast("long").as("b_id"), col("sig"),
+        explode(bandKeyStructs(col("sig"), p.bands,
+          p.numHashes / p.bands)).as("bk"))
+      .select(col("b_id"), col("sig"), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    val oversized = idx.bandKeys.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+    val okBands = idx.bandKeys
+      .join(oversized.select("band", "band_key"),
+        Seq("band", "band_key"), "left_anti")
+      .select(col("band"), col("band_key"), col("id").as("a_id"))
+    val corpusPairs = withSig
+      .join(okBands, Seq("band", "band_key"))
+      .join(idx.sigs.select(col("id").as("a_id"), col("sig").as("a_sig")),
+        Seq("a_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("a_sig"), col("sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+          .cast("double") / lit(p.numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("band"), col("est_jaccard"),
+        lit(false).as("overflow"))
+      .as[NearDupCand]
+    nearDupStream(docs, idCol, textCol, p.shingleN, p.numHashes, p.bands,
+      threshold, maxBucket, eventTime)
+      .unionByName(corpusPairs)
   }
 }

@@ -430,6 +430,46 @@ class CdcStreamSpec extends SparkSpec {
     assert(batchPairs === pairs)
   }
 
+  test("index-aware near-dup pairs arrivals against the persisted corpus from batch 1") {
+    val dir = Files.createTempDirectory("stream_ndidx").toString
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val freshText = "one two three four five six seven eight nine ten"
+    // the already-indexed corpus: docs 100 (known) and 101 (unrelated)
+    val corpus = Seq(
+      (100L, corpusText),
+      (101L, "red green blue cyan magenta yellow black white gray pink"))
+      .toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("stream_ndidx_idx").toString
+    graft.operators.DedupIndex.writeText(corpus, "doc_id", "text", idxDir)
+    val idx = graft.operators.DedupIndex.loadText(spark, idxDir)
+
+    // batch 1: a near-dup of corpus doc 100 — a plain nearDupStream
+    // restarted with empty state would emit NOTHING for it; the indexed
+    // form must pair it immediately. batch 2: twin fresh docs (the
+    // stateful new×new path must still work alongside the probe).
+    Seq((1L, corpusText)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, freshText), (3L, freshText)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.nearDupStreamIndexed(stream, "doc_id", "text", idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndidx_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val cands = spark.table("ndidx_out")
+      .filter(!$"overflow")
+      .select("a_id", "b_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cands.forall(_._3 === 1.0), cands)
+    val pairs = cands.map(c => (c._1, c._2)).distinct.sorted
+    assert(pairs === Seq((2L, 3L), (100L, 1L)),
+      "corpus probe pairs (100,1); stateful path pairs (2,3); " +
+        "unrelated corpus doc 101 stays unflagged")
+  }
+
   test("near-dup state expires past the event-time horizon") {
     val dir = Files.createTempDirectory("stream_ndttl").toString
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
