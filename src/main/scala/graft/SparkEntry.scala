@@ -115,7 +115,8 @@ object SparkEntry {
     "mm_decode_bmp" -> (TextQueries.multimodalDecodeBmp _),
     "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
     "mm_resize" -> (TextQueries.multimodalResize _),
-    "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _)
+    "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
+    "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -193,6 +194,7 @@ object SparkEntry {
     "mm_decode_bmp" -> TextQueries.multimodalDecodeBmpSql,
     "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
     "mm_resize" -> TextQueries.multimodalResizeSql,
-    "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql
+    "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
+    "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql
   )
 }

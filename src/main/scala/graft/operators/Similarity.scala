@@ -484,4 +484,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank", "score")
   }
+
+  /** IVF × SQ8: quantized codes INSIDE the inverted lists — the
+    * memory-and-pruning composition a 100 TB ANN deployment actually
+    * runs. Assignment and list probing use FULL-PRECISION centroids
+    * (cell boundaries must not move with quantization); the stored lists
+    * hold uint8 codes (¼ the float footprint), and probed candidates are
+    * scored asymmetrically — full-precision query against code
+    * reconstruction, the same bit-reproducible fold as [[sq8TopK]]. Each
+    * query therefore touches ~nprobe/C of the corpus AND reads ¼ the
+    * bytes per touched vector; versus [[sq8TopK]]'s full scan, only the
+    * probed lists are scored.
+    *
+    * Same bounded-broadcast contract as [[ivfTopK]] (O(C) centroids,
+    * dim-bounded SQ8 ranges); quantization error is bounded per dim by
+    * scale_d/2 exactly as in [[sq8TopK]], on top of IVF's list-recall
+    * trade-off.
+    */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, nprobe: Int,
+      dim: Int): DataFrame = {
+    require(numCentroids > 0 && numCentroids <= 1024,
+      s"numCentroids must be in (0, 1024], got $numCentroids")
+    val ranges = sq8Ranges(corpus, vecCol, dim)
+    val mins = ranges.map(_._1)
+    val scales = ranges.map(r => (r._2 - r._1) / 255.0)
+    val minA = array(mins.map(lit(_)): _*)
+    val scaleA = array(scales.map(lit(_)): _*)
+    val cent = selectCentroids(corpus, idCol, numCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
+      .withColumn("cent_idx",
+        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    // the inverted lists store CODES, not vectors: assignment runs on
+    // full precision, then the vector payload is dropped for good
+    val codes = corpus.select(col(idCol).as("n_id"),
+      sq8Encode(col(vecCol), mins, scales).as("codes"))
+    val assigned = nearestCentIdx(c, cent)
+      .join(broadcast(cent.select(
+        col("cent_idx").cast("long").as("cent_idx"), col("cent_id"))),
+        Seq("cent_idx"))
+      .join(codes, Seq("n_id"))
+      .select(col("n_id"), col("codes"), col("cent_id"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("q_vec"), col("cent_vec")),
+        col("q_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", aggregate(
+        transform(col("codes"), (code, i) =>
+          element_at(col("q_vec"), i + 1).cast(DoubleType) *
+            (element_at(minA, i + 1) +
+              code.cast(DoubleType) * element_at(scaleA, i + 1))),
+        lit(0.0), (acc, v) => acc + v))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
 }

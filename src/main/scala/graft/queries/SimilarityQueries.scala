@@ -255,6 +255,92 @@ object SimilarityQueries {
       |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF × SQ8 composition: full-precision centroids pick the probed
+    * lists, the lists hold uint8 codes, candidates score asymmetrically
+    * — the memory×pruning shape of a production ANN index. Oracle-exact:
+    * every stage (argmax key, ranges, codes, fold) is the deterministic
+    * construction the component queries already pin.
+    */
+  def ivfSq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfSq8TopK(emb, emb.filter(QueryPred), "vec_id",
+        "embedding", K, numCentroids = Centroids, nprobe = 3, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfSq8TopKSql: String =
+    s"""WITH rng AS (
+      |  SELECT CAST(t.i AS INTEGER) AS pos,
+      |    CAST(min(embedding[t.i]) AS DOUBLE) AS mn,
+      |    CAST(max(embedding[t.i]) AS DOUBLE) AS mx
+      |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)
+      |  GROUP BY 1),
+      |rlist AS (
+      |  SELECT list(mn ORDER BY pos) AS minA,
+      |    list((mx - mn) / 255.0 ORDER BY pos) AS scaleA
+      |  FROM rng),
+      |codes AS (
+      |  SELECT vec_id AS n_id,
+      |    list_transform(range(1, ${Dim + 1}), i ->
+      |      CASE WHEN scaleA[i] = 0.0 THEN 0
+      |        ELSE greatest(0, least(255,
+      |          CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
+      |            / scaleA[i] + 0.5) AS INTEGER))) END) AS codes
+      |  FROM embeddings CROSS JOIN rlist),
+      |cent0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+      |    ${normSqSql("embedding")} AS cent_norm
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+      |cent AS (
+      |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
+      |  FROM cent0),
+      |c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |-- full-precision assignment via the engine's packed argmax key
+      |best AS (
+      |  SELECT n_id, max(coalesce(CAST(floor(
+      |      ${dotSql("c.n_vec", "cent.cent_vec")} / nullif(sqrt(c.n_norm) * sqrt(cent.cent_norm), 0.0)
+      |      * 4503599627370496.0) AS BIGINT), -4503599627370497) * 1024
+      |      + (1023 - cent_idx)) AS ck
+      |  FROM c CROSS JOIN cent GROUP BY n_id),
+      |assigned AS (
+      |  SELECT b.n_id, k.codes, cent.cent_id
+      |  FROM best b
+      |  JOIN cent ON cent.cent_idx = 1023 - (((b.ck % 1024) + 1024) % 1024)
+      |  JOIN codes k ON k.n_id = b.n_id),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |probes AS (
+      |  SELECT q_id, q_vec, cent_id FROM (
+      |    SELECT q.q_id, q.q_vec, cent.cent_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        ${dotSql("q.q_vec", "cent.cent_vec")} / nullif(sqrt(q.q_norm) * sqrt(cent.cent_norm), 0.0) DESC,
+      |        cent.cent_id) AS crk
+      |    FROM q CROSS JOIN cent) t
+      |  WHERE crk <= 3),
+      |-- asymmetric scoring: full-precision query against the uint8
+      |-- reconstruction, same sequential double fold as ann_sq8_topk
+      |scored AS (
+      |  SELECT p.q_id, a.n_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, ${Dim + 1}), i ->
+      |        CAST(p.q_vec[i] AS DOUBLE)
+      |          * (minA[i] + CAST(a.codes[i] AS DOUBLE) * scaleA[i]))),
+      |      (x, y) -> x + y) AS score
+      |  FROM assigned a JOIN probes p USING (cent_id) CROSS JOIN rlist
+      |  WHERE a.n_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (LSH-blocked, cos ≥ 0.35,
     * 2 planes so moderately-similar pairs still collide).
     */

@@ -123,6 +123,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) === Seq(128, 255), "in-range codes unchanged by clamp")
   }
 
+  test("ivf×sq8 top-k prunes to probed lists and agrees with brute force on clusters") {
+    val pts = (0 until 20).map(i => (i.toLong,
+      Array.tabulate(8)(d => (if (i < 10) 1000f else -1000f) + i + d)))
+    val c = pts.toDF("vec_id", "embedding")
+    val q = c.filter($"vec_id" === 0 || $"vec_id" === 15)
+    val got = Similarity.ivfSq8TopK(c, q, "vec_id", "embedding",
+        k = 3, numCentroids = 4, nprobe = 2, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    // same-cluster neighbor wins: quantization noise and list pruning
+    // cannot flip the far-apart cluster decision
+    assert(got.keySet === Set(0L, 15L))
+    assert(got(0L) < 10L && got(15L) >= 10L)
+    // deterministic across runs
+    val again = Similarity.ivfSq8TopK(c, q, "vec_id", "embedding",
+        k = 3, numCentroids = 4, nprobe = 2, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === again)
+  }
+
   test("sq8 top-k agrees with brute force on well-separated clusters") {
     // two tight clusters far apart: quantization noise cannot flip the
     // nearest-cluster decision, so sq8's top hit matches exact search
