@@ -44,15 +44,29 @@ object Bench {
     // headline value = sum of per-query MINIMA: scheduling noise on a
     // co-tenant host only ever ADDS time, so min-of-n is the stable
     // estimator for regression gating; medians ride along for the
-    // typical-case view
+    // typical-case view. Values at ms precision: the full double repr
+    // doubled the line length for digits below measurement noise, and a
+    // byte-limited stdout capture must fit the WHOLE line (r6's record
+    // lost its tail to exactly that)
+    def fmt(v: Double) = f"$v%.3f"
     def obj(f: List[Double] => Double) =
       names.map(_._1).zip(times.map(f))
-        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     val qs = obj(_.min)
     val qsMedian = obj(median)
     val total = times.map(_.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$reps,"stat":"min","queries":$qs,"queries_median":$qsMedian,"sf":"$sfDir"}"""
+    // stop Spark BEFORE printing so no shutdown output lands after the
+    // JSON line in a tail-limited capture; also persist a sidecar copy —
+    // the durable record even if the stdout capture clips
     spark.stop()
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => () }
+    println(line)
+    System.out.flush()
   }
 }
