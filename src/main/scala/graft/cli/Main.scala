@@ -180,10 +180,11 @@ object Main {
                 jdbcUser, jdbcPassword, extraProps = jdbcProps))
             case (None, None) => None
           }
-        // the snapshot phase just (re)wrote the data validate reads:
-        // drop any registry-cached plans from earlier phases (or a
-        // previous run on a shared session) so digests are computed
-        // against CURRENT table contents, never a stale cache
+        // the snapshot phase just (re)wrote the data validate reads.
+        // File-backed sides invalidate THEMSELVES (the registry snapshot
+        // fingerprints listing+length+mtime), but JDBC sides have no
+        // listing to fingerprint — clear() at the boundary covers them
+        // (and frees phase-1 cache blocks either way)
         graft.plans.CachedPlans.clear()
         readExpected.foreach { readSource =>
           // per-table validations fan out through the bounded pool (each

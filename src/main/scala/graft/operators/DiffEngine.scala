@@ -154,11 +154,13 @@ object DiffEngine {
     // Reading the materialized cache pins one layout for both. Registry-
     // routed: several diff queries digest the SAME side (chunk compare +
     // detail drill-down), and the shared entry serves them one fill.
-    // Staleness contract: the entry is keyed on the PLAN, so re-running
-    // after the underlying table changed in the SAME session returns the
-    // first run's digests — callers that mutate data between validations
-    // (the CLI does, between its snapshot and validate phases) must
-    // CachedPlans.clear() at the boundary.
+    // Staleness contract: the registry key carries the input snapshot
+    // (file listing + length + mtime), so for file-backed sides a re-run
+    // over mutated data automatically misses the stale entry and digests
+    // current contents — no manual step. Only NON-FILE sides (JDBC,
+    // in-memory — empty listing, pure plan keying) need
+    // CachedPlans.clear() at a mutation boundary; the CLI keeps one at
+    // snapshot→validate because its sides may be JDBC.
     val sorted = graft.plans.CachedPlans.cached(narrow
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

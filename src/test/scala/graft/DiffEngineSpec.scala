@@ -115,4 +115,30 @@ class DiffEngineSpec extends SparkSpec {
       DiffEngine.bucketDigest(b, Seq("id")), "bucket")
     assert(cmp.filter(!$"ok").count() === 1)
   }
+
+  test("re-digesting a mutated parquet side is fresh without an explicit clear") {
+    // the chunkDigest cache is snapshot-keyed (listing+length+mtime):
+    // a validate that re-reads a file-backed side after mutation must
+    // see current contents with NO CachedPlans.clear() at the boundary
+    graft.plans.CachedPlans.clear() // isolate from other suites only
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-digest-fresh").toString
+    spark.range(0, 100).select($"id", concat(lit("v"), $"id").as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val before = DiffEngine.chunkDigest(
+        spark.read.parquet(dir), Seq("id"), 40)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // mutate IN PLACE (overwrite the same path), then re-validate —
+    // deliberately no clear() here
+    spark.range(0, 100).select($"id",
+        concat(lit("CHANGED"), $"id").as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val after = DiffEngine.chunkDigest(
+        spark.read.parquet(dir), Seq("id"), 40)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before.keySet === after.keySet)
+    assert(before.keySet.forall(k => before(k) != after(k)),
+      "every chunk digest must reflect the mutated contents")
+    graft.plans.CachedPlans.clear()
+  }
 }
