@@ -112,6 +112,7 @@ object SparkEntry {
     // codecs end-to-end with exact integer stats oracle-checked from md5
     "mm_features" -> (TextQueries.multimodalFeatures _),
     "mm_frame_sample" -> (TextQueries.multimodalFrames _),
+    "mm_frames_gif" -> (TextQueries.multimodalFramesGif _),
     "mm_decode_bmp" -> (TextQueries.multimodalDecodeBmp _),
     "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
     "mm_resize" -> (TextQueries.multimodalResize _),
@@ -191,6 +192,7 @@ object SparkEntry {
     "tfidf_topk" -> PipelineQueries.tfidfTopKSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
+    "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,
     "mm_decode_bmp" -> TextQueries.multimodalDecodeBmpSql,
     "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
     "mm_resize" -> TextQueries.multimodalResizeSql,

@@ -424,6 +424,139 @@ object MediaCodecs {
     out
   }
 
+  /** One decoded GIF frame: raw raster dims plus packed top-down RGB
+    * triples (same layout every image codec here uses).
+    */
+  final case class GifFrame(frameNo: Int, width: Int, height: Int,
+      rgb: Array[Byte])
+
+  /** The fixed 256-entry palette [[encodeGif]] writes: entry i →
+    * (i, 255-i, (7·i) mod 256). Analytic on purpose — an oracle can
+    * recompute any decoded channel value straight from the palette
+    * INDEX, which the md5-derived fixtures control.
+    */
+  def gifPaletteRgb(i: Int): (Int, Int, Int) =
+    (i & 0xff, 255 - (i & 0xff), (7 * (i & 0xff)) % 256)
+
+  /** Write a multi-frame GIF89a from per-frame palette-index rasters
+    * (each `frames(f)(y*w + x)` is an index into [[gifPaletteRgb]]).
+    * Spec-level construction (CompuServe GIF89a): one global 256-color
+    * table, every frame full-size at (0,0) with no local table, and the
+    * mandatory LZW stream emitted in LITERAL MODE — a CLEAR code before
+    * every ≤126 literal codes, so the code width stays at 9 bits and the
+    * bytes are deterministic; any conforming decoder (including the
+    * JDK's) accepts it. Round-trips exactly through [[decodeGifFrames]]
+    * because palette-indexed color is lossless.
+    */
+  def encodeGif(width: Int, height: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(frames.nonEmpty, "need at least one frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"frame needs ${width * height} indices, got ${f.length}"))
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    le16(width); le16(height)
+    out.write(0xf7) // global color table, 2^(7+1)=256 entries
+    out.write(0) // background color index
+    out.write(0) // pixel aspect ratio
+    (0 until 256).foreach { i =>
+      val (r, g, b) = gifPaletteRgb(i)
+      out.write(r); out.write(g); out.write(b)
+    }
+    frames.foreach { px =>
+      out.write(0x2c) // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0) // no local color table, not interlaced
+      out.write(8) // LZW minimum code size
+      val clear = 256; val eoi = 257
+      val codes = scala.collection.mutable.ArrayBuffer[Int](clear)
+      var sinceClear = 0
+      px.foreach { p =>
+        if (sinceClear == 126) { codes += clear; sinceClear = 0 }
+        codes += (p & 0xff); sinceClear += 1
+      }
+      codes += eoi
+      // pack 9-bit codes LSB-first (GIF bit order), then sub-block
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      codes.foreach { c =>
+        acc |= (c.toLong << nbits); nbits += 9
+        while (nbits >= 8) {
+          data.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
+        }
+      }
+      if (nbits > 0) data.write((acc & 0xff).toInt)
+      val db = data.toByteArray
+      var off = 0
+      while (off < db.length) {
+        val n = math.min(255, db.length - off)
+        out.write(n); out.write(db, off, n); off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF via the JDK's
+    * multi-image reader — the real one-row-in → many-frames-out video
+    * shape. Each frame comes back as its own raw raster (not composited
+    * onto prior frames — [[encodeGif]] writes full-size frames, so for
+    * its output raw = composed). Corrupt input dies as
+    * [[MediaDecodeException]], consistent with every parser here.
+    */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[GifFrame] = {
+    if (!(bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8'))
+      throw new MediaDecodeException("not a GIF (missing 'GIF8' magic)")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext)
+      throw new MediaDecodeException("no GIF reader available")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis, false, true)
+      val n =
+        try reader.getNumImages(true)
+        catch { case e: Exception =>
+          throw new MediaDecodeException(s"bad GIF structure: ${e.getMessage}")
+        }
+      if (n <= 0) throw new MediaDecodeException("GIF has no frames")
+      (0 until n).map { f =>
+        val img =
+          try reader.read(f)
+          catch { case e: Exception =>
+            throw new MediaDecodeException(
+              s"GIF frame $f undecodable: ${e.getMessage}")
+          }
+        val w = img.getWidth; val h = img.getHeight
+        if (w.toLong * h * 3 > Int.MaxValue - 8)
+          throw new MediaDecodeException(s"frame dims ${w}x$h overflow")
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val d = (y * w + x) * 3
+            rgb(d) = ((p >> 16) & 0xff).toByte
+            rgb(d + 1) = ((p >> 8) & 0xff).toByte
+            rgb(d + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        GifFrame(f, w, h, rgb)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** Write a 16-bit signed LE PCM RIFF/WAVE file from interleaved
     * samples — round-trips through [[WavDecoder]] and through
     * `AudioSystem.getAudioInputStream`.

@@ -135,7 +135,7 @@ object Multimodal {
 
   /** Frame-sample stand-in: pick every `stride`-th byte window as a
     * "frame" (the video-pipeline shape: one row in, many frames out via
-    * flatMap).
+    * flatMap). For REAL per-frame container decode see [[gifFrames]].
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
       frameSize: Int, stride: Int): DataFrame = {
@@ -156,6 +156,41 @@ object Multimodal {
               java.util.Arrays.copyOfRange(bytes, off,
                 math.min(off + frameSize, bytes.length)))
           }
+      }
+    }(enc)
+  }
+
+  /** REAL multi-frame decode: one row in → one row per GIF frame out,
+    * each with its raster dims and packed top-down RGB triples
+    * ([[MediaCodecs.decodeGifFrames]] through the JDK multi-image
+    * reader). Rows whose payload is null or undecodable yield a single
+    * `frame_no = -1` row with empty pixels instead of killing the job —
+    * the same total-over-dirty-corpora contract as `decodeMedia`.
+    */
+  def gifFrames(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("frame_rgb", BinaryType, nullable = false)))
+    val idIdx = df.columns.indexOf(idCol)
+    val payloadIdx = df.columns.indexOf(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](payloadIdx)
+        val frames =
+          if (bytes == null) Nil
+          else
+            try MediaCodecs.decodeGifFrames(bytes)
+            catch { case _: MediaCodecs.MediaDecodeException => Nil }
+        if (frames.isEmpty)
+          Iterator.single(
+            Row(row.get(idIdx), -1, 0, 0, Array.empty[Byte]))
+        else frames.iterator.map(f =>
+          Row(row.get(idIdx), f.frameNo, f.width, f.height, f.rgb))
       }
     }(enc)
   }

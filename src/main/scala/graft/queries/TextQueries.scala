@@ -375,6 +375,66 @@ object TextQueries {
     Array.tabulate(h.length / 2)(k =>
       Integer.parseInt(h.substring(2 * k, 2 * k + 2), 16).toByte)
 
+  /** REAL multi-frame decode as a declared op: a 2-frame 4x2 animated
+    * GIF89a per document (frame f's 8 palette indices = md5(text) bytes
+    * f·8..f·8+7), decoded frame-by-frame through the JDK multi-image
+    * reader via [[graft.operators.Multimodal.gifFrames]] — one row in,
+    * one row OUT PER FRAME with raster dims and exact channel sums. The
+    * encoder's palette is analytic (index v → (v, 255-v, 7v mod 256)),
+    * so the oracle recomputes every sum straight from the md5 hex: a bug
+    * anywhere in the GIF container walk, the LZW stream, frame ordering
+    * or palette application breaks the hash match.
+    */
+  def multimodalFramesGif(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.{MediaCodecs, Multimodal}
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val payloadSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val encP = org.apache.spark.sql.Encoders.row(payloadSchema)
+    val withGif = base.mapPartitions { rows =>
+      rows.map { r =>
+        val md5b = hexToBytes(r.getString(1))
+        val gif = MediaCodecs.encodeGif(4, 2, Seq(
+          java.util.Arrays.copyOfRange(md5b, 0, 8),
+          java.util.Arrays.copyOfRange(md5b, 8, 16)))
+        org.apache.spark.sql.Row(r.getLong(0), gif)
+      }
+    }(encP)
+    val frames = Multimodal.gifFrames(withGif, "doc_id", "payload")
+    // channel c of pixel p lives at byte p*3+c of the packed raster;
+    // sums stay in codegen via hex + conv over a generated sequence
+    def chanSum(c: Int) = aggregate(
+      transform(sequence(lit(0), lit(7)), p =>
+        conv(hex(col("frame_rgb")).substr(
+          (p * lit(3) + lit(c)) * lit(2) + lit(1), lit(2)), 16, 10)
+          .cast(LongType)),
+      lit(0L), (acc, v) => acc + v)
+    frames.select(col("doc_id"), col("frame_no"), col("width"),
+        col("height"), chanSum(0).as("sum_r"), chanSum(1).as("sum_g"),
+        chanSum(2).as("sum_b"))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
+  def multimodalFramesGifSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |fr AS (
+      |  SELECT doc_id, h, CAST(f.f AS INTEGER) AS frame_no
+      |  FROM b, UNNEST(range(0, 2)) f(f)),
+      |bytes AS (
+      |  SELECT doc_id, frame_no,
+      |    ('0x' || substr(h, CAST(2*(frame_no*8 + t.i) + 1 AS INTEGER), 2))::INTEGER AS v
+      |  FROM fr, UNNEST(range(0, 8)) t(i))
+      |SELECT doc_id, frame_no,
+      |  CAST(4 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+      |  CAST(sum(v) AS BIGINT) AS sum_r,
+      |  CAST(sum(255 - v) AS BIGINT) AS sum_g,
+      |  CAST(sum((7*v) % 256) AS BIGINT) AS sum_b
+      |FROM bytes GROUP BY doc_id, frame_no
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   /** REAL-codec decode as a declared op: build a 5x2 24bpp BMP whose 30
     * RGB bytes cycle the 16 md5(text) bytes, push it through the
     * pure-JVM [[graft.operators.MediaCodecs.BmpDecoder]] on executors,

@@ -291,6 +291,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF round-trips every frame exactly through the JDK reader") {
+    val (w, h) = (4, 2)
+    // two frames with distinct, boundary-heavy palette indices
+    val f0 = Array[Byte](0, 1, 127, -128, -1, 63, 7, 99)
+    val f1 = Array.tabulate[Byte](8)(i => (200 + i).toByte)
+    val gif = MediaCodecs.encodeGif(w, h, Seq(f0, f1))
+    val frames = MediaCodecs.decodeGifFrames(gif)
+    assert(frames.map(_.frameNo) === Seq(0, 1))
+    frames.zip(Seq(f0, f1)).foreach { case (fr, idx) =>
+      assert(fr.width === w && fr.height === h)
+      idx.zipWithIndex.foreach { case (pi, p) =>
+        val (r, g, b) = MediaCodecs.gifPaletteRgb(pi & 0xff)
+        assert((fr.rgb(p * 3) & 0xff) === r, s"frame ${fr.frameNo} px $p R")
+        assert((fr.rgb(p * 3 + 1) & 0xff) === g, s"frame ${fr.frameNo} px $p G")
+        assert((fr.rgb(p * 3 + 2) & 0xff) === b, s"frame ${fr.frameNo} px $p B")
+      }
+    }
+    // the single-image ImageIoDecoder also accepts it (first frame)
+    val dm = MediaCodecs.ImageIoDecoder.decode(gif)
+    assert(dm.format === "gif" && dm.width === w && dm.height === h)
+    // corrupt input dies as MediaDecodeException, not a reader error
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.decodeGifFrames("GIF89a not actually a gif".getBytes)
+    }
+    intercept[MediaCodecs.MediaDecodeException] {
+      MediaCodecs.decodeGifFrames(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("gifFrames op is total: one row per frame, corrupt rows marked") {
+    val good = MediaCodecs.encodeGif(2, 1,
+      Seq(Array[Byte](5, 10), Array[Byte](15, 20), Array[Byte](25, 30)))
+    val df = Seq((1L, good), (2L, java.util.Arrays.copyOf(good, 20)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.gifFrames(df, "doc_id", "payload")
+      .select("doc_id", "frame_no", "width", "height")
+      .as[(Long, Int, Int, Int)].collect().sorted.toSeq
+    assert(out === Seq((1L, 0, 2, 1), (1L, 1, 2, 1), (1L, 2, 2, 1),
+      (2L, -1, 0, 0)),
+      "3 real frames for the good row, one marker row for the corrupt one")
+  }
+
   test("resizeNearest halves a test card exactly") {
     val (w, h) = (4, 4)
     val rgb = testCard(w, h)
