@@ -529,14 +529,15 @@ object Dedup {
   /** Index-backed form of [[incrementalMinHashNearDupsReport]]: band
     * keys, shingles and shingle counts for the corpus side all come from
     * the PERSISTED index — corpus text is never scanned, shingled or
-    * minhashed again. The index tables are bucketed on their join keys
-    * (`band_key`, `id`), so the bucket-size aggregate and every
-    * corpus-side join run without an Exchange on the corpus side; only
-    * the (small) new batch shuffles. Pairs are bit-identical to the
-    * recompute form: the index stores exactly the tables that form
-    * derives, and the split-sided Jaccard verify (a-rows from the index,
-    * b-rows from the batch) equals the union form because id spaces are
-    * disjoint.
+    * minhashed again. Every corpus-side join/aggregate runs on the
+    * index's bucket columns EXACTLY (`bkey` for bands, `id` for
+    * shingles/counts — see [[DedupIndex.bandedKey]] for why the
+    * composite key matters), so the bucketed scans engage and only the
+    * (small) new batch shuffles; DedupIndexSpec asserts the plans.
+    * Pairs are bit-identical to the recompute form: the index stores
+    * exactly the tables that form derives, and the split-sided Jaccard
+    * verify (a-rows from the index, b-rows from the batch) equals the
+    * union form because id spaces are disjoint.
     *
     * Probe parameters (shingleN, numHashes, bands, hash flavor) come from
     * the index's params file — a probe can't accidentally mix hash
@@ -552,15 +553,21 @@ object Dedup {
       minHashSignatures(shNew, idCol, p.numHashes, p.portable),
       idCol, p.bands, p.numHashes / p.bands, p.portable)
     val bkOld = idx.bandKeys
-    val sizes = bkOld.groupBy(col("band"), col("band_key"))
+    // grouping on (bkey, band, band_key): the bucket column leads, so
+    // HashPartitioning(bkey) satisfies the clustering — no Exchange —
+    // while band/band_key ride along for the report schema
+    val sizes = bkOld.groupBy(col("bkey"), col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_size"))
-    val oversized = sizes.filter(col("bucket_size") > maxBucket)
-    val okOld = bkOld.join(oversized.select("band", "band_key"),
-      Seq("band", "band_key"), "left_anti")
+    val oversizedK = sizes.filter(col("bucket_size") > maxBucket)
+    val oversized = oversizedK.select("band", "band_key", "bucket_size")
+    val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
+      "left_anti")
     val pairs = okOld
-      .select(col("band"), col("band_key"), col("id").as("a_id"))
-      .join(bkNew.select(col("band"), col("band_key"), col(idCol).as("b_id")),
-        Seq("band", "band_key"))
+      .select(col("bkey"), col("id").as("a_id"))
+      .join(bkNew.select(
+        DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
+        col(idCol).as("b_id")),
+        Seq("bkey"))
       // disjoint-id contract backstop, as in the recompute form
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()

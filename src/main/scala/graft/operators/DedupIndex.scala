@@ -20,7 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * A TEXT index (one directory) holds five bucketed tables plus a params
   * file:
   *   - `hashes/`    (content_hash)            bucketed by content_hash
-  *   - `bands/`     (id, band, band_key)      bucketed by band_key
+  *   - `bands/`     (id, band, band_key, bkey) bucketed by bkey — `bkey`
+  *     is the SINGLE band-scoped join key `band || '|' || band_key`:
+  *     Spark's v1 bucketed-scan join engages only when the join keys
+  *     equal the bucket columns exactly (a superset like (band,
+  *     band_key) gets "Bucketed: false (disabled by query planner)" and
+  *     re-shuffles the corpus side — measured in graft.dev
+  *     .IndexJoinProbe), so the composite column is what keeps the probe
+  *     join corpus-side-Exchange-free
   *   - `shingles/`  (id, shingle)             bucketed by id
   *   - `counts/`    (id, n_shingles)          bucketed by id
   *   - `sigs/`      (id, sig: array<bigint>)  bucketed by id — the full
@@ -85,8 +92,9 @@ object DedupIndex {
     writeComponent(
       Dedup.lshBandKeys(sig, idCol, bands, numHashes / bands, portable)
         .select(col(idCol).cast("long").as("id"), col("band"),
-          col("band_key")),
-      dir, "bands", Seq("band_key"), n)
+          col("band_key"),
+          bandedKey(col("band"), col("band_key")).as("bkey")),
+      dir, "bands", Seq("bkey"), n)
     writeComponent(
       sig.select(col(idCol).cast("long").as("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")),
@@ -136,7 +144,7 @@ object DedupIndex {
     TextIndex(dir, params,
       hashes = component(spark, dir, "hashes", Seq("content_hash"),
         params.numBuckets),
-      bandKeys = component(spark, dir, "bands", Seq("band_key"),
+      bandKeys = component(spark, dir, "bands", Seq("bkey"),
         params.numBuckets),
       shingles = component(spark, dir, "shingles", Seq("id"),
         params.numBuckets),
@@ -155,6 +163,14 @@ object DedupIndex {
       buckets = component(spark, dir, "buckets", Seq("bucket"),
         params.numBuckets))
   }
+
+  /** The single-column band-scoped join key probes must use against the
+    * `bands` table (see class doc for why a composite beats joining on
+    * (band, band_key)).
+    */
+  def bandedKey(band: org.apache.spark.sql.Column,
+      bandKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("|", band.cast("string"), bandKey)
 
   // --------------------------------------------------------- internals
 

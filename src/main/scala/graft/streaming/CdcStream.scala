@@ -636,7 +636,7 @@ object CdcStream {
     * from the probe — same cap as the batch probe. No in-stream overflow
     * marker is needed: unlike stream state, the exclusion is a STATIC
     * fact, queryable ahead of time as
-    * `idx.bandKeys.groupBy("band","band_key").count.filter(_ > maxBucket)`
+    * `idx.bandKeys.groupBy("bkey").count.filter(_ > maxBucket)`
     * (the batch probe's `oversizedBuckets` report).
     *
     * Emission multiplicity matches [[nearDupStream]]: one row per
@@ -656,17 +656,20 @@ object CdcStream {
       .select(col(idCol).cast("long").as("b_id"), col("sig"),
         explode(bandKeyStructs(col("sig"), p.bands,
           p.numHashes / p.bands)).as("bk"))
-      .select(col("b_id"), col("sig"), col("bk.band").as("band"),
-        col("bk.band_key").as("band_key"))
-    val oversized = idx.bandKeys.groupBy(col("band"), col("band_key"))
+      .select(col("b_id"), col("sig"),
+        graft.operators.DedupIndex
+          .bandedKey(col("bk.band"), col("bk.band_key")).as("bkey"),
+        col("bk.band").as("band"))
+    // all static-side plumbing joins on the index's bucket column, so
+    // the per-micro-batch re-plan never shuffles the corpus side
+    val oversized = idx.bandKeys.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
     val okBands = idx.bandKeys
-      .join(oversized.select("band", "band_key"),
-        Seq("band", "band_key"), "left_anti")
-      .select(col("band"), col("band_key"), col("id").as("a_id"))
+      .join(oversized.select("bkey"), Seq("bkey"), "left_anti")
+      .select(col("bkey"), col("id").as("a_id"))
     val corpusPairs = withSig
-      .join(okBands, Seq("band", "band_key"))
+      .join(okBands, Seq("bkey"))
       .join(idx.sigs.select(col("id").as("a_id"), col("sig").as("a_sig")),
         Seq("a_id"))
       .filter(col("a_id") =!= col("b_id"))

@@ -88,14 +88,33 @@ class DedupIndexSpec extends SparkSpec {
       mkDocs((0L until 200L).filter(_ % 2 == 0)).toDF("doc_id", "text"),
       "doc_id", "text", indexDir)
     val idx = DedupIndex.loadText(spark, indexDir)
-    // the oversized-bucket aggregate groups on (band, band_key); the
-    // table is hash-bucketed on band_key, which satisfies the clustering
-    val agg = idx.bandKeys.groupBy(col("band"), col("band_key"))
+    // the oversized-bucket aggregate leads with the bucket column, so
+    // HashPartitioning(bkey) satisfies the clustering
+    val agg = idx.bandKeys
+      .groupBy(col("bkey"), col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_size"))
     val aggPlan = agg.queryExecution.executedPlan.toString
     assert(!aggPlan.contains("Exchange"),
       s"bucket-size aggregate shuffles the index:\n$aggPlan")
     assert(agg.count() > 0)
+    // the probe join on the composite bucket key engages the bucketed
+    // scan: with broadcast off, the ONLY Exchange is the new batch's
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val newBands = (0 until 40)
+        .map(i => (s"${i % 4}|k$i", 9000L + i)).toDF("bkey", "b_id")
+      val joined = idx.bandKeys.select(col("bkey"), col("id").as("a_id"))
+        .join(newBands, Seq("bkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"probe join must use the bucketed scan:\n$plan")
+      val exchanges = plan.split("\n").count(_.contains("Exchange"))
+      assert(exchanges === 1,
+        s"expected exactly the new-batch Exchange, got $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   test("indexed vector probe matches recompute bit-exactly, reading only the index") {
@@ -151,7 +170,7 @@ class DedupIndexSpec extends SparkSpec {
     val idx = DedupIndex.loadText(spark, indexDir)
     assert(idx.hashes.count() === before)
     // and the re-registered table still carries the bucket spec
-    val agg = idx.bandKeys.groupBy(col("band"), col("band_key"))
+    val agg = idx.bandKeys.groupBy(col("bkey"))
       .agg(count(lit(1)))
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
       "re-registered table lost its bucket metadata")
