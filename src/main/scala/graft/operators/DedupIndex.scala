@@ -132,6 +132,75 @@ object DedupIndex {
       s"""{"kind":"vector","planes":$planes,"dim":$dim,"numBuckets":$n}""")
   }
 
+  /** Absorb a new batch into an existing text index — the second half of
+    * the daily-batch loop (probe the batch, then index what you keep, so
+    * tomorrow's batch probes today's corpus). Appends to all five
+    * bucketed tables in the index's own layout; the write is
+    * batch-sized, the corpus tables are never rewritten.
+    *
+    * Idempotent per document id: rows whose id is already indexed are
+    * skipped (anti-join against `counts`), and only content hashes the
+    * index has never seen are appended — so a crashed-and-retried absorb
+    * (or a batch overlapping a previous one) cannot duplicate index
+    * rows. Single-writer contract: concurrent absorbs into one directory
+    * are not coordinated. Id spaces must stay disjoint from future probe
+    * batches, as everywhere in the incremental family.
+    */
+  def appendText(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val idx = loadText(spark, dir) // registers tables + pins geometry
+    val p = idx.params
+    val fresh = newDocs.join(idx.counts.select(col("id")),
+      newDocs(idCol).cast("long") === col("id"), "left_anti")
+    val sh = graft.plans.CachedPlans.cached(
+      Dedup.hashedShingleTable(fresh, idCol, textCol, p.shingleN,
+        p.portable))
+    val sig = graft.plans.CachedPlans.cached(
+      Dedup.minHashSignatures(sh, idCol, p.numHashes, p.portable))
+    appendComponent(
+      fresh.select(md5(col(textCol)).as("content_hash")).distinct()
+        .join(idx.hashes, Seq("content_hash"), "left_anti"),
+      dir, "hashes", Seq("content_hash"), p.numBuckets)
+    appendComponent(
+      Dedup.lshBandKeys(sig, idCol, p.bands, p.numHashes / p.bands,
+          p.portable)
+        .select(col(idCol).cast("long").as("id"), col("band"),
+          col("band_key"),
+          bandedKey(col("band"), col("band_key")).as("bkey")),
+      dir, "bands", Seq("bkey"), p.numBuckets)
+    appendComponent(
+      sig.select(col(idCol).cast("long").as("id"),
+        array((0 until p.numHashes).map(i => col(s"h$i")): _*).as("sig")),
+      dir, "sigs", Seq("id"), p.numBuckets)
+    appendComponent(
+      sh.select(col(idCol).cast("long").as("id"), col("shingle")),
+      dir, "shingles", Seq("id"), p.numBuckets)
+    appendComponent(
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+        .select(col(idCol).cast("long").as("id"), col("n_shingles")),
+      dir, "counts", Seq("id"), p.numBuckets)
+  }
+
+  /** [[appendText]]'s vector twin: absorb new vectors into an existing
+    * vector index under its stored geometry. Idempotent per id.
+    */
+  def appendVectors(newVecs: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val idx = loadVectors(spark, dir)
+    val p = idx.params
+    val fresh = newVecs.join(idx.buckets.select(col("id")),
+      newVecs(idCol).cast("long") === col("id"), "left_anti")
+    val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
+    appendComponent(
+      fresh.select(col(idCol).cast("long").as("id"),
+        Similarity.lshBucket(col(vecCol), signs).as("bucket"),
+        col(vecCol).as("vec"),
+        graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm")),
+      dir, "buckets", Seq("bucket"), p.numBuckets)
+  }
+
   // -------------------------------------------------------------- load
 
   /** Load a text index written by [[writeText]], re-registering the
@@ -209,6 +278,21 @@ object DedupIndex {
       tableName(dir, component),
       componentPath(dir, component).toString,
       bucketCols, numBuckets)
+
+  /** Append into a registered bucketed component (same spec, extra files
+    * per bucket — Spark's bucketed scan merges per-bucket file sets),
+    * then refresh the session's listing so open plans see the new files.
+    */
+  private def appendComponent(df: DataFrame, dir: String,
+      component: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val table = tableName(dir, component)
+    df.write
+      .mode("append")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+    df.sparkSession.catalog.refreshTable(table)
+  }
 
   /** Register-if-absent and scan one bucketed component. The CREATE
     * TABLE path (fresh session over an existing index) infers the column

@@ -74,12 +74,19 @@ object DedupQueries {
   }
 
   def incrementalExactSql: String =
-    """WITH eh AS (
+    incrementalExactSqlFor("doc_id % 2 = 0", "doc_id % 2 = 1")
+
+  /** The exact-probe oracle with configurable corpus/batch membership —
+    * shared by the even/odd probe and the evolved-index (absorb) probe.
+    */
+  private def incrementalExactSqlFor(existingPred: String,
+      newPred: String): String =
+    s"""WITH eh AS (
       |  SELECT DISTINCT md5(text) AS content_hash
-      |  FROM documents WHERE doc_id % 2 = 0),
+      |  FROM documents WHERE $existingPred),
       |nh AS (
       |  SELECT doc_id, md5(text) AS content_hash
-      |  FROM documents WHERE doc_id % 2 = 1),
+      |  FROM documents WHERE $newPred),
       |j AS (
       |  SELECT n.doc_id, n.content_hash,
       |    e.content_hash IS NOT NULL AS seen,
