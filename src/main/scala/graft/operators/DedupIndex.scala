@@ -106,9 +106,10 @@ object DedupIndex {
       sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
         .select(col(idCol).cast("long").as("id"), col("n_shingles")),
       dir, "counts", Seq("id"), n)
-    writeParams(spark, dir,
-      s"""{"kind":"text","shingleN":$shingleN,"numHashes":$numHashes,""" +
-        s""""bands":$bands,"portable":$portable,"numBuckets":$n}""")
+    writeParams(spark, dir, Seq(
+      "kind" -> "text", "shingleN" -> shingleN.toString,
+      "numHashes" -> numHashes.toString, "bands" -> bands.toString,
+      "portable" -> portable.toString, "numBuckets" -> n.toString))
   }
 
   /** Build and persist the vector-ANN index of `corpus` under `dir`:
@@ -128,8 +129,9 @@ object DedupIndex {
         col(vecCol).as("vec"),
         graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm")),
       dir, "buckets", Seq("bucket"), n)
-    writeParams(spark, dir,
-      s"""{"kind":"vector","planes":$planes,"dim":$dim,"numBuckets":$n}""")
+    writeParams(spark, dir, Seq(
+      "kind" -> "vector", "planes" -> planes.toString,
+      "dim" -> dim.toString, "numBuckets" -> n.toString))
   }
 
   /** Absorb a new batch into an existing text index — the second half of
@@ -138,18 +140,33 @@ object DedupIndex {
     * bucketed tables in the index's own layout; the write is
     * batch-sized, the corpus tables are never rewritten.
     *
-    * Idempotent per document id: rows whose id is already indexed are
-    * skipped (anti-join against `counts`), and only content hashes the
-    * index has never seen are appended — so a crashed-and-retried absorb
-    * (or a batch overlapping a previous one) cannot duplicate index
-    * rows. Single-writer contract: concurrent absorbs into one directory
-    * are not coordinated. Id spaces must stay disjoint from future probe
-    * batches, as everywhere in the incremental family.
+    * Crash-safe and idempotent per document id. Rows whose id is already
+    * indexed are skipped (anti-join against `counts`), and only content
+    * hashes the index has never seen are appended. The multi-table
+    * append itself goes through a staged commit so a crash at ANY point
+    * cannot leave duplicate rows behind:
+    *   1. all five component appends are written under
+    *      `dir/_staging/<batch>/<component>/` — the live tables are
+    *      untouched and scans never list `_`-prefixed directories;
+    *   2. a `MANIFEST.json` naming every staged file is renamed into
+    *      place (the commit point — written before ANY live mutation);
+    *   3. the staged files move into the live component directories
+    *      (bucket ids ride in the file names, so a moved file keeps its
+    *      bucket), and the staging directory is deleted.
+    * Recovery runs on every load/absorb: an abandoned staging directory
+    * WITHOUT a manifest is dropped (nothing went live); one WITH a
+    * manifest is rolled back by deleting exactly the manifest-listed
+    * file names from the live directories (file names are unique per
+    * write). A retried absorb then recomputes the batch against a clean
+    * index. Single-writer contract: concurrent absorbs — or loads racing
+    * an in-flight absorb — against one directory are not coordinated.
+    * Id spaces must stay disjoint from future probe batches, as
+    * everywhere in the incremental family.
     */
   def appendText(newDocs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val idx = loadText(spark, dir) // registers tables + pins geometry
+    val idx = loadText(spark, dir) // recovers, registers, pins geometry
     val p = idx.params
     val fresh = newDocs.join(idx.counts.select(col("id")),
       newDocs(idCol).cast("long") === col("id"), "left_anti")
@@ -158,32 +175,35 @@ object DedupIndex {
         p.portable))
     val sig = graft.plans.CachedPlans.cached(
       Dedup.minHashSignatures(sh, idCol, p.numHashes, p.portable))
-    appendComponent(
+    val batch = newBatchId()
+    stageComponent(
       fresh.select(md5(col(textCol)).as("content_hash")).distinct()
         .join(idx.hashes, Seq("content_hash"), "left_anti"),
-      dir, "hashes", Seq("content_hash"), p.numBuckets)
-    appendComponent(
+      dir, batch, "hashes", Seq("content_hash"), p.numBuckets)
+    stageComponent(
       Dedup.lshBandKeys(sig, idCol, p.bands, p.numHashes / p.bands,
           p.portable)
         .select(col(idCol).cast("long").as("id"), col("band"),
           col("band_key"),
           bandedKey(col("band"), col("band_key")).as("bkey")),
-      dir, "bands", Seq("bkey"), p.numBuckets)
-    appendComponent(
+      dir, batch, "bands", Seq("bkey"), p.numBuckets)
+    stageComponent(
       sig.select(col(idCol).cast("long").as("id"),
         array((0 until p.numHashes).map(i => col(s"h$i")): _*).as("sig")),
-      dir, "sigs", Seq("id"), p.numBuckets)
-    appendComponent(
+      dir, batch, "sigs", Seq("id"), p.numBuckets)
+    stageComponent(
       sh.select(col(idCol).cast("long").as("id"), col("shingle")),
-      dir, "shingles", Seq("id"), p.numBuckets)
-    appendComponent(
+      dir, batch, "shingles", Seq("id"), p.numBuckets)
+    stageComponent(
       sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
         .select(col(idCol).cast("long").as("id"), col("n_shingles")),
-      dir, "counts", Seq("id"), p.numBuckets)
+      dir, batch, "counts", Seq("id"), p.numBuckets)
+    commitStaged(spark, dir, batch)
   }
 
   /** [[appendText]]'s vector twin: absorb new vectors into an existing
-    * vector index under its stored geometry. Idempotent per id.
+    * vector index under its stored geometry. Idempotent per id, with the
+    * same staged commit protocol (see [[appendText]]).
     */
   def appendVectors(newVecs: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
@@ -193,20 +213,25 @@ object DedupIndex {
     val fresh = newVecs.join(idx.buckets.select(col("id")),
       newVecs(idCol).cast("long") === col("id"), "left_anti")
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
-    appendComponent(
+    val batch = newBatchId()
+    stageComponent(
       fresh.select(col(idCol).cast("long").as("id"),
         Similarity.lshBucket(col(vecCol), signs).as("bucket"),
         col(vecCol).as("vec"),
         graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm")),
-      dir, "buckets", Seq("bucket"), p.numBuckets)
+      dir, batch, "buckets", Seq("bucket"), p.numBuckets)
+    commitStaged(spark, dir, batch)
   }
 
   // -------------------------------------------------------------- load
 
   /** Load a text index written by [[writeText]], re-registering the
-    * bucketed external tables if this session hasn't seen them.
+    * bucketed external tables if this session hasn't seen them. Rolls
+    * back any absorb that crashed mid-commit first (see [[appendText]])
+    * so probes never read a torn multi-table append.
     */
   def loadText(spark: SparkSession, dir: String): TextIndex = {
+    recover(spark, dir)
     val p = readParams(spark, dir, "text")
     val params = TextParams(p("shingleN").toInt, p("numHashes").toInt,
       p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt)
@@ -223,8 +248,11 @@ object DedupIndex {
         params.numBuckets))
   }
 
-  /** Load a vector index written by [[writeVectors]]. */
+  /** Load a vector index written by [[writeVectors]], with the same
+    * crash recovery as [[loadText]].
+    */
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
+    recover(spark, dir)
     val p = readParams(spark, dir, "vector")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
       p("numBuckets").toInt)
@@ -249,12 +277,14 @@ object DedupIndex {
 
   /** Deterministic catalog name for a component: the directory digest
     * keys it, so two indexes never collide and the same index always
-    * re-registers under the same name.
+    * re-registers under the same name. 16 hex chars (64 bits) of digest:
+    * at 6 chars a birthday collision between two index directories was
+    * plausible and would silently cross-wire their probes.
     */
   private def tableName(dir: String, component: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(6).map(b => f"$b%02x").mkString
+      .take(8).map(b => f"$b%02x").mkString
     s"graft_idx_${hex}_$component"
   }
 
@@ -264,6 +294,12 @@ object DedupIndex {
   private def dropComponents(spark: SparkSession, dir: String,
       components: Seq[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    // params go FIRST: a rebuild that crashes mid-way must read back as
+    // "no index here", never as the previous build's valid parameters
+    // over this build's partial components ([[writeParams]] runs last)
+    val params = new org.apache.hadoop.fs.Path(dir, "_params.json")
+    val pfs = params.getFileSystem(conf)
+    if (pfs.exists(params)) pfs.delete(params, false)
     components.foreach { c =>
       spark.sql(s"DROP TABLE IF EXISTS ${tableName(dir, c)}")
       val p = componentPath(dir, c)
@@ -279,19 +315,131 @@ object DedupIndex {
       componentPath(dir, component).toString,
       bucketCols, numBuckets)
 
-  /** Append into a registered bucketed component (same spec, extra files
-    * per bucket — Spark's bucketed scan merges per-bucket file sets),
-    * then refresh the session's listing so open plans see the new files.
+  // ---- staged absorb commit (crash-safe multi-table append) ----------
+
+  /** Test seam: when ≥0, [[commitStaged]] throws after moving this many
+    * components live — the mid-commit crash the recovery protocol exists
+    * for. Never set outside DedupIndexSpec.
     */
-  private def appendComponent(df: DataFrame, dir: String,
+  private[graft] var testCrashAfterComponentMoves: Int = -1
+
+  private def newBatchId(): String =
+    java.util.UUID.randomUUID.toString.replace("-", "")
+
+  private def stagingRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_staging")
+
+  /** Write one component's append as a bucketed table under the batch's
+    * staging directory. Bucketed writes must go through the catalog, so
+    * a throwaway external table carries the bucket spec and is dropped
+    * right after (external: the staged files stay put).
+    */
+  private def stageComponent(df: DataFrame, dir: String, batch: String,
       component: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
-    val table = tableName(dir, component)
-    df.write
-      .mode("append")
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
-    df.sparkSession.catalog.refreshTable(table)
+    val table = s"graft_stg_${batch}_$component"
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stagingRoot(dir), batch), component)
+    ScaleOps.writeBucketedAt(df, table, path.toString, bucketCols,
+      numBuckets)
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  /** Non-hidden data files of a directory (bucket ids are embedded in
+    * the names, so names alone identify what to move or roll back).
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+
+  /** Commit point of an absorb: write the manifest naming every staged
+    * file (rename = atomic publish), then move the files live and drop
+    * the staging directory. A crash before the manifest rename leaves
+    * the live index untouched; after it, [[recover]] can roll the moves
+    * back precisely.
+    */
+  private def commitStaged(spark: SparkSession, dir: String,
+      batch: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(stagingRoot(dir), batch)
+    val fs = root.getFileSystem(conf)
+    val comps =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+          .sorted.toSeq
+      else Seq.empty
+    val staged = comps.map(c =>
+      c -> listDataFiles(fs, new org.apache.hadoop.fs.Path(root, c)))
+    val manifest = staged.map { case (c, files) =>
+      "\"" + c + "\":[" +
+        files.map(f => "\"" + f + "\"").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val mfTmp = new org.apache.hadoop.fs.Path(root, "MANIFEST.json.tmp")
+    val mf = new org.apache.hadoop.fs.Path(root, "MANIFEST.json")
+    val out = fs.create(mfTmp, true)
+    try out.write(
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(mfTmp, mf))
+      throw new java.io.IOException(s"cannot publish manifest $mf")
+    staged.zipWithIndex.foreach { case ((c, files), ci) =>
+      if (testCrashAfterComponentMoves == ci)
+        throw new RuntimeException(
+          s"injected crash: $ci components moved, $c next")
+      val from = new org.apache.hadoop.fs.Path(root, c)
+      val to = componentPath(dir, c)
+      files.foreach { f =>
+        val src = new org.apache.hadoop.fs.Path(from, f)
+        val dst = new org.apache.hadoop.fs.Path(to, f)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"cannot commit $src -> $dst")
+      }
+    }
+    fs.delete(root, true)
+    comps.foreach { c =>
+      val t = tableName(dir, c)
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+  }
+
+  /** Roll back absorbs that crashed mid-commit: for every leftover
+    * staging batch, delete the manifest-listed file names from the live
+    * component directories (names are unique per write, so this removes
+    * exactly the half-published batch) and drop the staging directory.
+    * A batch with no manifest never touched the live index.
+    */
+  private def recover(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = stagingRoot(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory).foreach { b =>
+      val mf = new org.apache.hadoop.fs.Path(b.getPath, "MANIFEST.json")
+      if (fs.exists(mf)) {
+        val in = fs.open(mf)
+        val json =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(json)
+        val fields = node.properties().iterator()
+        while (fields.hasNext) {
+          val e = fields.next()
+          val live = componentPath(dir, e.getKey)
+          val files = e.getValue.elements()
+          while (files.hasNext) {
+            val f = new org.apache.hadoop.fs.Path(live, files.next().asText)
+            if (fs.exists(f)) fs.delete(f, false)
+          }
+          val t = tableName(dir, e.getKey)
+          if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+        }
+      }
+      fs.delete(b.getPath, true)
+    }
   }
 
   /** Register-if-absent and scan one bucketed component. The CREATE
@@ -306,22 +454,56 @@ object DedupIndex {
       val path = componentPath(dir, name).toString
       val schemaDdl = spark.read.parquet(path).schema.toDDL
       val cols = bucketCols.mkString(", ")
+      // SQL-escape the interpolated LOCATION (a quote in the directory
+      // name must not truncate the DDL statement)
+      val loc = path.replace("'", "''")
       spark.sql(
         s"""CREATE TABLE $table ($schemaDdl) USING parquet
            |CLUSTERED BY ($cols) SORTED BY ($cols)
            |INTO $numBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
+           |LOCATION '$loc'""".stripMargin)
     }
     spark.table(table)
   }
 
+  /** CRC32 over the sorted `k=v;` field pairs — cheap tamper/truncation
+    * witness stored inside `_params.json` itself.
+    */
+  private def paramsCrc(fields: Seq[(String, String)]): Long = {
+    val c = new java.util.zip.CRC32
+    fields.sortBy(_._1).foreach { case (k, v) =>
+      c.update(s"$k=$v;".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    c.getValue
+  }
+
+  private def corrupt(dir: String, why: String): Nothing =
+    throw new IllegalStateException(
+      s"dedup index at $dir is corrupt: $why")
+
+  /** Write `_params.json` atomically (tmp + rename) with an embedded
+    * checksum, so a half-written or bit-rotted file reads back as
+    * "index corrupt", never as a silently partial parameter map.
+    */
   private def writeParams(spark: SparkSession, dir: String,
-      json: String): Unit = {
+      fields: Seq[(String, String)]): Unit = {
+    val body = fields.map { case (k, v) =>
+      val lit =
+        if (v.matches("-?\\d+|true|false")) v
+        else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":" + lit
+    }
+    val json =
+      (body :+ s""""crc":${paramsCrc(fields)}""").mkString("{", ",", "}")
     val p = new org.apache.hadoop.fs.Path(dir, "_params.json")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_params.json.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cannot publish $p")
   }
 
   private def readParams(spark: SparkSession, dir: String,
@@ -336,12 +518,28 @@ object DedupIndex {
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val fields = """"(\w+)":("?)([^",}]+)\2""".r
-      .findAllMatchIn(json)
-      .map(m => m.group(1) -> m.group(3)).toMap
-    require(fields.get("kind").contains(expectKind),
-      s"index at $dir is kind=${fields.getOrElse("kind", "?")}, " +
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch { case _: java.io.IOException => corrupt(dir,
+        "_params.json is not valid JSON") }
+    if (node == null || !node.isObject)
+      corrupt(dir, "_params.json is not a JSON object")
+    val all = {
+      val b = Map.newBuilder[String, String]
+      val it = node.properties().iterator()
+      while (it.hasNext) {
+        val e = it.next(); b += e.getKey -> e.getValue.asText()
+      }
+      b.result()
+    }
+    val data = all - "crc"
+    val crcOk = all.get("crc")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .contains(paramsCrc(data.toSeq))
+    if (!crcOk) corrupt(dir, "_params.json checksum mismatch")
+    require(data.get("kind").contains(expectKind),
+      s"index at $dir is kind=${data.getOrElse("kind", "?")}, " +
         s"expected $expectKind")
-    fields
+    data
   }
 }

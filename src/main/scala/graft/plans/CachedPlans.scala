@@ -68,6 +68,13 @@ object CachedPlans {
     * listing and stat simply digests as absent, which still changes the
     * key.
     */
+  /** [[snapshot]] for external cache keys: callers that memoize
+    * derived artifacts of a file-backed plan (e.g. QueryIndexes' on-disk
+    * corpus indexes) fold this into THEIR keys so a regenerated source
+    * re-keys the artifact instead of serving a stale one.
+    */
+  def dataFingerprint(df: DataFrame): String = snapshot(df)
+
   private def snapshot(df: DataFrame): String = {
     val files = df.inputFiles
     if (files.isEmpty) ""

@@ -155,6 +155,135 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("a crashed-and-retried absorb cannot duplicate index rows or change probe verdicts") {
+    CachedPlans.clear()
+    // three cohorts: the indexed corpus, a batch absorbed into it, and a
+    // batch that probes the grown index
+    val ids = 0L until 120L
+    val corpus = mkDocs(ids.filter(_ % 3 == 0)).toDF("doc_id", "text")
+    val absorbBatch = mkDocs(ids.filter(_ % 3 == 1)).toDF("doc_id", "text")
+    val probeBatch = mkDocs(ids.filter(_ % 3 == 2)).toDF("doc_id", "text")
+
+    // reference: a clean single absorb, cross-checked against the
+    // recompute form over the grown corpus
+    val cleanDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-absorb-clean").toString
+    DedupIndex.writeText(corpus, "doc_id", "text", cleanDir)
+    val corpusOnly = sortedRows(Dedup.incrementalMinHashNearDupsReport(
+      probeBatch, corpus, "doc_id", "text").pairs)
+    DedupIndex.appendText(absorbBatch, "doc_id", "text", cleanDir)
+    val cleanIdx = DedupIndex.loadText(spark, cleanDir)
+    val expected = sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
+      probeBatch, "doc_id", "text", cleanIdx).pairs)
+    val recompute = sortedRows(Dedup.incrementalMinHashNearDupsReport(
+      probeBatch, corpus.union(absorbBatch), "doc_id", "text").pairs)
+    assert(expected === recompute)
+    assert(expected !== corpusOnly,
+      "fixture must make the absorbed batch change probe verdicts")
+
+    // crash mid-commit: the manifest is published and the first
+    // component ("bands" in sorted order) has moved live, "counts" has
+    // not — exactly the state where the freshness anti-join would
+    // re-absorb the batch and duplicate band rows
+    val crashDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-absorb-crash").toString
+    DedupIndex.writeText(corpus, "doc_id", "text", crashDir)
+    DedupIndex.testCrashAfterComponentMoves = 1
+    try {
+      val e = intercept[RuntimeException] {
+        DedupIndex.appendText(absorbBatch, "doc_id", "text", crashDir)
+      }
+      assert(e.getMessage.contains("injected crash"))
+    } finally DedupIndex.testCrashAfterComponentMoves = -1
+
+    // recovery on LOAD alone: the torn batch is rolled back, so a probe
+    // sees the pre-absorb corpus, not duplicated band rows
+    val rolledBack = DedupIndex.loadText(spark, crashDir)
+    assert(sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
+      probeBatch, "doc_id", "text", rolledBack).pairs) === corpusOnly)
+
+    // the retried absorb then lands exactly once
+    DedupIndex.appendText(absorbBatch, "doc_id", "text", crashDir)
+    val retried = DedupIndex.loadText(spark, crashDir)
+    assert(retried.bandKeys.groupBy(col("id"), col("band"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count() === 0,
+      "duplicate band rows after crash-retry")
+    assert(sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
+      probeBatch, "doc_id", "text", retried).pairs) === expected)
+  }
+
+  test("vector absorb matches recompute over the grown corpus; re-absorb is a no-op") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-vecabsorb").toString
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
+      (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    val all = (0L until 90L).map(i => (i, vec(i)))
+    val corpus = all.filter(_._1 % 3 == 0).toDF("vec_id", "embedding")
+    val absorbBatch = all.filter(_._1 % 3 == 1).toDF("vec_id", "embedding")
+    val probeBatch = all.filter(_._1 % 3 == 2).toDF("vec_id", "embedding")
+
+    DedupIndex.writeVectors(corpus, "vec_id", "embedding", indexDir,
+      planes = 2, dim = dim)
+    DedupIndex.appendVectors(absorbBatch, "vec_id", "embedding", indexDir)
+    val idx = DedupIndex.loadVectors(spark, indexDir)
+    val got = sortedRows(Similarity.incrementalCosineNearDupsIndexed(
+      probeBatch, "vec_id", "embedding", idx, threshold = 0.9))
+    val recompute = sortedRows(Similarity.incrementalCosineNearDups(
+      probeBatch, corpus.union(absorbBatch), "vec_id", "embedding",
+      threshold = 0.9, planes = 2, dim = dim))
+    assert(got === recompute)
+    assert(got.nonEmpty, "fixture must produce near-dup pairs")
+
+    // absorbing the same batch again must not add a single row
+    val before = idx.buckets.count()
+    DedupIndex.appendVectors(absorbBatch, "vec_id", "embedding", indexDir)
+    val after = DedupIndex.loadVectors(spark, indexDir).buckets
+    assert(after.count() === before)
+    assert(after.select(col("id")).distinct().count() === before,
+      "duplicate ids in the vector index")
+  }
+
+  test("a corrupt or tampered _params.json fails loudly as index corruption") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-corrupt").toString
+    DedupIndex.writeText(
+      mkDocs((0L until 16L)).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    DedupIndex.loadText(spark, indexDir) // sanity: valid index loads
+    val params = java.nio.file.Paths.get(indexDir, "_params.json")
+    val original = new String(java.nio.file.Files.readAllBytes(params),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // writing through java.nio leaves hadoop's LocalFileSystem .crc
+    // sidecar stale; drop it so the read exercises OUR validation, not
+    // hadoop's transport checksum
+    def write(text: String): Unit = {
+      java.nio.file.Files.write(params, text.getBytes)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(indexDir, "._params.json.crc"))
+    }
+
+    // half-written / truncated file
+    write(original.take(original.length / 2))
+    val e1 = intercept[IllegalStateException] {
+      DedupIndex.loadText(spark, indexDir)
+    }
+    assert(e1.getMessage.contains(s"dedup index at $indexDir is corrupt"))
+
+    // valid JSON whose fields were tampered with (checksum mismatch)
+    write(original.replace("\"numHashes\":12", "\"numHashes\":13"))
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.loadText(spark, indexDir)
+    }
+    assert(e2.getMessage.contains("checksum mismatch"))
+
+    // restored file loads again
+    write(original)
+    DedupIndex.loadText(spark, indexDir)
+  }
+
   test("a fresh catalog re-attaches to an existing index via DDL") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
