@@ -120,13 +120,101 @@ object Bpe {
     (vocab, merges.result())
   }
 
+  /** Driver-local merge loop over the collected word-count vocabulary —
+    * [[train]]'s semantics at real vocabulary scale. The distributed
+    * trainer launches two Spark jobs per merge (pair-count argmax +
+    * vocabulary refresh); at a production 32k-merge vocabulary that is
+    * ~64k sequential jobs of pure scheduling latency for work whose
+    * input — the word-count table, vocabulary-sized by construction —
+    * fits on any driver. This trainer pays the SAME one corpus-sized
+    * groupBy ([[baseVocab]]), collects the vocabulary (guarded by
+    * `maxVocabWords`), and runs the merge loop in memory with
+    * incremental pair-count maintenance: only words indexed as
+    * containing the merged pair are touched per round, the standard
+    * learn-BPE bookkeeping of the public construction. Statistics,
+    * tie-breaks (count DESC, a, b) and merge application (the same
+    * [[Passes]]-fold of leftmost non-overlapping separator-string
+    * replacement, via the same algorithm `java.lang.String.replace`
+    * shares with Spark's `replace`) are bit-identical to [[train]] —
+    * BpeSpec cross-checks the two trainers merge-for-merge.
+    */
+  def trainLocal(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Long = 50000000L): (DataFrame, Seq[Merge]) = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = docs.sparkSession
+    val base = baseVocab(docs, textCol).persist()
+    val vocabSize = base.count()
+    require(vocabSize <= maxVocabWords,
+      s"vocabulary has $vocabSize words > maxVocabWords=$maxVocabWords; " +
+        "raise the cap or use the distributed train()")
+    val collected = base
+      .select(col("word"), col("cnt"), col("sym")).collect()
+    base.unpersist()
+    val wordText = collected.map(_.getString(0))
+    val cnts = collected.map(_.getLong(1))
+    val syms = collected.map(_.getString(2))
+
+    def pairsOf(sym: String): Array[(String, String)] = {
+      val ss = sym.split(Sep).filter(_.nonEmpty)
+      Array.tabulate(math.max(ss.length - 1, 0))(i => (ss(i), ss(i + 1)))
+    }
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // pair -> words that have contained it (a superset after merges; a
+    // stale member just no-ops when its current sym lacks the pair)
+    val index = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def account(wi: Int, sym: String, sign: Long): Unit =
+      pairsOf(sym).foreach { p =>
+        val n = stats.getOrElse(p, 0L) + sign * cnts(wi)
+        if (n <= 0L) stats.remove(p) else stats.update(p, n)
+        if (sign > 0L)
+          index.getOrElseUpdate(
+            p, scala.collection.mutable.HashSet.empty[Int]) += wi
+      }
+    syms.indices.foreach(wi => account(wi, syms(wi), 1L))
+
+    def mergeWord(sym: String, a: String, b: String): String = {
+      val pat = Sep + a + Sep + b + Sep
+      val rep = Sep + a + b + Sep
+      (1 to Passes).foldLeft(sym)((s, _) => s.replace(pat, rep))
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    while (rank < numMerges && stats.nonEmpty) {
+      // argmax by (count DESC, a, b) — the distributed orderBy's total
+      // order, so HashMap iteration order cannot leak in
+      val ((a, b), n) = stats.minBy { case ((pa, pb), pn) =>
+        (-pn, pa, pb)
+      }
+      merges += Merge(rank, a, b, n)
+      index.remove((a, b)).foreach(_.foreach { wi =>
+        val old = syms(wi)
+        val neu = mergeWord(old, a, b)
+        if (neu != old) {
+          account(wi, old, -1L)
+          syms(wi) = neu
+          account(wi, neu, 1L)
+        }
+      })
+      rank += 1
+    }
+    import spark.implicits._
+    val outVocab = wordText.indices
+      .map(i => (wordText(i), cnts(i), syms(i))).toSeq
+      .toDF("word", "cnt", "sym")
+    (outVocab, merges.result())
+  }
+
   /** Per-document BPE token counts under a trained vocabulary: every
-    * word occurrence contributes its merged symbol count. Output one row
-    * per input document — `(idCol, n_words, n_tokens_bpe)`, zeros for
-    * wordless documents. The join is docs-words × vocabulary (the small
-    * side broadcastable at any corpus size where the vocab fits; a
-    * shuffle join otherwise) — the corpus never re-tokenizes below the
-    * word level.
+    * word occurrence contributes its merged symbol count, and a word
+    * the vocabulary has never seen falls back to its character-level
+    * (untrained) symbol count instead of silently dropping out of both
+    * totals — the natural incremental case is counting a NEW batch
+    * under a stored vocabulary. Output one row per input document —
+    * `(idCol, n_words, n_tokens_bpe)`, zeros for wordless documents.
+    * The join is docs-words × vocabulary (the small side broadcastable
+    * at any corpus size where the vocab fits; a shuffle join otherwise)
+    * — the corpus never re-tokenizes below the word level.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
@@ -134,9 +222,11 @@ object Bpe {
       explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
     val perWord = vocab.select(col("word"),
       size(symbols(col("sym"))).cast("long").as("_n_tok"))
-    val perDoc = words.join(perWord, Seq("word"))
+    val perDoc = words.join(perWord, Seq("word"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("_nw"), sum(col("_n_tok")).as("_nt"))
+      .agg(count(lit(1)).as("_nw"),
+        sum(coalesce(col("_n_tok"),
+          length(col("word")).cast("long"))).as("_nt"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_nw"), lit(0L)).as("n_words"),

@@ -387,13 +387,17 @@ object TextQueries {
     * character split, pair statistics, (count DESC, a, b) tie-break,
     * boundary-separator replace — is deterministic, so the oracle
     * REPLAYS TRAINING stage by stage (16 unrolled CTE rounds) and must
-    * land on identical counts. Vocab is memoized per corpus snapshot:
-    * benchmark reps pay training once.
+    * land on identical counts. Training runs the driver-local merge
+    * loop ([[graft.operators.Bpe.trainLocal]], bit-identical to the
+    * distributed form, cross-checked in BpeSpec): one corpus groupBy,
+    * then vocabulary-sized in-memory rounds instead of two Spark jobs
+    * per merge. Vocab is memoized per corpus snapshot: benchmark reps
+    * pay training once.
     */
   def tokensBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
     val vocab = graft.plans.CachedPlans.memo(s"bpe_vocab_$BpeMerges", docs) {
-      graft.operators.Bpe.train(docs, "text", BpeMerges)._1
+      graft.operators.Bpe.trainLocal(docs, "text", BpeMerges)._1
     }
     graft.operators.Bpe.tokenCounts(docs, "doc_id", "text", vocab)
       .orderBy(col("doc_id"))

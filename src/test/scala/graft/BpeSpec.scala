@@ -48,6 +48,50 @@ class BpeSpec extends SparkSpec {
     vocab.unpersist()
   }
 
+  private def vocabRows(v: org.apache.spark.sql.DataFrame) =
+    v.select("word", "cnt", "sym").as[(String, Long, String)]
+      .collect().sortBy(_._1).toSeq
+
+  test("driver-local trainer is merge-for-merge identical to the distributed one") {
+    val docs = Seq(
+      (1L, "aaab ab low lower lowest"),
+      (2L, "aaab newer newest low"),
+      (3L, "wider new newer ab ab")).toDF("doc_id", "text")
+    val (dv, dm) = Bpe.train(docs, "text", 12)
+    val (lv, lm) = Bpe.trainLocal(docs, "text", 12)
+    assert(lm === dm)
+    assert(vocabRows(lv) === vocabRows(dv))
+    dv.unpersist()
+
+    // exhaustion: the whole vocabulary merges before numMerges runs out
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val (tv, tm) = Bpe.train(tiny, "text", 10)
+    val (tlv, tlm) = Bpe.trainLocal(tiny, "text", 10)
+    assert(tlm === tm && tm.size < 10)
+    assert(vocabRows(tlv) === vocabRows(tv))
+    tv.unpersist()
+  }
+
+  test("trainers agree on the real documents corpus (sf0.001)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val (dv, dm) = Bpe.train(docs, "text", 6)
+    val (lv, lm) = Bpe.trainLocal(docs, "text", 6)
+    assert(lm === dm)
+    assert(vocabRows(lv) === vocabRows(dv))
+    dv.unpersist()
+  }
+
+  test("token counts fall back to character count for out-of-vocabulary words") {
+    val corpus = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
+    val (vocab, _) = Bpe.trainLocal(corpus, "text", 2)
+    val batch = Seq((9L, "aa zzz b"), (10L, "")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(batch, "doc_id", "text", vocab)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // aa merged to 1 token; zzz and b are OOV → character counts 3 and 1
+    assert(got === Seq((9L, 3L, 5L), (10L, 0L, 0L)))
+  }
+
   test("packing keyed on BPE counts respects the token budget") {
     val docs = (1L to 12L).map(i => (i, "aa bb " * i.toInt))
       .toDF("doc_id", "text")
