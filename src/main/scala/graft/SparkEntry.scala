@@ -118,7 +118,8 @@ object SparkEntry {
     "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
     "mm_resize" -> (TextQueries.multimodalResize _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
-    "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _)
+    "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
+    "ann_recall_report" -> (SimilarityQueries.annRecallReport _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -199,6 +200,7 @@ object SparkEntry {
     "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
     "mm_resize" -> TextQueries.multimodalResizeSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
-    "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql
+    "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
+    "ann_recall_report" -> SimilarityQueries.annRecallReportSql
   )
 }

@@ -453,4 +453,63 @@ object SimilarityQueries {
       |  FROM scored)
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
+
+  private val RecallMethods: Seq[String] =
+    Seq("ivf", "ivf_refined", "ivf_sq8", "lsh", "sq8")
+
+  /** Recall@k of every approximate ANN method against the brute-force
+    * baseline, as a declared query: `(method, hits, possible, recall)`.
+    * The approximate methods are deterministic, so a centroid/bucket/
+    * quantization regression that silently lowered recall would still
+    * pass their own exact-match oracles — this report is the gate that
+    * catches it (SimilaritySpec asserts floors per method on the test
+    * corpus). Cost: the methods themselves plus k-bounded semi joins —
+    * the brute baseline is the only quadratic piece, same as
+    * `ann_brute_topk`.
+    */
+  def annRecallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = graft.plans.CachedPlans.cached(
+      bruteForceTopK(spark, sfDir).select(col("q_id"), col("n_id")))
+    val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "ivf" -> (ivfTopK _), "ivf_refined" -> (ivfRefinedTopK _),
+      "ivf_sq8" -> (ivfSq8TopK _), "lsh" -> (lshTopK _),
+      "sq8" -> (sq8TopK _))
+    val per = RecallMethods.map { name =>
+      fns(name)(spark, sfDir).select(col("q_id"), col("n_id"))
+        .join(brute, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    }
+    val possible = brute.agg(count(lit(1)).as("possible"))
+    per.reduce(_.union(_)).crossJoin(possible)
+      .select(col("method"), col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"))
+      .orderBy(col("method"))
+  }
+
+  /** Oracle: each method's existing exact oracle SQL embedded as a
+    * derived table (Postgres-style WITH-in-subquery, which DuckDB
+    * accepts), intersected with the brute baseline on (q_id, n_id).
+    */
+  def annRecallReportSql: String = {
+    val sqls: Map[String, String] = Map(
+      "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
+      "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
+      "sq8" -> sq8TopKSql)
+    def pairs(sql: String, alias: String) =
+      s"$alias AS (SELECT q_id, n_id FROM (\n$sql\n) ${alias}_q)"
+    val ctes = (pairs(bruteForceTopKSql, "rb") +:
+      RecallMethods.map(n => pairs(sqls(n), s"m_$n"))).mkString(",\n")
+    val unions = RecallMethods.map { n =>
+      s"SELECT '$n' AS method, (SELECT count(*) FROM m_$n JOIN rb USING (q_id, n_id)) AS hits"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes,
+      |counts AS (
+      |$unions),
+      |poss AS (SELECT count(*) AS possible FROM rb)
+      |SELECT method, hits, possible,
+      |  CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
+      |FROM counts CROSS JOIN poss ORDER BY method""".stripMargin
+  }
 }

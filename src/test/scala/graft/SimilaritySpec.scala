@@ -167,4 +167,22 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sq === again)
   }
+
+  test("ANN recall gate: pinned recall@k per method on the sf0.001 corpus") {
+    // every approximate method is deterministic, so recall against the
+    // brute baseline is a CONSTANT of (code, corpus) — pin it exactly.
+    // A centroid/bucket/quantization regression that silently lowers
+    // recall fails here even though each method's own oracle (which
+    // replays the same approximation) would still match.
+    val got = graft.queries.SimilarityQueries
+      .annRecallReport(spark, "/root/testdata/sf0.001")
+      .select("method", "hits", "possible")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("ivf", 19L, 50L),
+      ("ivf_refined", 20L, 50L),
+      ("ivf_sq8", 19L, 50L),
+      ("lsh", 4L, 50L),
+      ("sq8", 50L, 50L)))
+  }
 }
