@@ -119,7 +119,8 @@ object SparkEntry {
     "mm_resize" -> (TextQueries.multimodalResize _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
-    "ann_recall_report" -> (SimilarityQueries.annRecallReport _)
+    "ann_recall_report" -> (SimilarityQueries.annRecallReport _),
+    "text_utf8_profile" -> (TextQueries.utf8Profile _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -201,6 +202,7 @@ object SparkEntry {
     "mm_resize" -> TextQueries.multimodalResizeSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
-    "ann_recall_report" -> SimilarityQueries.annRecallReportSql
+    "ann_recall_report" -> SimilarityQueries.annRecallReportSql,
+    "text_utf8_profile" -> TextQueries.utf8ProfileSql
   )
 }

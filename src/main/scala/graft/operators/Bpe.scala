@@ -29,10 +29,16 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   *     far past any real word — making the result the exhaustive
   *     leftmost-first merge, exactly what SQL `replace` chains replay.
   *
-  * The corpus contract is ASCII text (the same contract the other
-  * oracle-checked text queries lean on); per-character splitting uses
-  * `regexp_extract_all(word, '.')`, identical in Spark and DuckDB for
-  * single-byte characters.
+  * The text contract is UTF-8 at codepoint granularity (BpeSpec
+  * exercises multi-byte and supplementary-plane symbols): per-character
+  * splitting uses `regexp_extract_all(word, '.')`, which consumes one
+  * codepoint per match — surrogate pairs included — in both Java regex
+  * and RE2; tie-breaks compare symbols in codepoint (= UTF-8 binary)
+  * order in every engine; `length(word)` counts codepoints on both
+  * sides. Excluded from the contract: words containing U+0085/U+2028/
+  * U+2029 (Java `.` excludes them where RE2 matches them, and ASCII
+  * `\s+` tokenization lets them through intact) and locale-sensitive
+  * case mappings in the caller's lowercasing.
   */
 object Bpe {
 
@@ -120,6 +126,19 @@ object Bpe {
     (vocab, merges.result())
   }
 
+  /** Codepoint-order string comparison — equals UTF-8 binary order (what
+    * Spark's string orderBy and DuckDB both use) on every valid string.
+    */
+  private def cpCompare(x: String, y: String): Int = {
+    val xi = x.codePoints().iterator()
+    val yi = y.codePoints().iterator()
+    while (xi.hasNext && yi.hasNext) {
+      val c = Integer.compare(xi.next(), yi.next())
+      if (c != 0) return c
+    }
+    if (xi.hasNext) 1 else if (yi.hasNext) -1 else 0
+  }
+
   /** Driver-local merge loop over the collected word-count vocabulary —
     * [[train]]'s semantics at real vocabulary scale. The distributed
     * trainer launches two Spark jobs per merge (pair-count argmax +
@@ -182,10 +201,23 @@ object Bpe {
     var rank = 0
     while (rank < numMerges && stats.nonEmpty) {
       // argmax by (count DESC, a, b) — the distributed orderBy's total
-      // order, so HashMap iteration order cannot leak in
-      val ((a, b), n) = stats.minBy { case ((pa, pb), pn) =>
-        (-pn, pa, pb)
+      // order, so HashMap iteration order cannot leak in. Symbol order
+      // must be CODEPOINT order (Spark sorts strings in UTF-8 binary
+      // order = codepoint order; Java compareTo is UTF-16 unit order,
+      // which ranks supplementary-plane symbols below U+E000..U+FFFF)
+      var bestEntry: ((String, String), Long) = null
+      stats.foreach { e =>
+        if (bestEntry == null) bestEntry = e
+        else {
+          val c = java.lang.Long.compare(e._2, bestEntry._2)
+          val better = c > 0 || (c == 0 && {
+            val ca = cpCompare(e._1._1, bestEntry._1._1)
+            ca < 0 || (ca == 0 && cpCompare(e._1._2, bestEntry._1._2) < 0)
+          })
+          if (better) bestEntry = e
+        }
       }
+      val ((a, b), n) = bestEntry
       merges += Merge(rank, a, b, n)
       index.remove((a, b)).foreach(_.foreach { wi =>
         val old = syms(wi)

@@ -719,4 +719,57 @@ object TextQueries {
       |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM l3 GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
   }
+
+  /** UTF-8 contract witness for the text surface: the same
+    * codepoint-level primitives the other text queries ride on
+    * (whitespace tokenization, `length`, regexp `.` char split, md5,
+    * mean token length), exercised over MULTI-BYTE text — Latin-1
+    * accents, a CJK character and a supplementary-plane emoji — derived
+    * deterministically from the documents table via replace chains, so
+    * both engines transform the identical input and no synthetic data
+    * is involved. Pins cross-engine facts: `length()` counts
+    * codepoints on both sides, regex `\s+` is ASCII whitespace in Java
+    * regex and RE2 alike, regex `.` consumes one codepoint per match
+    * (4-byte sequences included), and md5 hashes the UTF-8 bytes.
+    */
+  def utf8Profile(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val utext = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), "a", "ä"),
+        "o", "漢"),
+      "e", "🙂")
+    docs
+      .select(col("doc_id"), utext.as("utext"))
+      .select(col("doc_id"),
+        length(col("utext")).cast("long").as("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("utext"))
+          .cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("utext"), lit("."), lit(0)))
+          .cast("long").as("n_points"),
+        graft.functions.TextFunctions.meanTokenLen(col("utext"))
+          .as("mean_token_len"),
+        md5(col("utext")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def utf8ProfileSql: String = {
+    val toks = "list_filter(string_split_regex(utext, '\\s+'), x -> x <> '')"
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(text, 'a', 'ä'), 'o', '漢'), 'e', '🙂')
+      |      AS utext
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(utext) AS BIGINT) AS n_chars,
+      |  CAST(len($toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(utext, '.')) AS BIGINT) AS n_points,
+      |  CASE WHEN len($toks) = 0 THEN 0.0
+      |    ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform($toks, t -> CAST(length(t) AS BIGINT))),
+      |        (x, y) -> x + y) AS DOUBLE)
+      |      / CAST(len($toks) AS DOUBLE) END AS mean_token_len,
+      |  md5(utext) AS fp
+      |FROM u ORDER BY doc_id""".stripMargin
+  }
 }

@@ -82,6 +82,36 @@ class BpeSpec extends SparkSpec {
     dv.unpersist()
   }
 
+  test("BPE keeps codepoint granularity on multi-byte and supplementary-plane text") {
+    // Latin-1, CJK, and an emoji (U+1F642, a surrogate pair in UTF-16):
+    // char split must consume one CODEPOINT per symbol in both trainers
+    val docs = Seq(
+      (1L, "ä🙂 ä🙂 漢b 漢b 漢b"),
+      (2L, "ä🙂ä🙂 x")).toDF("doc_id", "text")
+    val (v0, _) = Bpe.trainLocal(docs, "text", 0)
+    val syms0 = v0.select("word", "sym").as[(String, String)]
+      .collect().toMap
+    assert(syms0("ä🙂") === s"${Bpe.Sep}ä${Bpe.Sep}🙂${Bpe.Sep}")
+    assert(syms0("ä🙂ä🙂") ===
+      Seq("ä", "🙂", "ä", "🙂").mkString(Bpe.Sep, Bpe.Sep, Bpe.Sep))
+    val (dv, dm) = Bpe.train(docs, "text", 6)
+    val (lv, lm) = Bpe.trainLocal(docs, "text", 6)
+    assert(lm === dm)
+    assert(vocabRows(lv) === vocabRows(dv))
+    dv.unpersist()
+
+    // tie-break where UTF-16 unit order and codepoint order DISAGREE:
+    // ￮ (U+FFEE) sorts above 🙂's high surrogate (0xD83D) in UTF-16 but
+    // below U+1F642 by codepoint — both trainers must pick ￮ first
+    val tie = Seq((1L, "￮z 🙂z")).toDF("doc_id", "text")
+    val (tv, tm) = Bpe.train(tie, "text", 1)
+    val (tlv, tlm) = Bpe.trainLocal(tie, "text", 1)
+    assert(tlm === tm)
+    assert(tm.head.a === "￮" && tm.head.b === "z")
+    assert(vocabRows(tlv) === vocabRows(tv))
+    tv.unpersist()
+  }
+
   test("token counts fall back to character count for out-of-vocabulary words") {
     val corpus = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
     val (vocab, _) = Bpe.trainLocal(corpus, "text", 2)
