@@ -91,6 +91,8 @@ object SparkEntry {
     "embed_incremental" -> (SimilarityQueries.incrementalCosineNearDups _),
     "embed_incremental_indexed" ->
       (SimilarityQueries.incrementalCosineNearDupsIndexed _),
+    "embed_incremental_sq8_indexed" ->
+      (SimilarityQueries.incrementalCosineNearDupsSq8Indexed _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -162,6 +164,8 @@ object SparkEntry {
     "dedup_incremental_lsh_indexed" -> DedupQueries.incrementalLshSql,
     "embed_incremental_indexed" ->
       SimilarityQueries.incrementalCosineNearDupsSql,
+    "embed_incremental_sq8_indexed" ->
+      SimilarityQueries.incrementalCosineNearDupsSq8IndexedSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,

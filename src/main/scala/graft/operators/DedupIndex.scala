@@ -61,9 +61,13 @@ object DedupIndex {
       hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
       counts: DataFrame, sigs: DataFrame)
 
-  /** Loaded vector index: `buckets` is a bucketed-table scan. */
+  /** Loaded vector index: `buckets` is a bucketed-table scan carrying
+    * both the float vectors and their SQ8 codes; `ranges` is the frozen
+    * per-dimension (min, max) quantization geometry (dim rows, collected
+    * at load — the same bounded-broadcast contract as IVF centroids).
+    */
   final case class VectorIndex(dir: String, params: VectorParams,
-      buckets: DataFrame)
+      buckets: DataFrame, ranges: Seq[(Double, Double)])
 
   // ------------------------------------------------------------- write
 
@@ -113,25 +117,53 @@ object DedupIndex {
   }
 
   /** Build and persist the vector-ANN index of `corpus` under `dir`:
-    * each vector with its hyperplane-LSH bucket and precomputed squared
-    * norm, bucketed (in the parquet sense) by the LSH bucket so a probe
-    * batch joins against co-located candidates.
+    * each vector with its hyperplane-LSH bucket, precomputed squared
+    * norm, SQ8 codes (uint8 against the corpus-trained per-dim ranges —
+    * the ¼-footprint payload asymmetric probes read instead of the
+    * floats) and the reconstruction's squared norm, bucketed (in the
+    * parquet sense) by the LSH bucket so a probe batch joins against
+    * co-located candidates. The ranges are persisted as a dim-row
+    * `ranges/` parquet and FROZEN: absorbed batches encode against them
+    * (the clamped encoder is total outside the training range).
     */
   def writeVectors(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, planes: Int, dim: Int, numBuckets: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
-    dropComponents(spark, dir, Seq("buckets"))
+    dropComponents(spark, dir, Seq("buckets", "ranges"))
     val signs = Similarity.hyperplaneSigns(planes, dim)
+    val ranges = Similarity.sq8Ranges(corpus, vecCol, dim)
     writeComponent(
-      corpus.select(col(idCol).cast("long").as("id"),
-        Similarity.lshBucket(col(vecCol), signs).as("bucket"),
-        col(vecCol).as("vec"),
-        graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm")),
+      vectorRows(corpus, idCol, vecCol, signs, ranges),
       dir, "buckets", Seq("bucket"), n)
+    import spark.implicits._
+    ranges.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }.toSeq
+      .toDF("pos", "mn", "mx")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(componentPath(dir, "ranges").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "planes" -> planes.toString,
+      "kind" -> "vector", "fmt" -> "2", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString))
+  }
+
+  /** The vector index's full row payload: bucket, float vector + norm
+    * (exact probes), SQ8 codes + reconstruction norm (asymmetric
+    * probes), all under the index's geometry.
+    */
+  private def vectorRows(vecs: DataFrame, idCol: String, vecCol: String,
+      signs: Seq[Seq[Int]],
+      ranges: Seq[(Double, Double)]): DataFrame = {
+    val mins = ranges.map(_._1)
+    val scales = ranges.map(r => (r._2 - r._1) / 255.0)
+    val codes = Similarity.sq8Encode(col(vecCol), mins, scales)
+    vecs.select(col(idCol).cast("long").as("id"),
+      Similarity.lshBucket(col(vecCol), signs).as("bucket"),
+      col(vecCol).as("vec"),
+      graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm"),
+      codes.as("codes"),
+      aggregate(Similarity.sq8Recon(codes, mins, scales),
+        lit(0.0), (acc, v) => acc + v * v).as("rnorm"))
   }
 
   /** Absorb a new batch into an existing text index — the second half of
@@ -215,10 +247,7 @@ object DedupIndex {
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
     val batch = newBatchId()
     stageComponent(
-      fresh.select(col(idCol).cast("long").as("id"),
-        Similarity.lshBucket(col(vecCol), signs).as("bucket"),
-        col(vecCol).as("vec"),
-        graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm")),
+      vectorRows(fresh, idCol, vecCol, signs, idx.ranges),
       dir, batch, "buckets", Seq("bucket"), p.numBuckets)
     commitStaged(spark, dir, batch)
   }
@@ -254,11 +283,24 @@ object DedupIndex {
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
+    // fmt 2 added the codes/rnorm columns and the ranges component; a
+    // format-1 index reads as corrupt so callers rebuild rather than
+    // probe a schema this code no longer matches
+    if (!p.get("fmt").contains("2"))
+      corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
+        "expected 2 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
       p("numBuckets").toInt)
+    val ranges = spark.read
+      .parquet(componentPath(dir, "ranges").toString)
+      .orderBy(col("pos")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    require(ranges.length == params.dim,
+      s"index at $dir has ${ranges.length} range rows, dim=${params.dim}")
     VectorIndex(dir, params,
       buckets = component(spark, dir, "buckets", Seq("bucket"),
-        params.numBuckets))
+        params.numBuckets),
+      ranges = ranges)
   }
 
   /** The single-column band-scoped join key probes must use against the

@@ -449,6 +449,54 @@ object Similarity {
             element_at(scaleA, i + 1) + lit(0.5)).cast("int")))))
   }
 
+  /** Reconstruction of SQ8 codes as a DOUBLE array
+    * (`min_d + code_d · scale_d`) — the asymmetric-scoring payload.
+    * Kept in double end-to-end (no float round trip) so reconstruction
+    * folds are bit-reproducible across engines.
+    */
+  def sq8Recon(codes: Column, mins: Seq[Double],
+      scales: Seq[Double]): Column = {
+    val minA = array(mins.map(lit(_)): _*)
+    val scaleA = array(scales.map(lit(_)): _*)
+    transform(codes, (c, i) =>
+      element_at(minA, i + 1) +
+        c.cast(DoubleType) * element_at(scaleA, i + 1))
+  }
+
+  /** [[incrementalCosineNearDupsIndexed]] scoring asymmetrically from
+    * the index's STORED SQ8 codes instead of its float vectors: the
+    * corpus side of the probe reads (bucket, id, codes, rnorm) — ¼ the
+    * vector payload — and candidates score as full-precision batch
+    * vector against code reconstruction under the index's frozen
+    * ranges, cosine-normalized by the STORED reconstruction norm. Same
+    * bucket-join shape as the exact indexed probe (corpus side bucketed,
+    * only the batch shuffles); scores carry SQ8's per-dim ≤ scale_d/2
+    * reconstruction error, which is the deal a 100 TB corpus takes to
+    * cache 4× more index per executor.
+    */
+  def incrementalCosineNearDupsSq8Indexed(newVecs: DataFrame,
+      idCol: String, vecCol: String, idx: DedupIndex.VectorIndex,
+      threshold: Double): DataFrame = {
+    val signs = hyperplaneSigns(idx.params.planes, idx.params.dim)
+    val mins = idx.ranges.map(_._1)
+    val scales = idx.ranges.map(r => (r._2 - r._1) / 255.0)
+    val a = idx.buckets.select(col("bucket"), col("id").as("a_id"),
+      col("codes").as("a_codes"), col("rnorm").as("a_norm"))
+    val b = newVecs.select(lshBucket(col(vecCol), signs).as("bucket"),
+      col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("b_norm"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        aggregate(
+          zip_with(sq8Recon(col("a_codes"), mins, scales), col("b_vec"),
+            (r, qv) => r * qv.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select("a_id", "b_id", "score")
+  }
+
   /** Approximate top-k by asymmetric distance: full-precision query
     * against the uint8-quantized corpus (`score = Σ q_d · (min_d +
     * code_d · scale_d)`, a left double fold — bit-reproducible).

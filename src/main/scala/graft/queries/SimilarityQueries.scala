@@ -389,6 +389,70 @@ object SimilarityQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[incrementalCosineNearDupsIndexed]]'s asymmetric twin: the corpus
+    * side of the probe reads the index's STORED SQ8 codes and
+    * reconstruction norms (¼ the float payload) and scores the
+    * full-precision batch vector against the reconstruction under the
+    * index's frozen even-corpus ranges. Its own oracle replays
+    * quantization, reconstruction and the cosine fold exactly.
+    */
+  def incrementalCosineNearDupsSq8Indexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsSq8Indexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectors(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsSq8IndexedSql: String = {
+    val r = s"range(1, ${Dim + 1})"
+    s"""WITH rng AS (
+      |  SELECT CAST(t.i AS INTEGER) AS pos,
+      |    CAST(min(embedding[t.i]) AS DOUBLE) AS mn,
+      |    CAST(max(embedding[t.i]) AS DOUBLE) AS mx
+      |  FROM embeddings, UNNEST($r) t(i)
+      |  WHERE vec_id % 2 = 0
+      |  GROUP BY 1),
+      |rlist AS (
+      |  SELECT list(mn ORDER BY pos) AS minA,
+      |    list((mx - mn) / 255.0 ORDER BY pos) AS scaleA
+      |  FROM rng),
+      |a AS (
+      |  SELECT vec_id AS a_id,
+      |    ${bucketSql("embedding", 2)} AS bucket,
+      |    list_transform($r, i ->
+      |      CASE WHEN scaleA[i] = 0.0 THEN 0
+      |        ELSE greatest(0, least(255,
+      |          CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
+      |            / scaleA[i] + 0.5) AS INTEGER))) END) AS codes
+      |  FROM embeddings CROSS JOIN rlist WHERE vec_id % 2 = 0),
+      |ar AS (
+      |  SELECT a_id, bucket,
+      |    list_transform($r, i ->
+      |      minA[i] + CAST(codes[i] AS DOUBLE) * scaleA[i]) AS recon
+      |  FROM a CROSS JOIN rlist),
+      |an AS (
+      |  SELECT a_id, bucket, recon,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(recon, x -> x * x)), (x, y) -> x + y) AS rnorm
+      |  FROM ar),
+      |b AS (
+      |  SELECT vec_id AS b_id, embedding AS b_vec,
+      |    ${normSqSql("embedding")} AS b_norm,
+      |    ${bucketSql("embedding", 2)} AS bucket
+      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |pairs AS (
+      |  SELECT a_id, b_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform($r, i ->
+      |        recon[i] * CAST(b_vec[i] AS DOUBLE))), (x, y) -> x + y)
+      |      / nullif(sqrt(rnorm) * sqrt(b_norm), 0.0) AS score
+      |  FROM an JOIN b USING (bucket) WHERE a_id <> b_id)
+      |SELECT a_id, b_id, score FROM pairs WHERE score >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
   def incrementalCosineNearDupsSql: String =
     s"""WITH s AS (
       |  SELECT vec_id, embedding,

@@ -149,6 +149,33 @@ class DedupIndexSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains(indexDir)),
       s"probe must read only the index:\n${files.mkString("\n")}")
 
+    // SQ8 payload: stored codes are uint8-bounded and the stored
+    // reconstruction norm is close to the float norm
+    val payload = idx.buckets
+      .select(array_min(col("codes")).as("lo"),
+        array_max(col("codes")).as("hi"),
+        (abs(col("rnorm") - col("norm")) / col("norm")).as("relerr"))
+      .agg(min(col("lo")), max(col("hi")), max(col("relerr")))
+      .collect().head
+    assert(payload.getInt(0) >= 0 && payload.getInt(1) <= 255)
+    assert(payload.getDouble(2) < 0.01,
+      s"reconstruction norm off by ${payload.getDouble(2)}")
+
+    // the asymmetric probe reads codes, never the float vectors, and
+    // finds the same pair set on these well-separated clusters
+    val sq8Probe = Similarity.incrementalCosineNearDupsSq8Indexed(
+      batch, "vec_id", "embedding", idx, threshold = 0.9)
+    val readSchemas = sq8Probe.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+      .filter(_.contains(indexDir.split("/").last))
+    assert(readSchemas.nonEmpty && readSchemas.forall(l =>
+      l.contains("codes") && !l.contains("vec:")),
+      s"asymmetric probe must scan codes, not floats:\n${readSchemas.mkString("\n")}")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairSet(sq8Probe) === pairSet(probeIdx))
+    assert(pairSet(sq8Probe).nonEmpty)
+
     // kind mismatch is rejected loudly
     intercept[IllegalArgumentException] {
       DedupIndex.loadText(spark, indexDir)
@@ -235,6 +262,16 @@ class DedupIndexSpec extends SparkSpec {
       threshold = 0.9, planes = 2, dim = dim))
     assert(got === recompute)
     assert(got.nonEmpty, "fixture must produce near-dup pairs")
+
+    // absorbed rows were encoded under the index's FROZEN ranges: the
+    // asymmetric probe agrees with the exact probe's pair set across
+    // original and absorbed corpus alike
+    val sq8Got = Similarity.incrementalCosineNearDupsSq8Indexed(
+        probeBatch, "vec_id", "embedding", idx, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exactGot = got.map(r => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Long])).toSet
+    assert(sq8Got === exactGot)
 
     // absorbing the same batch again must not add a single row
     val before = idx.buckets.count()
