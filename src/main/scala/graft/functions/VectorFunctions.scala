@@ -35,6 +35,22 @@ object VectorFunctions {
     * lambda path) — kept as the portable reference form; tests assert
     * dot === dotFold bit-for-bit.
     */
+  /** Codegen'd fused SQ8 asymmetric dot: `Σ q_i·(min_i + code_i·scale_i)`
+    * — same IEEE sequence as the HOF fold, one tight loop per pair (see
+    * [[graft.plans.Sq8DotF]]).
+    */
+  def sq8Dot(codes: Column, q: Column, mins: Seq[Double],
+      scales: Seq[Double]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.plans.Sq8DotF(
+      ColumnBridge.expression(codes.cast("array<int>")),
+      ColumnBridge.expression(q.cast("array<float>")),
+      ColumnBridge.expression(
+        array(mins.map(lit(_)): _*).cast("array<double>")),
+      ColumnBridge.expression(
+        array(scales.map(lit(_)): _*).cast("array<double>"))))
+  }
+
   def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),

@@ -54,7 +54,8 @@ object DedupIndex {
   final case class TextParams(shingleN: Int, numHashes: Int, bands: Int,
       portable: Boolean, numBuckets: Int)
 
-  final case class VectorParams(planes: Int, dim: Int, numBuckets: Int)
+  final case class VectorParams(planes: Int, dim: Int, numBuckets: Int,
+      centroids: Int)
 
   /** Loaded text index: every member is a bucketed-table scan. */
   final case class TextIndex(dir: String, params: TextParams,
@@ -62,12 +63,15 @@ object DedupIndex {
       counts: DataFrame, sigs: DataFrame)
 
   /** Loaded vector index: `buckets` is a bucketed-table scan carrying
-    * both the float vectors and their SQ8 codes; `ranges` is the frozen
+    * both the float vectors and their SQ8 codes; `lists` the IVF
+    * inverted lists (cent_id, n_id, codes) bucketed by centroid;
+    * `centroids` the stored O(C) centroid set; `ranges` the frozen
     * per-dimension (min, max) quantization geometry (dim rows, collected
     * at load — the same bounded-broadcast contract as IVF centroids).
     */
   final case class VectorIndex(dir: String, params: VectorParams,
-      buckets: DataFrame, ranges: Seq[(Double, Double)])
+      buckets: DataFrame, lists: DataFrame, centroids: DataFrame,
+      ranges: Seq[(Double, Double)])
 
   // ------------------------------------------------------------- write
 
@@ -127,15 +131,27 @@ object DedupIndex {
     * (the clamped encoder is total outside the training range).
     */
   def writeVectors(corpus: DataFrame, idCol: String, vecCol: String,
-      dir: String, planes: Int, dim: Int, numBuckets: Int = 0): Unit = {
+      dir: String, planes: Int, dim: Int, numBuckets: Int = 0,
+      numCentroids: Int = 20): Unit = {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
-    dropComponents(spark, dir, Seq("buckets", "ranges"))
+    dropComponents(spark, dir,
+      Seq("buckets", "lists", "centroids", "ranges"))
     val signs = Similarity.hyperplaneSigns(planes, dim)
     val ranges = Similarity.sq8Ranges(corpus, vecCol, dim)
     writeComponent(
       vectorRows(corpus, idCol, vecCol, signs, ranges),
       dir, "buckets", Seq("bucket"), n)
+    val cent = centroidRows(corpus, idCol, vecCol, numCentroids)
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(componentPath(dir, "centroids").toString)
+    // re-read so the list assignment joins the EXACT stored centroid
+    // rows (same floats the probe will broadcast later)
+    val storedCent = spark.read
+      .parquet(componentPath(dir, "centroids").toString)
+    writeComponent(
+      listRows(corpus, idCol, vecCol, storedCent, ranges),
+      dir, "lists", Seq("cent_id"), n)
     import spark.implicits._
     ranges.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }.toSeq
       .toDF("pos", "mn", "mx")
@@ -143,8 +159,46 @@ object DedupIndex {
       .write.mode("overwrite")
       .parquet(componentPath(dir, "ranges").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "fmt" -> "2", "planes" -> planes.toString,
-      "dim" -> dim.toString, "numBuckets" -> n.toString))
+      "kind" -> "vector", "fmt" -> "3", "planes" -> planes.toString,
+      "dim" -> dim.toString, "numBuckets" -> n.toString,
+      "centroids" -> numCentroids.toString))
+  }
+
+  /** The stored IVF centroid set: the same bounded deterministic
+    * selection [[Similarity.ivfTopK]] makes (top-C by md5(id)), with the
+    * dense 0-based index the assignment argmax packs.
+    */
+  private def centroidRows(corpus: DataFrame, idCol: String,
+      vecCol: String, numCentroids: Int): DataFrame =
+    Similarity.selectCentroids(corpus, idCol, numCentroids)
+      .select(col(idCol).cast("long").as("cent_id"),
+        col(vecCol).as("cent_vec"),
+        graft.functions.VectorFunctions.normSq(col(vecCol))
+          .as("cent_norm"))
+      .withColumn("cent_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cent_id")))
+        - 1)
+
+  /** IVF inverted-list rows for `vecs` under STORED centroids + frozen
+    * ranges: nearest-centroid assignment (full precision — cell
+    * boundaries independent of quantization), payload reduced to SQ8
+    * codes.
+    */
+  private def listRows(vecs: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, ranges: Seq[(Double, Double)]): DataFrame = {
+    val mins = ranges.map(_._1)
+    val scales = ranges.map(r => (r._2 - r._1) / 255.0)
+    val c = vecs.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("n_vec"),
+      graft.functions.VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    Similarity.nearestCentIdx(c, cent)
+      .join(broadcast(cent.select(
+        col("cent_idx").cast("long").as("cent_idx"), col("cent_id"))),
+        Seq("cent_idx"))
+      .join(vecs.select(col(idCol).cast("long").as("n_id"),
+        Similarity.sq8Encode(col(vecCol), mins, scales).as("codes")),
+        Seq("n_id"))
+      .select(col("cent_id"), col("n_id"), col("codes"))
   }
 
   /** The vector index's full row payload: bucket, float vector + norm
@@ -249,6 +303,12 @@ object DedupIndex {
     stageComponent(
       vectorRows(fresh, idCol, vecCol, signs, idx.ranges),
       dir, batch, "buckets", Seq("bucket"), p.numBuckets)
+    // absorbed vectors join the inverted lists under the STORED
+    // centroids (frozen, like the ranges — standard IVF absorb); both
+    // components commit in the one staged batch
+    stageComponent(
+      listRows(fresh, idCol, vecCol, idx.centroids, idx.ranges),
+      dir, batch, "lists", Seq("cent_id"), p.numBuckets)
     commitStaged(spark, dir, batch)
   }
 
@@ -283,14 +343,14 @@ object DedupIndex {
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
-    // fmt 2 added the codes/rnorm columns and the ranges component; a
-    // format-1 index reads as corrupt so callers rebuild rather than
-    // probe a schema this code no longer matches
-    if (!p.get("fmt").contains("2"))
+    // fmt 3 = codes/rnorm columns + ranges + persisted IVF structure;
+    // an older-format index reads as corrupt so callers rebuild rather
+    // than probe a schema this code no longer matches
+    if (!p.get("fmt").contains("3"))
       corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 2 (rebuild the index)")
+        "expected 3 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
-      p("numBuckets").toInt)
+      p("numBuckets").toInt, p("centroids").toInt)
     val ranges = spark.read
       .parquet(componentPath(dir, "ranges").toString)
       .orderBy(col("pos")).collect()
@@ -300,6 +360,10 @@ object DedupIndex {
     VectorIndex(dir, params,
       buckets = component(spark, dir, "buckets", Seq("bucket"),
         params.numBuckets),
+      lists = component(spark, dir, "lists", Seq("cent_id"),
+        params.numBuckets),
+      centroids = spark.read
+        .parquet(componentPath(dir, "centroids").toString),
       ranges = ranges)
   }
 

@@ -139,7 +139,8 @@ object Similarity {
     * exchange, so the shuffle moves N skinny rows, not N×C vector
     * payloads.
     */
-  private def nearestCentIdx(c: DataFrame, cent: DataFrame): DataFrame = {
+  private[operators] def nearestCentIdx(c: DataFrame,
+      cent: DataFrame): DataFrame = {
     val pow52 = 4503599627370496.0 // 2^52
     val nullKey = -4503599627370497L // < floor(-1 * 2^52)
     val candKey = (coalesce(
@@ -449,6 +450,46 @@ object Similarity {
             element_at(scaleA, i + 1) + lit(0.5)).cast("int")))))
   }
 
+  /** [[ivfSq8TopK]] probing the PERSISTED IVF structure
+    * ([[DedupIndex.writeVectors]]'s `centroids/` + `lists/` components)
+    * instead of recomputing centroid selection and corpus assignment per
+    * run: centroids are a stored O(C) broadcast, the inverted lists are
+    * a bucketed scan of (cent_id, n_id, codes) — ¼-footprint payload,
+    * assignment amortized into the index write, only the probed lists'
+    * candidate rows ever shuffle (through the final top-k window).
+    * Bit-identical to [[ivfSq8TopK]] over the same corpus: same stored
+    * assignment argmax, same frozen ranges, same asymmetric fold — so
+    * the recompute form's oracle gates this one too.
+    */
+  def ivfSq8TopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      idx: DedupIndex.VectorIndex, k: Int, nprobe: Int): DataFrame = {
+    val mins = idx.ranges.map(_._1)
+    val scales = idx.ranges.map(r => (r._2 - r._1) / 255.0)
+    val minA = array(mins.map(lit(_)): _*)
+    val scaleA = array(scales.map(lit(_)): _*)
+    val cent = idx.centroids
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("q_vec"), col("cent_vec")),
+        col("q_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cent_id"))
+    val scored = idx.lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score",
+        VectorFunctions.sq8Dot(col("codes"), col("q_vec"), mins, scales))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
   /** Reconstruction of SQ8 codes as a DOUBLE array
     * (`min_d + code_d · scale_d`) — the asymmetric-scoring payload.
     * Kept in double end-to-end (no float round trip) so reconstruction
@@ -487,11 +528,11 @@ object Similarity {
       VectorFunctions.normSq(col(vecCol)).as("b_norm"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") =!= col("b_id"))
+      // Sq8DotF computes q_i·recon_i where the fold form computed
+      // recon_i·q_i — IEEE multiplication is commutative bit-exactly,
+      // so scores (and the oracle) are unchanged
       .withColumn("score", VectorFunctions.cosineFrom(
-        aggregate(
-          zip_with(sq8Recon(col("a_codes"), mins, scales), col("b_vec"),
-            (r, qv) => r * qv.cast(DoubleType)),
-          lit(0.0), (acc, v) => acc + v),
+        VectorFunctions.sq8Dot(col("a_codes"), col("b_vec"), mins, scales),
         col("a_norm"), col("b_norm")))
       .filter(col("score") >= threshold)
       .select("a_id", "b_id", "score")
@@ -520,12 +561,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", aggregate(
-        transform(col("codes"), (code, i) =>
-          element_at(col("q_vec"), i + 1).cast(DoubleType) *
-            (element_at(minA, i + 1) +
-              code.cast(DoubleType) * element_at(scaleA, i + 1))),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("score",
+        VectorFunctions.sq8Dot(col("codes"), col("q_vec"), mins, scales))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -589,12 +626,8 @@ object Similarity {
       .select(col("q_id"), col("q_vec"), col("cent_id"))
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", aggregate(
-        transform(col("codes"), (code, i) =>
-          element_at(col("q_vec"), i + 1).cast(DoubleType) *
-            (element_at(minA, i + 1) +
-              code.cast(DoubleType) * element_at(scaleA, i + 1))),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("score",
+        VectorFunctions.sq8Dot(col("codes"), col("q_vec"), mins, scales))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -30,6 +30,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductF(coerced.head, coerced(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("sq8_dot_f"),
+      new ExpressionInfo(classOf[Sq8DotF].getName, "sq8_dot_f"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "sq8_dot_f(codes, query, mins, scales) takes exactly 4 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType,
+          FloatType, IntegerType}
+        Sq8DotF(
+          Cast(children(0), ArrayType(IntegerType)),
+          Cast(children(1), ArrayType(FloatType)),
+          Cast(children(2), ArrayType(DoubleType)),
+          Cast(children(3), ArrayType(DoubleType)))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
       (children: Seq[Expression]) => {

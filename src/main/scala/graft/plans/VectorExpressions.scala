@@ -95,3 +95,104 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProductF = copy(newLeft, newRight)
 }
+
+/** Fused SQ8 asymmetric score: `Σ q_i · (min_i + code_i · scale_i)` —
+  * full-precision query against the uint8-quantized corpus WITHOUT
+  * materializing the reconstruction.
+  *
+  * Why: the HOF form (`aggregate(transform(codes, ...))`) evaluates its
+  * lambda per element through the interpreted path, and in a pairwise
+  * probe it runs per CANDIDATE PAIR — it was the dominant term of the
+  * indexed SQ8 probe (~4 s vs the exact probe's 0.4 s at sf0.1). This
+  * expression generates one tight loop inside whole-stage codegen.
+  *
+  * Numeric contract: identical IEEE-754 op sequence to the HOF form —
+  * left-to-right accumulation from 0.0 of
+  * `double(q_i) * (min_i + double(code_i) * scale_i)` — so scores stay
+  * bit-identical to the fold the DuckDB oracles replay. Mismatched
+  * lengths or a null element → NULL, like the fold's null poisoning.
+  */
+case class Sq8DotF(codes: Expression, query: Expression,
+    mins: Expression, scales: Expression)
+    extends org.apache.spark.sql.catalyst.expressions
+      .QuaternaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = query
+  override def third: Expression = mins
+  override def fourth: Expression = scales
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    def ok(e: Expression, elem: DataType) = e.dataType match {
+      case ArrayType(t, _) => t == elem
+      case _ => false
+    }
+    if (ok(codes, IntegerType) && ok(query, FloatType) &&
+      ok(mins, DoubleType) && ok(scales, DoubleType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<float>, array<double>, " +
+        "array<double>), got " +
+        Seq(codes, query, mins, scales).map(_.dataType.catalogString)
+          .mkString(", "))
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "sq8_dot_f"
+
+  override def nullSafeEval(c: Any, q: Any, m: Any, s: Any): Any = {
+    val codesA = c.asInstanceOf[ArrayData]
+    val qA = q.asInstanceOf[ArrayData]
+    val minA = m.asInstanceOf[ArrayData]
+    val scaleA = s.asInstanceOf[ArrayData]
+    val n = codesA.numElements()
+    if (qA.numElements() != n || minA.numElements() < n ||
+      scaleA.numElements() < n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (codesA.isNullAt(i) || qA.isNullAt(i) || minA.isNullAt(i) ||
+        scaleA.isNullAt(i)) return null
+      acc += qA.getFloat(i).toDouble *
+        (minA.getDouble(i) + codesA.getInt(i).toDouble * scaleA.getDouble(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, (c, q, m, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |int $n = $c.numElements();
+         |if ($q.numElements() != $n || $m.numElements() < $n ||
+         |    $s.numElements() < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($c.isNullAt($i) || $q.isNullAt($i) || $m.isNullAt($i) ||
+         |        $s.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $q.getFloat($i) *
+         |      ($m.getDouble($i) + (double) $c.getInt($i) * $s.getDouble($i));
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Sq8DotF =
+    copy(newFirst, newSecond, newThird, newFourth)
+}

@@ -518,6 +518,19 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  /** [[ivfSq8TopK]] probing the PERSISTED full-corpus IVF∘SQ8 structure
+    * (stored centroids + bucketed inverted code lists + frozen ranges):
+    * bit-identical results to `ann_ivf_sq8_topk` with the centroid
+    * selection, corpus assignment, and quantization amortized into the
+    * one-time index write — so the recompute form's oracle gates it.
+    */
+  def ivfSq8TopKIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfSq8TopKIndexed(emb.filter(QueryPred), "vec_id",
+        "embedding", QueryIndexes.vectorsFull(spark, sfDir), K, nprobe = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private val RecallMethods: Seq[String] =
     Seq("ivf", "ivf_refined", "ivf_sq8", "lsh", "sq8")
 

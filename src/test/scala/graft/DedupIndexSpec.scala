@@ -276,10 +276,26 @@ class DedupIndexSpec extends SparkSpec {
     // absorbing the same batch again must not add a single row
     val before = idx.buckets.count()
     DedupIndex.appendVectors(absorbBatch, "vec_id", "embedding", indexDir)
-    val after = DedupIndex.loadVectors(spark, indexDir).buckets
-    assert(after.count() === before)
-    assert(after.select(col("id")).distinct().count() === before,
+    val grown = DedupIndex.loadVectors(spark, indexDir)
+    assert(grown.buckets.count() === before)
+    assert(grown.buckets.select(col("id")).distinct().count() === before,
       "duplicate ids in the vector index")
+    assert(grown.lists.count() === before,
+      "inverted lists out of step with the bucket table")
+
+    // persisted-IVF probe over the grown index: absorbed vectors were
+    // assigned under the FROZEN centroids and are discoverable; on
+    // these well-separated clusters every neighbor shares the query's
+    // cluster sign
+    val ivfGot = Similarity.ivfSq8TopKIndexed(probeBatch, "vec_id",
+        "embedding", grown, k = 5, nprobe = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(ivfGot.nonEmpty)
+    assert(ivfGot.forall { case (q, n) => (q % 10 < 5) == (n % 10 < 5) },
+      "probed list crossed cluster boundaries")
+    val absorbIds = all.filter(_._1 % 3 == 1).map(_._1).toSet
+    assert(ivfGot.map(_._2).toSet.intersect(absorbIds).nonEmpty,
+      "no absorbed vector ever surfaced in a probed list")
   }
 
   test("a corrupt or tampered _params.json fails loudly as index corruption") {

@@ -168,6 +168,61 @@ class SimilaritySpec extends SparkSpec {
     assert(sq === again)
   }
 
+  test("Sq8DotF matches the interpreted HOF fold bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val mins = Seq(0.5, -1.25, 2.0, 0.0)
+    val scales = Seq(0.01, 0.5, 0.0, 1.5)
+    val df = Seq(
+      (1L, Seq(0, 255, 17, 3), Seq(1.5f, -2.25f, 3.125f, 0.5f)),
+      (2L, Seq(7, 1, 0, 200), Seq(-0.125f, 0.0f, 9.5f, -3.75f)),
+      (3L, Seq(128, 64, 32, 16), Seq(1e-7f, -1e7f, 0.333f, 2.5f)))
+      .toDF("id", "codes", "q")
+    val minA = array(mins.map(lit(_)): _*)
+    val scaleA = array(scales.map(lit(_)): _*)
+    val hof = aggregate(
+      transform(col("codes"), (code, i) =>
+        element_at(col("q"), i + 1).cast("double") *
+          (element_at(minA, i + 1) +
+            code.cast("double") * element_at(scaleA, i + 1))),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      VectorFunctions.sq8Dot(col("codes"), col("q"), mins, scales)
+        .as("fast"), hof.as("slow"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (fast, slow) =>
+      assert(java.lang.Double.doubleToRawLongBits(fast) ===
+        java.lang.Double.doubleToRawLongBits(slow))
+    }
+    // mismatched code/query lengths poison to NULL like the fold
+    val bad = Seq((1L, Seq(1, 2, 3), Seq(1f, 2f))).toDF("id", "codes", "q")
+    assert(bad.select(VectorFunctions.sq8Dot(col("codes"), col("q"),
+      mins, scales)).head().isNullAt(0))
+  }
+
+  test("persisted-IVF top-k is bit-identical to the recompute form") {
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
+      (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    val corpus = (0L until 60L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString
+    graft.operators.DedupIndex.writeVectors(corpus, "vec_id", "embedding",
+      dir, planes = 2, dim = dim, numCentroids = 10)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect().sortBy(r => (r._1, r._3))
+        .toSeq
+    val got = rows(Similarity.ivfSq8TopKIndexed(queries, "vec_id",
+      "embedding", idx, k = 3, nprobe = 2))
+    val want = rows(Similarity.ivfSq8TopK(corpus, queries, "vec_id",
+      "embedding", k = 3, numCentroids = 10, nprobe = 2, dim = dim))
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("ANN recall gate: pinned recall@k per method on the sf0.001 corpus") {
     // every approximate method is deterministic, so recall against the
     // brute baseline is a CONSTANT of (code, corpus) — pin it exactly.
