@@ -686,4 +686,162 @@ object CdcStream {
       threshold, maxBucket, eventTime)
       .unionByName(corpusPairs)
   }
+
+  final case class VecRow(bucket: String, vec_id: Long, vec: Seq[Float],
+      ts: java.sql.Timestamp)
+  final case class BucketVec(vec_id: Long, vec: Seq[Float])
+  final case class VecBucketState(docs: List[BucketVec],
+      overflowed: Boolean)
+  final case class EmbedNearDupCand(a_id: Long, b_id: Long, score: Double,
+      overflow: Boolean)
+
+  /** Executor-side cosine with the SAME left-to-right double fold as
+    * [[graft.functions.VectorFunctions.dot]], so stream scores are
+    * bit-comparable to the batch pipeline's. Zero-norm → NaN, filtered
+    * by the >= threshold comparison (mirrors the SQL NULL).
+    */
+  private def cosineScala(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Streaming embedding near-dup: [[nearDupStream]]'s vector twin.
+    * Arriving vectors are hyperplane-LSH bucketed PER ROW (the codegen
+    * dot — zero shuffle before the stateful operator), and each bucket's
+    * state holds the (id, vector) pairs seen so far, capped at
+    * `maxBucket` with the same first-overflow marker contract
+    * (`overflow = true`, ids -1). New arrivals score exact cosine
+    * against their bucket's members; pairs at or above `threshold` emit
+    * once with `a_id < b_id`. State width is dim floats per held vector
+    * — bound it with `maxBucket` and, in production, `eventTime`
+    * (watermark horizon expiry, exactly as in [[nearDupStream]]).
+    */
+  def embedNearDupStream(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, threshold: Double, maxBucket: Int = 1000,
+      eventTime: Option[(String, String)] = None)
+      : org.apache.spark.sql.Dataset[EmbedNearDupCand] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val signs = graft.operators.Similarity.hyperplaneSigns(planes, dim)
+    val watermarked = eventTime match {
+      case Some((tsCol, horizon)) => vecs.withWatermark(tsCol, horizon)
+      case None => vecs
+    }
+    val tsExpr = eventTime match {
+      case Some((tsCol, _)) => col(tsCol)
+      case None => lit(null).cast("timestamp")
+    }
+    val rows = watermarked
+      .select(
+        graft.operators.Similarity.lshBucket(col(vecCol), signs)
+          .as("bucket"),
+        col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"),
+        tsExpr.as("ts"))
+      .filter(eventTime.fold(lit(true))(_ => col("ts").isNotNull))
+      .as[VecRow]
+    val timeoutConf =
+      if (eventTime.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.bucket)
+      .flatMapGroupsWithState[VecBucketState, EmbedNearDupCand](
+        OutputMode.Append, timeoutConf) {
+        (_: String, batch: Iterator[VecRow],
+            state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+              .getOrElse(VecBucketState(Nil, overflowed = false))
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[EmbedNearDupCand]
+            val rows = batch.toSeq
+            rows.sortBy(_.vec_id).foreach { d =>
+              if (!st.docs.exists(_.vec_id == d.vec_id)) {
+                if (st.docs.sizeIs >= maxBucket) {
+                  if (!st.overflowed)
+                    out += EmbedNearDupCand(-1L, -1L, 0.0, overflow = true)
+                  st = st.copy(overflowed = true)
+                } else {
+                  st.docs.foreach { p =>
+                    val score = cosineScala(p.vec, d.vec)
+                    if (score >= threshold)
+                      out += EmbedNearDupCand(
+                        math.min(p.vec_id, d.vec_id),
+                        math.max(p.vec_id, d.vec_id), score,
+                        overflow = false)
+                  }
+                  st = st.copy(docs = BucketVec(d.vec_id, d.vec) :: st.docs)
+                }
+              }
+            }
+            state.update(st)
+            eventTime.foreach { case (_, horizon) =>
+              state.setTimeoutTimestamp(
+                rows.iterator.map(_.ts.getTime).max, horizon)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Index-aware streaming embedding near-dup: [[embedNearDupStream]]'s
+    * new×new detector UNIONed with a STATELESS stream-static probe of
+    * the persisted vector index ([[graft.operators.DedupIndex
+    * .writeVectors]]) — the corpus is consulted from micro-batch 1,
+    * survives restarts (parquet, not stream state), and costs no state;
+    * the static side re-plans per micro-batch so absorbs are picked up
+    * live. Probe shape mirrors the batch
+    * [[graft.operators.Similarity.incrementalCosineNearDupsIndexed]]:
+    * arriving vectors bucket under the index's stored geometry and join
+    * the bucketed corpus table, scoring exact cosine against stored
+    * floats and norms. Oversized corpus buckets (population >
+    * `maxBucket`) are excluded — a static, pre-queryable fact, like the
+    * text form. Corpus-pair rows carry `a_id` = corpus vector, `b_id` =
+    * arriving vector; id spaces must be disjoint.
+    */
+  def embedNearDupStreamIndexed(vecs: DataFrame, idCol: String,
+      vecCol: String, idx: graft.operators.DedupIndex.VectorIndex,
+      threshold: Double, maxBucket: Int = 1000,
+      eventTime: Option[(String, String)] = None)
+      : org.apache.spark.sql.Dataset[EmbedNearDupCand] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val p = idx.params
+    val signs = graft.operators.Similarity.hyperplaneSigns(p.planes, p.dim)
+    val arriving = vecs
+      .select(
+        graft.operators.Similarity.lshBucket(col(vecCol), signs)
+          .as("bucket"),
+        col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"),
+        graft.functions.VectorFunctions.normSq(col(vecCol)).as("b_norm"))
+    val oversized = idx.buckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+    val corpusSide = idx.buckets
+      .join(oversized.select("bucket"), Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"),
+        col("norm").as("a_norm"))
+    val corpusPairs = arriving
+      .join(corpusSide, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("score", graft.functions.VectorFunctions.cosineFrom(
+        graft.functions.VectorFunctions.dot(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"),
+        lit(false).as("overflow"))
+      .as[EmbedNearDupCand]
+    embedNearDupStream(vecs, idCol, vecCol, p.planes, p.dim, threshold,
+      maxBucket, eventTime)
+      .unionByName(corpusPairs)
+  }
 }

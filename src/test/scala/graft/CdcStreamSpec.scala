@@ -470,6 +470,56 @@ class CdcStreamSpec extends SparkSpec {
         "unrelated corpus doc 101 stays unflagged")
   }
 
+  test("index-aware embedding near-dup pairs arrivals against the persisted vector index") {
+    val dir = Files.createTempDirectory("stream_endidx").toString
+    val dim = 8
+    // two well-separated clusters; members of a cluster are near-dups
+    def vec(cluster: Int, jitter: Int): Array[Float] = Array.tabulate(dim)(
+      d => (if (cluster == 0) 10f else -10f) + ((jitter + d * 3) % 5) * 0.1f)
+    // the already-indexed corpus: one vector per cluster
+    val corpus = Seq((100L, vec(0, 1)), (101L, vec(1, 2)))
+      .toDF("vec_id", "embedding")
+    val idxDir = Files.createTempDirectory("stream_endidx_idx").toString
+    graft.operators.DedupIndex.writeVectors(corpus, "vec_id", "embedding",
+      idxDir, planes = 2, dim = dim)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+
+    // batch 1: a near-dup of corpus vector 100 — pairs via the index
+    // probe immediately. batch 2: twin fresh cluster-1 vectors — the
+    // stateful new×new path pairs them (and each pairs corpus 101).
+    Seq((1L, vec(0, 3))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, vec(1, 4)), (3L, vec(1, 4)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.embedNearDupStreamIndexed(stream, "vec_id",
+        "embedding", idx, threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("endidx_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val cands = spark.table("endidx_out")
+      .filter(!$"overflow")
+      .select("a_id", "b_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cands.forall(_._3 >= 0.9), cands)
+    val pairs = cands.map(c => (c._1, c._2)).distinct.sorted
+    assert(pairs === Seq((2L, 3L), (100L, 1L), (101L, 2L), (101L, 3L)),
+      "corpus probes (100,1)/(101,2)/(101,3); stateful path (2,3)")
+
+    // corpus-pair scores are bit-identical to the batch indexed probe
+    val batchScores = graft.operators.Similarity
+      .incrementalCosineNearDupsIndexed(
+        spark.read.parquet(s"$dir/b*/"), "vec_id", "embedding", idx,
+        threshold = 0.9)
+      .select("a_id", "b_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val streamCorpusScores = cands.filter(_._1 >= 100L).distinct.sorted
+    assert(streamCorpusScores === batchScores)
+  }
+
   test("near-dup state expires past the event-time horizon") {
     val dir = Files.createTempDirectory("stream_ndttl").toString
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
