@@ -93,6 +93,12 @@ object SparkEntry {
       (SimilarityQueries.incrementalCosineNearDupsIndexed _),
     "embed_incremental_sq8_indexed" ->
       (SimilarityQueries.incrementalCosineNearDupsSq8Indexed _),
+    "dedup_incremental_absorbed" ->
+      (DedupQueries.incrementalExactAbsorbed _),
+    "dedup_incremental_lsh_absorbed" ->
+      (DedupQueries.incrementalLshAbsorbed _),
+    "embed_incremental_absorbed" ->
+      (SimilarityQueries.incrementalCosineNearDupsAbsorbed _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -167,6 +173,12 @@ object SparkEntry {
       SimilarityQueries.incrementalCosineNearDupsSql,
     "embed_incremental_sq8_indexed" ->
       SimilarityQueries.incrementalCosineNearDupsSq8IndexedSql,
+    "dedup_incremental_absorbed" ->
+      DedupQueries.incrementalExactAbsorbedSql,
+    "dedup_incremental_lsh_absorbed" ->
+      DedupQueries.incrementalLshAbsorbedSql,
+    "embed_incremental_absorbed" ->
+      SimilarityQueries.incrementalCosineNearDupsAbsorbedSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,

@@ -139,6 +139,45 @@ object DedupQueries {
       .pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[incrementalExactIndexed]] against an index GROWN BY ABSORB
+    * ([[graft.operators.DedupIndex.appendText]]): the corpus is the
+    * even docs PLUS the absorbed `doc_id % 4 == 1` batch, the probe
+    * batch is `doc_id % 4 == 3`, and the oracle recomputes over the
+    * union — so the absorb path itself (staged commit, freshness
+    * anti-join, never-seen-hash filter) is oracle-gated end to end,
+    * not just spec-tested.
+    */
+  def incrementalExactAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExactIndexed(
+        docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", QueryIndexes.textAbsorbed(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalExactAbsorbedSql: String =
+    incrementalExactSqlFor("(doc_id % 2 = 0 OR doc_id % 4 = 1)",
+      "doc_id % 4 = 3")
+
+  /** [[incrementalLshIndexed]]'s absorb twin: band keys, signatures,
+    * shingles and counts of the absorbed batch all came through
+    * [[graft.operators.DedupIndex.appendText]]'s staged commit.
+    */
+  def incrementalLshAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalMinHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", QueryIndexes.textAbsorbed(spark, sfDir),
+        threshold = 0.5)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalLshAbsorbedSql: String =
+    incrementalLshSqlFor(c => s"($c % 2 = 0 OR $c % 4 = 1)",
+      c => s"$c % 4 = 3")
+
   /** Oracle: the batch minHashLshSql machinery with the pair condition
     * swapped from `a < b` to `a existing (even), b new (odd)`, and the
     * Scala op's existing-side bucket cap (default maxBucket = 1000)
@@ -146,7 +185,15 @@ object DedupQueries {
     * the oracle stays semantically equivalent at any scale factor, not
     * just ones where no bucket exceeds the cap.
     */
-  def incrementalLshSql: String = {
+  def incrementalLshSql: String =
+    incrementalLshSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1")
+
+  /** The LSH-probe oracle with configurable corpus/batch membership
+    * (predicates receive the qualified doc_id column) — shared by the
+    * even/odd probe and the evolved-index (absorb) probe.
+    */
+  private def incrementalLshSqlFor(existingPred: String => String,
+      newPred: String => String): String = {
     val mins = (0 until 12).map(i =>
       s"min(('0x' || substr(md5(concat_ws('|', $i, shingle)), 1, 15))::BIGINT) AS h$i")
       .mkString(",\n    ")
@@ -165,15 +212,15 @@ object DedupQueries {
       |bk AS (
       |  $bandKeys),
       |ok_keys AS (
-      |  SELECT band, band_key FROM bk WHERE doc_id % 2 = 0
+      |  SELECT band, band_key FROM bk WHERE ${existingPred("doc_id")}
       |  GROUP BY band, band_key HAVING count(*) <= 1000),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |  FROM bk a
       |  JOIN ok_keys k ON a.band = k.band AND a.band_key = k.band_key
       |  JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
-      |    AND b.doc_id % 2 = 1
-      |  WHERE a.doc_id % 2 = 0),
+      |    AND ${newPred("b.doc_id")}
+      |  WHERE ${existingPred("a.doc_id")}),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
       |common AS (
       |  SELECT p.a_id, p.b_id, count(*) AS common

@@ -454,6 +454,15 @@ object SimilarityQueries {
   }
 
   def incrementalCosineNearDupsSql: String =
+    incrementalCosineNearDupsSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1")
+
+  /** The embedding-probe oracle with configurable corpus/batch
+    * membership — shared by the even/odd probe and the evolved-index
+    * (absorb) probe.
+    */
+  private def incrementalCosineNearDupsSqlFor(
+      existingPred: String => String,
+      newPred: String => String): String =
     s"""WITH s AS (
       |  SELECT vec_id, embedding,
       |    ${normSqSql("embedding")} AS norm,
@@ -463,9 +472,28 @@ object SimilarityQueries {
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(a.norm) * sqrt(b.norm), 0.0) AS score
       |  FROM s a JOIN s b ON a.bucket = b.bucket
-      |    AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1)
+      |    AND ${existingPred("a.vec_id")} AND ${newPred("b.vec_id")})
       |SELECT a_id, b_id, score FROM pairs WHERE score >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** [[incrementalCosineNearDupsIndexed]] against a vector index GROWN
+    * BY ABSORB ([[graft.operators.DedupIndex.appendVectors]]): even
+    * vec_ids indexed, `% 4 == 1` absorbed under the frozen geometry,
+    * `% 4 == 3` probing — the oracle recomputes over the union, gating
+    * the vector absorb path end to end.
+    */
+  def incrementalCosineNearDupsAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsIndexed(
+        emb.filter("vec_id % 4 = 3"), "vec_id", "embedding",
+        QueryIndexes.vectorsAbsorbed(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsAbsorbedSql: String =
+    incrementalCosineNearDupsSqlFor(
+      c => s"($c % 2 = 0 OR $c % 4 = 1)", c => s"$c % 4 = 3")
 
   /** SQ8 asymmetric top-k: corpus quantized to uint8 codes against
     * per-dim (min, max) ranges, full-precision queries scored on the
