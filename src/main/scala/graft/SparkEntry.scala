@@ -112,6 +112,7 @@ object SparkEntry {
     // training-pipeline assembly ops
     "pack_sequences" -> (PipelineQueries.packSequences _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
+    "corpus_mix_temperature" -> (PipelineQueries.corpusMixTemperature _),
     "pii_redact" -> (PipelineQueries.piiRedact _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "chunk_documents" -> (PipelineQueries.chunkDocuments _),
@@ -207,6 +208,7 @@ object SparkEntry {
     "decontaminate" -> DedupQueries.decontaminateReportSql,
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
+    "corpus_mix_temperature" -> PipelineQueries.corpusMixTemperatureSql,
     "pii_redact" -> PipelineQueries.piiRedactSql,
     "vocab_topk" -> PipelineQueries.vocabTopKSql,
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,

@@ -103,6 +103,75 @@ object PipelineQueries {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
+  val MixBudgetRatio = 0.5
+
+  /** Temperature-based language rebalancing — the multilingual
+    * data-mixing step: per-language budgets ∝ n^α (α = 0.5, i.e.
+    * sqrt — chosen over a general pow because sqrt is CORRECTLY
+    * ROUNDED in IEEE 754, so budget boundaries are bit-identical in
+    * any engine), capped at the language's population, with selection
+    * by the same portable hash-rank as `sample_stratified`. Low-
+    * resource languages keep a larger share than their raw frequency;
+    * the total target is `floor(total · MixBudgetRatio)`.
+    *
+    * The weight normalizer is an ordered left fold over the
+    * language-count-sized stats (not an unordered SUM): double
+    * addition is non-associative, and the fold order is part of the
+    * cross-engine contract. Scale shape: one corpus groupBy (bounded
+    * output), one keyed rank window, one broadcast join — no global
+    * sort, no driver materialization beyond the language stats fold.
+    */
+  def corpusMixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = stats.agg(
+      aggregate(
+        transform(
+          array_sort(collect_list(struct(col("lang"),
+            sqrt(col("n").cast("double")).as("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, v) => acc + v).as("tot_w"),
+      sum(col("n")).as("total_n"))
+    val targets = stats.crossJoin(tot)
+      .select(col("lang"),
+        least(col("n"), floor(sqrt(col("n").cast("double")) / col("tot_w")
+          * floor(col("total_n").cast("double") * lit(MixBudgetRatio)))
+          .cast("long")).as("lang_budget"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(PortableHash.md5Long(col("doc_id").cast("string")),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(targets), Seq("lang"))
+      .filter(col("rk") <= col("lang_budget"))
+      .select(col("doc_id"), col("lang"), col("lang_budget"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusMixTemperatureSql: String =
+    s"""WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+      |      (x, y) -> x + y) AS tot_w,
+      |    sum(n) AS total_n
+      |  FROM stats),
+      |t AS (
+      |  SELECT lang,
+      |    least(n, CAST(floor(sqrt(CAST(n AS DOUBLE)) / tot_w *
+      |      floor(CAST(total_n AS DOUBLE) * $MixBudgetRatio)) AS BIGINT))
+      |      AS lang_budget
+      |  FROM stats CROSS JOIN tot),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, t.lang_budget
+      |FROM r JOIN t USING (lang) WHERE r.rk <= t.lang_budget
+      |ORDER BY doc_id""".stripMargin
+
   def sampleStratifiedSql: String =
     s"""SELECT doc_id, lang, sample_rank FROM (
       |  SELECT doc_id, lang,
