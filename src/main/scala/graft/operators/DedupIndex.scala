@@ -33,8 +33,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `sigs/`      (id, sig: array<bigint>)  bucketed by id — the full
   *     MinHash signatures, for consumers that verify by signature
   *     agreement instead of exact Jaccard (the streaming probe)
-  * A VECTOR index holds one:
-  *   - `buckets/`   (id, bucket, vec, norm)   bucketed by bucket
+  * A VECTOR index (format 3) holds four:
+  *   - `buckets/`   (id, bucket, vec, norm, codes, rnorm) bucketed by
+  *     the hyperplane-LSH bucket — floats for exact probes, SQ8 codes +
+  *     reconstruction norm for the ¼-footprint asymmetric probe
+  *   - `lists/`     (cent_id, n_id, codes)    bucketed by cent_id — the
+  *     IVF inverted lists, assignment amortized into the write
+  *   - `centroids/` (cent_id, cent_vec, cent_norm, cent_idx) — the O(C)
+  *     stored centroid set (plain parquet, broadcast at probe time)
+  *   - `ranges/`    (pos, mn, mx)             the frozen per-dim SQ8
+  *     quantization geometry (dim rows, collected at load)
   * `_params.json` pins the hash/geometry parameters (shingleN, numHashes,
   * bands, portable / planes, dim) so a probe can only run with the SAME
   * functions that built the index — loading validates, probing reuses.
