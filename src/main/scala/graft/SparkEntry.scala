@@ -113,6 +113,8 @@ object SparkEntry {
     "pack_sequences" -> (PipelineQueries.packSequences _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "corpus_mix_temperature" -> (PipelineQueries.corpusMixTemperature _),
+    "chunk_documents_cdc" -> (PipelineQueries.chunkDocumentsCdc _),
+    "decontaminate_clean" -> (DedupQueries.decontaminateClean _),
     "pii_redact" -> (PipelineQueries.piiRedact _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "chunk_documents" -> (PipelineQueries.chunkDocuments _),
@@ -209,6 +211,8 @@ object SparkEntry {
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "corpus_mix_temperature" -> PipelineQueries.corpusMixTemperatureSql,
+    "chunk_documents_cdc" -> PipelineQueries.chunkDocumentsCdcSql,
+    "decontaminate_clean" -> DedupQueries.decontaminateCleanSql,
     "pii_redact" -> PipelineQueries.piiRedactSql,
     "vocab_topk" -> PipelineQueries.vocabTopKSql,
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,

@@ -473,6 +473,36 @@ object DedupQueries {
       |FROM corpus_sh JOIN probe_sh USING (shingle)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The decontamination REMOVAL half ([[decontaminateReport]] finds the
+    * leaks, this emits the cleaned training corpus): corpus docs minus
+    * every doc sharing any word 5-gram with the eval probe set, each
+    * surviving doc witnessed by its content hash.
+    */
+  def decontaminateClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateCleanSql: String =
+    s"""WITH ${shingleCte(5, "sh5c_raw")},
+      |sh5c AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh5c_raw),
+      |probe_sh AS (SELECT DISTINCT shingle FROM sh5c WHERE doc_id % 7 = 0),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM sh5c
+      |  WHERE doc_id % 7 <> 0 AND shingle IN (SELECT shingle FROM probe_sh))
+      |SELECT d.doc_id, md5(d.text) AS content_hash
+      |FROM documents d
+      |WHERE d.doc_id % 7 <> 0
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-doc 32-bit SimHash + identical-signature dup groups. */
   def simHash(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup.simHashGroups(

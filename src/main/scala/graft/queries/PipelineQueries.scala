@@ -264,6 +264,67 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  val CdcChunkDivisor = 8
+
+  /** Content-defined chunking (the FastCDC idea at word granularity):
+    * a chunk boundary falls AFTER every word whose portable 60-bit hash
+    * is ≡ 0 mod [[CdcChunkDivisor]] — so boundaries are a function of
+    * CONTENT, not position, and an insertion reshuffles only the chunks
+    * it touches (fixed windows shift every later chunk). That makes the
+    * emitted `chunk_hash` directly joinable for chunk-level exact dedup
+    * across edited near-duplicate documents. Mean chunk length is the
+    * divisor. One narrow explode + ONE shuffle (the per-document
+    * running-sum window, keyed and bounded by doc length) + the rebuild
+    * groupBy on the same key — no global window anywhere.
+    */
+  def chunkDocumentsCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val words = docs.select(col("doc_id"),
+      posexplode(TextFunctions.tokens(col("text")))
+        .as(Seq("pos", "word")))
+    val flagged = words.withColumn("b",
+      when(pmod(PortableHash.md5Long(col("word")),
+        lit(CdcChunkDivisor)) === 0, 1).otherwise(0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(w), lit(0)).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ")).as("chunk_hash"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def chunkDocumentsCdcSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS word
+      |  FROM t, UNNEST(range(1, len(toks) + 1)) u(i)),
+      |f AS (
+      |  SELECT doc_id, pos, word,
+      |    CASE WHEN ('0x' || substr(md5(word), 1, 15))::BIGINT
+      |      % $CdcChunkDivisor = 0 THEN 1 ELSE 0 END AS b
+      |  FROM w),
+      |c AS (
+      |  SELECT doc_id, pos, word,
+      |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk_id
+      |  FROM f)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(list(word ORDER BY pos), ' ')) AS chunk_hash
+      |FROM c GROUP BY doc_id, chunk_id
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   def chunkDocumentsSql: String = {
     val stride = ChunkTokens - ChunkOverlap
     s"""WITH t AS (

@@ -237,6 +237,24 @@ class DedupIndexSpec extends SparkSpec {
       "duplicate band rows after crash-retry")
     assert(sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
       probeBatch, "doc_id", "text", retried).pairs) === expected)
+
+    // sweep the other crash points: before ANY component moved
+    // (manifest published, nothing live) and after all but the last
+    // moved — retry must land identically from every crash state
+    Seq(0, 4).foreach { fp =>
+      val dirN = java.nio.file.Files
+        .createTempDirectory(s"graft-idx-absorb-crash$fp").toString
+      DedupIndex.writeText(corpus, "doc_id", "text", dirN)
+      DedupIndex.testCrashAfterComponentMoves = fp
+      try intercept[RuntimeException] {
+        DedupIndex.appendText(absorbBatch, "doc_id", "text", dirN)
+      } finally DedupIndex.testCrashAfterComponentMoves = -1
+      DedupIndex.appendText(absorbBatch, "doc_id", "text", dirN)
+      val got = sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
+        probeBatch, "doc_id", "text",
+        DedupIndex.loadText(spark, dirN)).pairs)
+      assert(got === expected, s"crash point $fp")
+    }
   }
 
   test("vector absorb matches recompute over the grown corpus; re-absorb is a no-op") {
