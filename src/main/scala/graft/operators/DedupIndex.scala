@@ -141,6 +141,10 @@ object DedupIndex {
   def writeVectors(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, planes: Int, dim: Int, numBuckets: Int = 0,
       numCentroids: Int = 20): Unit = {
+    // nearestCentIdx packs cent_idx into 10 bits of its argmax key —
+    // same bound the recompute entry points enforce.
+    require(numCentroids > 0 && numCentroids <= 1024,
+      s"numCentroids must be in (0, 1024], got $numCentroids")
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
@@ -178,14 +182,12 @@ object DedupIndex {
     */
   private def centroidRows(corpus: DataFrame, idCol: String,
       vecCol: String, numCentroids: Int): DataFrame =
-    Similarity.selectCentroids(corpus, idCol, numCentroids)
-      .select(col(idCol).cast("long").as("cent_id"),
-        col(vecCol).as("cent_vec"),
-        graft.functions.VectorFunctions.normSq(col(vecCol))
-          .as("cent_norm"))
-      .withColumn("cent_idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("cent_id")))
-        - 1)
+    Similarity.withCentIdx0(
+      Similarity.selectCentroids(corpus, idCol, numCentroids)
+        .select(col(idCol).cast("long").as("cent_id"),
+          col(vecCol).as("cent_vec"),
+          graft.functions.VectorFunctions.normSq(col(vecCol))
+            .as("cent_norm")))
 
   /** IVF inverted-list rows for `vecs` under STORED centroids + frozen
     * ranges: nearest-centroid assignment (full precision — cell
@@ -510,7 +512,12 @@ object DedupIndex {
           throw new java.io.IOException(s"cannot commit $src -> $dst")
       }
     }
-    fs.delete(root, true)
+    // A silently-failed staging cleanup would leave the manifest armed:
+    // the NEXT load's recover() would roll back files the caller was
+    // just told were committed. Surface it instead.
+    if (!fs.delete(root, true) && fs.exists(root))
+      throw new java.io.IOException(
+        s"committed but cannot clean staging $root (manifest would arm rollback)")
     comps.foreach { c =>
       val t = tableName(dir, c)
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)

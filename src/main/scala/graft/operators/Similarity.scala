@@ -166,11 +166,9 @@ object Similarity {
         s"got $numCentroids")
     // dense 0-based centroid index in cent_id order: the set is O(C) and
     // broadcast, so the single-partition ranking window is trivial
-    val cent = selectCentroids(corpus, idCol, numCentroids)
+    val cent = withCentIdx0(selectCentroids(corpus, idCol, numCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
-      .withColumn("cent_idx",
-        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
     // assignment = nearestCentIdx's map-side argmax (see its scaladoc for
@@ -232,11 +230,9 @@ object Similarity {
       : DataFrame = {
     require(numCentroids > 0 && numCentroids <= 1024,
       s"numCentroids must be in (0, 1024], got $numCentroids")
-    val seed = selectCentroids(corpus, idCol, numCentroids)
+    val seed = withCentIdx0(selectCentroids(corpus, idCol, numCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
-      .withColumn("cent_idx",
-        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
     val pow20 = 1048576.0 // 2^20
@@ -304,6 +300,31 @@ object Similarity {
     */
   def selectCentroids(corpus: DataFrame, idCol: String, n: Int): DataFrame =
     corpus.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(n)
+
+  /** Dense 0-based renumber of the centroid set in `cent_id` order,
+    * done ON THE DRIVER: the input is ≤1024 rows by the callers'
+    * `require`, so collecting is a bounded-broadcast-sized transfer and
+    * the result comes back as a LocalRelation — no single-partition
+    * window, no Exchange, and no "No Partition Defined … serious
+    * performance degradation" WARN noise burying a real
+    * unpartitioned-window regression in the logs. (A `partitionBy(
+    * lit(0))` window does NOT silence it: Catalyst folds the literal
+    * key out and WindowExec still sees an empty partition spec.)
+    */
+  private[graft] def withCentIdx0(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      cent.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "cent_idx", org.apache.spark.sql.types.IntegerType,
+        nullable = false))
+    val rows = cent.orderBy(col("cent_id")).collect()
+    val renumbered: Seq[org.apache.spark.sql.Row] =
+      rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(renumbered.asJava, schema)
+  }
 
   /** `cosineNearDupPairs` with the plane count DERIVED from the corpus
     * size (one count job + planesFor) — the production entry point, so
@@ -465,8 +486,6 @@ object Similarity {
       idx: DedupIndex.VectorIndex, k: Int, nprobe: Int): DataFrame = {
     val mins = idx.ranges.map(_._1)
     val scales = idx.ranges.map(r => (r._2 - r._1) / 255.0)
-    val minA = array(mins.map(lit(_)): _*)
-    val scaleA = array(scales.map(lit(_)): _*)
     val cent = idx.centroids
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"))
@@ -554,8 +573,6 @@ object Similarity {
     val ranges = sq8Ranges(corpus, vecCol, dim)
     val mins = ranges.map(_._1)
     val scales = ranges.map(r => (r._2 - r._1) / 255.0)
-    val minA = array(mins.map(lit(_)): _*)
-    val scaleA = array(scales.map(lit(_)): _*)
     val c = corpus.select(col(idCol).as("n_id"),
       sq8Encode(col(vecCol), mins, scales).as("codes"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
@@ -594,13 +611,9 @@ object Similarity {
     val ranges = sq8Ranges(corpus, vecCol, dim)
     val mins = ranges.map(_._1)
     val scales = ranges.map(r => (r._2 - r._1) / 255.0)
-    val minA = array(mins.map(lit(_)): _*)
-    val scaleA = array(scales.map(lit(_)): _*)
-    val cent = selectCentroids(corpus, idCol, numCentroids)
+    val cent = withCentIdx0(selectCentroids(corpus, idCol, numCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        VectorFunctions.normSq(col(vecCol)).as("cent_norm"))
-      .withColumn("cent_idx",
-        row_number().over(Window.orderBy(col("cent_id"))) - 1)
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
     // the inverted lists store CODES, not vectors: assignment runs on

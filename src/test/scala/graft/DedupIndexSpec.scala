@@ -149,6 +149,16 @@ class DedupIndexSpec extends SparkSpec {
     assert(files.nonEmpty && files.forall(_.contains(indexDir)),
       s"probe must read only the index:\n${files.mkString("\n")}")
 
+    // the FLOAT probe's scan of the fmt-3 buckets table must prune the
+    // SQ8 payload (codes, rnorm) — otherwise every float probe drags ¼
+    // extra bytes per row through the bucketed scan for nothing
+    val floatSchemas = probeIdx.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+      .filter(_.contains(indexDir.split("/").last))
+    assert(floatSchemas.nonEmpty && floatSchemas.forall(l =>
+      l.contains("vec:") && !l.contains("codes") && !l.contains("rnorm")),
+      s"float probe must prune codes/rnorm:\n${floatSchemas.mkString("\n")}")
+
     // SQ8 payload: stored codes are uint8-bounded and the stored
     // reconstruction norm is close to the float norm
     val payload = idx.buckets
