@@ -254,15 +254,31 @@ object DedupIndex {
     * manifest is rolled back by deleting exactly the manifest-listed
     * file names from the live directories (file names are unique per
     * write). A retried absorb then recomputes the batch against a clean
-    * index. Single-writer contract: concurrent absorbs — or loads racing
-    * an in-flight absorb — against one directory are not coordinated.
-    * Id spaces must stay disjoint from future probe batches, as
-    * everywhere in the incremental family.
+    * index. Single-writer contract, ENFORCED: an absorb takes the
+    * `_absorb.lease` file (HDFS-style create-if-absent) before touching
+    * the directory and heartbeats its mtime as staging progresses; a
+    * second absorb against a live lease fails fast instead of silently
+    * interleaving staged commits, a stale lease (crashed holder — no
+    * heartbeat for [[leaseStaleMs]]) is reclaimed, and a plain load
+    * skips rollback while another writer's lease is live so it cannot
+    * destroy an in-flight absorb's staging. Id spaces must stay disjoint
+    * from future probe batches, as everywhere in the incremental family.
     */
   def appendText(newDocs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val idx = loadText(spark, dir) // recovers, registers, pins geometry
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try appendTextHolding(newDocs, idCol, textCol, dir, lease)
+    finally releaseLease(fs, dir, lease)
+  }
+
+  private def appendTextHolding(newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String, lease: String): Unit = {
+    val spark = newDocs.sparkSession
+    recover(spark, dir, Some(lease)) // roll back crashed predecessors
+    val idx = loadText(spark, dir) // registers, pins geometry
     val p = idx.params
     val fresh = newDocs.join(idx.counts.select(col("id")),
       newDocs(idCol).cast("long") === col("id"), "left_anti")
@@ -304,6 +320,17 @@ object DedupIndex {
   def appendVectors(newVecs: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = newVecs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try appendVectorsHolding(newVecs, idCol, vecCol, dir, lease)
+    finally releaseLease(fs, dir, lease)
+  }
+
+  private def appendVectorsHolding(newVecs: DataFrame, idCol: String,
+      vecCol: String, dir: String, lease: String): Unit = {
+    val spark = newVecs.sparkSession
+    recover(spark, dir, Some(lease)) // roll back crashed predecessors
     val idx = loadVectors(spark, dir)
     val p = idx.params
     val fresh = newVecs.join(idx.buckets.select(col("id")),
@@ -445,6 +472,93 @@ object DedupIndex {
   private def stagingRoot(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_staging")
 
+  // ------------------------------------------------------ writer lease
+
+  /** A lease with no heartbeat for this long is a crashed holder and may
+    * be reclaimed. Staging writes heartbeat per component, so a live
+    * absorb only has to finish ONE component write inside the window —
+    * size it to the slowest expected single-component write, not the
+    * whole absorb. Test seam (specs shrink it to exercise reclaim).
+    */
+  private[graft] var leaseStaleMs: Long = 10L * 60 * 1000
+
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_absorb.lease")
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(String, Long)] =
+    try {
+      val p = leasePath(dir)
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val owner =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some((owner, st.getModificationTime))
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+
+  /** Take the single-writer lease on an index directory: HDFS-style
+    * create-if-absent of `_absorb.lease` holding a fresh owner token. A
+    * live foreign lease fails fast (the documented single-writer
+    * contract, enforced — two absorbs interleaving one directory's
+    * staged commits would corrupt silently); a stale one (holder
+    * crashed — see [[leaseStaleMs]]) is reclaimed. Returns the owner
+    * token to release with.
+    */
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): String = {
+    val p = leasePath(dir)
+    val owner = java.util.UUID.randomUUID.toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // overwrite=false: create-if-absent
+        try out.write(owner.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val held = readLease(fs, dir)
+      val stale = held.forall { case (_, mtime) =>
+        System.currentTimeMillis() - mtime > leaseStaleMs
+      }
+      if (!stale)
+        throw new IllegalStateException(
+          s"another absorb holds the lease on $dir " +
+            s"(owner ${held.map(_._1).getOrElse("?")}); " +
+            "single-writer contract — retry after it finishes or " +
+            "goes stale")
+      fs.delete(p, false) // reclaim the crashed holder's lease
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"lost the lease-reclaim race on $dir; retry")
+    }
+    owner
+  }
+
+  /** Extend the current holder's lease (mtime = heartbeat). Called from
+    * inside the staged-write path, where only the lease holder can be.
+    */
+  private def heartbeatLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val p = leasePath(dir)
+    try if (fs.exists(p))
+      fs.setTimes(p, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () } // next write extends it
+  }
+
+  /** Release only if the token is still ours — after a TTL reclaim the
+    * file belongs to the new holder and must survive our release.
+    */
+  private def releaseLease(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, owner: String): Unit =
+    if (readLease(fs, dir).exists(_._1 == owner))
+      fs.delete(leasePath(dir), false)
+
   /** Write one component's append as a bucketed table under the batch's
     * staging directory. Bucketed writes must go through the catalog, so
     * a throwaway external table carries the bucket spec and is dropped
@@ -458,6 +572,10 @@ object DedupIndex {
     ScaleOps.writeBucketedAt(df, table, path.toString, bucketCols,
       numBuckets)
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    // per-component heartbeat: a multi-hour absorb stays live as long
+    // as each single component write fits inside leaseStaleMs
+    heartbeatLease(path.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf()), dir)
   }
 
   /** Non-hidden data files of a directory (bucket ids are embedded in
@@ -530,11 +648,20 @@ object DedupIndex {
     * exactly the half-published batch) and drop the staging directory.
     * A batch with no manifest never touched the live index.
     */
-  private def recover(spark: SparkSession, dir: String): Unit = {
+  private def recover(spark: SparkSession, dir: String,
+      owner: Option[String] = None): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = stagingRoot(dir)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return
+    // A LIVE lease held by someone else means the staging directories
+    // belong to an in-flight absorb — rolling them back here would
+    // destroy work the writer is about to commit. Stale or own lease:
+    // the holder is dead (or is us, pre-absorb), so rollback is safe.
+    val liveForeign = readLease(fs, dir).exists { case (holder, mtime) =>
+      !owner.contains(holder) &&
+        System.currentTimeMillis() - mtime <= leaseStaleMs
+    }
+    if (liveForeign || !fs.exists(root)) return
     fs.listStatus(root).filter(_.isDirectory).foreach { b =>
       val mf = new org.apache.hadoop.fs.Path(b.getPath, "MANIFEST.json")
       if (fs.exists(mf)) {

@@ -267,6 +267,63 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("a second absorb against a held lease fails fast; a stale lease is reclaimed") {
+    CachedPlans.clear()
+    val ids = 0L until 80L
+    val corpus = mkDocs(ids.filter(_ % 2 == 0)).toDF("doc_id", "text")
+    val batch = mkDocs(ids.filter(_ % 2 == 1)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-lease").toString
+    DedupIndex.writeText(corpus, "doc_id", "text", dir)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leaseFile = new org.apache.hadoop.fs.Path(dir, "_absorb.lease")
+
+    // simulate another writer's LIVE lease: fresh mtime, foreign owner
+    val out = fs.create(leaseFile, false)
+    out.write("other-writer".getBytes("UTF-8")); out.close()
+    val before = DedupIndex.loadText(spark, dir).counts.count()
+    val e = intercept[IllegalStateException] {
+      DedupIndex.appendText(batch, "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("lease") &&
+      e.getMessage.contains("other-writer"))
+    assert(DedupIndex.loadText(spark, dir).counts.count() === before,
+      "failed-fast absorb must not touch the index")
+    assert(fs.exists(leaseFile),
+      "the foreign holder's lease must survive the failed attempt")
+
+    // a load during a live foreign lease must NOT roll back the
+    // holder's in-flight staging
+    val staged = new org.apache.hadoop.fs.Path(dir, "_staging/inflight")
+    fs.mkdirs(staged)
+    val mfOut = fs.create(
+      new org.apache.hadoop.fs.Path(staged, "MANIFEST.json"), false)
+    mfOut.write("{}".getBytes("UTF-8")); mfOut.close()
+    DedupIndex.loadText(spark, dir)
+    assert(fs.exists(staged),
+      "load must leave a live writer's staging alone")
+
+    // the holder crashes (no heartbeat): once stale, the lease is
+    // reclaimed, the abandoned staging rolled back, and the absorb lands
+    val savedTtl = DedupIndex.leaseStaleMs
+    DedupIndex.leaseStaleMs = 0L
+    try {
+      DedupIndex.appendText(batch, "doc_id", "text", dir)
+    } finally DedupIndex.leaseStaleMs = savedTtl
+    assert(!fs.exists(leaseFile), "lease must be released after absorb")
+    assert(!fs.exists(staged), "stale staging must be rolled back")
+    val grown = DedupIndex.loadText(spark, dir)
+    assert(grown.counts.count() === before + batch.count())
+    // grown-index probe verdicts match the recompute over the union
+    val probe = mkDocs(Seq(1000L, 1001L)).toDF("doc_id", "text")
+    assert(sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
+      probe, "doc_id", "text", grown).pairs) ===
+      sortedRows(Dedup.incrementalMinHashNearDupsReport(
+        probe, corpus.union(batch), "doc_id", "text").pairs))
+  }
+
   test("vector absorb matches recompute over the grown corpus; re-absorb is a no-op") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
