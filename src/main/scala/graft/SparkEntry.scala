@@ -108,6 +108,7 @@ object SparkEntry {
     "corpus_source_mix" -> (TextQueries.sourceMix _),
     "text_repetition" -> (TextQueries.repetition _),
     "text_tokens_bpe" -> (TextQueries.tokensBpe _),
+    "text_tokens_bpe_oov" -> (TextQueries.tokensBpeOov _),
     "decontaminate" -> (DedupQueries.decontaminateReport _),
     // training-pipeline assembly ops
     "pack_sequences" -> (PipelineQueries.packSequences _),
@@ -207,6 +208,7 @@ object SparkEntry {
     "corpus_source_mix" -> TextQueries.sourceMixSql,
     "text_repetition" -> TextQueries.repetitionSql,
     "text_tokens_bpe" -> TextQueries.tokensBpeSql,
+    "text_tokens_bpe_oov" -> TextQueries.tokensBpeOovSql,
     "decontaminate" -> DedupQueries.decontaminateReportSql,
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,

@@ -403,7 +403,12 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  def tokensBpeSql: String = {
+  /** The BPE-training WITH clauses (word counts `w`, char-level `v0`,
+    * unrolled merge stages up to `v$BpeMerges`) over the documents
+    * matching `trainWhere` — shared by the full-corpus oracle and the
+    * OOV (train-on-half) oracle.
+    */
+  private def bpeTrainSql(trainWhere: String): String = {
     val S = "chr(31)"
     // one replace pass per Bpe.Passes, identity when a stage has no pair
     // left (LEFT JOIN of an empty argmax row: chr(1) never matches)
@@ -430,15 +435,20 @@ object TextQueries {
          |  SELECT word, cnt, ${rep("v.sym")} AS sym
          |  FROM v${s - 1} v LEFT JOIN m$s m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w AS (
+    s"""w AS (
       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
       |    x -> x <> '')) AS word
-      |  FROM documents),
+      |  FROM documents$trainWhere),
       |v0 AS MATERIALIZED (
       |  SELECT word, count(*) AS cnt,
       |    $S || array_to_string(regexp_extract_all(word, '.'), $S) || $S AS sym
       |  FROM w GROUP BY word),
-      |$stages,
+      |$stages""".stripMargin
+  }
+
+  def tokensBpeSql: String = {
+    val S = "chr(31)"
+    s"""WITH ${bpeTrainSql("")},
       |wd AS (
       |  SELECT doc_id, unnest(list_filter(
       |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
@@ -455,6 +465,52 @@ object TextQueries {
       |  CAST(coalesce(pd.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
       |FROM documents d LEFT JOIN pd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[tokensBpe]]'s incremental half: a FOREIGN corpus (part names) is
+    * counted under the vocabulary trained on documents — the real
+    * production pattern of counting a new batch under a stored
+    * vocabulary. Part names mix in-vocab words with words the training
+    * corpus never saw (15 of 16 distinct words are OOV at sf0.001 —
+    * the synthetic documents table's own vocabulary is closed, so an
+    * intra-table split would never exercise the fallback); unseen words
+    * take [[graft.operators.Bpe.tokenCounts]]' character-level fallback
+    * (codepoint count — pinned cross-engine by `text_utf8_profile`)
+    * instead of silently dropping out of both totals. The oracle
+    * replays exactly that: train on documents in SQL, LEFT-join the
+    * part-name words, `coalesce(n_tok, length(word))`. The vocabulary
+    * memo is shared with [[tokensBpe]], so the pair trains once.
+    */
+  def tokensBpeOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val vocab = graft.plans.CachedPlans.memo(s"bpe_vocab_$BpeMerges", docs) {
+      graft.operators.Bpe.trainLocal(docs, "text", BpeMerges)._1
+    }
+    val part = tbl(spark, sfDir, "part")
+    graft.operators.Bpe.tokenCounts(part, "p_partkey", "p_name", vocab)
+      .orderBy(col("p_partkey"))
+  }
+
+  def tokensBpeOovSql: String = {
+    val S = "chr(31)"
+    s"""WITH ${bpeTrainSql("")},
+      |wd AS (
+      |  SELECT p_partkey, unnest(list_filter(
+      |    string_split_regex(lower(p_name), '\\s+'), x -> x <> '')) AS word
+      |  FROM part),
+      |wt AS (
+      |  SELECT word, CAST(len(list_filter(string_split(sym, $S),
+      |    x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM v$BpeMerges),
+      |pd AS (
+      |  SELECT wd.p_partkey, count(*) AS n_words,
+      |    sum(coalesce(wt.n_tok, length(wd.word))) AS n_tokens_bpe
+      |  FROM wd LEFT JOIN wt USING (word) GROUP BY wd.p_partkey)
+      |SELECT p.p_partkey,
+      |  CAST(coalesce(pd.n_words, 0) AS BIGINT) AS n_words,
+      |  CAST(coalesce(pd.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe
+      |FROM part p LEFT JOIN pd USING (p_partkey)
+      |ORDER BY p_partkey""".stripMargin
   }
 
   /** REAL multi-frame decode as a declared op: a 2-frame 4x2 animated
