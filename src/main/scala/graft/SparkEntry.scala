@@ -132,6 +132,7 @@ object SparkEntry {
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
     "ann_recall_report" -> (SimilarityQueries.annRecallReport _),
+    "ann_recall_sampled" -> (SimilarityQueries.annRecallReportSampled _),
     "ann_ivf_sq8_indexed_topk" -> (SimilarityQueries.ivfSq8TopKIndexed _),
     "text_utf8_profile" -> (TextQueries.utf8Profile _)
   )
@@ -228,6 +229,7 @@ object SparkEntry {
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
     "ann_recall_report" -> SimilarityQueries.annRecallReportSql,
+    "ann_recall_sampled" -> SimilarityQueries.annRecallReportSampledSql,
     // the persisted-IVF probe is bit-identical to the recompute form,
     // so the same oracle SQL gates both
     "ann_ivf_sq8_indexed_topk" -> SimilarityQueries.ivfSq8TopKSql,

@@ -617,4 +617,98 @@ object SimilarityQueries {
       |  CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall
       |FROM counts CROSS JOIN poss ORDER BY method""".stripMargin
   }
+
+  // --------------------------------------------- sampled recall gate
+
+  /** 1-in-[[SampleMod]] deterministic query sample: the first 16 bits
+    * of md5(vec_id) mod [[SampleMod]] — hash-selected so any engine
+    * reproduces the subset, and uniform so sampled recall estimates
+    * exhaustive recall. Same expression both sides of the oracle.
+    */
+  private val SampleMod = 16
+  private val sampleSparkPred =
+    "cast(conv(substr(md5(cast(vec_id as string)), 1, 4), 16, 10) " +
+      s"as bigint) % $SampleMod = 0"
+  private val sampleDuckPred =
+    "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT " +
+      s"% $SampleMod = 0"
+
+  /** [[annRecallReport]] over the hash-sampled query subset instead of
+    * the fixed exhaustive set — the form that stays feasible when the
+    * corpus is 100×: the brute-force baseline is quadratic in the
+    * query count, so at scale recall is ESTIMATED on a declared sample
+    * (columns `n_queries` + `fraction` make the estimate auditable)
+    * while the exhaustive form stays the small-SF gate. Deterministic
+    * end to end — the sample is hash-selected, every method is
+    * deterministic — so this is oracle-exact, not statistically
+    * checked.
+    */
+  def annRecallReportSampled(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    val q = emb.filter(sampleSparkPred)
+    val brute = graft.plans.CachedPlans.cached(
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", K)
+        .select(col("q_id"), col("n_id")))
+    val fns: Map[String, DataFrame] = Map(
+      "ivf" -> Similarity.ivfTopK(emb, q, "vec_id", "embedding", K,
+        numCentroids = Centroids, nprobe = 3),
+      "ivf_refined" -> Similarity.ivfRefinedTopK(emb, q, "vec_id",
+        "embedding", K, numCentroids = Centroids, nprobe = 3),
+      "ivf_sq8" -> Similarity.ivfSq8TopK(emb, q, "vec_id", "embedding",
+        K, numCentroids = Centroids, nprobe = 3, dim = Dim),
+      "lsh" -> Similarity.lshTopK(emb, q, "vec_id", "embedding", K,
+        planes = 4, dim = Dim),
+      "sq8" -> Similarity.sq8TopK(emb, q, "vec_id", "embedding", K,
+        dim = Dim))
+    val per = RecallMethods.map { name =>
+      fns(name).select(col("q_id"), col("n_id"))
+        .join(brute, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    }
+    val possible = brute.agg(count(lit(1)).as("possible"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    per.reduce(_.union(_)).crossJoin(possible).crossJoin(nq)
+      .select(col("method"), col("hits"), col("possible"),
+        (col("hits").cast("double") / col("possible").cast("double"))
+          .as("recall"),
+        col("n_queries"),
+        lit(1.0 / SampleMod).as("fraction"))
+      .orderBy(col("method"))
+  }
+
+  /** Oracle: [[annRecallReportSql]]'s structure with every method's
+    * query clause re-pointed at the hash sample (the `WHERE
+    * ${QueryPred}` clause is the single place each method Sql selects
+    * its query set).
+    */
+  def annRecallReportSampledSql: String = {
+    def sampled(sql: String): String = {
+      require(sql.contains(s"WHERE $QueryPred"),
+        "a method Sql lost its query clause; sampled rewrite would no-op")
+      sql.replace(s"WHERE $QueryPred", s"WHERE $sampleDuckPred")
+    }
+    val sqls: Map[String, String] = Map(
+      "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
+      "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
+      "sq8" -> sq8TopKSql)
+    def pairs(sql: String, alias: String) =
+      s"$alias AS (SELECT q_id, n_id FROM (\n${sampled(sql)}\n) ${alias}_q)"
+    val ctes = (pairs(bruteForceTopKSql, "rb") +:
+      RecallMethods.map(n => pairs(sqls(n), s"m_$n"))).mkString(",\n")
+    val unions = RecallMethods.map { n =>
+      s"SELECT '$n' AS method, (SELECT count(*) FROM m_$n JOIN rb USING (q_id, n_id)) AS hits"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes,
+      |counts AS (
+      |$unions),
+      |poss AS (SELECT count(*) AS possible FROM rb),
+      |nq AS (SELECT count(*) AS n_queries FROM embeddings
+      |  WHERE $sampleDuckPred)
+      |SELECT method, hits, possible,
+      |  CAST(hits AS DOUBLE) / CAST(possible AS DOUBLE) AS recall,
+      |  n_queries, CAST(${1.0 / SampleMod} AS DOUBLE) AS fraction
+      |FROM counts CROSS JOIN poss CROSS JOIN nq ORDER BY method""".stripMargin
+  }
 }

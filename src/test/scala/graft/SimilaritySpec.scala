@@ -239,5 +239,25 @@ class SimilaritySpec extends SparkSpec {
       ("ivf_sq8", 19L, 50L),
       ("lsh", 4L, 50L),
       ("sq8", 50L, 50L)))
+
+    // the hash-SAMPLED form (the 100×-feasible estimator) is equally
+    // deterministic: pin its counts too, and its declared sample size
+    val sampled = graft.queries.SimilarityQueries
+      .annRecallReportSampled(spark, "/root/testdata/sf0.001")
+      .select("method", "hits", "possible", "n_queries")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(sampled === Seq(
+      ("ivf", 66L, 165L, 33L),
+      ("ivf_refined", 72L, 165L, 33L),
+      ("ivf_sq8", 66L, 165L, 33L),
+      ("lsh", 21L, 165L, 33L),
+      ("sq8", 161L, 165L, 33L)))
+    // the estimate tracks the exhaustive gate: every method's sampled
+    // recall lands within 0.15 of its exhaustive recall
+    val ex = got.map { case (m, h, p) => m -> h.toDouble / p }.toMap
+    sampled.foreach { case (m, h, p, _) =>
+      assert(math.abs(h.toDouble / p - ex(m)) <= 0.15,
+        s"$m sampled recall ${h.toDouble / p} vs exhaustive ${ex(m)}")
+    }
   }
 }
