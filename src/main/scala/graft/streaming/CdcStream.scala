@@ -844,4 +844,58 @@ object CdcStream {
       maxBucket, eventTime)
       .unionByName(corpusPairs)
   }
+
+  /** [[embedNearDupStreamIndexed]] scoring the corpus side from the
+    * index's STORED SQ8 codes instead of its floats — the streaming
+    * twin of [[graft.operators.Similarity
+    * .incrementalCosineNearDupsSq8Indexed]]: the stream-static probe
+    * reads (bucket, id, codes, rnorm), ¼ the vector payload per
+    * micro-batch re-plan, and scores the full-precision arriving
+    * vector against code reconstruction under the frozen ranges via
+    * the fused `Sq8DotF` expression, cosine-normalized by the stored
+    * reconstruction norm. Same detector union, same bucket-join shape;
+    * corpus-pair scores are bit-identical to the batch SQ8 indexed
+    * probe over the same arrivals (spec-pinned), carrying SQ8's
+    * per-dim ≤ scale_d/2 reconstruction error — the trade that lets a
+    * long-running stream keep 4× more corpus index hot per executor.
+    */
+  def embedNearDupStreamSq8Indexed(vecs: DataFrame, idCol: String,
+      vecCol: String, idx: graft.operators.DedupIndex.VectorIndex,
+      threshold: Double, maxBucket: Int = 1000,
+      eventTime: Option[(String, String)] = None)
+      : org.apache.spark.sql.Dataset[EmbedNearDupCand] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val p = idx.params
+    val signs = graft.operators.Similarity.hyperplaneSigns(p.planes, p.dim)
+    val mins = idx.ranges.map(_._1)
+    val scales = idx.ranges.map(r => (r._2 - r._1) / 255.0)
+    val arriving = vecs
+      .select(
+        graft.operators.Similarity.lshBucket(col(vecCol), signs)
+          .as("bucket"),
+        col(idCol).cast("long").as("b_id"), col(vecCol).as("b_vec"),
+        graft.functions.VectorFunctions.normSq(col(vecCol)).as("b_norm"))
+    val oversized = idx.buckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+    val corpusSide = idx.buckets
+      .join(oversized.select("bucket"), Seq("bucket"), "left_anti")
+      .select(col("bucket"), col("id").as("a_id"),
+        col("codes").as("a_codes"), col("rnorm").as("a_norm"))
+    val corpusPairs = arriving
+      .join(corpusSide, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("score", graft.functions.VectorFunctions.cosineFrom(
+        graft.functions.VectorFunctions.sq8Dot(col("a_codes"),
+          col("b_vec"), mins, scales),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"),
+        lit(false).as("overflow"))
+      .as[EmbedNearDupCand]
+    embedNearDupStream(vecs, idCol, vecCol, p.planes, p.dim, threshold,
+      maxBucket, eventTime)
+      .unionByName(corpusPairs)
+  }
 }

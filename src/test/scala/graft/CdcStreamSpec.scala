@@ -520,6 +520,52 @@ class CdcStreamSpec extends SparkSpec {
     assert(streamCorpusScores === batchScores)
   }
 
+  test("streaming SQ8 probe bit-matches the batch SQ8 indexed probe") {
+    val dir = Files.createTempDirectory("stream_esq8").toString
+    val dim = 8
+    def vec(cluster: Int, jitter: Int): Array[Float] = Array.tabulate(dim)(
+      d => (if (cluster == 0) 10f else -10f) + ((jitter + d * 3) % 5) * 0.1f)
+    val corpus = Seq((100L, vec(0, 1)), (101L, vec(1, 2)))
+      .toDF("vec_id", "embedding")
+    val idxDir = Files.createTempDirectory("stream_esq8_idx").toString
+    graft.operators.DedupIndex.writeVectors(corpus, "vec_id", "embedding",
+      idxDir, planes = 2, dim = dim)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+
+    Seq((1L, vec(0, 3))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, vec(1, 4)), (3L, vec(1, 4)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.embedNearDupStreamSq8Indexed(stream, "vec_id",
+        "embedding", idx, threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("esq8_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val cands = spark.table("esq8_out")
+      .filter(!$"overflow")
+      .select("a_id", "b_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val pairs = cands.map(c => (c._1, c._2)).distinct.sorted
+    assert(pairs === Seq((2L, 3L), (100L, 1L), (101L, 2L), (101L, 3L)),
+      s"same pair set as the float probe on this fixture: $pairs")
+
+    // corpus-pair scores carry quantization, so they differ from the
+    // float probe — but must be BIT-identical to the batch SQ8 probe
+    val batchScores = graft.operators.Similarity
+      .incrementalCosineNearDupsSq8Indexed(
+        spark.read.parquet(s"$dir/b*/"), "vec_id", "embedding", idx,
+        threshold = 0.9)
+      .select("a_id", "b_id", "score")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val streamCorpusScores = cands.filter(_._1 >= 100L).distinct.sorted
+    assert(streamCorpusScores === batchScores)
+    assert(streamCorpusScores.nonEmpty)
+  }
+
   test("near-dup state expires past the event-time horizon") {
     val dir = Files.createTempDirectory("stream_ndttl").toString
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
