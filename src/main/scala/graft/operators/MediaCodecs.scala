@@ -357,32 +357,43 @@ object MediaCodecs {
 
     def decode(bytes: Array[Byte]): DecodedMedia = {
       val fmt = fmtOf(bytes)
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null)
-        throw new MediaDecodeException(s"ImageIO could not decode sniffed $fmt")
-      val w = img.getWidth; val h = img.getHeight
-      // decompression-bomb guard: a huge PNG would overflow w*h*3 in Int
-      // and throw NegativeArraySizeException instead of the documented
-      // MediaDecodeException (same bound BmpDecoder applies)
-      if (w.toLong * h * 3 > Int.MaxValue - 8)
-        throw new MediaDecodeException(s"dimensions ${w}x$h overflow")
-      val rgb = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          val d = (y * w + x) * 3
-          rgb(d) = ((p >> 16) & 0xff).toByte
-          rgb(d + 1) = ((p >> 8) & 0xff).toByte
-          rgb(d + 2) = (p & 0xff).toByte
-          x += 1
-        }
-        y += 1
-      }
+      val (w, h, rgb) = imageIoRgb(bytes, fmt)
       DecodedMedia("image", fmt, w, h, 3, 0, w.toLong * h,
         imageFeatures(w, h, rgb))
     }
+  }
+
+  /** Real-codec image decode to packed top-down RGB triples through the
+    * JDK ImageIO reader (PNG/JPEG/GIF) — the pixel-exact walk
+    * [[ImageIoDecoder.decode]] summarizes into features, exposed whole
+    * so the PNG oracle query can sum exact channel values.
+    */
+  def imageIoRgb(bytes: Array[Byte],
+      fmt: String = "image"): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null)
+      throw new MediaDecodeException(s"ImageIO could not decode sniffed $fmt")
+    val w = img.getWidth; val h = img.getHeight
+    // decompression-bomb guard: a huge PNG would overflow w*h*3 in Int
+    // and throw NegativeArraySizeException instead of the documented
+    // MediaDecodeException (same bound BmpDecoder applies)
+    if (w.toLong * h * 3 > Int.MaxValue - 8)
+      throw new MediaDecodeException(s"dimensions ${w}x$h overflow")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((p >> 16) & 0xff).toByte
+        rgb(d + 1) = ((p >> 8) & 0xff).toByte
+        rgb(d + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
   }
 
   // ------------------------------------------------------------ encoders
@@ -422,6 +433,72 @@ object MediaCodecs {
       row += 1
     }
     out
+  }
+
+  /** Spec-level PNG encoder: 8-bit truecolor (color type 2), filter 0
+    * (None) on every scanline, zlib stream of STORED deflate blocks
+    * (header 0x78 0x01, 64 KiB stored blocks, adler32 trailer), CRC32
+    * per chunk — every output byte is a pure function of (width,
+    * height, rgb), so an oracle can reason about the exact container
+    * while the DECODE side still exercises the real JDK PNG codec:
+    * signature check, chunk walk + CRC verify, zlib inflate, filter
+    * reconstruction, raster cursor. The same fixed-filter/stored-block
+    * trick the GIF fixture plays with its analytic palette
+    * ([[encodeGif]]): deterministic bytes in, real decoder out.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    // filtered raster: every scanline prefixed by filter type 0 (None)
+    val stride = 1 + width * 3
+    val raw = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      raw(y * stride) = 0
+      System.arraycopy(rgb, y * width * 3, raw, y * stride + 1, width * 3)
+      y += 1
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01) // CMF/FLG: 32K window, no dict, (0x7801 % 31 == 0)
+    var pos = 0
+    while (pos < raw.length) {
+      val n = math.min(65535, raw.length - pos)
+      z.write(if (pos + n >= raw.length) 1 else 0) // BFINAL | BTYPE=00
+      z.write(n & 0xff); z.write((n >> 8) & 0xff)
+      z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
+      z.write(raw, pos, n)
+      pos += n
+    }
+    val ad = new java.util.zip.Adler32(); ad.update(raw)
+    val a = ad.getValue
+    z.write(((a >> 24) & 0xff).toInt); z.write(((a >> 16) & 0xff).toInt)
+    z.write(((a >> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def be32(v: Int): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(be32(data.length), 0, 4)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** One decoded GIF frame: raw raster dims plus packed top-down RGB

@@ -618,6 +618,64 @@ object TextQueries {
     }(enc).orderBy("doc_id")
   }
 
+  /** REAL PNG decode as a declared op: build a 6x3 truecolor PNG per
+    * document (54 RGB bytes cycling the 16 md5(text) bytes) with the
+    * spec-level encoder — fixed None filter, stored-block zlib, so
+    * every byte is deterministic — and decode it through the REAL JDK
+    * ImageIO PNG codec on executors (chunk walk + CRC verify, zlib
+    * inflate, filter reconstruction). The oracle recomputes dims and
+    * exact integer channel sums straight from the md5 hex, so a bug
+    * anywhere in the container, the inflate, or the raster walk breaks
+    * the hash match — the oracle-exactness GIF already had
+    * ([[multimodalFramesGif]]), extended to the PNG path that was
+    * previously spec-only.
+    */
+  def multimodalDecodePng(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val md5b = hexToBytes(r.getString(1))
+        val rgb = Array.tabulate(54)(i => md5b(i % 16))
+        val png = MediaCodecs.encodePng(6, 3, rgb)
+        val (w, hgt, px) = MediaCodecs.imageIoRgb(png, "png")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          sr += px(i) & 0xff; sg += px(i + 1) & 0xff; sb += px(i + 2) & 0xff
+          i += 3
+        }
+        org.apache.spark.sql.Row(
+          r.getLong(0), "image", "png", w, hgt, sr, sg, sb)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  def multimodalDecodePngSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |bytes AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    ('0x' || substr(h, CAST(2*(t.i % 16) + 1 AS INTEGER), 2))::INTEGER AS v
+      |  FROM b, UNNEST(range(0, 54)) AS t(i))
+      |SELECT doc_id, 'image' AS kind, 'png' AS format,
+      |  CAST(6 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+      |  CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+      |  CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+      |  CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+      |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def multimodalDecodeBmpSql: String =
     """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
       |bytes AS (

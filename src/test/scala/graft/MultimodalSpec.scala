@@ -81,6 +81,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("encodePng round-trips through JDK ImageIO pixel-exactly (encode oracle)") {
+    // multi-scanline + boundary values: 0x00 and 0xff land in the
+    // raster, and a width whose stride exercises >1 filter byte
+    val (w, h) = (6, 3)
+    val rgb = testCard(w, h)
+    rgb(0) = 0x00.toByte; rgb(1) = 0xff.toByte
+    val png = MediaCodecs.encodePng(w, h, rgb)
+    // container sanity: PNG signature + IHDR first, IEND last
+    assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte)
+    assert(new String(png.slice(12, 16), "US-ASCII") === "IHDR")
+    assert(new String(png.slice(png.length - 8, png.length - 4),
+      "US-ASCII") === "IEND")
+    val (dw, dh, px) = MediaCodecs.imageIoRgb(png, "png")
+    assert(dw === w && dh === h)
+    assert(px.toSeq === rgb.toSeq,
+      "JDK PNG decode must reproduce the encoder's raster bit-exactly")
+    // the registry routes PNG through ImageIoDecoder with the same dims
+    val dm = MediaCodecs.ImageIoDecoder.decode(png)
+    assert(dm.format === "png" && dm.width === w && dm.height === h)
+
+    // a stored-block stream longer than one 64 KiB deflate block still
+    // decodes (the multi-block path): 160x140 → raw 67,340 bytes
+    val (bw, bh) = (160, 140)
+    val big = Array.tabulate(bw * bh * 3)(i => ((i * 31) % 256).toByte)
+    val (gw, gh, gpx) = MediaCodecs.imageIoRgb(
+      MediaCodecs.encodePng(bw, bh, big), "png")
+    assert(gw === bw && gh === bh && gpx.toSeq === big.toSeq)
+  }
+
   test("BmpDecoder parses JDK-ImageIO-written BMPs (decode oracle)") {
     val (w, h) = (7, 4) // 21-byte rows padded to 24
     val rgb = testCard(w, h)
