@@ -134,6 +134,7 @@ object SparkEntry {
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
     "ann_recall_report" -> (SimilarityQueries.annRecallReport _),
     "ann_recall_sampled" -> (SimilarityQueries.annRecallReportSampled _),
+    "semantic_dedup" -> (SimilarityQueries.semanticDedup _),
     "ann_ivf_sq8_indexed_topk" -> (SimilarityQueries.ivfSq8TopKIndexed _),
     "text_utf8_profile" -> (TextQueries.utf8Profile _)
   )
@@ -232,6 +233,7 @@ object SparkEntry {
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
     "ann_recall_report" -> SimilarityQueries.annRecallReportSql,
     "ann_recall_sampled" -> SimilarityQueries.annRecallReportSampledSql,
+    "semantic_dedup" -> SimilarityQueries.semanticDedupSql,
     // the persisted-IVF probe is bit-identical to the recompute form,
     // so the same oracle SQL gates both
     "ann_ivf_sq8_indexed_topk" -> SimilarityQueries.ivfSq8TopKSql,

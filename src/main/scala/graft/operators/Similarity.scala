@@ -426,6 +426,57 @@ object Similarity {
       .select("a_id", "b_id", "score")
   }
 
+  /** SemDeDup-style semantic deduplication (public construction from
+    * Abbas et al. 2023, arXiv:2303.09540): cluster embeddings by
+    * nearest deterministic centroid, then WITHIN each cluster mark
+    * every vector that has a lower-id cluster-mate at cosine ≥
+    * `threshold` as a semantic duplicate of the SMALLEST such mate.
+    * One verdict row per vector: (id, cluster_id, canonical_id, keep).
+    * The rule is deliberately local (cluster-scoped, not transitively
+    * closed) — that is SemDeDup's trade: near-duplicate semantics
+    * at Σ_c n_c² pair cost instead of brute-force n².
+    *
+    * Scale shape: the corpus-sized work is the assignment argmax
+    * ([[nearestCentIdx]]'s skinny map-side-collapsed shuffle) plus ONE
+    * self-join shuffled on the cluster key; C grows with the corpus
+    * (≤1024 here, the argmax packing bound) to hold n_c ≈ n/C flat, so
+    * pair work stays n²/C. Deterministic end to end — hash-ordered
+    * centroids, packed-argmax assignment, IEEE-fold cosines — so the
+    * whole verdict table is oracle-exact, not heuristically checked.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int): DataFrame = {
+    require(numCentroids > 0 && numCentroids <= 1024,
+      s"numCentroids must be in (0, 1024], got $numCentroids")
+    val cent = withCentIdx0(selectCentroids(corpus, idCol, numCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    val assigned = nearestCentIdx(c, cent)
+      .join(c, Seq("n_id"))
+      .join(broadcast(cent.select(col("cent_idx"), col("cent_id"))),
+        Seq("cent_idx"))
+    val a = assigned.select(col("cent_idx").as("ci"),
+      col("n_id").as("a_id"), col("n_vec").as("a_vec"),
+      col("n_norm").as("a_norm"))
+    val b = assigned.select(col("cent_idx").as("ci"),
+      col("n_id").as("b_id"), col("n_vec").as("b_vec"),
+      col("n_norm").as("b_norm"))
+    val dups = a.join(b, Seq("ci"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("a_vec"), col("b_vec")),
+        col("a_norm"), col("b_norm")))
+      .filter(col("score") >= threshold)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    assigned.select(col("n_id"), col("cent_id"))
+      .join(dups, col("n_id") === col("b_id"), "left")
+      .select(col("n_id").as("id"), col("cent_id").as("cluster_id"),
+        coalesce(col("dup_of"), col("n_id")).as("canonical_id"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   // -------------------------------------------- int8 scalar quantization
 
   /** Per-dimension (min, max) over the corpus — the SQ8 training step.

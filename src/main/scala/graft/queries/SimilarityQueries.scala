@@ -618,6 +618,59 @@ object SimilarityQueries {
       |FROM counts CROSS JOIN poss ORDER BY method""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup as a declared query (see
+    * [[graft.operators.Similarity.semanticDedup]]): one verdict row
+    * per embedding — its cluster under the 20 deterministic centroids,
+    * the lowest-id cluster-mate at cosine ≥ 0.35 it collapses into
+    * (itself when none), and the keep flag. The oracle replays the
+    * packed-argmax assignment (the same exact-integer encoding every
+    * IVF oracle uses) and the within-cluster pairwise rule.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.35, numCentroids = Centroids)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        col("canonical_id"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupSql: String =
+    s"""WITH cent0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+      |    ${normSqSql("embedding")} AS cent_norm
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+      |cent AS (
+      |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
+      |  FROM cent0),
+      |c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |best AS (
+      |  SELECT n_id, max(coalesce(CAST(floor(
+      |      ${dotSql("c.n_vec", "cent.cent_vec")} / nullif(sqrt(c.n_norm) * sqrt(cent.cent_norm), 0.0)
+      |      * 4503599627370496.0) AS BIGINT), -4503599627370497) * 1024
+      |      + (1023 - cent_idx)) AS ck
+      |  FROM c CROSS JOIN cent GROUP BY n_id),
+      |assigned AS (
+      |  SELECT b.n_id, c.n_vec, c.n_norm, cent.cent_id
+      |  FROM best b
+      |  JOIN cent ON cent.cent_idx = 1023 - (((b.ck % 1024) + 1024) % 1024)
+      |  JOIN c ON c.n_id = b.n_id),
+      |dups AS (
+      |  SELECT b.n_id AS vec_id, min(a.n_id) AS dup_of
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cent_id = b.cent_id AND a.n_id < b.n_id
+      |  WHERE ${dotSql("a.n_vec", "b.n_vec")} / nullif(sqrt(a.n_norm) * sqrt(b.n_norm), 0.0) >= 0.35
+      |  GROUP BY b.n_id)
+      |SELECT asg.n_id AS vec_id, asg.cent_id AS cluster_id,
+      |  coalesce(d.dup_of, asg.n_id) AS canonical_id,
+      |  d.dup_of IS NULL AS keep
+      |FROM assigned asg LEFT JOIN dups d ON d.vec_id = asg.n_id
+      |ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------- sampled recall gate
 
   /** 1-in-[[SampleMod]] deterministic query sample: the first 16 bits

@@ -66,6 +66,25 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.keySet === Set(0L, 1L, 2L) && byQ.values.forall(_ === 4L))
   }
 
+  test("semantic dedup keeps the lowest id per in-cluster duplicate set") {
+    // two well-separated clusters; in-cluster vectors are mutual
+    // near-dups (cosine ≈ 1), cross-cluster cosine is negative
+    def vec(cluster: Int, j: Int): Array[Float] = Array.tabulate(8)(
+      d => (if (cluster == 0) 10f else -10f) + ((j + d) % 3) * 0.01f)
+    val emb = Seq(0L -> vec(0, 0), 1L -> vec(0, 1), 2L -> vec(0, 2),
+      10L -> vec(1, 0), 11L -> vec(1, 1))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, numCentroids = 2)
+      .select("id", "canonical_id", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // whatever the two hash-chosen centroids are, assignment lands each
+    // vector with its own cluster (cross-cluster cosine < 0 < 0.9), so
+    // exactly the two lowest ids survive
+    assert(out === Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("incremental cosine probe pairs existing against new only") {
     // vectors 0..9 similar to each other, 100..104 a distant cluster
     val pts = ((0 until 10).map(i => (i.toLong,
