@@ -501,6 +501,137 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Spec-level baseline JPEG encoder for EXACTLY-decodable fixtures:
+    * a grayscale image of flat 8×8 blocks, one block per entry of
+    * `blockVals` (row-major `wBlocks`×`hBlocks` grid, values 0..255).
+    * Every block carries ONLY a DC coefficient and the quantization
+    * table is all-8s, so the dequantized DC is `(v-128)·8`, the IDCT of
+    * a DC-only block is the flat value `dequant/8 = v-128` with ZERO
+    * rounding (exact multiples — no fixed-point/IEEE divergence between
+    * IDCT implementations), and the +128 level shift restores `v`
+    * exactly. Grayscale skips YCbCr→RGB math entirely, so ANY
+    * compliant baseline decoder — the JDK's included — reproduces the
+    * block values bit-exactly, which is what lets a SQL oracle
+    * recompute the decoded sums while the decode side still runs the
+    * real JPEG path: marker parse, Huffman decode (std Annex K tables),
+    * dequantization, IDCT, level shift. The same
+    * deterministic-bytes-in/real-decoder-out trick as [[encodePng]]
+    * and [[encodeGif]], for the one codec where general pixel-exact
+    * oracles are impossible (IDCT rounding is implementation-defined
+    * for nonzero AC terms — hence flat blocks).
+    */
+  def encodeJpegFlatBlocks(wBlocks: Int, hBlocks: Int,
+      blockVals: Array[Int]): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0, s"bad grid ${wBlocks}x$hBlocks")
+    require(blockVals.length == wBlocks * hBlocks,
+      s"need ${wBlocks * hBlocks} block values, got ${blockVals.length}")
+    require(blockVals.forall(v => v >= 0 && v <= 255), "values must be bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 1 + 64); u8(0) // DQT, table 0, 8-bit
+    (0 until 64).foreach(_ => u8(8)) // all-8 quantization
+    // three YCbCr components (1x1 sampling, shared tables), chroma flat
+    // at 128: the decoder's color convert is R=G=B=Y EXACTLY for zero
+    // chroma (1.402·0 and 0.344·0 contribute nothing, round(Y)=Y). A
+    // single-component grayscale JPEG would decode exactly too, but
+    // Java then wraps it in a LINEAR gray ColorSpace whose getRGB
+    // applies the sRGB gamma curve — the fixture must stay in RGB land
+    // for the oracle to see the raw values.
+    marker(0xc0) // SOF0 baseline
+    u16(2 + 6 + 3 * 3); u8(8) // precision
+    u16(hBlocks * 8); u16(wBlocks * 8)
+    u8(3)
+    (1 to 3).foreach { cid => u8(cid); u8(0x11); u8(0) }
+    // standard Annex K luminance Huffman tables (DC class 0 / AC class 1)
+    val dcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    val acBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      (1 to 16).foreach(i => u8(bits(i)))
+      vals.foreach(u8)
+    }
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    marker(0xda); u16(2 + 1 + 2 * 3 + 3) // SOS
+    u8(3)
+    (1 to 3).foreach { cid => u8(cid); u8(0x00) } // all use DC 0 / AC 0
+    u8(0); u8(63); u8(0) // full spectral selection, no approx
+
+    // derive canonical Huffman codes from the bits/vals tables
+    def codes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      val m = scala.collection.mutable.Map[Int, (Int, Int)]()
+      var k = 0
+      for (len <- 1 to 16) {
+        var i = 0
+        while (i < bits(len)) {
+          m(vals(k)) = (code, len); code += 1; k += 1; i += 1
+        }
+        code <<= 1
+      }
+      m.toMap
+    }
+    val dcCode = codes(dcBits, dcVals)
+    val acCode = codes(acBits, acVals)
+    // bit packer with 0xFF byte stuffing
+    var acc = 0; var nbits = 0
+    val ecs = new java.io.ByteArrayOutputStream()
+    def putBits(v: Int, n: Int): Unit = {
+      acc = (acc << n) | (v & ((1 << n) - 1)); nbits += n
+      while (nbits >= 8) {
+        val b = (acc >> (nbits - 8)) & 0xff
+        ecs.write(b); if (b == 0xff) ecs.write(0x00)
+        nbits -= 8
+      }
+    }
+    // interleaved MCUs: Y block (md5-driven) then Cb, Cr (flat 128 →
+    // dc 0, diff 0 after the first MCU); per-component DC predictors
+    val eob = acCode(0x00) // all 63 AC coefficients zero
+    def encodeDcDiff(diff: Int): Unit = {
+      // category (bit length of |diff|) + diff bits (one's complement
+      // for negatives, per the JPEG spec)
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(
+        math.abs(diff))
+      val (c, l) = dcCode(cat); putBits(c, l)
+      if (cat > 0) {
+        val bitsVal = if (diff >= 0) diff else diff + (1 << cat) - 1
+        putBits(bitsVal, cat)
+      }
+      putBits(eob._1, eob._2)
+    }
+    var prevY = 0; var prevCb = 0; var prevCr = 0
+    blockVals.foreach { v =>
+      val dc = v - 128
+      encodeDcDiff(dc - prevY); prevY = dc
+      encodeDcDiff(0 - prevCb); prevCb = 0 // Cb = 128 flat
+      encodeDcDiff(0 - prevCr); prevCr = 0 // Cr = 128 flat
+    }
+    if (nbits > 0) putBits(0xff, 8 - nbits) // 1-padding to byte boundary
+    out.write(ecs.toByteArray, 0, ecs.size())
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** One decoded GIF frame: raw raster dims plus packed top-down RGB
     * triples (same layout every image codec here uses).
     */

@@ -676,6 +676,66 @@ object TextQueries {
       |  CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b
       |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** REAL JPEG decode as a declared op — the one codec where a general
+    * pixel-exact oracle is impossible (IDCT rounding is implementation-
+    * defined for nonzero AC terms), made exact by construction: a 4x2
+    * grid of FLAT 8x8 blocks (block values = the first 8 md5(text)
+    * bytes) encoded as baseline YCbCr with DC-only coefficients, an
+    * all-8s quant table (dequantized DC = 8·(v-128), IDCT flat value =
+    * exactly v-128 — integer multiples, zero rounding freedom) and
+    * flat 128 chroma (color convert collapses to R=G=B=Y exactly). The
+    * executors run the REAL JDK JPEG path — marker parse, Huffman
+    * decode under the standard Annex K tables, dequantize, IDCT, level
+    * shift, color convert — and the oracle recomputes dims and channel
+    * sums from the md5 hex: each block contributes 64·v to every
+    * channel. JpegProbe sweeps all 256 block values pixel-exactly.
+    */
+  def multimodalDecodeJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val md5b = hexToBytes(r.getString(1))
+        val jpg = MediaCodecs.encodeJpegFlatBlocks(4, 2,
+          Array.tabulate(8)(i => md5b(i) & 0xff))
+        val (w, hgt, px) = MediaCodecs.imageIoRgb(jpg, "jpeg")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          sr += px(i) & 0xff; sg += px(i + 1) & 0xff; sb += px(i + 2) & 0xff
+          i += 3
+        }
+        org.apache.spark.sql.Row(
+          r.getLong(0), "image", "jpeg", w, hgt, sr, sg, sb)
+      }
+    }(enc).orderBy("doc_id")
+  }
+
+  def multimodalDecodeJpegSql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |bytes AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(h, CAST(2*t.i + 1 AS INTEGER), 2))::INTEGER AS v
+      |  FROM b, UNNEST(range(0, 8)) AS t(i))
+      |SELECT doc_id, 'image' AS kind, 'jpeg' AS format,
+      |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+      |  CAST(sum(64 * v) AS BIGINT) AS sum_r,
+      |  CAST(sum(64 * v) AS BIGINT) AS sum_g,
+      |  CAST(sum(64 * v) AS BIGINT) AS sum_b
+      |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def multimodalDecodeBmpSql: String =
     """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
       |bytes AS (

@@ -110,6 +110,24 @@ class MultimodalSpec extends SparkSpec {
     assert(gw === bw && gh === bh && gpx.toSeq === big.toSeq)
   }
 
+  test("encodeJpegFlatBlocks decodes pixel-exactly through the JDK JPEG codec") {
+    // flat DC-only blocks + all-8s quant = zero IDCT rounding freedom;
+    // flat chroma = exact color convert. Sweep ALL 256 block values.
+    val vals = Array.tabulate(256)(identity)
+    val jpg = MediaCodecs.encodeJpegFlatBlocks(16, 16, vals)
+    val (w, h, rgb) = MediaCodecs.imageIoRgb(jpg, "jpeg")
+    assert(w === 128 && h === 128)
+    for (by <- 0 until 16; bx <- 0 until 16; y <- 0 until 8; x <- 0 until 8) {
+      val v = vals(by * 16 + bx)
+      val px = ((by * 8 + y) * w + (bx * 8 + x)) * 3
+      assert((rgb(px) & 0xff) === v && (rgb(px + 1) & 0xff) === v &&
+        (rgb(px + 2) & 0xff) === v, s"block($bx,$by)=$v at ($x,$y)")
+    }
+    // the registry sniffs and routes it as a real JPEG
+    val dm = MediaCodecs.ImageIoDecoder.decode(jpg)
+    assert(dm.format === "jpeg" && dm.width === 128 && dm.height === 128)
+  }
+
   test("BmpDecoder parses JDK-ImageIO-written BMPs (decode oracle)") {
     val (w, h) = (7, 4) // 21-byte rows padded to 24
     val rgb = testCard(w, h)
