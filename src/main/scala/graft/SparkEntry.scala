@@ -115,6 +115,7 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "corpus_mix_temperature" -> (PipelineQueries.corpusMixTemperature _),
     "chunk_documents_cdc" -> (PipelineQueries.chunkDocumentsCdc _),
+    "dedup_chunks" -> (PipelineQueries.dedupChunks _),
     "decontaminate_clean" -> (DedupQueries.decontaminateClean _),
     "pii_redact" -> (PipelineQueries.piiRedact _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "corpus_mix_temperature" -> PipelineQueries.corpusMixTemperatureSql,
     "chunk_documents_cdc" -> PipelineQueries.chunkDocumentsCdcSql,
+    "dedup_chunks" -> PipelineQueries.dedupChunksSql,
     "decontaminate_clean" -> DedupQueries.decontaminateCleanSql,
     "pii_redact" -> PipelineQueries.piiRedactSql,
     "vocab_topk" -> PipelineQueries.vocabTopKSql,

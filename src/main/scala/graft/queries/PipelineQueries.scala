@@ -325,6 +325,53 @@ object PipelineQueries {
       |FROM c GROUP BY doc_id, chunk_id
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Cross-document EXACT chunk dedup over the content-defined chunks
+    * (the RefinedWeb/CCNet move: near-dup docs share exact paragraphs
+    * long before whole-doc hashes collide, and CDC boundaries make the
+    * shared spans hash-identical regardless of surrounding edits). Per
+    * chunk occurrence: is it the canonical (first by (doc_id,
+    * chunk_id)) holder of its hash, who is, and how many occurrences
+    * the hash has corpus-wide. Canonical selection packs (doc_id,
+    * chunk_id) into ONE BIGINT (`doc_id·2^20 + chunk_id` — exact while
+    * chunks-per-doc < 2^20; a wider pack is the 100 TB follow-up) so
+    * the argmin stays a primitive-key `min` in whole-stage codegen in
+    * both engines, the same trick as the IVF assignment argmax. Scale
+    * shape: ONE shuffle on chunk_hash (partial-agg'd), one hash join
+    * back — no corpus-sized window, no driver state.
+    */
+  def dedupChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = chunkDocumentsCdc(spark, sfDir)
+      .withColumn("ck", col("doc_id") * lit(1048576L) + col("chunk_id"))
+    val canon = keyed.groupBy(col("chunk_hash"))
+      .agg(min(col("ck")).as("canon_ck"),
+        count(lit(1)).as("n_occurrences"))
+    keyed.join(canon, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        (col("ck") =!= col("canon_ck")).as("dup"),
+        expr("canon_ck div 1048576").as("canon_doc_id"),
+        pmod(col("canon_ck"), lit(1048576L)).as("canon_chunk_id"),
+        col("n_occurrences"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def dedupChunksSql: String =
+    s"""WITH ch AS (SELECT * FROM (
+      |${chunkDocumentsCdcSql}
+      |) chq),
+      |k AS (
+      |  SELECT *, doc_id * 1048576 + chunk_id AS ck FROM ch),
+      |g AS (
+      |  SELECT chunk_hash, min(ck) AS canon_ck,
+      |    count(*) AS n_occurrences
+      |  FROM k GROUP BY chunk_hash)
+      |SELECT k.doc_id, k.chunk_id, k.n_tokens,
+      |  k.ck <> g.canon_ck AS dup,
+      |  CAST(g.canon_ck // 1048576 AS BIGINT) AS canon_doc_id,
+      |  CAST(g.canon_ck % 1048576 AS BIGINT) AS canon_chunk_id,
+      |  CAST(g.n_occurrences AS BIGINT) AS n_occurrences
+      |FROM k JOIN g USING (chunk_hash)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   def chunkDocumentsSql: String = {
     val stride = ChunkTokens - ChunkOverlap
     s"""WITH t AS (
