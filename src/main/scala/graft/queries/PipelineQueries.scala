@@ -340,8 +340,13 @@ object PipelineQueries {
     * back — no corpus-sized window, no driver state.
     */
   def dedupChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    // a chunk_id at/after 2^20 would silently cross-wire the canonical
+    // pack — fail the row instead (codegen'd, no extra pass)
     val keyed = chunkDocumentsCdc(spark, sfDir)
+      .withColumn("_ok", assert_true(col("chunk_id") < lit(1048576L),
+        lit("chunk_id overflows the canonical (doc, chunk) pack")))
       .withColumn("ck", col("doc_id") * lit(1048576L) + col("chunk_id"))
+      .drop("_ok")
     val canon = keyed.groupBy(col("chunk_hash"))
       .agg(min(col("ck")).as("canon_ck"),
         count(lit(1)).as("n_occurrences"))
