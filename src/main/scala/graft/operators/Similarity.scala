@@ -453,10 +453,13 @@ object Similarity {
         VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"))
-    val assigned = nearestCentIdx(c, cent)
-      .join(c, Seq("n_id"))
-      .join(broadcast(cent.select(col("cent_idx"), col("cent_id"))),
-        Seq("cent_idx"))
+    // three consumers (both self-join sides + the verdict join): cache
+    // so the corpus-sized assignment argmax runs once, not three times
+    val assigned = graft.plans.CachedPlans.cached(
+      nearestCentIdx(c, cent)
+        .join(c, Seq("n_id"))
+        .join(broadcast(cent.select(col("cent_idx"), col("cent_id"))),
+          Seq("cent_idx")))
     val a = assigned.select(col("cent_idx").as("ci"),
       col("n_id").as("a_id"), col("n_vec").as("a_vec"),
       col("n_norm").as("a_norm"))
