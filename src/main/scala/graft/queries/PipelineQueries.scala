@@ -277,8 +277,12 @@ object PipelineQueries {
     * running-sum window, keyed and bounded by doc length) + the rebuild
     * groupBy on the same key — no global window anywhere.
     */
-  def chunkDocumentsCdc(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = tbl(spark, sfDir, "documents")
+  /** CDC chunk table (doc_id, chunk_id, n_tokens, chunk_hash) for any
+    * (doc_id, text) frame — extracted from the declared query so specs
+    * can pin the content-defined property (a suffix edit leaves every
+    * earlier chunk's hash unchanged) on synthetic edits.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
     val words = docs.select(col("doc_id"),
       posexplode(TextFunctions.tokens(col("text")))
         .as(Seq("pos", "word")))
@@ -297,8 +301,11 @@ object PipelineQueries {
             s => s.getField("word")), " ")).as("chunk_hash"))
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         col("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  def chunkDocumentsCdc(spark: SparkSession, sfDir: String): DataFrame =
+    cdcChunks(tbl(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id"))
 
   def chunkDocumentsCdcSql: String =
     s"""WITH t AS (
