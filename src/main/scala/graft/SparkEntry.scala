@@ -130,6 +130,7 @@ object SparkEntry {
     "mm_decode_bmp" -> (TextQueries.multimodalDecodeBmp _),
     "mm_decode_png" -> (TextQueries.multimodalDecodePng _),
     "mm_decode_jpeg" -> (TextQueries.multimodalDecodeJpeg _),
+    "mm_audio_energy" -> (TextQueries.multimodalAudioEnergy _),
     "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
     "mm_resize" -> (TextQueries.multimodalResize _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
@@ -231,6 +232,7 @@ object SparkEntry {
     "mm_decode_bmp" -> TextQueries.multimodalDecodeBmpSql,
     "mm_decode_png" -> TextQueries.multimodalDecodePngSql,
     "mm_decode_jpeg" -> TextQueries.multimodalDecodeJpegSql,
+    "mm_audio_energy" -> TextQueries.multimodalAudioEnergySql,
     "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
     "mm_resize" -> TextQueries.multimodalResizeSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,

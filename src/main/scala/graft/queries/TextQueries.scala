@@ -863,6 +863,63 @@ object TextQueries {
       |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Windowed audio energy over a REAL WAV decode — the building block
+    * of voice-activity/silence analysis a multimodal pipeline runs
+    * before trimming or captioning audio: 64 16-bit PCM samples per
+    * document (bytes of md5(text) index-mixed so windows differ),
+    * round-tripped through the RIFF container ([[graft.operators
+    * .MediaCodecs.encodeWavPcm16]] → `WavDecoder.decodeSamples`), then
+    * per 16-sample window the absolute-energy sum and peak — one row
+    * per window, all integer arithmetic, so the oracle recomputes every
+    * value straight from the md5 hex.
+    */
+  def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("window_no", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy_abs", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = hexToBytes(r.getString(1))
+        val samples = Array.tabulate(64)(j =>
+          ((b((5 * j) % 16) & 0xff) | (b((5 * j + 3) % 16) << 8)).toShort)
+        val wav = MediaCodecs.encodeWavPcm16(16000, 1, samples)
+        val (_, _, parsed) = MediaCodecs.WavDecoder.decodeSamples(wav)
+        parsed.grouped(16).zipWithIndex.map { case (w, i) =>
+          var ea = 0L; var pk = 0L
+          w.foreach { v =>
+            val a = math.abs(v.toInt).toLong
+            ea += a; if (a > pk) pk = a
+          }
+          org.apache.spark.sql.Row(r.getLong(0), i, w.length.toLong, ea, pk)
+        }
+      }
+    }(enc).orderBy("doc_id", "window_no")
+  }
+
+  def multimodalAudioEnergySql: String =
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |smp AS (
+      |  SELECT doc_id, CAST(t.j AS INTEGER) AS j,
+      |    ('0x' || substr(h, CAST(2*((5*t.j) % 16) + 1 AS INTEGER), 2))::INTEGER
+      |    + 256 * ('0x' || substr(h, CAST(2*((5*t.j + 3) % 16) + 1 AS INTEGER), 2))::INTEGER AS raw
+      |  FROM b, UNNEST(range(0, 64)) AS t(j)),
+      |s AS (SELECT doc_id, j,
+      |  CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v FROM smp)
+      |SELECT doc_id, CAST(j // 16 AS INTEGER) AS window_no,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(abs(v)) AS BIGINT) AS energy_abs,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak
+      |FROM s GROUP BY doc_id, j // 16
+      |ORDER BY doc_id, window_no""".stripMargin
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
