@@ -116,6 +116,7 @@ object SparkEntry {
     "corpus_mix_temperature" -> (PipelineQueries.corpusMixTemperature _),
     "chunk_documents_cdc" -> (PipelineQueries.chunkDocumentsCdc _),
     "dedup_chunks" -> (PipelineQueries.dedupChunks _),
+    "dedup_chunks_incremental" -> (PipelineQueries.dedupChunksIncremental _),
     "decontaminate_clean" -> (DedupQueries.decontaminateClean _),
     "pii_redact" -> (PipelineQueries.piiRedact _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "corpus_mix_temperature" -> PipelineQueries.corpusMixTemperatureSql,
     "chunk_documents_cdc" -> PipelineQueries.chunkDocumentsCdcSql,
     "dedup_chunks" -> PipelineQueries.dedupChunksSql,
+    "dedup_chunks_incremental" -> PipelineQueries.dedupChunksIncrementalSql,
     "decontaminate_clean" -> DedupQueries.decontaminateCleanSql,
     "pii_redact" -> PipelineQueries.piiRedactSql,
     "vocab_topk" -> PipelineQueries.vocabTopKSql,

@@ -384,6 +384,64 @@ object PipelineQueries {
       |FROM k JOIN g USING (chunk_hash)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** [[dedupChunks]]' incremental half — the daily-batch pattern at
+    * chunk granularity: the even-doc_id half plays the existing corpus,
+    * the odd half the arriving batch, and every batch chunk gets a
+    * verdict — `dup_vs_corpus` when its hash already exists in the
+    * corpus chunk set, else `dup_in_batch` when a lower (doc, chunk)
+    * batch occurrence holds it, else new. Same economics as the
+    * full-corpus form (one hash shuffle, no corpus text rescan when the
+    * corpus side is a stored chunk-hash table) with the verdict split
+    * the text incremental family uses.
+    */
+  def dedupChunksIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val corpusHashes = cdcChunks(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("chunk_hash")).distinct()
+    val batch = cdcChunks(docs.filter(col("doc_id") % 2 === 1))
+      .withColumn("ck", col("doc_id") * lit(1048576L) + col("chunk_id"))
+    val firstInBatch = batch.groupBy(col("chunk_hash"))
+      .agg(min(col("ck")).as("first_ck"))
+    batch.join(corpusHashes.withColumn("in_corpus", lit(true)),
+        Seq("chunk_hash"), "left")
+      .join(firstInBatch, Seq("chunk_hash"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        when(col("in_corpus"), lit("dup_vs_corpus"))
+          .when(col("ck") =!= col("first_ck"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  def dedupChunksIncrementalSql: String = {
+    def chunkSqlFor(pred: String): String = {
+      val base = chunkDocumentsCdcSql
+      require(base.contains("FROM documents)"),
+        "chunk oracle lost its source clause")
+      // scope BOTH the tokenizer scan and the final regroup to the half
+      base.replace("FROM documents)", s"FROM documents WHERE $pred)")
+    }
+    s"""WITH corpus AS (
+      |  SELECT DISTINCT chunk_hash FROM (
+      |${chunkSqlFor("doc_id % 2 = 0")}
+      |  ) cq),
+      |batch AS (
+      |  SELECT *, doc_id * 1048576 + chunk_id AS ck FROM (
+      |${chunkSqlFor("doc_id % 2 = 1")}
+      |  ) bq),
+      |fb AS (
+      |  SELECT chunk_hash, min(ck) AS first_ck
+      |  FROM batch GROUP BY chunk_hash)
+      |SELECT b.doc_id, b.chunk_id, b.n_tokens,
+      |  CASE WHEN c.chunk_hash IS NOT NULL THEN 'dup_vs_corpus'
+      |    WHEN b.ck <> fb.first_ck THEN 'dup_in_batch'
+      |    ELSE 'new' END AS verdict
+      |FROM batch b
+      |LEFT JOIN corpus c USING (chunk_hash)
+      |JOIN fb USING (chunk_hash)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   def chunkDocumentsSql: String = {
     val stride = ChunkTokens - ChunkOverlap
     s"""WITH t AS (
