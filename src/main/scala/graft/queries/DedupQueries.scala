@@ -257,9 +257,13 @@ object DedupQueries {
       |  FROM sh3 GROUP BY doc_id),
       |bk AS (
       |  $bandKeys),
+      |ok AS (
+      |  SELECT band, band_key FROM bk
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
+      |bkc AS (SELECT bk.* FROM bk JOIN ok USING (band, band_key)),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |  FROM bkc a JOIN bkc b ON a.band = b.band AND a.band_key = b.band_key
       |    AND a.doc_id < b.doc_id),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
       |common AS (
@@ -583,9 +587,13 @@ object DedupQueries {
     s"""WITH $simhashSigCtes,
       |bk AS (
       |  $bandSelects),
+      |ok AS (
+      |  SELECT band, band_key FROM bk
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
+      |bkc AS (SELECT bk.* FROM bk JOIN ok USING (band, band_key)),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+      |  FROM bkc a JOIN bkc b ON a.band = b.band AND a.band_key = b.band_key
       |    AND a.doc_id < b.doc_id)
       |SELECT p.a_id, p.b_id, $ham AS hamming
       |FROM pairs p
@@ -622,9 +630,13 @@ object DedupQueries {
       |sh3 AS (
       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
       |  FROM sh3_raw),
+      |ok5 AS (
+      |  SELECT shingle FROM sh5
+      |  GROUP BY shingle HAVING count(*) <= 1000),
+      |sh5c AS (SELECT sh5.* FROM sh5 JOIN ok5 USING (shingle)),
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM sh5 a JOIN sh5 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |  FROM sh5c a JOIN sh5c b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
       |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
       |common AS (
       |  SELECT p.a_id, p.b_id, count(*) AS common
