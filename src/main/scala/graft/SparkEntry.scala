@@ -136,6 +136,8 @@ object SparkEntry {
     "mm_resize" -> (TextQueries.multimodalResize _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
+    "ann_pq_topk" -> (SimilarityQueries.pqTopK _),
+    "ann_ivf_pq_topk" -> (SimilarityQueries.ivfPqTopK _),
     "ann_recall_report" -> (SimilarityQueries.annRecallReport _),
     "ann_recall_sampled" -> (SimilarityQueries.annRecallReportSampled _),
     "semantic_dedup" -> (SimilarityQueries.semanticDedup _),
@@ -239,6 +241,8 @@ object SparkEntry {
     "mm_resize" -> TextQueries.multimodalResizeSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
+    "ann_pq_topk" -> SimilarityQueries.pqTopKSql,
+    "ann_ivf_pq_topk" -> SimilarityQueries.ivfPqTopKSql,
     "ann_recall_report" -> SimilarityQueries.annRecallReportSql,
     "ann_recall_sampled" -> SimilarityQueries.annRecallReportSampledSql,
     "semantic_dedup" -> SimilarityQueries.semanticDedupSql,

@@ -657,6 +657,154 @@ object Similarity {
     * scale_d/2 exactly as in [[sq8TopK]], on top of IVF's list-recall
     * trade-off.
     */
+  // -------------------------------------------- product quantization
+
+  /** PQ codebooks from a bounded deterministic donor sample: the `ksub`
+    * corpus rows sorting first by md5(id) (the same hash-order sample
+    * [[selectCentroids]] uses) are collected — O(ksub · dim) driver
+    * transfer, corpus-size-independent — sorted by id, and sliced into
+    * `m` per-subspace codebooks. `codebooks(s)(j)` is donor j's
+    * sub-vector for subspace s, as DOUBLES (float → double widening is
+    * exact, so both engines see identical codebook values).
+    *
+    * Real PQ trains per-subspace k-means; the hash-ordered donor sample
+    * is the same determinism trade [[ivfTopK]] makes for its seed
+    * centroids (and one Lloyd round could refine it identically).
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && dim % m == 0,
+      s"dim ($dim) must divide into m ($m) subspaces")
+    require(ksub > 0 && ksub <= 256,
+      s"ksub must be in (0, 256] (codes are one byte), got $ksub")
+    val subDim = dim / m
+    val donors = selectCentroids(corpus, idCol, ksub)
+      .select(col(idCol).as("cent_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("cent_id"))
+      .collect()
+      .map(_.getSeq[Double](1))
+    (0 until m).map { s =>
+      donors.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim))
+    }
+  }
+
+  /** Encode a float vector to `m` PQ codes: per subspace, the 0-based
+    * index of the codebook entry with the smallest squared L2 distance
+    * to the sub-vector (ties → lowest index, via `array_position`'s
+    * first-match). Distances are left double folds of `(v−c)²` from
+    * 0.0 — the same sequential-fold contract every score in this file
+    * carries — so codes are bit-reproducible in any engine.
+    *
+    * Storage story: `m` byte-sized codes replace `dim` floats — at
+    * (m=8, dim=64) a 32× corpus-side compression vs floats (SQ8 is 4×),
+    * the representation web-scale ANN actually holds in memory.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = codebooks.head.head.size
+    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(vec, s * subDim + 1, subDim)
+      val cbLit = array(cb.map(cj => array(cj.map(lit(_)): _*)): _*)
+      val dists = transform(cbLit, cj =>
+        aggregate(
+          zip_with(sub, cj, (a, b) =>
+            (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+          lit(0.0), (acc, x) => acc + x))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Reconstruction of PQ codes as a dim-length DOUBLE array: the
+    * selected codebook entries concatenated in subspace order — the
+    * scan-time scratch ADC scoring folds over (never stored; the stored
+    * representation stays `m` bytes).
+    */
+  def pqRecon(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      val cbLit = array(cb.map(cj => array(cj.map(lit(_)): _*)): _*)
+      element_at(cbLit, element_at(codes, s + 1) + 1)
+    }: _*)
+
+  /** Approximate top-k by PQ asymmetric distance: the corpus is `m`
+    * codes per vector (32× smaller than floats at m=8/dim=64), each
+    * candidate scores as `Σ_d q_d · recon_d` — the full-precision query
+    * against the codebook reconstruction, one sequential double fold
+    * over all dim components (NOT per-subspace partial sums: a single
+    * flat fold is what the oracle replays, and IEEE addition is not
+    * associative). Reconstruction is computed once per CORPUS row, not
+    * per pair. Like [[sq8TopK]] this scans all codes; [[ivfPqTopK]]
+    * adds the pruning.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+    val c = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), cbs).as("codes"))
+      .withColumn("recon", pqRecon(col("codes"), cbs))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.dotFold(col("q_vec"),
+        col("recon")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
+  /** IVF × PQ: the composition production ANN engines ship as "IVF-PQ"
+    * — full-precision centroids assign vectors and pick probed lists
+    * (cell boundaries independent of quantization, exactly as in
+    * [[ivfSq8TopK]]), the inverted lists store `m`-byte PQ codes, and
+    * probed candidates score asymmetrically against the codebook
+    * reconstruction. Each query touches ~nprobe/C of the corpus at
+    * 1/32 the bytes per candidate (m=8/dim=64) — the memory×pruning
+    * product that holds a 100 TB corpus's index in cluster RAM.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, nprobe: Int, m: Int,
+      ksub: Int, dim: Int): DataFrame = {
+    require(numCentroids > 0 && numCentroids <= 1024,
+      s"numCentroids must be in (0, 1024], got $numCentroids")
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+    val cent = withCentIdx0(selectCentroids(corpus, idCol, numCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    val codes = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), cbs).as("codes"))
+    val assigned = nearestCentIdx(c, cent)
+      .join(broadcast(cent.select(
+        col("cent_idx").cast("long").as("cent_idx"), col("cent_id"))),
+        Seq("cent_idx"))
+      .join(codes, Seq("n_id"))
+      .select(col("n_id"), col("cent_id"),
+        pqRecon(col("codes"), cbs).as("recon"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("q_vec"), col("cent_vec")),
+        col("q_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.dotFold(col("q_vec"),
+        col("recon")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
+
   def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int, nprobe: Int,
       dim: Int): DataFrame = {

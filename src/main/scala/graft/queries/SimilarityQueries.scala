@@ -341,6 +341,155 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------- product quantization
+
+  private val PqM = 8     // subspaces (subDim = 64/8 = 8)
+  private val PqKsub = 16 // codebook entries per subspace
+
+  /** PQ asymmetric top-k: the corpus as `PqM` byte-sized codes per
+    * vector (32× smaller than floats), each candidate scored as the
+    * full-precision query dotted with the codebook reconstruction.
+    * Codebooks come from the 16 hash-order donor rows; codes are
+    * per-subspace squared-L2 argmins — every stage a deterministic
+    * fold the oracle replays exactly.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
+        K, m = PqM, ksub = PqKsub, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Shared oracle CTEs ending in `recon(n_id, recon)` — the PQ donor
+    * sample, per-(vector, subspace) squared-L2 code argmin (window
+    * `ORDER BY dist, j` ≡ the engine's `array_position` first-match
+    * tie-break), and the codebook reconstruction concatenated in
+    * subspace order.
+    */
+  private def pqReconCtes: String = {
+    val subDim = Dim / PqM
+    val r = s"range(1, ${subDim + 1})"
+    def el(tbl: String) = s"CAST($tbl[t.s*$subDim + i] AS DOUBLE)"
+    s"""donors0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cb_vec
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqKsub),
+      |donors AS (
+      |  SELECT cb_vec, row_number() OVER (ORDER BY cent_id) - 1 AS j
+      |  FROM donors0),
+      |subs AS (SELECT CAST(t.s AS BIGINT) AS s
+      |  FROM UNNEST(range(0, $PqM)) t(s)),
+      |pq_dists AS (
+      |  SELECT e.vec_id AS n_id, t.s, d.j,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform($r, i ->
+      |        (${el("e.embedding")} - ${el("d.cb_vec")})
+      |        * (${el("e.embedding")} - ${el("d.cb_vec")}))),
+      |      (x, y) -> x + y) AS dist
+      |  FROM embeddings e CROSS JOIN subs t CROSS JOIN donors d),
+      |pq_codes AS (
+      |  SELECT n_id, s, j AS code FROM (
+      |    SELECT n_id, s, j,
+      |      row_number() OVER (PARTITION BY n_id, s ORDER BY dist, j) AS rk
+      |    FROM pq_dists) rr WHERE rk = 1),
+      |recon AS (
+      |  SELECT c.n_id, flatten(list(
+      |      list_transform($r, i -> CAST(d.cb_vec[c.s*$subDim + i] AS DOUBLE))
+      |      ORDER BY c.s)) AS recon
+      |  FROM pq_codes c JOIN donors d ON d.j = c.code
+      |  GROUP BY c.n_id)""".stripMargin
+  }
+
+  /** The flat dim-length ADC score fold (one sequential fold over ALL
+    * components — not per-subspace partial sums; IEEE addition is not
+    * associative, and the engine folds flat).
+    */
+  private def pqScoreSql(qVec: String, recon: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, ${Dim + 1}), i ->
+      |        CAST($qVec[i] AS DOUBLE) * $recon[i])),
+      |      (x, y) -> x + y)""".stripMargin
+
+  def pqTopKSql: String =
+    s"""WITH $pqReconCtes,
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec
+      |  FROM embeddings WHERE $QueryPred),
+      |scored AS (
+      |  SELECT q.q_id, r.n_id,
+      |    ${pqScoreSql("q.q_vec", "r.recon")} AS score
+      |  FROM recon r CROSS JOIN q WHERE r.n_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** IVF × PQ — the "IVF-PQ" composition production ANN engines ship:
+    * full-precision centroids assign and pick probed lists, the lists
+    * hold `PqM`-byte codes, probed candidates score against the
+    * codebook reconstruction. ~nprobe/C of the corpus touched per
+    * query at 1/32 the bytes per candidate.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.filter(QueryPred), "vec_id",
+        "embedding", K, numCentroids = Centroids, nprobe = 3, m = PqM,
+        ksub = PqKsub, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfPqTopKSql: String =
+    s"""WITH $pqReconCtes,
+      |cent0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+      |    ${normSqSql("embedding")} AS cent_norm
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
+      |cent AS (
+      |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
+      |  FROM cent0),
+      |c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |-- full-precision assignment via the engine's packed argmax key
+      |best AS (
+      |  SELECT n_id, max(coalesce(CAST(floor(
+      |      ${dotSql("c.n_vec", "cent.cent_vec")} / nullif(sqrt(c.n_norm) * sqrt(cent.cent_norm), 0.0)
+      |      * 4503599627370496.0) AS BIGINT), -4503599627370497) * 1024
+      |      + (1023 - cent_idx)) AS ck
+      |  FROM c CROSS JOIN cent GROUP BY n_id),
+      |assigned AS (
+      |  SELECT b.n_id, r.recon, cent.cent_id
+      |  FROM best b
+      |  JOIN cent ON cent.cent_idx = 1023 - (((b.ck % 1024) + 1024) % 1024)
+      |  JOIN recon r ON r.n_id = b.n_id),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |probes AS (
+      |  SELECT q_id, q_vec, cent_id FROM (
+      |    SELECT q.q_id, q.q_vec, cent.cent_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        ${dotSql("q.q_vec", "cent.cent_vec")} / nullif(sqrt(q.q_norm) * sqrt(cent.cent_norm), 0.0) DESC,
+      |        cent.cent_id) AS crk
+      |    FROM q CROSS JOIN cent) t
+      |  WHERE crk <= 3),
+      |scored AS (
+      |  SELECT p.q_id, a.n_id,
+      |    ${pqScoreSql("p.q_vec", "a.recon")} AS score
+      |  FROM assigned a JOIN probes p USING (cent_id)
+      |  WHERE a.n_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (LSH-blocked, cos ≥ 0.35,
     * 2 planes so moderately-similar pairs still collide).
     */
@@ -560,7 +709,7 @@ object SimilarityQueries {
   }
 
   private val RecallMethods: Seq[String] =
-    Seq("ivf", "ivf_refined", "ivf_sq8", "lsh", "sq8")
+    Seq("ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "lsh", "pq", "sq8")
 
   /** Recall@k of every approximate ANN method against the brute-force
     * baseline, as a declared query: `(method, hits, possible, recall)`.
@@ -578,7 +727,8 @@ object SimilarityQueries {
     val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
       "ivf" -> (ivfTopK _), "ivf_refined" -> (ivfRefinedTopK _),
       "ivf_sq8" -> (ivfSq8TopK _), "lsh" -> (lshTopK _),
-      "sq8" -> (sq8TopK _))
+      "sq8" -> (sq8TopK _), "pq" -> (pqTopK _),
+      "ivf_pq" -> (ivfPqTopK _))
     val per = RecallMethods.map { name =>
       fns(name)(spark, sfDir).select(col("q_id"), col("n_id"))
         .join(brute, Seq("q_id", "n_id"), "left_semi")
@@ -601,7 +751,8 @@ object SimilarityQueries {
     val sqls: Map[String, String] = Map(
       "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
-      "sq8" -> sq8TopKSql)
+      "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
+      "ivf_pq" -> ivfPqTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n$sql\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:
@@ -704,6 +855,11 @@ object SimilarityQueries {
       Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", K)
         .select(col("q_id"), col("n_id")))
     val fns: Map[String, DataFrame] = Map(
+      "pq" -> Similarity.pqTopK(emb, q, "vec_id", "embedding", K,
+        m = PqM, ksub = PqKsub, dim = Dim),
+      "ivf_pq" -> Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", K,
+        numCentroids = Centroids, nprobe = 3, m = PqM, ksub = PqKsub,
+        dim = Dim),
       "ivf" -> Similarity.ivfTopK(emb, q, "vec_id", "embedding", K,
         numCentroids = Centroids, nprobe = 3),
       "ivf_refined" -> Similarity.ivfRefinedTopK(emb, q, "vec_id",
@@ -745,7 +901,8 @@ object SimilarityQueries {
     val sqls: Map[String, String] = Map(
       "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
-      "sq8" -> sq8TopKSql)
+      "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
+      "ivf_pq" -> ivfPqTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n${sampled(sql)}\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:

@@ -218,6 +218,76 @@ class SimilaritySpec extends SparkSpec {
       mins, scales)).head().isNullAt(0))
   }
 
+  test("pq codes are bounded, deterministic, and reconstruct to codebook rows") {
+    val dim = 8
+    val c = corpus(100)
+    val cbs = Similarity.pqCodebooks(c, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = dim)
+    assert(cbs.size === 4 && cbs.forall(_.size === 8) &&
+      cbs.forall(_.forall(_.size === 2)))
+    val rows = c.select($"vec_id",
+        Similarity.pqEncode($"embedding", cbs).as("codes"),
+        Similarity.pqRecon(
+          Similarity.pqEncode($"embedding", cbs), cbs).as("recon"))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.size === 4)
+      codes.foreach(cd => assert(cd >= 0 && cd < 8))
+      // the reconstruction is EXACTLY the selected codebook entries
+      val recon = r.getSeq[Double](2)
+      val want = codes.zipWithIndex.flatMap { case (cd, s) => cbs(s)(cd) }
+      assert(recon === want)
+    }
+    // deterministic: re-derived codebooks and codes match
+    val cbs2 = Similarity.pqCodebooks(c, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = dim)
+    assert(cbs === cbs2)
+  }
+
+  test("pq encode picks the closest codebook entry per subspace") {
+    // hand-built codebooks: subspace entries at known positions
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+      Seq(Seq(5.0, 5.0), Seq(-5.0, -5.0)))
+    val df = Seq(
+      (1L, Array(9f, 9f, -4f, -6f)),  // near entry 1 then entry 1
+      (2L, Array(1f, -1f, 4f, 6f)))   // near entry 0 then entry 0
+      .toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        Similarity.pqEncode($"embedding", cbs).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) === Seq(1, 1))
+    assert(got(2L) === Seq(0, 0))
+  }
+
+  test("pq top-k agrees with brute force on well-separated clusters") {
+    val pts = (0 until 20).map(i => (i.toLong,
+      Array.tabulate(8)(d => (if (i < 10) 1000f else -1000f) + i + d)))
+    val c = pts.toDF("vec_id", "embedding")
+    val q = c.filter($"vec_id" === 0 || $"vec_id" === 15)
+    val pq = Similarity.pqTopK(c, q, "vec_id", "embedding", k = 3,
+        m = 4, ksub = 8, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    // codebook donors span both clusters, so the far-apart cluster
+    // decision survives quantization
+    assert(pq.keySet === Set(0L, 15L))
+    assert(pq(0L) < 10L && pq(15L) >= 10L)
+    val ivfPq = Similarity.ivfPqTopK(c, q, "vec_id", "embedding", k = 3,
+        numCentroids = 4, nprobe = 2, m = 4, ksub = 8, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ivfPq.keySet === Set(0L, 15L))
+    assert(ivfPq(0L) < 10L && ivfPq(15L) >= 10L)
+    // deterministic across runs
+    val again = Similarity.pqTopK(c, q, "vec_id", "embedding", k = 3,
+        m = 4, ksub = 8, dim = 8)
+      .filter($"rank" === 1).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toMap
+    assert(pq === again)
+  }
+
   test("persisted-IVF top-k is bit-identical to the recompute form") {
     val dim = 8
     def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
@@ -254,9 +324,11 @@ class SimilaritySpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(
       ("ivf", 19L, 50L),
+      ("ivf_pq", 5L, 50L),
       ("ivf_refined", 20L, 50L),
       ("ivf_sq8", 19L, 50L),
       ("lsh", 4L, 50L),
+      ("pq", 6L, 50L),
       ("sq8", 50L, 50L)))
 
     // the hash-SAMPLED form (the 100×-feasible estimator) is equally
@@ -267,9 +339,11 @@ class SimilaritySpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(sampled === Seq(
       ("ivf", 66L, 165L, 33L),
+      ("ivf_pq", 20L, 165L, 33L),
       ("ivf_refined", 72L, 165L, 33L),
       ("ivf_sq8", 66L, 165L, 33L),
       ("lsh", 21L, 165L, 33L),
+      ("pq", 29L, 165L, 33L),
       ("sq8", 161L, 165L, 33L)))
     // the estimate tracks the exhaustive gate: every method's sampled
     // recall lands within 0.15 of its exhaustive recall
