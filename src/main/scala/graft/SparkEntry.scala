@@ -71,6 +71,7 @@ object SparkEntry {
     // above, but the corpus side reads the PERSISTED DedupIndex
     "dedup_incremental_indexed" -> (DedupQueries.incrementalExactIndexed _),
     "dedup_incremental_lsh_indexed" -> (DedupQueries.incrementalLshIndexed _),
+    "dedup_incremental_bloom" -> (DedupQueries.incrementalBloom _),
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
     "dedup_simhash_buckets" -> (DedupQueries.simHashOversized _),
@@ -142,7 +143,8 @@ object SparkEntry {
     "ann_recall_sampled" -> (SimilarityQueries.annRecallReportSampled _),
     "semantic_dedup" -> (SimilarityQueries.semanticDedup _),
     "ann_ivf_sq8_indexed_topk" -> (SimilarityQueries.ivfSq8TopKIndexed _),
-    "text_utf8_profile" -> (TextQueries.utf8Profile _)
+    "text_utf8_profile" -> (TextQueries.utf8Profile _),
+    "ngram_heavy_hitters" -> (TextQueries.ngramHeavyHitters _)
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
@@ -192,6 +194,7 @@ object SparkEntry {
       DedupQueries.incrementalLshAbsorbedSql,
     "embed_incremental_absorbed" ->
       SimilarityQueries.incrementalCosineNearDupsAbsorbedSql,
+    "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,
@@ -249,6 +252,7 @@ object SparkEntry {
     // the persisted-IVF probe is bit-identical to the recompute form,
     // so the same oracle SQL gates both
     "ann_ivf_sq8_indexed_topk" -> SimilarityQueries.ivfSq8TopKSql,
-    "text_utf8_profile" -> TextQueries.utf8ProfileSql
+    "text_utf8_profile" -> TextQueries.utf8ProfileSql,
+    "ngram_heavy_hitters" -> TextQueries.ngramHeavyHittersSql
   )
 }

@@ -651,4 +651,69 @@ object DedupQueries {
       |JOIN cnt cb ON cb.doc_id = c.b_id
       |WHERE CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
+
+  private val BloomK = 4
+  private val BloomM = 16384
+
+  /** Bloom-filter incremental exact-dedup probe: the even-doc_id corpus
+    * is distilled to a ≤[[BloomM]]-bit membership sketch
+    * ([[graft.operators.Sketches.bloomBits]]) and the odd batch probes
+    * ONLY the sketch — the corpus never re-scans at probe time, and the
+    * bit table broadcasts at any corpus size (the pre-filter a 100 TB
+    * pipeline runs before the exact [[incrementalExact]] join). Each
+    * batch doc gets a three-way verdict: `new` (bloom miss — PROVABLY
+    * absent, Bloom filters have no false negatives), `dup_of_existing`
+    * (hit and truly present), or `false_positive` (hit but absent —
+    * the priced-in error the m/k sizing controls; the truth join here
+    * exists to gate that taxonomy, production would skip it or pass
+    * hits to the exact probe). Deterministic md5 bit positions, so the
+    * whole sketch — including which docs false-positive — is
+    * oracle-exact.
+    */
+  def incrementalBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val eh = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val bits = graft.operators.Sketches.bloomBits(
+      eh, "content_hash", k = BloomK, m = BloomM)
+    val nh = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val probed = graft.operators.Sketches.bloomProbe(
+      nh, "doc_id", "content_hash", bits, k = BloomK, m = BloomM)
+    probed
+      .join(eh.withColumn("_seen", lit(true)), Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        when(!col("bloom_hit"), lit("new"))
+          .when(col("_seen"), lit("dup_of_existing"))
+          .otherwise(lit("false_positive")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalBloomSql: String =
+    s"""WITH eh AS (
+      |  SELECT DISTINCT md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |rs AS (SELECT CAST(t.r AS BIGINT) AS r
+      |  FROM UNNEST(range(0, $BloomK)) t(r)),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(concat_ws('|', r, content_hash)), 1, 15))::BIGINT
+      |      % $BloomM AS bit
+      |  FROM eh CROSS JOIN rs),
+      |nh AS (
+      |  SELECT doc_id, md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |probe AS (
+      |  SELECT nh.doc_id, nh.content_hash, count(b.bit) AS hits
+      |  FROM nh CROSS JOIN rs
+      |  LEFT JOIN bits b ON b.bit =
+      |    ('0x' || substr(md5(concat_ws('|', rs.r, nh.content_hash)), 1, 15))::BIGINT
+      |      % $BloomM
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_id, p.content_hash,
+      |  CASE WHEN p.hits < $BloomK THEN 'new'
+      |       WHEN e.content_hash IS NOT NULL THEN 'dup_of_existing'
+      |       ELSE 'false_positive' END AS verdict
+      |FROM probe p LEFT JOIN eh e USING (content_hash)
+      |ORDER BY p.doc_id""".stripMargin
 }

@@ -1003,4 +1003,45 @@ object TextQueries {
       |  md5(utext) AS fp
       |FROM u ORDER BY doc_id""".stripMargin
   }
+
+  /** Count-min-sketch heavy hitters over word 3-grams: occurrences
+    * (with multiplicity) feed a 4×1024 counter table — fixed-size
+    * however large the corpus — and the top 20 grams by sketch
+    * estimate come back with the true count beside the estimate (CMS
+    * error is one-sided: est ≥ exact always, pinned by SketchesSpec).
+    * The oracle replays every counter cell and the min-over-rows
+    * estimate from the same md5 positions.
+    */
+  def ngramHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sketches.cmsHeavyHitters(
+      tbl(spark, sfDir, "documents"), "text", n = 3, depth = 4,
+      width = 1024, topK = 20)
+
+  def ngramHeavyHittersSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+      |    ELSE array_to_string(t[i:i+2], ' ') END AS g
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+      |        FROM toks)),
+      |rs AS (SELECT CAST(t.r AS BIGINT) AS r FROM UNNEST(range(0, 4)) t(r)),
+      |cells AS (
+      |  SELECT r,
+      |    ('0x' || substr(md5(concat_ws('|', r, g)), 1, 15))::BIGINT % 1024 AS c,
+      |    count(*) AS cnt
+      |  FROM grams CROSS JOIN rs GROUP BY 1, 2),
+      |exact AS (SELECT g, count(*) AS exact_cnt FROM grams GROUP BY g),
+      |est AS (
+      |  SELECT e.g, min(coalesce(cells.cnt, 0)) AS est
+      |  FROM exact e CROSS JOIN rs
+      |  LEFT JOIN cells ON cells.r = rs.r AND cells.c =
+      |    ('0x' || substr(md5(concat_ws('|', rs.r, e.g)), 1, 15))::BIGINT % 1024
+      |  GROUP BY e.g)
+      |SELECT est.g AS ngram, est.est AS est, exact.exact_cnt
+      |FROM est JOIN exact USING (g)
+      |ORDER BY est DESC, ngram LIMIT 20""".stripMargin
 }
