@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> (DedupQueries.clusterStats _),
     "dedup_canonicalize_best" -> (DedupQueries.canonicalizeBest _),
     "span_overlap" -> (DedupQueries.spanOverlap _),
+    "dedup_spans_clean" -> (DedupQueries.spanDedupClean _),
     "text_quality_filter" -> (TextQueries.qualityFilter _),
     "shard_export" -> (PipelineQueries.shardExport _),
     // similarity search
@@ -204,6 +205,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> DedupQueries.clusterStatsSql,
     "dedup_canonicalize_best" -> DedupQueries.canonicalizeBestSql,
     "span_overlap" -> DedupQueries.spanOverlapSql,
+    "dedup_spans_clean" -> DedupQueries.spanDedupCleanSql,
     "text_quality_filter" -> TextQueries.qualityFilterSql,
     "shard_export" -> PipelineQueries.shardExportSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,

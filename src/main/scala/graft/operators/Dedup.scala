@@ -332,6 +332,70 @@ object Dedup {
     * fixed-width longs, no text after the initial hashing, no pairwise
     * expansion anywhere.
     */
+  /** ExactSubstr-style duplicated-span REMOVAL (the public construction
+    * from Lee et al. 2022, arXiv:2107.06499 — "Deduplicating Training
+    * Data Makes Language Models Better", at word granularity): every
+    * word position covered by a cross-document-duplicated word n-gram
+    * is cut, and each document's surviving words are re-joined into the
+    * cleaned text. Where [[spanOverlap]] only SCORES sub-document
+    * duplication, this emits the cleaned corpus — the actual
+    * boilerplate/quotation/template removal step of a training
+    * pipeline. "Duplicated" means the n-gram appears in MORE THAN ONE
+    * document (within-doc repeats are [[graft.queries.TextQueries]]'
+    * repetition signal, not removal targets).
+    *
+    * Text is lowercase-normalized (span identity matches the shingle
+    * layer's contract); output per doc: (id, n_words, n_removed,
+    * clean_text) — clean_text empty when everything was cut.
+    *
+    * Shape at scale: occurrences and coverage are narrow explodes over
+    * fixed-width longs; the dup-shingle filter is one partial-agg
+    * groupBy on the 60-bit hash; reconstruction is ONE doc-keyed
+    * shuffle with per-doc bounded sort (array_sort of (pos, word) —
+    * no global window, no pairwise expansion anywhere).
+    */
+  def spanDedupClean(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = CachedPlans.cached(docs.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("t")))
+    // every n-gram START (1-based, with the short-doc whole-text
+    // convention the shingle layer uses)
+    val occ = toks.select(col(idCol),
+        posexplode(when(size(col("t")) < n,
+            array(concat_ws(" ", col("t"))))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - n),
+            i => concat_ws(" ", slice(col("t"), i + 1, lit(n))))))
+          .as(Seq("p0", "sh")))
+      .select(col(idCol), (col("p0") + 1).as("q"),
+        PortableHash.md5Long(col("sh")).as("shingle"))
+    // cross-doc duplicated shingles: >1 distinct doc (the distinct
+    // (id, shingle) table is exactly hashedShingleTable)
+    val dup = hashedShingleTable(docs, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") > 1).select(col("shingle"))
+    // a dup n-gram starting at q covers positions q..q+n-1 (past-end
+    // positions of short docs match no word and fall out in the anti
+    // join)
+    val covered = occ.join(dup, Seq("shingle"))
+      .select(col(idCol),
+        explode(sequence(col("q"), col("q") + (n - 1))).as("p"))
+    val words = toks.select(col(idCol),
+        posexplode(col("t")).as(Seq("p0", "w")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("w"))
+    val kept = words.join(covered, Seq(idCol, "p"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("_n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("w")))),
+        s => s.getField("w")), " ").as("clean_text"))
+    toks.select(col(idCol), size(col("t")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - coalesce(col("_n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def spanOverlap(docs: DataFrame, idCol: String, textCol: String,
       n: Int, portable: Boolean = true): DataFrame = {
     // both branches (per-span counts + the join-back) read one cache

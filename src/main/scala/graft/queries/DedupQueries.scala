@@ -652,6 +652,54 @@ object DedupQueries {
       |WHERE CAST(c.common AS DOUBLE) / CAST(ca.n + cb.n - c.common AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Duplicated-span removal as a declared op (word 5-grams, the
+    * [[spanOverlap]] width): positions covered by any cross-document
+    * 5-gram are cut and the survivors re-joined — the ExactSubstr
+    * removal move at word granularity, with the cleaned text itself
+    * oracle-checked (not just the counts).
+    */
+  def spanDedupClean(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.spanDedupClean(
+      tbl(spark, sfDir, "documents"), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+
+  def spanDedupCleanSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, i AS q,
+      |    ('0x' || substr(md5(CASE WHEN len(t) < 5
+      |      THEN array_to_string(t, ' ')
+      |      ELSE array_to_string(t[i:i+4], ' ') END), 1, 15))::BIGINT AS shingle
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i
+      |        FROM toks)),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM occ),
+      |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT o.doc_id, o.q + d.o AS p
+      |  FROM occ o JOIN dup USING (shingle)
+      |  CROSS JOIN (SELECT CAST(t.o AS BIGINT) AS o
+      |    FROM UNNEST(range(0, 5)) t(o)) d),
+      |words AS (
+      |  SELECT doc_id, i AS p, t[i] AS w
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      |        FROM toks)),
+      |kept AS (
+      |  SELECT w.doc_id, w.p, w.w FROM words w
+      |  ANTI JOIN cov c ON c.doc_id = w.doc_id AND c.p = w.p),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(w, ' ' ORDER BY p) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_words,
+      |  CAST(len(tk.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.clean_text, '') AS clean_text
+      |FROM toks tk LEFT JOIN agg a USING (doc_id)
+      |ORDER BY tk.doc_id""".stripMargin
+
   private val BloomK = 4
   private val BloomM = 16384
 

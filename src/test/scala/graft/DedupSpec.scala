@@ -126,6 +126,32 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
 
+  test("spanDedupClean cuts exactly the cross-doc-covered word positions") {
+    import graft.operators.Dedup
+    // docs 1 and 2 share the 3-gram "b c d"; in doc 1 it starts at word
+    // 2 (covering b,c,d), in doc 2 at word 1 (covering b,c,d). doc 3 is
+    // untouched; doc 4 repeats a gram WITHIN itself only — not removed
+    // (cross-document dup is the removal trigger)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d e2"),
+      (3L, "x y z w"),
+      (4L, "p q r p q r"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupClean(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 5L, 3L, "a e"),
+      (2L, 4L, 3L, "e2"),
+      (3L, 4L, 0L, "x y z w"),
+      (4L, 6L, 0L, "p q r p q r")))
+    // a doc that is ALL duplicated span collapses to empty, not a null
+    val twin = Seq((1L, "s t u"), (2L, "s t u")).toDF("doc_id", "text")
+    val gone = Dedup.spanDedupClean(twin, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(gone === Seq((1L, 3L, 3L, ""), (2L, 3L, 3L, "")))
+  }
+
   test("simHashNearDups finds close signatures and honors the band guard") {
     import graft.operators.Dedup
     // signatures hash the DISTINCT token set, so reordered/repeated
