@@ -139,6 +139,7 @@ object SparkEntry {
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
     "ann_pq_topk" -> (SimilarityQueries.pqTopK _),
+    "ann_pq_refined" -> (SimilarityQueries.pqRefinedTopK _),
     "ann_ivf_pq_topk" -> (SimilarityQueries.ivfPqTopK _),
     "ann_recall_report" -> (SimilarityQueries.annRecallReport _),
     "ann_recall_sampled" -> (SimilarityQueries.annRecallReportSampled _),
@@ -247,6 +248,7 @@ object SparkEntry {
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
     "ann_pq_topk" -> SimilarityQueries.pqTopKSql,
+    "ann_pq_refined" -> SimilarityQueries.pqRefinedTopKSql,
     "ann_ivf_pq_topk" -> SimilarityQueries.ivfPqTopKSql,
     "ann_recall_report" -> SimilarityQueries.annRecallReportSql,
     "ann_recall_sampled" -> SimilarityQueries.annRecallReportSampledSql,

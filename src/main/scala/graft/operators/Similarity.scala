@@ -689,6 +689,52 @@ object Similarity {
     }
   }
 
+  /** [[pqCodebooks]] with one Lloyd (k-means) refinement round per
+    * subspace — the training step real PQ runs: every corpus sub-vector
+    * is assigned to its nearest donor entry, each entry is re-estimated
+    * as the member mean, and entries with no members keep their donor
+    * value (dense code indices must survive). Means use the same
+    * cross-engine-exact arithmetic as [[ivfRefinedTopK]]: components
+    * quantized to floor(v·2^20) and summed as LONGS (order-independent),
+    * then a fixed double-op sequence (sum → /count → /2^20 → float →
+    * double), every step IEEE-deterministic.
+    *
+    * Scale shape: assignment is [[pqEncode]]'s map-side expression (no
+    * join — codebooks are literals), the Lloyd step is one explode →
+    * (subspace, code, dim) partial-agg groupBy whose result is bounded
+    * at m·ksub·subDim rows — collected like [[sq8Ranges]]' dim-bounded
+    * stats.
+    */
+  def pqCodebooksRefined(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val cbs0 = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+    val subDim = dim / m
+    val pow20 = 1048576.0 // 2^20
+    val stats = corpus
+      .select(col(vecCol).as("v"), pqEncode(col(vecCol), cbs0).as("codes"))
+      .select(posexplode(col("codes")).as(Seq("s", "j")), col("v"))
+      .select(col("s"), col("j"),
+        explode(sequence(lit(0), lit(subDim - 1))).as("i"), col("v"))
+      .select(col("s"), col("j"), col("i"),
+        floor(element_at(col("v"),
+          col("s") * subDim + col("i") + 1).cast(DoubleType) * lit(pow20))
+          .as("q"))
+      .groupBy(col("s"), col("j"), col("i"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3).toDouble / r.getLong(4).toDouble / pow20)
+          .toFloat.toDouble)
+      .toMap
+    cbs0.zipWithIndex.map { case (cb, s) =>
+      cb.zipWithIndex.map { case (donor, j) =>
+        if (stats.contains((s, j, 0)))
+          (0 until subDim).map(i => stats((s, j, i)))
+        else donor
+      }
+    }
+  }
+
   /** Encode a float vector to `m` PQ codes: per subspace, the 0-based
     * index of the codebook entry with the smallest squared L2 distance
     * to the sub-vector (ties → lowest index, via `array_position`'s
@@ -737,8 +783,23 @@ object Similarity {
     * adds the pruning.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame = {
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
+      vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, k,
+      pqCodebooks(corpus, idCol, vecCol, m, ksub, dim))
+
+  /** [[pqTopK]] over Lloyd-refined codebooks
+    * ([[pqCodebooksRefined]]) — tighter cells than raw donor samples,
+    * same probe economics; the recall lift shows up in
+    * `ann_recall_report`.
+    */
+  def pqRefinedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, k,
+      pqCodebooksRefined(corpus, idCol, vecCol, m, ksub, dim))
+
+  private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
       pqEncode(col(vecCol), cbs).as("codes"))
       .withColumn("recon", pqRecon(col("codes"), cbs))

@@ -426,6 +426,80 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  /** [[pqTopK]] over Lloyd-refined codebooks: one k-means round per
+    * subspace re-estimates every codebook entry as its members' mean
+    * (exact quantized-long arithmetic, the `ivf_refined` contract),
+    * empty entries keep their donor value. The trained-codebook step
+    * real PQ runs; on this corpus the lift is visible in the sampled
+    * recall report (0.176 → 0.200) — at m=8/ksub=16 the quantization
+    * itself, not codebook placement, is the recall bottleneck, which
+    * is exactly the 32×-compression trade the pins document.
+    */
+  def pqRefinedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.pqRefinedTopK(emb, emb.filter(QueryPred), "vec_id",
+        "embedding", K, m = PqM, ksub = PqKsub, dim = Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def pqRefinedTopKSql: String = {
+    val subDim = Dim / PqM
+    val r = s"range(1, ${subDim + 1})"
+    s"""WITH $pqReconCtes,
+      |-- Lloyd step: member component means per (subspace, entry) in
+      |-- exact long arithmetic (floor(v·2^20) sums → fixed double-op
+      |-- sequence → float → double), empty entries keep donor values
+      |qsum AS (
+      |  SELECT c.s, c.code AS j, CAST(t.i AS BIGINT) AS i,
+      |    sum(CAST(floor(CAST(e.embedding[c.s*$subDim + t.i] AS DOUBLE)
+      |      * 1048576.0) AS BIGINT)) AS sum_q,
+      |    count(*) AS n
+      |  FROM pq_codes c JOIN embeddings e ON e.vec_id = c.n_id
+      |  CROSS JOIN UNNEST($r) t(i)
+      |  GROUP BY 1, 2, 3),
+      |refined AS (
+      |  SELECT s, j, list(CAST(CAST(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / 1048576.0 AS FLOAT) AS DOUBLE) ORDER BY i) AS cv
+      |  FROM qsum GROUP BY 1, 2),
+      |rcb AS (
+      |  SELECT t.s, d.j, coalesce(r.cv,
+      |    list_transform($r, i -> CAST(d.cb_vec[t.s*$subDim + i] AS DOUBLE)))
+      |    AS cv
+      |  FROM donors d CROSS JOIN subs t
+      |  LEFT JOIN refined r ON r.s = t.s AND r.j = d.j),
+      |-- re-encode against the refined codebooks
+      |dists2 AS (
+      |  SELECT e.vec_id AS n_id, rc.s, rc.j,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform($r, i ->
+      |        (CAST(e.embedding[rc.s*$subDim + i] AS DOUBLE) - rc.cv[i])
+      |        * (CAST(e.embedding[rc.s*$subDim + i] AS DOUBLE) - rc.cv[i]))),
+      |      (x, y) -> x + y) AS dist
+      |  FROM embeddings e CROSS JOIN rcb rc),
+      |codes2 AS (
+      |  SELECT n_id, s, j AS code FROM (
+      |    SELECT n_id, s, j,
+      |      row_number() OVER (PARTITION BY n_id, s ORDER BY dist, j) AS rk
+      |    FROM dists2) rr WHERE rk = 1),
+      |recon2 AS (
+      |  SELECT c.n_id, flatten(list(rc.cv ORDER BY c.s)) AS recon
+      |  FROM codes2 c JOIN rcb rc ON rc.s = c.s AND rc.j = c.code
+      |  GROUP BY c.n_id),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec
+      |  FROM embeddings WHERE $QueryPred),
+      |scored AS (
+      |  SELECT q.q_id, r2.n_id,
+      |    ${pqScoreSql("q.q_vec", "r2.recon")} AS score
+      |  FROM recon2 r2 CROSS JOIN q WHERE r2.n_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** IVF × PQ — the "IVF-PQ" composition production ANN engines ship:
     * full-precision centroids assign and pick probed lists, the lists
     * hold `PqM`-byte codes, probed candidates score against the
@@ -709,7 +783,8 @@ object SimilarityQueries {
   }
 
   private val RecallMethods: Seq[String] =
-    Seq("ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "lsh", "pq", "sq8")
+    Seq("ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "lsh", "pq",
+      "pq_refined", "sq8")
 
   /** Recall@k of every approximate ANN method against the brute-force
     * baseline, as a declared query: `(method, hits, possible, recall)`.
@@ -728,7 +803,7 @@ object SimilarityQueries {
       "ivf" -> (ivfTopK _), "ivf_refined" -> (ivfRefinedTopK _),
       "ivf_sq8" -> (ivfSq8TopK _), "lsh" -> (lshTopK _),
       "sq8" -> (sq8TopK _), "pq" -> (pqTopK _),
-      "ivf_pq" -> (ivfPqTopK _))
+      "pq_refined" -> (pqRefinedTopK _), "ivf_pq" -> (ivfPqTopK _))
     val per = RecallMethods.map { name =>
       fns(name)(spark, sfDir).select(col("q_id"), col("n_id"))
         .join(brute, Seq("q_id", "n_id"), "left_semi")
@@ -752,7 +827,7 @@ object SimilarityQueries {
       "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
       "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
-      "ivf_pq" -> ivfPqTopKSql)
+      "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n$sql\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:
@@ -857,6 +932,8 @@ object SimilarityQueries {
     val fns: Map[String, DataFrame] = Map(
       "pq" -> Similarity.pqTopK(emb, q, "vec_id", "embedding", K,
         m = PqM, ksub = PqKsub, dim = Dim),
+      "pq_refined" -> Similarity.pqRefinedTopK(emb, q, "vec_id",
+        "embedding", K, m = PqM, ksub = PqKsub, dim = Dim),
       "ivf_pq" -> Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", K,
         numCentroids = Centroids, nprobe = 3, m = PqM, ksub = PqKsub,
         dim = Dim),
@@ -902,7 +979,7 @@ object SimilarityQueries {
       "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
       "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
-      "ivf_pq" -> ivfPqTopKSql)
+      "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n${sampled(sql)}\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:

@@ -288,6 +288,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pq === again)
   }
 
+  test("refined PQ codebooks converge on the member means") {
+    // two tight clusters; refined entries must land ON the cluster
+    // means (within 2^-20 quantization), donors only near them
+    val pts = (0 until 40).map(i => (i.toLong,
+      Array.tabulate(4)(d => (if (i < 20) 100f else -100f) + (i % 5) * 0.1f + d)))
+    val c = pts.toDF("vec_id", "embedding")
+    val refined = Similarity.pqCodebooksRefined(c, "vec_id", "embedding",
+      m = 2, ksub = 2, dim = 4)
+    assert(refined.size === 2 && refined.forall(_.size === 2))
+    // every refined entry is a mean of member points (or a donor), so
+    // each component stays inside its cluster's value range:
+    // [100, 103.4] or [-100, -96.6]
+    refined.flatten.flatten.foreach { v =>
+      assert((v >= -100.5 && v <= -96.5) || (v >= 99.5 && v <= 103.5), v)
+    }
+    // refinement is deterministic
+    assert(refined === Similarity.pqCodebooksRefined(c, "vec_id",
+      "embedding", m = 2, ksub = 2, dim = 4))
+  }
+
   test("persisted-IVF top-k is bit-identical to the recompute form") {
     val dim = 8
     def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
@@ -329,6 +349,7 @@ class SimilaritySpec extends SparkSpec {
       ("ivf_sq8", 19L, 50L),
       ("lsh", 4L, 50L),
       ("pq", 6L, 50L),
+      ("pq_refined", 6L, 50L),
       ("sq8", 50L, 50L)))
 
     // the hash-SAMPLED form (the 100×-feasible estimator) is equally
@@ -344,6 +365,7 @@ class SimilaritySpec extends SparkSpec {
       ("ivf_sq8", 66L, 165L, 33L),
       ("lsh", 21L, 165L, 33L),
       ("pq", 29L, 165L, 33L),
+      ("pq_refined", 33L, 165L, 33L),
       ("sq8", 161L, 165L, 33L)))
     // the estimate tracks the exhaustive gate: every method's sampled
     // recall lands within 0.15 of its exhaustive recall
