@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
     "dedup_simhash_buckets" -> (DedupQueries.simHashOversized _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
+    "dedup_edit_distance" -> (DedupQueries.editDistance _),
     "dedup_components" -> (DedupQueries.components _),
     "dedup_canonicalize" -> (DedupQueries.canonicalize _),
     "dedup_cluster_stats" -> (DedupQueries.clusterStats _),
@@ -111,6 +112,8 @@ object SparkEntry {
     "text_repetition" -> (TextQueries.repetition _),
     "text_tokens_bpe" -> (TextQueries.tokensBpe _),
     "text_tokens_bpe_oov" -> (TextQueries.tokensBpeOov _),
+    "text_lm_score" -> (TextQueries.lmScore _),
+    "text_pmi_phrases" -> (TextQueries.pmiPhrases _),
     "decontaminate" -> (DedupQueries.decontaminateReport _),
     // training-pipeline assembly ops
     "pack_sequences" -> (PipelineQueries.packSequences _),
@@ -201,6 +204,7 @@ object SparkEntry {
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
+    "dedup_edit_distance" -> DedupQueries.editDistanceSql,
     "dedup_components" -> DedupQueries.componentsSql,
     "dedup_canonicalize" -> DedupQueries.canonicalizeSql,
     "dedup_cluster_stats" -> DedupQueries.clusterStatsSql,
@@ -224,6 +228,8 @@ object SparkEntry {
     "text_repetition" -> TextQueries.repetitionSql,
     "text_tokens_bpe" -> TextQueries.tokensBpeSql,
     "text_tokens_bpe_oov" -> TextQueries.tokensBpeOovSql,
+    "text_lm_score" -> TextQueries.lmScoreSql,
+    "text_pmi_phrases" -> TextQueries.pmiPhrasesSql,
     "decontaminate" -> DedupQueries.decontaminateReportSql,
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,

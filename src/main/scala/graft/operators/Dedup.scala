@@ -492,6 +492,52 @@ object Dedup {
     minHashNearDupsReport(docs, idCol, textCol, shingleN, numHashes, bands,
       threshold, portable = portable).pairs
 
+  /** Edit-distance-verified near-duplicates: the same MinHash+LSH
+    * banding as [[minHashNearDupsReport]] proposes candidates, but the
+    * verify is CHARACTER-LEVEL Levenshtein distance instead of shingle
+    * Jaccard — the "near-identical with minor edits" detector (template
+    * instantiations, typo-level revisions) where set-similarity is too
+    * coarse. A pair survives when its distance is at most
+    * `maxDistRatio` of the LONGER text (`dist ≤ floor(r·max_len)` — the
+    * one IEEE multiply + floor is exact cross-engine), and the emitted
+    * `edit_ratio` is the normalized distance.
+    *
+    * Scale shape: identical to the Jaccard form until the verify —
+    * banding costs band-key shuffles with capped buckets, and the
+    * verify is O(len²) dynamic programming PER CANDIDATE PAIR only
+    * (never all-pairs). The two text joins ship candidate texts to the
+    * pair, which is the unavoidable cost of a character-level verify;
+    * with an absolute distance cap, Spark's banded
+    * `levenshtein(l, r, threshold)` cuts the DP to O(len·threshold).
+    */
+  def editDistanceNearDups(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxDistRatio: Double = 0.05, maxBucket: Int = 1000,
+      portable: Boolean = true): NearDupReport = {
+    val sh = CachedPlans.cached(
+      hashedShingleTable(docs, idCol, textCol, shingleN, portable))
+    val sig = minHashSignatures(sh, idCol, numHashes, portable)
+    val (pairs, oversized) = candidatePairs(
+      lshBandKeys(sig, idCol, bands, numHashes / bands, portable), idCol,
+      maxBucket)
+    val txt = docs.select(col(idCol), col(textCol))
+    val verified = pairs
+      .join(txt.select(col(idCol).as("a_id"), col(textCol).as("_ta")),
+        Seq("a_id"))
+      .join(txt.select(col(idCol).as("b_id"), col(textCol).as("_tb")),
+        Seq("b_id"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("_ta")), length(col("_tb"))).cast("long"))
+      .filter(col("dist") <=
+        floor(lit(maxDistRatio) * col("max_len").cast(DoubleType)))
+      .withColumn("edit_ratio",
+        col("dist").cast(DoubleType) / col("max_len").cast(DoubleType))
+      .select(col("a_id"), col("b_id"), col("dist"), col("max_len"),
+        col("edit_ratio"))
+    NearDupReport(verified, oversized)
+  }
+
   // ------------------------------------------------- incremental dedup
 
   /** Incremental EXACT dedup: verdict each document of a NEW batch

@@ -68,4 +68,46 @@ object Packing {
       .select(col(idCol), col(tokenCol), col("cum_before"), col("bin_id"),
         col("bin_offset"))
   }
+
+  /** Global 1-based rank of every row under `sortExprs` — which MUST be
+    * a total order (include an id tiebreaker) — with the same scale
+    * shape as [[packByTokenBudget]]: range-partition on the sort key,
+    * a one-row-per-partition counts pre-job, partition-local
+    * `row_number`s lifted to global ranks by the collected offsets. No
+    * global window, no single reducer — the replacement for
+    * `row_number() OVER (ORDER BY …)` wherever a corpus-wide rank
+    * feeds a downstream decision (quantile bucketing, head/tail cuts).
+    *
+    * The cache on the sorted layout is load-bearing for the same reason
+    * as in [[packByTokenBudget]]: RangePartitioner re-samples boundaries
+    * per execution, and the counts pre-job and final projection must see
+    * ONE layout.
+    */
+  def globalRank(df: DataFrame, rankCol: String,
+      sortExprs: org.apache.spark.sql.Column*): DataFrame = {
+    val localIdxBits = 33
+    val sorted = graft.plans.CachedPlans.cached(
+      df.repartitionByRange(sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn("_mid", monotonically_increasing_id()))
+    val pidOf = shiftright(col("_mid"), localIdxBits)
+    val totals = sorted.groupBy(pidOf.as("_pid"))
+      .agg(count(lit(1)).as("_t"))
+      .collect() // one row per shuffle partition — tiny
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (pid, t)) =>
+      (pid, acc + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*), pidOf)
+    // _mid is monotone within a partition over the sorted layout, so the
+    // keyed window ranks in sortExprs order without re-sorting
+    val w = Window.partitionBy(pidOf).orderBy(col("_mid"))
+    sorted
+      .withColumn(rankCol, row_number().over(w).cast("long") + offsetExpr)
+      .drop("_mid")
+  }
 }

@@ -281,6 +281,60 @@ object DedupQueries {
       |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** [[graft.operators.Dedup.editDistanceNearDups]] over documents:
+    * LSH-banded candidates verified by character-level Levenshtein,
+    * kept when the distance is ≤ 5% of the longer text — the
+    * minor-edit near-identical detector. Both engines compute full
+    * Levenshtein (identical DP semantics over these ASCII texts), and
+    * the ratio cut `dist ≤ floor(0.05·max_len)` is one exact IEEE
+    * multiply + floor in each.
+    */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.editDistanceNearDups(
+      tbl(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, maxDistRatio = 0.05)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+
+  def editDistanceSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min(('0x' || substr(md5(concat_ws('|', $i, shingle)), 1, 15))::BIGINT) AS h$i")
+      .mkString(",\n    ")
+    val bandKeys = (0 until 4).map { b =>
+      val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCte(3, "sh3_raw")},
+      |sh3 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh3_raw),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM sh3 GROUP BY doc_id),
+      |bk AS (
+      |  $bandKeys),
+      |ok AS (
+      |  SELECT band, band_key FROM bk
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
+      |bkc AS (SELECT bk.* FROM bk JOIN ok USING (band, band_key)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bkc a JOIN bkc b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT p.a_id, p.b_id,
+      |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+      |    CAST(greatest(len(da.text), len(db.text)) AS BIGINT) AS max_len
+      |  FROM pairs p
+      |  JOIN documents da ON da.doc_id = p.a_id
+      |  JOIN documents db ON db.doc_id = p.b_id)
+      |SELECT a_id, b_id, dist, max_len,
+      |  CAST(dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS edit_ratio
+      |FROM verified
+      |WHERE dist <= floor(0.05 * CAST(max_len AS DOUBLE))
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Transitive dup clusters over the MinHash near-dup pairs: every doc
     * in a connected cluster labeled with the cluster's min doc_id — the
     * canonicalization step a real dedup pipeline runs after pair

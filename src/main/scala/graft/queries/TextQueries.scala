@@ -1044,4 +1044,180 @@ object TextQueries {
       |SELECT est.g AS ngram, est.est AS est, exact.exact_cnt
       |FROM est JOIN exact USING (g)
       |ORDER BY est DESC, ngram LIMIT 20""".stripMargin
+
+  // ------------------------------------------- n-gram LM quality scoring
+
+  private val LmQuantScale = 1073741824.0 // 2^30
+
+  /** Per-doc transitions (w1 → w2 for consecutive token pairs) — a pure
+    * per-row expression: the token array zipped against itself shifted
+    * by one, no shuffle until the counts aggregate.
+    */
+  private def transitions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+          "(w, i) -> named_struct('w1', w, 'w2', element_at(t, i + 2)))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  private def unigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n1"))
+
+  /** CCNet-style language-model quality scoring: a bigram LM with add-1
+    * smoothing is trained on the corpus itself and every document is
+    * scored by its MEAN transition probability
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)`, then cut into head / middle
+    * / tail thirds by global score rank — the perplexity-bucket
+    * filtering step of CCNet/CC-Net-style pipelines (Wenzek et al.
+    * 2020), with mean-probability standing in for perplexity so the
+    * score stays EXACT cross-engine: each p is quantized to
+    * `floor(p·2^30)` (the division is one correctly-rounded IEEE op and
+    * the 2^30 scaling is exact), summed as longs (order-independent),
+    * and the mean is a fixed two-division sequence.
+    *
+    * Scale shape: two token-keyed aggregates (unigram, bigram counts),
+    * one join of the corpus transitions against the bigram table (AQE
+    * broadcasts it when the vocabulary is small, shuffles otherwise),
+    * `V` rides a 1-row broadcast, and the global rank for the tertile
+    * cut is [[graft.operators.Packing.globalRank]]'s range-partition +
+    * lifted-offsets form — no single-partition window anywhere.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val trans = graft.plans.CachedPlans.cached(transitions(docs))
+    val uni = unigrams(docs)
+    val vRow = broadcast(uni.select(count(lit(1)).as("v")))
+    val big = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+    val scored = trans
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(vRow)
+      .select(col("doc_id"),
+        floor((col("n12") + 1).cast(DoubleType) /
+            (col("n1") + col("v")).cast(DoubleType) * lit(LmQuantScale))
+          .cast("long").as("q"))
+    val perDoc = docs.select(col("doc_id"))
+      .join(scored.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trans"), sum(col("q")).as("lm_q")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("lm_q"), lit(0L)).as("lm_q"))
+      .withColumn("lm_score",
+        when(col("n_trans") === 0, lit(0.0))
+          .otherwise(col("lm_q").cast(DoubleType) /
+            col("n_trans").cast(DoubleType) / lit(LmQuantScale)))
+    val nRow = broadcast(perDoc.select(count(lit(1)).as("nn")))
+    graft.operators.Packing
+      .globalRank(perDoc, "rn", col("lm_score").desc, col("doc_id"))
+      .crossJoin(nRow)
+      .withColumn("bucket", expr("CAST(1 + ((rn - 1) * 3) DIV nn AS INT)"))
+      .select(col("doc_id"), col("n_trans"), col("lm_q"), col("lm_score"),
+        col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  private val TransCte =
+    """trans AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks))""".stripMargin
+
+  def lmScoreSql: String =
+    s"""WITH $ToksCte,
+      |uni AS (SELECT w, count(*) AS n1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |v AS (SELECT count(*) AS v FROM uni),
+      |$TransCte,
+      |big AS (SELECT w1, w2, count(*) AS n12 FROM trans GROUP BY w1, w2),
+      |scored AS (
+      |  SELECT tr.doc_id,
+      |    CAST(floor(CAST(b.n12 + 1 AS DOUBLE) / CAST(u.n1 + v.v AS DOUBLE)
+      |      * $LmQuantScale) AS BIGINT) AS q
+      |  FROM trans tr
+      |  JOIN big b ON b.w1 = tr.w1 AND b.w2 = tr.w2
+      |  JOIN uni u ON u.w = tr.w1
+      |  CROSS JOIN v),
+      |doc AS (
+      |  SELECT d.doc_id, CAST(count(s.q) AS BIGINT) AS n_trans,
+      |    CAST(coalesce(sum(s.q), 0) AS BIGINT) AS lm_q
+      |  FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      |  GROUP BY d.doc_id),
+      |final AS (
+      |  SELECT doc_id, n_trans, lm_q,
+      |    CASE WHEN n_trans = 0 THEN 0.0
+      |      ELSE CAST(lm_q AS DOUBLE) / CAST(n_trans AS DOUBLE) / $LmQuantScale
+      |    END AS lm_score
+      |  FROM doc),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY lm_score DESC, doc_id) AS rn,
+      |    count(*) OVER () AS nn
+      |  FROM final)
+      |SELECT doc_id, n_trans, lm_q, lm_score,
+      |  CAST(1 + ((rn - 1) * 3) // nn AS INTEGER) AS bucket
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  private val PmiMinCount = 5
+  private val PmiK = 50
+
+  /** PMI collocation mining: the top-`$PmiK` bigrams by pointwise mutual
+    * information — the phrase-mining step that seeds tokenizer special
+    * vocab and n-gram merge lists. PMI = log of the independence ratio
+    * `p(w1,w2)/(p(w1)p(w2))`; log is monotone, so the query ranks and
+    * reports the RATIO itself, keeping every compared value exact
+    * cross-engine: `(n12/n1)·(N/n2)` is a fixed sequence of two
+    * correctly-rounded IEEE divisions and one multiplication (this
+    * factoring also cannot overflow — the naive `n12·N/(n1·n2)` long
+    * products would at corpus scale). Bigrams below $PmiMinCount
+    * occurrences are dropped (the standard low-count PMI guard).
+    *
+    * Scale shape: bigram + unigram count aggregates, two joins of the
+    * bounded bigram table against the bounded unigram table, `N` on a
+    * 1-row broadcast, global top-K by sort-limit (Spark's
+    * TakeOrderedAndProject — no full sort materialization).
+    */
+  def pmiPhrases(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val trans = transitions(docs)
+    val uni = unigrams(docs)
+    val nRow = broadcast(
+      docs.select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .select(count(lit(1)).as("nt")))
+    trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("n1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n1").as("n2")), Seq("w2"))
+      .crossJoin(nRow)
+      .withColumn("pmi_ratio",
+        col("n12").cast(DoubleType) / col("n1").cast(DoubleType) *
+          (col("nt").cast(DoubleType) / col("n2").cast(DoubleType)))
+      .select(col("w1"), col("w2"), col("n12"), col("n1"), col("n2"),
+        col("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(PmiK)
+  }
+
+  def pmiPhrasesSql: String =
+    s"""WITH $ToksCte,
+      |uni AS (SELECT w, count(*) AS n1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |nt AS (SELECT CAST(sum(len(t)) AS BIGINT) AS nt FROM toks),
+      |$TransCte,
+      |big AS (SELECT w1, w2, count(*) AS n12 FROM trans GROUP BY w1, w2)
+      |SELECT b.w1, b.w2, b.n12, u1.n1, u2.n1 AS n2,
+      |  CAST(b.n12 AS DOUBLE) / CAST(u1.n1 AS DOUBLE)
+      |    * (CAST(nt.nt AS DOUBLE) / CAST(u2.n1 AS DOUBLE)) AS pmi_ratio
+      |FROM big b
+      |JOIN uni u1 ON u1.w = b.w1
+      |JOIN uni u2 ON u2.w = b.w2
+      |CROSS JOIN nt
+      |WHERE b.n12 >= $PmiMinCount
+      |ORDER BY pmi_ratio DESC, b.w1, b.w2 LIMIT $PmiK""".stripMargin
 }

@@ -214,6 +214,30 @@ class DedupSpec extends SparkSpec {
       pairs(DedupQueries.ngramJaccard(spark, sf)))
   }
 
+  test("editDistanceNearDups verifies banded candidates by Levenshtein") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark woods tonight"
+    val docs = Seq(
+      (1L, base),                        // original
+      (2L, base.dropRight(1) + "s"),     // one-char edit → dist 1
+      (3L, base),                        // exact copy → dist 0
+      (4L, "completely different content about spark catalyst plans " +
+        "and tungsten codegen with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDups(docs, "doc_id", "text",
+        maxDistRatio = 0.05).pairs
+      .select("a_id", "b_id", "dist").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(got === Seq((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+    // ratio 0 keeps only exact copies — the cut is on the verify, not
+    // the banding
+    val strict = Dedup.editDistanceNearDups(docs, "doc_id", "text",
+        maxDistRatio = 0.0).pairs
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(strict === Seq((1L, 3L)))
+  }
+
   test("incrementalExact verdicts a batch against the corpus without re-pairing it") {
     import graft.operators.Dedup
     val existing = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"))

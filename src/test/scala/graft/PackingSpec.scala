@@ -47,4 +47,37 @@ class PackingSpec extends SparkSpec {
       .filter(col("b.cum_before") =!= col("a.cum_before") + col("a.n_tokens"))
     assert(bad.isEmpty, "adjacent cum_before not contiguous")
   }
+
+  test("globalRank matches a window row_number under a desc total order") {
+    // scores with heavy ties — the id tiebreaker must resolve them the
+    // same way in both computations
+    val rows = (0L until 5000L).map(i => (i, (i * 2654435761L) % 17L))
+    val df = rows.toDF("doc_id", "score")
+    val got = Packing
+      .globalRank(df, "rn", col("score").desc, col("doc_id"))
+      .select("doc_id", "rn").as[(Long, Long)].collect().toMap
+    val expected = rows.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got === expected)
+  }
+
+  test("globalRank survives range-boundary sampling at 200k rows") {
+    val df = spark.range(0, 200000)
+      .select(col("id").as("doc_id"),
+        pmod(col("id") * 2654435761L, lit(97L)).as("score"))
+    val ranked = Packing.globalRank(df, "rn", col("score"), col("doc_id"))
+    // ranks are a permutation of 1..N
+    val (n, mn, mx, s) = ranked
+      .agg(count(lit(1)), min("rn"), max("rn"), sum("rn"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(n === 200000L && mn === 1L && mx === 200000L)
+    assert(s === 200000L * 200001L / 2L, "ranks are not a permutation")
+    // and ordered consistently with the sort key: no inversion exists
+    val inv = ranked.as("a").join(ranked.as("b"),
+        col("a.rn") + 1 === col("b.rn"))
+      .filter(col("a.score") > col("b.score") ||
+        (col("a.score") === col("b.score") &&
+          col("a.doc_id") >= col("b.doc_id")))
+    assert(inv.isEmpty, "adjacent ranks out of sort order")
+  }
 }
