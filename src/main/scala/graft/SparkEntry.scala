@@ -84,10 +84,12 @@ object SparkEntry {
     "span_overlap" -> (DedupQueries.spanOverlap _),
     "dedup_spans_clean" -> (DedupQueries.spanDedupClean _),
     "text_quality_filter" -> (TextQueries.qualityFilter _),
+    "text_gopher_rules" -> (TextQueries.gopherRules _),
     "shard_export" -> (PipelineQueries.shardExport _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
+    "ann_binary_topk" -> (SimilarityQueries.binaryTopK _),
     "ann_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "ann_ivf_refined" -> (SimilarityQueries.ivfRefinedTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
@@ -119,6 +121,7 @@ object SparkEntry {
     "pack_sequences" -> (PipelineQueries.packSequences _),
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "corpus_mix_temperature" -> (PipelineQueries.corpusMixTemperature _),
+    "corpus_importance_weights" -> (PipelineQueries.importanceWeights _),
     "chunk_documents_cdc" -> (PipelineQueries.chunkDocumentsCdc _),
     "dedup_chunks" -> (PipelineQueries.dedupChunks _),
     "dedup_chunks_incremental" -> (PipelineQueries.dedupChunksIncremental _),
@@ -212,9 +215,11 @@ object SparkEntry {
     "span_overlap" -> DedupQueries.spanOverlapSql,
     "dedup_spans_clean" -> DedupQueries.spanDedupCleanSql,
     "text_quality_filter" -> TextQueries.qualityFilterSql,
+    "text_gopher_rules" -> TextQueries.gopherRulesSql,
     "shard_export" -> PipelineQueries.shardExportSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
+    "ann_binary_topk" -> SimilarityQueries.binaryTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "ann_ivf_refined" -> SimilarityQueries.ivfRefinedTopKSql,
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
@@ -234,6 +239,7 @@ object SparkEntry {
     "pack_sequences" -> PipelineQueries.packSequencesSql,
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "corpus_mix_temperature" -> PipelineQueries.corpusMixTemperatureSql,
+    "corpus_importance_weights" -> PipelineQueries.importanceWeightsSql,
     "chunk_documents_cdc" -> PipelineQueries.chunkDocumentsCdcSql,
     "dedup_chunks" -> PipelineQueries.dedupChunksSql,
     "dedup_chunks_incremental" -> PipelineQueries.dedupChunksIncrementalSql,

@@ -98,6 +98,61 @@ object Similarity {
       .select("q_id", "n_id", "rank", "score")
   }
 
+  /** Sign-bit binary code: bit i set iff vec[i] > 0, packed into one
+    * LONG (dim ≤ 64). The 1-bit-per-dimension quantization of
+    * Charikar-style sign hashing — a 64-dim float vector (256 B) becomes
+    * 8 B, so the candidate-generation pass streams 32× less data than a
+    * float scan and compares codes with one xor+popcount. Exact integer
+    * arithmetic end-to-end (distinct powers of two cannot carry), so any
+    * engine derives the identical code from the same vector.
+    */
+  def binaryCode(vec: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 64,
+      s"binaryCode packs into one long, dim <= 64, got $dim")
+    val pows = array((0 until dim).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(vec, pows, (v, p) => when(v > lit(0f), p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Binary-quantized top-k: Hamming distance over packed sign codes
+    * selects `cand` candidates per query (ties by n_id), which are then
+    * re-ranked by exact cosine. The classic two-stage binary pre-filter:
+    * stage 1 touches only an 8-byte code per corpus row (at 100 TB a
+    * persisted code column is a ~32× smaller scan than the floats, and
+    * the broadcast query side keeps it a map-shaped pass into a keyed
+    * top-cand window); stage 2's float math runs on cand×|queries| rows
+    * only. The Hamming distances are exact integers, so the candidate
+    * cut is engine-identical; the re-rank is the usual sequential-fold
+    * cosine. Output shape matches bruteForceTopK plus the stage-1
+    * `hamming` distance.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cand: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"),
+      binaryCode(col(vecCol), dim).as("n_code"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"),
+      binaryCode(col(vecCol), dim).as("q_code"))
+    val ham = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("hamming",
+        bit_count(col("n_code").bitwiseXOR(col("q_code"))))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("n_id"))
+    val scored = ham.withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= cand)
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "hamming", "score")
+  }
+
   /** IVF-style approximate top-k: an inverted file over deterministic
     * centroids — the `numCentroids` corpus vectors that sort first by
     * md5(id). Hash order is a uniform pseudo-random sample, reproducible

@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.{PortableHash, TextFunctions}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import Tables._
@@ -541,4 +542,100 @@ object PipelineQueries {
       |SELECT tok, CAST(count(*) AS BIGINT) AS n
       |FROM toks GROUP BY tok
       |ORDER BY n DESC, tok LIMIT $VocabK""".stripMargin
+
+  private val IwBuckets = 64
+  private val IwScale = 10000.0
+  private val IwTargetLang = "en"
+
+  /** DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how much its hashed-unigram distribution
+    * resembles a target slice (here lang='en') relative to the whole
+    * corpus, then bucket the ranking into terciles — the reweighting
+    * step that precedes importance resampling.
+    *
+    * Hashed n-gram features: each word maps to one of 64 buckets via the
+    * portable md5-derived hash, so the feature space is fixed-size at any
+    * corpus scale. Per-word contribution is the add-one-smoothed
+    * likelihood ratio (cnt_t+1)(R+64) / ((cnt_r+1)(T+64)), quantized to
+    * an integer (floor ×10⁴) so per-doc sums are order-independent — the
+    * published log-space weight is swapped for this rational form because
+    * ln() is not bit-reproducible across engines while IEEE ×,÷,floor
+    * are. Shape: one explode, one 64-row bucket aggregate (broadcast
+    * back), one per-doc sum — no shuffle grows with the corpus beyond
+    * the word groupBys.
+    */
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val words = docs.select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+      .withColumn("bucket",
+        pmod(PortableHash.md5Long(col("w")), lit(IwBuckets.toLong)))
+    val stats = words.groupBy(col("bucket")).agg(
+      sum(when(col("lang") === IwTargetLang, 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val totals = broadcast(stats.agg(
+      sum(col("cnt_t")).as("tt"), sum(col("cnt_r")).as("rr")))
+    // bucket-level quantized likelihood ratio: 64 rows, broadcast back
+    val bucketQ = broadcast(stats.crossJoin(totals).select(col("bucket"),
+      floor((col("cnt_t") + 1).cast(DoubleType) *
+          (col("rr") + IwBuckets).cast(DoubleType) /
+          ((col("cnt_r") + 1).cast(DoubleType) *
+            (col("tt") + IwBuckets).cast(DoubleType)) * IwScale)
+        .cast("long").as("q")))
+    val perDoc = words.join(bucketQ, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("q")).as("iw_q"))
+      .withColumn("iw_score",
+        col("iw_q").cast(DoubleType) / col("n_words").cast(DoubleType) /
+          IwScale)
+    val nRow = broadcast(perDoc.select(count(lit(1)).as("nn")))
+    graft.operators.Packing
+      .globalRank(perDoc, "rn", col("iw_score").desc, col("doc_id"))
+      .crossJoin(nRow)
+      .withColumn("tercile", expr("CAST(1 + ((rn - 1) * 3) DIV nn AS INT)"))
+      .select(col("doc_id"), col("n_words"), col("iw_q"), col("iw_score"),
+        col("tercile"))
+      .orderBy(col("doc_id"))
+  }
+
+  def importanceWeightsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(w), 1, 15))::BIGINT % $IwBuckets AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(t) AS w FROM toks)),
+      |stats AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN lang = '$IwTargetLang' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+      |    CAST(count(*) AS BIGINT) AS cnt_r
+      |  FROM words GROUP BY bucket),
+      |totals AS (
+      |  SELECT CAST(sum(cnt_t) AS BIGINT) AS tt,
+      |    CAST(sum(cnt_r) AS BIGINT) AS rr
+      |  FROM stats),
+      |bucket_q AS (
+      |  SELECT bucket,
+      |    CAST(floor(CAST(cnt_t + 1 AS DOUBLE) * CAST(rr + $IwBuckets AS DOUBLE)
+      |      / (CAST(cnt_r + 1 AS DOUBLE) * CAST(tt + $IwBuckets AS DOUBLE))
+      |      * $IwScale) AS BIGINT) AS q
+      |  FROM stats CROSS JOIN totals),
+      |per_doc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(q) AS BIGINT) AS iw_q
+      |  FROM words JOIN bucket_q USING (bucket)
+      |  GROUP BY doc_id),
+      |final AS (
+      |  SELECT doc_id, n_words, iw_q,
+      |    CAST(iw_q AS DOUBLE) / CAST(n_words AS DOUBLE) / $IwScale AS iw_score
+      |  FROM per_doc),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY iw_score DESC, doc_id) AS rn,
+      |    count(*) OVER () AS nn
+      |  FROM final)
+      |SELECT doc_id, n_words, iw_q, iw_score,
+      |  CAST(1 + ((rn - 1) * 3) // nn AS INTEGER) AS tercile
+      |FROM ranked ORDER BY doc_id""".stripMargin
 }

@@ -96,6 +96,52 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  private val BinaryCand = 50
+
+  /** Binary sign-hash top-k: packed 64-bit sign codes, Hamming top-cand
+    * pre-filter, exact cosine re-rank (see Similarity.binaryTopK for the
+    * 32×-smaller-scan scale story).
+    */
+  def binaryTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.binaryTopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
+        K, BinaryCand, Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle: the Hamming distance is recomputed dimension-wise (count of
+    * sign disagreements) — bit packing is a representation choice, the
+    * integer distance it yields is the same.
+    */
+  def binaryTopKSql: String =
+    s"""WITH c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |ham AS (
+      |  SELECT q_id, n_id, n_vec, q_vec, n_norm, q_norm,
+      |    len(list_filter(list_zip(n_vec, q_vec),
+      |      z -> (CAST(z[1] AS DOUBLE) > 0) <> (CAST(z[2] AS DOUBLE) > 0))) AS hamming
+      |  FROM c CROSS JOIN q WHERE n_id <> q_id),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY hamming, n_id) AS crank
+      |  FROM ham),
+      |scored AS (
+      |  SELECT q_id, n_id, hamming,
+      |    ${dotSql("n_vec", "q_vec")} / nullif(sqrt(n_norm) * sqrt(q_norm), 0.0) AS score
+      |  FROM cand WHERE crank <= $BinaryCand),
+      |ranked AS (
+      |  SELECT q_id, n_id, hamming, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, hamming, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
+
   private val Centroids = 20
 
   /** IVF approximate top-k: bounded deterministic centroids (the 20

@@ -116,6 +116,81 @@ object TextQueries {
       |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Words shared by the Gopher-rule thresholds: function/domain words
+    * present in ~77% of synthetic docs, so the containment rule splits
+    * the corpus instead of passing or failing everything.
+    */
+  private val GopherStopwords = Seq("the", "a", "data", "value")
+
+  /** Gopher-style rule-based document filter (Rae et al. 2021,
+    * arXiv:2112.11446 Table A1 — thresholds re-tuned to the synthetic
+    * corpus): word-count bounds, mean-word-length band, most-common-word
+    * dominance, and stop-word containment, reported per rule with the
+    * first failing rule as the verdict. One explode + two keyed
+    * aggregations (word counts, then per-doc stats) — scan-shaped, no
+    * global window; every metric is integer counts or one exact double
+    * division, so each branch decision is engine-exact.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val words = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+    val wc = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = wc.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_words"),
+      sum(col("cnt") * length(col("w"))).as("sum_len"),
+      max(col("cnt")).as("top_cnt"),
+      sum(when(col("w").isin(GopherStopwords: _*), 1L).otherwise(0L))
+        .as("stop_hits"))
+    stats
+      .withColumn("mean_wlen",
+        col("sum_len").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("top_frac",
+        col("top_cnt").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .withColumn("verdict",
+        when(col("n_words") < 25, "too_short")
+          .when(col("n_words") > 90, "too_long")
+          .when(col("mean_wlen") < 4.3 || col("mean_wlen") > 4.7,
+            "word_length")
+          .when(col("top_frac") > 0.10, "repetition")
+          .when(col("stop_hits") < 2, "no_stopwords")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+        col("top_frac"), col("stop_hits"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def gopherRulesSql: String = {
+    val stopList = GopherStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH $ToksCte,
+      |wc AS (
+      |  SELECT doc_id, w, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      |  GROUP BY doc_id, w),
+      |stats AS (
+      |  SELECT doc_id,
+      |    CAST(sum(cnt) AS BIGINT) AS n_words,
+      |    CAST(sum(cnt * len(w)) AS BIGINT) AS sum_len,
+      |    CAST(max(cnt) AS BIGINT) AS top_cnt,
+      |    CAST(sum(CASE WHEN list_contains($stopList, w) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS stop_hits
+      |  FROM wc GROUP BY doc_id),
+      |m AS (
+      |  SELECT *,
+      |    CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
+      |    CAST(top_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_frac
+      |  FROM stats)
+      |SELECT doc_id, n_words, mean_wlen, top_frac, stop_hits,
+      |  CASE WHEN n_words < 25 THEN 'too_short'
+      |       WHEN n_words > 90 THEN 'too_long'
+      |       WHEN mean_wlen < 4.3 OR mean_wlen > 4.7 THEN 'word_length'
+      |       WHEN top_frac > 0.10 THEN 'repetition'
+      |       WHEN stop_hits < 2 THEN 'no_stopwords'
+      |       ELSE 'kept' END AS verdict
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus curation: top-20 highest-quality docs per declared language
     * — the per-group quota sampling step of a training-data pipeline.
     * One shuffle on lang (keyed window, never global).

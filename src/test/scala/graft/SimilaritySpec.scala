@@ -58,6 +58,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("binaryCode packs sign bits little-endian into one long") {
+    import graft.operators.Similarity.binaryCode
+    // signs (+,-,+,0,-,+) → bits 0,2,5 set (a zero coordinate is NOT
+    // positive, so it contributes no bit)
+    val df = Seq(Array(1f, -2f, 3f, 0f, -0.5f, 7f)).toDF("v")
+    val code = df.select(binaryCode($"v", 6).as("c")).head().getLong(0)
+    assert(code === ((1L << 0) | (1L << 2) | (1L << 5)))
+    // full-width dim=64: all-positive sets every bit
+    val all = Seq(Array.fill(64)(1f)).toDF("v")
+      .select(binaryCode($"v", 64).as("c")).head().getLong(0)
+    assert(all === -1L)
+    intercept[IllegalArgumentException] {
+      binaryCode($"v", 65)
+    }
+  }
+
+  test("binaryTopK with cand covering the corpus reproduces brute force") {
+    val c = corpus(60)
+    val q = c.filter($"vec_id" < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // with the candidate cut wider than the corpus, the Hamming
+    // pre-filter drops nothing and the exact re-rank IS brute force
+    val bin = Similarity.binaryTopK(c, q, "vec_id", "embedding",
+      k = 5, cand = 100, dim = 8)
+    val brute = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", k = 5)
+    assert(rows(bin) === rows(brute))
+    // a tight cut still yields k ranked rows per query with hamming
+    // non-decreasing inside the candidate stage's cut
+    val tight = Similarity.binaryTopK(c, q, "vec_id", "embedding",
+      k = 3, cand = 10, dim = 8)
+    val byQ = tight.groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L) && byQ.values.forall(_ === 3L))
+  }
+
   test("ivfTopK returns k ranked neighbors per query") {
     val c = corpus(500)
     val out = Similarity.ivfTopK(c, c.filter($"vec_id" < 3), "vec_id",
