@@ -90,6 +90,7 @@ object SparkEntry {
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
     "ann_binary_topk" -> (SimilarityQueries.binaryTopK _),
+    "ann_binary_indexed_topk" -> (SimilarityQueries.binaryIndexedTopK _),
     "ann_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "ann_ivf_refined" -> (SimilarityQueries.ivfRefinedTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
@@ -220,6 +221,7 @@ object SparkEntry {
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_binary_topk" -> SimilarityQueries.binaryTopKSql,
+    "ann_binary_indexed_topk" -> SimilarityQueries.binaryIndexedTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "ann_ivf_refined" -> SimilarityQueries.ivfRefinedTopKSql,
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,

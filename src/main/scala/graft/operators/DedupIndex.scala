@@ -152,7 +152,7 @@ object DedupIndex {
     val signs = Similarity.hyperplaneSigns(planes, dim)
     val ranges = Similarity.sq8Ranges(corpus, vecCol, dim)
     writeComponent(
-      vectorRows(corpus, idCol, vecCol, signs, ranges),
+      vectorRows(corpus, idCol, vecCol, signs, ranges, dim),
       dir, "buckets", Seq("bucket"), n)
     val cent = centroidRows(corpus, idCol, vecCol, numCentroids)
     cent.coalesce(1).write.mode("overwrite")
@@ -171,7 +171,7 @@ object DedupIndex {
       .write.mode("overwrite")
       .parquet(componentPath(dir, "ranges").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "fmt" -> "3", "planes" -> planes.toString,
+      "kind" -> "vector", "fmt" -> "4", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString,
       "centroids" -> numCentroids.toString))
   }
@@ -213,11 +213,12 @@ object DedupIndex {
 
   /** The vector index's full row payload: bucket, float vector + norm
     * (exact probes), SQ8 codes + reconstruction norm (asymmetric
-    * probes), all under the index's geometry.
+    * probes), packed sign-bit binary code (8-byte Hamming pre-filter
+    * scans — fmt 4), all under the index's geometry.
     */
   private def vectorRows(vecs: DataFrame, idCol: String, vecCol: String,
-      signs: Seq[Seq[Int]],
-      ranges: Seq[(Double, Double)]): DataFrame = {
+      signs: Seq[Seq[Int]], ranges: Seq[(Double, Double)],
+      dim: Int): DataFrame = {
     val mins = ranges.map(_._1)
     val scales = ranges.map(r => (r._2 - r._1) / 255.0)
     val codes = Similarity.sq8Encode(col(vecCol), mins, scales)
@@ -227,7 +228,11 @@ object DedupIndex {
       graft.functions.VectorFunctions.normSq(col(vecCol)).as("norm"),
       codes.as("codes"),
       aggregate(Similarity.sq8Recon(codes, mins, scales),
-        lit(0.0), (acc, v) => acc + v * v).as("rnorm"))
+        lit(0.0), (acc, v) => acc + v * v).as("rnorm"),
+      // one long holds <= 64 sign bits; wider vectors store null and
+      // the binary probe rejects the index up front
+      (if (dim <= 64) Similarity.binaryCode(col(vecCol), dim)
+       else lit(null).cast("long")).as("bcode"))
   }
 
   /** Absorb a new batch into an existing text index — the second half of
@@ -338,7 +343,7 @@ object DedupIndex {
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
     val batch = newBatchId()
     stageComponent(
-      vectorRows(fresh, idCol, vecCol, signs, idx.ranges),
+      vectorRows(fresh, idCol, vecCol, signs, idx.ranges, p.dim),
       dir, batch, "buckets", Seq("bucket"), p.numBuckets)
     // absorbed vectors join the inverted lists under the STORED
     // centroids (frozen, like the ranges — standard IVF absorb); both
@@ -380,12 +385,13 @@ object DedupIndex {
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
-    // fmt 3 = codes/rnorm columns + ranges + persisted IVF structure;
-    // an older-format index reads as corrupt so callers rebuild rather
-    // than probe a schema this code no longer matches
-    if (!p.get("fmt").contains("3"))
+    // fmt 4 = fmt 3 (codes/rnorm + ranges + persisted IVF structure)
+    // plus the packed sign-bit bcode column; an older-format index reads
+    // as corrupt so callers rebuild rather than probe a schema this code
+    // no longer matches
+    if (!p.get("fmt").contains("4"))
       corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 3 (rebuild the index)")
+        "expected 4 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
       p("numBuckets").toInt, p("centroids").toInt)
     val ranges = spark.read

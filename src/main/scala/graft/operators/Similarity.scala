@@ -153,6 +153,60 @@ object Similarity {
       .select("q_id", "n_id", "rank", "hamming", "score")
   }
 
+  /** [[binaryTopK]] probing the persisted vector index instead of
+    * recomputing corpus codes: stage 1 scans ONLY the index's
+    * `(id, bcode)` columns — 16 bytes per corpus row against 260+ for
+    * the float vectors, so at 100 TB the Hamming pass reads ~6% of the
+    * bytes — and selects `cand` candidates per query through the
+    * bounded-buffer [[graft.functions.TopKAggregator]] (map-side
+    * partial top-k: at most `cand` skinny rows per query per map task
+    * cross the shuffle, vs the recompute form's full N×Q window sort).
+    * Stage 2 fetches floats for the Q×cand survivors alone (broadcast
+    * candidate join back into the bucketed table) and re-ranks by exact
+    * cosine. Bit-identical to [[binaryTopK]] over the indexed corpus:
+    * stored codes/norms are the same exact integers / IEEE folds the
+    * recompute derives from the floats, and the aggregator's tie-break
+    * (hamming asc, id asc) replays the window's.
+    */
+  def binaryTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      idx: DedupIndex.VectorIndex, k: Int, cand: Int): DataFrame = {
+    require(idx.params.dim <= 64,
+      s"binary probe needs dim <= 64 sign bits, index has ${idx.params.dim}")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"),
+      binaryCode(col(vecCol), idx.params.dim).as("q_code"))
+    val ham = idx.buckets.select(col("id").as("n_id"), col("bcode"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("q_code"))))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        bit_count(col("bcode").bitwiseXOR(col("q_code")))
+          .cast("int").as("hamming"))
+    val topCand = new graft.functions.TopKAggregator(cand).toColumn
+    val candRows = ham.as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._3.toDouble, t._2))
+      .agg(topCand.name("top"))
+      .flatMap { case (qid, top) => top.map(p => (qid, p._2, (-p._1).toInt)) }
+      .toDF("q_id", "n_id", "hamming")
+    val scored = idx.buckets
+      .select(col("id").as("n_id"), col("vec").as("n_vec"),
+        col("norm").as("n_norm"))
+      .join(broadcast(candRows), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"), col("q_norm"))),
+        Seq("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "hamming", "score")
+  }
+
   /** IVF-style approximate top-k: an inverted file over deterministic
     * centroids — the `numCentroids` corpus vectors that sort first by
     * md5(id). Hash order is a uniform pseudo-random sample, reproducible

@@ -142,6 +142,23 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, hamming, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  /** [[binaryTopK]] served from the persisted full-corpus vector index
+    * (fmt 4's packed `bcode` column): the Hamming stage scans 16 bytes
+    * per corpus row and ships at most `cand` rows per query per map
+    * task through the bounded top-k aggregator (see
+    * [[graft.operators.Similarity.binaryTopKIndexed]]). Bit-identical
+    * to the recompute form, so it shares its oracle.
+    */
+  def binaryIndexedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    val idx = QueryIndexes.vectorsFull(spark, sfDir)
+    Similarity.binaryTopKIndexed(emb.filter(QueryPred), "vec_id",
+        "embedding", idx, K, BinaryCand)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def binaryIndexedTopKSql: String = binaryTopKSql
+
   private val Centroids = 20
 
   /** IVF approximate top-k: bounded deterministic centroids (the 20
@@ -829,7 +846,7 @@ object SimilarityQueries {
   }
 
   private val RecallMethods: Seq[String] =
-    Seq("ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "lsh", "pq",
+    Seq("binary", "ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "lsh", "pq",
       "pq_refined", "sq8")
 
   /** Recall@k of every approximate ANN method against the brute-force
@@ -849,7 +866,8 @@ object SimilarityQueries {
       "ivf" -> (ivfTopK _), "ivf_refined" -> (ivfRefinedTopK _),
       "ivf_sq8" -> (ivfSq8TopK _), "lsh" -> (lshTopK _),
       "sq8" -> (sq8TopK _), "pq" -> (pqTopK _),
-      "pq_refined" -> (pqRefinedTopK _), "ivf_pq" -> (ivfPqTopK _))
+      "pq_refined" -> (pqRefinedTopK _), "ivf_pq" -> (ivfPqTopK _),
+      "binary" -> (binaryTopK _))
     val per = RecallMethods.map { name =>
       fns(name)(spark, sfDir).select(col("q_id"), col("n_id"))
         .join(brute, Seq("q_id", "n_id"), "left_semi")
@@ -873,7 +891,8 @@ object SimilarityQueries {
       "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
       "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
-      "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql)
+      "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql,
+      "binary" -> binaryTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n$sql\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:
@@ -992,7 +1011,9 @@ object SimilarityQueries {
       "lsh" -> Similarity.lshTopK(emb, q, "vec_id", "embedding", K,
         planes = 4, dim = Dim),
       "sq8" -> Similarity.sq8TopK(emb, q, "vec_id", "embedding", K,
-        dim = Dim))
+        dim = Dim),
+      "binary" -> Similarity.binaryTopK(emb, q, "vec_id", "embedding", K,
+        BinaryCand, Dim))
     val per = RecallMethods.map { name =>
       fns(name).select(col("q_id"), col("n_id"))
         .join(brute, Seq("q_id", "n_id"), "left_semi")
@@ -1025,7 +1046,8 @@ object SimilarityQueries {
       "ivf" -> ivfTopKSql, "ivf_refined" -> ivfRefinedTopKSql,
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
       "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
-      "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql)
+      "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql,
+      "binary" -> binaryTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n${sampled(sql)}\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:

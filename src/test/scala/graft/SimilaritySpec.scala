@@ -368,6 +368,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("indexed binary top-k is bit-identical to recompute and scans only codes") {
+    val dim = 8
+    val corpus = this.corpus(80)
+    val queries = corpus.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bin-idx").toString
+    graft.operators.DedupIndex.writeVectors(corpus, "vec_id", "embedding",
+      dir, planes = 2, dim = dim, numCentroids = 10)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank", "hamming", "score")
+        .as[(Long, Long, Int, Int, Double)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+    val got = rows(Similarity.binaryTopKIndexed(queries, "vec_id",
+      "embedding", idx, k = 4, cand = 12))
+    val want = rows(Similarity.binaryTopK(corpus, queries, "vec_id",
+      "embedding", k = 4, cand = 12, dim = dim))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the Hamming stage's scan of the buckets table must prune down to
+    // (id, bcode) — dragging floats or SQ8 payload through the
+    // pre-filter forfeits the 16-bytes-per-row point of the stage
+    val hamScans = Similarity.binaryTopKIndexed(queries, "vec_id",
+        "embedding", idx, k = 4, cand = 12)
+      .queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+      .filter(_.contains(dir.split("/").last))
+    assert(hamScans.exists(l => l.contains("bcode") &&
+      !l.contains("vec:") && !l.contains("codes") && !l.contains("rnorm")),
+      s"Hamming stage must scan only (id, bcode):\n${hamScans.mkString("\n")}")
+  }
+
   test("ANN recall gate: pinned recall@k per method on the sf0.001 corpus") {
     // every approximate method is deterministic, so recall against the
     // brute baseline is a CONSTANT of (code, corpus) — pin it exactly.
@@ -379,6 +411,7 @@ class SimilaritySpec extends SparkSpec {
       .select("method", "hits", "possible")
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(
+      ("binary", 35L, 50L),
       ("ivf", 19L, 50L),
       ("ivf_pq", 5L, 50L),
       ("ivf_refined", 20L, 50L),
@@ -395,6 +428,7 @@ class SimilaritySpec extends SparkSpec {
       .select("method", "hits", "possible", "n_queries")
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(sampled === Seq(
+      ("binary", 120L, 165L, 33L),
       ("ivf", 66L, 165L, 33L),
       ("ivf_pq", 20L, 165L, 33L),
       ("ivf_refined", 72L, 165L, 33L),
