@@ -143,6 +143,8 @@ object SparkEntry {
     "mm_audio_energy" -> (TextQueries.multimodalAudioEnergy _),
     "mm_decode_wav" -> (TextQueries.multimodalDecodeWav _),
     "mm_resize" -> (TextQueries.multimodalResize _),
+    "mm_ahash_dedup" -> (TextQueries.multimodalAhashDedup _),
+    "mm_ahash_near" -> (TextQueries.multimodalAhashNear _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
     "ann_pq_topk" -> (SimilarityQueries.pqTopK _),
@@ -259,6 +261,8 @@ object SparkEntry {
     "mm_audio_energy" -> TextQueries.multimodalAudioEnergySql,
     "mm_decode_wav" -> TextQueries.multimodalDecodeWavSql,
     "mm_resize" -> TextQueries.multimodalResizeSql,
+    "mm_ahash_dedup" -> TextQueries.multimodalAhashDedupSql,
+    "mm_ahash_near" -> TextQueries.multimodalAhashNearSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
     "ann_pq_topk" -> SimilarityQueries.pqTopKSql,

@@ -194,4 +194,42 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** 64-bit average hash (aHash) of a decoded RGB raster — the
+    * perceptual-dedup primitive (the pHash family LAION-style pipelines
+    * block image near-dups on): nearest-neighbor downscale to 8×8
+    * ([[MediaCodecs.resizeNearest]] — pure integer source-index math),
+    * per-pixel gray = r+g+b (a channel SUM, not a mean — same ordering,
+    * no division), bit i set iff gray(i)·64 > Σgray (strict, exact
+    * integers end to end), packed row-major into (hi, lo) 32-bit
+    * halves. Two perceptually-identical images (same image re-encoded,
+    * resized, or lightly noised) land on equal or Hamming-close codes;
+    * comparing corpora costs one xor+popcount per candidate pair.
+    * Everything is integer arithmetic, so any engine derives the
+    * identical code from the same raster.
+    */
+  def averageHash(width: Int, height: Int,
+      rgb: Array[Byte]): (Long, Long) = {
+    val px =
+      if (width == 8 && height == 8) rgb
+      else MediaCodecs.resizeNearest(width, height, rgb, 8, 8)
+    val gray = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      gray(i) = (px(3 * i) & 0xff) + (px(3 * i + 1) & 0xff) +
+        (px(3 * i + 2) & 0xff)
+      sum += gray(i)
+      i += 1
+    }
+    var lo = 0L; var hi = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) * 64L > sum) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
 }

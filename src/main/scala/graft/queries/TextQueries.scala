@@ -995,6 +995,190 @@ object TextQueries {
       |FROM s GROUP BY doc_id, j // 16
       |ORDER BY doc_id, window_no""".stripMargin
 
+  /** 8 chained md5 digests of `s` (suffixes "", "x1".."x7") as 128
+    * bytes — the deterministic pixel source for the perceptual-hash
+    * queries. Matches `md5(s) || md5(s||'x1') || …` in any engine.
+    */
+  private def chainBytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](128)
+    var j = 0
+    while (j < 8) {
+      val key = if (j == 0) s else s + "x" + j
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.arraycopy(d, 0, out, 16 * j, 16)
+      j += 1
+    }
+    out
+  }
+
+  private val AhashChainSql =
+    (0 until 8).map(j => if (j == 0) "md5(%s)" else s"md5(%s || 'x$j')")
+      .mkString(" || ")
+
+  /** Per-doc 64-bit average hash through the REAL image path: a 16×8
+    * grayscale BMP is synthesized per document — 5 high bits of each
+    * pixel from the (lang, source) template hash, 3 low bits of
+    * per-document noise, so documents from one source yield
+    * perceptually-near images the way re-encodes/crops of one photo do
+    * in a real corpus — then encoded by the spec-level BMP writer,
+    * parsed back by the pure-JVM BMP decoder, nearest-neighbor
+    * downscaled 16×8→8×8 and average-hashed
+    * ([[graft.operators.Multimodal.averageHash]]). Integer arithmetic
+    * end to end, so the oracle derives the identical codes analytically
+    * from the md5 chains.
+    */
+  private def ahashCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.{MediaCodecs, Multimodal}
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val t = chainBytes(r.getString(1))
+        val d = chainBytes(r.getString(2))
+        val rgb = new Array[Byte](16 * 8 * 3)
+        var i = 0
+        while (i < 128) {
+          val v = ((t(i) & 0xf8) | (d(i) & 0x07)).toByte
+          rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+          i += 1
+        }
+        val bmp = MediaCodecs.encodeBmp(16, 8, rgb)
+        val (w, h, px) = MediaCodecs.BmpDecoder.decodePixels(bmp)
+        val (hi, lo) = Multimodal.averageHash(w, h, px)
+        org.apache.spark.sql.Row(r.getLong(0), hi, lo)
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash image dedup verdicts: every document's aHash code
+    * with its exact-code group — canonical holder (lowest doc_id),
+    * group size, keep flag. One shuffle on the 64-bit code; output is
+    * linear in the corpus (the quadratic near-pair question lives in
+    * [[multimodalAhashNear]] over distinct codes only).
+    */
+  def multimodalAhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = ahashCodes(spark, sfDir)
+    val grp = codes.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    codes.join(grp, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("canonical_id"), col("group_size"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: replays pixel synthesis (template/noise md5 chains),
+    * the 16×8→8×8 nearest-neighbor sampling (source column 2x of row
+    * y — the resize keeps even columns), the strict gray·64 > Σgray
+    * threshold (gray = 3v cancels exactly), and the bit packing.
+    */
+  def multimodalAhashDedupSql: String = {
+    val th = AhashChainSql.replaceAll("%s", "g")
+    val dh = AhashChainSql.replaceAll("%s", "text")
+    s"""WITH b AS (
+      |  SELECT doc_id, lang || '|' || source AS g, text FROM documents),
+      |hx AS (SELECT doc_id, $th AS thex, $dh AS dhex FROM b),
+      |px AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    (('0x' || substr(thex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 248)
+      |    | (('0x' || substr(dhex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 7) AS v
+      |  FROM hx, UNNEST(range(0, 64)) AS t(i)),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      |bits AS (
+      |  SELECT px.doc_id, i, CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS bit
+      |  FROM px JOIN s USING (doc_id)),
+      |code AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id),
+      |grp AS (
+      |  SELECT ahash_hi, ahash_lo, min(doc_id) AS canonical_id,
+      |    CAST(count(*) AS BIGINT) AS group_size
+      |  FROM code GROUP BY 1, 2)
+      |SELECT doc_id, ahash_hi, ahash_lo, canonical_id, group_size,
+      |  doc_id = canonical_id AS is_canonical
+      |FROM code JOIN grp USING (ahash_hi, ahash_lo)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Near-duplicate image pairs: Hamming 1..3 between DISTINCT aHash
+    * codes (exact dups already collapsed by [[multimodalAhashDedup]] —
+    * the pair question runs over canonical representatives only, so
+    * identical-code cliques never explode the output). Candidates come
+    * from a 4×16-bit band join — by pigeonhole a pair within Hamming 3
+    * agrees on at least one band, so banding loses nothing and the
+    * oracle may verify with the plain quadratic filter over reps.
+    */
+  def multimodalAhashNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = ahashCodes(spark, sfDir)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val bandCols = (0 until 4).map { b =>
+      val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, 16 * (b % 2)).bitwiseAND(lit(0xffffL)).as("bkey"))
+    }
+    val bands = reps.select(col("rep_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("rep_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = bands.select(col("band"), col("bkey"), col("rep_id").as("a_id"),
+      col("ahash_hi").as("a_hi"), col("ahash_lo").as("a_lo"))
+    val bb = bands.select(col("band"), col("bkey"), col("rep_id").as("b_id"),
+      col("ahash_hi").as("b_hi"), col("ahash_lo").as("b_lo"))
+    a.join(bb, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming").between(1, 3))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def multimodalAhashNearSql: String = {
+    val th = AhashChainSql.replaceAll("%s", "g")
+    val dh = AhashChainSql.replaceAll("%s", "text")
+    s"""WITH b AS (
+      |  SELECT doc_id, lang || '|' || source AS g, text FROM documents),
+      |hx AS (SELECT doc_id, $th AS thex, $dh AS dhex FROM b),
+      |px AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    (('0x' || substr(thex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 248)
+      |    | (('0x' || substr(dhex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 7) AS v
+      |  FROM hx, UNNEST(range(0, 64)) AS t(i)),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      |bits AS (
+      |  SELECT px.doc_id, i, CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS bit
+      |  FROM px JOIN s USING (doc_id)),
+      |code AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id),
+      |reps AS (
+      |  SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id
+      |  FROM code GROUP BY 1, 2)
+      |SELECT a.rep_id AS a_id, r.rep_id AS b_id,
+      |  CAST(bit_count(xor(a.ahash_hi, r.ahash_hi))
+      |    + bit_count(xor(a.ahash_lo, r.ahash_lo)) AS INTEGER) AS hamming
+      |FROM reps a JOIN reps r ON a.rep_id < r.rep_id
+      |WHERE bit_count(xor(a.ahash_hi, r.ahash_hi))
+      |  + bit_count(xor(a.ahash_lo, r.ahash_lo)) BETWEEN 1 AND 3
+      |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")

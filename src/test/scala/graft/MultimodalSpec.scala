@@ -389,4 +389,42 @@ class MultimodalSpec extends SparkSpec {
       assert(out((y * 2 + x) * 3 + c) === expected, s"at ($x,$y,$c)")
     }
   }
+
+  test("averageHash: threshold packing, container invariance, noise robustness") {
+    import graft.operators.MediaCodecs
+    // left half dark (0), right half bright (200): bright pixels sit
+    // above the mean, so each row packs to 0xF0 — both 32-bit halves
+    // are 0xF0F0F0F0
+    val rgb = new Array[Byte](192)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      rgb((y * 8 + x) * 3 + c) = if (x >= 4) 200.toByte else 0.toByte
+    val (hi, lo) = Multimodal.averageHash(8, 8, rgb)
+    assert(lo === 0xf0f0f0f0L && hi === 0xf0f0f0f0L)
+
+    // the hash is a property of the IMAGE, not the container: the same
+    // raster through the real BMP and PNG encode→decode round trips
+    // hashes identically
+    val viaBmp = MediaCodecs.BmpDecoder
+      .decodePixels(MediaCodecs.encodeBmp(8, 8, rgb))
+    val viaPng = MediaCodecs.imageIoRgb(MediaCodecs.encodePng(8, 8, rgb),
+      "png")
+    assert(Multimodal.averageHash(viaBmp._1, viaBmp._2, viaBmp._3)
+      === ((hi, lo)))
+    assert(Multimodal.averageHash(viaPng._1, viaPng._2, viaPng._3)
+      === ((hi, lo)))
+
+    // 16×8 input: the downscale keeps even columns, so junk in odd
+    // columns cannot reach the hash
+    val wide = new Array[Byte](16 * 8 * 3)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+      wide((y * 16 + 2 * x) * 3 + c) = rgb((y * 8 + x) * 3 + c)
+      wide((y * 16 + 2 * x + 1) * 3 + c) = 123.toByte
+    }
+    assert(Multimodal.averageHash(16, 8, wide) === ((hi, lo)))
+
+    // low-bit noise (re-encode jitter) far from the mean flips nothing
+    val noisy = rgb.clone()
+    for (i <- noisy.indices) noisy(i) = ((noisy(i) & 0xf8) | (i % 8)).toByte
+    assert(Multimodal.averageHash(8, 8, noisy) === ((hi, lo)))
+  }
 }
