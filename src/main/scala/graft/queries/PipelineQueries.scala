@@ -566,13 +566,21 @@ object PipelineQueries {
     */
   def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
-    val words = docs.select(col("doc_id"), col("lang"),
-        explode(TextFunctions.tokens(lower(col("text")))).as("w"))
-      .withColumn("bucket",
-        pmod(PortableHash.md5Long(col("w")), lit(IwBuckets.toLong)))
-    val stats = words.groupBy(col("bucket")).agg(
-      sum(when(col("lang") === IwTargetLang, 1L).otherwise(0L)).as("cnt_t"),
-      count(lit(1)).as("cnt_r"))
+    // ONE corpus explode, immediately collapsed to per-(doc, bucket)
+    // counts (map-side combinable, ≤64 rows per doc) — both the 64-row
+    // bucket stats and the per-doc sums derive from this compact
+    // intermediate, so the corpus text is scanned and tokenized once
+    val docBuckets = graft.plans.CachedPlans.cached(
+      docs.select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .withColumn("bucket",
+          pmod(PortableHash.md5Long(col("w")), lit(IwBuckets.toLong)))
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n")))
+    val stats = docBuckets.groupBy(col("bucket")).agg(
+      sum(when(col("lang") === IwTargetLang, col("n")).otherwise(0L))
+        .as("cnt_t"),
+      sum(col("n")).as("cnt_r"))
     val totals = broadcast(stats.agg(
       sum(col("cnt_t")).as("tt"), sum(col("cnt_r")).as("rr")))
     // bucket-level quantized likelihood ratio: 64 rows, broadcast back
@@ -582,9 +590,9 @@ object PipelineQueries {
           ((col("cnt_r") + 1).cast(DoubleType) *
             (col("tt") + IwBuckets).cast(DoubleType)) * IwScale)
         .cast("long").as("q")))
-    val perDoc = words.join(bucketQ, Seq("bucket"))
+    val perDoc = docBuckets.join(bucketQ, Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("q")).as("iw_q"))
+      .agg(sum(col("n")).as("n_words"), sum(col("q") * col("n")).as("iw_q"))
       .withColumn("iw_score",
         col("iw_q").cast(DoubleType) / col("n_words").cast(DoubleType) /
           IwScale)

@@ -898,4 +898,51 @@ object CdcStream {
       maxBucket, eventTime)
       .unionByName(corpusPairs)
   }
+
+  /** Continuous index maintenance: a `foreachBatch` sink that absorbs
+    * each arriving micro-batch of vectors into the persisted vector
+    * index through [[graft.operators.DedupIndex.appendVectors]]'s
+    * staged crash-atomic commit — the streaming half of the daily-batch
+    * loop (today's arrivals become tomorrow's probe corpus without a
+    * rebuild). Structured Streaming's `foreachBatch` is at-least-once;
+    * the absorb's per-id freshness anti-join makes a replayed
+    * micro-batch re-land as a row-for-row no-op, so the sink is
+    * exactly-once-EFFECTIVE without any sink-side transaction log. The
+    * single-writer `_absorb.lease` still applies: run one absorb stream
+    * per index (a concurrent writer fails fast rather than interleaving
+    * staged commits). Readers ([[embedNearDupStreamIndexed]], the
+    * indexed batch probes) pick absorbed rows up on their next
+    * micro-batch re-plan/load — never a torn view, by the manifest
+    * protocol.
+    */
+  def startVectorIndexAbsorb(stream: DataFrame, idCol: String,
+      vecCol: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupIndex.appendVectors(batch, idCol, vecCol,
+            indexDir)
+      }
+      .start()
+
+  /** [[startVectorIndexAbsorb]]'s text twin: arriving documents are
+    * shingled/signed under the text index's frozen geometry and
+    * absorbed through the same staged commit, with the same
+    * replay-is-a-no-op idempotency.
+    */
+  def startTextIndexAbsorb(stream: DataFrame, idCol: String,
+      textCol: String, indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupIndex.appendText(batch, idCol, textCol,
+            indexDir)
+      }
+      .start()
 }

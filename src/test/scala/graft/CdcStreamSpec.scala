@@ -625,4 +625,51 @@ class CdcStreamSpec extends SparkSpec {
     assert(pairs === Seq((1L, 3L)),
       "timestamped twins pair; null-ts rows are dropped, not fatal")
   }
+
+  test("streaming absorb sink grows the vector index; a replayed stream is a no-op") {
+    val dir = Files.createTempDirectory("stream_absorb").toString
+    val dim = 8
+    def vec(cluster: Int, jitter: Int): Array[Float] = Array.tabulate(dim)(
+      d => (if (cluster == 0) 10f else -10f) + ((jitter + d * 3) % 5) * 0.1f)
+    val corpus = Seq((100L, vec(0, 1)), (101L, vec(1, 2)))
+      .toDF("vec_id", "embedding")
+    val idxDir = Files.createTempDirectory("stream_absorb_idx").toString
+    graft.operators.DedupIndex.writeVectors(corpus, "vec_id", "embedding",
+      idxDir, planes = 2, dim = dim)
+
+    Seq((1L, vec(0, 3))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, vec(1, 4)), (3L, vec(0, 2))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    def arrivals = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.startVectorIndexAbsorb(arrivals, "vec_id",
+      "embedding", idxDir,
+      Files.createTempDirectory("stream_absorb_ck1").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+    assert(idx.buckets.select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 100L, 101L))
+    assert(idx.lists.count() === 5, "inverted lists must grow in step")
+
+    // absorbed arrivals are immediately probe-visible
+    val probe = graft.operators.Similarity.incrementalCosineNearDupsIndexed(
+      Seq((10L, vec(0, 3))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(probe.contains((1L, 10L)),
+      s"absorbed vector 1 must be probe-visible, got $probe")
+
+    // the worst replay case — same files, checkpoint LOST — re-lands as
+    // a row-for-row no-op through the per-id freshness anti-join
+    val q2 = CdcStream.startVectorIndexAbsorb(arrivals, "vec_id",
+      "embedding", idxDir,
+      Files.createTempDirectory("stream_absorb_ck2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+    assert(after.buckets.count() === 5 && after.lists.count() === 5,
+      "replayed micro-batches must not duplicate index rows")
+  }
 }
