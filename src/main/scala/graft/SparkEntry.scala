@@ -123,6 +123,7 @@ object SparkEntry {
     "sample_stratified" -> (PipelineQueries.sampleStratified _),
     "corpus_mix_temperature" -> (PipelineQueries.corpusMixTemperature _),
     "corpus_importance_weights" -> (PipelineQueries.importanceWeights _),
+    "corpus_datacard" -> (PipelineQueries.corpusDatacard _),
     "chunk_documents_cdc" -> (PipelineQueries.chunkDocumentsCdc _),
     "dedup_chunks" -> (PipelineQueries.dedupChunks _),
     "dedup_chunks_incremental" -> (PipelineQueries.dedupChunksIncremental _),
@@ -244,6 +245,7 @@ object SparkEntry {
     "sample_stratified" -> PipelineQueries.sampleStratifiedSql,
     "corpus_mix_temperature" -> PipelineQueries.corpusMixTemperatureSql,
     "corpus_importance_weights" -> PipelineQueries.importanceWeightsSql,
+    "corpus_datacard" -> PipelineQueries.corpusDatacardSql,
     "chunk_documents_cdc" -> PipelineQueries.chunkDocumentsCdcSql,
     "dedup_chunks" -> PipelineQueries.dedupChunksSql,
     "dedup_chunks_incremental" -> PipelineQueries.dedupChunksIncrementalSql,

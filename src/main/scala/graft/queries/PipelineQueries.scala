@@ -543,6 +543,48 @@ object PipelineQueries {
       |FROM toks GROUP BY tok
       |ORDER BY n DESC, tok LIMIT $VocabK""".stripMargin
 
+  /** Corpus data card: the one-stop per-language report a training run
+    * documents its mixture with — document/char/word totals, exact
+    * distinct-content count (md5 — the exact-dedup rate), and corpus
+    * share. One scan + one keyed aggregate + a broadcast total; every
+    * column is an exact integer except the one `share` division.
+    */
+  def corpusDatacard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val t = docs.select(col("lang"), col("n_chars"), md5(col("text")).as("h"),
+      size(TextFunctions.tokens(lower(col("text")))).as("n_words"))
+    val per = t.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(col("n_words")).as("sum_words"),
+      countDistinct(col("h")).as("n_distinct"))
+    val tot = broadcast(per.agg(sum(col("n_docs")).as("total_docs")))
+    per.crossJoin(tot)
+      .select(col("lang"), col("n_docs"), col("sum_chars"), col("sum_words"),
+        col("n_distinct"), (col("n_docs") - col("n_distinct")).as("dup_docs"),
+        (col("n_docs").cast(DoubleType) / col("total_docs").cast(DoubleType))
+          .as("share"))
+      .orderBy(col("lang"))
+  }
+
+  def corpusDatacardSql: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars, md5(text) AS h,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS n_words
+      |  FROM documents),
+      |per AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+      |  FROM t GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM per)
+      |SELECT lang, n_docs, sum_chars, sum_words, n_distinct,
+      |  n_docs - n_distinct AS dup_docs,
+      |  CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS share
+      |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+
   private val IwBuckets = 64
   private val IwScale = 10000.0
   private val IwTargetLang = "en"
