@@ -91,6 +91,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
     "ann_binary_topk" -> (SimilarityQueries.binaryTopK _),
     "ann_binary_indexed_topk" -> (SimilarityQueries.binaryIndexedTopK _),
+    "ann_pq_indexed_topk" -> (SimilarityQueries.pqIndexedTopK _),
     "ann_ivf_topk" -> (SimilarityQueries.ivfTopK _),
     "ann_ivf_refined" -> (SimilarityQueries.ivfRefinedTopK _),
     "embed_near_dups" -> (SimilarityQueries.cosineNearDups _),
@@ -115,6 +116,7 @@ object SparkEntry {
     "text_repetition" -> (TextQueries.repetition _),
     "text_tokens_bpe" -> (TextQueries.tokensBpe _),
     "text_tokens_bpe_oov" -> (TextQueries.tokensBpeOov _),
+    "text_token_ids" -> (TextQueries.tokenIds _),
     "text_lm_score" -> (TextQueries.lmScore _),
     "text_pmi_phrases" -> (TextQueries.pmiPhrases _),
     "decontaminate" -> (DedupQueries.decontaminateReport _),
@@ -225,6 +227,7 @@ object SparkEntry {
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_binary_topk" -> SimilarityQueries.binaryTopKSql,
     "ann_binary_indexed_topk" -> SimilarityQueries.binaryIndexedTopKSql,
+    "ann_pq_indexed_topk" -> SimilarityQueries.pqIndexedTopKSql,
     "ann_ivf_topk" -> SimilarityQueries.ivfTopKSql,
     "ann_ivf_refined" -> SimilarityQueries.ivfRefinedTopKSql,
     "embed_near_dups" -> SimilarityQueries.cosineNearDupsSql,
@@ -238,6 +241,7 @@ object SparkEntry {
     "text_repetition" -> TextQueries.repetitionSql,
     "text_tokens_bpe" -> TextQueries.tokensBpeSql,
     "text_tokens_bpe_oov" -> TextQueries.tokensBpeOovSql,
+    "text_token_ids" -> TextQueries.tokenIdsSql,
     "text_lm_score" -> TextQueries.lmScoreSql,
     "text_pmi_phrases" -> TextQueries.pmiPhrasesSql,
     "decontaminate" -> DedupQueries.decontaminateReportSql,

@@ -264,4 +264,24 @@ object Bpe {
         coalesce(col("_nw"), lit(0L)).as("n_words"),
         coalesce(col("_nt"), lit(0L)).as("n_tokens_bpe"))
   }
+
+  /** Per-document subword token stream under a trained vocabulary: one
+    * row per token OCCURRENCE (id, token). In-vocabulary words expand
+    * to their merged subwords; out-of-vocabulary words fall back to
+    * per-CODEPOINT tokens (Java regex `.` consumes one codepoint,
+    * matching the engine's UTF-8 contract and [[tokenCounts]]'s
+    * char-count fallback), so the stream is total over any probe
+    * corpus. Scan-shaped: explode → broadcast-able vocabulary join →
+    * explode; nothing shuffles on the corpus.
+    */
+  def tokenRows(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    words.join(vocab.select(col("word"), symbols(col("sym")).as("_toks")),
+        Seq("word"), "left")
+      .select(col(idCol),
+        explode(coalesce(col("_toks"),
+          regexp_extract_all(col("word"), lit("."), lit(0)))).as("token"))
+  }
 }

@@ -63,7 +63,7 @@ object DedupIndex {
       portable: Boolean, numBuckets: Int)
 
   final case class VectorParams(planes: Int, dim: Int, numBuckets: Int,
-      centroids: Int)
+      centroids: Int, pqM: Int, pqKsub: Int)
 
   /** Loaded text index: every member is a bucketed-table scan. */
   final case class TextIndex(dir: String, params: TextParams,
@@ -79,7 +79,8 @@ object DedupIndex {
     */
   final case class VectorIndex(dir: String, params: VectorParams,
       buckets: DataFrame, lists: DataFrame, centroids: DataFrame,
-      ranges: Seq[(Double, Double)])
+      ranges: Seq[(Double, Double)],
+      pqCodebooks: Seq[Seq[Seq[Double]]])
 
   // ------------------------------------------------------------- write
 
@@ -140,7 +141,7 @@ object DedupIndex {
     */
   def writeVectors(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, planes: Int, dim: Int, numBuckets: Int = 0,
-      numCentroids: Int = 20): Unit = {
+      numCentroids: Int = 20, pqM: Int = 8, pqKsub: Int = 16): Unit = {
     // nearestCentIdx packs cent_idx into 10 bits of its argmax key —
     // same bound the recompute entry points enforce.
     require(numCentroids > 0 && numCentroids <= 1024,
@@ -148,11 +149,18 @@ object DedupIndex {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
-      Seq("buckets", "lists", "centroids", "ranges"))
+      Seq("buckets", "lists", "centroids", "ranges", "pq_codebooks"))
     val signs = Similarity.hyperplaneSigns(planes, dim)
     val ranges = Similarity.sq8Ranges(corpus, vecCol, dim)
+    // Lloyd-refined PQ codebooks trained on the index corpus, then
+    // FROZEN like the ranges: absorbed batches encode under them. A
+    // corpus smaller than ksub yields fewer donor entries; the
+    // EFFECTIVE entry count is what the params record.
+    val cbs = Similarity.pqCodebooksRefined(corpus, idCol, vecCol,
+      m = pqM, ksub = pqKsub, dim = dim)
+    val ksubEff = cbs.head.size
     writeComponent(
-      vectorRows(corpus, idCol, vecCol, signs, ranges, dim),
+      vectorRows(corpus, idCol, vecCol, signs, ranges, dim, cbs),
       dir, "buckets", Seq("bucket"), n)
     val cent = centroidRows(corpus, idCol, vecCol, numCentroids)
     cent.coalesce(1).write.mode("overwrite")
@@ -170,10 +178,19 @@ object DedupIndex {
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(componentPath(dir, "ranges").toString)
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.flatMap { case (entry, j) =>
+        entry.zipWithIndex.map { case (v, i) => (s, j, i, v) }
+      }
+    }.toDF("s", "j", "i", "v")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(componentPath(dir, "pq_codebooks").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "fmt" -> "4", "planes" -> planes.toString,
+      "kind" -> "vector", "fmt" -> "5", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString,
-      "centroids" -> numCentroids.toString))
+      "centroids" -> numCentroids.toString,
+      "pqM" -> pqM.toString, "pqKsub" -> ksubEff.toString))
   }
 
   /** The stored IVF centroid set: the same bounded deterministic
@@ -214,11 +231,13 @@ object DedupIndex {
   /** The vector index's full row payload: bucket, float vector + norm
     * (exact probes), SQ8 codes + reconstruction norm (asymmetric
     * probes), packed sign-bit binary code (8-byte Hamming pre-filter
-    * scans — fmt 4), all under the index's geometry.
+    * scans — fmt 4), PQ codes under the stored refined codebooks
+    * (m-byte asymmetric probes — fmt 5), all under the index's
+    * geometry.
     */
   private def vectorRows(vecs: DataFrame, idCol: String, vecCol: String,
       signs: Seq[Seq[Int]], ranges: Seq[(Double, Double)],
-      dim: Int): DataFrame = {
+      dim: Int, pqCbs: Seq[Seq[Seq[Double]]]): DataFrame = {
     val mins = ranges.map(_._1)
     val scales = ranges.map(r => (r._2 - r._1) / 255.0)
     val codes = Similarity.sq8Encode(col(vecCol), mins, scales)
@@ -232,7 +251,8 @@ object DedupIndex {
       // one long holds <= 64 sign bits; wider vectors store null and
       // the binary probe rejects the index up front
       (if (dim <= 64) Similarity.binaryCode(col(vecCol), dim)
-       else lit(null).cast("long")).as("bcode"))
+       else lit(null).cast("long")).as("bcode"),
+      Similarity.pqEncode(col(vecCol), pqCbs).as("pqcodes"))
   }
 
   /** Absorb a new batch into an existing text index — the second half of
@@ -343,7 +363,8 @@ object DedupIndex {
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
     val batch = newBatchId()
     stageComponent(
-      vectorRows(fresh, idCol, vecCol, signs, idx.ranges, p.dim),
+      vectorRows(fresh, idCol, vecCol, signs, idx.ranges, p.dim,
+        idx.pqCodebooks),
       dir, batch, "buckets", Seq("bucket"), p.numBuckets)
     // absorbed vectors join the inverted lists under the STORED
     // centroids (frozen, like the ranges — standard IVF absorb); both
@@ -385,21 +406,37 @@ object DedupIndex {
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
-    // fmt 4 = fmt 3 (codes/rnorm + ranges + persisted IVF structure)
-    // plus the packed sign-bit bcode column; an older-format index reads
-    // as corrupt so callers rebuild rather than probe a schema this code
-    // no longer matches
-    if (!p.get("fmt").contains("4"))
+    // fmt 5 = fmt 3 (codes/rnorm + ranges + persisted IVF structure)
+    // plus the packed sign-bit bcode column (fmt 4) plus PQ codes +
+    // stored refined codebooks; an older-format index reads as corrupt
+    // so callers rebuild rather than probe a schema this code no longer
+    // matches
+    if (!p.get("fmt").contains("5"))
       corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 4 (rebuild the index)")
+        "expected 5 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
-      p("numBuckets").toInt, p("centroids").toInt)
+      p("numBuckets").toInt, p("centroids").toInt,
+      p("pqM").toInt, p("pqKsub").toInt)
     val ranges = spark.read
       .parquet(componentPath(dir, "ranges").toString)
       .orderBy(col("pos")).collect()
       .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
     require(ranges.length == params.dim,
       s"index at $dir has ${ranges.length} range rows, dim=${params.dim}")
+    // m·ksub·subDim rows — the same bounded-broadcast contract as the
+    // centroid set; (s, j) indices are dense by construction
+    val cbRows = spark.read
+      .parquet(componentPath(dir, "pq_codebooks").toString)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    val subDim = params.dim / params.pqM
+    require(cbRows.size == params.pqM * params.pqKsub * subDim,
+      s"index at $dir has ${cbRows.size} codebook cells, expected " +
+        s"${params.pqM * params.pqKsub * subDim}")
+    val cbs = (0 until params.pqM).map(s =>
+      (0 until params.pqKsub).map(j =>
+        (0 until subDim).map(i => cbRows((s, j, i)))))
     VectorIndex(dir, params,
       buckets = component(spark, dir, "buckets", Seq("bucket"),
         params.numBuckets),
@@ -407,7 +444,8 @@ object DedupIndex {
         params.numBuckets),
       centroids = spark.read
         .parquet(componentPath(dir, "centroids").toString),
-      ranges = ranges)
+      ranges = ranges,
+      pqCodebooks = cbs)
   }
 
   /** The single-column band-scoped join key probes must use against the

@@ -135,14 +135,24 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"),
       binaryCode(col(vecCol), dim).as("q_code"))
-    val ham = c.crossJoin(broadcast(q))
+    // stage 1 shuffles ONLY (q_id, n_id, hamming) through the
+    // candidate window — the floats would multiply the shuffle payload
+    // ~25× for rows the cut is about to discard
+    val ham = c.select(col("n_id"), col("n_code"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("q_code"))))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("hamming",
-        bit_count(col("n_code").bitwiseXOR(col("q_code"))))
+      .select(col("q_id"), col("n_id"),
+        bit_count(col("n_code").bitwiseXOR(col("q_code"))).as("hamming"))
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("hamming"), col("n_id"))
-    val scored = ham.withColumn("crank", row_number().over(wCand))
+    val candRows = ham.withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= cand)
+      .select("q_id", "n_id", "hamming")
+    // stage 2 fetches floats for the Q×cand survivors alone
+    val scored = c.select(col("n_id"), col("n_vec"), col("n_norm"))
+      .join(broadcast(candRows), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"), col("q_norm"))),
+        Seq("q_id"))
       .withColumn("score", VectorFunctions.cosineFrom(
         VectorFunctions.dot(col("n_vec"), col("q_vec")),
         col("n_norm"), col("q_norm")))
@@ -905,6 +915,34 @@ object Similarity {
       vecCol: String, k: Int, m: Int, ksub: Int, dim: Int): DataFrame =
     pqTopKWith(corpus, queries, idCol, vecCol, k,
       pqCodebooksRefined(corpus, idCol, vecCol, m, ksub, dim))
+
+  /** [[pqRefinedTopK]] served from the persisted index (fmt 5): the
+    * scan reads ONLY `(id, pqcodes)` — m bytes of payload per corpus
+    * row, a 32× smaller read than the floats at (m=8, dim=64) — and the
+    * stored refined codebooks (loaded once, m·ksub·subDim doubles)
+    * reconstruct candidates for the asymmetric dot. Training, encoding,
+    * and the Lloyd refinement are amortized into the one-time write;
+    * absorbs encode under the FROZEN codebooks. Bit-identical to the
+    * recompute form: stored codes were produced by the same
+    * [[pqEncode]] literals and parquet round-trips doubles exactly.
+    */
+  def pqTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      idx: DedupIndex.VectorIndex, k: Int): DataFrame = {
+    val cbs = idx.pqCodebooks
+    val c = idx.buckets.select(col("id").as("n_id"),
+        col("pqcodes").as("pcodes"))
+      .withColumn("recon", pqRecon(col("pcodes"), cbs))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", VectorFunctions.dotFold(col("q_vec"),
+        col("recon")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "score")
+  }
 
   private def pqTopKWith(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -112,7 +112,8 @@ object QueryIndexes {
       val reusable =
         try {
           val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20
+          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
+            p.pqM == 8 && p.pqKsub == 16
         } catch {
           case _: IllegalArgumentException | _: IllegalStateException =>
             false
@@ -143,7 +144,8 @@ object QueryIndexes {
       val reusable =
         try {
           val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20
+          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
+            p.pqM == 8 && p.pqKsub == 16
         } catch {
           case _: IllegalArgumentException | _: IllegalStateException =>
             false

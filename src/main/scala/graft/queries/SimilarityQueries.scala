@@ -498,6 +498,23 @@ object SimilarityQueries {
     * itself, not codebook placement, is the recall bottleneck, which
     * is exactly the 32×-compression trade the pins document.
     */
+  /** [[pqRefinedTopK]] served from the persisted index's stored PQ
+    * codes + refined codebooks (fmt 5 — see
+    * [[graft.operators.Similarity.pqTopKIndexed]]): the probe scans m
+    * bytes per corpus row and skips training, encoding, and the Lloyd
+    * round entirely. Bit-identical to the recompute form, so it shares
+    * its oracle.
+    */
+  def pqIndexedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    val idx = QueryIndexes.vectorsFull(spark, sfDir)
+    Similarity.pqTopKIndexed(emb.filter(QueryPred), "vec_id", "embedding",
+        idx, K)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def pqIndexedTopKSql: String = pqRefinedTopKSql
+
   def pqRefinedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = tbl(spark, sfDir, "embeddings")
     Similarity.pqRefinedTopK(emb, emb.filter(QueryPred), "vec_id",

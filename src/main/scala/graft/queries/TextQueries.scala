@@ -556,6 +556,67 @@ object TextQueries {
     * part-name words, `coalesce(n_tok, length(word))`. The vocabulary
     * memo is shared with [[tokensBpe]], so the pair trains once.
     */
+  /** Token-ID export: the step that turns a curated corpus into model
+    * input — every document's subword occurrences under the
+    * corpus-trained BPE vocabulary, with a DENSE integer token id
+    * (rank by global frequency desc, token asc — the conventional
+    * id assignment) and global/per-doc counts. The id table is
+    * vocabulary-sized; its global rank runs through the lifted
+    * range-partition form, never a single-partition window; the corpus
+    * side is scan-shaped (explode → broadcast vocab join → explode).
+    */
+  def tokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val vocab = graft.plans.CachedPlans.memo(s"bpe_vocab_$BpeMerges", docs) {
+      graft.operators.Bpe.trainLocal(docs, "text", BpeMerges)._1
+    }
+    val stream = graft.plans.CachedPlans.cached(
+      graft.operators.Bpe.tokenRows(docs, "doc_id", "text", vocab))
+    val freq = stream.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_global"))
+    val ids = graft.operators.Packing.globalRank(freq, "token_id",
+      col("n_global").desc, col("token"))
+    val perDoc = stream.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    perDoc
+      .join(ids.select(col("token"), col("token_id"), col("n_global")),
+        Seq("token"))
+      .select(col("doc_id"), col("token"), col("token_id"),
+        col("n_global"), col("n"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  def tokenIdsSql: String = {
+    val S = "chr(31)"
+    s"""WITH ${bpeTrainSql("")},
+      |wd AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+      |  FROM documents),
+      |wt AS (
+      |  SELECT wd.doc_id, u.tok
+      |  FROM wd LEFT JOIN v$BpeMerges v ON wd.word = v.word,
+      |    UNNEST(CASE WHEN v.word IS NULL
+      |      THEN regexp_extract_all(wd.word, '.')
+      |      ELSE list_filter(string_split(v.sym, $S), x -> x <> '')
+      |      END) u(tok)),
+      |freq AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS n_global
+      |  FROM wt GROUP BY tok),
+      |ids AS (
+      |  SELECT tok, n_global,
+      |    CAST(row_number() OVER (ORDER BY n_global DESC, tok) AS BIGINT)
+      |      AS token_id
+      |  FROM freq),
+      |per AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM wt GROUP BY doc_id, tok)
+      |SELECT per.doc_id, per.tok AS token, ids.token_id, ids.n_global,
+      |  per.n
+      |FROM per JOIN ids ON per.tok = ids.tok
+      |ORDER BY per.doc_id, token""".stripMargin
+  }
+
   def tokensBpeOov(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
     val vocab = graft.plans.CachedPlans.memo(s"bpe_vocab_$BpeMerges", docs) {

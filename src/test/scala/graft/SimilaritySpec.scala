@@ -368,6 +368,40 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("persisted-PQ top-k is bit-identical to the refined recompute form") {
+    val dim = 8
+    val corpus = this.corpus(80)
+    val queries = corpus.filter($"vec_id" < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-idx").toString
+    graft.operators.DedupIndex.writeVectors(corpus, "vec_id", "embedding",
+      dir, planes = 2, dim = dim, numCentroids = 10)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, dir)
+    assert(idx.params.pqM === 8 && idx.params.pqKsub === 16)
+    assert(idx.pqCodebooks.size === 8 &&
+      idx.pqCodebooks.head.size === 16 &&
+      idx.pqCodebooks.head.head.size === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+    val got = rows(Similarity.pqTopKIndexed(queries, "vec_id",
+      "embedding", idx, k = 3))
+    val want = rows(Similarity.pqRefinedTopK(corpus, queries, "vec_id",
+      "embedding", k = 3, m = 8, ksub = 16, dim = dim))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the probe's scan reads (id, pqcodes) — never floats or SQ8 bytes
+    val scans = Similarity.pqTopKIndexed(queries, "vec_id", "embedding",
+        idx, k = 3)
+      .queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+      .filter(_.contains(dir.split("/").last))
+    assert(scans.exists(l => l.contains("pqcodes") &&
+      !l.contains("vec:") && !l.contains("rnorm")),
+      s"PQ probe must scan only (id, pqcodes):\n${scans.mkString("\n")}")
+  }
+
   test("indexed binary top-k is bit-identical to recompute and scans only codes") {
     val dim = 8
     val corpus = this.corpus(80)
