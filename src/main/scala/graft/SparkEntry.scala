@@ -156,6 +156,7 @@ object SparkEntry {
     "ann_recall_report" -> (SimilarityQueries.annRecallReport _),
     "ann_recall_sampled" -> (SimilarityQueries.annRecallReportSampled _),
     "semantic_dedup" -> (SimilarityQueries.semanticDedup _),
+    "semantic_dedup_indexed" -> (SimilarityQueries.semanticDedupIndexed _),
     "ann_ivf_sq8_indexed_topk" -> (SimilarityQueries.ivfSq8TopKIndexed _),
     "text_utf8_profile" -> (TextQueries.utf8Profile _),
     "ngram_heavy_hitters" -> (TextQueries.ngramHeavyHitters _)
@@ -277,6 +278,7 @@ object SparkEntry {
     "ann_recall_report" -> SimilarityQueries.annRecallReportSql,
     "ann_recall_sampled" -> SimilarityQueries.annRecallReportSampledSql,
     "semantic_dedup" -> SimilarityQueries.semanticDedupSql,
+    "semantic_dedup_indexed" -> SimilarityQueries.semanticDedupIndexedSql,
     // the persisted-IVF probe is bit-identical to the recompute form,
     // so the same oracle SQL gates both
     "ann_ivf_sq8_indexed_topk" -> SimilarityQueries.ivfSq8TopKSql,

@@ -578,11 +578,40 @@ object Similarity {
       nearestCentIdx(c, cent)
         .join(c, Seq("n_id"))
         .join(broadcast(cent.select(col("cent_idx"), col("cent_id"))),
-          Seq("cent_idx")))
-    val a = assigned.select(col("cent_idx").as("ci"),
+          Seq("cent_idx"))
+        .select(col("cent_id").as("cluster_id"), col("n_id"),
+          col("n_vec"), col("n_norm")))
+    semanticVerdictsFrom(assigned, threshold)
+  }
+
+  /** [[semanticDedup]] with the cluster assignment read from the
+    * persisted index's inverted lists instead of recomputed: the
+    * corpus-sized nearest-centroid argmax (N·C dots) is amortized into
+    * the one-time index build; the probe joins (cent_id, n_id) against
+    * the stored floats and runs the identical within-cluster pruning.
+    * Bit-identical verdicts — the stored list assignment came from the
+    * same argmax under the same stored centroid floats, and the exact
+    * cosine runs on the same stored vectors/norms.
+    */
+  def semanticDedupIndexed(idx: DedupIndex.VectorIndex,
+      threshold: Double): DataFrame = {
+    val assigned = graft.plans.CachedPlans.cached(
+      idx.lists.select(col("cent_id").as("cluster_id"), col("n_id"))
+        .join(idx.buckets.select(col("id").as("n_id"),
+          col("vec").as("n_vec"), col("norm").as("n_norm")), Seq("n_id")))
+    semanticVerdictsFrom(assigned, threshold)
+  }
+
+  /** The SemDeDup verdict half over an assignment of (cluster_id, n_id,
+    * n_vec, n_norm): within-cluster pairwise cosine, collapse onto the
+    * lowest qualifying id, one verdict row per vector.
+    */
+  private def semanticVerdictsFrom(assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = assigned.select(col("cluster_id").as("ci"),
       col("n_id").as("a_id"), col("n_vec").as("a_vec"),
       col("n_norm").as("a_norm"))
-    val b = assigned.select(col("cent_idx").as("ci"),
+    val b = assigned.select(col("cluster_id").as("ci"),
       col("n_id").as("b_id"), col("n_vec").as("b_vec"),
       col("n_norm").as("b_norm"))
     val dups = a.join(b, Seq("ci"))
@@ -592,9 +621,9 @@ object Similarity {
         col("a_norm"), col("b_norm")))
       .filter(col("score") >= threshold)
       .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
-    assigned.select(col("n_id"), col("cent_id"))
+    assigned.select(col("n_id"), col("cluster_id"))
       .join(dups, col("n_id") === col("b_id"), "left")
-      .select(col("n_id").as("id"), col("cent_id").as("cluster_id"),
+      .select(col("n_id").as("id"), col("cluster_id"),
         coalesce(col("dup_of"), col("n_id")).as("canonical_id"),
         col("dup_of").isNull.as("keep"))
   }

@@ -943,6 +943,22 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** [[semanticDedup]] with the cluster assignment served from the
+    * persisted index's inverted lists (see
+    * [[graft.operators.Similarity.semanticDedupIndexed]]) — the N·C
+    * assignment argmax amortized into the index build. Bit-identical
+    * verdicts, shared oracle.
+    */
+  def semanticDedupIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val idx = QueryIndexes.vectorsFull(spark, sfDir)
+    Similarity.semanticDedupIndexed(idx, threshold = 0.35)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        col("canonical_id"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupIndexedSql: String = semanticDedupSql
+
   def semanticDedupSql: String =
     s"""WITH cent0 AS (
       |  SELECT vec_id AS cent_id, embedding AS cent_vec,

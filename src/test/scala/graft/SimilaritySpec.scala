@@ -121,6 +121,29 @@ class SimilaritySpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("indexed semantic dedup reproduces the recompute verdicts from stored lists") {
+    def vec(cluster: Int, j: Int): Array[Float] = Array.tabulate(8)(
+      d => (if (cluster == 0) 10f else -10f) + ((j + d) % 3) * 0.01f)
+    val emb = Seq(0L -> vec(0, 0), 1L -> vec(0, 1), 2L -> vec(0, 2),
+      10L -> vec(1, 0), 11L -> vec(1, 1))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sem-idx").toString
+    graft.operators.DedupIndex.writeVectors(emb, "vec_id", "embedding",
+      dir, planes = 2, dim = 8, numCentroids = 2)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cluster_id", "canonical_id", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val got = rows(Similarity.semanticDedupIndexed(idx, threshold = 0.9))
+    val want = rows(Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.9, numCentroids = 2))
+    assert(got === want)
+    assert(got.map(r => (r._1, r._3, r._4)) === Seq(
+      (0L, 0L, true), (1L, 0L, false), (2L, 0L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("incremental cosine probe pairs existing against new only") {
     // vectors 0..9 similar to each other, 100..104 a distant cluster
     val pts = ((0 until 10).map(i => (i.toLong,
