@@ -232,4 +232,21 @@ object Multimodal {
     }
     (hi, lo)
   }
+
+  /** Total [[averageHash]] of an arbitrary payload: BMP through the
+    * pure-JVM parser, any other ImageIO-decodable container through the
+    * JDK codecs; null, non-image, or corrupt bytes → None instead of an
+    * exception — the per-row contract a streaming operator needs over a
+    * dirty corpus.
+    */
+  def averageHashOf(bytes: Array[Byte]): Option[(Long, Long)] =
+    if (bytes == null || bytes.length < 4) None
+    else
+      try {
+        val (w, h, px) =
+          if (MediaCodecs.BmpDecoder.detect(bytes))
+            MediaCodecs.BmpDecoder.decodePixels(bytes)
+          else MediaCodecs.imageIoRgb(bytes)
+        Some(averageHash(w, h, px))
+      } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -928,6 +928,37 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming perceptual image dedup: arriving payloads are decoded
+    * and average-hashed on the executors
+    * ([[graft.operators.Multimodal.averageHashOf]] — total over dirty
+    * corpora), then first-occurrence-wins within the watermark on the
+    * 64-bit perceptual code — the image twin of [[dedupStream]], keyed
+    * on what the image LOOKS like rather than its bytes: a BMP and its
+    * PNG re-encode share a code and dedup (MultimodalSpec pins the
+    * container invariance). Undecodable payloads are never dropped —
+    * their key falls back to the row id, so each stays unique — and a
+    * `decoded` flag reports which path a row took. The hash is a
+    * map-side computation (zero pre-state shuffle); state is
+    * watermark-bounded exactly as in [[dedupStream]].
+    */
+  def ahashDedupStream(rows: DataFrame, idCol: String, payloadCol: String,
+      tsCol: String, horizon: String): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) =>
+      graft.operators.Multimodal.averageHashOf(b))
+    rows
+      .withColumn("_ah", hashUdf(col(payloadCol)))
+      .withColumn("ahash_hi", col("_ah._1"))
+      .withColumn("ahash_lo", col("_ah._2"))
+      .withColumn("decoded", col("_ah").isNotNull)
+      .withColumn("_fallback",
+        when(col("_ah").isNull, col(idCol).cast("long")).otherwise(lit(0L)))
+      .drop("_ah")
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(Seq("ahash_hi", "ahash_lo",
+        "_fallback"))
+      .drop("_fallback")
+  }
+
   /** [[startVectorIndexAbsorb]]'s text twin: arriving documents are
     * shingled/signed under the text index's frozen geometry and
     * absorbed through the same staged commit, with the same

@@ -626,6 +626,40 @@ class CdcStreamSpec extends SparkSpec {
       "timestamped twins pair; null-ts rows are dropped, not fatal")
   }
 
+  test("streaming perceptual dedup keys on what the image looks like") {
+    val dir = Files.createTempDirectory("stream_ahash").toString
+    import graft.operators.MediaCodecs
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rgbA = Array.tabulate(192)(i =>
+      if ((i / 3) % 8 >= 4) 200.toByte else 0.toByte)
+    val rgbB = Array.tabulate(192)(i =>
+      if ((i / 3) % 8 < 4) 200.toByte else 0.toByte)
+    // b1: BMP of pattern A + an undecodable payload; b2: a PNG
+    // RE-ENCODE of pattern A (byte-different, perceptually identical),
+    // a BMP of pattern B, another undecodable payload
+    Seq((1L, ts(0), MediaCodecs.encodeBmp(8, 8, rgbA)),
+        (4L, ts(1), Array[Byte](1, 2, 3, 4, 5)))
+      .toDF("doc_id", "ts", "payload").coalesce(1).write.parquet(s"$dir/b1")
+    Seq((2L, ts(5), MediaCodecs.encodePng(8, 8, rgbA)),
+        (3L, ts(6), MediaCodecs.encodeBmp(8, 8, rgbB)),
+        (5L, ts(7), Array[Byte](9, 9, 9, 9, 9)))
+      .toDF("doc_id", "ts", "payload").coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.ahashDedupStream(stream, "doc_id", "payload",
+        "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ahash_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("ahash_out").select("doc_id", "decoded")
+      .as[(Long, Boolean)].collect().toMap
+    assert(rows.keySet === Set(1L, 3L, 4L, 5L),
+      s"the PNG re-encode of pattern A must dedup against its BMP: $rows")
+    // decodable rows carry their code; undecodable rows pass with the flag
+    assert(rows(1L) && rows(3L) && !rows(4L) && !rows(5L))
+  }
+
   test("streaming absorb sink grows the vector index; a replayed stream is a no-op") {
     val dir = Files.createTempDirectory("stream_absorb").toString
     val dim = 8
