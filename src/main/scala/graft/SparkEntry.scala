@@ -47,6 +47,10 @@ object SparkEntry {
     "cdc_diff_summary" -> (CdcQueries.diffSummary _),
     "cdc_chunk_digest" -> (CdcQueries.chunkDigest _),
     "cdc_bucket_digest" -> (CdcQueries.bucketDigest _),
+    // CDC temporal verbs: time travel, SCD2 history, snapshot+delta
+    "cdc_snapshot_asof" -> (CdcQueries.cdcSnapshotAsof _),
+    "cdc_scd2" -> (CdcQueries.cdcScd2 _),
+    "cdc_merge_incremental" -> (CdcQueries.cdcMergeIncremental _),
     "q_json_extract" -> (RelationalQueries.qJsonExtract _),
     "q_scalar_funcs" -> (RelationalQueries.qScalarFuncs _),
     "q_cube_orders" -> (AdvancedQueries.qCube _),
@@ -179,6 +183,10 @@ object SparkEntry {
     "cdc_diff_summary" -> CdcQueries.diffSummarySql,
     "cdc_chunk_digest" -> CdcQueries.chunkDigestSql,
     "cdc_bucket_digest" -> CdcQueries.bucketDigestSql,
+    "cdc_snapshot_asof" -> CdcQueries.cdcSnapshotAsofSql,
+    "cdc_scd2" -> CdcQueries.cdcScd2Sql,
+    // the merge's oracle is the FULL replay — merge == recompute gate
+    "cdc_merge_incremental" -> CdcQueries.cdcMergeIncrementalSql,
     "q_json_extract" -> RelationalQueries.qJsonExtractSql,
     "q_scalar_funcs" -> RelationalQueries.qScalarFuncsSql,
     "q_cube_orders" -> AdvancedQueries.qCubeSql,

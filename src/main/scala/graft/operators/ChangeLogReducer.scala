@@ -99,4 +99,68 @@ object ChangeLogReducer {
       : DataFrame =
     lastEvent(changeLog, pks, seq)
       .drop(dropCols.filterNot(_ == C.Op): _*)
+
+  /** SCD-2 history build: every non-delete event becomes a versioned row
+    * with a validity interval, the dimension-table form of the change
+    * log (Kimball type-2: one row per state, `valid_to` of each state =
+    * `valid_from` of the key's next event).
+    *
+    *  - `version` is the event ordinal within the key under `seq` order,
+    *    COUNTING tombstones — version numbers gap where a delete closed
+    *    an interval, which preserves "what happened" (a gap IS the
+    *    deletion) and keeps the ordinal a pure per-event row_number.
+    *  - `valid_to` = the NEXT event's `ts` (delete or not: a tombstone
+    *    closes its predecessor's interval but emits no row), NULL while
+    *    the state is still current.
+    *  - `is_current` = open interval on a non-delete event.
+    *
+    * One shuffle: row_number and lead share a window spec, so Catalyst
+    * plans a single WindowExec (one exchange on the PK + one
+    * within-partition sort) — scale-safe, the partition key is the PK.
+    */
+  def history(changeLog: DataFrame, pks: Seq[String], seq: Column,
+      ts: Column): DataFrame = {
+    require(pks.nonEmpty, "SCD2 history needs a primary key")
+    val w = Window.partitionBy(pks.map(col): _*).orderBy(seq.asc)
+    changeLog
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+      .filter(!(col(C.Op) <=> lit("D")))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .drop(dropCols: _*)
+  }
+
+  /** Incremental snapshot maintenance: fold ONE new batch of events into
+    * an existing reduced snapshot without replaying history — the daily
+    * pattern at 100 TB (the full log is cold storage; the running
+    * snapshot plus each day's delta is what the cluster touches).
+    *
+    * Correct exactly when `seq` is an INGEST-TIME order and the batch is
+    * entirely later than the snapshot's events (the CDC contract: files
+    * arrive in commit order) — then "last event overall" = "batch's last
+    * event, else snapshot row", so a per-key anti-join + union replaces
+    * the full re-reduction. Keys whose latest event is a delete drop out.
+    *
+    * @param snapshotWithOp [[reduceKeepOp]] output (business cols + Op,
+    *                       tombstones included — a tombstone must mask
+    *                       re-delivered older events, so snapshots kept
+    *                       for merging MUST retain tombstones)
+    * @param batchLog       the new raw events (ChangeLogReader shape)
+    * @return the next snapshot in [[reduce]] form (business cols only);
+    *         feed `reduceKeepOp(batchLog …)` merged similarly if the
+    *         caller needs the next snapshotWithOp instead
+    */
+  def mergeBatch(snapshotWithOp: DataFrame, batchLog: DataFrame,
+      pks: Seq[String], seq: Column): DataFrame = {
+    val batchLast = lastEvent(batchLog, pks, seq)
+      .drop(dropCols.filterNot(_ == C.Op): _*)
+    // PK-keyed anti join: both sides shuffle on the PK — the same
+    // exchange the snapshot's own bucketing would satisfy at scale
+    val untouched = snapshotWithOp.join(
+      batchLast.select(pks.map(col): _*), pks, "left_anti")
+    untouched.unionByName(batchLast)
+      .filter(!(col(C.Op) <=> lit("D")))
+      .drop(C.Op)
+  }
 }

@@ -96,6 +96,128 @@ object CdcQueries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Oracle ORDER BY mirror of the seq struct's ASC lexicographic order
+    * (SCD2 history runs time-forward, unlike the reducers' DESC max).
+    */
+  private val tieBreakAscSql =
+    tieBreakCols.map(c => s"$c ASC").mkString(", ")
+
+  /** Point-in-time cutoffs over the synthetic log's l_shipdate event
+    * time (data spans 1995-01..2001-11 — both cutoffs split it well
+    * inside the range at every SF).
+    */
+  private val AsofCutoff = "1998-06-30 00:00:00"
+  private val MergeCutoff = "1999-01-01 00:00:00"
+
+  /** Ingest-time event order: shipdate first, then the linenumber +
+    * payload tie-break. Under this order a later-dated batch is wholly
+    * later than the history before it — the property [[ChangeLogReducer
+    * .mergeBatch]]'s snapshot+delta merge needs to equal full replay.
+    */
+  private val timeSeq: Column =
+    struct((col("l_shipdate") +: col("l_linenumber") +:
+      tieBreakCols.map(col)): _*)
+
+  /** Snapshot AS OF a point in time: replay only the events at or before
+    * the cutoff — the time-travel verb (reconstruct what the table
+    * looked like last June). Same single-shuffle reduction as
+    * [[cdcReduce]]; the cutoff is a pushable scan predicate, so at scale
+    * this reads the ≤cutoff slice of the log, not all of it.
+    */
+  def cdcSnapshotAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit(AsofCutoff)))
+    ChangeLogReducer.reduce(log, Seq("l_orderkey"), eventSeq)
+      .orderBy(col("l_orderkey"))
+  }
+
+  def cdcSnapshotAsofSql: String =
+    s"""WITH cl AS (
+      |  SELECT *, CASE WHEN l_quantity < 3 THEN 'D'
+      |                 WHEN l_quantity < 25 THEN 'U' ELSE 'I' END AS op
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '$AsofCutoff'),
+      |last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber DESC, $tieBreakOrderSql) AS rn
+      |  FROM cl)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |  l_shipdate
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** SCD-2 dimension history from the change log: one versioned row per
+    * non-delete event with its validity interval (valid_from = event
+    * time, valid_to = next event's time, NULL while current; a tombstone
+    * closes its predecessor's interval and emits nothing). Event order
+    * within a key is ingest time ([[timeSeq]]).
+    */
+  def cdcScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+    ChangeLogReducer.history(log, Seq("l_orderkey"), timeSeq,
+        col("l_shipdate"))
+      .select(col("l_orderkey"), col("version"), col("l_quantity"),
+        col("l_extendedprice"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("l_orderkey"), col("version"))
+  }
+
+  def cdcScd2Sql: String =
+    s"""WITH cl AS (
+      |  SELECT *, CASE WHEN l_quantity < 3 THEN 'D'
+      |                 WHEN l_quantity < 25 THEN 'U' ELSE 'I' END AS op
+      |  FROM lineitem),
+      |v AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_shipdate ASC, l_linenumber ASC, $tieBreakAscSql)
+      |      AS version,
+      |    lead(l_shipdate) OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_shipdate ASC, l_linenumber ASC, $tieBreakAscSql)
+      |      AS valid_to
+      |  FROM cl)
+      |SELECT l_orderkey, version, l_quantity, l_extendedprice,
+      |  l_shipdate AS valid_from, valid_to,
+      |  CAST(valid_to IS NULL AS INT) AS is_current
+      |FROM v WHERE op <> 'D'
+      |ORDER BY l_orderkey, version""".stripMargin
+
+  /** Incremental snapshot maintenance: reduce the history before the
+    * cutoff into a snapshot (tombstones retained), then fold the
+    * after-cutoff batch in with [[ChangeLogReducer.mergeBatch]] — and the
+    * ORACLE is the full replay of the whole log, so the driver verifies
+    * the snapshot+delta merge is bit-identical to recomputing from
+    * scratch. Ordering is ingest time, the regime where the merge is
+    * exact (see mergeBatch's contract).
+    */
+  def cdcMergeIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+    val cut = to_timestamp(lit(MergeCutoff))
+    val snap0 = ChangeLogReducer.reduceKeepOp(
+      log.filter(col("l_shipdate") <= cut), Seq("l_orderkey"), timeSeq)
+    ChangeLogReducer.mergeBatch(snap0,
+        log.filter(col("l_shipdate") > cut), Seq("l_orderkey"), timeSeq)
+      .select(LineitemCols.map(col): _*)
+      .orderBy(col("l_orderkey"))
+  }
+
+  def cdcMergeIncrementalSql: String =
+    s"""WITH cl AS (
+      |  SELECT *, CASE WHEN l_quantity < 3 THEN 'D'
+      |                 WHEN l_quantity < 25 THEN 'U' ELSE 'I' END AS op
+      |  FROM lineitem),
+      |last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_shipdate DESC, l_linenumber DESC, $tieBreakOrderSql)
+      |    AS rn
+      |  FROM cl)
+      |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      |  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+      |  l_shipdate
+      |FROM last WHERE rn = 1 AND op <> 'D'
+      |ORDER BY l_orderkey""".stripMargin
+
   /** Deterministically mutated copy of orders for diff testing
     * (o_orderkey is unique, unlike lineitem's (orderkey, linenumber)):
     *  - o_orderkey % 997 = 3 deleted (→ only_left)
