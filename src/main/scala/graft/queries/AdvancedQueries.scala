@@ -179,19 +179,24 @@ object AdvancedQueries {
       |ORDER BY p_partkey""".stripMargin
 
   /** HLL sketch aggregation (approx_count_distinct) next to exact
-    * counts. No cross-engine oracle exists for HLL internals (Spark's
-    * relative-error HLL++ differs from other engines' sketches), so this
-    * op is declared WITHOUT an oracle — the driver records the weaker
-    * rows-only check. The check that IS possible rides in the result:
-    * each estimate sits next to its exact count, so any consumer (and
-    * ApproxDistinctSpec) can assert the relative error against the
-    * configured rsd without reproducing the sketch. At 100 TB, sketches
-    * are how you count distinct URLs/users per slice without a
-    * distinct-expand shuffle.
+    * counts. No cross-engine oracle exists for HLL INTERNALS (Spark's
+    * relative-error HLL++ differs from other engines' sketches), but the
+    * accuracy CONTRACT is oracle-expressible: the declared query
+    * ([[qApproxDistinct]]) folds each estimate into a boolean
+    * `|approx-exact|/exact <= eps` next to the exact count, and the
+    * DuckDB oracle computes the exact counts and asserts the booleans
+    * are all true — so a sketch drifting outside its error bound is a
+    * HASH MISMATCH, not an unreviewable rows-only pass. eps = 5×rsd is a
+    * ≫5-sigma band (HLL++ relative error is ~normal with sd = rsd): a
+    * failure means the sketch broke, not bad luck. The raw estimates
+    * stay inspectable via [[qApproxDistinctDetail]] (spec-gated). At
+    * 100 TB, sketches are how you count distinct URLs/users per slice
+    * without a distinct-expand shuffle.
     */
   val ApproxDistinctRsd = 0.02
+  val ApproxDistinctEps = 5 * ApproxDistinctRsd
 
-  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  def qApproxDistinctDetail(spark: SparkSession, sfDir: String): DataFrame =
     tbl(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -202,6 +207,28 @@ object AdvancedQueries {
           .as("approx_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy(col("l_returnflag"))
+
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    def withinEps(approx: String, exact: String) =
+      (abs(col(approx).cast(DoubleType) - col(exact).cast(DoubleType)) /
+        col(exact).cast(DoubleType)) <= lit(ApproxDistinctEps)
+    qApproxDistinctDetail(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("exact_parts"), col("exact_orders"),
+        withinEps("approx_parts", "exact_parts").as("parts_within_eps"),
+        withinEps("approx_orders", "exact_orders").as("orders_within_eps"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def qApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  true AS parts_within_eps,
+      |  true AS orders_within_eps
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE sketch:
     * unlike HLL (whose internals differ per engine, forcing

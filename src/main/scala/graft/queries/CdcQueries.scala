@@ -57,7 +57,8 @@ object CdcQueries {
         date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
 
   private val eventSeq: Column =
-    struct((col("l_linenumber") +: tieBreakCols.map(col)): _*)
+    graft.sources.ChangeLogReader.seqStruct(
+      col("l_linenumber") +: tieBreakCols.map(col))
 
   /** Replay the change log to final state with the set-based reducer
     * (single shuffle, map-side partial agg — the plan that replaces the
@@ -115,8 +116,8 @@ object CdcQueries {
     * .mergeBatch]]'s snapshot+delta merge needs to equal full replay.
     */
   private val timeSeq: Column =
-    struct((col("l_shipdate") +: col("l_linenumber") +:
-      tieBreakCols.map(col)): _*)
+    graft.sources.ChangeLogReader.seqStruct(
+      col("l_shipdate") +: col("l_linenumber") +: tieBreakCols.map(col))
 
   /** Snapshot AS OF a point in time: replay only the events at or before
     * the cutoff — the time-travel verb (reconstruct what the table

@@ -49,13 +49,24 @@ object ChangeLogReader {
       .withColumn(C.RowIndex, col("_metadata.row_index"))
       .withColumn(C.IsLoad, col("_metadata.file_name").contains("LOAD"))
 
-  /** One comparable column encoding the global event order (structs compare
-    * lexicographically field-by-field in Spark). Ascending = apply order:
-    * LOAD first (rank 0), then CDC files by path, then rows in file order.
+  /** THE encoding of "event order" for every reducer in the engine: a
+    * struct over the ordering columns, compared lexicographically
+    * field-by-field (Spark's struct ordering). Both the file-metadata
+    * order below and the synthetic-log orders the oracle queries build
+    * (graft.queries.CdcQueries) go through this one definition, so a
+    * future change to the encoding (e.g. null ordering, a different
+    * comparable shape) lands everywhere or nowhere — it cannot silently
+    * diverge the declared queries from their oracles.
+    */
+  def seqStruct(cols: Seq[Column]): Column = struct(cols: _*)
+
+  /** One comparable column encoding the global event order. Ascending =
+    * apply order: LOAD first (rank 0), then CDC files by path, then rows
+    * in file order.
     */
   def eventSeq(df: DataFrame): Column =
-    struct(
+    seqStruct(Seq(
       when(col(C.IsLoad), lit(0)).otherwise(lit(1)).as("load_rank"),
       col(C.FilePath).as("file_path"),
-      col(C.RowIndex).as("row_index"))
+      col(C.RowIndex).as("row_index")))
 }

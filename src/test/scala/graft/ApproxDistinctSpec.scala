@@ -2,20 +2,21 @@ package graft
 
 import graft.queries.AdvancedQueries
 
-/** The driver can only rows-check `q_approx_distinct` (HLL++ internals
-  * have no cross-engine oracle), so the accuracy contract is pinned
-  * HERE: every estimate in the result must sit within a generous
-  * multiple of the configured rsd of the exact count carried beside it.
-  * HLL++'s relative error is approximately normal with sd = rsd, so a
-  * 5×rsd band is a ≫5-sigma bound — a failure means the sketch (or the
-  * query wiring) broke, not bad luck.
+/** HLL++ internals have no cross-engine oracle, so the accuracy contract
+  * is enforced twice: the declared `q_approx_distinct` folds each
+  * estimate into a `within_eps` boolean that the DuckDB oracle asserts
+  * is true (a drifted sketch becomes a hash MISMATCH), and this spec
+  * checks the raw estimates via the detail form. eps = 5×rsd: HLL++'s
+  * relative error is approximately normal with sd = rsd, so the band is
+  * a ≫5-sigma bound — a failure means the sketch (or the query wiring)
+  * broke, not bad luck.
   */
 class ApproxDistinctSpec extends SparkSpec {
 
   test("approx_count_distinct estimates sit within 5×rsd of exact") {
-    val bound = 5 * AdvancedQueries.ApproxDistinctRsd
+    val bound = AdvancedQueries.ApproxDistinctEps
     val rows = AdvancedQueries
-      .qApproxDistinct(spark, "/root/testdata/sf0.001")
+      .qApproxDistinctDetail(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -28,6 +29,19 @@ class ApproxDistinctSpec extends SparkSpec {
       val orders = relErr("approx_orders", "exact_orders")
       assert(parts <= bound, s"approx_parts off by $parts > $bound")
       assert(orders <= bound, s"approx_orders off by $orders > $bound")
+    }
+  }
+
+  test("gated q_approx_distinct reports every estimate within eps") {
+    val rows = AdvancedQueries
+      .qApproxDistinct(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("parts_within_eps"),
+        s"parts out of bounds for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Boolean]("orders_within_eps"),
+        s"orders out of bounds for ${r.getAs[String]("l_returnflag")}")
     }
   }
 }
