@@ -25,7 +25,13 @@ object SparkEntry {
     */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_fast" -> (DedupQueries.minHashLshFast _),
-    "dedup_ngram_fast" -> (DedupQueries.ngramJaccardFast _)
+    "dedup_ngram_fast" -> (DedupQueries.ngramJaccardFast _),
+    // skewed-key CDC join probe: one PK holds ~20% of events; the pair
+    // measures what ScaleOps.saltedJoin buys (ScaleOpsSpec asserts the
+    // two agree; dev/BENCH_NOTES.md records the measured delta)
+    "cdc_skew_join_plain" -> (CdcQueries.cdcSkewJoinPlain _),
+    "cdc_skew_join_salted" -> (CdcQueries.cdcSkewJoinSalted _),
+    "cdc_skew_join_split" -> (CdcQueries.cdcSkewJoinSplit _)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -29,7 +29,20 @@ final case class CdcConfig(
     // per-table bodies is itself a parallel Spark job, so a small pool
     // keeps the cluster busy across many SMALL tables without flooding
     // the scheduler)
-    maxConcurrentTables: Int = 8) {
+    maxConcurrentTables: Int = 8,
+    // snapshot physical layout, the 100 TB path: hive-style partition
+    // dirs on low-cardinality state columns (ingest date, tenant) so
+    // every later read over the snapshot — incremental mergeBatch,
+    // validate, ad-hoc slices — prunes whole directories at listing
+    // time instead of scanning the table; columns must exist in the
+    // reconstructed state (checked per table at write)
+    snapshotPartitionBy: Seq[String] = Seq.empty,
+    // optional PK bucketing (> 0 enables): the snapshot lands as a
+    // bucketed external table so the validate-side source-vs-target PK
+    // join — the pipeline's hottest repeated join — runs Exchange-free
+    // against an equally-bucketed source (ScaleOps.writeBucketed
+    // semantics; the asserted-no-Exchange join is ScaleOpsSpec's)
+    snapshotBuckets: Int = 0) {
   // mutual exclusion enforced exactly like the reference
   // (cdc_operator_payload.rs:70-72 + clap conflicts_with)
   require(!(onlySnapshot && onlyDatadiff),
@@ -37,6 +50,8 @@ final case class CdcConfig(
   require(includeTables.isEmpty || excludeTables.isEmpty,
     "use include OR exclude table list, not both")
   require(startChunk >= 0, s"startChunk must be >= 0, got $startChunk")
+  require(snapshotBuckets >= 0,
+    s"snapshotBuckets must be >= 0, got $snapshotBuckets")
   require(maxConcurrentTables > 0,
     s"maxConcurrentTables must be > 0, got $maxConcurrentTables")
 
@@ -140,6 +155,36 @@ object SnapshotJob {
     }
   }
 
+  /** Write one table's reconstructed state with the configured physical
+    * layout: plain parquet by default, hive-partitioned when
+    * `snapshotPartitionBy` is set, and a bucketed+sorted external table
+    * when `snapshotBuckets` > 0 (bucket columns = the table's PK; the
+    * files stay plain parquet under `outDir/<table>` either way, so
+    * `spark.read.parquet` keeps working — the catalog entry additionally
+    * lets bucket-aware readers join Exchange-free).
+    */
+  private[graft] def writeState(state: DataFrame, cfg: CdcConfig,
+      t: TableSpec, outDir: String): Unit = {
+    val missing = cfg.snapshotPartitionBy.filterNot(state.columns.contains)
+    require(missing.isEmpty,
+      s"snapshotPartitionBy columns $missing absent from ${t.name} state " +
+        s"(has ${state.columns.mkString(", ")})")
+    val path = s"$outDir/${t.name}"
+    val base = state.write.mode("overwrite")
+    val part =
+      if (cfg.snapshotPartitionBy.isEmpty) base
+      else base.partitionBy(cfg.snapshotPartitionBy: _*)
+    if (cfg.snapshotBuckets > 0) {
+      val bk = t.primaryKey
+      require(bk.nonEmpty,
+        s"snapshotBuckets set but table ${t.name} has no primary key")
+      part.option("path", path)
+        .bucketBy(cfg.snapshotBuckets, bk.head, bk.tail: _*)
+        .sortBy(bk.head, bk.tail: _*)
+        .saveAsTable(s"graft_snap_${t.name}")
+    } else part.parquet(path)
+  }
+
   /** Snapshot all selected tables under baseDir into parquet state dirs;
     * returns per-table row counts (the reference logs per-table timing
     * and counts, cdc_operator.rs:218-228).
@@ -148,7 +193,7 @@ object SnapshotJob {
       outDir: String): Map[String, Long] =
     TablePool.map(tables, cfg.maxConcurrentTables) { t =>
       val state = reconstructTable(spark, cfg, t)
-      state.write.mode("overwrite").parquet(s"$outDir/${t.name}")
+      writeState(state, cfg, t, outDir)
       t.name -> spark.read.parquet(s"$outDir/${t.name}").count()
     }.toMap
 

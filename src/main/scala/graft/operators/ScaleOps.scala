@@ -61,6 +61,33 @@ object ScaleOps {
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Skew-SPLIT equi-join — the production fix for CDC-shaped skew,
+    * where the right side holds ONE row per key (a dimension / current
+    * state) and a handful of keys dominate the left: route the hot
+    * keys' rows through a broadcast join (the right side restricted to
+    * hot keys is tiny by construction) and everything else through the
+    * stock shuffle join. Equals the plain join for left-preserving join
+    * types; no replication of the full right side (the cost that makes
+    * blanket salting LOSE below the scale where one key overflows a
+    * task — measured in dev/BENCH_NOTES.md).
+    *
+    * @param hotKeys small DataFrame holding the hot key tuples (e.g.
+    *        `skewReport(left, keys).filter($"share" > 0.05)`); must be
+    *        driver-bounded — it is broadcast three times
+    */
+  def skewSplitJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      hotKeys: DataFrame, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"skewSplitJoin supports left-preserving joins only (got $joinType)")
+    val h = broadcast(hotKeys.select(keys.map(col): _*).distinct())
+    val cold = left.join(h, keys, "left_anti")
+      .join(right, keys, joinType)
+    val hot = left.join(h, keys, "left_semi")
+      .join(broadcast(right.join(h, keys, "left_semi")), keys, joinType)
+    cold.unionByName(hot)
+  }
+
   /** Per-key frequency report for join-skew diagnosis: top `limit` keys
     * by row count with their share of the table.
     */

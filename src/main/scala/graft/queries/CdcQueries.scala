@@ -346,4 +346,64 @@ object CdcQueries {
       |  FROM orders)
       |SELECT bucket, count(*) AS n_rows, CAST(sum(h) AS BIGINT) AS digest
       |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Change log with a DEGENERATE hot key: ~20% of events remapped onto
+    * PK 1 (hash-selected rows, so the skew is deterministic and
+    * SF-independent). This is the shape AQE's skew handling does NOT fix
+    * at modest partition sizes (its byte thresholds never trigger) and
+    * the shape a real CDC feed produces when one entity dominates the
+    * stream — the case [[graft.operators.ScaleOps.saltedJoin]] exists
+    * for.
+    */
+  private def skewedLog(spark: SparkSession, sfDir: String): DataFrame =
+    tbl(spark, sfDir, "lineitem")
+      .withColumn("l_orderkey",
+        when(pmod(xxhash64(col("l_linenumber"), col("l_partkey")),
+          lit(5)) === 0, lit(1L)).otherwise(col("l_orderkey")))
+
+  private def skewAgg(joined: DataFrame): DataFrame =
+    // md5 per joined row: enough per-row work that the hot key's reducer
+    // is compute-bound (the condition being measured), not startup-bound
+    joined.agg(count(lit(1)).as("n_events"),
+      approx_count_distinct(md5(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("o_orderpriority"))))
+        .as("h"))
+
+  /** Skew probe, UNSALTED: hot-key change log ⋈ orders state on PK with
+    * the stock shuffle join — one reducer owns the hot key's 20%.
+    * Bench-extras only (the salted twin must agree; ScaleOpsSpec asserts
+    * equality, BENCH_NOTES records the measured delta).
+    */
+  def cdcSkewJoinPlain(spark: SparkSession, sfDir: String): DataFrame =
+    skewAgg(skewedLog(spark, sfDir).join(
+      tbl(spark, sfDir, "orders"),
+      col("l_orderkey") === col("o_orderkey")))
+
+  /** Skew probe, SALTED: same join through saltedJoin(32) — the hot key
+    * spreads over 32 reducers at the cost of replicating the right side
+    * per salt.
+    */
+  def cdcSkewJoinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val right = tbl(spark, sfDir, "orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    skewAgg(graft.operators.ScaleOps.saltedJoin(
+      skewedLog(spark, sfDir), right, Seq("l_orderkey"), saltFactor = 32))
+  }
+
+  /** Skew probe, SPLIT: hot keys detected from the skew report, routed
+    * through a broadcast join of the (one-row-per-key) right side's hot
+    * slice; the cold bulk takes the stock shuffle join — the form that
+    * neither replicates the right side nor leaves one reducer holding
+    * the hot key.
+    */
+  def cdcSkewJoinSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = skewedLog(spark, sfDir)
+    val right = tbl(spark, sfDir, "orders")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val hot = graft.operators.ScaleOps
+      .skewReport(log, Seq("l_orderkey"), limit = 20)
+      .filter(col("share") > 0.05)
+    skewAgg(graft.operators.ScaleOps.skewSplitJoin(
+      log, right, Seq("l_orderkey"), hot))
+  }
 }

@@ -381,6 +381,90 @@ object CdcStream {
       }
   }
 
+  /** Event for the streaming SCD2 builder: `key` is the PK rendered to
+    * one string (state-keying only — NEVER a join key; composite PKs are
+    * encoded with to_json(struct(pks))), `payload` the business columns
+    * as canonical JSON, `tsMicros` the event time, `seq` the
+    * within-timestamp arrival tie-break (e.g. the reader's row index).
+    */
+  final case class Scd2Event(key: String, seq: Long, tsMicros: Long,
+      op: String, payload: String)
+
+  /** A version interval known so far (open = valid_to absent). */
+  final case class Scd2Row(key: String, version: Int, payload: String,
+      valid_from: Long, valid_to: Option[Long], is_current: Int)
+
+  /** Cross-batch state: event ordinal so far (COUNTING tombstones, like
+    * the batch history's row_number) + the currently-open interval.
+    */
+  final case class Scd2State(lastVersion: Int,
+      openVersion: Int, openPayload: String, openFrom: Long,
+      hasOpen: Boolean)
+
+  /** Streaming SCD-2 history maintenance — the incremental form of
+    * [[graft.operators.ChangeLogReducer.history]]. Each arriving event
+    * (in (tsMicros, seq) order; batches sorted per key, the CDC
+    * file-stream contract covers cross-batch order like
+    * [[mergeBatch]]'s) emits:
+    *
+    *  - an interval-CLOSE update for the key's previously-open version
+    *    (`valid_to` = the new event's time, `is_current` 0), and
+    *  - the new OPEN version when the event is not a delete
+    *    (`valid_to` none, `is_current` 1); a tombstone closes its
+    *    predecessor and opens nothing, consuming a version ordinal
+    *    exactly as the batch builder's row_number does.
+    *
+    * The append stream therefore carries each version at most twice
+    * (open emission, then its close); [[scd2Latest]] collapses emissions
+    * to current knowledge, which equals the batch `history` of the same
+    * log — CdcStreamSpec asserts the equality. State per key is one
+    * open interval + a counter, independent of history length.
+    */
+  def scd2Stream(events: org.apache.spark.sql.Dataset[Scd2Event])
+      : org.apache.spark.sql.Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[Scd2Event],
+            state: GroupState[Scd2State]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.tsMicros, e.seq))
+          var st = state.getOption.getOrElse(Scd2State(0, 0, "", 0L, false))
+          val out = Seq.newBuilder[Scd2Row]
+          sorted.foreach { e =>
+            val v = st.lastVersion + 1
+            if (st.hasOpen)
+              out += Scd2Row(key, st.openVersion, st.openPayload,
+                st.openFrom, Some(e.tsMicros), 0)
+            if (e.op == C.OpDelete) st = Scd2State(v, 0, "", 0L, false)
+            else {
+              out += Scd2Row(key, v, e.payload, e.tsMicros, None, 1)
+              st = Scd2State(v, v, e.payload, e.tsMicros, true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Collapse [[scd2Stream]] emissions to current knowledge: per
+    * (key, version) the interval-close update (is_current 0) supersedes
+    * the open emission. The result is row-equal to the batch
+    * `ChangeLogReducer.history` of the same events.
+    */
+  def scd2Latest(emissions: DataFrame): DataFrame = {
+    val payload = struct(col("payload"), col("valid_from"),
+      col("valid_to"), col("is_current"))
+    emissions
+      .groupBy(col("key"), col("version"))
+      .agg(min_by(payload, col("is_current")).as("_v"))
+      .select(col("key"), col("version"), col("_v.payload").as("payload"),
+        col("_v.valid_from").as("valid_from"),
+        col("_v.valid_to").as("valid_to"),
+        col("_v.is_current").as("is_current"))
+  }
+
   /** Streaming windowed aggregation over an event stream (watermark +
     * tumbling window) — mirrors the batch q_event_windows so stream and
     * batch results can be asserted equal.

@@ -116,6 +116,61 @@ class CdcJobsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned snapshot layout: validate-side reads prune partitions") {
+    val base = Files.createTempDirectory("partsnap").toString
+    val tdir = s"$base/db/public/items"
+    val out = s"$base/out"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def place(src: String, dst: String): Unit = {
+      val p = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(p, new org.apache.hadoop.fs.Path(dst))
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    }
+    val regions = Seq("eu", "us", "ap")
+    val load = (1L to 90L).map(i =>
+      ("I", "t0", i, regions((i % 3).toInt), s"v$i"))
+      .toDF(C.Op, C.IngestTs, "id", "region", "payload")
+    load.coalesce(1).write.parquet(s"$tdir/_w1")
+    place(s"$tdir/_w1", s"$tdir/LOAD00000001.parquet")
+
+    val cfg = CdcConfig(s"$base/db/public", "public",
+      mode = ListingMode.FullLoadOnly,
+      snapshotPartitionBy = Seq("region"))
+    val spec = TableSpec("items", tdir, Seq("id"))
+    assert(SnapshotJob.run(spark, cfg, Seq(spec), out)
+      === Map("items" -> 90L))
+    // layout on disk is hive-style partition dirs
+    assert(regions.forall(r => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$out/items/region=$r"))))
+
+    // a validate-side read filtered on the partition column must reach
+    // the scan as a PARTITION filter and list only that region's files
+    val read = spark.read.parquet(s"$out/items").filter($"region" === "eu")
+    val scan = read.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(
+      _.name == "region")), s"no partition filter: ${scan.partitionFilters}")
+    val files = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+    assert(files.nonEmpty && files.forall(_.contains("region=eu")),
+      s"scan lists unpruned files: $files")
+    assert(read.count() === 30L)
+
+    // PK-bucketed layout: external table with the bucket spec recorded,
+    // files still plain-parquet-readable at the same path
+    val cfgB = cfg.copy(snapshotBuckets = 4)
+    assert(SnapshotJob.run(spark, cfgB, Seq(spec), s"$base/outb")
+      === Map("items" -> 90L))
+    val desc = spark.sql("DESCRIBE EXTENDED graft_snap_items")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString
+    assert(desc.contains("Num Buckets=4") && desc.contains("id"), desc)
+    spark.sql("DROP TABLE IF EXISTS graft_snap_items")
+  }
+
   test("TablePool keeps input order and fails fast on error") {
     import graft.cdc.TablePool
     assert(TablePool.map(Seq(3, 1, 2), maxConcurrent = 4)(_ * 10)

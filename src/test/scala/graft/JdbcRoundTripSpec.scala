@@ -57,6 +57,54 @@ class JdbcRoundTripSpec extends SparkSpec {
       5L -> "v5", 6L -> "new"))
   }
 
+  test("Postgres ON CONFLICT branch executes against a real upsert engine") {
+    // MiniPg registers for jdbc:postgresql://minipg/ URLs, so the URL
+    // dispatch in JdbcSink.upsert selects the pgStyle branch and the
+    // prepared INSERT … ON CONFLICT (pk) DO UPDATE / batched DELETE run
+    // for real (reference semantics: postgres_operator_impl.rs:357-378)
+    MiniPg.register
+    MiniPg.clear()
+    val pgUrl = "jdbc:postgresql://minipg/itdb"
+    MiniPg.createTable("itdb", "graft.t_pg", Seq("id", "v"), Seq("id"))
+    // seed through the SAME pgStyle path (plain upserts on empty table)
+    val seed = (1L to 5L).map(i => (i, s"v$i", "I")).toDF("id", "v", C.Op)
+    JdbcSink.upsert(seed, pgUrl, "graft", "t_pg", Seq("id"), "", "")
+    // update id=1 (conflict -> DO UPDATE), delete id=2, insert id=6,
+    // tiny batch so mid-stream executeBatch flushes happen
+    val reduced = Seq(
+      (1L, "updated", "U"), (2L, "v2", "D"), (6L, "new", "I"))
+      .toDF("id", "v", C.Op)
+    JdbcSink.upsert(reduced, pgUrl, "graft", "t_pg", Seq("id"), "", "",
+      batchSize = 2)
+    val got = MiniPg.tableRows("itdb", "graft.t_pg")
+      .map(r => r("id").asInstanceOf[Long] -> r("v")).sortBy(_._1)
+    assert(got === Seq(1L -> "updated", 3L -> "v3", 4L -> "v4",
+      5L -> "v5", 6L -> "new"))
+    // delete-then-reinsert through the same prepared statements: the
+    // re-insert takes the INSERT arm of ON CONFLICT (key now absent)
+    val redo = Seq((6L, "new2", "D"), (6L, "back", "I"))
+    JdbcSink.upsert(Seq(redo.head).toDF("id", "v", C.Op),
+      pgUrl, "graft", "t_pg", Seq("id"), "", "")
+    JdbcSink.upsert(Seq(redo(1)).toDF("id", "v", C.Op),
+      pgUrl, "graft", "t_pg", Seq("id"), "", "")
+    val after = MiniPg.tableRows("itdb", "graft.t_pg")
+      .map(r => r("id").asInstanceOf[Long] -> r("v")).toMap
+    assert(after(6L) === "back")
+  }
+
+  test("PK-only table takes ON CONFLICT DO NOTHING on the pg branch") {
+    MiniPg.register
+    val pgUrl = "jdbc:postgresql://minipg/itdb"
+    MiniPg.createTable("itdb", "graft.t_pgk", Seq("id"), Seq("id"))
+    // PgDdl.upsert emits DO NOTHING when every column is a key column;
+    // replaying the same keys must be a no-op, not a dup-key error
+    val keys = Seq((1L, "I"), (2L, "I")).toDF("id", C.Op)
+    JdbcSink.upsert(keys, pgUrl, "graft", "t_pgk", Seq("id"), "", "")
+    JdbcSink.upsert(keys, pgUrl, "graft", "t_pgk", Seq("id"), "", "")
+    assert(MiniPg.tableRows("itdb", "graft.t_pgk").map(_("id")).toSet
+      === Set(1L, 2L))
+  }
+
   test("reduceKeepOp output feeds upsert directly (tombstones retained)") {
     exec("""CREATE TABLE "graft"."t_feed" ("id" BIGINT PRIMARY KEY, "v" VARCHAR(20))""")
     JdbcSink.append(Seq((1L, "old"), (2L, "doomed")).toDF("id", "v"),

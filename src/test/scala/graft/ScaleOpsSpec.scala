@@ -84,4 +84,35 @@ class ScaleOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("skew bench probes: salted and split joins agree with plain") {
+    val sf = "/root/testdata/sf0.001"
+    val plain = graft.queries.CdcQueries.cdcSkewJoinPlain(spark, sf)
+      .collect()
+    val salted = graft.queries.CdcQueries.cdcSkewJoinSalted(spark, sf)
+      .collect()
+    val split = graft.queries.CdcQueries.cdcSkewJoinSplit(spark, sf)
+      .collect()
+    assert(plain.length === 1 && salted.length === 1 && split.length === 1)
+    assert(plain.head === salted.head,
+      s"plain ${plain.head} != salted ${salted.head}")
+    assert(plain.head === split.head,
+      s"plain ${plain.head} != split ${split.head}")
+    assert(plain.head.getAs[Long]("n_events") > 0L)
+  }
+
+  test("skewSplitJoin equals the plain join and broadcasts the hot side") {
+    import spark.implicits._
+    val left = ((1 to 500).map(_ => (1L, "hot")) ++
+      (2L to 80L).map(k => (k, s"cold$k"))).toDF("k", "lv")
+    val right = (1L to 100L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val hot = Seq(1L).toDF("k")
+    val got = graft.operators.ScaleOps
+      .skewSplitJoin(left, right, Seq("k"), hot)
+    val want = left.join(right, Seq("k"))
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
