@@ -56,6 +56,7 @@ object SparkEntry {
     // CDC temporal verbs: time travel, SCD2 history, snapshot+delta
     "cdc_snapshot_asof" -> (CdcQueries.cdcSnapshotAsof _),
     "cdc_scd2" -> (CdcQueries.cdcScd2 _),
+    "cdc_scd2_merge" -> (CdcQueries.cdcScd2Merge _),
     "cdc_merge_incremental" -> (CdcQueries.cdcMergeIncremental _),
     "q_json_extract" -> (RelationalQueries.qJsonExtract _),
     "q_scalar_funcs" -> (RelationalQueries.qScalarFuncs _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "shard_export" -> (PipelineQueries.shardExport _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
+    "ann_jl_topk" -> (SimilarityQueries.jlTopK _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
     "ann_binary_topk" -> (SimilarityQueries.binaryTopK _),
     "ann_binary_indexed_topk" -> (SimilarityQueries.binaryIndexedTopK _),
@@ -192,6 +194,10 @@ object SparkEntry {
     "cdc_bucket_digest" -> CdcQueries.bucketDigestSql,
     "cdc_snapshot_asof" -> CdcQueries.cdcSnapshotAsofSql,
     "cdc_scd2" -> CdcQueries.cdcScd2Sql,
+    // stored-history + delta must equal full-replay history exactly —
+    // the merge shares the full SCD2 oracle (same gate style as
+    // cdc_merge_incremental)
+    "cdc_scd2_merge" -> CdcQueries.cdcScd2Sql,
     // the merge's oracle is the FULL replay — merge == recompute gate
     "cdc_merge_incremental" -> CdcQueries.cdcMergeIncrementalSql,
     "q_json_extract" -> RelationalQueries.qJsonExtractSql,
@@ -241,6 +247,7 @@ object SparkEntry {
     "text_gopher_rules" -> TextQueries.gopherRulesSql,
     "shard_export" -> PipelineQueries.shardExportSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
+    "ann_jl_topk" -> SimilarityQueries.jlTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_binary_topk" -> SimilarityQueries.binaryTopKSql,
     "ann_binary_indexed_topk" -> SimilarityQueries.binaryIndexedTopKSql,

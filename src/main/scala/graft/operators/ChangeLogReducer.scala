@@ -131,6 +131,78 @@ object ChangeLogReducer {
       .drop(dropCols: _*)
   }
 
+  /** Per-key event count of a change log — the compact companion state
+    * [[historyMerge]] needs: version ordinals count EVERY event
+    * (tombstones included, see [[history]]), and tombstone ordinals are
+    * invisible in the history rows themselves (a trailing delete leaves
+    * only closed rows), so incremental maintenance carries this cursor
+    * alongside the stored history. One count per key — negligible next
+    * to the history it serves.
+    */
+  def historyCursor(changeLog: DataFrame, pks: Seq[String]): DataFrame = {
+    require(pks.nonEmpty, "history cursor needs a primary key")
+    changeLog.groupBy(pks.map(col): _*)
+      .agg(count(lit(1)).as("_n_events"))
+  }
+
+  /** Fold the next cursor after absorbing a batch: stored cursor +
+    * [[historyCursor]] of the batch, summed per key.
+    */
+  def mergeCursors(cursor: DataFrame, batchCursor: DataFrame,
+      pks: Seq[String]): DataFrame =
+    cursor.unionByName(batchCursor)
+      .groupBy(pks.map(col): _*)
+      .agg(sum(col("_n_events")).as("_n_events"))
+
+  /** Incremental SCD-2 maintenance: fold ONE new batch of events into an
+    * existing [[history]] WITHOUT replaying the full log — the history
+    * analog of [[mergeBatch]], and the same 100 TB daily pattern (stored
+    * dimension history + each day's delta; the log stays cold).
+    *
+    * Exact under the same contract as [[mergeBatch]]: `seq` is an
+    * ingest-time order and every batch event is later than every event
+    * behind `existingHistory`. Then:
+    *
+    *  - each key's OPEN row closes at the key's FIRST batch event time
+    *    (`min_by(ts, seq)`), `is_current` → 0; keys absent from the
+    *    batch pass through untouched;
+    *  - the batch's own history rows append with versions offset by the
+    *    key's cursor count, so ordinals continue exactly where the full
+    *    replay would put them (tombstone gaps included).
+    *
+    * Shape: one key-grouped aggregation over the batch + two PK joins —
+    * all shuffles on the PK, none proportional to stored history beyond
+    * the one join that touches it.
+    *
+    * @param existingHistory [[history]] output for all prior events
+    * @param cursor          [[historyCursor]] of those same events
+    *                        (maintain with [[mergeCursors]])
+    * @return the next history ([[history]]-equal to full replay)
+    */
+  def historyMerge(existingHistory: DataFrame, cursor: DataFrame,
+      batchLog: DataFrame, pks: Seq[String], seq: Column, ts: Column)
+      : DataFrame = {
+    require(pks.nonEmpty, "SCD2 history merge needs a primary key")
+    val batchHist = history(batchLog, pks, seq, ts)
+    val offset = batchHist
+      .join(cursor, pks, "left")
+      .withColumn("version",
+        (col("version") + coalesce(col("_n_events"), lit(0L))).cast("int"))
+      .drop("_n_events")
+    val firstTs = batchLog.groupBy(pks.map(col): _*)
+      .agg(min_by(ts, seq).as("_first_ts"))
+    val closed = existingHistory
+      .join(firstTs, pks, "left")
+      .withColumn("valid_to",
+        when(col("is_current") === 1 && col("_first_ts").isNotNull,
+          col("_first_ts")).otherwise(col("valid_to")))
+      .withColumn("is_current",
+        when(col("_first_ts").isNotNull, lit(0))
+          .otherwise(col("is_current")))
+      .drop("_first_ts")
+    closed.unionByName(offset)
+  }
+
   /** Incremental snapshot maintenance: fold ONE new batch of events into
     * an existing reduced snapshot without replaying history — the daily
     * pattern at 100 TB (the full log is cold storage; the running

@@ -98,6 +98,76 @@ object Similarity {
       .select("q_id", "n_id", "rank", "score")
   }
 
+  /** Johnson–Lindenstrauss random projection of a float vector onto
+    * `signs.length` dimensions: component p = ⟨signs(p), v⟩ (the
+    * Achlioptas ±1 construction — database-friendly: no gaussians, the
+    * projection is `rdim` sign-dots through the same codegen expression
+    * LSH bucketing uses, and the md5-derived matrix regenerates
+    * identically in any engine). Unlike [[lshBucket]] the projection
+    * VALUES are kept (array<double>), not just their signs — distances
+    * survive approximately (the JL lemma), so the reduced space ranks
+    * candidates where a bucket only gates them.
+    */
+  def jlProject(vec: Column, signs: Seq[Seq[Int]]): Column =
+    array(signs.map { s =>
+      VectorFunctions.dot(vec, array(s.map(v => lit(v.toFloat)): _*))
+    }: _*)
+
+  /** Random-projection two-stage top-k: stage 1 ranks candidates by
+    * cosine IN THE REDUCED SPACE (`rdim` doubles per row instead of
+    * `dim` floats — at rdim=16/dim=64 the candidate pass ships half the
+    * bytes and runs a 4×-shorter fold per pair), keeping `cand` per
+    * query; stage 2 re-ranks survivors by exact full-space cosine. The
+    * tenth method family: where [[binaryTopK]] quantizes to 1 bit/dim
+    * and [[sq8TopK]] to 8 bits/dim, JL REDUCES DIMENSIONS and keeps
+    * full precision per kept dimension. Reduced dots use the portable
+    * double fold (`dotFold` — the reduced components are doubles;
+    * casting them to float would diverge from any external
+    * recomputation). Output: bruteForceTopK shape + the stage-1
+    * `rscore`.
+    */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cand: Int, rdim: Int, dim: Int): DataFrame = {
+    require(rdim > 0 && rdim < dim,
+      s"JL projection must reduce: 0 < rdim=$rdim < dim=$dim")
+    val signs = hyperplaneSigns(rdim, dim)
+    def reduced(v: Column) = jlProject(v, signs)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"),
+      reduced(col(vecCol)).as("n_red"))
+      .withColumn("n_rnorm", VectorFunctions.dotFold(col("n_red"), col("n_red")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"),
+      reduced(col(vecCol)).as("q_red"))
+      .withColumn("q_rnorm", VectorFunctions.dotFold(col("q_red"), col("q_red")))
+    // stage 1 shuffles only (q_id, n_id, rscore) into the candidate cut
+    val red = c.select(col("n_id"), col("n_red"), col("n_rnorm"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("q_red"),
+        col("q_rnorm"))))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), VectorFunctions.cosineFrom(
+        VectorFunctions.dotFold(col("n_red"), col("q_red")),
+        col("n_rnorm"), col("q_rnorm")).as("rscore"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("rscore").desc, col("n_id"))
+    val candRows = red.withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= cand)
+      .select("q_id", "n_id", "rscore")
+    // stage 2 fetches full floats for the Q×cand survivors alone
+    val scored = c.select(col("n_id"), col("n_vec"), col("n_norm"))
+      .join(broadcast(candRows), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"), col("q_norm"))),
+        Seq("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "rscore", "score")
+  }
+
   /** Sign-bit binary code: bit i set iff vec[i] > 0, packed into one
     * LONG (dim ≤ 64). The 1-bit-per-dimension quantization of
     * Charikar-style sign hashing — a 64-dim float vector (256 B) becomes

@@ -184,6 +184,30 @@ object CdcQueries {
       |FROM v WHERE op <> 'D'
       |ORDER BY l_orderkey, version""".stripMargin
 
+  /** Incremental SCD2 maintenance: build the history for the events
+    * before the cutoff, then fold the after-cutoff batch in with
+    * [[ChangeLogReducer.historyMerge]] (open intervals close at the
+    * key's first batch event, version ordinals continue from the stored
+    * cursor) — and the ORACLE is the full-replay history of the whole
+    * log ([[cdcScd2Sql]]), so the driver verifies stored-history+delta
+    * equals recomputing from scratch, tombstone ordinal gaps included.
+    */
+  def cdcScd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+    val cut = to_timestamp(lit(MergeCutoff))
+    val pre = log.filter(col("l_shipdate") <= cut)
+    val post = log.filter(col("l_shipdate") > cut)
+    val hist0 = ChangeLogReducer.history(pre, Seq("l_orderkey"), timeSeq,
+      col("l_shipdate"))
+    val cursor = ChangeLogReducer.historyCursor(pre, Seq("l_orderkey"))
+    ChangeLogReducer.historyMerge(hist0, cursor, post, Seq("l_orderkey"),
+        timeSeq, col("l_shipdate"))
+      .select(col("l_orderkey"), col("version"), col("l_quantity"),
+        col("l_extendedprice"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("l_orderkey"), col("version"))
+  }
+
   /** Incremental snapshot maintenance: reduce the history before the
     * cutoff into a snapshot (tombstones retained), then fold the
     * after-cutoff batch in with [[ChangeLogReducer.mergeBatch]] — and the

@@ -97,6 +97,65 @@ object SimilarityQueries {
       |ORDER BY q_id, rank""".stripMargin
 
   private val BinaryCand = 50
+  private val JlCand = 50
+  private val JlRdim = 16
+
+  /** Reduced-vector list literal for the oracle: each component is the
+    * same md5-derived sign-dot fold [[bucketSql]] thresholds — JL keeps
+    * the values.
+    */
+  private def jlRedSql(vec: String): String = {
+    val signs = Similarity.hyperplaneSigns(JlRdim, Dim)
+    signs.map { s =>
+      val arr = s.mkString("[", ",", "]")
+      s"list_reduce(list_transform(list_zip($vec, $arr), z -> CAST(z[1] AS DOUBLE) * z[2]), (x, y) -> x + y)"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** Johnson–Lindenstrauss random-projection top-k: candidates ranked by
+    * cosine in the 16-dim reduced space, exact full-space re-rank — the
+    * dimension-REDUCTION member of the method set (binary/SQ8 quantize
+    * per-dimension precision instead).
+    */
+  def jlTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.jlTopK(emb, emb.filter(QueryPred), "vec_id", "embedding",
+        K, JlCand, JlRdim, Dim)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def jlTopKSql: String =
+    s"""WITH c AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm,
+      |    ${jlRedSql("embedding")} AS n_red
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm,
+      |    ${jlRedSql("embedding")} AS q_red
+      |  FROM embeddings WHERE $QueryPred),
+      |red AS (
+      |  SELECT q_id, n_id,
+      |    ${dotSql("n_red", "q_red")} / nullif(sqrt(${dotSql("n_red", "n_red")}) * sqrt(${dotSql("q_red", "q_red")}), 0.0) AS rscore
+      |  FROM c CROSS JOIN q WHERE n_id <> q_id),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rscore DESC, n_id) AS crank
+      |  FROM red),
+      |scored AS (
+      |  SELECT cand.q_id, cand.n_id, cand.rscore,
+      |    ${dotSql("c.n_vec", "q.q_vec")} / nullif(sqrt(c.n_norm) * sqrt(q.q_norm), 0.0) AS score
+      |  FROM cand
+      |  JOIN c ON cand.n_id = c.n_id
+      |  JOIN q ON cand.q_id = q.q_id
+      |  WHERE cand.crank <= $JlCand),
+      |ranked AS (
+      |  SELECT q_id, n_id, rscore, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, rscore, score FROM ranked WHERE rank <= $K
+      |ORDER BY q_id, rank""".stripMargin
 
   /** Binary sign-hash top-k: packed 64-bit sign codes, Hamming top-cand
     * pre-filter, exact cosine re-rank (see Similarity.binaryTopK for the
@@ -863,8 +922,8 @@ object SimilarityQueries {
   }
 
   private val RecallMethods: Seq[String] =
-    Seq("binary", "ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "lsh", "pq",
-      "pq_refined", "sq8")
+    Seq("binary", "ivf", "ivf_pq", "ivf_refined", "ivf_sq8", "jl", "lsh",
+      "pq", "pq_refined", "sq8")
 
   /** Recall@k of every approximate ANN method against the brute-force
     * baseline, as a declared query: `(method, hits, possible, recall)`.
@@ -895,7 +954,7 @@ object SimilarityQueries {
       "ivf_sq8" -> (ivfSq8TopK _), "lsh" -> (lshTopK _),
       "sq8" -> (sq8TopK _), "pq" -> (pqTopK _),
       "pq_refined" -> (pqRefinedTopK _), "ivf_pq" -> (ivfPqTopK _),
-      "binary" -> (binaryTopK _))
+      "binary" -> (binaryTopK _), "jl" -> (jlTopK _))
     val per = RecallMethods.map { name =>
       graft.plans.CachedPlans.memo(s"recall_gate:$name", memoKey) {
         graft.plans.CachedPlans.cached(
@@ -923,7 +982,7 @@ object SimilarityQueries {
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
       "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
       "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql,
-      "binary" -> binaryTopKSql)
+      "binary" -> binaryTopKSql, "jl" -> jlTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n$sql\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:
@@ -1060,7 +1119,9 @@ object SimilarityQueries {
       "sq8" -> (() => Similarity.sq8TopK(emb, q, "vec_id", "embedding",
         K, dim = Dim)),
       "binary" -> (() => Similarity.binaryTopK(emb, q, "vec_id",
-        "embedding", K, BinaryCand, Dim)))
+        "embedding", K, BinaryCand, Dim)),
+      "jl" -> (() => Similarity.jlTopK(emb, q, "vec_id", "embedding",
+        K, JlCand, JlRdim, Dim)))
     val brute = graft.plans.CachedPlans.memo(
       "recall_gate_sampled:brute", emb) {
       graft.plans.CachedPlans.cached(
@@ -1103,7 +1164,7 @@ object SimilarityQueries {
       "ivf_sq8" -> ivfSq8TopKSql, "lsh" -> lshTopKSql,
       "sq8" -> sq8TopKSql, "pq" -> pqTopKSql,
       "pq_refined" -> pqRefinedTopKSql, "ivf_pq" -> ivfPqTopKSql,
-      "binary" -> binaryTopKSql)
+      "binary" -> binaryTopKSql, "jl" -> jlTopKSql)
     def pairs(sql: String, alias: String) =
       s"$alias AS (SELECT q_id, n_id FROM (\n${sampled(sql)}\n) ${alias}_q)"
     val ctes = (pairs(bruteForceTopKSql, "rb") +:

@@ -457,6 +457,25 @@ class SimilaritySpec extends SparkSpec {
       s"Hamming stage must scan only (id, bcode):\n${hamScans.mkString("\n")}")
   }
 
+  test("jlTopK degenerates to brute force when cand covers the corpus") {
+    // with every corpus row surviving stage 1, the exact re-rank IS the
+    // brute ranking — the two-stage plumbing must not perturb it
+    val emb = graft.queries.Tables.tbl(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val jl = graft.operators.Similarity
+      .jlTopK(emb, q, "vec_id", "embedding", k = 10, cand = n + 1,
+        rdim = 16, dim = 64)
+      .select("q_id", "n_id", "rank").sort("q_id", "rank")
+      .collect().toSeq
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      .select("q_id", "n_id", "rank").sort("q_id", "rank")
+      .collect().toSeq
+    assert(jl === brute)
+  }
+
   test("ANN recall gate: pinned recall@k per method on the sf0.001 corpus") {
     // every approximate method is deterministic, so recall against the
     // brute baseline is a CONSTANT of (code, corpus) — pin it exactly.
@@ -473,6 +492,7 @@ class SimilaritySpec extends SparkSpec {
       ("ivf_pq", 5L, 50L),
       ("ivf_refined", 20L, 50L),
       ("ivf_sq8", 19L, 50L),
+      ("jl", 20L, 50L),
       ("lsh", 4L, 50L),
       ("pq", 6L, 50L),
       ("pq_refined", 6L, 50L),
@@ -490,6 +510,7 @@ class SimilaritySpec extends SparkSpec {
       ("ivf_pq", 20L, 165L, 33L),
       ("ivf_refined", 72L, 165L, 33L),
       ("ivf_sq8", 66L, 165L, 33L),
+      ("jl", 77L, 165L, 33L),
       ("lsh", 21L, 165L, 33L),
       ("pq", 29L, 165L, 33L),
       ("pq_refined", 33L, 165L, 33L),

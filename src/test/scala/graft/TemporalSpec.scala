@@ -104,6 +104,44 @@ class TemporalSpec extends SparkSpec {
     assert(full.count() > 0) // both flavors nonempty on the same log
   }
 
+  test("historyMerge equals full-replay history, tombstone gaps included") {
+    val pre = log(
+      ("I", 1, 1L, "a"), ("U", 3, 1L, "a2"), // key 1 open at cutoff
+      ("I", 1, 2L, "b"), ("D", 4, 2L, "b"), // key 2 ends deleted (gap!)
+      ("I", 2, 3L, "c"), // key 3 untouched by the batch
+      ("I", 1, 4L, "d"), ("D", 2, 4L, "d"), ("D", 3, 4L, "d")) // 2 gaps
+    val batch = log(
+      ("U", 11, 1L, "a3"), // closes key 1's open row at ts=11
+      ("I", 12, 2L, "b2"), // resurrect: version must be 3 (gap at 2)
+      ("D", 13, 5L, "x"), // delete-first on a brand-new key
+      ("I", 14, 4L, "d2"), // version must be 4 (two tombstone gaps)
+      ("I", 15, 5L, "x2")) // after its own delete → version 2
+    val hist0 = ChangeLogReducer.history(pre, Seq("id"), col("ts"),
+      col("ts"))
+    val cursor = ChangeLogReducer.historyCursor(pre, Seq("id"))
+    val merged = ChangeLogReducer.historyMerge(hist0, cursor, batch,
+        Seq("id"), col("ts"), col("ts"))
+      .select("id", "version", "v", "valid_from", "valid_to", "is_current")
+      .sort("id", "version").collect().toSeq
+    val full = ChangeLogReducer.history(pre.unionByName(batch), Seq("id"),
+        col("ts"), col("ts"))
+      .select("id", "version", "v", "valid_from", "valid_to", "is_current")
+      .sort("id", "version").collect().toSeq
+    assert(merged === full, s"merged $merged\nfull $full")
+    // spot-check the corners the cursor exists for
+    assert(merged.contains(Row(2L, 3, "b2", 12, null, 1)))
+    assert(merged.contains(Row(4L, 4, "d2", 14, null, 1)))
+    assert(merged.contains(Row(5L, 2, "x2", 15, null, 1)))
+    // cursor maintenance: merged cursor equals recount of the whole log
+    val nextCursor = ChangeLogReducer.mergeCursors(cursor,
+        ChangeLogReducer.historyCursor(batch, Seq("id")), Seq("id"))
+      .sort("id").collect().toSeq
+    val recount = ChangeLogReducer
+      .historyCursor(pre.unionByName(batch), Seq("id"))
+      .sort("id").collect().toSeq
+    assert(nextCursor === recount)
+  }
+
   test("asof snapshot is a subset-in-time: no post-cutoff shipdates") {
     val snap = graft.queries.CdcQueries
       .cdcSnapshotAsof(spark, "/root/testdata/sf0.001")
