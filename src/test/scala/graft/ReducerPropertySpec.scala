@@ -74,4 +74,41 @@ class ReducerPropertySpec extends SparkSpec {
       assert(gotW === expected, s"max_by variant, iteration $iter")
     }
   }
+
+  test("historyMerge == full-replay history on random logs and cutoffs") {
+    // the incremental-SCD2 invariant: for ANY event log split at ANY
+    // point (the merge contract's ingest-order regime), stored history +
+    // cursor folded with the tail batch equals rebuilding from scratch —
+    // including version ordinals across arbitrary tombstone runs
+    val rnd = new Random(4242)
+    val histCols = Seq("id", "version", "value", "valid_from", "valid_to",
+      "is_current")
+    for (iter <- 1 to 10) {
+      val nKeys = 1 + rnd.nextInt(12)
+      val nEvents = 2 + rnd.nextInt(200)
+      val events = (0 until nEvents).map { i =>
+        val op = rnd.nextInt(4) match {
+          case 0 => "D"
+          case 1 => "U"
+          case _ => "I"
+        }
+        (op, rnd.nextInt(nKeys).toLong, s"v${rnd.nextInt(1000)}", i.toLong)
+      }
+      val cut = 1 + rnd.nextInt(nEvents - 1) // both halves non-empty
+      def df(rows: Seq[(String, Long, String, Long)]) =
+        rows.toDF(C.Op, "id", "value", "ts").repartition(4)
+      val (pre, post) = events.splitAt(cut)
+      val merged = ChangeLogReducer.historyMerge(
+        ChangeLogReducer.history(df(pre), Seq("id"), col("ts"), col("ts")),
+        ChangeLogReducer.historyCursor(df(pre), Seq("id")),
+        df(post), Seq("id"), col("ts"), col("ts"))
+        .select(histCols.map(col): _*)
+        .sort("id", "version").collect().toSeq
+      val full = ChangeLogReducer
+        .history(df(events), Seq("id"), col("ts"), col("ts"))
+        .select(histCols.map(col): _*)
+        .sort("id", "version").collect().toSeq
+      assert(merged === full, s"iteration $iter (events=$nEvents cut=$cut)")
+    }
+  }
 }
