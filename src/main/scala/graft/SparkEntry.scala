@@ -101,6 +101,7 @@ object SparkEntry {
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_jl_topk" -> (SimilarityQueries.jlTopK _),
+    "ann_jl_indexed_topk" -> (SimilarityQueries.jlTopKIndexed _),
     "ann_lsh_topk" -> (SimilarityQueries.lshTopK _),
     "ann_binary_topk" -> (SimilarityQueries.binaryTopK _),
     "ann_binary_indexed_topk" -> (SimilarityQueries.binaryIndexedTopK _),
@@ -248,6 +249,9 @@ object SparkEntry {
     "shard_export" -> PipelineQueries.shardExportSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_jl_topk" -> SimilarityQueries.jlTopKSql,
+    // indexed probe must reproduce the recompute form bit-exactly, so it
+    // shares that form's oracle
+    "ann_jl_indexed_topk" -> SimilarityQueries.jlTopKSql,
     "ann_lsh_topk" -> SimilarityQueries.lshTopKSql,
     "ann_binary_topk" -> SimilarityQueries.binaryTopKSql,
     "ann_binary_indexed_topk" -> SimilarityQueries.binaryIndexedTopKSql,

@@ -63,7 +63,7 @@ object DedupIndex {
       portable: Boolean, numBuckets: Int)
 
   final case class VectorParams(planes: Int, dim: Int, numBuckets: Int,
-      centroids: Int, pqM: Int, pqKsub: Int)
+      centroids: Int, pqM: Int, pqKsub: Int, jlRdim: Int)
 
   /** Loaded text index: every member is a bucketed-table scan. */
   final case class TextIndex(dir: String, params: TextParams,
@@ -141,7 +141,8 @@ object DedupIndex {
     */
   def writeVectors(corpus: DataFrame, idCol: String, vecCol: String,
       dir: String, planes: Int, dim: Int, numBuckets: Int = 0,
-      numCentroids: Int = 20, pqM: Int = 8, pqKsub: Int = 16): Unit = {
+      numCentroids: Int = 20, pqM: Int = 8, pqKsub: Int = 16,
+      jlRdim: Int = 0): Unit = {
     // nearestCentIdx packs cent_idx into 10 bits of its argmax key —
     // same bound the recompute entry points enforce.
     require(numCentroids > 0 && numCentroids <= 1024,
@@ -150,7 +151,13 @@ object DedupIndex {
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
       Seq("buckets", "lists", "centroids", "ranges", "pq_codebooks"))
+    // 0 = auto: a 4× reduction (dim 64 → 16, the geometry the jl query
+    // family pins), floored at 1 so tiny test dims stay legal
+    val rdim = if (jlRdim == 0) math.max(1, dim / 4) else jlRdim
+    require(rdim > 0 && rdim < dim,
+      s"jlRdim must reduce: 0 < $rdim < dim=$dim")
     val signs = Similarity.hyperplaneSigns(planes, dim)
+    val jlSigns = Similarity.hyperplaneSigns(rdim, dim)
     val ranges = Similarity.sq8Ranges(corpus, vecCol, dim)
     // Lloyd-refined PQ codebooks trained on the index corpus, then
     // FROZEN like the ranges: absorbed batches encode under them. A
@@ -160,7 +167,7 @@ object DedupIndex {
       m = pqM, ksub = pqKsub, dim = dim)
     val ksubEff = cbs.head.size
     writeComponent(
-      vectorRows(corpus, idCol, vecCol, signs, ranges, dim, cbs),
+      vectorRows(corpus, idCol, vecCol, signs, ranges, dim, cbs, jlSigns),
       dir, "buckets", Seq("bucket"), n)
     val cent = centroidRows(corpus, idCol, vecCol, numCentroids)
     cent.coalesce(1).write.mode("overwrite")
@@ -187,10 +194,11 @@ object DedupIndex {
       .write.mode("overwrite")
       .parquet(componentPath(dir, "pq_codebooks").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "fmt" -> "5", "planes" -> planes.toString,
+      "kind" -> "vector", "fmt" -> "6", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString,
       "centroids" -> numCentroids.toString,
-      "pqM" -> pqM.toString, "pqKsub" -> ksubEff.toString))
+      "pqM" -> pqM.toString, "pqKsub" -> ksubEff.toString,
+      "jlRdim" -> rdim.toString))
   }
 
   /** The stored IVF centroid set: the same bounded deterministic
@@ -237,10 +245,12 @@ object DedupIndex {
     */
   private def vectorRows(vecs: DataFrame, idCol: String, vecCol: String,
       signs: Seq[Seq[Int]], ranges: Seq[(Double, Double)],
-      dim: Int, pqCbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+      dim: Int, pqCbs: Seq[Seq[Seq[Double]]],
+      jlSigns: Seq[Seq[Int]]): DataFrame = {
     val mins = ranges.map(_._1)
     val scales = ranges.map(r => (r._2 - r._1) / 255.0)
     val codes = Similarity.sq8Encode(col(vecCol), mins, scales)
+    val rvec = Similarity.jlProject(col(vecCol), jlSigns)
     vecs.select(col(idCol).cast("long").as("id"),
       Similarity.lshBucket(col(vecCol), signs).as("bucket"),
       col(vecCol).as("vec"),
@@ -252,7 +262,11 @@ object DedupIndex {
       // the binary probe rejects the index up front
       (if (dim <= 64) Similarity.binaryCode(col(vecCol), dim)
        else lit(null).cast("long")).as("bcode"),
-      Similarity.pqEncode(col(vecCol), pqCbs).as("pqcodes"))
+      Similarity.pqEncode(col(vecCol), pqCbs).as("pqcodes"),
+      // JL-reduced projection + its norm (fmt 6): the dimension-reduced
+      // candidate payload — jlRdim doubles per row instead of dim floats
+      rvec.as("rvec"),
+      graft.functions.VectorFunctions.dotFold(rvec, rvec).as("rnormjl"))
   }
 
   /** Absorb a new batch into an existing text index — the second half of
@@ -361,10 +375,11 @@ object DedupIndex {
     val fresh = newVecs.join(idx.buckets.select(col("id")),
       newVecs(idCol).cast("long") === col("id"), "left_anti")
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
+    val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
     val batch = newBatchId()
     stageComponent(
       vectorRows(fresh, idCol, vecCol, signs, idx.ranges, p.dim,
-        idx.pqCodebooks),
+        idx.pqCodebooks, jlSigns),
       dir, batch, "buckets", Seq("bucket"), p.numBuckets)
     // absorbed vectors join the inverted lists under the STORED
     // centroids (frozen, like the ranges — standard IVF absorb); both
@@ -406,17 +421,16 @@ object DedupIndex {
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
-    // fmt 5 = fmt 3 (codes/rnorm + ranges + persisted IVF structure)
-    // plus the packed sign-bit bcode column (fmt 4) plus PQ codes +
-    // stored refined codebooks; an older-format index reads as corrupt
-    // so callers rebuild rather than probe a schema this code no longer
-    // matches
-    if (!p.get("fmt").contains("5"))
+    // fmt 6 = fmt 5 (codes/rnorm + ranges + IVF structure + bcode + PQ
+    // codes/codebooks) plus the JL-reduced projection columns
+    // (rvec/rnormjl); an older-format index reads as corrupt so callers
+    // rebuild rather than probe a schema this code no longer matches
+    if (!p.get("fmt").contains("6"))
       corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 5 (rebuild the index)")
+        "expected 6 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
       p("numBuckets").toInt, p("centroids").toInt,
-      p("pqM").toInt, p("pqKsub").toInt)
+      p("pqM").toInt, p("pqKsub").toInt, p("jlRdim").toInt)
     val ranges = spark.read
       .parquet(componentPath(dir, "ranges").toString)
       .orderBy(col("pos")).collect()

@@ -287,6 +287,60 @@ object Similarity {
       .select("q_id", "n_id", "rank", "hamming", "score")
   }
 
+  /** [[jlTopK]] probing the persisted vector index: stage 1 scans ONLY
+    * the index's `(id, rvec, rnormjl)` columns — jlRdim doubles per
+    * corpus row instead of dim floats, with the projection itself
+    * amortized into the index write — and selects `cand` candidates per
+    * query through the bounded-buffer [[graft.functions.TopKAggregator]]
+    * (map-side partial top-k, at most `cand` skinny rows per query per
+    * map task across the shuffle). Stage 2 fetches floats for the
+    * survivors and re-ranks by exact cosine. Bit-identical to
+    * [[jlTopK]] over the indexed corpus: stored projections are the same
+    * IEEE folds the recompute derives, and the aggregator's tie-break
+    * (rscore desc, id asc) replays the window's.
+    */
+  def jlTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      idx: DedupIndex.VectorIndex, k: Int, cand: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val jlSigns = hyperplaneSigns(idx.params.jlRdim, idx.params.dim)
+    val qRed = jlProject(col(vecCol), jlSigns)
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"),
+      qRed.as("q_red"),
+      VectorFunctions.dotFold(qRed, qRed).as("q_rnorm"))
+    val red = idx.buckets
+      .select(col("id").as("n_id"), col("rvec"), col("rnormjl"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("q_red"),
+        col("q_rnorm"))))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), VectorFunctions.cosineFrom(
+        VectorFunctions.dotFold(col("rvec"), col("q_red")),
+        col("rnormjl"), col("q_rnorm")).as("rscore"))
+    val topCand = new graft.functions.TopKAggregator(cand).toColumn
+    val candRows = red.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._3, t._2))
+      .agg(topCand.name("top"))
+      .flatMap { case (qid, top) => top.map(p => (qid, p._2, p._1)) }
+      .toDF("q_id", "n_id", "rscore")
+    val scored = idx.buckets
+      .select(col("id").as("n_id"), col("vec").as("n_vec"),
+        col("norm").as("n_norm"))
+      .join(broadcast(candRows), Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("q_vec"), col("q_norm"))),
+        Seq("q_id"))
+      .withColumn("score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("n_vec"), col("q_vec")),
+        col("n_norm"), col("q_norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "rscore", "score")
+  }
+
   /** IVF-style approximate top-k: an inverted file over deterministic
     * centroids — the `numCentroids` corpus vectors that sort first by
     * md5(id). Hash order is a uniform pseudo-random sample, reproducible

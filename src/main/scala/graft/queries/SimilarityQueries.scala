@@ -157,6 +157,17 @@ object SimilarityQueries {
       |SELECT q_id, n_id, rank, rscore, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
 
+  /** [[jlTopK]] served from the persisted index's stored projections
+    * (`rvec`/`rnormjl`, fmt 6) — bit-identical results, so the
+    * recompute form's oracle gates it.
+    */
+  def jlTopKIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.jlTopKIndexed(emb.filter(QueryPred), "vec_id", "embedding",
+        QueryIndexes.vectorsFull(spark, sfDir), K, JlCand)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Binary sign-hash top-k: packed 64-bit sign codes, Hamming top-cand
     * pre-filter, exact cosine re-rank (see Similarity.binaryTopK for the
     * 32×-smaller-scan scale story).

@@ -192,6 +192,45 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("JL indexed probe matches recompute, scanning projections not floats") {
+    CachedPlans.clear()
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-jlcorpus").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-jl").toString
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
+      (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    val all = (0L until 80L).map(i => (i, vec(i)))
+    all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val batch = all.filter(_._1 % 2 == 1).take(4)
+      .toDF("vec_id", "embedding")
+
+    DedupIndex.writeVectors(corpus, "vec_id", "embedding", indexDir,
+      planes = 2, dim = dim)
+    val idx = DedupIndex.loadVectors(spark, indexDir)
+    assert(idx.params.jlRdim === dim / 4) // the auto geometry
+
+    val jlIdx = Similarity.jlTopKIndexed(batch, "vec_id", "embedding",
+      idx, k = 5, cand = 10)
+    val jlRe = Similarity.jlTopK(corpus, batch, "vec_id", "embedding",
+      k = 5, cand = 10, rdim = idx.params.jlRdim, dim = dim)
+    assert(sortedRows(jlIdx) === sortedRows(jlRe))
+    assert(jlIdx.count() > 0)
+
+    // stage 1 must scan the stored projections, never the floats or any
+    // quantized payload — that byte discipline IS the indexed form's value
+    val schemas = jlIdx.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("ReadSchema"))
+      .filter(_.contains(indexDir.split("/").last))
+      .filter(_.contains("rvec"))
+    assert(schemas.nonEmpty && schemas.forall(l =>
+      !l.contains("<vec:") && !l.contains(",vec:") && !l.contains("codes")),
+      s"JL stage 1 must scan rvec/rnormjl only:\n${schemas.mkString("\n")}")
+  }
+
   test("a crashed-and-retried absorb cannot duplicate index rows or change probe verdicts") {
     CachedPlans.clear()
     // three cohorts: the indexed corpus, a batch absorbed into it, and a
