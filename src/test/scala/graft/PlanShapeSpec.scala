@@ -1,0 +1,115 @@
+package graft
+
+import graft.model.{CdcColumns => C}
+import graft.operators.{ChangeLogReducer, DiffEngine}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards for the scale-critical operators: the
+  * properties that make them survive 100× data (one pk-keyed shuffle, no
+  * single-partition funnels, no cartesian blowups) are asserted on the
+  * PLANNED tree, so a refactor that silently re-shapes the plan —
+  * a window that loses its partitionBy, a join that degrades to a
+  * nested loop — fails here even though every value-correctness test
+  * would still pass.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log(n: Int): DataFrame =
+    (0 until n).map(i =>
+      (if (i % 7 == 0) "D" else "I", (i % 50).toLong, s"v$i", i.toLong))
+      .toDF(C.Op, "id", "value", "ts")
+
+  /** The REAL physical tree: `sparkPlan` predates EnsureRequirements
+    * (no exchanges yet) and AQE wraps `executedPlan` in an
+    * AdaptiveSparkPlanExec whose children are empty — collect on either
+    * would be vacuously empty. Unwrap to the adaptive plan's current
+    * physical plan (= the initial plan before any job runs).
+    */
+  private def plan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    plan(df).collect { case s: ShuffleExchangeExec => s }
+
+  private def forbidSinglePartition(df: DataFrame, what: String): Unit = {
+    val ex = shuffles(df)
+    assert(ex.nonEmpty, s"$what plan shows no exchanges — vacuous check")
+    ex.foreach { s =>
+      assert(s.outputPartitioning.numPartitions > 1,
+        s"$what funnels through a single-partition exchange:\n$s")
+    }
+  }
+
+  private def forbidLoops(df: DataFrame, what: String): Unit = {
+    val loops = plan(df).collect {
+      case p: org.apache.spark.sql.execution.joins.CartesianProductExec => p
+      case p: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => p
+    }
+    assert(loops.isEmpty, s"$what plans a nested-loop/cartesian join")
+  }
+
+  test("change-log reduce is ONE pk-keyed shuffle") {
+    val red = ChangeLogReducer.reduce(log(500), Seq("id"),
+      struct(col("ts")))
+    val ex = shuffles(red)
+    assert(ex.length === 1, s"expected 1 shuffle, got ${ex.length}")
+    assert(ex.head.outputPartitioning.toString.contains("id"),
+      s"shuffle must key on the PK: ${ex.head.outputPartitioning}")
+    forbidSinglePartition(red, "reduce")
+  }
+
+  test("SCD2 history shares one window exchange for ordinal and lead") {
+    val h = ChangeLogReducer.history(log(500), Seq("id"),
+      struct(col("ts")), col("ts"))
+    // row_number and lead ride the same (partitionBy pk, orderBy seq)
+    // spec — a second exchange means the window specs silently diverged
+    assert(shuffles(h).length === 1,
+      s"history must plan ONE window exchange, got ${shuffles(h).length}")
+    forbidSinglePartition(h, "history")
+  }
+
+  test("historyMerge and mergeBatch stay pk-keyed, no loops, no funnels") {
+    val events = log(400)
+    val (pre, post) = (events.filter(col("ts") < 200),
+      events.filter(col("ts") >= 200))
+    val hm = ChangeLogReducer.historyMerge(
+      ChangeLogReducer.history(pre, Seq("id"), struct(col("ts")), col("ts")),
+      ChangeLogReducer.historyCursor(pre, Seq("id")),
+      post, Seq("id"), struct(col("ts")), col("ts"))
+    forbidLoops(hm, "historyMerge")
+    forbidSinglePartition(hm, "historyMerge")
+    val mb = ChangeLogReducer.mergeBatch(
+      ChangeLogReducer.reduceKeepOp(pre, Seq("id"), struct(col("ts"))),
+      post, Seq("id"), struct(col("ts")))
+    forbidLoops(mb, "mergeBatch")
+    forbidSinglePartition(mb, "mergeBatch")
+  }
+
+  test("chunk digests never funnel the table through one partition") {
+    val t = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
+    // global PK-rank without a global sort: range partition + lifted
+    // per-partition offsets (a Window.orderBy-without-partitionBy here
+    // would plan a SinglePartition exchange and serialize the table)
+    forbidSinglePartition(
+      DiffEngine.chunkDigest(t, Seq("id"), 100), "chunkDigest")
+    forbidLoops(DiffEngine.chunkDigest(t, Seq("id"), 100), "chunkDigest")
+  }
+
+  test("row diff joins by key — no nested-loop degradation") {
+    val a = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val b = (1L to 1000L).map(i => (i, if (i % 97 == 0) "X" else s"v$i"))
+      .toDF("id", "v")
+    val d = DiffEngine.rowDiff(a, b, Seq("id"))
+    forbidLoops(d, "rowDiff")
+    forbidSinglePartition(d, "rowDiff")
+  }
+}
