@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.model.CdcFile
+
+import java.time.format.DateTimeFormatter
+import java.time.{LocalDate, ZoneOffset}
+
+/** ListObjectsV2-shaped listing: the reference walks S3 with paginated
+  * key-prefix requests and a lexicographic `start_after` cursor
+  * (src/s3/s3_operator.rs:208-275 date-aware with pagination loop,
+  * :277-315 full-load prefix mode, ≤1000 keys/page). The Hadoop
+  * `FileSystem` path in [[CdcFileLister]] is the idiomatic-Spark
+  * equivalent; THIS path reproduces the reference's native listing
+  * protocol against any pager — object stores whose SDK exposes
+  * `(prefix, startAfter, pageSize) → page` directly, or the bundled
+  * [[HadoopPageLister]] adapter — so the engine's listing semantics are
+  * testable at the protocol level (truncation loops, cursor skipping,
+  * the LOAD-prefix trick) rather than only end-to-end.
+  */
+object PagedLister {
+
+  /** One listed object: full key, modification time, size. */
+  final case class PageEntry(key: String, mtimeMillis: Long, size: Long)
+
+  /** The ListObjectsV2 essentials: up to `pageSize` keys that start with
+    * `prefix`, lexicographically AFTER `startAfter` (exclusive), in key
+    * order. A full page means "maybe truncated" — the caller loops with
+    * the last key as the next cursor, exactly the reference's
+    * `continuation` handling.
+    */
+  trait PageLister {
+    def page(prefix: String, startAfter: String, pageSize: Int)
+        : Seq[PageEntry]
+  }
+
+  private val DateDirFmt = DateTimeFormatter.ofPattern("yyyy/MM/dd")
+
+  /** Drain every page: loop while pages come back full (the truncation
+    * signal), advancing the cursor to the last key seen — one RPC per
+    * `pageSize` keys, constant memory per page at any corpus size.
+    */
+  def listAll(pager: PageLister, prefix: String, startAfter: String = "",
+      pageSize: Int = 1000): Seq[PageEntry] = {
+    require(pageSize > 0, s"pageSize must be > 0, got $pageSize")
+    val out = Seq.newBuilder[PageEntry]
+    var cursor = startAfter
+    var more = true
+    while (more) {
+      val p = pager.page(prefix, cursor, pageSize)
+      require(p.map(_.key) == p.map(_.key).sorted &&
+          p.forall(_.key > cursor),
+        "pager contract: ascending keys strictly after the cursor")
+      out ++= p
+      more = p.size == pageSize
+      if (more) cursor = p.last.key
+    }
+    out.result()
+  }
+
+  /** Full-load-only listing via the reference's prefix trick: LOAD files
+    * sit directly under the table dir and sort before the `YYYY/` date
+    * dirs, so `prefix = <tableDir>/LOAD` lists exactly them
+    * (s3_operator.rs:289-293) — no filtering pass at all.
+    */
+  def listFullLoad(pager: PageLister, tableDir: String,
+      pageSize: Int = 1000): Seq[CdcFile] =
+    CdcFileLister.ordered(
+      listAll(pager, s"${tableDir.stripSuffix("/")}/LOAD",
+        pageSize = pageSize)
+        .filter(_.key.endsWith(".parquet")).map(toCdcFile))
+
+  /** Date-aware listing: one pass for the LOAD files (always kept — the
+    * reference contract) plus one CURSORED pass over the date layout
+    * starting at `<tableDir>/YYYY/MM/DD/` derived from `startMillis`
+    * (the `start_after` pruning of s3_operator.rs:147-154,221-226 — keys
+    * for earlier days are never listed, not listed-then-dropped), with
+    * the (start, stop) mtime window applied to CDC files
+    * (s3_operator.rs:244-261).
+    */
+  def listDateAware(pager: PageLister, tableDir: String, startMillis: Long,
+      stopMillis: Option[Long], pageSize: Int = 1000): Seq[CdcFile] = {
+    val base = tableDir.stripSuffix("/")
+    val load = listAll(pager, s"$base/LOAD", pageSize = pageSize)
+      .filter(_.key.endsWith(".parquet")).map(toCdcFile)
+    val startDay = LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(startMillis), ZoneOffset.UTC)
+    val cursor = s"$base/${startDay.format(DateDirFmt)}/"
+    val cdc = listAll(pager, s"$base/", startAfter = cursor,
+      pageSize = pageSize)
+      .filter(_.key.endsWith(".parquet")).map(toCdcFile)
+      .filter(f => !f.isLoad &&
+        f.mtimeMillis > startMillis &&
+        stopMillis.forall(f.mtimeMillis < _))
+    CdcFileLister.ordered(load ++ cdc)
+  }
+
+  private def toCdcFile(e: PageEntry): CdcFile =
+    CdcFile(e.key, CdcFileLister.isLoadFile(
+      e.key.substring(e.key.lastIndexOf('/') + 1)), e.mtimeMillis, e.size)
+
+  /** [[PageLister]] over any Hadoop filesystem: a recursive `listFiles`
+    * filtered to the prefix/cursor window and cut to page size. On s3a
+    * the underlying RemoteIterator is itself a paginated LIST, so this
+    * adapter keeps the protocol honest while the unit tests drive the
+    * pager contract directly with an in-memory fake.
+    */
+  final class HadoopPageLister(fs: org.apache.hadoop.fs.FileSystem)
+      extends PageLister {
+    def page(prefix: String, startAfter: String, pageSize: Int)
+        : Seq[PageEntry] = {
+      // deepest existing directory at-or-above the prefix: LIST from
+      // there, filter by full-key prefix (ListObjectsV2 prefixes are
+      // string prefixes, not path components)
+      val dir = {
+        val slash = prefix.lastIndexOf('/')
+        new org.apache.hadoop.fs.Path(
+          if (slash <= 0) "/" else prefix.substring(0, slash))
+      }
+      if (!fs.exists(dir)) return Seq.empty
+      val it = fs.listFiles(dir, true)
+      val all = Seq.newBuilder[PageEntry]
+      while (it.hasNext) {
+        val st = it.next()
+        val key = st.getPath.toUri.getPath
+        if (key.startsWith(prefix) && key > startAfter)
+          all += PageEntry(key, st.getModificationTime, st.getLen)
+      }
+      all.result().sortBy(_.key).take(pageSize)
+    }
+  }
+}
