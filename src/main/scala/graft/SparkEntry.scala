@@ -98,6 +98,10 @@ object SparkEntry {
     "text_quality_filter" -> (TextQueries.qualityFilter _),
     "text_gopher_rules" -> (TextQueries.gopherRules _),
     "shard_export" -> (PipelineQueries.shardExport _),
+    // the capstone: filter → dedup-canonicalize → tokenize/shard as ONE
+    // declared plan; the oracle replays all three stages in one chain,
+    // gating the stage INTERACTIONS
+    "pipeline_e2e" -> (PipelineQueries.pipelineE2e _),
     // similarity search
     "ann_brute_topk" -> (SimilarityQueries.bruteForceTopK _),
     "ann_jl_topk" -> (SimilarityQueries.jlTopK _),
@@ -247,6 +251,7 @@ object SparkEntry {
     "text_quality_filter" -> TextQueries.qualityFilterSql,
     "text_gopher_rules" -> TextQueries.gopherRulesSql,
     "shard_export" -> PipelineQueries.shardExportSql,
+    "pipeline_e2e" -> PipelineQueries.pipelineE2eSql,
     "ann_brute_topk" -> SimilarityQueries.bruteForceTopKSql,
     "ann_jl_topk" -> SimilarityQueries.jlTopKSql,
     // indexed probe must reproduce the recompute form bit-exactly, so it

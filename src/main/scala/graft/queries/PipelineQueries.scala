@@ -688,4 +688,113 @@ object PipelineQueries {
       |SELECT doc_id, n_words, iw_q, iw_score,
       |  CAST(1 + ((rn - 1) * 3) // nn AS INTEGER) AS tercile
       |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation capstone — the whole pipeline as ONE declared
+    * plan, staged the way a production corpus build runs it:
+    *
+    *   1. C4 quality filter (the `text_quality_filter` rules) — verdicts
+    *      for every document, survivors continue;
+    *   2. MinHash near-dup canonicalization OVER THE SURVIVORS ONLY
+    *      (the `dedup_canonicalize` machinery; pair detection never
+    *      touches quality-rejected docs — stage order is part of the
+    *      semantics and of the cost at 100 TB);
+    *   3. token counts + deterministic shard assignment for the final
+    *      keepers (the `shard_export` hash).
+    *
+    * One row per ORIGINAL document: the quality verdict, the canonical
+    * id within the surviving slice (NULL when quality-rejected), the
+    * final keep verdict, and the keeper-only token/shard columns. The
+    * oracle replays all three stages in one WITH-chain, so stage
+    * INTERACTION (filter-then-dedup, dedup-then-shard) is hash-gated,
+    * not just each stage alone. Plan shape: each stage is the same plan
+    * its standalone query runs, over a smaller input; nothing here adds
+    * a shuffle the stages don't already have.
+    */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val quality = TextQueries.qualityFilter(spark, sfDir)
+      .select(col("doc_id"), col("verdict").as("q_verdict"))
+    val surv = docs.join(
+      quality.filter(col("q_verdict") === "kept").select(col("doc_id")),
+      Seq("doc_id"))
+    val pairs = graft.operators.Dedup.minHashNearDups(
+      surv, "doc_id", "text",
+      shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val canon = graft.operators.Dedup.canonicalize(
+      surv, "doc_id", pairs, "a_id", "b_id")
+      .select(col("doc_id"), col("canonical_id"),
+        col("kept").as("dedup_kept"))
+    val keepers = canon.filter(col("dedup_kept"))
+      .join(surv.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        pmod(PortableHash.md5Long(col("doc_id").cast("string")),
+          lit(ExportShards)).as("shard"))
+    quality
+      .join(canon.drop("dedup_kept"), Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("final_kept",
+        col("q_verdict") === "kept" && col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("q_verdict"), col("canonical_id"),
+        col("final_kept"), col("n_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  def pipelineE2eSql: String = {
+    // stage 2 runs over the quality survivors: re-point the embedded
+    // minhash pipeline's one corpus reference at the surv CTE
+    val mh = {
+      val sql = graft.queries.DedupQueries.minHashLshSql
+      require(sql.contains("FROM documents"),
+        "minhash SQL lost its corpus reference; surv rewrite would no-op")
+      sql.replace("FROM documents", "FROM surv")
+    }
+    s"""WITH RECURSIVE q AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |qual AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 25 THEN 'too_short'
+      |         WHEN len(toks) > 90 THEN 'too_long'
+      |         WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+      |              / CAST(len(toks) AS DOUBLE) < 0.45 THEN 'low_diversity'
+      |         ELSE 'kept' END AS q_verdict
+      |  FROM q),
+      |surv AS (
+      |  SELECT d.* FROM documents d
+      |  JOIN qual ON qual.doc_id = d.doc_id AND qual.q_verdict = 'kept'),
+      |mh AS (
+      |  SELECT a_id, b_id FROM (${mh.replace("\n", "\n      |  ")})),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mh
+      |  UNION
+      |  SELECT b_id, a_id FROM mh),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY id),
+      |canon AS (
+      |  SELECT s.doc_id,
+      |    coalesce(c.component_id, s.doc_id) AS canonical_id
+      |  FROM surv s LEFT JOIN comp c ON c.id = s.doc_id),
+      |keepers AS (
+      |  SELECT s.doc_id,
+      |    CAST(len(list_filter(string_split_regex(s.text, '\\s+'), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens,
+      |    ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % $ExportShards
+      |      AS shard
+      |  FROM surv s JOIN canon ON canon.doc_id = s.doc_id
+      |    AND canon.canonical_id = s.doc_id)
+      |SELECT qual.doc_id, qual.q_verdict, canon.canonical_id,
+      |  qual.q_verdict = 'kept' AND qual.doc_id = canon.canonical_id
+      |    AS final_kept,
+      |  keepers.n_tokens, keepers.shard
+      |FROM qual
+      |LEFT JOIN canon ON canon.doc_id = qual.doc_id
+      |LEFT JOIN keepers ON keepers.doc_id = qual.doc_id
+      |ORDER BY qual.doc_id""".stripMargin
+  }
 }

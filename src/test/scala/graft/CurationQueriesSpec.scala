@@ -68,4 +68,46 @@ class CurationQueriesSpec extends SparkSpec {
       s"en rate not decreasing across terciles: $rate")
     out.unpersist()
   }
+
+  test("pipeline capstone: stage verdicts compose and column scopes hold") {
+    val out = graft.queries.PipelineQueries.pipelineE2e(spark, Sf)
+      .persist()
+    val n = out.count()
+    assert(n === spark.read.parquet(s"$Sf/documents.parquet").count(),
+      "one row per ORIGINAL document")
+    // canonical/dedup columns exist exactly for quality survivors;
+    // token/shard columns exactly for final keepers
+    assert(out.filter(col("q_verdict") =!= "kept" &&
+      col("canonical_id").isNotNull).count() === 0)
+    assert(out.filter(col("q_verdict") === "kept" &&
+      col("canonical_id").isNull).count() === 0)
+    assert(out.filter(col("final_kept") =!= col("n_tokens").isNotNull)
+      .count() === 0)
+    assert(out.filter(col("final_kept") =!= col("shard").isNotNull)
+      .count() === 0)
+    // final keepers = quality-kept docs that are their own canonical
+    assert(out.filter(col("final_kept")).count() ===
+      out.filter(col("q_verdict") === "kept" &&
+        col("doc_id") === col("canonical_id")).count())
+    // stage order matters and the fixture exercises it: some docs fail
+    // quality, some quality-survivors collapse into a near-dup cluster
+    assert(out.filter(col("q_verdict") =!= "kept").count() > 0)
+    assert(out.filter(col("q_verdict") === "kept" &&
+      !col("final_kept")).count() > 0)
+    // dedup ran on SURVIVORS only: the capstone's keeper count must be
+    // >= a whole-corpus canonicalize restricted to survivors would give
+    // (a rejected doc must never absorb a surviving near-dup)
+    val wholeCanon = graft.queries.DedupQueries.canonicalize(spark, Sf)
+    val stolen = out.filter(col("q_verdict") === "kept")
+      .select(col("doc_id"))
+      .join(wholeCanon.filter(!col("kept")), Seq("doc_id"), "left_semi")
+      .join(out.filter(col("final_kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    // docs the whole-corpus dedup would drop but the staged pipeline
+    // keeps (their cluster head was quality-rejected) — present in this
+    // fixture, proving the stages are NOT order-independent
+    assert(stolen.count() > 0,
+      "fixture should show filter-then-dedup differs from dedup-then-filter")
+    out.unpersist()
+  }
 }
