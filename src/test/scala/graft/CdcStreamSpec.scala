@@ -707,6 +707,54 @@ class CdcStreamSpec extends SparkSpec {
       "replayed micro-batches must not duplicate index rows")
   }
 
+  test("streaming SCD2 state survives a query restart (checkpoint recovery)") {
+    import CdcStream.Scd2Event
+    val dir = Files.createTempDirectory("scd2_ck_src").toString
+    val out = Files.createTempDirectory("scd2_ck_out").toString
+    val ck = Files.createTempDirectory("scd2_ck").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[Scd2Event]].schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/").as[Scd2Event]
+      val q = CdcStream.scd2Stream(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val b1 = Seq(Scd2Event("1", 1L, 1000L, "I", "a1"),
+      Scd2Event("2", 2L, 2000L, "I", "b1"),
+      Scd2Event("2", 3L, 4000L, "D", ""))
+    val b2 = Seq(Scd2Event("1", 4L, 9000L, "U", "a2"),
+      Scd2Event("2", 5L, 12000L, "I", "b2"))
+    b1.toDF().coalesce(1).write.parquet(s"$dir/b1")
+    run() // first query: processes b1, checkpoints its state, stops
+    b2.toDF().coalesce(1).write.parquet(s"$dir/b2")
+    run() // RESTARTED query: must resume per-key version counters
+
+    val got = CdcStream.scd2Latest(spark.read.parquet(out))
+      .select("key", "version", "payload", "valid_from", "valid_to",
+        "is_current")
+      .as[(String, Int, String, Long, Option[Long], Int)]
+      .collect().toSet
+    val log = (b1 ++ b2).map(e => (e.op, e.key, e.seq, e.tsMicros,
+      e.payload)).toDF(C.Op, "key", "seq", "ts_micros", "payload")
+    val expected = ChangeLogReducer.history(log, Seq("key"),
+        struct(col("ts_micros"), col("seq")), col("ts_micros"))
+      .select(col("key"), col("version"), col("payload"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(String, Int, String, Long, Option[Long], Int)]
+      .collect().toSet
+    assert(got === expected, s"stream $got\nbatch $expected")
+    // the recovery-sensitive facts: key 1's post-restart update is
+    // version 2 (counter recovered, not restarted at 1) and key 2's
+    // reinsert skipped its pre-restart tombstone ordinal
+    assert(got.exists(r => r._1 == "1" && r._2 == 2 && r._5.isEmpty))
+    assert(got.exists(r => r._1 == "2" && r._2 == 3 && r._5.isEmpty))
+  }
+
   test("streaming SCD2 equals the batch history on the same log") {
     import CdcStream.{Scd2Event, Scd2Row}
     val dir = Files.createTempDirectory("scd2_src").toString
