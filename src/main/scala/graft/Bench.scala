@@ -93,11 +93,18 @@ object Bench {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch { case _: java.io.IOException => () }
     // land the full record next to BENCH_r{N}.json where the judge reads
-    // whole files; prefer the repo root over the forked JVM's cwd
+    // whole files. The repo root is wherever build.sbt lives: the env
+    // override first, else the forked JVM's cwd (sbt forks with cwd =
+    // project base), else the parent chain — never a baked-in path, so
+    // the feature works from any checkout location.
+    val repoRoot: Option[java.nio.file.Path] =
+      (sys.env.get("SPARK_GRAFT_REPO_DIR").map(java.nio.file.Paths.get(_))
+        .iterator ++ Iterator.iterate(
+          java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(4))
+        .find(p => java.nio.file.Files.isRegularFile(p.resolve("build.sbt")))
     val defaultOut =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/root/repo")))
-        s"/root/repo/$fullFile"
-      else fullFile
+      repoRoot.map(_.resolve(fullFile).toString).getOrElse(fullFile)
     writeAtomic(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), fullLine)
     // ALSO land a round-numbered copy: BENCH_FULL_LATEST.json is
@@ -106,7 +113,7 @@ object Bench {
     // BENCH_r{N}.json (this run feeds the upcoming round's record);
     // re-runs within a round just overwrite the same file.
     try {
-      val repo = java.nio.file.Paths.get("/root/repo")
+      repoRoot.foreach { repo =>
       if (java.nio.file.Files.isDirectory(repo)) {
         val rx = "BENCH_r(\\d+)\\.json".r
         val it = java.nio.file.Files.list(repo)
@@ -118,6 +125,7 @@ object Bench {
         } finally it.close()
         writeAtomic(repo.resolve(f"BENCH_FULL_r${prev + 1}%02d.json"),
           fullLine)
+      }
       }
     } catch { case _: Exception => () }
     writeAtomic(java.nio.file.Paths.get("/tmp/graft_bench_last.json"), fullLine)

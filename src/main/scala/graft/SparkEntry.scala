@@ -31,7 +31,12 @@ object SparkEntry {
     // two agree; dev/BENCH_NOTES.md records the measured delta)
     "cdc_skew_join_plain" -> (CdcQueries.cdcSkewJoinPlain _),
     "cdc_skew_join_salted" -> (CdcQueries.cdcSkewJoinSalted _),
-    "cdc_skew_join_split" -> (CdcQueries.cdcSkewJoinSplit _)
+    "cdc_skew_join_split" -> (CdcQueries.cdcSkewJoinSplit _),
+    // A/B partner for cdc_scd2_merge: the general min_by(ts, seq) first-
+    // event lookup (interpreted SortAggregate) vs the oracle-gated
+    // time-leading min(ts) fast path (HashAggregate); CdcTemporalSpec
+    // pins them bit-identical, PlanShapeSpec pins the physical split
+    "cdc_scd2_merge_minby" -> (CdcQueries.cdcScd2MergeMinBy _)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -181,9 +181,20 @@ object SnapshotJob {
       part.option("path", path)
         .bucketBy(cfg.snapshotBuckets, bk.head, bk.tail: _*)
         .sortBy(bk.head, bk.tail: _*)
-        .saveAsTable(s"graft_snap_${t.name}")
+        .saveAsTable(snapshotTableName(t.name, path))
     } else part.parquet(path)
   }
+
+  /** Catalog name for a bucketed snapshot. The entry is session-global,
+    * so it is qualified with the destination path's fingerprint: two
+    * snapshot runs of a same-named table to DIFFERENT outDirs in one
+    * session must not clobber each other's registration (same
+    * table+path still overwrites, as intended). `String.hashCode` is
+    * specified by the JLS, so the tag is stable across JVMs.
+    */
+  private[graft] def snapshotTableName(table: String, path: String): String =
+    s"graft_snap_${table}_" +
+      java.lang.Long.toHexString(path.hashCode.toLong & 0xffffffffL)
 
   /** Snapshot all selected tables under baseDir into parquet state dirs;
     * returns per-table row counts (the reference logs per-table timing

@@ -177,11 +177,23 @@ object ChangeLogReducer {
     * @param existingHistory [[history]] output for all prior events
     * @param cursor          [[historyCursor]] of those same events
     *                        (maintain with [[mergeCursors]])
+    * @param seqTimeLeading  set true when `ts` is the LEADING component
+    *                        of `seq` (the contract's usual regime —
+    *                        ingest-time order IS event time plus
+    *                        tie-breaks). Then the key's first event time
+    *                        is plain `min(ts)`, which keeps the batch
+    *                        aggregation in whole-stage-codegen
+    *                        HashAggregate; the general `min_by(ts, seq)`
+    *                        carries a struct ordering buffer that forces
+    *                        interpreted SortAggregate (the Tungsten
+    *                        limitation the reducer's max_by variant
+    *                        documents). Identical results either way
+    *                        under that premise.
     * @return the next history ([[history]]-equal to full replay)
     */
   def historyMerge(existingHistory: DataFrame, cursor: DataFrame,
-      batchLog: DataFrame, pks: Seq[String], seq: Column, ts: Column)
-      : DataFrame = {
+      batchLog: DataFrame, pks: Seq[String], seq: Column, ts: Column,
+      seqTimeLeading: Boolean = false): DataFrame = {
     require(pks.nonEmpty, "SCD2 history merge needs a primary key")
     val batchHist = history(batchLog, pks, seq, ts)
     val offset = batchHist
@@ -189,8 +201,9 @@ object ChangeLogReducer {
       .withColumn("version",
         (col("version") + coalesce(col("_n_events"), lit(0L))).cast("int"))
       .drop("_n_events")
+    val firstEvent = if (seqTimeLeading) min(ts) else min_by(ts, seq)
     val firstTs = batchLog.groupBy(pks.map(col): _*)
-      .agg(min_by(ts, seq).as("_first_ts"))
+      .agg(firstEvent.as("_first_ts"))
     val closed = existingHistory
       .join(firstTs, pks, "left")
       .withColumn("valid_to",

@@ -310,14 +310,21 @@ object Similarity {
       VectorFunctions.normSq(col(vecCol)).as("q_norm"),
       qRed.as("q_red"),
       VectorFunctions.dotFold(qRed, qRed).as("q_rnorm"))
+    // a zero-norm vector makes cosineFrom NULL; the window form ranks
+    // those NULLS LAST (desc ordering) with the same n_id tie-break, so
+    // coalescing to -inf inside the aggregator — where a nullable Double
+    // would otherwise NPE decoding into the primitive tuple — replays
+    // the exact same candidate cut; the sentinel turns back into NULL
+    // after the flatMap (finite inputs can never fold to -inf)
     val red = idx.buckets
       .select(col("id").as("n_id"), col("rvec"), col("rnormjl"))
       .crossJoin(broadcast(q.select(col("q_id"), col("q_red"),
         col("q_rnorm"))))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"), VectorFunctions.cosineFrom(
+      .select(col("q_id"), col("n_id"), coalesce(VectorFunctions.cosineFrom(
         VectorFunctions.dotFold(col("rvec"), col("q_red")),
-        col("rnormjl"), col("q_rnorm")).as("rscore"))
+        col("rnormjl"), col("q_rnorm")),
+        lit(Double.NegativeInfinity)).as("rscore"))
     val topCand = new graft.functions.TopKAggregator(cand).toColumn
     val candRows = red.as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -325,6 +332,9 @@ object Similarity {
       .agg(topCand.name("top"))
       .flatMap { case (qid, top) => top.map(p => (qid, p._2, p._1)) }
       .toDF("q_id", "n_id", "rscore")
+      .withColumn("rscore",
+        when(col("rscore") === lit(Double.NegativeInfinity),
+          lit(null).cast("double")).otherwise(col("rscore")))
     val scored = idx.buckets
       .select(col("id").as("n_id"), col("vec").as("n_vec"),
         col("norm").as("n_norm"))

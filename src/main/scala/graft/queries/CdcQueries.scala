@@ -200,8 +200,33 @@ object CdcQueries {
     val hist0 = ChangeLogReducer.history(pre, Seq("l_orderkey"), timeSeq,
       col("l_shipdate"))
     val cursor = ChangeLogReducer.historyCursor(pre, Seq("l_orderkey"))
+    // timeSeq leads with l_shipdate — exactly the merge's ts — so the
+    // seqTimeLeading fast path (plain min(ts), HashAggregate) applies
     ChangeLogReducer.historyMerge(hist0, cursor, post, Seq("l_orderkey"),
-        timeSeq, col("l_shipdate"))
+        timeSeq, col("l_shipdate"), seqTimeLeading = true)
+      .select(col("l_orderkey"), col("version"), col("l_quantity"),
+        col("l_extendedprice"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .orderBy(col("l_orderkey"), col("version"))
+  }
+
+  /** The general-contract flavor of [[cdcScd2Merge]]: `min_by(ts, seq)`
+    * for the per-key first batch event instead of the time-leading
+    * `min(ts)` fast path. Bench-only A/B partner — the struct ordering
+    * buffer plans interpreted SortAggregate (the Tungsten limitation),
+    * which is what the fast path exists to avoid; CdcTemporalSpec pins
+    * the two bit-identical, PlanShapeSpec pins their physical split.
+    */
+  def cdcScd2MergeMinBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = syntheticChangeLog(spark, sfDir)
+    val cut = to_timestamp(lit(MergeCutoff))
+    val pre = log.filter(col("l_shipdate") <= cut)
+    val post = log.filter(col("l_shipdate") > cut)
+    val hist0 = ChangeLogReducer.history(pre, Seq("l_orderkey"), timeSeq,
+      col("l_shipdate"))
+    val cursor = ChangeLogReducer.historyCursor(pre, Seq("l_orderkey"))
+    ChangeLogReducer.historyMerge(hist0, cursor, post, Seq("l_orderkey"),
+        timeSeq, col("l_shipdate"), seqTimeLeading = false)
       .select(col("l_orderkey"), col("version"), col("l_quantity"),
         col("l_extendedprice"), col("valid_from"), col("valid_to"),
         col("is_current"))

@@ -712,11 +712,19 @@ object PipelineQueries {
     */
   def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
-    val quality = TextQueries.qualityFilter(spark, sfDir)
-      .select(col("doc_id"), col("verdict").as("q_verdict"))
-    val surv = docs.join(
+    // the quality verdicts and the survivor slice each feed multiple
+    // downstream stages; without sharing, every consumer re-expands the
+    // whole tokenize-and-judge subplan (7 documents scans at round 10).
+    // CachedPlans persists each ONCE — the same materialize-the-stage
+    // choice a production corpus build makes before fanning out, and
+    // PlanShapeSpec pins the resulting scan count so a regression back
+    // to per-consumer recompute fails CI.
+    val quality = graft.plans.CachedPlans.cached(
+      TextQueries.qualityFilter(spark, sfDir)
+        .select(col("doc_id"), col("verdict").as("q_verdict")))
+    val surv = graft.plans.CachedPlans.cached(docs.join(
       quality.filter(col("q_verdict") === "kept").select(col("doc_id")),
-      Seq("doc_id"))
+      Seq("doc_id")))
     val pairs = graft.operators.Dedup.minHashNearDups(
       surv, "doc_id", "text",
       shingleN = 3, numHashes = 12, bands = 4, threshold = 0.5)

@@ -206,27 +206,36 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
       |ORDER BY kind""".stripMargin
 
-  /** Set operations: symmetric difference of part keys sold vs stocked
-    * (exceptAll both ways + union) — distinct-based set algebra.
+  /** Set operations: EXCEPT both ways + INTERSECT over two genuinely
+    * different key sets — parts sold in bulk (quantity > 45) vs parts
+    * stocked small (size < 30). Every sold partkey exists in the full
+    * catalog, so the round-10 form (sold vs all parts) proved only that
+    * both engines agree on emptiness; these predicates make all three
+    * set-algebra outputs non-empty at every SF, gating the VALUES the
+    * operators produce, not just their cardinality.
     */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val sold = tbl(spark, sfDir, "lineitem").select(col("l_partkey").as("partkey")).distinct()
-    val parts = tbl(spark, sfDir, "part").select(col("p_partkey").as("partkey")).distinct()
-    val onlySold = sold.except(parts).withColumn("side", lit("only_sold"))
-    val onlyCat = parts.except(sold).withColumn("side", lit("only_catalog"))
-    onlySold.unionByName(onlyCat)
+    val sold = tbl(spark, sfDir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_partkey").as("partkey")).distinct()
+    val parts = tbl(spark, sfDir, "part").filter(col("p_size") < 30)
+      .select(col("p_partkey").as("partkey")).distinct()
+    val onlySold = sold.except(parts).withColumn("side", lit("bulk_only"))
+    val onlyCat = parts.except(sold).withColumn("side", lit("small_only"))
+    val both = sold.intersect(parts).withColumn("side", lit("both"))
+    onlySold.unionByName(onlyCat).unionByName(both)
       .groupBy(col("side")).agg(count(lit(1)).as("n"),
         min(col("partkey")).as("min_key"), max(col("partkey")).as("max_key"))
       .orderBy(col("side"))
   }
 
   def qSetOpsSql: String =
-    """WITH sold AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem),
-      |  cat AS (SELECT DISTINCT p_partkey AS partkey FROM part),
-      |  only_sold AS (SELECT partkey, 'only_sold' AS side FROM (SELECT partkey FROM sold EXCEPT SELECT partkey FROM cat)),
-      |  only_cat AS (SELECT partkey, 'only_catalog' AS side FROM (SELECT partkey FROM cat EXCEPT SELECT partkey FROM sold))
+    """WITH sold AS (SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_quantity > 45),
+      |  cat AS (SELECT DISTINCT p_partkey AS partkey FROM part WHERE p_size < 30),
+      |  bulk_only AS (SELECT partkey, 'bulk_only' AS side FROM (SELECT partkey FROM sold EXCEPT SELECT partkey FROM cat)),
+      |  small_only AS (SELECT partkey, 'small_only' AS side FROM (SELECT partkey FROM cat EXCEPT SELECT partkey FROM sold)),
+      |  both_sides AS (SELECT partkey, 'both' AS side FROM (SELECT partkey FROM sold INTERSECT SELECT partkey FROM cat))
       |SELECT side, count(*) AS n, min(partkey) AS min_key, max(partkey) AS max_key
-      |FROM (SELECT * FROM only_sold UNION ALL SELECT * FROM only_cat)
+      |FROM (SELECT * FROM bulk_only UNION ALL SELECT * FROM small_only UNION ALL SELECT * FROM both_sides)
       |GROUP BY side ORDER BY side""".stripMargin
 
   /** Tumbling-window event aggregation (batch form of the streaming op):

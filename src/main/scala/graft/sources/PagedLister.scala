@@ -58,9 +58,11 @@ object PagedLister {
   }
 
   /** Full-load-only listing via the reference's prefix trick: LOAD files
-    * sit directly under the table dir and sort before the `YYYY/` date
-    * dirs, so `prefix = <tableDir>/LOAD` lists exactly them
-    * (s3_operator.rs:289-293) — no filtering pass at all.
+    * sit directly under the table dir (in ASCII key order they sort
+    * AFTER the `YYYY/` date dirs — 'L' 0x4C > '9' 0x39 — but that never
+    * matters: this dedicated `prefix = <tableDir>/LOAD` pass lists
+    * exactly them, s3_operator.rs:289-293, and the date pass filters
+    * `!isLoad`) — no filtering pass at all here.
     */
   def listFullLoad(pager: PageLister, tableDir: String,
       pageSize: Int = 1000): Seq[CdcFile] =

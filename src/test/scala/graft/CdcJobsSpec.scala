@@ -165,10 +165,21 @@ class CdcJobsSpec extends SparkSpec {
     val cfgB = cfg.copy(snapshotBuckets = 4)
     assert(SnapshotJob.run(spark, cfgB, Seq(spec), s"$base/outb")
       === Map("items" -> 90L))
-    val desc = spark.sql("DESCRIBE EXTENDED graft_snap_items")
+    val tabB = SnapshotJob.snapshotTableName("items", s"$base/outb/items")
+    val desc = spark.sql(s"DESCRIBE EXTENDED $tabB")
       .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString
     assert(desc.contains("Num Buckets=4") && desc.contains("id"), desc)
-    spark.sql("DROP TABLE IF EXISTS graft_snap_items")
+    // catalog names are path-qualified: a second snapshot of the SAME
+    // table name to a different outDir registers beside, not over, the
+    // first — both stay queryable in one session
+    assert(SnapshotJob.run(spark, cfgB, Seq(spec), s"$base/outc")
+      === Map("items" -> 90L))
+    val tabC = SnapshotJob.snapshotTableName("items", s"$base/outc/items")
+    assert(tabB !== tabC)
+    assert(spark.table(tabB).count() === 90L)
+    assert(spark.table(tabC).count() === 90L)
+    spark.sql(s"DROP TABLE IF EXISTS $tabB")
+    spark.sql(s"DROP TABLE IF EXISTS $tabC")
   }
 
   test("TablePool keeps input order and fails fast on error") {

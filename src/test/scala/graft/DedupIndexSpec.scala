@@ -231,6 +231,40 @@ class DedupIndexSpec extends SparkSpec {
       s"JL stage 1 must scan rvec/rnormjl only:\n${schemas.mkString("\n")}")
   }
 
+  test("JL indexed probe survives zero-norm vectors and still matches recompute") {
+    CachedPlans.clear()
+    // a zero-norm embedding makes cosineFrom NULL; the indexed form's
+    // typed aggregator used to NPE decoding the nullable rscore into a
+    // primitive Double while the recompute window merely ranked it last
+    // — pin both forms equal on a corpus AND a batch holding zero vectors
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-jlzero-c").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-jlzero").toString
+    val dim = 8
+    def vec(i: Long): Array[Float] =
+      if (i % 13 == 0) Array.fill(dim)(0f) // degenerate corpus rows
+      else Array.tabulate(dim)(d =>
+        (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    val all = (0L until 80L).map(i => (i, vec(i)))
+    all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    // batch: 3 normal queries + 1 zero-norm query
+    val batch = (all.filter(_._1 % 2 == 1).take(3) :+
+      (999L, Array.fill(dim)(0f))).toDF("vec_id", "embedding")
+
+    DedupIndex.writeVectors(corpus, "vec_id", "embedding", indexDir,
+      planes = 2, dim = dim)
+    val idx = DedupIndex.loadVectors(spark, indexDir)
+    val jlIdx = Similarity.jlTopKIndexed(batch, "vec_id", "embedding",
+      idx, k = 5, cand = 10)
+    val jlRe = Similarity.jlTopK(corpus, batch, "vec_id", "embedding",
+      k = 5, cand = 10, rdim = idx.params.jlRdim, dim = dim)
+    assert(sortedRows(jlIdx) === sortedRows(jlRe))
+    assert(jlIdx.count() > 0)
+  }
+
   test("a crashed-and-retried absorb cannot duplicate index rows or change probe verdicts") {
     CachedPlans.clear()
     // three cohorts: the indexed corpus, a batch absorbed into it, and a

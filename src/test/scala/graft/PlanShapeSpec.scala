@@ -94,6 +94,32 @@ class PlanShapeSpec extends SparkSpec {
     forbidSinglePartition(mb, "mergeBatch")
   }
 
+  test("historyMerge time-leading fast path keeps every agg in HashAggregate") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val events = log(400)
+    val (pre, post) = (events.filter(col("ts") < 200),
+      events.filter(col("ts") >= 200))
+    def merge(timeLeading: Boolean) = ChangeLogReducer.historyMerge(
+      ChangeLogReducer.history(pre, Seq("id"), struct(col("ts")), col("ts")),
+      ChangeLogReducer.historyCursor(pre, Seq("id")),
+      post, Seq("id"), struct(col("ts")), col("ts"),
+      seqTimeLeading = timeLeading)
+    // the fast path's min(ts) first-event lookup stays codegen
+    // HashAggregate end to end — no interpreted SortAggregate anywhere
+    val fast = plan(merge(timeLeading = true))
+    assert(fast.collect { case s: SortAggregateExec => s }.isEmpty,
+      "fast path must not plan a SortAggregate")
+    assert(fast.collect { case h: HashAggregateExec => h }.nonEmpty,
+      "fast path shows no HashAggregate — vacuous check")
+    // ...while the general min_by(ts, seq) flavor pays the struct
+    // ordering buffer (interpreted SortAggregate) — the A/B the
+    // cdc_scd2_merge_minby bench extra measures
+    val general = plan(merge(timeLeading = false))
+    assert(general.collect { case s: SortAggregateExec => s }.nonEmpty,
+      "min_by flavor unexpectedly planned without SortAggregate — " +
+        "if Tungsten learned struct buffers, retire the fast path")
+  }
+
   test("chunk digests never funnel the table through one partition") {
     val t = (1L to 5000L).map(i => (i, s"p$i")).toDF("id", "payload")
     // global PK-rank without a global sort: range partition + lifted
@@ -102,6 +128,31 @@ class PlanShapeSpec extends SparkSpec {
     forbidSinglePartition(
       DiffEngine.chunkDigest(t, Seq("id"), 100), "chunkDigest")
     forbidLoops(DiffEngine.chunkDigest(t, Seq("id"), 100), "chunkDigest")
+  }
+
+  test("pipeline_e2e capstone: keyed joins only, no funnels, scans bounded") {
+    val df = graft.queries.PipelineQueries
+      .pipelineE2e(spark, "/root/testdata/sf0.001")
+    forbidLoops(df, "pipeline_e2e")
+    forbidSinglePartition(df, "pipeline_e2e")
+    // the quality verdicts and survivor slice are CachedPlans-shared:
+    // every downstream stage reads the persisted fill (InMemoryTableScan)
+    // instead of re-expanding the tokenize-and-judge subplan. A
+    // stage-recompute regression (dropping the sharing) shows up as
+    // documents FileSourceScans multiplying — 7 of them at round 10.
+    val docScans = plan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("documents")) => f
+    }
+    val memScans = plan(df).collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(memScans.nonEmpty,
+      "no InMemoryTableScan — the stage sharing is gone (vacuous check)")
+    assert(docScans.length <= 2,
+      s"pipeline_e2e scans documents ${docScans.length}× — a stage is " +
+        "being recomputed instead of reading the shared fill")
   }
 
   test("row diff joins by key — no nested-loop degradation") {

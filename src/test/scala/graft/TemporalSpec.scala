@@ -142,6 +142,16 @@ class TemporalSpec extends SparkSpec {
     assert(nextCursor === recount)
   }
 
+  test("scd2 merge fast path (min ts) is bit-identical to min_by flavor") {
+    val sf = "/root/testdata/sf0.001"
+    val fast = graft.queries.CdcQueries.cdcScd2Merge(spark, sf)
+      .collect().toSeq
+    val general = graft.queries.CdcQueries.cdcScd2MergeMinBy(spark, sf)
+      .collect().toSeq
+    assert(fast.nonEmpty)
+    assert(fast === general)
+  }
+
   test("asof snapshot is a subset-in-time: no post-cutoff shipdates") {
     val snap = graft.queries.CdcQueries
       .cdcSnapshotAsof(spark, "/root/testdata/sf0.001")
