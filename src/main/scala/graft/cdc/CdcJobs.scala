@@ -42,7 +42,13 @@ final case class CdcConfig(
     // join — the pipeline's hottest repeated join — runs Exchange-free
     // against an equally-bucketed source (ScaleOps.writeBucketed
     // semantics; the asserted-no-Exchange join is ScaleOpsSpec's)
-    snapshotBuckets: Int = 0) {
+    snapshotBuckets: Int = 0,
+    // which listing backend resolves cfg.mode to CDC files: "hadoop"
+    // (CdcFileLister's streaming FileSystem iterator, the Spark-native
+    // default) or "paged" (PagedLister — the reference's ListObjectsV2
+    // protocol: prefix passes, lexicographic date cursor, truncation
+    // loops; the path for object stores exposing a native pager)
+    lister: String = "hadoop") {
   // mutual exclusion enforced exactly like the reference
   // (cdc_operator_payload.rs:70-72 + clap conflicts_with)
   require(!(onlySnapshot && onlyDatadiff),
@@ -54,6 +60,8 @@ final case class CdcConfig(
     s"snapshotBuckets must be >= 0, got $snapshotBuckets")
   require(maxConcurrentTables > 0,
     s"maxConcurrentTables must be > 0, got $maxConcurrentTables")
+  require(lister == "hadoop" || lister == "paged",
+    s"lister must be 'hadoop' or 'paged', got '$lister'")
 
   def selectTables(all: Seq[String]): Seq[String] =
     if (includeTables.nonEmpty) all.filter(includeTables.contains)
@@ -122,7 +130,10 @@ object SnapshotJob {
     */
   def reconstructTable(spark: SparkSession, cfg: CdcConfig, table: TableSpec,
       catalogColumns: Option[Seq[String]] = None): DataFrame = {
-    val files = CdcFileLister.list(spark, table.dir, cfg.mode)
+    val files =
+      if (cfg.lister == "paged")
+        graft.sources.PagedLister.list(spark, table.dir, cfg.mode)
+      else CdcFileLister.list(spark, table.dir, cfg.mode)
     require(files.nonEmpty, s"no CDC files for ${table.name} in ${table.dir}")
     val log = ChangeLogReader.read(spark, files)
     catalogColumns.foreach { cols =>

@@ -29,6 +29,9 @@ import java.time.Instant
   *     [--only-snapshot | --only-datadiff] [--chunk-size 1000] \
   *     [--start-position 0]                 # resume digest validate here
   *     [--max-concurrent-tables 8]          # driver-side table fan-out
+  *     [--lister hadoop|paged]              # listing backend: Hadoop FS
+  *                                          # iterator (default) or the
+  *                                          # ListObjectsV2 paged protocol
   *     [--interactive]                      # prompt for every field instead
   */
 object Main {
@@ -94,7 +97,8 @@ object Main {
       chunkSize = one("chunk-size").map(_.toInt).getOrElse(1000),
       startChunk = one("start-position").map(_.toLong).getOrElse(0L),
       maxConcurrentTables =
-        one("max-concurrent-tables").map(_.toInt).getOrElse(8))
+        one("max-concurrent-tables").map(_.toInt).getOrElse(8),
+      lister = one("lister").getOrElse("hadoop"))
 
     val pks: Map[String, Seq[String]] = opts("pk").map { spec =>
       val Array(t, cols) = spec.split("=", 2)
@@ -293,6 +297,7 @@ object Main {
     opt("chunk-size", "Digest chunk size", "1000")
     opt("start-position", "Digest resume position", "0")
     opt("max-concurrent-tables", "Max concurrent tables", "8")
+    opt("lister", "Listing backend (hadoop | paged)", "hadoop")
     // reference inquire order asks datadiff-only before snapshot-only
     // (main.rs:235-243); asking the second only when the first is
     // declined keeps the two flags mutually exclusive by construction

@@ -100,16 +100,86 @@ object PagedLister {
     CdcFile(e.key, CdcFileLister.isLoadFile(
       e.key.substring(e.key.lastIndexOf('/') + 1)), e.mtimeMillis, e.size)
 
+  /** Scheme-less URI path of `s` (unchanged when `s` is already bare):
+    * ListObjectsV2 keys are store-relative, so every string entering the
+    * paged protocol — prefixes, cursors, and the keys a pager emits —
+    * lives in one bare-path key space.
+    */
+  private[sources] def uriPath(s: String): String =
+    if (s.isEmpty || !s.contains(":")) s
+    else
+      try {
+        val u = new java.net.URI(s)
+        if (u.getScheme != null && u.getPath != null && u.getPath.nonEmpty)
+          u.getPath
+        else s
+      } catch { case _: java.net.URISyntaxException => s }
+
+  /** [[graft.model.ListingMode]] dispatch through the paged protocol —
+    * the CLI's `--lister paged` backend. Same listing semantics as
+    * [[CdcFileLister.list]] (the Hadoop-native default), but every key
+    * travels the reference's ListObjectsV2 shape: prefix passes, a
+    * lexicographic date-dir cursor, truncation loops. The table dir is
+    * normalized to the bare key space first, so date-aware cursors
+    * (built from it by string concat) compare against pager keys
+    * correctly even when the caller holds a scheme-qualified dir.
+    */
+  def list(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      mode: graft.model.ListingMode, pageSize: Int = 1000): Seq[CdcFile] = {
+    import graft.model.ListingMode
+    val conf = spark.sessionState.newHadoopConf()
+    def pagerFor(p: String) = new HadoopPageLister(
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf))
+    mode match {
+      case ListingMode.AbsolutePath(p) =>
+        val key = uriPath(p)
+        val got = listAll(pagerFor(p), key, pageSize = pageSize)
+          .filter(_.key == key)
+        require(got.size == 1, s"absolute path $p listed ${got.size} keys")
+        got.map(toCdcFile)
+      case ListingMode.FullLoadOnly =>
+        listFullLoad(pagerFor(tableDir), uriPath(tableDir), pageSize)
+      case ListingMode.DateAware(start, stop) =>
+        listDateAware(pagerFor(tableDir), uriPath(tableDir), start, stop,
+          pageSize)
+    }
+  }
+
   /** [[PageLister]] over any Hadoop filesystem: a recursive `listFiles`
-    * filtered to the prefix/cursor window and cut to page size. On s3a
-    * the underlying RemoteIterator is itself a paginated LIST, so this
-    * adapter keeps the protocol honest while the unit tests drive the
-    * pager contract directly with an in-memory fake.
+    * filtered to the prefix window, sorted, and served page by page.
+    *
+    * Keys (and incoming prefix/cursor strings) are normalized to
+    * scheme-less URI paths, so a fully-qualified table dir
+    * (`s3a://bucket/tbl`, `file:/tmp/tbl`) matches the keys the listing
+    * produces instead of silently returning empty pages.
+    *
+    * Cost: ONE filesystem traversal per DRAIN, not per page. The first
+    * page call walks and sorts the prefix's listing; continuation calls
+    * (same prefix, `startAfter` == exactly the cursor where the previous
+    * page left off — the shape [[listAll]] produces) serve from the
+    * cached listing. A short page ends the drain and drops the cache, so
+    * a NEW drain always re-lists (fresh files show up); any call that
+    * isn't a continuation of the previous one also re-lists. The
+    * recursive walk can't apply `startAfter` server-side the way a real
+    * ListObjectsV2 does — a native store pager should push the cursor
+    * down instead of using this adapter (the Hadoop-native production
+    * path is [[CdcFileLister]]'s streaming iterator either way).
     */
   final class HadoopPageLister(fs: org.apache.hadoop.fs.FileSystem)
       extends PageLister {
-    def page(prefix: String, startAfter: String, pageSize: Int)
-        : Seq[PageEntry] = {
+
+    // the cached drain: listing for `drainPrefix`, sorted ascending;
+    // `drainCursor` = last key served (null ⇒ no active drain)
+    private var drainPrefix: String = null
+    private var drainCursor: String = null
+    private var drainEntries: Vector[PageEntry] = Vector.empty
+    /** Filesystem traversals performed — observability for the
+      * linear-cost contract (specs assert one traversal per drain).
+      */
+    private[graft] var traversals = 0
+
+    private def traverse(prefix: String): Vector[PageEntry] = {
+      traversals += 1
       // deepest existing directory at-or-above the prefix: LIST from
       // there, filter by full-key prefix (ListObjectsV2 prefixes are
       // string prefixes, not path components)
@@ -118,16 +188,37 @@ object PagedLister {
         new org.apache.hadoop.fs.Path(
           if (slash <= 0) "/" else prefix.substring(0, slash))
       }
-      if (!fs.exists(dir)) return Seq.empty
+      if (!fs.exists(dir)) return Vector.empty
       val it = fs.listFiles(dir, true)
-      val all = Seq.newBuilder[PageEntry]
+      val all = Vector.newBuilder[PageEntry]
       while (it.hasNext) {
         val st = it.next()
         val key = st.getPath.toUri.getPath
-        if (key.startsWith(prefix) && key > startAfter)
+        if (key.startsWith(prefix))
           all += PageEntry(key, st.getModificationTime, st.getLen)
       }
-      all.result().sortBy(_.key).take(pageSize)
+      all.result().sortBy(_.key)
+    }
+
+    def page(prefix0: String, startAfter0: String, pageSize: Int)
+        : Seq[PageEntry] = {
+      val prefix = uriPath(prefix0)
+      val startAfter = uriPath(startAfter0)
+      val continues = drainCursor != null && prefix == drainPrefix &&
+        startAfter == drainCursor
+      if (!continues) {
+        drainPrefix = prefix
+        // entries at-or-under the cursor drop ONCE at drain start; the
+        // cache then holds only the unserved tail, so each continuation
+        // page is O(pageSize), not a rescan
+        drainEntries = traverse(prefix).dropWhile(_.key <= startAfter)
+      }
+      val (out, rest) = drainEntries.splitAt(pageSize)
+      drainEntries = rest
+      if (out.size < pageSize) { // short page = drain over; drop cache
+        drainPrefix = null; drainCursor = null; drainEntries = Vector.empty
+      } else drainCursor = out.last.key
+      out
     }
   }
 }

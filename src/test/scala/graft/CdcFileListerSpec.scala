@@ -162,4 +162,42 @@ class CdcFileListerSpec extends SparkSpec {
       .map(f => new Path(f.path).getName)
     assert(paged === direct)
   }
+
+  test("Hadoop pager: one traversal per drain, fresh drains re-list") {
+    val dir = fixture()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val pager = new graft.sources.PagedLister.HadoopPageLister(fs)
+    // multi-page drain: 5+ files at 2/page needs ≥3 page RPCs, but the
+    // adapter must walk the filesystem exactly ONCE (the round-10 form
+    // re-walked per page — O(N²/pageSize) LIST work across a drain)
+    val first = graft.sources.PagedLister.listAll(pager, s"$dir/",
+      pageSize = 2)
+    assert(first.size >= 5, s"fixture too small: ${first.size}")
+    assert(pager.traversals === 1,
+      s"a drain must be one traversal, saw ${pager.traversals}")
+    // a NEW drain re-lists (fresh files must show up): traversals += 1
+    val second = graft.sources.PagedLister.listAll(pager, s"$dir/",
+      pageSize = 2)
+    assert(second.map(_.key) === first.map(_.key))
+    assert(pager.traversals === 2)
+  }
+
+  test("Hadoop pager: scheme-qualified prefixes match the listed keys") {
+    val dir = fixture()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val pager = new graft.sources.PagedLister.HadoopPageLister(fs)
+    val bare = graft.sources.PagedLister.listAll(pager, s"$dir/",
+      pageSize = 100)
+    assert(bare.nonEmpty)
+    // a fully-qualified table dir (what fs.makeQualified hands callers)
+    // must list the same keys — the round-10 form compared the qualified
+    // prefix against scheme-less keys and returned empty
+    val qualified = fs.makeQualified(new Path(dir)).toString
+    assert(qualified.contains(":"), s"not qualified: $qualified")
+    val viaQualified = graft.sources.PagedLister.listAll(pager,
+      s"$qualified/", pageSize = 100)
+    assert(viaQualified.map(_.key) === bare.map(_.key))
+  }
 }

@@ -197,6 +197,47 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(readAll().toSeq === got.toSeq)
   }
 
+  test("CLI end-to-end: --lister paged snapshots through the ListObjectsV2 path") {
+    val base = Files.createTempDirectory("clipaged").toString
+    val tdir = s"$base/db/pg_items"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      df.coalesce(1).write.parquet(s"$tdir/_w")
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tdir/_w"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dest).getParent)
+      fs.rename(part, new org.apache.hadoop.fs.Path(dest))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tdir/_w"), true)
+    }
+    writeOne((1L to 30L).map(i => ("I", "t0", i, s"v$i"))
+      .toDF(C.Op, C.IngestTs, "id", "v"), s"$tdir/LOAD00000001.parquet")
+    writeOne(Seq(("D", "t1", 7L, "v7"), ("U", "t1", 9L, "u9"))
+      .toDF(C.Op, C.IngestTs, "id", "v"),
+      s"$tdir/2024/01/02/20240102-000000000.parquet")
+
+    val out = s"$base/out"
+    graft.cli.Main.main(Array(
+      "--base-dir", s"$base/db", "--table", "pg_items",
+      "--mode", "date-aware", "--start-date", "2024-01-01T00:00:00Z",
+      "--pk", "pg_items=id",
+      "--lister", "paged",
+      "--out", out, "--only-snapshot"))
+    // date-aware replay THROUGH the paged lister: LOAD (exempt) + the
+    // date-dir CDC file both reach the reducer — id 7's delete lands,
+    // id 9's update lands
+    val got = spark.read.parquet(s"$out/pg_items")
+      .select($"id", $"v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.length === 29)
+    assert(!got.exists(_._1 == 7L))
+    assert(got.find(_._1 == 9L).map(_._2) === Some("u9"))
+    // the knob is validated, not silently defaulted
+    val bad = intercept[IllegalArgumentException] {
+      graft.cdc.CdcConfig(baseDir = "x", schema = "s", lister = "s3")
+    }
+    assert(bad.getMessage.contains("lister"))
+  }
+
   test("sequence compare diffs current sequence values across databases") {
     import graft.sources.SequenceCompare
     val urlA = "jdbc:derby:memory:seqA;create=true"
@@ -415,6 +456,7 @@ class JdbcRoundTripSpec extends SparkSpec {
       "",          // jdbc-prop
       "", "",      // chunk size, start position
       "",          // max concurrent tables → default
+      "",          // listing backend → hadoop
       "",          // datadiff only → n
       "y"          // snapshot only
     ).mkString("\n") + "\n"
