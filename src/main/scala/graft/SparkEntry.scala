@@ -129,6 +129,10 @@ object SparkEntry {
       (DedupQueries.incrementalLshAbsorbed _),
     "embed_incremental_absorbed" ->
       (SimilarityQueries.incrementalCosineNearDupsAbsorbed _),
+    "dedup_incremental_retired" ->
+      (DedupQueries.incrementalExactRetired _),
+    "dedup_incremental_lsh_retired" ->
+      (DedupQueries.incrementalLshRetired _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -241,6 +245,10 @@ object SparkEntry {
       DedupQueries.incrementalLshAbsorbedSql,
     "embed_incremental_absorbed" ->
       SimilarityQueries.incrementalCosineNearDupsAbsorbedSql,
+    "dedup_incremental_retired" ->
+      DedupQueries.incrementalExactRetiredSql,
+    "dedup_incremental_lsh_retired" ->
+      DedupQueries.incrementalLshRetiredSql,
     "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,

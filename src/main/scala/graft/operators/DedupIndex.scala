@@ -65,10 +65,18 @@ object DedupIndex {
   final case class VectorParams(planes: Int, dim: Int, numBuckets: Int,
       centroids: Int, pqM: Int, pqKsub: Int, jlRdim: Int)
 
-  /** Loaded text index: every member is a bucketed-table scan. */
+  /** Loaded text index: every member is a bucketed-table scan. When the
+    * index carries tombstones (CDC-retired ids — see [[retireText]]),
+    * the public components are LIVE views: retired ids are already
+    * filtered out (broadcast anti-join over the bucketed scans), and
+    * `hashes` is re-derived from the live `dochashes` rows so a content
+    * hash whose every copy retired stops matching while a hash with any
+    * surviving copy keeps matching. Probes need no tombstone awareness.
+    */
   final case class TextIndex(dir: String, params: TextParams,
       hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
-      counts: DataFrame, sigs: DataFrame)
+      counts: DataFrame, sigs: DataFrame, dochashes: DataFrame,
+      tombstones: DataFrame)
 
   /** Loaded vector index: `buckets` is a bucketed-table scan carrying
     * both the float vectors and their SQ8 codes; `lists` the IVF
@@ -80,7 +88,8 @@ object DedupIndex {
   final case class VectorIndex(dir: String, params: VectorParams,
       buckets: DataFrame, lists: DataFrame, centroids: DataFrame,
       ranges: Seq[(Double, Double)],
-      pqCodebooks: Seq[Seq[Seq[Double]]])
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      tombstones: DataFrame)
 
   // ------------------------------------------------------------- write
 
@@ -96,7 +105,8 @@ object DedupIndex {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
-      Seq("hashes", "bands", "shingles", "counts", "sigs"))
+      Seq("hashes", "bands", "shingles", "counts", "sigs", "dochashes",
+        "tombstones"))
     val sh = graft.plans.CachedPlans.cached(
       Dedup.hashedShingleTable(corpus, idCol, textCol, shingleN, portable))
     // the signature table feeds both the band-key table and the stored
@@ -106,6 +116,13 @@ object DedupIndex {
     writeComponent(
       corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
       dir, "hashes", Seq("content_hash"), n)
+    // id → content_hash, bucketed by HASH: tombstone retirement needs to
+    // know whether a hash has any live copy left, and hash-keyed
+    // aggregates over this table run Exchange-free on the bucketed scan
+    writeComponent(
+      corpus.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("content_hash")),
+      dir, "dochashes", Seq("content_hash"), n)
     writeComponent(
       Dedup.lshBandKeys(sig, idCol, bands, numHashes / bands, portable)
         .select(col(idCol).cast("long").as("id"), col("band"),
@@ -124,7 +141,7 @@ object DedupIndex {
         .select(col(idCol).cast("long").as("id"), col("n_shingles")),
       dir, "counts", Seq("id"), n)
     writeParams(spark, dir, Seq(
-      "kind" -> "text", "shingleN" -> shingleN.toString,
+      "kind" -> "text", "fmt" -> "2", "shingleN" -> shingleN.toString,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
       "portable" -> portable.toString, "numBuckets" -> n.toString))
   }
@@ -150,7 +167,8 @@ object DedupIndex {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
-      Seq("buckets", "lists", "centroids", "ranges", "pq_codebooks"))
+      Seq("buckets", "lists", "centroids", "ranges", "pq_codebooks",
+        "tombstones"))
     // 0 = auto: a 4× reduction (dim 64 → 16, the geometry the jl query
     // family pins), floored at 1 so tiny test dims stay legal
     val rdim = if (jlRdim == 0) math.max(1, dim / 4) else jlRdim
@@ -194,7 +212,7 @@ object DedupIndex {
       .write.mode("overwrite")
       .parquet(componentPath(dir, "pq_codebooks").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "fmt" -> "6", "planes" -> planes.toString,
+      "kind" -> "vector", "fmt" -> "7", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString,
       "centroids" -> numCentroids.toString,
       "pqM" -> pqM.toString, "pqKsub" -> ksubEff.toString,
@@ -317,7 +335,11 @@ object DedupIndex {
       textCol: String, dir: String, lease: String): Unit = {
     val spark = newDocs.sparkSession
     recover(spark, dir, Some(lease)) // roll back crashed predecessors
-    val idx = loadText(spark, dir) // registers, pins geometry
+    // RAW view: a tombstoned id must still read as "already indexed" —
+    // probing it stays suppressed, and re-adding it would stack a second
+    // copy of its rows under one id (resurrection goes through
+    // compactText first, which physically removes the retired rows)
+    val idx = loadTextRaw(spark, dir) // registers, pins geometry
     val p = idx.params
     val fresh = newDocs.join(idx.counts.select(col("id")),
       newDocs(idCol).cast("long") === col("id"), "left_anti")
@@ -349,6 +371,10 @@ object DedupIndex {
       sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
         .select(col(idCol).cast("long").as("id"), col("n_shingles")),
       dir, batch, "counts", Seq("id"), p.numBuckets)
+    stageComponent(
+      fresh.select(col(idCol).cast("long").as("id"),
+        md5(col(textCol)).as("content_hash")),
+      dir, batch, "dochashes", Seq("content_hash"), p.numBuckets)
     commitStaged(spark, dir, batch)
   }
 
@@ -370,7 +396,9 @@ object DedupIndex {
       vecCol: String, dir: String, lease: String): Unit = {
     val spark = newVecs.sparkSession
     recover(spark, dir, Some(lease)) // roll back crashed predecessors
-    val idx = loadVectors(spark, dir)
+    // RAW view — same resurrection rule as the text absorb: tombstoned
+    // ids stay "indexed" until compaction physically removes them
+    val idx = loadVectorsRaw(spark, dir)
     val p = idx.params
     val fresh = newVecs.join(idx.buckets.select(col("id")),
       newVecs(idCol).cast("long") === col("id"), "left_anti")
@@ -390,6 +418,137 @@ object DedupIndex {
     commitStaged(spark, dir, batch)
   }
 
+  // -------------------------------------------------- retire / compact
+
+  /** Absorb a CDC DELETE batch into a text index: the retired ids join
+    * the persisted tombstone set through the same staged crash-atomic
+    * commit (and writer lease) as [[appendText]]. From the next load on,
+    * every probe modality ignores them — the exact probe because the
+    * live hash set drops hashes with no surviving copy, the LSH/Jaccard
+    * probes because band keys, shingles, counts and signatures are all
+    * anti-joined (see [[loadText]]).
+    *
+    * Idempotent: only ids actually indexed and not already tombstoned
+    * are appended, so replaying a delete batch is a no-op (no new
+    * files, no verdict change). A tombstoned id stays retired until
+    * [[compactText]] physically removes its rows; re-absorbing it
+    * before compaction is also a no-op (the absorb freshness check
+    * reads the RAW index), which keeps delete/re-add races safe at the
+    * cost of requiring a compaction before genuine resurrection.
+    */
+  def retireText(deleteIds: DataFrame, idCol: String, dir: String): Unit = {
+    val spark = deleteIds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val idx = loadTextRaw(spark, dir)
+      retireHolding(spark, dir, deleteIds, idCol,
+        idx.counts.select(col("id")), idx.tombstones)
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[retireText]]'s vector twin: retired vector ids disappear from the
+    * bucketed row table and the IVF lists at the next load; the frozen
+    * geometry (centroids, SQ8 ranges, PQ codebooks) is untouched.
+    */
+  def retireVectors(deleteIds: DataFrame, idCol: String, dir: String)
+      : Unit = {
+    val spark = deleteIds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val idx = loadVectorsRaw(spark, dir)
+      retireHolding(spark, dir, deleteIds, idCol,
+        idx.buckets.select(col("id")), idx.tombstones)
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  private def retireHolding(spark: SparkSession, dir: String,
+      deleteIds: DataFrame, idCol: String, indexedIds: DataFrame,
+      existingTomb: DataFrame): Unit = {
+    val fresh = deleteIds.select(col(idCol).cast("long").as("id"))
+      .distinct()
+      .join(indexedIds, Seq("id"), "left_semi") // unknown ids: nothing to do
+      .join(existingTomb, Seq("id"), "left_anti") // replay: no-op
+    if (fresh.isEmpty) return // truly no-op — no new files to commit
+    val batch = newBatchId()
+    stagePlain(fresh, dir, batch, "tombstones")
+    commitStaged(spark, dir, batch)
+  }
+
+  /** Physically remove every tombstoned document from a text index:
+    * rewrite each component keeping live rows only (the hash set is
+    * re-derived from live dochashes, exactly the live view probes were
+    * already using) and clear the tombstone set — reclaiming the files
+    * and restoring the fast tombstone-free load path. The rewrite goes
+    * through a REPLACE-mode staged commit: old files move to a trash
+    * directory before the compacted files move in, so a crash at any
+    * point rolls back to the pre-compaction index (tombstones intact)
+    * on the next load. No-op when nothing is tombstoned.
+    */
+  def compactText(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val idx = loadTextRaw(spark, dir)
+      if (!isEmptyTombstones(idx.tombstones)) {
+        val tomb = broadcast(idx.tombstones)
+        def live(df: DataFrame): DataFrame =
+          df.join(tomb, Seq("id"), "left_anti")
+        val n = idx.params.numBuckets
+        val batch = newBatchId()
+        stageComponent(
+          live(idx.dochashes).select(col("content_hash")).distinct(),
+          dir, batch, "hashes", Seq("content_hash"), n)
+        stageComponent(live(idx.bandKeys), dir, batch, "bands",
+          Seq("bkey"), n)
+        stageComponent(live(idx.sigs), dir, batch, "sigs", Seq("id"), n)
+        stageComponent(live(idx.shingles), dir, batch, "shingles",
+          Seq("id"), n)
+        stageComponent(live(idx.counts), dir, batch, "counts",
+          Seq("id"), n)
+        stageComponent(live(idx.dochashes), dir, batch, "dochashes",
+          Seq("content_hash"), n)
+        stageEmpty(spark, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch, replace = true)
+      }
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[compactText]]'s vector twin: rewrites `buckets` and `lists`
+    * dropping tombstoned rows, clears the tombstones, leaves the frozen
+    * geometry components untouched.
+    */
+  def compactVectors(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val idx = loadVectorsRaw(spark, dir)
+      if (!isEmptyTombstones(idx.tombstones)) {
+        val tomb = broadcast(idx.tombstones)
+        val n = idx.params.numBuckets
+        val batch = newBatchId()
+        stageComponent(
+          idx.buckets.join(tomb, Seq("id"), "left_anti"),
+          dir, batch, "buckets", Seq("bucket"), n)
+        stageComponent(
+          idx.lists.join(tomb, idx.lists("n_id") === tomb("id"),
+            "left_anti"),
+          dir, batch, "lists", Seq("cent_id"), n)
+        stageEmpty(spark, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch, replace = true)
+      }
+    } finally releaseLease(fs, dir, lease)
+  }
+
   // -------------------------------------------------------------- load
 
   /** Load a text index written by [[writeText]], re-registering the
@@ -398,8 +557,43 @@ object DedupIndex {
     * so probes never read a torn multi-table append.
     */
   def loadText(spark: SparkSession, dir: String): TextIndex = {
+    val raw = loadTextRaw(spark, dir)
+    if (isEmptyTombstones(raw.tombstones)) raw
+    else {
+      // LIVE views: tombstoned ids vanish from every id-carrying
+      // component via a broadcast anti-join (tombstones are delete-batch
+      // scale between compactions — compaction is what keeps this
+      // broadcast bounded), and the exact-probe hash set is re-derived
+      // from live dochashes rows so a hash dies exactly when its LAST
+      // copy retires. dochashes is bucketed by content_hash, so the
+      // distinct() runs Exchange-free on the bucketed scan.
+      val tomb = broadcast(raw.tombstones)
+      def live(df: DataFrame): DataFrame =
+        df.join(tomb, Seq("id"), "left_anti")
+      raw.copy(
+        hashes = live(raw.dochashes).select(col("content_hash")).distinct(),
+        bandKeys = live(raw.bandKeys),
+        shingles = live(raw.shingles),
+        counts = live(raw.counts),
+        sigs = live(raw.sigs),
+        dochashes = live(raw.dochashes))
+    }
+  }
+
+  /** The index exactly as stored — retired ids still present, tombstones
+    * attached unfiltered. Absorb/retire/compact internals need this view
+    * (the freshness anti-join must see tombstoned ids as indexed, or a
+    * replayed batch would re-add them as duplicate rows).
+    */
+  private def loadTextRaw(spark: SparkSession, dir: String): TextIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "text")
+    // fmt 2 added dochashes (id → content_hash) + tombstones; an older
+    // index lacks the components retirement needs, so it reads as
+    // corrupt and callers rebuild (same policy as the vector formats)
+    if (!p.get("fmt").contains("2"))
+      corrupt(dir, s"text index format ${p.getOrElse("fmt", "1")}, " +
+        "expected 2 (rebuild the index)")
     val params = TextParams(p("shingleN").toInt, p("numHashes").toInt,
       p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt)
     TextIndex(dir, params,
@@ -412,22 +606,44 @@ object DedupIndex {
       counts = component(spark, dir, "counts", Seq("id"),
         params.numBuckets),
       sigs = component(spark, dir, "sigs", Seq("id"),
-        params.numBuckets))
+        params.numBuckets),
+      dochashes = component(spark, dir, "dochashes", Seq("content_hash"),
+        params.numBuckets),
+      tombstones = readTombstones(spark, dir))
   }
 
   /** Load a vector index written by [[writeVectors]], with the same
     * crash recovery as [[loadText]].
     */
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
+    val raw = loadVectorsRaw(spark, dir)
+    if (isEmptyTombstones(raw.tombstones)) raw
+    else {
+      // LIVE views, as in [[loadText]]: retired vectors drop out of both
+      // the bucketed row table and the IVF inverted lists. Centroids and
+      // quantization geometry stay — they are frozen GEOMETRY, not
+      // content; a retired id can keep defining a cell boundary without
+      // ever appearing in a result.
+      val tomb = broadcast(raw.tombstones)
+      raw.copy(
+        buckets = raw.buckets.join(tomb, Seq("id"), "left_anti"),
+        lists = raw.lists.join(tomb,
+          raw.lists("n_id") === tomb("id"), "left_anti"))
+    }
+  }
+
+  /** [[loadTextRaw]]'s vector twin: stored rows unfiltered. */
+  private def loadVectorsRaw(spark: SparkSession, dir: String)
+      : VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
-    // fmt 6 = fmt 5 (codes/rnorm + ranges + IVF structure + bcode + PQ
-    // codes/codebooks) plus the JL-reduced projection columns
-    // (rvec/rnormjl); an older-format index reads as corrupt so callers
-    // rebuild rather than probe a schema this code no longer matches
-    if (!p.get("fmt").contains("6"))
+    // fmt 7 = fmt 6 (codes/rnorm + ranges + IVF structure + bcode + PQ
+    // codes/codebooks + JL projections) plus CDC tombstones; an
+    // older-format index reads as corrupt so callers rebuild rather
+    // than probe a schema this code no longer matches
+    if (!p.get("fmt").contains("7"))
       corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 6 (rebuild the index)")
+        "expected 7 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
       p("numBuckets").toInt, p("centroids").toInt,
       p("pqM").toInt, p("pqKsub").toInt, p("jlRdim").toInt)
@@ -459,8 +675,33 @@ object DedupIndex {
       centroids = spark.read
         .parquet(componentPath(dir, "centroids").toString),
       ranges = ranges,
-      pqCodebooks = cbs)
+      pqCodebooks = cbs,
+      tombstones = readTombstones(spark, dir))
   }
+
+  /** The stored tombstone set (id BIGINT): plain parquet, read with an
+    * explicit schema so an absent or emptied directory is just an empty
+    * set — tombstones are broadcast into anti-joins, never themselves
+    * joined on, so they need no bucket layout or catalog entry.
+    */
+  private def readTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = componentPath(dir, "tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (listDataFiles(fs, p).nonEmpty)
+      spark.read.schema("id BIGINT").parquet(p.toString)
+    else {
+      import spark.implicits._
+      spark.emptyDataset[Long].toDF("id")
+    }
+  }
+
+  /** True when the tombstone set holds no rows — the common case, where
+    * load skips the live-view filtering entirely and every probe plan is
+    * byte-identical to the tombstone-free engine. The check is one
+    * metadata listing plus (only when files exist) a single-file scan.
+    */
+  private def isEmptyTombstones(tomb: DataFrame): Boolean =
+    tomb.isEmpty
 
   /** The single-column band-scoped join key probes must use against the
     * `bands` table (see class doc for why a composite beats joining on
@@ -529,6 +770,12 @@ object DedupIndex {
 
   private def stagingRoot(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_staging")
+
+  /** Replace-mode commits park the displaced live files here (per batch,
+    * per component) until the commit completes — the rollback source.
+    */
+  private def trashRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_trash")
 
   // ------------------------------------------------------ writer lease
 
@@ -636,6 +883,34 @@ object DedupIndex {
       df.sparkSession.sessionState.newHadoopConf()), dir)
   }
 
+  /** [[stageComponent]] for a component with no bucket layout (the
+    * tombstone set — always broadcast, never joined on): a plain
+    * single-file parquet write into the batch's staging directory.
+    */
+  private def stagePlain(df: DataFrame, dir: String, batch: String,
+      component: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stagingRoot(dir), batch), component)
+    df.coalesce(1).write.mode("overwrite").parquet(path.toString)
+    heartbeatLease(path.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf()), dir)
+  }
+
+  /** Stage a component as EMPTY: just the directory, no data files — a
+    * replace-mode commit then clears the live component (old files go to
+    * trash, nothing moves in). How compaction empties the tombstone set
+    * without leaving even a zero-row file behind (an absent/empty
+    * tombstone dir is the fast, filter-free load path).
+    */
+  private def stageEmpty(spark: SparkSession, dir: String, batch: String,
+      component: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stagingRoot(dir), batch), component)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(path)
+    heartbeatLease(fs, dir)
+  }
+
   /** Non-hidden data files of a directory (bucket ids are embedded in
     * the names, so names alone identify what to move or roll back).
     */
@@ -652,7 +927,7 @@ object DedupIndex {
     * back precisely.
     */
   private def commitStaged(spark: SparkSession, dir: String,
-      batch: String): Unit = {
+      batch: String, replace: Boolean = false): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(stagingRoot(dir), batch)
     val fs = root.getFileSystem(conf)
@@ -681,6 +956,22 @@ object DedupIndex {
           s"injected crash: $ci components moved, $c next")
       val from = new org.apache.hadoop.fs.Path(root, c)
       val to = componentPath(dir, c)
+      if (replace) {
+        // REPLACE (compaction): park the component's current live files
+        // in trash before the staged files move in — rollback restores
+        // them, completion deletes them. Trash is per-batch, created
+        // only after the manifest published (so trash presence implies
+        // a manifest-armed commit or a completed one).
+        val trash = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(trashRoot(dir), batch), c)
+        fs.mkdirs(trash)
+        listDataFiles(fs, to).foreach { f =>
+          val src = new org.apache.hadoop.fs.Path(to, f)
+          val dst = new org.apache.hadoop.fs.Path(trash, f)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"cannot retire $src -> $dst")
+        }
+      }
       files.foreach { f =>
         val src = new org.apache.hadoop.fs.Path(from, f)
         val dst = new org.apache.hadoop.fs.Path(to, f)
@@ -694,6 +985,17 @@ object DedupIndex {
     if (!fs.delete(root, true) && fs.exists(root))
       throw new java.io.IOException(
         s"committed but cannot clean staging $root (manifest would arm rollback)")
+    // staging is gone = the commit is final; the parked files can go.
+    // (If THIS delete crashes, recover() sees an orphan trash batch with
+    // no matching staging manifest and finishes the cleanup.)
+    if (replace)
+      fs.delete(new org.apache.hadoop.fs.Path(trashRoot(dir), batch), true)
+    // drop the now-empty protocol roots so a committed index directory
+    // holds only its components (delete(.., false) refuses non-empty)
+    Seq(stagingRoot(dir), trashRoot(dir)).foreach { r =>
+      try if (fs.exists(r) && fs.listStatus(r).isEmpty) fs.delete(r, false)
+      catch { case _: java.io.IOException => () }
+    }
     comps.foreach { c =>
       val t = tableName(dir, c)
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
@@ -719,8 +1021,8 @@ object DedupIndex {
       !owner.contains(holder) &&
         System.currentTimeMillis() - mtime <= leaseStaleMs
     }
-    if (liveForeign || !fs.exists(root)) return
-    fs.listStatus(root).filter(_.isDirectory).foreach { b =>
+    if (liveForeign) return
+    if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).foreach { b =>
       val mf = new org.apache.hadoop.fs.Path(b.getPath, "MANIFEST.json")
       if (fs.exists(mf)) {
         val in = fs.open(mf)
@@ -744,7 +1046,34 @@ object DedupIndex {
           if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
         }
       }
+      // replace-mode rollback: files the half-done commit displaced sit
+      // in the batch's trash (created only post-manifest) — move them
+      // back, restoring the pre-compaction component state exactly
+      val trash = new org.apache.hadoop.fs.Path(trashRoot(dir),
+        b.getPath.getName)
+      if (fs.exists(trash)) {
+        fs.listStatus(trash).filter(_.isDirectory).foreach { cd =>
+          val live = componentPath(dir, cd.getPath.getName)
+          fs.mkdirs(live)
+          listDataFiles(fs, cd.getPath).foreach { f =>
+            if (!fs.rename(new org.apache.hadoop.fs.Path(cd.getPath, f),
+                new org.apache.hadoop.fs.Path(live, f)))
+              throw new java.io.IOException(
+                s"rollback cannot restore $f to $live")
+          }
+          val t = tableName(dir, cd.getPath.getName)
+          if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+        }
+        fs.delete(trash, true)
+      }
       fs.delete(b.getPath, true)
+    }
+    // trash batches with NO staging counterpart are completed commits
+    // whose final cleanup crashed — finish it (never restore from them)
+    val troot = trashRoot(dir)
+    if (fs.exists(troot)) fs.listStatus(troot).foreach { b =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, b.getPath.getName)))
+        fs.delete(b.getPath, true)
     }
   }
 

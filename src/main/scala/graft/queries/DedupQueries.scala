@@ -178,6 +178,45 @@ object DedupQueries {
     incrementalLshSqlFor(c => s"($c % 2 = 0 OR $c % 4 = 1)",
       c => s"$c % 4 = 3")
 
+  /** [[incrementalExactIndexed]] against an index that absorbed a CDC
+    * DELETE batch ([[graft.operators.DedupIndex.retireText]]): corpus =
+    * even ids with the `doc_id % 10 == 0` slice retired, probe batch =
+    * odd ids — and the ORACLE recomputes over the LIVE corpus alone, so
+    * retirement is gated end to end (staged tombstone commit, live-view
+    * anti-joins, a hash dying exactly when its last copy retires), not
+    * just spec-tested.
+    */
+  def incrementalExactRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExactIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textRetired(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalExactRetiredSql: String =
+    incrementalExactSqlFor("(doc_id % 2 = 0 AND doc_id % 10 <> 0)",
+      "doc_id % 2 = 1")
+
+  /** [[incrementalLshIndexed]]'s retirement twin: band keys, shingles
+    * and counts of retired docs are all invisible to the candidate and
+    * verify stages, gated against the live-corpus recompute oracle.
+    */
+  def incrementalLshRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalMinHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textRetired(spark, sfDir),
+        threshold = 0.5)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalLshRetiredSql: String =
+    incrementalLshSqlFor(c => s"($c % 2 = 0 AND $c % 10 <> 0)",
+      c => s"$c % 2 = 1")
+
   /** Oracle: the batch minHashLshSql machinery with the pair condition
     * swapped from `a < b` to `a existing (even), b new (odd)`, and the
     * Scala op's existing-side bucket cap (default maxBucket = 1000)

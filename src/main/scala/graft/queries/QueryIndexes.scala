@@ -100,6 +100,41 @@ object QueryIndexes {
     DedupIndex.loadText(spark, dir)
   }
 
+  /** Text index built over the even docs then fed a CDC DELETE batch:
+    * the `doc_id % 10 == 0` slice retires through
+    * [[DedupIndex.retireText]]'s staged tombstone commit, so probes see
+    * the live corpus only (`doc_id % 2 == 0 AND doc_id % 10 != 0`). The
+    * retire re-runs even on reuse — it is idempotent by contract
+    * (replayed delete batches commit nothing), so the replay path is
+    * exercised by the gate itself, exactly like [[textAbsorbed]]'s
+    * absorb.
+    */
+  def textRetired(spark: SparkSession,
+      sfDir: String): DedupIndex.TextIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "text_retired",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadText(spark, dir).params
+          p.shingleN == 3 && p.numHashes == 12 && p.bands == 4 && p.portable
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dir)
+      DedupIndex.retireText(
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadText(spark, dir)
+  }
+
   /** [[textAbsorbed]]'s vector twin: even vec_ids indexed, the
     * `vec_id % 4 == 1` batch absorbed under the frozen geometry.
     */

@@ -265,6 +265,157 @@ class DedupIndexSpec extends SparkSpec {
     assert(jlIdx.count() > 0)
   }
 
+  test("CDC retire: tombstoned docs vanish from every probe modality; replay is a no-op; compaction reclaims") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retire").toString
+    val all = (0L until 120L)
+    val corpusIds = all.filter(_ % 2 == 0)
+    val retiredIds = corpusIds.filter(_ % 10 == 0)
+    val liveIds = corpusIds.filterNot(_ % 10 == 0)
+    val corpus = mkDocs(corpusIds).toDF("doc_id", "text")
+    val batch = mkDocs(all.filter(_ % 2 == 1)).toDF("doc_id", "text")
+
+    DedupIndex.writeText(corpus, "doc_id", "text", indexDir)
+    DedupIndex.retireText(retiredIds.toDF("doc_id"), "doc_id", indexDir)
+
+    // the ground truth: probes against the index after retirement must
+    // equal recompute probes against the LIVE corpus alone — exact-hash,
+    // band/LSH candidate, and Jaccard-verify modalities all covered
+    val liveCorpus = mkDocs(liveIds).toDF("doc_id", "text")
+    def exactProbe() = Dedup.incrementalExactIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir))
+    def lshProbe() = Dedup.incrementalMinHashNearDupsReportIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir)).pairs
+    val exactLive = Dedup.incrementalExact(batch, liveCorpus,
+      "doc_id", "text")
+    val lshLive = Dedup.incrementalMinHashNearDupsReport(
+      batch, liveCorpus, "doc_id", "text").pairs
+    assert(sortedRows(exactProbe()) === sortedRows(exactLive))
+    assert(sortedRows(lshProbe()) === sortedRows(lshLive))
+    assert(lshProbe().count() > 0, "fixture must still produce pairs")
+    // ...and differ from the pre-retirement corpus (the gate is real:
+    // some retired doc was the only holder of its hash/pairs)
+    val exactStale = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+    assert(sortedRows(exactProbe()) !== sortedRows(exactStale),
+      "retirement changed nothing — fixture is vacuous")
+    // hash liveness is per-copy: group g=0 has exact dups 0 (retired)
+    // and 4·k... ids 0,10,... retired; a hash with a SURVIVING copy must
+    // still match (mkDocs groups of 4 share templates across ids)
+    assert(exactProbe().filter(col("verdict") === "dup_of_existing")
+      .count() > 0, "hashes with surviving copies must keep matching")
+
+    // replay of the same delete batch: nothing changes, no new files
+    def tombFiles() = {
+      val d = new java.io.File(s"$indexDir/tombstones")
+      if (d.exists) d.listFiles.map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      else Set.empty[String]
+    }
+    val before = tombFiles()
+    DedupIndex.retireText(retiredIds.toDF("doc_id"), "doc_id", indexDir)
+    assert(tombFiles() === before, "replayed delete batch wrote files")
+    assert(sortedRows(exactProbe()) === sortedRows(exactLive))
+
+    // compaction physically reclaims: tombstones empty again, retired
+    // rows gone from the stored components, probes bit-identical
+    def dataFiles(c: String) = {
+      val d = new java.io.File(s"$indexDir/$c")
+      d.listFiles.map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    }
+    val bandsBefore = dataFiles("bands")
+    DedupIndex.compactText(spark, indexDir)
+    assert(tombFiles().isEmpty, "compaction must clear the tombstones")
+    assert(dataFiles("bands") !== bandsBefore,
+      "compaction must rewrite the band component")
+    val compacted = DedupIndex.loadText(spark, indexDir)
+    assert(compacted.counts.filter(
+      col("id").isin(retiredIds: _*)).count() === 0,
+      "retired ids survived compaction in the stored rows")
+    assert(sortedRows(exactProbe()) === sortedRows(exactLive))
+    assert(sortedRows(lshProbe()) === sortedRows(lshLive))
+    // no stray staging/trash left behind
+    assert(!new java.io.File(s"$indexDir/_staging").exists)
+    assert(!new java.io.File(s"$indexDir/_trash").exists)
+  }
+
+  test("a crash mid-compaction rolls back to the pre-compaction index") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-compcrash").toString
+    val corpusIds = (0L until 120L).filter(_ % 2 == 0)
+    val retiredIds = corpusIds.filter(_ % 10 == 0)
+    val corpus = mkDocs(corpusIds).toDF("doc_id", "text")
+    val batch = mkDocs((0L until 120L).filter(_ % 2 == 1))
+      .toDF("doc_id", "text")
+    DedupIndex.writeText(corpus, "doc_id", "text", indexDir)
+    DedupIndex.retireText(retiredIds.toDF("doc_id"), "doc_id", indexDir)
+    def exactProbe() = Dedup.incrementalExactIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir))
+    val want = sortedRows(exactProbe())
+
+    // crash after 2 components replaced: some live files are in trash,
+    // some compacted files are live — the torn state the replace
+    // protocol exists for
+    DedupIndex.testCrashAfterComponentMoves = 2
+    try intercept[RuntimeException] {
+      DedupIndex.compactText(spark, indexDir)
+    } finally DedupIndex.testCrashAfterComponentMoves = -1
+
+    // next load recovers: compacted files rolled back, displaced files
+    // restored, tombstones intact — probe verdicts unchanged
+    val recovered = DedupIndex.loadText(spark, indexDir)
+    assert(recovered.tombstones.count() === retiredIds.size,
+      "rollback must keep the tombstone set")
+    assert(sortedRows(exactProbe()) === want)
+    // and a RETRIED compaction completes cleanly
+    DedupIndex.compactText(spark, indexDir)
+    assert(DedupIndex.loadText(spark, indexDir).tombstones.count() === 0)
+    assert(sortedRows(exactProbe()) === want)
+  }
+
+  test("retired vectors vanish from the cosine probe; vector compaction reclaims") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-vecretire").toString
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(d =>
+      (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    val all = (0L until 80L).map(i => (i, vec(i)))
+    val corpus = all.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val retired = all.map(_._1).filter(i => i % 2 == 0 && i % 10 == 0)
+    val live = all.filter(t => t._1 % 2 == 0 && t._1 % 10 != 0)
+      .toDF("vec_id", "embedding")
+    val batch = all.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+
+    DedupIndex.writeVectors(corpus, "vec_id", "embedding", indexDir,
+      planes = 2, dim = dim)
+    DedupIndex.retireVectors(retired.toDF("vec_id"), "vec_id", indexDir)
+
+    def probe() = Similarity.incrementalCosineNearDupsIndexed(
+      batch, "vec_id", "embedding",
+      DedupIndex.loadVectors(spark, indexDir), threshold = 0.9)
+    val wantLive = Similarity.incrementalCosineNearDups(batch, live,
+      "vec_id", "embedding", threshold = 0.9, planes = 2, dim = dim)
+    val wantStale = Similarity.incrementalCosineNearDups(batch, corpus,
+      "vec_id", "embedding", threshold = 0.9, planes = 2, dim = dim)
+    assert(sortedRows(probe()) === sortedRows(wantLive))
+    assert(probe().count() > 0)
+    assert(sortedRows(probe()) !== sortedRows(wantStale),
+      "vector retirement changed nothing — fixture is vacuous")
+    // IVF lists lose the retired ids too
+    assert(DedupIndex.loadVectors(spark, indexDir).lists
+      .filter(col("n_id").isin(retired: _*)).count() === 0)
+
+    DedupIndex.compactVectors(spark, indexDir)
+    val compacted = DedupIndex.loadVectors(spark, indexDir)
+    assert(compacted.tombstones.count() === 0)
+    assert(compacted.buckets.filter(col("id").isin(retired: _*))
+      .count() === 0, "retired vectors survived compaction")
+    assert(sortedRows(probe()) === sortedRows(wantLive))
+  }
+
   test("a crashed-and-retried absorb cannot duplicate index rows or change probe verdicts") {
     CachedPlans.clear()
     // three cohorts: the indexed corpus, a batch absorbed into it, and a
