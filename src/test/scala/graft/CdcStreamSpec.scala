@@ -470,6 +470,97 @@ class CdcStreamSpec extends SparkSpec {
         "unrelated corpus doc 101 stays unflagged")
   }
 
+  test("streaming near-dup estimator error vs batch exact Jaccard is bounded") {
+    // The stream accepts corpus candidates on the 12-hash SIGNATURE
+    // AGREEMENT estimate (est = matching components / 12) while the
+    // batch pipeline verifies exact Jaccard — a documented divergence.
+    // This case QUANTIFIES it: est is Binomial(12, J)/12, so Hoeffding
+    // gives P(|est − J| ≥ ε) ≤ 2·exp(−24ε²) — ≈ 2% at ε = 0.4, ≈ 11%
+    // at ε = 0.35. The declared contract asserted here:
+    //   (a) no acceptance flip outside the |J − t| < 0.35 gray zone,
+    //   (b) every emitted estimate within 0.4 of its exact Jaccard,
+    //   (c) flips confined to a minority of the verified pairs.
+    // Fixture: 30 corpus/arrival pairs with ANALYTIC Jaccard — each
+    // pair has its own 40-word vocabulary, the two docs share k of
+    // their 20 distinct words, so J = k / (40 − k) sweeps 0.05…1.0
+    // across the t = 0.5 threshold (shingleN = 1 ⇒ shingles = words).
+    val dir = Files.createTempDirectory("stream_nderr").toString
+    val ks = Seq(2, 5, 8, 10, 12, 13, 14, 16, 18, 20)
+    val pairsSpec = for (rep <- 0 until 3; k <- ks) yield (rep, k)
+    def words(pair: Int, from: Int, n: Int): String =
+      (from until from + n).map(j => s"p${pair}w$j").mkString(" ")
+    val fixtures = pairsSpec.zipWithIndex.map { case ((_, k), p) =>
+      // corpus doc: words 0..19; arrival: words (20−k)..(39−k) → k shared
+      val corpusDoc = (1000L + p, words(p, 0, 20))
+      val arrival = (p.toLong, words(p, 20 - k, 20))
+      val jexact = k.toDouble / (40 - k).toDouble
+      (p, corpusDoc, arrival, jexact)
+    }
+    val corpus = fixtures.map(_._2).toDF("doc_id", "text")
+    val idxDir = Files.createTempDirectory("stream_nderr_idx").toString
+    graft.operators.DedupIndex.writeText(corpus, "doc_id", "text", idxDir,
+      shingleN = 1)
+    val idx = graft.operators.DedupIndex.loadText(spark, idxDir)
+
+    fixtures.map(_._3).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = CdcStream.nearDupStreamIndexed(stream, "doc_id", "text", idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nderr_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val t = 0.5
+    val jOf = fixtures.map(f => f._1 -> f._4).toMap
+    // stream-accepted (corpus probe side only) with the emitted estimate
+    val streamAcc = spark.table("nderr_out")
+      .filter(!$"overflow" && $"a_id" >= 1000L)
+      .select(($"a_id" - 1000L).as("p"), $"est_jaccard")
+      .as[(Long, Double)].collect().toMap
+    // batch-accepted: same index candidacy, EXACT-Jaccard verify
+    val batchAcc = graft.operators.Dedup
+      .incrementalMinHashNearDupsReportIndexed(
+        fixtures.map(_._3).toDF("doc_id", "text"), "doc_id", "text", idx,
+        threshold = t)
+      .pairs.select(($"a_id" - 1000L).as("p"), $"jaccard")
+      .as[(Long, Double)].collect().toMap
+    // the analytic Jaccard IS the batch-verified one (sanity)
+    batchAcc.foreach { case (p, j) =>
+      assert(math.abs(j - jOf(p.toInt)) < 1e-12, s"pair $p: $j") }
+    assert(batchAcc.nonEmpty && streamAcc.nonEmpty)
+
+    // (b) every emitted estimate within Hoeffding ε = 0.4 of exact
+    streamAcc.foreach { case (p, est) =>
+      assert(math.abs(est - jOf(p.toInt)) <= 0.4,
+        s"pair $p: est $est vs exact ${jOf(p.toInt)} — estimator drifted " +
+          "past the 0.4 bound (P ≈ 2% per pair under Hoeffding)")
+    }
+    // (a) flips only inside the |J − t| < 0.35 gray zone
+    val flips = (streamAcc.keySet diff batchAcc.keySet) ++
+      (batchAcc.keySet diff streamAcc.keySet)
+    flips.foreach { p =>
+      assert(math.abs(jOf(p.toInt) - t) < 0.35,
+        s"pair $p flipped with exact J = ${jOf(p.toInt)} — outside the " +
+          "gray zone the 12-hash estimate is contracted to respect")
+    }
+    // (c) flips are the minority of all pairs either side verified
+    val union = streamAcc.keySet ++ batchAcc.keySet
+    assert(flips.size.toDouble / union.size <= 0.34,
+      s"${flips.size}/${union.size} acceptance flips — estimator too " +
+        "noisy for the declared threshold contract")
+    val falseAcc = (streamAcc.keySet diff batchAcc.keySet).size
+    val falseRej = (batchAcc.keySet diff streamAcc.keySet).size
+    info(s"measured on the 30-pair sweep: $falseAcc false-accepts, " +
+      s"$falseRej false-rejects over ${union.size} verified pairs; " +
+      s"flip J values: ${flips.toSeq.sorted.map(p => jOf(p.toInt))
+        .map(j => f"$j%.3f").mkString(", ")}")
+    // non-vacuity: clear accepts (J = 1) agree on both sides
+    val sureIds = fixtures.filter(_._4 >= 0.99).map(_._1.toLong)
+    assert(sureIds.forall(p => streamAcc.contains(p) && batchAcc.contains(p)),
+      "exact-duplicate pairs must be accepted by BOTH semantics")
+  }
+
   test("index-aware embedding near-dup pairs arrivals against the persisted vector index") {
     val dir = Files.createTempDirectory("stream_endidx").toString
     val dim = 8
