@@ -340,6 +340,34 @@ class DedupIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$indexDir/_trash").exists)
   }
 
+  test("tombstone-filtered probes keep the bucketed corpus scan and broadcast the tombstones") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retireplan").toString
+    val corpusIds = (0L until 200L).filter(_ % 2 == 0)
+    DedupIndex.writeText(mkDocs(corpusIds).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    DedupIndex.retireText(
+      corpusIds.filter(_ % 10 == 0).toDF("doc_id"), "doc_id", indexDir)
+    val idx = DedupIndex.loadText(spark, indexDir)
+    // the live view's anti-join must be a BROADCAST join over the
+    // bucketed scan — a shuffled anti-join would re-Exchange the corpus
+    // side on every probe and break the index's core scale property
+    val plan = idx.bandKeys.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone filter must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone filter shuffles the corpus side:\n$plan")
+    // and the bucket-keyed aggregate over the FILTERED view still rides
+    // the bucketed layout: no Exchange beyond the broadcast
+    val agg = idx.bandKeys.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("n"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("ShuffleExchange"),
+      s"bucket aggregate over the live view shuffles:\n$aggPlan")
+    assert(agg.count() > 0)
+  }
+
   test("a crash mid-compaction rolls back to the pre-compaction index") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
