@@ -133,6 +133,8 @@ object SparkEntry {
       (DedupQueries.incrementalExactRetired _),
     "dedup_incremental_lsh_retired" ->
       (DedupQueries.incrementalLshRetired _),
+    "embed_incremental_retired" ->
+      (SimilarityQueries.incrementalCosineNearDupsRetired _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -249,6 +251,8 @@ object SparkEntry {
       DedupQueries.incrementalExactRetiredSql,
     "dedup_incremental_lsh_retired" ->
       DedupQueries.incrementalLshRetiredSql,
+    "embed_incremental_retired" ->
+      SimilarityQueries.incrementalCosineNearDupsRetiredSql,
     "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,

@@ -163,6 +163,38 @@ object QueryIndexes {
     DedupIndex.loadVectors(spark, dir)
   }
 
+  /** [[textRetired]]'s vector twin: even vec_ids indexed, then the
+    * `vec_id % 10 == 0` slice retired through
+    * [[DedupIndex.retireVectors]]'s staged tombstone commit. The retire
+    * re-runs on reuse (idempotent replay exercised by the gate).
+    */
+  def vectorsRetired(spark: SparkSession,
+      sfDir: String): DedupIndex.VectorIndex = {
+    val vecs = tbl(spark, sfDir, "embeddings")
+    val dir = dirFor(sfDir, "vectors_retired",
+      graft.plans.CachedPlans.dataFingerprint(vecs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadVectors(spark, dir).params
+          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
+            p.pqM == 8 && p.pqKsub == 16
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir, planes = 2, dim = 64)
+      DedupIndex.retireVectors(
+        vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
+          .select(col("vec_id")),
+        "vec_id", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadVectors(spark, dir)
+  }
+
   /** Full-corpus vector index (every vec_id — the `ann_*` top-k
     * family's corpus) backing the persisted-IVF top-k.
     */

@@ -868,6 +868,26 @@ object SimilarityQueries {
     incrementalCosineNearDupsSqlFor(
       c => s"($c % 2 = 0 OR $c % 4 = 1)", c => s"$c % 4 = 3")
 
+  /** [[incrementalCosineNearDupsIndexed]] against an index that absorbed
+    * a CDC DELETE batch ([[graft.operators.DedupIndex.retireVectors]]):
+    * the `vec_id % 10 == 0` slice of the even corpus retires, and the
+    * ORACLE recomputes over the live corpus only — the vector-side
+    * retirement twin of `dedup_incremental_retired` (the retire re-runs
+    * each build; replayed delete batches commit nothing).
+    */
+  def incrementalCosineNearDupsRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsIndexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectorsRetired(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsRetiredSql: String =
+    incrementalCosineNearDupsSqlFor(
+      c => s"($c % 2 = 0 AND $c % 10 <> 0)", c => s"$c % 2 = 1")
+
   /** SQ8 asymmetric top-k: corpus quantized to uint8 codes against
     * per-dim (min, max) ranges, full-precision queries scored on the
     * reconstruction — the ¼-memory corpus representation for 100 TB ANN.

@@ -1060,4 +1060,80 @@ object CdcStream {
             indexDir)
       }
       .start()
+
+  /** Continuous CDC maintenance of a persisted text index — the sink
+    * that closes the loop this engine's premise implies: the CHANGE
+    * STREAM itself (I/U/D events) drives the index. Per micro-batch,
+    * the per-id LAST event under `seq` wins (the change-log contract),
+    * then inserts/updates ABSORB through the staged commit and deletes
+    * RETIRE through the tombstone commit — so a doc inserted and
+    * deleted within one micro-batch ends tombstoned, and probes stop
+    * matching deleted docs at the next index load.
+    *
+    * Exactly-once-effective under foreachBatch's at-least-once replay:
+    * absorb skips already-indexed ids, retire skips already-tombstoned
+    * ids, so a replayed micro-batch commits nothing. Absorb runs before
+    * retire within the batch (same-batch insert→delete lands, then
+    * retires).
+    *
+    * Contract edges, documented not hidden: an UPDATE whose id is
+    * already indexed keeps the indexed content until the periodic
+    * rebuild (absorb is append-only by design — the LLM-corpus regime
+    * is append+delete; in-place content refresh is the compaction
+    * cadence's job), and a delete→re-insert across batches stays
+    * suppressed until [[graft.operators.DedupIndex.compactText]]
+    * physically removes the tombstoned rows (the resurrection rule).
+    */
+  def startTextIndexMaintenance(changeStream: DataFrame, idCol: String,
+      textCol: String, indexDir: String, checkpointDir: String,
+      seq: org.apache.spark.sql.Column): StreamingQuery =
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val last = ChangeLogReducer
+            .reduceKeepOp(batch, Seq(idCol), seq).persist()
+          try {
+            val ups = last.filter(!(col(C.Op) <=> lit(C.OpDelete)))
+            if (!ups.isEmpty)
+              graft.operators.DedupIndex.appendText(ups, idCol, textCol,
+                indexDir)
+            val dels = last.filter(col(C.Op) <=> lit(C.OpDelete))
+            if (!dels.isEmpty)
+              graft.operators.DedupIndex.retireText(
+                dels.select(col(idCol)), idCol, indexDir)
+          } finally last.unpersist()
+        }
+      }
+      .start()
+
+  /** [[startTextIndexMaintenance]]'s vector twin: I/U events absorb
+    * into the vector index under its frozen geometry, D events retire
+    * through the tombstone commit. Same last-event-wins dispatch, same
+    * replay idempotency, same documented update/resurrection edges.
+    */
+  def startVectorIndexMaintenance(changeStream: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, checkpointDir: String,
+      seq: org.apache.spark.sql.Column): StreamingQuery =
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val last = ChangeLogReducer
+            .reduceKeepOp(batch, Seq(idCol), seq).persist()
+          try {
+            val ups = last.filter(!(col(C.Op) <=> lit(C.OpDelete)))
+            if (!ups.isEmpty)
+              graft.operators.DedupIndex.appendVectors(ups, idCol, vecCol,
+                indexDir)
+            val dels = last.filter(col(C.Op) <=> lit(C.OpDelete))
+            if (!dels.isEmpty)
+              graft.operators.DedupIndex.retireVectors(
+                dels.select(col(idCol)), idCol, indexDir)
+          } finally last.unpersist()
+        }
+      }
+      .start()
 }

@@ -470,6 +470,98 @@ class CdcStreamSpec extends SparkSpec {
         "unrelated corpus doc 101 stays unflagged")
   }
 
+  test("CDC index maintenance sink: stream inserts absorb, deletes retire, replay commits nothing") {
+    val dir = Files.createTempDirectory("stream_idxmaint").toString
+    val idxDir = Files.createTempDirectory("stream_idxmaint_idx").toString
+    val ckpt1 = Files.createTempDirectory("stream_idxmaint_c1").toString
+    def doc(i: Long) = s"maintained document number $i with its own " +
+      s"distinct vocabulary token$i and filler words to shingle"
+    // seed index: docs 1 and 2
+    graft.operators.DedupIndex.writeText(
+      Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+
+    // change stream: batch 1 inserts 3 and 4; batch 2 deletes 2, updates
+    // 3 (content kept by contract), and inserts-then-deletes 5 inside
+    // ONE batch (last event wins → tombstoned)
+    def writeEvents(name: String,
+        rows: Seq[(String, Long, Long, String)]): Unit = {
+      rows.toDF(C.Op, "seq", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    }
+    writeEvents("b1", Seq(("I", 1L, 3L, doc(3)), ("I", 2L, 4L, doc(4))))
+    writeEvents("b2", Seq(("D", 3L, 2L, doc(2)), ("U", 4L, 3L, doc(3)),
+      ("I", 5L, 5L, doc(5)), ("D", 6L, 5L, doc(5))))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*/")
+    val q = CdcStream.startTextIndexMaintenance(stream, "doc_id", "text",
+      idxDir, ckpt1, col("seq"))
+    try q.processAllAvailable() finally q.stop()
+
+    // live corpus after the stream: 1, 3, 4 (2 deleted, 5 tombstoned
+    // same-batch); probe near-identical copies and check verdicts
+    def verdicts(): Map[Long, String] = {
+      val idx = graft.operators.DedupIndex.loadText(spark, idxDir)
+      graft.operators.Dedup.incrementalExactIndexed(
+          (1L to 5L).map(i => (100L + i, doc(i))).toDF("doc_id", "text"),
+          "doc_id", "text", idx)
+        .select(($"doc_id" - 100L).as("orig"), $"verdict")
+        .as[(Long, String)].collect().toMap
+    }
+    val v = verdicts()
+    assert(v(1L) === "dup_of_existing" && v(3L) === "dup_of_existing" &&
+      v(4L) === "dup_of_existing", v)
+    assert(v(2L) === "kept", s"deleted doc 2 still matches: $v")
+    assert(v(5L) === "kept", s"same-batch insert+delete leaked: $v")
+
+    // replay from a FRESH checkpoint over the same files: absorb and
+    // retire are both no-ops — same verdicts, no duplicate index rows
+    val ckpt2 = Files.createTempDirectory("stream_idxmaint_c2").toString
+    val q2 = CdcStream.startTextIndexMaintenance(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, ckpt2, col("seq"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(verdicts() === v, "replayed maintenance changed the index")
+    val counts = graft.operators.DedupIndex.loadText(spark, idxDir).counts
+    assert(counts.groupBy($"id").count().filter($"count" > 1).isEmpty,
+      "replay stacked duplicate rows under one id")
+  }
+
+  test("CDC vector index maintenance sink: deletes retire from the cosine probe") {
+    val dir = Files.createTempDirectory("stream_vecmaint").toString
+    val idxDir = Files.createTempDirectory("stream_vecmaint_idx").toString
+    val ckpt = Files.createTempDirectory("stream_vecmaint_c").toString
+    val dim = 8
+    def vec(cluster: Int, j: Int): Array[Float] = Array.tabulate(dim)(
+      d => (if (cluster == 0) 10f else -10f) + ((j + d * 3) % 5) * 0.1f)
+    graft.operators.DedupIndex.writeVectors(
+      Seq((1L, vec(0, 1)), (2L, vec(1, 2))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idxDir, planes = 2, dim = dim)
+
+    // stream: insert 3 (cluster 0), delete 2 (cluster 1's only member)
+    Seq(("I", 1L, 3L, vec(0, 2)), ("D", 2L, 2L, vec(1, 2)))
+      .toDF(C.Op, "seq", "vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = CdcStream.startVectorIndexMaintenance(stream, "vec_id",
+      "embedding", idxDir, ckpt, col("seq"))
+    try q.processAllAvailable() finally q.stop()
+
+    val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+    val pairs = graft.operators.Similarity
+      .incrementalCosineNearDupsIndexed(
+        Seq((101L, vec(0, 3)), (102L, vec(1, 4)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, threshold = 0.9)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq.sorted
+    // cluster-0 probe pairs corpus 1 AND the absorbed 3; the deleted 2
+    // no longer pairs the cluster-1 probe
+    assert(pairs === Seq((1L, 101L), (3L, 101L)), pairs)
+  }
+
   test("streaming near-dup estimator error vs batch exact Jaccard is bounded") {
     // The stream accepts corpus candidates on the 12-hash SIGNATURE
     // AGREEMENT estimate (est = matching components / 12) while the
