@@ -403,6 +403,84 @@ class DedupIndexSpec extends SparkSpec {
     assert(sortedRows(exactProbe()) === want)
   }
 
+  test("randomized absorb/retire/compact sequences keep probes equal to live-set recompute") {
+    CachedPlans.clear()
+    // the lifecycle property: after ANY interleaving of absorb, retire
+    // and compact, probing the index equals recomputing against the
+    // model's live set — where the model tracks the documented
+    // semantics (absorb skips ids physically present including
+    // tombstoned ones; retire marks only indexed ids; compact removes
+    // tombstoned rows so a later absorb CAN re-add them)
+    val rng = new scala.util.Random(20260814L)
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-lifecycle").toString
+    val pool = (0L until 120L)
+    val docOf = mkDocs(pool).toMap
+    def docsDf(ids: Iterable[Long]) =
+      ids.toSeq.sorted.map(i => (i, docOf(i))).toDF("doc_id", "text")
+    // probe batch = the pool's own texts under shifted ids, so exact
+    // hash liveness and near-dup candidacy are both exercised per step
+    val probeBatch = pool.map(i => (i + 1000L, docOf(i)))
+      .toDF("doc_id", "text")
+
+    var indexed = pool.filter(_ % 3 == 0).toSet
+    var tombstoned = Set.empty[Long]
+    DedupIndex.writeText(docsDf(indexed), "doc_id", "text", indexDir)
+
+    def checkExact(): Unit = {
+      val live = indexed -- tombstoned
+      val got = sortedRows(Dedup.incrementalExactIndexed(
+        probeBatch, "doc_id", "text",
+        DedupIndex.loadText(spark, indexDir)))
+      val want = sortedRows(Dedup.incrementalExact(
+        probeBatch, docsDf(live), "doc_id", "text"))
+      assert(got === want,
+        s"probe != live recompute (|indexed|=${indexed.size}, " +
+          s"|tombstoned|=${tombstoned.size})")
+    }
+    def checkLsh(): Unit = {
+      val live = indexed -- tombstoned
+      val got = sortedRows(Dedup.incrementalMinHashNearDupsReportIndexed(
+        probeBatch, "doc_id", "text",
+        DedupIndex.loadText(spark, indexDir)).pairs)
+      val want = sortedRows(Dedup.incrementalMinHashNearDupsReport(
+        probeBatch, docsDf(live), "doc_id", "text").pairs)
+      assert(got === want, "LSH probe != live recompute")
+    }
+
+    for (step <- 1 to 9) {
+      rng.nextInt(3) match {
+        case 0 => // absorb a mixed batch: fresh + already-indexed + tombstoned
+          val chosen = pool.filter(_ => rng.nextInt(4) == 0).toSet
+          if (chosen.nonEmpty) {
+            DedupIndex.appendText(docsDf(chosen), "doc_id", "text",
+              indexDir)
+            indexed ++= (chosen -- indexed)
+          }
+        case 1 => // retire a mixed batch: live + unknown + re-deletes
+          val chosen = pool.filter(_ => rng.nextInt(5) == 0).toSet
+          if (chosen.nonEmpty) {
+            DedupIndex.retireText(chosen.toSeq.toDF("doc_id"), "doc_id",
+              indexDir)
+            tombstoned ++= (chosen & indexed)
+          }
+        case 2 =>
+          DedupIndex.compactText(spark, indexDir)
+          indexed --= tombstoned
+          tombstoned = Set.empty
+      }
+      checkExact()
+      if (step % 3 == 0) checkLsh()
+    }
+    // end with a compaction and a final full check of both modalities
+    DedupIndex.compactText(spark, indexDir)
+    indexed --= tombstoned
+    tombstoned = Set.empty
+    checkExact()
+    checkLsh()
+    assert(indexed.nonEmpty, "degenerate run — fixture never kept docs")
+  }
+
   test("retired vectors vanish from the cosine probe; vector compaction reclaims") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
