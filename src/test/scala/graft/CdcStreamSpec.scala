@@ -470,6 +470,35 @@ class CdcStreamSpec extends SparkSpec {
         "unrelated corpus doc 101 stays unflagged")
   }
 
+  test("index-aware streaming near-dup probe ignores retired corpus docs") {
+    val dir = Files.createTempDirectory("stream_ndret").toString
+    val idxDir = Files.createTempDirectory("stream_ndret_idx").toString
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // docs 100 and 101 share the text — both would pair an arrival;
+    // retiring 100 must leave only 101 pairing (per-copy liveness)
+    graft.operators.DedupIndex.writeText(
+      Seq((100L, corpusText), (101L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    graft.operators.DedupIndex.retireText(
+      Seq(100L).toDF("doc_id"), "doc_id", idxDir)
+    val idx = graft.operators.DedupIndex.loadText(spark, idxDir)
+
+    Seq((1L, corpusText)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = CdcStream.nearDupStreamIndexed(stream, "doc_id", "text", idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ndret_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val pairs = spark.table("ndret_out")
+      .filter(!$"overflow")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.distinct
+    assert(pairs === Seq((101L, 1L)),
+      s"retired corpus doc must not pair the stream probe: $pairs")
+  }
+
   test("CDC index maintenance sink: stream inserts absorb, deletes retire, replay commits nothing") {
     val dir = Files.createTempDirectory("stream_idxmaint").toString
     val idxDir = Files.createTempDirectory("stream_idxmaint_idx").toString

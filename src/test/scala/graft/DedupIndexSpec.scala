@@ -752,6 +752,31 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.loadText(spark, indexDir)
   }
 
+  test("a fresh catalog re-attaches to a RETIRED index: tombstones survive the session boundary") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retirereload").toString
+    val corpusIds = (0L until 80L).filter(_ % 2 == 0)
+    val retired = corpusIds.filter(_ % 10 == 0)
+    DedupIndex.writeText(mkDocs(corpusIds).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    DedupIndex.retireText(retired.toDF("doc_id"), "doc_id", indexDir)
+    val batch = mkDocs((0L until 80L).filter(_ % 2 == 1))
+      .toDF("doc_id", "text")
+    def probe() = sortedRows(Dedup.incrementalExactIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir)))
+    val want = probe()
+    // simulate a NEW session: drop every index table (incl. dochashes),
+    // then load again — the DDL re-attach must infer the fmt-2 schema
+    // and the tombstone read must keep filtering
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    val idx = DedupIndex.loadText(spark, indexDir)
+    assert(idx.tombstones.count() === retired.size)
+    assert(probe() === want, "re-attached index lost its retirement")
+  }
+
   test("a fresh catalog re-attaches to an existing index via DDL") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
