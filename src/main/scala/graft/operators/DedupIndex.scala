@@ -489,6 +489,14 @@ object DedupIndex {
     * directory before the compacted files move in, so a crash at any
     * point rolls back to the pre-compaction index (tombstones intact)
     * on the next load. No-op when nothing is tombstoned.
+    *
+    * Readers are NOT fenced: the writer lease serializes writers only,
+    * and a query planned over the old file listing that executes while
+    * the swap runs can hit missing-file read errors (the standard
+    * hazard of any in-place bucketed-table rewrite). Schedule
+    * compaction in a maintenance window, or re-run the failed probe —
+    * the post-swap index is equivalent by construction, so the retry
+    * is always safe.
     */
   def compactText(spark: SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)

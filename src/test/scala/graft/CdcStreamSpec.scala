@@ -558,6 +558,38 @@ class CdcStreamSpec extends SparkSpec {
       "replay stacked duplicate rows under one id")
   }
 
+  test("index-aware streaming embedding probe ignores retired vectors") {
+    val dir = Files.createTempDirectory("stream_endret").toString
+    val idxDir = Files.createTempDirectory("stream_endret_idx").toString
+    val dim = 8
+    def vec(j: Int): Array[Float] = Array.tabulate(dim)(
+      d => 10f + ((j + d * 3) % 5) * 0.1f)
+    // both corpus vectors sit in one cluster; retiring 100 must leave
+    // only 101 pairing the arrival
+    graft.operators.DedupIndex.writeVectors(
+      Seq((100L, vec(1)), (101L, vec(2))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idxDir, planes = 2, dim = dim)
+    graft.operators.DedupIndex.retireVectors(
+      Seq(100L).toDF("vec_id"), "vec_id", idxDir)
+    val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+
+    Seq((1L, vec(3))).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = CdcStream.embedNearDupStreamIndexed(stream, "vec_id",
+        "embedding", idx, threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("endret_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val pairs = spark.table("endret_out")
+      .filter(!$"overflow")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.distinct
+    assert(pairs === Seq((101L, 1L)),
+      s"retired vector must not pair the stream probe: $pairs")
+  }
+
   test("CDC vector index maintenance sink: deletes retire from the cosine probe") {
     val dir = Files.createTempDirectory("stream_vecmaint").toString
     val idxDir = Files.createTempDirectory("stream_vecmaint_idx").toString
