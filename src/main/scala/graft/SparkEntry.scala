@@ -135,6 +135,8 @@ object SparkEntry {
       (DedupQueries.incrementalLshRetired _),
     "embed_incremental_retired" ->
       (SimilarityQueries.incrementalCosineNearDupsRetired _),
+    "dedup_incremental_compacted" ->
+      (DedupQueries.incrementalExactCompacted _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -253,6 +255,10 @@ object SparkEntry {
       DedupQueries.incrementalLshRetiredSql,
     "embed_incremental_retired" ->
       SimilarityQueries.incrementalCosineNearDupsRetiredSql,
+    // compacted form shares the retired oracle: compaction must be
+    // probe-invisible (live rows only, physically rewritten)
+    "dedup_incremental_compacted" ->
+      DedupQueries.incrementalExactRetiredSql,
     "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,

@@ -217,6 +217,21 @@ object DedupQueries {
     incrementalLshSqlFor(c => s"($c % 2 = 0 AND $c % 10 <> 0)",
       c => s"$c % 2 = 1")
 
+  /** [[incrementalExactRetired]] after [[graft.operators.DedupIndex
+    * .compactText]] ran: same live corpus, same oracle, but the probe
+    * reads physically rewritten tombstone-free components — so the
+    * compaction rewrite (live rows kept, retired rows dropped, bucket
+    * layout intact, hash set re-derived) is itself oracle-gated.
+    */
+  def incrementalExactCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExactIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textCompacted(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle: the batch minHashLshSql machinery with the pair condition
     * swapped from `a < b` to `a existing (even), b new (odd)`, and the
     * Scala op's existing-side bucket cap (default maxBucket = 1000)

@@ -163,6 +163,43 @@ object QueryIndexes {
     DedupIndex.loadVectors(spark, dir)
   }
 
+  /** [[textRetired]] carried one step further: after the delete batch
+    * retires, [[DedupIndex.compactText]] physically rewrites the
+    * components and clears the tombstones — so the probe this index
+    * serves runs on the fast tombstone-free load path over compacted
+    * files, and the oracle (the SAME live-corpus recompute as the
+    * retired flavor) gates the compaction rewrite itself: a compaction
+    * that dropped a live row, kept a retired one, or broke a bucket
+    * layout would hash-mismatch. Re-runs compact on reuse (no-op when
+    * nothing is tombstoned).
+    */
+  def textCompacted(spark: SparkSession,
+      sfDir: String): DedupIndex.TextIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "text_compacted",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadText(spark, dir).params
+          p.shingleN == 3 && p.numHashes == 12 && p.bands == 4 && p.portable
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dir)
+      DedupIndex.retireText(
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.compactText(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadText(spark, dir)
+  }
+
   /** [[textRetired]]'s vector twin: even vec_ids indexed, then the
     * `vec_id % 10 == 0` slice retired through
     * [[DedupIndex.retireVectors]]'s staged tombstone commit. The retire
