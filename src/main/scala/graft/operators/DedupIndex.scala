@@ -17,28 +17,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * no-Exchange property ScaleOpsSpec proves for
   * [[ScaleOps.writeBucketed]]).
   *
-  * A TEXT index (one directory) holds five bucketed tables plus a params
+  * Rows are GENERATIONAL: every id-carrying row carries the `gen`
+  * ordinal under which its document was (re-)indexed, and the tombstone
+  * set retires `(id, gen)` PAIRS, not bare ids. That one change gives
+  * the index full CDC semantics with append-only storage:
+  *   - an UPDATE (absorb of an id whose live content differs) tombstones
+  *     the live generation and appends the new content at `gen+1` in the
+  *     same staged commit — probes see the refreshed content at the next
+  *     load, no rebuild cadence required;
+  *   - a DELETE tombstones the live generation; a later re-insert
+  *     appends a fresh live generation, so resurrection needs no
+  *     compaction either;
+  *   - replaying any batch is still a no-op (absorb skips ids whose
+  *     LIVE content hash already matches; retire skips ids with no live
+  *     generation), so the streaming maintenance sinks stay
+  *     exactly-once-effective under foreachBatch's at-least-once replay.
+  *
+  * A TEXT index (one directory) holds six bucketed tables plus a params
   * file:
   *   - `hashes/`    (content_hash)            bucketed by content_hash
-  *   - `bands/`     (id, band, band_key, bkey) bucketed by bkey — `bkey`
-  *     is the SINGLE band-scoped join key `band || '|' || band_key`:
-  *     Spark's v1 bucketed-scan join engages only when the join keys
-  *     equal the bucket columns exactly (a superset like (band,
-  *     band_key) gets "Bucketed: false (disabled by query planner)" and
-  *     re-shuffles the corpus side — measured in graft.dev
+  *   - `bands/`     (id, band, band_key, bkey, gen) bucketed by bkey —
+  *     `bkey` is the SINGLE band-scoped join key `band || '|' ||
+  *     band_key`: Spark's v1 bucketed-scan join engages only when the
+  *     join keys equal the bucket columns exactly (a superset like
+  *     (band, band_key) gets "Bucketed: false (disabled by query
+  *     planner)" and re-shuffles the corpus side — measured in graft.dev
   *     .IndexJoinProbe), so the composite column is what keeps the probe
   *     join corpus-side-Exchange-free
-  *   - `shingles/`  (id, shingle)             bucketed by id
-  *   - `counts/`    (id, n_shingles)          bucketed by id
-  *   - `sigs/`      (id, sig: array<bigint>)  bucketed by id — the full
-  *     MinHash signatures, for consumers that verify by signature
+  *   - `shingles/`  (id, shingle, gen)        bucketed by id
+  *   - `counts/`    (id, n_shingles, content_hash, gen) bucketed by id —
+  *     the per-id freshness ledger: absorb reads live content hashes and
+  *     the per-id max generation from HERE (bucketed by id, so the
+  *     corpus side never shuffles), probes see the classic
+  *     (id, n_shingles) projection
+  *   - `sigs/`      (id, sig: array<bigint>, gen) bucketed by id — the
+  *     full MinHash signatures, for consumers that verify by signature
   *     agreement instead of exact Jaccard (the streaming probe)
-  * A VECTOR index (format 3) holds four:
-  *   - `buckets/`   (id, bucket, vec, norm, codes, rnorm) bucketed by
-  *     the hyperplane-LSH bucket — floats for exact probes, SQ8 codes +
-  *     reconstruction norm for the ¼-footprint asymmetric probe
-  *   - `lists/`     (cent_id, n_id, codes)    bucketed by cent_id — the
-  *     IVF inverted lists, assignment amortized into the write
+  * A VECTOR index holds four:
+  *   - `buckets/`   (id, bucket, vec, norm, codes, rnorm, …, gen, vhash)
+  *     bucketed by the hyperplane-LSH bucket — floats for exact probes,
+  *     SQ8 codes + reconstruction norm for the ¼-footprint asymmetric
+  *     probe; `vhash` is the vector's content digest (the freshness
+  *     ledger — a re-absorbed id with an unchanged vector is a no-op,
+  *     a changed one refreshes)
+  *   - `lists/`     (cent_id, n_id, codes, gen) bucketed by cent_id —
+  *     the IVF inverted lists, assignment amortized into the write
   *   - `centroids/` (cent_id, cent_vec, cent_norm, cent_idx) — the O(C)
   *     stored centroid set (plain parquet, broadcast at probe time)
   *   - `ranges/`    (pos, mn, mx)             the frozen per-dim SQ8
@@ -65,13 +88,15 @@ object DedupIndex {
   final case class VectorParams(planes: Int, dim: Int, numBuckets: Int,
       centroids: Int, pqM: Int, pqKsub: Int, jlRdim: Int)
 
-  /** Loaded text index: every member is a bucketed-table scan. When the
-    * index carries tombstones (CDC-retired ids — see [[retireText]]),
-    * the public components are LIVE views: retired ids are already
-    * filtered out (broadcast anti-join over the bucketed scans), and
-    * `hashes` is re-derived from the live `dochashes` rows so a content
-    * hash whose every copy retired stops matching while a hash with any
-    * surviving copy keeps matching. Probes need no tombstone awareness.
+  /** Loaded text index: every member is a bucketed-table scan. The
+    * public components are LIVE views in the classic (gen-free) shape:
+    * when the index carries tombstones (CDC-retired or refreshed
+    * generations — see [[retireText]], [[appendText]]), dead `(id, gen)`
+    * rows are already filtered out (broadcast anti-join over the
+    * bucketed scans), and `hashes` is re-derived from the live
+    * `dochashes` rows so a content hash whose every copy retired stops
+    * matching while a hash with any surviving copy keeps matching.
+    * Probes need no tombstone or generation awareness.
     */
   final case class TextIndex(dir: String, params: TextParams,
       hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
@@ -121,30 +146,51 @@ object DedupIndex {
     // aggregates over this table run Exchange-free on the bucketed scan
     writeComponent(
       corpus.select(col(idCol).cast("long").as("id"),
-        md5(col(textCol)).as("content_hash")),
+        md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
       dir, "dochashes", Seq("content_hash"), n)
     writeComponent(
       Dedup.lshBandKeys(sig, idCol, bands, numHashes / bands, portable)
         .select(col(idCol).cast("long").as("id"), col("band"),
           col("band_key"),
-          bandedKey(col("band"), col("band_key")).as("bkey")),
+          bandedKey(col("band"), col("band_key")).as("bkey"),
+          lit(0L).as("gen")),
       dir, "bands", Seq("bkey"), n)
     writeComponent(
       sig.select(col(idCol).cast("long").as("id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig")),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+        lit(0L).as("gen")),
       dir, "sigs", Seq("id"), n)
     writeComponent(
-      sh.select(col(idCol).cast("long").as("id"), col("shingle")),
+      sh.select(col(idCol).cast("long").as("id"), col("shingle"),
+        lit(0L).as("gen")),
       dir, "shingles", Seq("id"), n)
+    // counts is the freshness ledger, so EVERY indexed doc gets a row —
+    // a doc too short to shingle carries n_shingles = 0 (inert for
+    // probes: it can never become a candidate) rather than no row (which
+    // would make absorb re-index it on every replay)
     writeComponent(
-      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-        .select(col(idCol).cast("long").as("id"), col("n_shingles")),
+      countRows(corpus.select(col(idCol).cast("long").as("id"),
+          md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
+        sh.select(col(idCol).cast("long").as("id"))),
       dir, "counts", Seq("id"), n)
     writeParams(spark, dir, Seq(
-      "kind" -> "text", "fmt" -> "2", "shingleN" -> shingleN.toString,
+      "kind" -> "text", "fmt" -> "3", "shingleN" -> shingleN.toString,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
       "portable" -> portable.toString, "numBuckets" -> n.toString))
   }
+
+  /** The counts ledger rows for a set of (id, content_hash, gen) docs:
+    * per-id shingle counts left-joined so zero-shingle docs keep their
+    * ledger row.
+    */
+  private def countRows(docMeta: DataFrame, shingleIds: DataFrame)
+      : DataFrame =
+    docMeta.join(
+      shingleIds.groupBy(col("id")).agg(count(lit(1)).as("n_shingles")),
+      Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        col("content_hash"), col("gen"))
 
   /** Build and persist the vector-ANN index of `corpus` under `dir`:
     * each vector with its hyperplane-LSH bucket, precomputed squared
@@ -177,6 +223,7 @@ object DedupIndex {
     val signs = Similarity.hyperplaneSigns(planes, dim)
     val jlSigns = Similarity.hyperplaneSigns(rdim, dim)
     val ranges = Similarity.sq8Ranges(corpus, vecCol, dim)
+    val corpus0 = corpus.withColumn(GenCol, lit(0L))
     // Lloyd-refined PQ codebooks trained on the index corpus, then
     // FROZEN like the ranges: absorbed batches encode under them. A
     // corpus smaller than ksub yields fewer donor entries; the
@@ -185,7 +232,7 @@ object DedupIndex {
       m = pqM, ksub = pqKsub, dim = dim)
     val ksubEff = cbs.head.size
     writeComponent(
-      vectorRows(corpus, idCol, vecCol, signs, ranges, dim, cbs, jlSigns),
+      vectorRows(corpus0, idCol, vecCol, signs, ranges, dim, cbs, jlSigns),
       dir, "buckets", Seq("bucket"), n)
     val cent = centroidRows(corpus, idCol, vecCol, numCentroids)
     cent.coalesce(1).write.mode("overwrite")
@@ -195,7 +242,7 @@ object DedupIndex {
     val storedCent = spark.read
       .parquet(componentPath(dir, "centroids").toString)
     writeComponent(
-      listRows(corpus, idCol, vecCol, storedCent, ranges),
+      listRows(corpus0, idCol, vecCol, storedCent, ranges),
       dir, "lists", Seq("cent_id"), n)
     import spark.implicits._
     ranges.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }.toSeq
@@ -212,7 +259,7 @@ object DedupIndex {
       .write.mode("overwrite")
       .parquet(componentPath(dir, "pq_codebooks").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "vector", "fmt" -> "7", "planes" -> planes.toString,
+      "kind" -> "vector", "fmt" -> "8", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString,
       "centroids" -> numCentroids.toString,
       "pqM" -> pqM.toString, "pqKsub" -> ksubEff.toString,
@@ -232,10 +279,25 @@ object DedupIndex {
           graft.functions.VectorFunctions.normSq(col(vecCol))
             .as("cent_norm")))
 
-  /** IVF inverted-list rows for `vecs` under STORED centroids + frozen
-    * ranges: nearest-centroid assignment (full precision — cell
-    * boundaries independent of quantization), payload reduced to SQ8
-    * codes.
+  /** Name of the caller-attached generation column [[vectorRows]] and
+    * [[listRows]] read from their input frame (reserved — never a user
+    * column).
+    */
+  private val GenCol = "__graft_gen"
+
+  /** Deterministic per-vector content digest — the vector twin of the
+    * text index's content hash: absorb compares it to decide no-op vs
+    * refresh. Within-engine determinism is all that is needed (the
+    * digest never crosses into oracle-compared output).
+    */
+  private def vecDigest(vec: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    xxhash64(concat_ws(",", transform(vec, v => v.cast("string"))))
+
+  /** IVF inverted-list rows for `vecs` (carrying [[GenCol]]) under
+    * STORED centroids + frozen ranges: nearest-centroid assignment (full
+    * precision — cell boundaries independent of quantization), payload
+    * reduced to SQ8 codes.
     */
   private def listRows(vecs: DataFrame, idCol: String, vecCol: String,
       cent: DataFrame, ranges: Seq[(Double, Double)]): DataFrame = {
@@ -249,9 +311,10 @@ object DedupIndex {
         col("cent_idx").cast("long").as("cent_idx"), col("cent_id"))),
         Seq("cent_idx"))
       .join(vecs.select(col(idCol).cast("long").as("n_id"),
-        Similarity.sq8Encode(col(vecCol), mins, scales).as("codes")),
+        Similarity.sq8Encode(col(vecCol), mins, scales).as("codes"),
+        col(GenCol).as("gen")),
         Seq("n_id"))
-      .select(col("cent_id"), col("n_id"), col("codes"))
+      .select(col("cent_id"), col("n_id"), col("codes"), col("gen"))
   }
 
   /** The vector index's full row payload: bucket, float vector + norm
@@ -284,20 +347,34 @@ object DedupIndex {
       // JL-reduced projection + its norm (fmt 6): the dimension-reduced
       // candidate payload — jlRdim doubles per row instead of dim floats
       rvec.as("rvec"),
-      graft.functions.VectorFunctions.dotFold(rvec, rvec).as("rnormjl"))
+      graft.functions.VectorFunctions.dotFold(rvec, rvec).as("rnormjl"),
+      // fmt 8: generation ordinal + vector digest (freshness ledger)
+      col(GenCol).as("gen"),
+      vecDigest(col(vecCol)).as("vhash"))
   }
 
   /** Absorb a new batch into an existing text index — the second half of
     * the daily-batch loop (probe the batch, then index what you keep, so
-    * tomorrow's batch probes today's corpus). Appends to all five
+    * tomorrow's batch probes today's corpus). Appends to all six
     * bucketed tables in the index's own layout; the write is
     * batch-sized, the corpus tables are never rewritten.
     *
-    * Crash-safe and idempotent per document id. Rows whose id is already
-    * indexed are skipped (anti-join against `counts`), and only content
-    * hashes the index has never seen are appended. The multi-table
-    * append itself goes through a staged commit so a crash at ANY point
-    * cannot leave duplicate rows behind:
+    * Crash-safe and CONTENT-AWARE idempotent per document id:
+    *   - an id whose LIVE content hash equals the batch row's hash is
+    *     skipped (the replayed-batch no-op);
+    *   - an id with different live content is REFRESHED: its live
+    *     generation is tombstoned and the new content appended at the
+    *     next generation ordinal, both inside the one staged commit —
+    *     the CDC UPDATE path, no rebuild cadence needed;
+    *   - an id with no live generation (never indexed, or CDC-deleted)
+    *     is appended at a fresh live generation — so a re-insert after
+    *     [[retireText]] resurrects without waiting for [[compactText]].
+    * Only content hashes the index has never seen are appended to
+    * `hashes/` (the live view re-derives hash liveness from `dochashes`
+    * whenever tombstones exist, so a dead hash re-added by a new copy
+    * matches again immediately). The multi-table append itself goes
+    * through a staged commit so a crash at ANY point cannot leave
+    * duplicate rows behind:
     *   1. all five component appends are written under
     *      `dir/_staging/<batch>/<component>/` — the live tables are
     *      untouched and scans never list `_`-prefixed directories;
@@ -335,52 +412,84 @@ object DedupIndex {
       textCol: String, dir: String, lease: String): Unit = {
     val spark = newDocs.sparkSession
     recover(spark, dir, Some(lease)) // roll back crashed predecessors
-    // RAW view: a tombstoned id must still read as "already indexed" —
-    // probing it stays suppressed, and re-adding it would stack a second
-    // copy of its rows under one id (resurrection goes through
-    // compactText first, which physically removes the retired rows)
     val idx = loadTextRaw(spark, dir) // registers, pins geometry
     val p = idx.params
-    val fresh = newDocs.join(idx.counts.select(col("id")),
-      newDocs(idCol).cast("long") === col("id"), "left_anti")
+    // the batch in ledger shape — one row per id by the id-space
+    // contract shared with the probe family
+    val batch0 = graft.plans.CachedPlans.cached(
+      newDocs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text"), md5(col(textCol)).as("content_hash")))
+    // per-id stored state, RESTRICTED to batch ids before anything else:
+    // counts is bucketed by id, so the corpus side never shuffles, and
+    // everything downstream of this join is batch-sized
+    val state = graft.plans.CachedPlans.cached(
+      idx.counts.select(col("id"), col("content_hash"), col("gen"))
+        .join(batch0.select(col("id")), Seq("id"), "left_semi"))
+    val liveState = state
+      .join(broadcast(idx.tombstones), Seq("id", "gen"), "left_anti")
+    // skip ids whose live content already matches (replay / unchanged
+    // rows); everything else is new, refreshed, or resurrected content
+    val toIndex = batch0.join(liveState.select(col("id"),
+        col("content_hash")),
+      Seq("id", "content_hash"), "left_anti")
+    // next generation per id: max stored gen + 1, 0 for brand-new ids
+    val nextGen = state.groupBy("id")
+      .agg((max(col("gen")) + 1).as("__nextgen"))
+    val fresh = graft.plans.CachedPlans.cached(
+      toIndex.join(nextGen, Seq("id"), "left")
+        .select(col("id"), col("__text"), col("content_hash"),
+          coalesce(col("__nextgen"), lit(0L)).as("gen")))
+    // displaced live generations of refreshed ids → tombstones, in the
+    // SAME staged commit as their replacement rows
+    val displaced = liveState
+      .join(fresh.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("gen"))
     val sh = graft.plans.CachedPlans.cached(
-      Dedup.hashedShingleTable(fresh, idCol, textCol, p.shingleN,
+      Dedup.hashedShingleTable(fresh, "id", "__text", p.shingleN,
         p.portable))
     val sig = graft.plans.CachedPlans.cached(
-      Dedup.minHashSignatures(sh, idCol, p.numHashes, p.portable))
+      Dedup.minHashSignatures(sh, "id", p.numHashes, p.portable))
+    val genOf = fresh.select(col("id"), col("gen"))
     val batch = newBatchId()
     stageComponent(
-      fresh.select(md5(col(textCol)).as("content_hash")).distinct()
+      fresh.select(col("content_hash")).distinct()
         .join(idx.hashes, Seq("content_hash"), "left_anti"),
       dir, batch, "hashes", Seq("content_hash"), p.numBuckets)
     stageComponent(
-      Dedup.lshBandKeys(sig, idCol, p.bands, p.numHashes / p.bands,
+      Dedup.lshBandKeys(sig, "id", p.bands, p.numHashes / p.bands,
           p.portable)
-        .select(col(idCol).cast("long").as("id"), col("band"),
+        .select(col("id").cast("long").as("id"), col("band"),
           col("band_key"),
-          bandedKey(col("band"), col("band_key")).as("bkey")),
+          bandedKey(col("band"), col("band_key")).as("bkey"))
+        .join(genOf, Seq("id")),
       dir, batch, "bands", Seq("bkey"), p.numBuckets)
     stageComponent(
-      sig.select(col(idCol).cast("long").as("id"),
-        array((0 until p.numHashes).map(i => col(s"h$i")): _*).as("sig")),
+      sig.select(col("id").cast("long").as("id"),
+        array((0 until p.numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        .join(genOf, Seq("id")),
       dir, batch, "sigs", Seq("id"), p.numBuckets)
     stageComponent(
-      sh.select(col(idCol).cast("long").as("id"), col("shingle")),
+      sh.select(col("id").cast("long").as("id"), col("shingle"))
+        .join(genOf, Seq("id")),
       dir, batch, "shingles", Seq("id"), p.numBuckets)
     stageComponent(
-      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-        .select(col(idCol).cast("long").as("id"), col("n_shingles")),
+      countRows(fresh.select(col("id"), col("content_hash"), col("gen")),
+        sh.select(col("id"))),
       dir, batch, "counts", Seq("id"), p.numBuckets)
     stageComponent(
-      fresh.select(col(idCol).cast("long").as("id"),
-        md5(col(textCol)).as("content_hash")),
+      fresh.select(col("id"), col("content_hash"), col("gen")),
       dir, batch, "dochashes", Seq("content_hash"), p.numBuckets)
+    if (!displaced.isEmpty)
+      stagePlain(displaced, dir, batch, "tombstones")
     commitStaged(spark, dir, batch)
   }
 
   /** [[appendText]]'s vector twin: absorb new vectors into an existing
-    * vector index under its stored geometry. Idempotent per id, with the
-    * same staged commit protocol (see [[appendText]]).
+    * vector index under its stored geometry, with the same content-aware
+    * generational semantics (unchanged vector = no-op, changed vector =
+    * refresh tombstoning the live generation, re-insert after retire =
+    * resurrection) and the same staged commit protocol (see
+    * [[appendText]]).
     */
   def appendVectors(newVecs: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
@@ -396,45 +505,64 @@ object DedupIndex {
       vecCol: String, dir: String, lease: String): Unit = {
     val spark = newVecs.sparkSession
     recover(spark, dir, Some(lease)) // roll back crashed predecessors
-    // RAW view — same resurrection rule as the text absorb: tombstoned
-    // ids stay "indexed" until compaction physically removes them
     val idx = loadVectorsRaw(spark, dir)
     val p = idx.params
-    val fresh = newVecs.join(idx.buckets.select(col("id")),
-      newVecs(idCol).cast("long") === col("id"), "left_anti")
+    val batch0 = graft.plans.CachedPlans.cached(
+      newVecs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("__vec"), vecDigest(col(vecCol)).as("vhash")))
+    // per-id stored state restricted to batch ids (buckets is bucketed
+    // by LSH bucket, not id, so this is the one corpus-side id shuffle
+    // of the absorb — its output is batch-sized)
+    val state = graft.plans.CachedPlans.cached(
+      idx.buckets.select(col("id"), col("vhash"), col("gen"))
+        .join(batch0.select(col("id")), Seq("id"), "left_semi"))
+    val liveState = state
+      .join(broadcast(idx.tombstones), Seq("id", "gen"), "left_anti")
+    val toIndex = batch0.join(liveState.select(col("id"), col("vhash")),
+      Seq("id", "vhash"), "left_anti")
+    val nextGen = state.groupBy("id")
+      .agg((max(col("gen")) + 1).as("__nextgen"))
+    val fresh = graft.plans.CachedPlans.cached(
+      toIndex.join(nextGen, Seq("id"), "left")
+        .select(col("id"), col("__vec"),
+          coalesce(col("__nextgen"), lit(0L)).as(GenCol)))
+    val displaced = liveState
+      .join(fresh.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("gen"))
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
     val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
     val batch = newBatchId()
     stageComponent(
-      vectorRows(fresh, idCol, vecCol, signs, idx.ranges, p.dim,
+      vectorRows(fresh, "id", "__vec", signs, idx.ranges, p.dim,
         idx.pqCodebooks, jlSigns),
       dir, batch, "buckets", Seq("bucket"), p.numBuckets)
     // absorbed vectors join the inverted lists under the STORED
     // centroids (frozen, like the ranges — standard IVF absorb); both
     // components commit in the one staged batch
     stageComponent(
-      listRows(fresh, idCol, vecCol, idx.centroids, idx.ranges),
+      listRows(fresh, "id", "__vec", idx.centroids, idx.ranges),
       dir, batch, "lists", Seq("cent_id"), p.numBuckets)
+    if (!displaced.isEmpty)
+      stagePlain(displaced, dir, batch, "tombstones")
     commitStaged(spark, dir, batch)
   }
 
   // -------------------------------------------------- retire / compact
 
-  /** Absorb a CDC DELETE batch into a text index: the retired ids join
-    * the persisted tombstone set through the same staged crash-atomic
-    * commit (and writer lease) as [[appendText]]. From the next load on,
-    * every probe modality ignores them — the exact probe because the
-    * live hash set drops hashes with no surviving copy, the LSH/Jaccard
-    * probes because band keys, shingles, counts and signatures are all
-    * anti-joined (see [[loadText]]).
+  /** Absorb a CDC DELETE batch into a text index: the LIVE generation of
+    * each retired id joins the persisted `(id, gen)` tombstone set
+    * through the same staged crash-atomic commit (and writer lease) as
+    * [[appendText]]. From the next load on, every probe modality ignores
+    * it — the exact probe because the live hash set drops hashes with no
+    * surviving copy, the LSH/Jaccard probes because band keys, shingles,
+    * counts and signatures are all anti-joined (see [[loadText]]).
     *
-    * Idempotent: only ids actually indexed and not already tombstoned
-    * are appended, so replaying a delete batch is a no-op (no new
-    * files, no verdict change). A tombstoned id stays retired until
-    * [[compactText]] physically removes its rows; re-absorbing it
-    * before compaction is also a no-op (the absorb freshness check
-    * reads the RAW index), which keeps delete/re-add races safe at the
-    * cost of requiring a compaction before genuine resurrection.
+    * Idempotent: only generations that are currently live are appended,
+    * so replaying a delete batch is a no-op (no new files, no verdict
+    * change). Because tombstones are generation-scoped, a later
+    * [[appendText]] of the same id RESURRECTS it at a fresh generation —
+    * no compaction required; [[compactText]] remains the space-reclaim
+    * path, not a semantic gate.
     */
   def retireText(deleteIds: DataFrame, idCol: String, dir: String): Unit = {
     val spark = deleteIds.sparkSession
@@ -445,7 +573,7 @@ object DedupIndex {
       recover(spark, dir, Some(lease))
       val idx = loadTextRaw(spark, dir)
       retireHolding(spark, dir, deleteIds, idCol,
-        idx.counts.select(col("id")), idx.tombstones)
+        idx.counts.select(col("id"), col("gen")), idx.tombstones)
     } finally releaseLease(fs, dir, lease)
   }
 
@@ -463,20 +591,21 @@ object DedupIndex {
       recover(spark, dir, Some(lease))
       val idx = loadVectorsRaw(spark, dir)
       retireHolding(spark, dir, deleteIds, idCol,
-        idx.buckets.select(col("id")), idx.tombstones)
+        idx.buckets.select(col("id"), col("gen")), idx.tombstones)
     } finally releaseLease(fs, dir, lease)
   }
 
   private def retireHolding(spark: SparkSession, dir: String,
-      deleteIds: DataFrame, idCol: String, indexedIds: DataFrame,
+      deleteIds: DataFrame, idCol: String, indexedIdGens: DataFrame,
       existingTomb: DataFrame): Unit = {
-    val fresh = deleteIds.select(col(idCol).cast("long").as("id"))
-      .distinct()
-      .join(indexedIds, Seq("id"), "left_semi") // unknown ids: nothing to do
-      .join(existingTomb, Seq("id"), "left_anti") // replay: no-op
-    if (fresh.isEmpty) return // truly no-op — no new files to commit
+    val victims = indexedIdGens
+      .join(deleteIds.select(col(idCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_semi") // unknown ids: nothing to do
+      .join(broadcast(existingTomb), Seq("id", "gen"),
+        "left_anti") // replay, or already-dead generations: no-op
+    if (victims.isEmpty) return // truly no-op — no new files to commit
     val batch = newBatchId()
-    stagePlain(fresh, dir, batch, "tombstones")
+    stagePlain(victims, dir, batch, "tombstones")
     commitStaged(spark, dir, batch)
   }
 
@@ -508,7 +637,7 @@ object DedupIndex {
       if (!isEmptyTombstones(idx.tombstones)) {
         val tomb = broadcast(idx.tombstones)
         def live(df: DataFrame): DataFrame =
-          df.join(tomb, Seq("id"), "left_anti")
+          df.join(tomb, Seq("id", "gen"), "left_anti")
         val n = idx.params.numBuckets
         val batch = newBatchId()
         stageComponent(
@@ -545,11 +674,12 @@ object DedupIndex {
         val n = idx.params.numBuckets
         val batch = newBatchId()
         stageComponent(
-          idx.buckets.join(tomb, Seq("id"), "left_anti"),
+          idx.buckets.join(tomb, Seq("id", "gen"), "left_anti"),
           dir, batch, "buckets", Seq("bucket"), n)
         stageComponent(
-          idx.lists.join(tomb, idx.lists("n_id") === tomb("id"),
-            "left_anti"),
+          idx.lists.join(tomb,
+            idx.lists("n_id") === tomb("id") &&
+              idx.lists("gen") === tomb("gen"), "left_anti"),
           dir, batch, "lists", Seq("cent_id"), n)
         stageEmpty(spark, dir, batch, "tombstones")
         commitStaged(spark, dir, batch, replace = true)
@@ -566,25 +696,35 @@ object DedupIndex {
     */
   def loadText(spark: SparkSession, dir: String): TextIndex = {
     val raw = loadTextRaw(spark, dir)
-    if (isEmptyTombstones(raw.tombstones)) raw
+    // the public views always project back to the classic gen-free
+    // probe shape (a pure Project — bucketed output partitioning is
+    // preserved, so probe joins stay Exchange-free)
+    def pub(raw0: TextIndex): TextIndex = raw0.copy(
+      bandKeys = raw0.bandKeys.drop("gen"),
+      shingles = raw0.shingles.drop("gen"),
+      counts = raw0.counts.select(col("id"), col("n_shingles")),
+      sigs = raw0.sigs.drop("gen"),
+      dochashes = raw0.dochashes.drop("gen"))
+    if (isEmptyTombstones(raw.tombstones)) pub(raw)
     else {
-      // LIVE views: tombstoned ids vanish from every id-carrying
-      // component via a broadcast anti-join (tombstones are delete-batch
-      // scale between compactions — compaction is what keeps this
-      // broadcast bounded), and the exact-probe hash set is re-derived
-      // from live dochashes rows so a hash dies exactly when its LAST
-      // copy retires. dochashes is bucketed by content_hash, so the
+      // LIVE views: dead (id, gen) rows — CDC-retired docs and displaced
+      // generations of refreshed docs — vanish from every id-carrying
+      // component via a broadcast anti-join (tombstones are delta-scale
+      // between compactions — compaction is what keeps this broadcast
+      // bounded), and the exact-probe hash set is re-derived from live
+      // dochashes rows so a hash dies exactly when its LAST copy
+      // retires. dochashes is bucketed by content_hash, so the
       // distinct() runs Exchange-free on the bucketed scan.
       val tomb = broadcast(raw.tombstones)
       def live(df: DataFrame): DataFrame =
-        df.join(tomb, Seq("id"), "left_anti")
-      raw.copy(
+        df.join(tomb, Seq("id", "gen"), "left_anti")
+      pub(raw.copy(
         hashes = live(raw.dochashes).select(col("content_hash")).distinct(),
         bandKeys = live(raw.bandKeys),
         shingles = live(raw.shingles),
         counts = live(raw.counts),
         sigs = live(raw.sigs),
-        dochashes = live(raw.dochashes))
+        dochashes = live(raw.dochashes)))
     }
   }
 
@@ -596,12 +736,13 @@ object DedupIndex {
   private def loadTextRaw(spark: SparkSession, dir: String): TextIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "text")
-    // fmt 2 added dochashes (id → content_hash) + tombstones; an older
-    // index lacks the components retirement needs, so it reads as
-    // corrupt and callers rebuild (same policy as the vector formats)
-    if (!p.get("fmt").contains("2"))
+    // fmt 3 made rows generational ((id, gen)-scoped tombstones, counts
+    // as the per-id freshness ledger); an older index lacks the columns
+    // refresh/resurrection need, so it reads as corrupt and callers
+    // rebuild (same policy as the vector formats)
+    if (!p.get("fmt").contains("3"))
       corrupt(dir, s"text index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 2 (rebuild the index)")
+        "expected 3 (rebuild the index)")
     val params = TextParams(p("shingleN").toInt, p("numHashes").toInt,
       p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt)
     TextIndex(dir, params,
@@ -625,18 +766,25 @@ object DedupIndex {
     */
   def loadVectors(spark: SparkSession, dir: String): VectorIndex = {
     val raw = loadVectorsRaw(spark, dir)
-    if (isEmptyTombstones(raw.tombstones)) raw
+    // public views in the classic probe shape (gen + vhash are absorb
+    // bookkeeping, never probe input)
+    def pub(raw0: VectorIndex): VectorIndex = raw0.copy(
+      buckets = raw0.buckets.drop("gen", "vhash"),
+      lists = raw0.lists.drop("gen"))
+    if (isEmptyTombstones(raw.tombstones)) pub(raw)
     else {
-      // LIVE views, as in [[loadText]]: retired vectors drop out of both
-      // the bucketed row table and the IVF inverted lists. Centroids and
-      // quantization geometry stay — they are frozen GEOMETRY, not
-      // content; a retired id can keep defining a cell boundary without
-      // ever appearing in a result.
+      // LIVE views, as in [[loadText]]: dead (id, gen) rows — retired
+      // vectors and displaced generations of refreshed ones — drop out
+      // of both the bucketed row table and the IVF inverted lists.
+      // Centroids and quantization geometry stay — they are frozen
+      // GEOMETRY, not content; a retired id can keep defining a cell
+      // boundary without ever appearing in a result.
       val tomb = broadcast(raw.tombstones)
-      raw.copy(
-        buckets = raw.buckets.join(tomb, Seq("id"), "left_anti"),
+      pub(raw.copy(
+        buckets = raw.buckets.join(tomb, Seq("id", "gen"), "left_anti"),
         lists = raw.lists.join(tomb,
-          raw.lists("n_id") === tomb("id"), "left_anti"))
+          raw.lists("n_id") === tomb("id") &&
+            raw.lists("gen") === tomb("gen"), "left_anti")))
     }
   }
 
@@ -645,13 +793,14 @@ object DedupIndex {
       : VectorIndex = {
     recover(spark, dir)
     val p = readParams(spark, dir, "vector")
-    // fmt 7 = fmt 6 (codes/rnorm + ranges + IVF structure + bcode + PQ
-    // codes/codebooks + JL projections) plus CDC tombstones; an
+    // fmt 8 = fmt 7 (codes/rnorm + ranges + IVF structure + bcode + PQ
+    // codes/codebooks + JL projections + CDC tombstones) with rows made
+    // generational (gen + vhash, (id, gen)-scoped tombstones); an
     // older-format index reads as corrupt so callers rebuild rather
     // than probe a schema this code no longer matches
-    if (!p.get("fmt").contains("7"))
+    if (!p.get("fmt").contains("8"))
       corrupt(dir, s"vector index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 7 (rebuild the index)")
+        "expected 8 (rebuild the index)")
     val params = VectorParams(p("planes").toInt, p("dim").toInt,
       p("numBuckets").toInt, p("centroids").toInt,
       p("pqM").toInt, p("pqKsub").toInt, p("jlRdim").toInt)
@@ -687,19 +836,20 @@ object DedupIndex {
       tombstones = readTombstones(spark, dir))
   }
 
-  /** The stored tombstone set (id BIGINT): plain parquet, read with an
-    * explicit schema so an absent or emptied directory is just an empty
-    * set — tombstones are broadcast into anti-joins, never themselves
-    * joined on, so they need no bucket layout or catalog entry.
+  /** The stored tombstone set ((id, gen) BIGINT pairs — dead
+    * generations): plain parquet, read with an explicit schema so an
+    * absent or emptied directory is just an empty set — tombstones are
+    * broadcast into anti-joins, never themselves joined on, so they
+    * need no bucket layout or catalog entry.
     */
   private def readTombstones(spark: SparkSession, dir: String): DataFrame = {
     val p = componentPath(dir, "tombstones")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (listDataFiles(fs, p).nonEmpty)
-      spark.read.schema("id BIGINT").parquet(p.toString)
+      spark.read.schema("id BIGINT, gen BIGINT").parquet(p.toString)
     else {
       import spark.implicits._
-      spark.emptyDataset[Long].toDF("id")
+      spark.emptyDataset[(Long, Long)].toDF("id", "gen")
     }
   }
 

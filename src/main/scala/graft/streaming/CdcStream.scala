@@ -1071,18 +1071,18 @@ object CdcStream {
     * matching deleted docs at the next index load.
     *
     * Exactly-once-effective under foreachBatch's at-least-once replay:
-    * absorb skips already-indexed ids, retire skips already-tombstoned
-    * ids, so a replayed micro-batch commits nothing. Absorb runs before
-    * retire within the batch (same-batch insert→delete lands, then
-    * retires).
+    * absorb skips ids whose live content already matches, retire skips
+    * ids with no live generation, so a replayed micro-batch commits
+    * nothing. Absorb runs before retire within the batch (same-batch
+    * insert→delete lands, then retires).
     *
-    * Contract edges, documented not hidden: an UPDATE whose id is
-    * already indexed keeps the indexed content until the periodic
-    * rebuild (absorb is append-only by design — the LLM-corpus regime
-    * is append+delete; in-place content refresh is the compaction
-    * cadence's job), and a delete→re-insert across batches stays
-    * suppressed until [[graft.operators.DedupIndex.compactText]]
-    * physically removes the tombstoned rows (the resurrection rule).
+    * The index's generational rows give the sink full I/U/D semantics
+    * with no rebuild cadence: an UPDATE whose id is already indexed
+    * REFRESHES it (the displaced generation tombstones and the new
+    * content absorbs in one staged commit), and a delete→re-insert
+    * across batches RESURRECTS at a fresh generation —
+    * [[graft.operators.DedupIndex.compactText]] is space reclaim only,
+    * never a semantic gate.
     */
   def startTextIndexMaintenance(changeStream: DataFrame, idCol: String,
       textCol: String, indexDir: String, checkpointDir: String,
@@ -1109,9 +1109,10 @@ object CdcStream {
       .start()
 
   /** [[startTextIndexMaintenance]]'s vector twin: I/U events absorb
-    * into the vector index under its frozen geometry, D events retire
+    * into the vector index under its frozen geometry (updates refresh —
+    * a changed vector displaces its live generation), D events retire
     * through the tombstone commit. Same last-event-wins dispatch, same
-    * replay idempotency, same documented update/resurrection edges.
+    * replay idempotency, same generational resurrection semantics.
     */
   def startVectorIndexMaintenance(changeStream: DataFrame, idCol: String,
       vecCol: String, indexDir: String, checkpointDir: String,

@@ -558,6 +558,51 @@ class CdcStreamSpec extends SparkSpec {
       "replay stacked duplicate rows under one id")
   }
 
+  test("CDC index maintenance sink: updates refresh content, delete-then-reinsert resurrects") {
+    val dir = Files.createTempDirectory("stream_idxrefresh").toString
+    val idxDir = Files.createTempDirectory("stream_idxrefresh_idx").toString
+    val ckpt = Files.createTempDirectory("stream_idxrefresh_c").toString
+    def doc(i: Long) = s"maintained document number $i with its own " +
+      s"distinct vocabulary token$i and filler words to shingle"
+    def docV2(i: Long) = doc(i) + " second edition entirely revised"
+    // seed index: docs 1, 2, 3
+    graft.operators.DedupIndex.writeText(
+      (1L to 3L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+
+    def writeEvents(name: String,
+        rows: Seq[(String, Long, Long, String)]): Unit =
+      rows.toDF(C.Op, "seq", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: UPDATE doc 1 to v2 content, DELETE doc 2
+    writeEvents("b1", Seq(("U", 1L, 1L, docV2(1)), ("D", 2L, 2L, doc(2))))
+    // batch 2: doc 2 comes BACK (cross-batch resurrection)
+    writeEvents("b2", Seq(("I", 3L, 2L, doc(2))))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = CdcStream.startTextIndexMaintenance(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, ckpt, col("seq"))
+    try q.processAllAvailable() finally q.stop()
+
+    // the maintained index answers for the POST-STREAM corpus:
+    // doc 1 = v2 only (old content refreshed away), doc 2 live again,
+    // doc 3 untouched
+    val idx = graft.operators.DedupIndex.loadText(spark, idxDir)
+    val probe = Seq((101L, doc(1)), (111L, docV2(1)), (102L, doc(2)),
+      (103L, doc(3))).toDF("doc_id", "text")
+    val v = graft.operators.Dedup.incrementalExactIndexed(
+        probe, "doc_id", "text", idx)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(v(101L) === "kept", s"stale pre-update content still matches: $v")
+    assert(v(111L) === "dup_of_existing", s"refreshed content not indexed: $v")
+    assert(v(102L) === "dup_of_existing", s"reinserted doc 2 not live: $v")
+    assert(v(103L) === "dup_of_existing", v.toString)
+    // one live ledger row per live id
+    assert(idx.counts.groupBy($"id").count().filter($"count" > 1).isEmpty,
+      "refresh stacked duplicate live rows")
+  }
+
   test("index-aware streaming embedding probe ignores retired vectors") {
     val dir = Files.createTempDirectory("stream_endret").toString
     val idxDir = Files.createTempDirectory("stream_endret_idx").toString

@@ -403,14 +403,152 @@ class DedupIndexSpec extends SparkSpec {
     assert(sortedRows(exactProbe()) === want)
   }
 
+  test("CDC update: re-absorbing changed content refreshes in place; unchanged content is a no-op; retire-then-absorb resurrects") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-refresh").toString
+    val all = (0L until 120L)
+    val corpusIds = all.filter(_ % 2 == 0)
+    val updatedIds = corpusIds.filter(_ % 10 == 0)
+    val docOf = mkDocs(corpusIds).toMap
+    def v2(t: String) = t + " v2 refreshed"
+    val corpus = corpusIds.map(i => (i, docOf(i))).toDF("doc_id", "text")
+    // the refreshed corpus the probes must agree with after the update
+    val refreshed = corpusIds
+      .map(i => (i, if (i % 10 == 0) v2(docOf(i)) else docOf(i)))
+      .toDF("doc_id", "text")
+    val batch = mkDocs(all.filter(_ % 2 == 1)).toDF("doc_id", "text")
+    def exactProbe() = Dedup.incrementalExactIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir))
+    def lshProbe() = Dedup.incrementalMinHashNearDupsReportIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir)).pairs
+
+    DedupIndex.writeText(corpus, "doc_id", "text", indexDir)
+    // the UPDATE batch: changed content for the % 10 slice, unchanged
+    // content for the % 6 slice (the no-op rows), absorbed together
+    val updateBatch = corpusIds.filter(i => i % 10 == 0 || i % 6 == 0)
+      .map(i => (i, if (i % 10 == 0) v2(docOf(i)) else docOf(i)))
+      .toDF("doc_id", "text")
+    DedupIndex.appendText(updateBatch, "doc_id", "text", indexDir)
+
+    // every probe modality now answers for the REFRESHED corpus: old
+    // content stopped matching, new content matches
+    val exactWant = sortedRows(
+      Dedup.incrementalExact(batch, refreshed, "doc_id", "text"))
+    val lshWant = sortedRows(Dedup.incrementalMinHashNearDupsReport(
+      batch, refreshed, "doc_id", "text").pairs)
+    assert(sortedRows(exactProbe()) === exactWant)
+    assert(sortedRows(lshProbe()) === lshWant)
+    // the gate is real: the stale corpus answers differently
+    assert(exactWant !== sortedRows(
+      Dedup.incrementalExact(batch, corpus, "doc_id", "text")),
+      "refresh changed nothing — fixture is vacuous")
+    // displaced generations are tombstoned, exactly one per updated id
+    val idx = DedupIndex.loadText(spark, indexDir)
+    assert(idx.tombstones.count() === updatedIds.size)
+    // counts stays one LIVE row per id (no duplicate ledger rows)
+    assert(idx.counts.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() === 0)
+
+    // replaying the whole update batch is a no-op: no new files anywhere
+    def files(c: String) = {
+      val d = new java.io.File(s"$indexDir/$c")
+      if (d.exists) d.listFiles.map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+      else Set.empty[String]
+    }
+    val before = Seq("bands", "counts", "dochashes", "tombstones")
+      .map(c => c -> files(c)).toMap
+    DedupIndex.appendText(updateBatch, "doc_id", "text", indexDir)
+    Seq("bands", "counts", "dochashes", "tombstones").foreach { c =>
+      assert(files(c) === before(c), s"replayed update wrote $c files")
+    }
+    assert(sortedRows(exactProbe()) === exactWant)
+
+    // compaction drops the displaced rows and keeps the refreshed view
+    DedupIndex.compactText(spark, indexDir)
+    assert(DedupIndex.loadText(spark, indexDir).tombstones.count() === 0)
+    assert(sortedRows(exactProbe()) === exactWant)
+    assert(sortedRows(lshProbe()) === lshWant)
+
+    // retire a slice, then re-absorb it with its ORIGINAL content: the
+    // generational tombstones make this a resurrection, no compaction
+    // in between
+    val cycled = corpusIds.filter(_ % 12 == 0)
+    DedupIndex.retireText(cycled.toDF("doc_id"), "doc_id", indexDir)
+    DedupIndex.appendText(
+      cycled.map(i => (i, if (i % 10 == 0) v2(docOf(i)) else docOf(i)))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    assert(sortedRows(exactProbe()) === exactWant)
+    assert(sortedRows(lshProbe()) === lshWant)
+  }
+
+  test("CDC vector update: re-absorbing a changed vector refreshes the cosine probe; unchanged is a no-op") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-vecrefresh").toString
+    val dim = 8
+    def vec(i: Long, bump: Float): Array[Float] = Array.tabulate(dim)(d =>
+      (if (i % 10 < 5) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f + bump)
+    val corpusIds = (0L until 80L).filter(_ % 2 == 0)
+    val updatedIds = corpusIds.filter(_ % 10 == 0)
+    val corpus = corpusIds.map(i => (i, vec(i, 0f)))
+      .toDF("vec_id", "embedding")
+    // refreshed truth: the % 10 slice flipped to the opposite cluster
+    val refreshed = corpusIds
+      .map(i => (i, if (i % 10 == 0) vec(i, -20f) else vec(i, 0f)))
+      .toDF("vec_id", "embedding")
+    val batch = (0L until 80L).filter(_ % 2 == 1)
+      .map(i => (i, vec(i, 0f))).toDF("vec_id", "embedding")
+
+    DedupIndex.writeVectors(corpus, "vec_id", "embedding", indexDir,
+      planes = 2, dim = dim)
+    val updateBatch = corpusIds.filter(i => i % 10 == 0 || i % 6 == 0)
+      .map(i => (i, if (i % 10 == 0) vec(i, -20f) else vec(i, 0f)))
+      .toDF("vec_id", "embedding")
+    DedupIndex.appendVectors(updateBatch, "vec_id", "embedding", indexDir)
+
+    def probe() = Similarity.incrementalCosineNearDupsIndexed(
+      batch, "vec_id", "embedding",
+      DedupIndex.loadVectors(spark, indexDir), threshold = 0.99)
+    val want = sortedRows(Similarity.incrementalCosineNearDups(
+      batch, refreshed, "vec_id", "embedding", threshold = 0.99,
+      planes = 2, dim = dim))
+    assert(sortedRows(probe()) === want)
+    assert(want !== sortedRows(Similarity.incrementalCosineNearDups(
+      batch, corpus, "vec_id", "embedding", threshold = 0.99,
+      planes = 2, dim = dim)),
+      "vector refresh changed nothing — vacuous")
+    val idx = DedupIndex.loadVectors(spark, indexDir)
+    assert(idx.tombstones.count() === updatedIds.size)
+    assert(idx.buckets.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() === 0)
+    // replay: no-op
+    def bucketFiles() = {
+      val d = new java.io.File(s"$indexDir/buckets")
+      d.listFiles.map(_.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    }
+    val before = bucketFiles()
+    DedupIndex.appendVectors(updateBatch, "vec_id", "embedding", indexDir)
+    assert(bucketFiles() === before, "replayed vector update wrote files")
+    assert(sortedRows(probe()) === want)
+    // compaction keeps the refreshed view on the tombstone-free path
+    DedupIndex.compactVectors(spark, indexDir)
+    assert(DedupIndex.loadVectors(spark, indexDir).tombstones.count() === 0)
+    assert(sortedRows(probe()) === want)
+  }
+
   test("randomized absorb/retire/compact sequences keep probes equal to live-set recompute") {
     CachedPlans.clear()
     // the lifecycle property: after ANY interleaving of absorb, retire
     // and compact, probing the index equals recomputing against the
     // model's live set — where the model tracks the documented
-    // semantics (absorb skips ids physically present including
-    // tombstoned ones; retire marks only indexed ids; compact removes
-    // tombstoned rows so a later absorb CAN re-add them)
+    // generational semantics (absorb of an id with matching live
+    // content is a no-op, of a tombstoned id RESURRECTS it at a fresh
+    // generation; retire tombstones only live generations; compact
+    // physically removes dead rows without changing the live set)
     val rng = new scala.util.Random(20260814L)
     val indexDir = java.nio.file.Files
       .createTempDirectory("graft-idx-lifecycle").toString
@@ -455,7 +593,8 @@ class DedupIndexSpec extends SparkSpec {
           if (chosen.nonEmpty) {
             DedupIndex.appendText(docsDf(chosen), "doc_id", "text",
               indexDir)
-            indexed ++= (chosen -- indexed)
+            indexed ++= chosen
+            tombstoned --= chosen // absorbing a dead id resurrects it
           }
         case 1 => // retire a mixed batch: live + unknown + re-deletes
           val chosen = pool.filter(_ => rng.nextInt(5) == 0).toSet
