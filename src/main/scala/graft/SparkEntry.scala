@@ -137,6 +137,14 @@ object SparkEntry {
       (SimilarityQueries.incrementalCosineNearDupsRetired _),
     "dedup_incremental_compacted" ->
       (DedupQueries.incrementalExactCompacted _),
+    "dedup_incremental_refreshed" ->
+      (DedupQueries.incrementalExactRefreshed _),
+    "dedup_incremental_lsh_refreshed" ->
+      (DedupQueries.incrementalLshRefreshed _),
+    "embed_incremental_refreshed" ->
+      (SimilarityQueries.incrementalCosineNearDupsRefreshed _),
+    "dedup_incremental_resurrected" ->
+      (DedupQueries.incrementalExactResurrected _),
     // text analysis
     "text_profile" -> (TextQueries.profile _),
     "text_fingerprint" -> (TextQueries.fingerprint _),
@@ -259,6 +267,16 @@ object SparkEntry {
     // probe-invisible (live rows only, physically rewritten)
     "dedup_incremental_compacted" ->
       DedupQueries.incrementalExactRetiredSql,
+    // refresh/resurrection oracles recompute over the POST-UPDATE (or
+    // post-cycle) corpus — the generational index must answer for it
+    "dedup_incremental_refreshed" ->
+      DedupQueries.incrementalExactRefreshedSql,
+    "dedup_incremental_lsh_refreshed" ->
+      DedupQueries.incrementalLshRefreshedSql,
+    "embed_incremental_refreshed" ->
+      SimilarityQueries.incrementalCosineNearDupsRefreshedSql,
+    "dedup_incremental_resurrected" ->
+      DedupQueries.incrementalExactResurrectedSql,
     "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,

@@ -36,11 +36,12 @@ object DedupQueries {
   /** DuckDB CTE producing the distinct (doc_id, shingle) table for word
     * n-grams — must mirror TextFunctions.wordShingles exactly.
     */
-  private def shingleCte(n: Int, cteName: String): String =
+  private def shingleCte(n: Int, cteName: String,
+      src: String = "documents"): String =
     s"""toks_$cteName AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-      |  FROM documents),
+      |  FROM $src),
       |$cteName AS (
       |  SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id, CASE WHEN len(t) < $n THEN array_to_string(t, ' ')
@@ -80,13 +81,13 @@ object DedupQueries {
     * shared by the even/odd probe and the evolved-index (absorb) probe.
     */
   private def incrementalExactSqlFor(existingPred: String,
-      newPred: String): String =
+      newPred: String, src: String = "documents"): String =
     s"""WITH eh AS (
       |  SELECT DISTINCT md5(text) AS content_hash
-      |  FROM documents WHERE $existingPred),
+      |  FROM $src WHERE $existingPred),
       |nh AS (
       |  SELECT doc_id, md5(text) AS content_hash
-      |  FROM documents WHERE $newPred),
+      |  FROM $src WHERE $newPred),
       |j AS (
       |  SELECT n.doc_id, n.content_hash,
       |    e.content_hash IS NOT NULL AS seen,
@@ -232,6 +233,69 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[incrementalExactIndexed]] against an index that absorbed a CDC
+    * UPDATE batch ([[QueryIndexes.textRefreshed]]): the even `% 10`
+    * slice re-indexed with changed text, the `% 6` slice replayed with
+    * unchanged text — and the ORACLE recomputes over the POST-UPDATE
+    * corpus, so the generational refresh (displaced-generation
+    * tombstones, content-aware no-op, live-view filtering) is gated end
+    * to end: a stale hash surviving, a refreshed hash missing, or a
+    * no-op row duplicating would all flip verdicts.
+    */
+  def incrementalExactRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExactIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textRefreshed(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalExactRefreshedSql: String =
+    incrementalExactSqlFor("doc_id % 2 = 0", "doc_id % 2 = 1",
+      src = QueryIndexes.refreshedDocsSql)
+
+  /** [[incrementalLshIndexed]]'s refresh twin: the updated docs'
+    * band keys, signatures, shingles and counts must all be the
+    * RE-DERIVED ones (and only those) for candidate generation and
+    * Jaccard verify to match the post-update recompute.
+    */
+  def incrementalLshRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalMinHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textRefreshed(spark, sfDir),
+        threshold = 0.5)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalLshRefreshedSql: String =
+    incrementalLshSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1",
+      src = QueryIndexes.refreshedDocsSql)
+
+  /** [[incrementalExactIndexed]] against an index taken through a full
+    * delete→re-insert cycle ([[QueryIndexes.textResurrected]]): the
+    * even `% 10` slice retired, its `% 20` half re-absorbed with
+    * original content — the oracle's corpus keeps exactly the
+    * resurrected half, gating generational resurrection end to end
+    * (under id-keyed tombstones the re-absorb would have stayed dead
+    * and the `% 20` hashes would not match).
+    */
+  def incrementalExactResurrected(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalExactIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textResurrected(spark, sfDir))
+      .orderBy(col("doc_id"))
+  }
+
+  def incrementalExactResurrectedSql: String =
+    incrementalExactSqlFor(
+      "(doc_id % 2 = 0 AND (doc_id % 10 <> 0 OR doc_id % 20 = 0))",
+      "doc_id % 2 = 1")
+
   /** Oracle: the batch minHashLshSql machinery with the pair condition
     * swapped from `a < b` to `a existing (even), b new (odd)`, and the
     * Scala op's existing-side bucket cap (default maxBucket = 1000)
@@ -247,7 +311,8 @@ object DedupQueries {
     * even/odd probe and the evolved-index (absorb) probe.
     */
   private def incrementalLshSqlFor(existingPred: String => String,
-      newPred: String => String): String = {
+      newPred: String => String,
+      src: String = "documents"): String = {
     val mins = (0 until 12).map(i =>
       s"min(('0x' || substr(md5(concat_ws('|', $i, shingle)), 1, 15))::BIGINT) AS h$i")
       .mkString(",\n    ")
@@ -255,7 +320,7 @@ object DedupQueries {
       val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${shingleCte(3, "sh3_raw")},
+    s"""WITH ${shingleCte(3, "sh3_raw", src)},
       |sh3 AS (
       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
       |  FROM sh3_raw),

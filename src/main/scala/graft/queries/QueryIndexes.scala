@@ -135,6 +135,141 @@ object QueryIndexes {
     DedupIndex.loadText(spark, dir)
   }
 
+  /** Text index built over the even docs then fed a CDC UPDATE batch:
+    * the `doc_id % 10 == 0` slice re-absorbs with CHANGED text (the
+    * generational refresh — displaced generations tombstone, new
+    * content lands at the next ordinal in one staged commit), the
+    * `doc_id % 6 == 0` slice re-absorbs with UNCHANGED text (the no-op
+    * rows). The absorb re-runs on reuse: replaying the whole update
+    * batch is content-aware idempotent, so the gate itself exercises
+    * the replay path.
+    */
+  def textRefreshed(spark: SparkSession,
+      sfDir: String): DedupIndex.TextIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "text_refreshed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadText(spark, dir).params
+          p.shingleN == 3 && p.numHashes == 12 && p.bands == 4 && p.portable
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dir)
+      DedupIndex.appendText(
+        docs.filter(col("doc_id") % 2 === 0 &&
+            (col("doc_id") % 10 === 0 || col("doc_id") % 6 === 0))
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(RefreshSuffix)))
+              .otherwise(col("text")).as("text")),
+        "doc_id", "text", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadText(spark, dir)
+  }
+
+  /** The SQL literal the refreshed queries append to updated docs — must
+    * match [[refreshedDocsSql]] exactly.
+    */
+  val RefreshSuffix = " refreshed edition two"
+
+  /** DuckDB view of the documents table AFTER the CDC update batch the
+    * refreshed index absorbed: the even `% 10` slice carries the new
+    * text. Oracles probe against THIS source, so the refresh path is
+    * gated end to end.
+    */
+  def refreshedDocsSql: String =
+    "(SELECT doc_id, CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0 " +
+      s"THEN text || '$RefreshSuffix' ELSE text END AS text " +
+      "FROM documents)"
+
+  /** Text index taken through a full delete→re-insert cycle: the even
+    * `% 10` slice retires (CDC DELETE), then the `% 20 == 0` HALF of it
+    * re-absorbs with its ORIGINAL content — the generational
+    * resurrection path, no compaction in between. Live corpus = even
+    * ids minus the still-retired `% 10` half. Re-runs the cycle on
+    * reuse (retire re-tombstones the resurrected generations, absorb
+    * resurrects them again — same fixed point, replay exercised).
+    */
+  def textResurrected(spark: SparkSession,
+      sfDir: String): DedupIndex.TextIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "text_resurrected",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadText(spark, dir).params
+          p.shingleN == 3 && p.numHashes == 12 && p.bands == 4 && p.portable
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dir)
+      DedupIndex.retireText(
+        docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.appendText(
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadText(spark, dir)
+  }
+
+  /** [[textRefreshed]]'s vector twin: even vec_ids indexed, then the
+    * `% 10` slice re-absorbs with its embedding NEGATED (a maximal
+    * content change — the vector lands in the opposite LSH bucket) and
+    * the `% 6` slice with its embedding unchanged (no-op rows).
+    */
+  def vectorsRefreshed(spark: SparkSession,
+      sfDir: String): DedupIndex.VectorIndex = {
+    val vecs = tbl(spark, sfDir, "embeddings")
+    val dir = dirFor(sfDir, "vectors_refreshed",
+      graft.plans.CachedPlans.dataFingerprint(vecs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadVectors(spark, dir).params
+          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
+            p.pqM == 8 && p.pqKsub == 16
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir, planes = 2, dim = 64)
+      DedupIndex.appendVectors(
+        vecs.filter(col("vec_id") % 2 === 0 &&
+            (col("vec_id") % 10 === 0 || col("vec_id") % 6 === 0))
+          .select(col("vec_id"),
+            when(col("vec_id") % 10 === 0,
+              transform(col("embedding"), v => -v))
+              .otherwise(col("embedding")).as("embedding")),
+        "vec_id", "embedding", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadVectors(spark, dir)
+  }
+
+  /** DuckDB view of the embeddings table AFTER the vector update batch
+    * [[vectorsRefreshed]] absorbed.
+    */
+  def refreshedVecsSql: String =
+    "(SELECT vec_id, CASE WHEN vec_id % 2 = 0 AND vec_id % 10 = 0 " +
+      "THEN list_transform(embedding, x -> -x) ELSE embedding END " +
+      "AS embedding FROM embeddings)"
+
   /** [[textAbsorbed]]'s vector twin: even vec_ids indexed, the
     * `vec_id % 4 == 1` batch absorbed under the frozen geometry.
     */

@@ -835,12 +835,13 @@ object SimilarityQueries {
     */
   private def incrementalCosineNearDupsSqlFor(
       existingPred: String => String,
-      newPred: String => String): String =
+      newPred: String => String,
+      src: String = "embeddings"): String =
     s"""WITH s AS (
       |  SELECT vec_id, embedding,
       |    ${normSqSql("embedding")} AS norm,
       |    ${bucketSql("embedding", 2)} AS bucket
-      |  FROM embeddings),
+      |  FROM $src),
       |pairs AS (
       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |    ${dotSql("a.embedding", "b.embedding")} / nullif(sqrt(a.norm) * sqrt(b.norm), 0.0) AS score
@@ -887,6 +888,28 @@ object SimilarityQueries {
   def incrementalCosineNearDupsRetiredSql: String =
     incrementalCosineNearDupsSqlFor(
       c => s"($c % 2 = 0 AND $c % 10 <> 0)", c => s"$c % 2 = 1")
+
+  /** [[incrementalCosineNearDupsIndexed]] against an index that absorbed
+    * a CDC UPDATE batch ([[QueryIndexes.vectorsRefreshed]]): the even
+    * `% 10` slice re-absorbed with its embedding negated (landing in the
+    * opposite hyperplane bucket), the `% 6` slice replayed unchanged —
+    * the oracle recomputes over the POST-UPDATE embeddings, gating the
+    * vector-side generational refresh (displaced rows invisible, new
+    * rows bucketed under the frozen geometry) end to end.
+    */
+  def incrementalCosineNearDupsRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsIndexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectorsRefreshed(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsRefreshedSql: String =
+    incrementalCosineNearDupsSqlFor(
+      c => s"$c % 2 = 0", c => s"$c % 2 = 1",
+      src = QueryIndexes.refreshedVecsSql)
 
   /** SQ8 asymmetric top-k: corpus quantized to uint8 codes against
     * per-dim (min, max) ranges, full-precision queries scored on the
