@@ -403,6 +403,35 @@ class DedupIndexSpec extends SparkSpec {
     assert(sortedRows(exactProbe()) === want)
   }
 
+  test("absorb's freshness ledger reads the bucketed counts scan without exchanging the corpus side") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-absorbplan").toString
+    DedupIndex.writeText(
+      mkDocs((0L until 200L).filter(_ % 2 == 0)).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    val idx = DedupIndex.loadText(spark, indexDir)
+    // the shape appendText uses to restrict stored state to batch ids:
+    // counts is bucketed by id, so with broadcast off the ONLY Exchange
+    // is the batch side shuffling into the bucket layout — at 100 TB the
+    // corpus-side ledger never moves, absorb cost tracks the batch
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batchIds = (0L until 50L).map(i => i * 2).toDF("id")
+      val state = idx.counts.select(col("id"))
+        .join(batchIds, Seq("id"), "left_semi")
+      val plan = state.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"ledger restriction must ride the bucketed scan:\n$plan")
+      val exchanges = plan.split("\n").count(_.contains("Exchange"))
+      assert(exchanges === 1,
+        s"expected exactly the batch-side Exchange, got $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("CDC update: re-absorbing changed content refreshes in place; unchanged content is a no-op; retire-then-absorb resurrects") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
