@@ -43,8 +43,8 @@ object FamilyStress {
     "text_lang_dist",
     "pipeline_e2e")
 
-  private def buildCorpus(spark: SparkSession, srcSf: String, dir: String,
-      factor: Int): Unit = {
+  private[dev] def buildCorpus(spark: SparkSession, srcSf: String,
+      dir: String, factor: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")) &&
