@@ -74,6 +74,14 @@ object AbsorbStress {
       val deleteIds = docs.filter(col("doc_id") >= 2000 &&
           col("doc_id") < 4000)
         .select(col("doc_id")).limit(1000)
+      // record the ACTUAL batch rows the filters produced (the corpus's
+      // id density decides them, not the literals) — the artifact must
+      // describe the batch the flatness claim was measured on
+      if (!results.contains(-1))
+        results(-1) = Map(
+          "fresh_rows" -> freshBatch.count().toDouble,
+          "refresh_rows" -> updateBatch.count().toDouble,
+          "retire_rows" -> deleteIds.count().toDouble)
       val absorb = timed(graft.operators.DedupIndex.appendText(
         freshBatch, "doc_id", "text", idxDir))
       val refresh = timed(graft.operators.DedupIndex.appendText(
@@ -93,13 +101,16 @@ object AbsorbStress {
         "refresh" -> refresh, "retire" -> retire, "probe" -> probe)
     }
 
+    val batch = results.remove(-1).getOrElse(Map.empty)
     val lines = results.map { case (f, m) =>
       s""""x$f":{${m.map { case (k, v) => s""""$k":${fmt(v)}""" }
         .mkString(",")}}"""
     }
+    val batchJson = batch
+      .map { case (k, v) => s""""$k":${v.toLong}""" }.mkString(",")
     val json = s"""{"metric":"absorb_stress","src":"$srcSf",""" +
       s""""factors":[${factors.mkString(",")}],""" +
-      s""""batch":{"fresh":2000,"refresh":2000,"retire":1000},""" +
+      s""""batch":{$batchJson},""" +
       s""""scales":{${lines.mkString(",")}}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_ABSORB_OUT",

@@ -288,11 +288,52 @@ object DedupIndex {
   /** Deterministic per-vector content digest — the vector twin of the
     * text index's content hash: absorb compares it to decide no-op vs
     * refresh. Within-engine determinism is all that is needed (the
-    * digest never crosses into oracle-compared output).
+    * digest never crosses into oracle-compared output). The encoding is
+    * NULL-POSITIONAL: every slot renders (null elements as a literal),
+    * and the length leads — `concat_ws` alone would silently skip null
+    * elements, colliding [1.0, null, 2.0] with [1.0, 2.0, null] and
+    * misreading a genuine update as a no-op.
     */
   private def vecDigest(vec: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    xxhash64(concat_ws(",", transform(vec, v => v.cast("string"))))
+    xxhash64(concat_ws(",",
+      coalesce(size(vec).cast("string"), lit("-1")),
+      concat_ws(",",
+        transform(vec, v => coalesce(v.cast("string"), lit("null"))))))
+
+  /** The generational freshness resolution shared by the text and
+    * vector absorbs. `batch` carries (id, …payload…, __content); `stored`
+    * is the RAW per-id ledger (id, __content, gen — every generation,
+    * dead ones included). Returns:
+    *   - `fresh`: the batch rows to index — those whose id has no LIVE
+    *     generation with matching content (null-safe comparison, so
+    *     null-content rows replay as no-ops too) — with [[GenCol]]
+    *     attached (max stored gen + 1, or 0 for brand-new ids);
+    *   - `displaced`: the live (id, gen) pairs `fresh` supersedes — the
+    *     refresh tombstones that must commit in the same staged batch.
+    */
+  private def resolveGenerations(batch: DataFrame, stored: DataFrame,
+      tombstones: DataFrame): (DataFrame, DataFrame) = {
+    val state = graft.plans.CachedPlans.cached(
+      stored.join(batch.select(col("id")), Seq("id"), "left_semi"))
+    val liveState = state
+      .join(broadcast(tombstones), Seq("id", "gen"), "left_anti")
+    val ls = liveState.select(col("id").as("__lid"),
+      col("__content").as("__stored"))
+    val toIndex = batch.join(ls,
+      batch("id") === col("__lid") &&
+        batch("__content") <=> col("__stored"), "left_anti")
+    val nextGen = state.groupBy("id")
+      .agg((max(col("gen")) + 1).as("__nextgen"))
+    val fresh = graft.plans.CachedPlans.cached(
+      toIndex.join(nextGen, Seq("id"), "left")
+        .withColumn(GenCol, coalesce(col("__nextgen"), lit(0L)))
+        .drop("__nextgen"))
+    val displaced = liveState
+      .join(fresh.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("gen"))
+    (fresh, displaced)
+  }
 
   /** IVF inverted-list rows for `vecs` (carrying [[GenCol]]) under
     * STORED centroids + frozen ranges: nearest-centroid assignment (full
@@ -415,35 +456,19 @@ object DedupIndex {
     val idx = loadTextRaw(spark, dir) // registers, pins geometry
     val p = idx.params
     // the batch in ledger shape — one row per id by the id-space
-    // contract shared with the probe family
+    // contract shared with the probe family. The stored side is the
+    // counts ledger RESTRICTED to batch ids before anything else:
+    // counts is bucketed by id, so the corpus side never shuffles, and
+    // everything downstream is batch-sized.
     val batch0 = graft.plans.CachedPlans.cached(
       newDocs.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("__text"), md5(col(textCol)).as("content_hash")))
-    // per-id stored state, RESTRICTED to batch ids before anything else:
-    // counts is bucketed by id, so the corpus side never shuffles, and
-    // everything downstream of this join is batch-sized
-    val state = graft.plans.CachedPlans.cached(
-      idx.counts.select(col("id"), col("content_hash"), col("gen"))
-        .join(batch0.select(col("id")), Seq("id"), "left_semi"))
-    val liveState = state
-      .join(broadcast(idx.tombstones), Seq("id", "gen"), "left_anti")
-    // skip ids whose live content already matches (replay / unchanged
-    // rows); everything else is new, refreshed, or resurrected content
-    val toIndex = batch0.join(liveState.select(col("id"),
-        col("content_hash")),
-      Seq("id", "content_hash"), "left_anti")
-    // next generation per id: max stored gen + 1, 0 for brand-new ids
-    val nextGen = state.groupBy("id")
-      .agg((max(col("gen")) + 1).as("__nextgen"))
-    val fresh = graft.plans.CachedPlans.cached(
-      toIndex.join(nextGen, Seq("id"), "left")
-        .select(col("id"), col("__text"), col("content_hash"),
-          coalesce(col("__nextgen"), lit(0L)).as("gen")))
-    // displaced live generations of refreshed ids → tombstones, in the
-    // SAME staged commit as their replacement rows
-    val displaced = liveState
-      .join(fresh.select(col("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("gen"))
+        col(textCol).as("__text"), md5(col(textCol)).as("__content")))
+    val (fresh0, displaced) = resolveGenerations(batch0,
+      idx.counts.select(col("id"), col("content_hash").as("__content"),
+        col("gen")),
+      idx.tombstones)
+    val fresh = fresh0.select(col("id"), col("__text"),
+      col("__content").as("content_hash"), col(GenCol).as("gen"))
     val sh = graft.plans.CachedPlans.cached(
       Dedup.hashedShingleTable(fresh, "id", "__text", p.shingleN,
         p.portable))
@@ -507,28 +532,17 @@ object DedupIndex {
     recover(spark, dir, Some(lease)) // roll back crashed predecessors
     val idx = loadVectorsRaw(spark, dir)
     val p = idx.params
+    // the stored side restricted to batch ids (buckets is bucketed by
+    // LSH bucket, not id, so this is the one corpus-side id shuffle of
+    // the vector absorb — its output is batch-sized)
     val batch0 = graft.plans.CachedPlans.cached(
       newVecs.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("__vec"), vecDigest(col(vecCol)).as("vhash")))
-    // per-id stored state restricted to batch ids (buckets is bucketed
-    // by LSH bucket, not id, so this is the one corpus-side id shuffle
-    // of the absorb — its output is batch-sized)
-    val state = graft.plans.CachedPlans.cached(
-      idx.buckets.select(col("id"), col("vhash"), col("gen"))
-        .join(batch0.select(col("id")), Seq("id"), "left_semi"))
-    val liveState = state
-      .join(broadcast(idx.tombstones), Seq("id", "gen"), "left_anti")
-    val toIndex = batch0.join(liveState.select(col("id"), col("vhash")),
-      Seq("id", "vhash"), "left_anti")
-    val nextGen = state.groupBy("id")
-      .agg((max(col("gen")) + 1).as("__nextgen"))
-    val fresh = graft.plans.CachedPlans.cached(
-      toIndex.join(nextGen, Seq("id"), "left")
-        .select(col("id"), col("__vec"),
-          coalesce(col("__nextgen"), lit(0L)).as(GenCol)))
-    val displaced = liveState
-      .join(fresh.select(col("id")), Seq("id"), "left_semi")
-      .select(col("id"), col("gen"))
+        col(vecCol).as("__vec"), vecDigest(col(vecCol)).as("__content")))
+    val (fresh0, displaced) = resolveGenerations(batch0,
+      idx.buckets.select(col("id"), col("vhash").as("__content"),
+        col("gen")),
+      idx.tombstones)
+    val fresh = fresh0.select(col("id"), col("__vec"), col(GenCol))
     val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
     val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
     val batch = newBatchId()
@@ -1089,11 +1103,23 @@ object DedupIndex {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(stagingRoot(dir), batch)
     val fs = root.getFileSystem(conf)
-    val comps =
+    // Readers are not fenced, so the component MOVE ORDER decides what a
+    // torn concurrent read can see. Append-mode commits move tombstones
+    // FIRST: a refresh's displaced generation disappears before its
+    // replacement rows land, so the worst torn state is a transiently
+    // missing doc — never the SAME id live twice (duplicate ledger rows,
+    // both contents matching). Replace-mode (compaction) is the
+    // opposite: tombstones clear LAST, so a torn read pairs old
+    // dead-row-bearing components with the still-armed tombstones and
+    // keeps filtering them — never resurrects dead rows.
+    val comps0 =
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
           .sorted.toSeq
       else Seq.empty
+    val comps =
+      if (replace) comps0
+      else comps0.sortBy(c => if (c == "tombstones") 0 else 1)
     val staged = comps.map(c =>
       c -> listDataFiles(fs, new org.apache.hadoop.fs.Path(root, c)))
     val manifest = staged.map { case (c, files) =>

@@ -576,8 +576,15 @@ class CdcStreamSpec extends SparkSpec {
         .coalesce(1).write.parquet(s"$dir/$name")
     // batch 1: UPDATE doc 1 to v2 content, DELETE doc 2
     writeEvents("b1", Seq(("U", 1L, 1L, docV2(1)), ("D", 2L, 2L, doc(2))))
-    // batch 2: doc 2 comes BACK (cross-batch resurrection)
+    // batch 2: doc 2 comes BACK (cross-batch resurrection). The D→I
+    // order is load-bearing here, and FileStreamSource orders by
+    // modification time — force b2 strictly newer so a coarse-mtime
+    // filesystem cannot tie (and flip) the batches.
     writeEvents("b2", Seq(("I", 3L, 2L, doc(2))))
+    val maxB1 = new java.io.File(s"$dir/b1").listFiles
+      .map(_.lastModified).max
+    new java.io.File(s"$dir/b2").listFiles
+      .foreach(f => f.setLastModified(maxB1 + 2000))
     val schema = spark.read.parquet(s"$dir/b1").schema
     val q = CdcStream.startTextIndexMaintenance(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
