@@ -672,6 +672,27 @@ object DedupIndex {
     } finally releaseLease(fs, dir, lease)
   }
 
+  /** Compact only when the tombstone set has outgrown `maxTombstones`
+    * rows — the maintenance-cadence form of [[compactText]]. The live
+    * view broadcasts tombstones into every probe's anti-join, so the
+    * set must stay delta-scale; this is the knob that keeps it there
+    * without paying the full component rewrite on every delete batch.
+    * Returns true when a compaction ran. The threshold check is one
+    * scan of the (small) tombstone component.
+    */
+  def compactTextIfNeeded(spark: SparkSession, dir: String,
+      maxTombstones: Long): Boolean = {
+    val n = readTombstones(spark, dir).count()
+    if (n > maxTombstones) { compactText(spark, dir); true } else false
+  }
+
+  /** [[compactTextIfNeeded]]'s vector twin. */
+  def compactVectorsIfNeeded(spark: SparkSession, dir: String,
+      maxTombstones: Long): Boolean = {
+    val n = readTombstones(spark, dir).count()
+    if (n > maxTombstones) { compactVectors(spark, dir); true } else false
+  }
+
   /** [[compactText]]'s vector twin: rewrites `buckets` and `lists`
     * dropping tombstoned rows, clears the tombstones, leaves the frozen
     * geometry components untouched.

@@ -1082,11 +1082,17 @@ object CdcStream {
     * content absorbs in one staged commit), and a delete→re-insert
     * across batches RESURRECTS at a fresh generation —
     * [[graft.operators.DedupIndex.compactText]] is space reclaim only,
-    * never a semantic gate.
+    * never a semantic gate. `autoCompactTombstones = Some(t)` runs that
+    * reclaim from the sink itself whenever the tombstone set exceeds
+    * `t` rows, keeping the probes' tombstone broadcast delta-scale
+    * without an external maintenance job; size `t` (and the implied
+    * rewrite cadence) to a maintenance window, since compaction readers
+    * are unfenced (see [[graft.operators.DedupIndex.compactText]]).
     */
   def startTextIndexMaintenance(changeStream: DataFrame, idCol: String,
       textCol: String, indexDir: String, checkpointDir: String,
-      seq: org.apache.spark.sql.Column): StreamingQuery =
+      seq: org.apache.spark.sql.Column,
+      autoCompactTombstones: Option[Long] = None): StreamingQuery =
     changeStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1104,6 +1110,16 @@ object CdcStream {
               graft.operators.DedupIndex.retireText(
                 dels.select(col(idCol)), idCol, indexDir)
           } finally last.unpersist()
+          // the operational half of the tombstone contract: probes
+          // broadcast the tombstone set, so the maintenance sink is
+          // where it gets reclaimed once it outgrows delta scale.
+          // Crash-safe like everything else here (replace-mode staged
+          // commit); a compaction lost to a crash re-triggers on the
+          // next batch that still sees the oversized set.
+          autoCompactTombstones.foreach { t =>
+            graft.operators.DedupIndex.compactTextIfNeeded(
+              batch.sparkSession, indexDir, t)
+          }
         }
       }
       .start()
@@ -1116,7 +1132,8 @@ object CdcStream {
     */
   def startVectorIndexMaintenance(changeStream: DataFrame, idCol: String,
       vecCol: String, indexDir: String, checkpointDir: String,
-      seq: org.apache.spark.sql.Column): StreamingQuery =
+      seq: org.apache.spark.sql.Column,
+      autoCompactTombstones: Option[Long] = None): StreamingQuery =
     changeStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1134,6 +1151,10 @@ object CdcStream {
               graft.operators.DedupIndex.retireVectors(
                 dels.select(col(idCol)), idCol, indexDir)
           } finally last.unpersist()
+          autoCompactTombstones.foreach { t =>
+            graft.operators.DedupIndex.compactVectorsIfNeeded(
+              batch.sparkSession, indexDir, t)
+          }
         }
       }
       .start()

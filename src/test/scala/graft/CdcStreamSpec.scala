@@ -610,6 +610,42 @@ class CdcStreamSpec extends SparkSpec {
       "refresh stacked duplicate live rows")
   }
 
+  test("CDC index maintenance sink: auto-compaction reclaims tombstones past the threshold") {
+    val dir = Files.createTempDirectory("stream_idxautocomp").toString
+    val idxDir = Files.createTempDirectory("stream_idxautocomp_idx").toString
+    val ckpt = Files.createTempDirectory("stream_idxautocomp_c").toString
+    def doc(i: Long) = s"compacted document number $i with its own " +
+      s"distinct vocabulary token$i and filler words to shingle"
+    graft.operators.DedupIndex.writeText(
+      (1L to 6L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir)
+    // one batch deleting docs 2 and 4: with threshold 1, the sink
+    // retires them (2 tombstones) and then compacts in the same
+    // micro-batch — the tombstone set must come back empty while the
+    // deletes stay deleted
+    Seq(("D", 1L, 2L, doc(2)), ("D", 2L, 4L, doc(4)))
+      .toDF(C.Op, "seq", "doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = CdcStream.startTextIndexMaintenance(
+      spark.readStream.schema(schema).parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, ckpt, col("seq"),
+      autoCompactTombstones = Some(1L))
+    try q.processAllAvailable() finally q.stop()
+
+    val idx = graft.operators.DedupIndex.loadText(spark, idxDir)
+    assert(idx.tombstones.count() === 0,
+      "auto-compaction must have cleared the tombstone set")
+    val v = graft.operators.Dedup.incrementalExactIndexed(
+        (1L to 6L).map(i => (100L + i, doc(i))).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      .select(($"doc_id" - 100L).as("orig"), $"verdict")
+      .as[(Long, String)].collect().toMap
+    assert(v(2L) === "kept" && v(4L) === "kept",
+      s"compacted deletes resurfaced: $v")
+    assert(Seq(1L, 3L, 5L, 6L).forall(v(_) === "dup_of_existing"), v)
+  }
+
   test("index-aware streaming embedding probe ignores retired vectors") {
     val dir = Files.createTempDirectory("stream_endret").toString
     val idxDir = Files.createTempDirectory("stream_endret_idx").toString
