@@ -143,6 +143,8 @@ object SparkEntry {
       (DedupQueries.incrementalLshRefreshed _),
     "embed_incremental_refreshed" ->
       (SimilarityQueries.incrementalCosineNearDupsRefreshed _),
+    "embed_incremental_sq8_refreshed" ->
+      (SimilarityQueries.incrementalCosineNearDupsSq8Refreshed _),
     "dedup_incremental_resurrected" ->
       (DedupQueries.incrementalExactResurrected _),
     // text analysis
@@ -275,6 +277,8 @@ object SparkEntry {
       DedupQueries.incrementalLshRefreshedSql,
     "embed_incremental_refreshed" ->
       SimilarityQueries.incrementalCosineNearDupsRefreshedSql,
+    "embed_incremental_sq8_refreshed" ->
+      SimilarityQueries.incrementalCosineNearDupsSq8RefreshedSql,
     "dedup_incremental_resurrected" ->
       DedupQueries.incrementalExactResurrectedSql,
     "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,

@@ -778,7 +778,40 @@ object SimilarityQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  def incrementalCosineNearDupsSq8IndexedSql: String = {
+  def incrementalCosineNearDupsSq8IndexedSql: String =
+    incrementalCosineNearDupsSq8IndexedSqlFor("embeddings")
+
+  /** The SQ8 probe against the REFRESHED index
+    * ([[QueryIndexes.vectorsRefreshed]]): the updated vectors' stored
+    * codes were encoded AT ABSORB under the index's frozen
+    * original-corpus ranges (the negated slice falls outside the
+    * trained range, so the clamped encoder saturates) — the oracle
+    * trains ranges on the ORIGINAL even corpus but encodes the
+    * POST-UPDATE corpus under them, gating the refresh path's
+    * quantization leg end to end.
+    */
+  def incrementalCosineNearDupsSq8Refreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsSq8Indexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectorsRefreshed(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsSq8RefreshedSql: String =
+    incrementalCosineNearDupsSq8IndexedSqlFor(
+      QueryIndexes.refreshedVecsSql)
+
+  /** The SQ8 asymmetric-probe oracle with a configurable corpus SOURCE
+    * for the encoded side. The quantization RANGES always train on the
+    * ORIGINAL even corpus — that is the frozen geometry the index
+    * stores — while `srcA` decides which vectors get encoded under
+    * them (the plain indexed probe encodes the original corpus, the
+    * refreshed probe the post-update one).
+    */
+  private def incrementalCosineNearDupsSq8IndexedSqlFor(
+      srcA: String): String = {
     val r = s"range(1, ${Dim + 1})"
     s"""WITH rng AS (
       |  SELECT CAST(t.i AS INTEGER) AS pos,
@@ -799,7 +832,7 @@ object SimilarityQueries {
       |        ELSE greatest(0, least(255,
       |          CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
       |            / scaleA[i] + 0.5) AS INTEGER))) END) AS codes
-      |  FROM embeddings CROSS JOIN rlist WHERE vec_id % 2 = 0),
+      |  FROM $srcA CROSS JOIN rlist WHERE vec_id % 2 = 0),
       |ar AS (
       |  SELECT a_id, bucket,
       |    list_transform($r, i ->
