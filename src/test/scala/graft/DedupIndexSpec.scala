@@ -553,6 +553,11 @@ class DedupIndexSpec extends SparkSpec {
     assert(idx.tombstones.count() === updatedIds.size)
     assert(idx.buckets.groupBy(col("id")).count()
       .filter(col("count") > 1).count() === 0)
+    // the IVF lists carry exactly one LIVE row per refreshed id too —
+    // the displaced generation's list entry is tombstone-filtered
+    assert(idx.lists.groupBy(col("n_id")).count()
+      .filter(col("count") > 1).count() === 0,
+      "refreshed id live twice in the IVF lists")
     // replay: no-op
     def bucketFiles() = {
       val d = new java.io.File(s"$indexDir/buckets")
