@@ -82,6 +82,7 @@ object SparkEntry {
     // LLM-data-pipeline ops: dedup family
     "dedup_exact" -> (DedupQueries.exact _),
     "dedup_minhash_lsh" -> (DedupQueries.minHashLsh _),
+    "dedup_lsh_recall" -> (DedupQueries.lshRecall _),
     "dedup_incremental" -> (DedupQueries.incrementalExact _),
     "dedup_incremental_lsh" -> (DedupQueries.incrementalLsh _),
     // indexed probes: same semantics/oracles as the recompute forms
@@ -175,6 +176,7 @@ object SparkEntry {
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "chunk_documents" -> (PipelineQueries.chunkDocuments _),
     "tfidf_topk" -> (PipelineQueries.tfidfTopK _),
+    "text_bm25_topk" -> (RetrievalQueries.bm25TopK _),
     // mm_features keeps the deterministic byte-histogram stub (itself
     // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
     // codecs end-to-end with exact integer stats oracle-checked from md5
@@ -243,6 +245,7 @@ object SparkEntry {
     "q_scalar_subquery" -> AdvancedQueries.qScalarSubquerySql,
     "dedup_exact" -> DedupQueries.exactSql,
     "dedup_minhash_lsh" -> DedupQueries.minHashLshSql,
+    "dedup_lsh_recall" -> DedupQueries.lshRecallSql,
     "dedup_incremental" -> DedupQueries.incrementalExactSql,
     "dedup_incremental_lsh" -> DedupQueries.incrementalLshSql,
     // the indexed probes must reproduce the recompute forms bit-exactly,
@@ -336,6 +339,7 @@ object SparkEntry {
     "vocab_topk" -> PipelineQueries.vocabTopKSql,
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,
     "tfidf_topk" -> PipelineQueries.tfidfTopKSql,
+    "text_bm25_topk" -> RetrievalQueries.bm25TopKSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,

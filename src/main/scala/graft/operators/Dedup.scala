@@ -839,4 +839,58 @@ object Dedup {
       maxBucket: Int = 1000, portable: Boolean = true): DataFrame =
     ngramJaccardNearDupsReport(docs, idCol, textCol, blockN, shingleN,
       threshold, maxBucket, portable).pairs
+
+  /** MEASURED recall of the MinHash+LSH candidate stage against exact
+    * n-gram Jaccard — the batch counterpart of the streaming estimator's
+    * Hoeffding contract and the ANN family's recall gates: instead of
+    * trusting the textbook s-curve P(candidate) = 1-(1-J^r)^b, this
+    * derives the ground-truth pair set (pairs sharing a rare `blockN`-gram
+    * block, exact `shingleN`-gram Jaccard — the same reference set
+    * [[ngramJaccardNearDupsReport]] declares exact) and reports, per
+    * 0.1-wide Jaccard bucket, how many of those pairs the banded LSH
+    * would have surfaced as candidates.
+    *
+    * Bucketing is pure integer arithmetic — `(common*10) div (union)` —
+    * so bucket edges are exact cross-engine; the one `recall` division is
+    * a single IEEE op. Expected shape at 12 hashes / 4 bands x 3 rows:
+    * ~0.4 at J=0.5 rising to ~1.0 at J=0.9 — the quantitative statement
+    * of what `threshold = 0.5` LSH dedup actually catches, which is the
+    * number a 100 TB curation run needs before trusting the candidate
+    * stage (verification only filters candidates; it cannot recover a
+    * pair banding never proposed).
+    *
+    * Scale shape: both pair sets come from the capped bucket machinery
+    * ([[candidatePairs]]) — never all-pairs; the final report is at most
+    * 8 rows.
+    */
+  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      blockN: Int = 5, minDeciJaccard: Int = 3, maxBucket: Int = 1000,
+      portable: Boolean = true): DataFrame = {
+    val sh = CachedPlans.cached(
+      hashedShingleTable(docs, idCol, textCol, shingleN, portable))
+    // ground truth: blockN-gram blocking + exact Jaccard, integer-bucketed
+    val blocks = shingleTable(docs, idCol, textCol, blockN)
+      .withColumn("band_key", (
+        if (portable) PortableHash.md5Long(col("shingle"))
+        else xxhash64(col("shingle"))).cast("string"))
+      .drop("shingle")
+      .withColumn("band", lit(0))
+    val (truthPairs, _) = candidatePairs(blocks, idCol, maxBucket)
+    val truth = jaccardFor(truthPairs, sh, idCol)
+      .withColumn("j_bucket", expr("(common * 10) div (na + nb - common)"))
+      .filter(col("j_bucket") >= minDeciJaccard)
+    // the LSH CANDIDATE set (pre-verification — recall is decided here)
+    val sig = minHashSignatures(sh, idCol, numHashes, portable)
+    val (cand, _) = candidatePairs(
+      lshBandKeys(sig, idCol, bands, numHashes / bands, portable), idCol,
+      maxBucket)
+    truth
+      .join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType))
+  }
 }

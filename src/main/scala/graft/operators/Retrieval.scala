@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Sparse-lexical retrieval over the document corpus — the classic BM25
+  * ranking function (Robertson/Sparck Jones, the Okapi formulation with
+  * k1 = 1.2, b = 0.75) as a batch top-k search: a small query set
+  * against a corpus-scale inverted index, the "find training docs
+  * relevant to this benchmark/topic" building block that complements
+  * [[graft.queries.PipelineQueries.tfidfTopK]] (per-doc salient terms)
+  * and decontamination (exact-overlap probes).
+  *
+  * Cross-engine exactness: the published BM25 uses `ln` idf, which is
+  * not bit-reproducible across engines, so — like the repo's TF-IDF and
+  * DSIR — each per-term score is a single INTEGER-quantized rational:
+  * with k1 = 6/5 and b = 3/4, and avgdl = total_len/n_docs,
+  *
+  *   idf     = (N - df + 1/2)/(df + 1/2)      = (2N - 2df + 1)/(2df + 1)
+  *   tf-part = tf(k1+1)/(tf + k1(1-b+b*dl/avgdl))
+  *           = 44*tf*total / (20*tf*total + 6*total + 18*dl*N)
+  *
+  * score_q = floor(SCALE * idf * tf-part) computed in DECIMAL(38,0)
+  * (the products reach ~1e20, past i64; DuckDB replays them in HUGEINT)
+  * and per-doc scores are integer SUMS of those quantized terms — fully
+  * order-independent, so Spark's unordered aggregation and the oracle
+  * agree bit-for-bit. The rational idf (no log damping) is a declared
+  * variant, not an approximation bug: ranking within a query is
+  * monotone in the same (tf, df, dl) inputs.
+  *
+  * 100 TB shape: one corpus scan feeds tf/doclen; df is computed once
+  * and immediately restricted to the ≤ |Q|·qTerms query vocabulary
+  * before anything ships; the query-term table and the one-row corpus
+  * stats are broadcast, so the only corpus-scale exchanges are the
+  * (doc, tok) partial-aggregating tf groupBy and one doc-keyed join of
+  * the CANDIDATE postings (docs sharing a query term) against doclen.
+  * Top-k runs per-query over candidates only — never a global sort.
+  */
+object Retrieval {
+
+  val Scale = 10000L
+
+  /** BM25 top-k: for each query row, the `k` highest-scoring documents
+    * among those sharing at least one of the query's `qTerms` RAREST
+    * distinct tokens (df ascending — the discriminative ones; template
+    * vocabulary shared by every document matches everything and ranks
+    * nothing). Emits (q_id, rank, doc_id, n_terms, score) with `score`
+    * the SCALE-quantized integer BM25 sum.
+    */
+  /** Per-occurrence term list: unigram tokens, or word n-gram terms
+    * ("bigram indexing") for corpora whose unigram vocabulary is too
+    * small to discriminate — terms stay per-OCCURRENCE (no distinct) so
+    * tf counts are honest.
+    */
+  private def termList(textCol: Column, termNgram: Int): Column = {
+    val toks = TextFunctions.tokens(lower(textCol))
+    if (termNgram <= 1) toks
+    else {
+      // zip each token with its successor; <n-token docs yield no terms
+      val grams = zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      require(termNgram == 2, "termNgram must be 1 or 2")
+      grams
+    }
+  }
+
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      qTerms: Int = 8, termNgram: Int = 1): DataFrame = {
+    // ONE corpus scan -> (doc, tok, tf), cached: doclen, total length,
+    // df and the candidate postings all derive from it (without the
+    // cache the tokenize+aggregate chain re-runs once per branch — 4x)
+    val tf = graft.plans.CachedPlans.cached(
+      docs.select(col(idCol).as("doc_id"),
+          explode(termList(col(textCol), termNgram)).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // one-row corpus stats: document count over ALL docs (tokenless docs
+    // count toward N, as in any IR engine) and total token count
+    val stats = broadcast(
+      docs.select(count(lit(1)).as("n_docs"))
+        .crossJoin(tf.select(sum(col("tf")).as("total_len"))))
+
+    val dfAll = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    // the `qTerms` RAREST distinct tokens per query (df ascending, token
+    // lexicographic ties) — the discriminative terms; common template
+    // vocabulary matches everything and ranks nothing. The query token
+    // set is broadcast into the vocabulary-scale df aggregate (run
+    // ONCE — qt carries df along so no second df pass exists), and the
+    // per-query window runs over <= |Q| x |query tokens| rows.
+    val qtok = queries.select(col(qIdCol).as("q_id"),
+        explode(termList(col(qTextCol), termNgram)).as("tok"))
+      .distinct()
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("df"), col("tok"))
+    val qt = dfAll.join(broadcast(qtok), Seq("tok"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select(col("q_id"), col("tok"), col("df"))
+
+    val hits = tf
+      .join(broadcast(qt), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(stats)
+      .withColumn("score_q", expr(
+        s"""CAST((CAST($Scale AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1)
+           |  * 44 * tf * total_len)
+           | DIV ((2*df + 1) * (CAST(20 AS DECIMAL(38,0)) * tf * total_len
+           |  + 6 * total_len + 18 * dl * n_docs)) AS BIGINT)""".stripMargin
+          .replace("\n", " ")))
+
+    val perDoc = hits.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_q")).as("score"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
+        col("score"))
+  }
+}

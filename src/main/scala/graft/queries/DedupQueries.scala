@@ -937,4 +937,105 @@ object DedupQueries {
       |       ELSE 'false_positive' END AS verdict
       |FROM probe p LEFT JOIN eh e USING (content_hash)
       |ORDER BY p.doc_id""".stripMargin
+
+  /** Measured LSH candidate recall vs exact n-gram Jaccard, per 0.1-wide
+    * Jaccard bucket (see [[graft.operators.Dedup.lshRecallReport]]) —
+    * the batch-side quantified-approximation gate of the dedup family.
+    *
+    * The synthetic corpus only carries J >= 0.9 near-dups, which would
+    * make the report a vacuous all-recall row — so (the `cdc_diff_*`
+    * fixture-perturbation move) every 3rd document gets a deterministic
+    * TRUNCATED TWIN keeping k/10 of its tokens (k = 3 + (id/3) mod 7):
+    * prefix shingle sets give J ~= k/10, populating the whole 0.3-0.9
+    * ramp where the banded-LSH s-curve actually bends. Recall numbers
+    * over those buckets are the measured answer to "what does
+    * 12-hash/4-band LSH dedup actually catch at J = x".
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val twins = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("n_keep", greatest(lit(1),
+        expr("(size(t) * (3 + (doc_id div 3) % 7)) div 10")).cast("int"))
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat_ws(" ", slice(col("t"), lit(1), col("n_keep"))).as("text"))
+    graft.operators.Dedup.lshRecallReport(
+        docs.select(col("doc_id"), col("text")).unionByName(twins),
+        "doc_id", "text")
+      .orderBy(col("j_bucket"))
+  }
+
+  def lshRecallSql: String = {
+    val mins = (0 until 12).map(i =>
+      s"min(('0x' || substr(md5(concat_ws('|', $i, shingle)), 1, 15))::BIGINT) AS h$i")
+      .mkString(",\n    ")
+    val bandKeys = (0 until 4).map { b =>
+      val slice = (0 until 3).map(r => s"h${b * 3 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $slice)) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH twin_src AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id,
+      |    array_to_string(t[1:greatest(1,
+      |      (len(t) * (3 + (doc_id // 3) % 7)) // 10)], ' ') AS text
+      |  FROM twin_src),
+      |${shingleCte(5, "sh5_raw", "corpus")},
+      |${shingleCte(3, "sh3_raw", "corpus")},
+      |sh5 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh5_raw),
+      |sh3 AS (
+      |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shingle
+      |  FROM sh3_raw),
+      |ok5 AS (
+      |  SELECT shingle FROM sh5
+      |  GROUP BY shingle HAVING count(*) <= 1000),
+      |sh5c AS (SELECT sh5.* FROM sh5 JOIN ok5 USING (shingle)),
+      |tpairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM sh5c a JOIN sh5c b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id),
+      |common AS (
+      |  SELECT p.a_id, p.b_id, count(*) AS common
+      |  FROM tpairs p
+      |  JOIN sh3 x ON x.doc_id = p.a_id
+      |  JOIN sh3 y ON y.doc_id = p.b_id AND y.shingle = x.shingle
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT c.a_id, c.b_id,
+      |    (c.common * 10) // (ca.n + cb.n - c.common) AS j_bucket
+      |  FROM common c
+      |  JOIN cnt ca ON ca.doc_id = c.a_id
+      |  JOIN cnt cb ON cb.doc_id = c.b_id
+      |  WHERE (c.common * 10) // (ca.n + cb.n - c.common) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $mins
+      |  FROM sh3 GROUP BY doc_id),
+      |bk AS (
+      |  $bandKeys),
+      |okb AS (
+      |  SELECT band, band_key FROM bk
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
+      |bkc AS (SELECT bk.* FROM bk JOIN okb USING (band, band_key)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bkc a JOIN bkc b ON a.band = b.band AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id),
+      |hit AS (
+      |  SELECT t.j_bucket, CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS h
+      |  FROM truth t LEFT JOIN cand c ON c.a_id = t.a_id AND c.b_id = t.b_id)
+      |SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(h) AS BIGINT) AS n_hit,
+      |  CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+      |FROM hit GROUP BY j_bucket
+      |ORDER BY j_bucket""".stripMargin
+  }
 }
