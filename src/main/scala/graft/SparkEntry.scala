@@ -177,6 +177,8 @@ object SparkEntry {
     "chunk_documents" -> (PipelineQueries.chunkDocuments _),
     "tfidf_topk" -> (PipelineQueries.tfidfTopK _),
     "text_bm25_topk" -> (RetrievalQueries.bm25TopK _),
+    "text_bm25_indexed" -> (RetrievalQueries.bm25TopKIndexed _),
+    "retrieval_hybrid_rrf" -> (RetrievalQueries.hybridRrf _),
     // mm_features keeps the deterministic byte-histogram stub (itself
     // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
     // codecs end-to-end with exact integer stats oracle-checked from md5
@@ -340,6 +342,10 @@ object SparkEntry {
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,
     "tfidf_topk" -> PipelineQueries.tfidfTopKSql,
     "text_bm25_topk" -> RetrievalQueries.bm25TopKSql,
+    // the indexed probe must reproduce the recompute form bit-exactly —
+    // one oracle gates both
+    "text_bm25_indexed" -> RetrievalQueries.bm25TopKSql,
+    "retrieval_hybrid_rrf" -> RetrievalQueries.hybridRrfSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,

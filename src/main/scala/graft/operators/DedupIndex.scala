@@ -179,6 +179,74 @@ object DedupIndex {
       "portable" -> portable.toString, "numBuckets" -> n.toString))
   }
 
+  final case class LexicalParams(termNgram: Int, numBuckets: Int)
+
+  /** Loaded BM25 lexical index ([[writeLexical]]): `postings` and
+    * `termdf` are tok-bucketed scans (a broadcast query-vocabulary join
+    * probes them Exchange-free), `doclens` is id-bucketed, and the
+    * one-row corpus stats are collected at load (two longs — the same
+    * bounded-driver-materialization contract as the SQ8 ranges).
+    */
+  final case class LexicalIndex(dir: String, params: LexicalParams,
+      postings: DataFrame, doclens: DataFrame, termdf: DataFrame,
+      nDocs: Long, totalLen: Long)
+
+  /** Build and persist the BM25 inverted index of `corpus` under `dir`:
+    * per-(doc, term) frequencies, per-doc lengths, per-term document
+    * frequencies, and the one-row corpus stats. One corpus scan feeds
+    * all four (the tf table is computed once and reused). Unlike the
+    * dedup indexes this one is rebuilt, not absorbed: BM25's global df
+    * and length statistics make every score corpus-dependent, so
+    * incremental growth would silently serve stale idf — the honest
+    * contract is a rebuild cadence.
+    */
+  def writeLexical(corpus: DataFrame, idCol: String, textCol: String,
+      dir: String, termNgram: Int = 2, numBuckets: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val n = bucketsOrDefault(spark, numBuckets)
+    dropComponents(spark, dir, Seq("postings", "doclens", "termdf"))
+    val tf = graft.plans.CachedPlans.cached(
+      corpus.select(col(idCol).cast("long").as("id"),
+          explode(Retrieval.termList(col(textCol), termNgram)).as("tok"))
+        .groupBy(col("id"), col("tok"))
+        .agg(count(lit(1)).as("tf")))
+    writeComponent(tf, dir, "postings", Seq("tok"), n)
+    writeComponent(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+      dir, "doclens", Seq("id"), n)
+    writeComponent(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      dir, "termdf", Seq("tok"), n)
+    // n_docs counts ALL corpus docs (termless docs dilute idf, as in any
+    // IR engine); total_len coalesced for an all-termless corpus
+    corpus.select(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.select(coalesce(sum(col("tf")), lit(0L))
+        .as("total_len")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(componentPath(dir, "stats").toString)
+    writeParams(spark, dir, Seq(
+      "kind" -> "lexical", "fmt" -> "1",
+      "termNgram" -> termNgram.toString, "numBuckets" -> n.toString))
+  }
+
+  /** Load a lexical index written by [[writeLexical]]. */
+  def loadLexical(spark: SparkSession, dir: String): LexicalIndex = {
+    val p = readParams(spark, dir, "lexical")
+    if (!p.get("fmt").contains("1"))
+      corrupt(dir, s"lexical index format ${p.getOrElse("fmt", "?")}, " +
+        "expected 1 (rebuild the index)")
+    val params = LexicalParams(p("termNgram").toInt, p("numBuckets").toInt)
+    val st = spark.read.parquet(componentPath(dir, "stats").toString)
+      .select(col("n_docs").cast("long"), col("total_len").cast("long"))
+      .head()
+    LexicalIndex(dir, params,
+      postings = component(spark, dir, "postings", Seq("tok"),
+        params.numBuckets),
+      doclens = component(spark, dir, "doclens", Seq("id"),
+        params.numBuckets),
+      termdf = component(spark, dir, "termdf", Seq("tok"),
+        params.numBuckets),
+      nDocs = st.getLong(0), totalLen = st.getLong(1))
+  }
+
   /** The counts ledger rows for a set of (id, content_hash, gen) docs:
     * per-id shingle counts left-joined so zero-shingle docs keep their
     * ledger row.

@@ -54,7 +54,7 @@ object Retrieval {
     * small to discriminate — terms stay per-OCCURRENCE (no distinct) so
     * tf counts are honest.
     */
-  private def termList(textCol: Column, termNgram: Int): Column = {
+  private[graft] def termList(textCol: Column, termNgram: Int): Column = {
     val toks = TextFunctions.tokens(lower(textCol))
     if (termNgram <= 1) toks
     else {
@@ -107,13 +107,23 @@ object Retrieval {
       .join(broadcast(qt), Seq("tok"))
       .join(dl, Seq("doc_id"))
       .crossJoin(stats)
-      .withColumn("score_q", expr(
-        s"""CAST((CAST($Scale AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1)
-           |  * 44 * tf * total_len)
-           | DIV ((2*df + 1) * (CAST(20 AS DECIMAL(38,0)) * tf * total_len
-           |  + 6 * total_len + 18 * dl * n_docs)) AS BIGINT)""".stripMargin
-          .replace("\n", " ")))
+      .withColumn("score_q", scoreQ)
+    rankTopK(hits, k)
+  }
 
+  /** The quantized per-term BM25 score over columns (tf, df, dl, n_docs,
+    * total_len) — shared by the recompute and index-probe forms so they
+    * are bit-identical by construction.
+    */
+  private def scoreQ: Column = expr(
+    s"""CAST((CAST($Scale AS DECIMAL(38,0)) * (2*n_docs - 2*df + 1)
+       |  * 44 * tf * total_len)
+       | DIV ((2*df + 1) * (CAST(20 AS DECIMAL(38,0)) * tf * total_len
+       |  + 6 * total_len + 18 * dl * n_docs)) AS BIGINT)""".stripMargin
+      .replace("\n", " "))
+
+  /** Per-doc sum + per-query top-k tail shared by both BM25 forms. */
+  private def rankTopK(hits: DataFrame, k: Int): DataFrame = {
     val perDoc = hits.groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("score_q")).as("score"))
     val rw = Window.partitionBy(col("q_id"))
@@ -122,5 +132,71 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"), col("n_terms"),
         col("score"))
+  }
+
+  /** [[bm25TopK]] probing a PERSISTED inverted index
+    * ([[DedupIndex.writeLexical]]) instead of re-deriving tf/df/doclen
+    * from corpus text — the form a standing retrieval service runs: the
+    * corpus-scale tokenize + three aggregations are amortized into the
+    * one-time index build, and a query batch costs only a broadcast
+    * vocabulary join against the tok-bucketed `termdf` and `postings`
+    * scans (Exchange-free on the corpus side) plus one candidate-scale
+    * join against the id-bucketed `doclens`. Scores are bit-identical to
+    * the recompute form (same [[scoreQ]], same stored integers), so both
+    * share one oracle.
+    */
+  def bm25TopKIndexed(index: DedupIndex.LexicalIndex, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int = 10,
+      qTerms: Int = 8): DataFrame = {
+    val qtok = queries.select(col(qIdCol).as("q_id"),
+        explode(termList(col(qTextCol), index.params.termNgram)).as("tok"))
+      .distinct()
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("df"), col("tok"))
+    val qt = index.termdf.join(broadcast(qtok), Seq("tok"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select(col("q_id"), col("tok"), col("df"))
+    val hits = index.postings
+      .join(broadcast(qt), Seq("tok"))
+      .withColumnRenamed("id", "doc_id")
+      .join(index.doclens.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .withColumn("n_docs", lit(index.nDocs))
+      .withColumn("total_len", lit(index.totalLen))
+      .withColumn("score_q", scoreQ)
+    rankTopK(hits, k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of per-query
+    * ranked lists from heterogeneous retrieval systems — the standard
+    * way to combine sparse-lexical (BM25) and dense (embedding cosine)
+    * retrieval without comparing their incommensurable scores: only
+    * RANKS cross the fusion boundary.
+    *
+    * Each input must carry (q_id, doc_id, rank); a doc's fused score is
+    *   sum over lists of floor(scale / (rrfK + rank))
+    * — an INTEGER per contribution (the repo-wide quantization move), so
+    * the fused sum is order-independent and bit-exact cross-engine, and
+    * docs surfaced by BOTH systems outrank docs one system loved.
+    * Emits (q_id, rank, doc_id, n_lists, rrf_score), ties by doc_id.
+    *
+    * 100 TB shape: inputs are already top-k lists (|Q|·k rows each —
+    * query-scale, not corpus-scale), so the union + groupBy here is
+    * negligible next to the legs that produced them; nothing in the
+    * fusion touches the corpus.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, rrfK: Int = 60,
+      scale: Long = Scale): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contribs = lists.map(_.select(col("q_id"), col("doc_id"),
+      expr(s"$scale div ($rrfK + rank)").as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrf_score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("n_lists"),
+        col("rrf_score"))
   }
 }

@@ -63,6 +63,29 @@ object QueryIndexes {
     DedupIndex.loadText(spark, dir)
   }
 
+  /** BM25 lexical index over the FULL documents table (bigram terms —
+    * the exact geometry of `text_bm25_topk`, whose query slice probes
+    * the same corpus it is drawn from).
+    */
+  def lexical(spark: SparkSession,
+      sfDir: String): DedupIndex.LexicalIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "lexical",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try DedupIndex.loadLexical(spark, dir).params.termNgram == 2
+        catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeLexical(docs, "doc_id", "text", dir, termNgram = 2)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadLexical(spark, dir)
+  }
+
   /** Vector-ANN index over even-vec_id embeddings (2 hyperplanes, dim 64
     * — the exact geometry of `embed_incremental`).
     */

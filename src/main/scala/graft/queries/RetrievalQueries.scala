@@ -32,8 +32,31 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[bm25TopK]] probing the persisted inverted index
+    * ([[QueryIndexes.lexical]]) — same query slice, same oracle,
+    * bit-identical scores; the probe never re-tokenizes corpus text.
+    */
+  def bm25TopKIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.bm25TopKIndexed(
+        QueryIndexes.lexical(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", k = Bm25K, qTerms = Bm25QTerms)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def bm25TopKSql: String =
-    s"""WITH toks AS (
+    s"""WITH $bm25Ctes
+      |SELECT q_id, rank, doc_id, n_terms, score
+      |FROM ranked WHERE rank <= $Bm25K
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** The BM25 CTE chain up to `ranked` (unfiltered rank over all
+    * candidates) — shared by the declared top-k query and the hybrid
+    * fusion oracle, which consumes a deeper slice of the same ranking.
+    */
+  private def bm25Ctes: String =
+    s"""toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
       |  FROM documents),
@@ -76,8 +99,86 @@ object RetrievalQueries {
       |  SELECT q_id, doc_id, n_terms, score,
       |    CAST(row_number() OVER (PARTITION BY q_id
       |      ORDER BY score DESC, doc_id) AS INT) AS rank
-      |  FROM agg)
-      |SELECT q_id, rank, doc_id, n_terms, score
-      |FROM ranked WHERE rank <= $Bm25K
+      |  FROM agg)""".stripMargin
+
+  val HybridK = 10
+  val LegK = 20
+  val RrfK = 60
+
+  /** Hybrid retrieval: BM25 lexical top-`LegK` fused with dense cosine
+    * top-`LegK` (brute force — the exact leg; the ANN families are the
+    * declared scale path for the dense side) by reciprocal-rank fusion.
+    * The lexical leg drops each query's own document (its trivial #1
+    * self-match; the dense leg's operator already excludes self) and
+    * re-ranks, so both legs feed honest neighbor lists. Only integer
+    * RANKS cross the fusion boundary — the fused score is a sum of
+    * floor(10000/(60+rank)) terms, bit-exact cross-engine.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val emb = tbl(spark, sfDir, "embeddings")
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.operators.Retrieval.bm25TopK(
+        docs, docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", "doc_id", "text", k = LegK, qTerms = Bm25QTerms,
+        termNgram = 2)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val den = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", LegK)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = HybridK,
+        rrfK = RrfK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+
+  def hybridRrfSql: String =
+    s"""WITH $bm25Ctes,
+      |lex AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM (SELECT * FROM ranked
+      |        WHERE rank <= $LegK AND doc_id <> q_id)),
+      |dc AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${dotSql("embedding", "embedding")} AS n_norm
+      |  FROM embeddings),
+      |dq AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${dotSql("embedding", "embedding")} AS q_norm
+      |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+      |dscored AS (
+      |  SELECT q_id, n_id,
+      |    ${dotSql("n_vec", "q_vec")} / nullif(sqrt(n_norm) * sqrt(q_norm), 0.0) AS score
+      |  FROM dc CROSS JOIN dq WHERE n_id <> q_id),
+      |den AS (
+      |  SELECT q_id, n_id AS doc_id, rank FROM (
+      |    SELECT q_id, n_id,
+      |      CAST(row_number() OVER (PARTITION BY q_id
+      |        ORDER BY score DESC, n_id) AS INT) AS rank
+      |    FROM dscored)
+      |  WHERE rank <= $LegK),
+      |contrib AS (
+      |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM lex
+      |  UNION ALL
+      |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM den),
+      |fused AS (
+      |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+      |    CAST(sum(contrib) AS BIGINT) AS rrf_score
+      |  FROM contrib GROUP BY q_id, doc_id),
+      |franked AS (
+      |  SELECT q_id, doc_id, n_lists, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      |  FROM fused)
+      |SELECT q_id, rank, doc_id, n_lists, rrf_score
+      |FROM franked WHERE rank <= $HybridK
       |ORDER BY q_id, rank""".stripMargin
 }

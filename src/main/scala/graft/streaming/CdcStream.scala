@@ -1061,6 +1061,44 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming BM25 search: a QUERY stream served against the persisted
+    * lexical index ([[graft.operators.DedupIndex.writeLexical]]) — the
+    * online-retrieval half of the `text_bm25_indexed` surface.
+    * foreachBatch, because per-query top-k needs a rank window that
+    * streaming append mode cannot express; each micro-batch RE-LOADS the
+    * index (params + a one-row stats read — driver-cheap) so a corpus
+    * re-indexed mid-stream serves the following batch with
+    * self-consistent df/length statistics, then runs the exact batch
+    * probe — results are bit-identical to
+    * [[graft.operators.Retrieval.bm25TopKIndexed]] by construction.
+    *
+    * Results land under `outDir` partitioned by micro-batch id with
+    * dynamic partition overwrite, so foreachBatch's at-least-once replay
+    * REWRITES the batch's partition instead of appending duplicates —
+    * exactly-once-effective like the absorb sinks.
+    */
+  def startBm25Search(queries: DataFrame, qIdCol: String,
+      qTextCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, k: Int = 10, qTerms: Int = 8)
+      : StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.operators.DedupIndex
+            .loadLexical(batch.sparkSession, indexDir)
+          graft.operators.Retrieval
+            .bm25TopKIndexed(idx, batch, qIdCol, qTextCol, k, qTerms)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   /** Continuous CDC maintenance of a persisted text index — the sink
     * that closes the loop this engine's premise implies: the CHANGE
     * STREAM itself (I/U/D events) drives the index. Per micro-batch,

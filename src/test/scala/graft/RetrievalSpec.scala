@@ -125,6 +125,145 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("indexed bm25 probe matches recompute bit-for-bit, never scans corpus text") {
+    graft.plans.CachedPlans.clear()
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-corpus").toString
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-idx").toString
+    corpus.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val docs = spark.read.parquet(corpusDir)
+    graft.operators.DedupIndex.writeLexical(
+      docs, "doc_id", "text", indexDir, termNgram = 2)
+    val idx = graft.operators.DedupIndex.loadLexical(spark, indexDir)
+    assert(idx.nDocs === 5L && idx.params.termNgram === 2)
+    val queries = Seq(0L -> "apple banana cherry").toDF("doc_id", "text")
+    val probe = graft.operators.Retrieval
+      .bm25TopKIndexed(idx, queries, "doc_id", "text")
+    val recompute = graft.operators.Retrieval
+      .bm25TopK(docs, queries, "doc_id", "text", "doc_id", "text",
+        termNgram = 2)
+    val cols = Seq("q_id", "rank", "doc_id", "n_terms", "score")
+    assert(probe.orderBy("rank").select(cols.head, cols.tail: _*)
+      .collect().toSeq ===
+      recompute.orderBy("rank").select(cols.head, cols.tail: _*)
+        .collect().toSeq)
+    val files = probe.inputFiles
+    assert(files.nonEmpty && files.forall(!_.contains(corpusDir)),
+      s"probe scanned corpus text:\n${files.mkString("\n")}")
+    assert(files.forall(_.contains(indexDir)),
+      s"unexpected extra input:\n${files.mkString("\n")}")
+  }
+
+  test("declared indexed bm25 query equals the recompute query on testdata") {
+    val cols = Seq("q_id", "rank", "doc_id", "n_terms", "score")
+    val idxOut = graft.queries.RetrievalQueries
+      .bm25TopKIndexed(spark, "/root/testdata/sf0.001")
+      .select(cols.head, cols.tail: _*).collect().toSeq
+    val reOut = graft.queries.RetrievalQueries
+      .bm25TopK(spark, "/root/testdata/sf0.001")
+      .select(cols.head, cols.tail: _*).collect().toSeq
+    assert(idxOut.nonEmpty && idxOut === reOut)
+  }
+
+  test("rrf fusion: both-list docs outrank single-list, exact quantized sums") {
+    val a = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3), (1L, 200L, 5))
+      .toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 101L, 1), (1L, 103L, 2), (1L, 104L, 5))
+      .toDF("q_id", "doc_id", "rank")
+    val out = graft.operators.Retrieval.rrfFuse(Seq(a, b))
+      .orderBy("rank")
+      .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    // contributions: floor(10000/(60+r)) = 163, 161, 158, _, 153 for r=1,2,3,5
+    // doc 101 in BOTH lists (r2 + r1 = 161+163 = 324) beats every
+    // single-list doc including A's r1; 104/200 tie at 153 -> doc_id order
+    assert(out.map(r => (r._3, r._4, r._5)) === Seq(
+      (101L, 2L, 324L), (100L, 1L, 163L), (103L, 1L, 161L),
+      (102L, 1L, 158L), (104L, 1L, 153L), (200L, 1L, 153L)))
+    assert(out.map(_._2) === (1 to 6))
+  }
+
+  test("declared hybrid query: legs fuse, self excluded, scores replay") {
+    val out = graft.queries.RetrievalQueries
+      .hybridRrf(spark, "/root/testdata/sf0.001")
+      .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r._3 === r._1), "self must not be retrieved")
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) === (1 to rows.size), s"ranks not contiguous for $q")
+      assert(sorted.map(_._5).sliding(2).forall {
+        case Seq(x, y) => x >= y; case _ => true })
+    }
+    assert(out.forall(r => r._4 >= 1 && r._4 <= 2))
+    // a doc's score must be expressible as a sum of n_lists valid
+    // contributions floor(10000/(60+r)), r in 1..LegK
+    val valid = (1 to graft.queries.RetrievalQueries.LegK)
+      .map(r => 10000L / (60 + r)).toSet
+    assert(out.filter(_._4 === 1L).forall(r => valid.contains(r._5)))
+    assert(out.filter(_._4 === 2L).forall(r =>
+      valid.exists(c => valid.contains(r._5 - c))))
+  }
+
+  test("streaming bm25 search serves the index per micro-batch, replay-safe, rebuild-aware") {
+    import java.nio.file.Files
+    val idxDir = Files.createTempDirectory("bm25-stream-idx").toString
+    val qDir = Files.createTempDirectory("bm25-stream-q").toString
+    val outDir = Files.createTempDirectory("bm25-stream-out").toString
+    val docs = corpus.toDF("doc_id", "text")
+    graft.operators.DedupIndex.writeLexical(
+      docs, "doc_id", "text", idxDir, termNgram = 2)
+    Seq(0L -> "apple banana cherry").toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$qDir/b1")
+    Seq(100L -> "apple banana xx yy").toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$qDir/b2")
+    val schema = spark.read.parquet(s"$qDir/b1").schema
+    def queryStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$qDir/b*/")
+    val q = graft.streaming.CdcStream.startBm25Search(
+      queryStream, "doc_id", "text", idxDir, outDir,
+      Files.createTempDirectory("bm25-stream-ck1").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val cols = Seq("q_id", "rank", "doc_id", "n_terms", "score")
+    def sortedOut = spark.read.parquet(outDir)
+      .select(cols.head, cols.tail: _*)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
+    def batchProbe(queries: Seq[(Long, String)]) = graft.operators.Retrieval
+      .bm25TopKIndexed(graft.operators.DedupIndex.loadLexical(spark, idxDir),
+        queries.toDF("doc_id", "text"), "doc_id", "text")
+      .select(cols.head, cols.tail: _*)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(1)))
+    val expected = batchProbe(Seq(
+      0L -> "apple banana cherry", 100L -> "apple banana xx yy"))
+    assert(sortedOut === expected && expected.nonEmpty)
+
+    // worst-case replay: same files, checkpoint LOST — the per-batch
+    // dynamic partition overwrite rewrites instead of duplicating
+    val q2 = graft.streaming.CdcStream.startBm25Search(
+      queryStream, "doc_id", "text", idxDir, outDir,
+      Files.createTempDirectory("bm25-stream-ck2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sortedOut === expected, "replayed batches must not duplicate")
+
+    // a mid-stream rebuild is served by the NEXT batch with
+    // self-consistent stats: re-index with an extra doc, re-serve
+    graft.operators.DedupIndex.writeLexical(
+      docs.unionByName(Seq(5L -> "apple banana cherry dog")
+        .toDF("doc_id", "text")),
+      "doc_id", "text", idxDir, termNgram = 2)
+    val q3 = graft.streaming.CdcStream.startBm25Search(
+      queryStream, "doc_id", "text", idxDir, outDir,
+      Files.createTempDirectory("bm25-stream-ck3").toString)
+    try q3.processAllAvailable() finally q3.stop()
+    val rebuilt = batchProbe(Seq(
+      0L -> "apple banana cherry", 100L -> "apple banana xx yy"))
+    assert(sortedOut === rebuilt, "served results must match the rebuilt index")
+    assert(rebuilt != expected, "rebuilt index must serve refreshed rankings")
+  }
+
   test("lsh recall report: exact-dup bucket has recall 1.0, counts bounded") {
     // identical pair (J=1.0 -> bucket 10, sigs identical -> always hit),
     // a partial-overlap pair, and unrelated filler
