@@ -179,6 +179,7 @@ object SparkEntry {
     "text_bm25_topk" -> (RetrievalQueries.bm25TopK _),
     "text_bm25_indexed" -> (RetrievalQueries.bm25TopKIndexed _),
     "retrieval_hybrid_rrf" -> (RetrievalQueries.hybridRrf _),
+    "retrieval_hybrid_rrf_indexed" -> (RetrievalQueries.hybridRrfIndexed _),
     // mm_features keeps the deterministic byte-histogram stub (itself
     // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
     // codecs end-to-end with exact integer stats oracle-checked from md5
@@ -346,6 +347,8 @@ object SparkEntry {
     // one oracle gates both
     "text_bm25_indexed" -> RetrievalQueries.bm25TopKSql,
     "retrieval_hybrid_rrf" -> RetrievalQueries.hybridRrfSql,
+    // both legs served from persisted indexes; one oracle gates both forms
+    "retrieval_hybrid_rrf_indexed" -> RetrievalQueries.hybridRrfSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,

@@ -135,6 +135,41 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[hybridRrf]] served ENTIRELY from persisted indexes — the lexical
+    * leg probes the BM25 inverted index ([[QueryIndexes.lexical]]: no
+    * corpus re-tokenization), the dense leg scores the full-corpus
+    * vector index's stored floats ([[QueryIndexes.vectorsFull]]: no
+    * embeddings re-scan). Same query slice, same fusion, same oracle —
+    * bit-identical to the recompute form because stored floats
+    * round-trip parquet exactly and the lexical index is gated
+    * bit-identical by `text_bm25_indexed`. At 100 TB this is the shape
+    * you'd run: both corpus-scale artifacts are build-once bucketed
+    * tables, so a query batch pays batch-sized work per leg.
+    */
+  def hybridRrfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val emb = tbl(spark, sfDir, "embeddings")
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.operators.Retrieval.bm25TopKIndexed(
+        QueryIndexes.lexical(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", k = LegK, qTerms = Bm25QTerms)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val idx = QueryIndexes.vectorsFull(spark, sfDir)
+    val den = graft.operators.Similarity.bruteForceTopK(
+        idx.buckets.select(col("id").as("vec_id"),
+          col("vec").as("embedding")),
+        emb.filter(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", LegK)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = HybridK,
+        rrfK = RrfK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
 

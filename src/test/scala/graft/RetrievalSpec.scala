@@ -207,6 +207,20 @@ class RetrievalSpec extends SparkSpec {
       valid.exists(c => valid.contains(r._5 - c))))
   }
 
+  test("indexed hybrid replays the recompute form row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val cols = Seq("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    val recompute = rows(graft.queries.RetrievalQueries.hybridRrf(spark, sf))
+    val indexed =
+      rows(graft.queries.RetrievalQueries.hybridRrfIndexed(spark, sf))
+    assert(indexed.nonEmpty)
+    assert(indexed === recompute)
+  }
+
   test("streaming bm25 search serves the index per micro-batch, replay-safe, rebuild-aware") {
     import java.nio.file.Files
     val idxDir = Files.createTempDirectory("bm25-stream-idx").toString
