@@ -1099,6 +1099,62 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming hybrid retrieval — [[startBm25Search]]'s fusion twin and
+    * the stream form of the batch `retrieval_hybrid_rrf_indexed` query:
+    * each micro-batch of (id, text, embedding) queries probes BOTH
+    * persisted indexes — the BM25 leg from the lexical inverted index
+    * (no corpus re-tokenization), the dense exact leg scored from the
+    * vector index's stored floats — and fuses by reciprocal-rank
+    * fusion. Only integer ranks cross the fusion boundary, so stream
+    * results are bit-identical to the batch form over the same queries
+    * (per-query independence makes micro-batch boundaries invisible;
+    * spec-pinned). Output partitioned by batch_id with dynamic
+    * overwrite, so a replayed micro-batch rewrites its own partition —
+    * exactly-once-effective like the other search sinks.
+    */
+  def startHybridSearch(queries: DataFrame, qIdCol: String,
+      qTextCol: String, qVecCol: String, lexIndexDir: String,
+      vecIndexDir: String, outDir: String, checkpointDir: String,
+      k: Int = 10, legK: Int = 20, rrfK: Int = 60, qTerms: Int = 8)
+      : StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.persist()
+          try {
+            val lexIdx = graft.operators.DedupIndex
+              .loadLexical(spark, lexIndexDir)
+            val lexW = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("score").desc, col("doc_id"))
+            val lex = graft.operators.Retrieval
+              .bm25TopKIndexed(lexIdx, b, qIdCol, qTextCol, legK, qTerms)
+              .filter(col("doc_id") =!= col("q_id"))
+              .withColumn("rank", row_number().over(lexW))
+              .select(col("q_id"), col("doc_id"), col("rank"))
+            val vecIdx = graft.operators.DedupIndex
+              .loadVectors(spark, vecIndexDir)
+            val den = graft.operators.Similarity.bruteForceTopK(
+                vecIdx.buckets.select(col("id").as("hq_id"),
+                  col("vec").as("hq_vec")),
+                b.select(col(qIdCol).cast("long").as("hq_id"),
+                  col(qVecCol).as("hq_vec")),
+                "hq_id", "hq_vec", legK)
+              .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+            graft.operators.Retrieval.rrfFuse(Seq(lex, den), k, rrfK)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(outDir)
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Continuous CDC maintenance of a persisted text index — the sink
     * that closes the loop this engine's premise implies: the CHANGE
     * STREAM itself (I/U/D events) drives the index. Per micro-batch,

@@ -278,6 +278,83 @@ class RetrievalSpec extends SparkSpec {
     assert(rebuilt != expected, "rebuilt index must serve refreshed rankings")
   }
 
+  test("streaming hybrid search fuses both persisted indexes per micro-batch, batch-equal") {
+    import java.nio.file.Files
+    val dim = 8
+    // deterministic non-degenerate vectors (norms > 0, pairwise distinct)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 7 + d * 3) % 11) - 5).toFloat)
+    val docs = corpus.toDF("doc_id", "text")
+    val vecs = corpus.map { case (id, _) => (id, vec(id.toInt)) }
+      .toDF("vec_id", "embedding")
+    val lexDir = Files.createTempDirectory("hyb-lex").toString
+    val vecDir = Files.createTempDirectory("hyb-vec").toString
+    graft.operators.DedupIndex.writeLexical(
+      docs, "doc_id", "text", lexDir, termNgram = 2)
+    graft.operators.DedupIndex.writeVectors(
+      vecs, "vec_id", "embedding", vecDir, planes = 2, dim = dim)
+
+    // batch 1: an in-corpus query (self must drop from BOTH legs);
+    // batch 2: an in-corpus query plus a FOREIGN query (id 10 — dense
+    // leg still ranks corpus neighbors, lexical leg matches on bigrams)
+    val q1 = Seq((0L, "apple banana cherry", vec(0)))
+    val q2 = Seq((2L, "apple banana xx yy zz", vec(2)),
+      (10L, "apple banana qq ww", vec(10)))
+    val qDir = Files.createTempDirectory("hyb-q").toString
+    q1.toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.parquet(s"$qDir/b1")
+    q2.toDF("doc_id", "text", "embedding")
+      .coalesce(1).write.parquet(s"$qDir/b2")
+    val schema = spark.read.parquet(s"$qDir/b1").schema
+    val outDir = Files.createTempDirectory("hyb-out").toString
+    val q = graft.streaming.CdcStream.startHybridSearch(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$qDir/b*/"),
+      "doc_id", "text", "embedding", lexDir, vecDir, outDir,
+      Files.createTempDirectory("hyb-ck").toString, k = 3, legK = 3)
+    try q.processAllAvailable() finally q.stop()
+
+    // batch reference: the same legs over ALL queries in one pass —
+    // per-query independence makes micro-batch boundaries invisible
+    val allQ = (q1 ++ q2).toDF("doc_id", "text", "embedding")
+    val lexIdx = graft.operators.DedupIndex.loadLexical(spark, lexDir)
+    val vecIdx = graft.operators.DedupIndex.loadVectors(spark, vecDir)
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.operators.Retrieval
+      .bm25TopKIndexed(lexIdx, allQ, "doc_id", "text", 3, 8)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val den = graft.operators.Similarity.bruteForceTopK(
+        vecIdx.buckets.select(col("id").as("hq_id"), col("vec").as("hq_vec")),
+        allQ.select(col("doc_id").as("hq_id"), col("embedding").as("hq_vec")),
+        "hq_id", "hq_vec", 3)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+    val expected = graft.operators.Retrieval.rrfFuse(Seq(lex, den), 3)
+      .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    def got = spark.read.parquet(outDir)
+      .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty)
+    assert(got === expected)
+    assert(got.map(_._1).distinct.sorted === Seq(0L, 2L, 10L))
+    assert(!got.exists(r => r._1 === r._3), "self must not be retrieved")
+
+    // checkpoint-lost replay: dynamic partition overwrite rewrites
+    // each batch's own partition instead of duplicating
+    val qr = graft.streaming.CdcStream.startHybridSearch(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$qDir/b*/"),
+      "doc_id", "text", "embedding", lexDir, vecDir, outDir,
+      Files.createTempDirectory("hyb-ck2").toString, k = 3, legK = 3)
+    try qr.processAllAvailable() finally qr.stop()
+    assert(got === expected, "replayed batches must not duplicate")
+  }
+
   test("lsh recall report: exact-dup bucket has recall 1.0, counts bounded") {
     // identical pair (J=1.0 -> bucket 10, sigs identical -> always hit),
     // a partial-overlap pair, and unrelated filler
