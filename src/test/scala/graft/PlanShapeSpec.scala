@@ -155,6 +155,32 @@ class PlanShapeSpec extends SparkSpec {
         "being recomputed instead of reading the shared fill")
   }
 
+  test("indexed hybrid scans source tables only for the query slice") {
+    val df = graft.queries.RetrievalQueries
+      .hybridRrfIndexed(spark, "/root/testdata/sf0.001")
+    // the deliberate loops are broadcast-nested (query slice broadcast
+    // against the bucketed index scan); a CartesianProduct — both sides
+    // shuffled — would mean the broadcast hint was lost
+    val cart = plan(df).collect {
+      case p: org.apache.spark.sql.execution.joins.CartesianProductExec => p
+    }
+    assert(cart.isEmpty, "indexed hybrid plans a non-broadcast cartesian")
+    // corpus text and corpus embeddings live in the persisted indexes:
+    // the ONLY source-table scans are the query slices (one each). A
+    // second scan of either table means a leg is recomputing over the
+    // corpus instead of probing its index.
+    def srcScans(table: String) = plan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains(table)) => f
+    }
+    assert(srcScans("documents").length <= 1,
+      "indexed hybrid re-scans corpus text — lexical leg not index-served")
+    assert(srcScans("embeddings").length <= 1,
+      "indexed hybrid re-scans embeddings — dense leg not index-served")
+    forbidSinglePartition(df, "retrieval_hybrid_rrf_indexed")
+  }
+
   test("row diff joins by key — no nested-loop degradation") {
     val a = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
     val b = (1L to 1000L).map(i => (i, if (i % 97 == 0) "X" else s"v$i"))
