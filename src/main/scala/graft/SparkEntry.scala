@@ -180,6 +180,7 @@ object SparkEntry {
     "text_bm25_indexed" -> (RetrievalQueries.bm25TopKIndexed _),
     "retrieval_hybrid_rrf" -> (RetrievalQueries.hybridRrf _),
     "retrieval_hybrid_rrf_indexed" -> (RetrievalQueries.hybridRrfIndexed _),
+    "retrieval_hybrid_rrf_ivf" -> (RetrievalQueries.hybridRrfIvf _),
     // mm_features keeps the deterministic byte-histogram stub (itself
     // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
     // codecs end-to-end with exact integer stats oracle-checked from md5
@@ -349,6 +350,9 @@ object SparkEntry {
     "retrieval_hybrid_rrf" -> RetrievalQueries.hybridRrfSql,
     // both legs served from persisted indexes; one oracle gates both forms
     "retrieval_hybrid_rrf_indexed" -> RetrievalQueries.hybridRrfSql,
+    // dense leg = IVF (the declared 100 TB path); the oracle replays the
+    // IVF assignment exactly, so the fusion stays hash-gated
+    "retrieval_hybrid_rrf_ivf" -> RetrievalQueries.hybridRrfIvfSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,

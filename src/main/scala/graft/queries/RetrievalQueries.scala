@@ -170,6 +170,120 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  val IvfCentroids = 20
+  val IvfNprobe = 3
+
+  /** [[hybridRrf]] with the dense leg swapped for IVF ANN — the
+    * declared 100 TB dense path (bounded deterministic centroids,
+    * 3-list probe) instead of the exact brute-force leg. Still
+    * oracle-EXACT: the IVF assignment replays in SQL via the engine's
+    * order-preserving packed argmax key (the `ann_ivf_topk` contract),
+    * and only integer ranks cross the fusion boundary. The fused
+    * results differ from [[hybridRrf]] exactly where IVF's probe misses
+    * a true neighbor — the recall gates quantify that, the oracle gates
+    * the computation itself.
+    */
+  def hybridRrfIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val emb = tbl(spark, sfDir, "embeddings")
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.operators.Retrieval.bm25TopK(
+        docs, docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", "doc_id", "text", k = LegK, qTerms = Bm25QTerms,
+        termNgram = 2)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val den = graft.operators.Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", LegK, numCentroids = IvfCentroids,
+        nprobe = IvfNprobe)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = HybridK,
+        rrfK = RrfK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The IVF dense-leg CTE chain (renamed `iv*` to dodge the bm25
+    * chain's names) up to `den` — the `ann_ivf_topk` oracle re-derived
+    * for the hybrid's query slice and leg depth.
+    */
+  private def ivfLegCtes: String =
+    s"""ivcent0 AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec,
+      |    ${dotSql("embedding", "embedding")} AS cent_norm
+      |  FROM embeddings
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids),
+      |ivcent AS (
+      |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
+      |  FROM ivcent0),
+      |ivc AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${dotSql("embedding", "embedding")} AS n_norm
+      |  FROM embeddings),
+      |ivbest AS (
+      |  SELECT n_id, max(coalesce(CAST(floor(
+      |      ${dotSql("ivc.n_vec", "ivcent.cent_vec")} / nullif(sqrt(ivc.n_norm) * sqrt(ivcent.cent_norm), 0.0)
+      |      * 4503599627370496.0) AS BIGINT), -4503599627370497) * 1024
+      |      + (1023 - cent_idx)) AS ck
+      |  FROM ivc CROSS JOIN ivcent GROUP BY n_id),
+      |ivassigned AS (
+      |  SELECT b.n_id, ivc.n_vec, ivc.n_norm, ivcent.cent_id
+      |  FROM ivbest b
+      |  JOIN ivcent ON ivcent.cent_idx = 1023 - (((b.ck % 1024) + 1024) % 1024)
+      |  JOIN ivc ON ivc.n_id = b.n_id),
+      |ivq AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${dotSql("embedding", "embedding")} AS q_norm
+      |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+      |ivprobes AS (
+      |  SELECT q_id, q_vec, q_norm, cent_id FROM (
+      |    SELECT ivq.q_id, ivq.q_vec, ivq.q_norm, ivcent.cent_id,
+      |      row_number() OVER (PARTITION BY ivq.q_id ORDER BY
+      |        ${dotSql("ivq.q_vec", "ivcent.cent_vec")} / nullif(sqrt(ivq.q_norm) * sqrt(ivcent.cent_norm), 0.0) DESC,
+      |        ivcent.cent_id) AS crk
+      |    FROM ivq CROSS JOIN ivcent) t
+      |  WHERE crk <= $IvfNprobe),
+      |ivscored AS (
+      |  SELECT p.q_id, a.n_id,
+      |    ${dotSql("a.n_vec", "p.q_vec")} / nullif(sqrt(a.n_norm) * sqrt(p.q_norm), 0.0) AS score
+      |  FROM ivassigned a JOIN ivprobes p USING (cent_id)
+      |  WHERE a.n_id <> p.q_id),
+      |ivranked AS (
+      |  SELECT q_id, n_id, score,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |  FROM ivscored),
+      |den AS (
+      |  SELECT q_id, n_id AS doc_id, CAST(rank AS INT) AS rank
+      |  FROM ivranked WHERE rank <= $LegK)""".stripMargin
+
+  def hybridRrfIvfSql: String =
+    s"""WITH $bm25Ctes,
+      |lex AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM (SELECT * FROM ranked
+      |        WHERE rank <= $LegK AND doc_id <> q_id)),
+      |$ivfLegCtes,
+      |contrib AS (
+      |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM lex
+      |  UNION ALL
+      |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM den),
+      |fused AS (
+      |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+      |    CAST(sum(contrib) AS BIGINT) AS rrf_score
+      |  FROM contrib GROUP BY q_id, doc_id),
+      |franked AS (
+      |  SELECT q_id, doc_id, n_lists, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      |  FROM fused)
+      |SELECT q_id, rank, doc_id, n_lists, rrf_score
+      |FROM franked WHERE rank <= $HybridK
+      |ORDER BY q_id, rank""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
 

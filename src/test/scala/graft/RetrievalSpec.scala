@@ -207,6 +207,24 @@ class RetrievalSpec extends SparkSpec {
       valid.exists(c => valid.contains(r._5 - c))))
   }
 
+  test("ivf-legged hybrid: fused ranks contiguous, self excluded, quantized sums") {
+    val out = graft.queries.RetrievalQueries
+      .hybridRrfIvf(spark, "/root/testdata/sf0.001")
+      .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r._3 === r._1), "self must not be retrieved")
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.sortBy(_._2).map(_._2) === (1 to rows.size),
+        s"ranks not contiguous for $q")
+    }
+    val valid = (1 to graft.queries.RetrievalQueries.LegK)
+      .map(r => 10000L / (60 + r)).toSet
+    assert(out.filter(_._4 === 1L).forall(r => valid.contains(r._5)))
+    assert(out.filter(_._4 === 2L).forall(r =>
+      valid.exists(c => valid.contains(r._5 - c))))
+  }
+
   test("indexed hybrid replays the recompute form row for row") {
     val sf = "/root/testdata/sf0.001"
     val cols = Seq("q_id", "rank", "doc_id", "n_lists", "rrf_score")
