@@ -181,6 +181,14 @@ object SparkEntry {
     "retrieval_hybrid_rrf" -> (RetrievalQueries.hybridRrf _),
     "retrieval_hybrid_rrf_indexed" -> (RetrievalQueries.hybridRrfIndexed _),
     "retrieval_hybrid_rrf_ivf" -> (RetrievalQueries.hybridRrfIvf _),
+    "retrieval_hybrid_rrf_ivf_indexed" ->
+      (RetrievalQueries.hybridRrfIvfIndexed _),
+    "text_bm25_indexed_retired" ->
+      (RetrievalQueries.bm25TopKIndexedRetired _),
+    "text_bm25_indexed_refreshed" ->
+      (RetrievalQueries.bm25TopKIndexedRefreshed _),
+    "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
+    "retrieval_e2e" -> (RetrievalQueries.retrievalE2e _),
     // mm_features keeps the deterministic byte-histogram stub (itself
     // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
     // codecs end-to-end with exact integer stats oracle-checked from md5
@@ -353,6 +361,23 @@ object SparkEntry {
     // dense leg = IVF (the declared 100 TB path); the oracle replays the
     // IVF assignment exactly, so the fusion stays hash-gated
     "retrieval_hybrid_rrf_ivf" -> RetrievalQueries.hybridRrfIvfSql,
+    // both legs index-served AND the dense leg probes the IVF lists'
+    // SQ8 codes — the 100 TB hybrid default; the oracle replays
+    // centroids, assignment, quantization and the asymmetric fold
+    "retrieval_hybrid_rrf_ivf_indexed" ->
+      RetrievalQueries.hybridRrfIvfIndexedSql,
+    // generationally-maintained lexical index: oracles recompute over
+    // the POST-CDC corpus, so stale df/postings/stats hash-mismatch
+    "text_bm25_indexed_retired" -> RetrievalQueries.bm25IndexedRetiredSql,
+    "text_bm25_indexed_refreshed" ->
+      RetrievalQueries.bm25IndexedRefreshedSql,
+    // the hybrid quality gate: integer overlap/displacement of the
+    // IVF-legged fusion vs the brute-legged fusion per nprobe —
+    // oracle-exact measurement of an approximation, like dedup_lsh_recall
+    "retrieval_hybrid_recall" -> RetrievalQueries.hybridRecallSql,
+    // retrieval capstone: curate -> dedup -> derive retrieval structures
+    // -> serve a hybrid batch, one DAG, stage interactions hash-gated
+    "retrieval_e2e" -> RetrievalQueries.retrievalE2eSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,

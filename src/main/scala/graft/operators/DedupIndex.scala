@@ -186,65 +186,323 @@ object DedupIndex {
     * probes them Exchange-free), `doclens` is id-bucketed, and the
     * one-row corpus stats are collected at load (two longs — the same
     * bounded-driver-materialization contract as the SQ8 ranges).
+    *
+    * Like the text/vector indexes the lexical index is GENERATIONAL
+    * (fmt 2): rows carry the `gen` ordinal under which their document
+    * was (re-)indexed and `(id, gen)` tombstones retire them, so a
+    * standing retrieval service absorbs CDC inserts/updates/deletes
+    * ([[appendLexical]]/[[retireLexical]]) with no rebuild cadence —
+    * and because BM25's GLOBAL statistics (df, doc lengths, corpus
+    * totals) make every score corpus-dependent, those statistics are
+    * maintained as signed DELTAS committed in the same staged batch:
+    * `termdf` rows sum per token to the live document frequency and
+    * `stats` rows sum to the live (n_docs, total_len). A probe over a
+    * maintained index therefore scores bit-identically to a
+    * from-scratch recompute over the live corpus — stale-idf drift
+    * structurally cannot happen.
     */
   final case class LexicalIndex(dir: String, params: LexicalParams,
       postings: DataFrame, doclens: DataFrame, termdf: DataFrame,
       nDocs: Long, totalLen: Long)
 
+  /** The stored lexical index unfiltered — maintenance internals' view:
+    * `doclens` keeps its ledger columns (content_hash, gen — the
+    * freshness resolution reads them), `docterms` is the id-bucketed
+    * FORWARD index (the classic search-engine twin of the inverted
+    * `postings`) whose sole job is making retirement and refresh
+    * batch-sized: reversing a document's df/length contributions needs
+    * its term list BY ID, which the tok-bucketed postings cannot serve
+    * without a corpus shuffle.
+    */
+  private final case class LexicalRaw(dir: String, params: LexicalParams,
+      postings: DataFrame, docterms: DataFrame, doclens: DataFrame,
+      termdf: DataFrame, tombstones: DataFrame)
+
   /** Build and persist the BM25 inverted index of `corpus` under `dir`:
-    * per-(doc, term) frequencies, per-doc lengths, per-term document
-    * frequencies, and the one-row corpus stats. One corpus scan feeds
-    * all four (the tf table is computed once and reused). Unlike the
-    * dedup indexes this one is rebuilt, not absorbed: BM25's global df
-    * and length statistics make every score corpus-dependent, so
-    * incremental growth would silently serve stale idf — the honest
-    * contract is a rebuild cadence.
+    * per-(doc, term) frequencies (inverted by token AND forward by id),
+    * per-doc lengths with the content-hash freshness ledger, per-term
+    * document frequencies, and the corpus stats row. One corpus scan
+    * feeds all of them (the tf table is computed once and reused).
     */
   def writeLexical(corpus: DataFrame, idCol: String, textCol: String,
       dir: String, termNgram: Int = 2, numBuckets: Int = 0): Unit = {
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
-    dropComponents(spark, dir, Seq("postings", "doclens", "termdf"))
-    val tf = graft.plans.CachedPlans.cached(
+    dropComponents(spark, dir,
+      Seq("postings", "docterms", "doclens", "termdf", "stats",
+        "tombstones"))
+    val base = graft.plans.CachedPlans.cached(
       corpus.select(col(idCol).cast("long").as("id"),
-          explode(Retrieval.termList(col(textCol), termNgram)).as("tok"))
+        col(textCol).as("__text"), md5(col(textCol)).as("content_hash")))
+    val tf = graft.plans.CachedPlans.cached(
+      base.select(col("id"),
+          explode(Retrieval.termList(col("__text"), termNgram)).as("tok"))
         .groupBy(col("id"), col("tok"))
-        .agg(count(lit(1)).as("tf")))
-    writeComponent(tf, dir, "postings", Seq("tok"), n)
-    writeComponent(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("gen", lit(0L)))
+    writeComponent(tf.select(col("id"), col("tok"), col("tf"), col("gen")),
+      dir, "postings", Seq("tok"), n)
+    writeComponent(tf.select(col("id"), col("tok"), col("tf"), col("gen")),
+      dir, "docterms", Seq("id"), n)
+    // doclens is the freshness ledger: EVERY corpus doc gets a row —
+    // termless docs carry dl = 0 (they still dilute idf via n_docs,
+    // as in any IR engine) rather than no row (which would make a
+    // replayed absorb re-index them)
+    writeComponent(
+      base.join(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("dl"), lit(0L)).as("dl"),
+          col("content_hash"), lit(0L).as("gen")),
       dir, "doclens", Seq("id"), n)
     writeComponent(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
       dir, "termdf", Seq("tok"), n)
-    // n_docs counts ALL corpus docs (termless docs dilute idf, as in any
-    // IR engine); total_len coalesced for an all-termless corpus
     corpus.select(count(lit(1)).as("n_docs"))
       .crossJoin(tf.select(coalesce(sum(col("tf")), lit(0L))
         .as("total_len")))
       .coalesce(1).write.mode("overwrite")
       .parquet(componentPath(dir, "stats").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "lexical", "fmt" -> "1",
+      "kind" -> "lexical", "fmt" -> "2",
       "termNgram" -> termNgram.toString, "numBuckets" -> n.toString))
   }
 
-  /** Load a lexical index written by [[writeLexical]]. */
+  /** Load a lexical index written by [[writeLexical]] (and possibly
+    * maintained since): live views in the classic probe shape — dead
+    * `(id, gen)` rows anti-joined out of postings/doclens, `termdf`
+    * summed from its signed delta rows (tok-bucketed, so the aggregate
+    * is Exchange-free and vocabulary-scale) keeping tokens with a
+    * positive live df, and the corpus stats summed from their delta
+    * rows into the two collected longs.
+    */
   def loadLexical(spark: SparkSession, dir: String): LexicalIndex = {
-    val p = readParams(spark, dir, "lexical")
-    if (!p.get("fmt").contains("1"))
-      corrupt(dir, s"lexical index format ${p.getOrElse("fmt", "?")}, " +
-        "expected 1 (rebuild the index)")
-    val params = LexicalParams(p("termNgram").toInt, p("numBuckets").toInt)
+    val raw = loadLexicalRaw(spark, dir)
+    val (postings, doclens) =
+      if (isEmptyTombstones(raw.tombstones))
+        (raw.postings, raw.doclens)
+      else {
+        val tomb = broadcast(raw.tombstones)
+        (raw.postings.join(tomb, Seq("id", "gen"), "left_anti"),
+          raw.doclens.join(tomb, Seq("id", "gen"), "left_anti"))
+      }
     val st = spark.read.parquet(componentPath(dir, "stats").toString)
-      .select(col("n_docs").cast("long"), col("total_len").cast("long"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_len")), lit(0L)).as("total_len"))
       .head()
-    LexicalIndex(dir, params,
+    LexicalIndex(dir, raw.params,
+      postings = postings.select(col("id"), col("tok"), col("tf")),
+      doclens = doclens.select(col("id"), col("dl")),
+      termdf = raw.termdf.groupBy(col("tok"))
+        .agg(sum(col("df")).as("df")).filter(col("df") > 0),
+      nDocs = st.getLong(0), totalLen = st.getLong(1))
+  }
+
+  private def loadLexicalRaw(spark: SparkSession, dir: String)
+      : LexicalRaw = {
+    recover(spark, dir)
+    val p = readParams(spark, dir, "lexical")
+    // fmt 2 made rows generational and df/stats delta-maintained; a
+    // fmt-1 index lacks the forward index and ledger columns the
+    // maintenance verbs need, so it reads as corrupt and callers
+    // rebuild (the same policy as the text/vector formats)
+    if (!p.get("fmt").contains("2"))
+      corrupt(dir, s"lexical index format ${p.getOrElse("fmt", "?")}, " +
+        "expected 2 (rebuild the index)")
+    val params = LexicalParams(p("termNgram").toInt, p("numBuckets").toInt)
+    LexicalRaw(dir, params,
       postings = component(spark, dir, "postings", Seq("tok"),
+        params.numBuckets),
+      docterms = component(spark, dir, "docterms", Seq("id"),
         params.numBuckets),
       doclens = component(spark, dir, "doclens", Seq("id"),
         params.numBuckets),
       termdf = component(spark, dir, "termdf", Seq("tok"),
         params.numBuckets),
-      nDocs = st.getLong(0), totalLen = st.getLong(1))
+      tombstones = readTombstones(spark, dir))
+  }
+
+  /** [[appendText]]'s lexical twin: absorb a CDC INSERT/UPDATE batch
+    * into a persisted BM25 index under its frozen term geometry, with
+    * the same content-aware generational semantics (unchanged text =
+    * no-op, changed text = refresh tombstoning the live generation,
+    * re-insert after retire = resurrection) and the same staged
+    * crash-atomic commit + writer lease. What is lexical-specific is
+    * the GLOBAL-statistics bookkeeping: the same commit that lands the
+    * fresh postings also appends signed df deltas (+1 per fresh
+    * (doc, token), −1 per displaced one, read batch-sized from the
+    * id-bucketed forward index) and a signed (n_docs, total_len) stats
+    * row — so probes after the commit score bit-identically to a
+    * recompute over the post-change corpus, never on stale idf.
+    */
+  def appendLexical(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try appendLexicalHolding(newDocs, idCol, textCol, dir, lease)
+    finally releaseLease(fs, dir, lease)
+  }
+
+  private def appendLexicalHolding(newDocs: DataFrame, idCol: String,
+      textCol: String, dir: String, lease: String): Unit = {
+    val spark = newDocs.sparkSession
+    recover(spark, dir, Some(lease))
+    val raw = loadLexicalRaw(spark, dir)
+    val p = raw.params
+    // call-local persists only (see [[resolveGenerations]])
+    val batch0 = newDocs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"), md5(col(textCol)).as("__content"))
+      .persist()
+    val (fresh0, displaced0, release) = resolveGenerations(batch0,
+      raw.doclens.select(col("id"), col("content_hash").as("__content"),
+        col("gen")),
+      raw.tombstones)
+    try {
+      val fresh = fresh0.select(col("id"), col("__text"),
+        col("__content").as("content_hash"), col(GenCol).as("gen"))
+      if (fresh.isEmpty) return // full replay: commit nothing
+      val displaced = displaced0.persist()
+      val tf = fresh.select(col("id"), col("gen"),
+          explode(Retrieval.termList(col("__text"), p.termNgram))
+            .as("tok"))
+        .groupBy(col("id"), col("gen"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .persist()
+      try {
+        val dlOf = fresh
+          .join(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("dl"), lit(0L)).as("dl"),
+            col("content_hash"), col("gen"))
+        // df reversal for the generations this batch displaces, served
+        // batch-sized by the id-bucketed forward index
+        val negDf = raw.docterms
+          .join(broadcast(displaced), Seq("id", "gen"), "left_semi")
+          .groupBy(col("tok")).agg((lit(0L) - count(lit(1))).as("df"))
+        val dfDelta = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .unionByName(negDf)
+        val statsDelta = fresh
+          .agg(count(lit(1)).as("__fn"))
+          .crossJoin(dlOf.agg(coalesce(sum(col("dl")), lit(0L))
+            .as("__flen")))
+          .crossJoin(raw.doclens
+            .join(broadcast(displaced), Seq("id", "gen"), "left_semi")
+            .agg(count(lit(1)).as("__dn"),
+              coalesce(sum(col("dl")), lit(0L)).as("__dlen")))
+          .select((col("__fn") - col("__dn")).as("n_docs"),
+            (col("__flen") - col("__dlen")).as("total_len"))
+        val batch = newBatchId()
+        stageComponent(
+          tf.select(col("id"), col("tok"), col("tf"), col("gen")),
+          dir, batch, "postings", Seq("tok"), p.numBuckets)
+        stageComponent(
+          tf.select(col("id"), col("tok"), col("tf"), col("gen")),
+          dir, batch, "docterms", Seq("id"), p.numBuckets)
+        stageComponent(dlOf, dir, batch, "doclens", Seq("id"),
+          p.numBuckets)
+        stageComponent(dfDelta, dir, batch, "termdf", Seq("tok"),
+          p.numBuckets)
+        stagePlain(statsDelta, dir, batch, "stats")
+        if (!displaced.isEmpty)
+          stagePlain(displaced, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch)
+      } finally { tf.unpersist(); displaced.unpersist(); () }
+    } finally { release(); batch0.unpersist(); () }
+  }
+
+  /** [[retireText]]'s lexical twin: absorb a CDC DELETE batch — the
+    * retired ids' live generations join the tombstone set AND their
+    * global-statistics contributions reverse (signed df rows from the
+    * forward index, a negative stats row) in one staged crash-atomic
+    * commit, so post-delete probes never rank retired docs and never
+    * score survivors against stale df/length statistics. Idempotent:
+    * replayed delete batches find no live generation and commit
+    * nothing.
+    */
+  def retireLexical(deleteIds: DataFrame, idCol: String, dir: String)
+      : Unit = {
+    val spark = deleteIds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val raw = loadLexicalRaw(spark, dir)
+      // call-LOCAL persist, deliberately not CachedPlans.cached: the
+      // plan reads the very components this call is about to mutate, so
+      // a registry entry would hand a replayed delete batch the
+      // PREVIOUS call's victims and double-commit the tombstones
+      val victims = raw.doclens
+        .join(deleteIds.select(col(idCol).cast("long").as("id"))
+          .distinct(), Seq("id"), "left_semi")
+        .join(broadcast(raw.tombstones), Seq("id", "gen"), "left_anti")
+        .select(col("id"), col("gen"), col("dl"))
+        .persist()
+      try {
+        if (victims.isEmpty) return
+        val tomb = victims.select(col("id"), col("gen"))
+        val negDf = raw.docterms
+          .join(broadcast(tomb), Seq("id", "gen"), "left_semi")
+          .groupBy(col("tok")).agg((lit(0L) - count(lit(1))).as("df"))
+        val statsDelta = victims
+          .agg((lit(0L) - count(lit(1))).as("n_docs"),
+            (lit(0L) - coalesce(sum(col("dl")), lit(0L))).as("total_len"))
+        val batch = newBatchId()
+        stageComponent(negDf, dir, batch, "termdf", Seq("tok"),
+          raw.params.numBuckets)
+        stagePlain(statsDelta, dir, batch, "stats")
+        stagePlain(tomb, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch)
+      } finally { victims.unpersist(); () }
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[compactText]]'s lexical twin: physically drop tombstoned rows
+    * from postings/docterms/doclens, collapse the signed `termdf` and
+    * `stats` delta rows back to their aggregated live values, and clear
+    * the tombstones — a REPLACE-mode staged commit with the same
+    * crash-rollback and reader-fencing caveats as the text compaction.
+    * Purely space/IO reclaim: probe results are unchanged by
+    * construction (the load path already aggregates the deltas).
+    */
+  def compactLexical(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val raw = loadLexicalRaw(spark, dir)
+      if (!isEmptyTombstones(raw.tombstones)) {
+        val tomb = broadcast(raw.tombstones)
+        def live(df: DataFrame): DataFrame =
+          df.join(tomb, Seq("id", "gen"), "left_anti")
+        val n = raw.params.numBuckets
+        val batch = newBatchId()
+        stageComponent(live(raw.postings), dir, batch, "postings",
+          Seq("tok"), n)
+        stageComponent(live(raw.docterms), dir, batch, "docterms",
+          Seq("id"), n)
+        stageComponent(live(raw.doclens), dir, batch, "doclens",
+          Seq("id"), n)
+        stageComponent(
+          live(raw.postings).groupBy(col("tok"))
+            .agg(count(lit(1)).as("df")),
+          dir, batch, "termdf", Seq("tok"), n)
+        stagePlain(
+          live(raw.doclens).agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("total_len")),
+          dir, batch, "stats")
+        stageEmpty(spark, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch, replace = true)
+      }
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[compactTextIfNeeded]]'s lexical twin. */
+  def compactLexicalIfNeeded(spark: SparkSession, dir: String,
+      maxTombstones: Long): Boolean = {
+    val n = readTombstones(spark, dir).count()
+    if (n > maxTombstones) { compactLexical(spark, dir); true } else false
   }
 
   /** The counts ledger rows for a set of (id, content_hash, gen) docs:
@@ -369,21 +627,32 @@ object DedupIndex {
       concat_ws(",",
         transform(vec, v => coalesce(v.cast("string"), lit("null"))))))
 
-  /** The generational freshness resolution shared by the text and
-    * vector absorbs. `batch` carries (id, …payload…, __content); `stored`
-    * is the RAW per-id ledger (id, __content, gen — every generation,
-    * dead ones included). Returns:
+  /** The generational freshness resolution shared by the text, vector
+    * and lexical absorbs. `batch` carries (id, …payload…, __content);
+    * `stored` is the RAW per-id ledger (id, __content, gen — every
+    * generation, dead ones included). Returns:
     *   - `fresh`: the batch rows to index — those whose id has no LIVE
     *     generation with matching content (null-safe comparison, so
     *     null-content rows replay as no-ops too) — with [[GenCol]]
     *     attached (max stored gen + 1, or 0 for brand-new ids);
     *   - `displaced`: the live (id, gen) pairs `fresh` supersedes — the
-    *     refresh tombstones that must commit in the same staged batch.
+    *     refresh tombstones that must commit in the same staged batch;
+    *   - a release thunk the caller MUST invoke after its commit.
+    *
+    * Intermediates use call-LOCAL persists, deliberately NOT
+    * [[graft.plans.CachedPlans.cached]]: these plans read the very
+    * components the caller is about to mutate, and once anything is
+    * persisted the CacheManager can substitute InMemoryRelations into
+    * later same-shaped plans, emptying their `inputFiles` and
+    * degrading the registry key to plan-only — at which point a
+    * replayed or follow-up maintenance call silently receives a STALE
+    * previous resolution (observed as a retire double-committing its
+    * tombstones; the absorbs share the hazard).
     */
   private def resolveGenerations(batch: DataFrame, stored: DataFrame,
-      tombstones: DataFrame): (DataFrame, DataFrame) = {
-    val state = graft.plans.CachedPlans.cached(
-      stored.join(batch.select(col("id")), Seq("id"), "left_semi"))
+      tombstones: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+    val state = stored.join(batch.select(col("id")), Seq("id"),
+      "left_semi").persist()
     val liveState = state
       .join(broadcast(tombstones), Seq("id", "gen"), "left_anti")
     val ls = liveState.select(col("id").as("__lid"),
@@ -393,14 +662,15 @@ object DedupIndex {
         batch("__content") <=> col("__stored"), "left_anti")
     val nextGen = state.groupBy("id")
       .agg((max(col("gen")) + 1).as("__nextgen"))
-    val fresh = graft.plans.CachedPlans.cached(
-      toIndex.join(nextGen, Seq("id"), "left")
-        .withColumn(GenCol, coalesce(col("__nextgen"), lit(0L)))
-        .drop("__nextgen"))
+    val fresh = toIndex.join(nextGen, Seq("id"), "left")
+      .withColumn(GenCol, coalesce(col("__nextgen"), lit(0L)))
+      .drop("__nextgen")
+      .persist()
     val displaced = liveState
       .join(fresh.select(col("id")), Seq("id"), "left_semi")
       .select(col("id"), col("gen"))
-    (fresh, displaced)
+    (fresh, displaced,
+      () => { state.unpersist(); fresh.unpersist(); () })
   }
 
   /** IVF inverted-list rows for `vecs` (carrying [[GenCol]]) under
@@ -527,54 +797,61 @@ object DedupIndex {
     // contract shared with the probe family. The stored side is the
     // counts ledger RESTRICTED to batch ids before anything else:
     // counts is bucketed by id, so the corpus side never shuffles, and
-    // everything downstream is batch-sized.
-    val batch0 = graft.plans.CachedPlans.cached(
-      newDocs.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("__text"), md5(col(textCol)).as("__content")))
-    val (fresh0, displaced) = resolveGenerations(batch0,
+    // everything downstream is batch-sized. Intermediates are
+    // call-LOCAL persists (see [[resolveGenerations]] for why the
+    // registry cache must stay out of maintenance internals).
+    val batch0 = newDocs.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("__text"), md5(col(textCol)).as("__content"))
+      .persist()
+    val (fresh0, displaced, release) = resolveGenerations(batch0,
       idx.counts.select(col("id"), col("content_hash").as("__content"),
         col("gen")),
       idx.tombstones)
-    val fresh = fresh0.select(col("id"), col("__text"),
-      col("__content").as("content_hash"), col(GenCol).as("gen"))
-    val sh = graft.plans.CachedPlans.cached(
-      Dedup.hashedShingleTable(fresh, "id", "__text", p.shingleN,
-        p.portable))
-    val sig = graft.plans.CachedPlans.cached(
-      Dedup.minHashSignatures(sh, "id", p.numHashes, p.portable))
-    val genOf = fresh.select(col("id"), col("gen"))
-    val batch = newBatchId()
-    stageComponent(
-      fresh.select(col("content_hash")).distinct()
-        .join(idx.hashes, Seq("content_hash"), "left_anti"),
-      dir, batch, "hashes", Seq("content_hash"), p.numBuckets)
-    stageComponent(
-      Dedup.lshBandKeys(sig, "id", p.bands, p.numHashes / p.bands,
-          p.portable)
-        .select(col("id").cast("long").as("id"), col("band"),
-          col("band_key"),
-          bandedKey(col("band"), col("band_key")).as("bkey"))
-        .join(genOf, Seq("id")),
-      dir, batch, "bands", Seq("bkey"), p.numBuckets)
-    stageComponent(
-      sig.select(col("id").cast("long").as("id"),
-        array((0 until p.numHashes).map(i => col(s"h$i")): _*).as("sig"))
-        .join(genOf, Seq("id")),
-      dir, batch, "sigs", Seq("id"), p.numBuckets)
-    stageComponent(
-      sh.select(col("id").cast("long").as("id"), col("shingle"))
-        .join(genOf, Seq("id")),
-      dir, batch, "shingles", Seq("id"), p.numBuckets)
-    stageComponent(
-      countRows(fresh.select(col("id"), col("content_hash"), col("gen")),
-        sh.select(col("id"))),
-      dir, batch, "counts", Seq("id"), p.numBuckets)
-    stageComponent(
-      fresh.select(col("id"), col("content_hash"), col("gen")),
-      dir, batch, "dochashes", Seq("content_hash"), p.numBuckets)
-    if (!displaced.isEmpty)
-      stagePlain(displaced, dir, batch, "tombstones")
-    commitStaged(spark, dir, batch)
+    try {
+      val fresh = fresh0.select(col("id"), col("__text"),
+        col("__content").as("content_hash"), col(GenCol).as("gen"))
+      val sh = Dedup.hashedShingleTable(fresh, "id", "__text", p.shingleN,
+        p.portable).persist()
+      val sig = Dedup.minHashSignatures(sh, "id", p.numHashes, p.portable)
+        .persist()
+      try {
+        val genOf = fresh.select(col("id"), col("gen"))
+        val batch = newBatchId()
+        stageComponent(
+          fresh.select(col("content_hash")).distinct()
+            .join(idx.hashes, Seq("content_hash"), "left_anti"),
+          dir, batch, "hashes", Seq("content_hash"), p.numBuckets)
+        stageComponent(
+          Dedup.lshBandKeys(sig, "id", p.bands, p.numHashes / p.bands,
+              p.portable)
+            .select(col("id").cast("long").as("id"), col("band"),
+              col("band_key"),
+              bandedKey(col("band"), col("band_key")).as("bkey"))
+            .join(genOf, Seq("id")),
+          dir, batch, "bands", Seq("bkey"), p.numBuckets)
+        stageComponent(
+          sig.select(col("id").cast("long").as("id"),
+            array((0 until p.numHashes).map(i => col(s"h$i")): _*)
+              .as("sig"))
+            .join(genOf, Seq("id")),
+          dir, batch, "sigs", Seq("id"), p.numBuckets)
+        stageComponent(
+          sh.select(col("id").cast("long").as("id"), col("shingle"))
+            .join(genOf, Seq("id")),
+          dir, batch, "shingles", Seq("id"), p.numBuckets)
+        stageComponent(
+          countRows(fresh.select(col("id"), col("content_hash"),
+              col("gen")),
+            sh.select(col("id"))),
+          dir, batch, "counts", Seq("id"), p.numBuckets)
+        stageComponent(
+          fresh.select(col("id"), col("content_hash"), col("gen")),
+          dir, batch, "dochashes", Seq("content_hash"), p.numBuckets)
+        if (!displaced.isEmpty)
+          stagePlain(displaced, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch)
+      } finally { sh.unpersist(); sig.unpersist(); () }
+    } finally { release(); batch0.unpersist(); () }
   }
 
   /** [[appendText]]'s vector twin: absorb new vectors into an existing
@@ -602,31 +879,34 @@ object DedupIndex {
     val p = idx.params
     // the stored side restricted to batch ids (buckets is bucketed by
     // LSH bucket, not id, so this is the one corpus-side id shuffle of
-    // the vector absorb — its output is batch-sized)
-    val batch0 = graft.plans.CachedPlans.cached(
-      newVecs.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("__vec"), vecDigest(col(vecCol)).as("__content")))
-    val (fresh0, displaced) = resolveGenerations(batch0,
+    // the vector absorb — its output is batch-sized). Call-local
+    // persists only (see [[resolveGenerations]]).
+    val batch0 = newVecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__vec"), vecDigest(col(vecCol)).as("__content"))
+      .persist()
+    val (fresh0, displaced, release) = resolveGenerations(batch0,
       idx.buckets.select(col("id"), col("vhash").as("__content"),
         col("gen")),
       idx.tombstones)
-    val fresh = fresh0.select(col("id"), col("__vec"), col(GenCol))
-    val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
-    val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
-    val batch = newBatchId()
-    stageComponent(
-      vectorRows(fresh, "id", "__vec", signs, idx.ranges, p.dim,
-        idx.pqCodebooks, jlSigns),
-      dir, batch, "buckets", Seq("bucket"), p.numBuckets)
-    // absorbed vectors join the inverted lists under the STORED
-    // centroids (frozen, like the ranges — standard IVF absorb); both
-    // components commit in the one staged batch
-    stageComponent(
-      listRows(fresh, "id", "__vec", idx.centroids, idx.ranges),
-      dir, batch, "lists", Seq("cent_id"), p.numBuckets)
-    if (!displaced.isEmpty)
-      stagePlain(displaced, dir, batch, "tombstones")
-    commitStaged(spark, dir, batch)
+    try {
+      val fresh = fresh0.select(col("id"), col("__vec"), col(GenCol))
+      val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
+      val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
+      val batch = newBatchId()
+      stageComponent(
+        vectorRows(fresh, "id", "__vec", signs, idx.ranges, p.dim,
+          idx.pqCodebooks, jlSigns),
+        dir, batch, "buckets", Seq("bucket"), p.numBuckets)
+      // absorbed vectors join the inverted lists under the STORED
+      // centroids (frozen, like the ranges — standard IVF absorb); both
+      // components commit in the one staged batch
+      stageComponent(
+        listRows(fresh, "id", "__vec", idx.centroids, idx.ranges),
+        dir, batch, "lists", Seq("cent_id"), p.numBuckets)
+      if (!displaced.isEmpty)
+        stagePlain(displaced, dir, batch, "tombstones")
+      commitStaged(spark, dir, batch)
+    } finally { release(); batch0.unpersist(); () }
   }
 
   // -------------------------------------------------- retire / compact

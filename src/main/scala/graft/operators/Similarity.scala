@@ -457,6 +457,65 @@ object Similarity {
       .select("q_id", "n_id", "rank", "score")
   }
 
+  /** [[ivfTopK]] evaluated at SEVERAL nprobe settings in one pass — the
+    * engine of the hybrid recall gate: the corpus assignment (the
+    * expensive argmax) runs ONCE, probes keep their centroid rank
+    * `crk` up to max(nprobes), the scored candidate set is persisted
+    * once, and each requested nprobe is a filter + per-query rank over
+    * that shared set. Per-nprobe results are bit-identical to
+    * [[ivfTopK]] at that nprobe (filtering crk after the join selects
+    * exactly the candidates its probes would have produced). Emits
+    * (nprobe, q_id, n_id, rank, score).
+    */
+  def ivfTopKMulti(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, nprobes: Seq[Int])
+      : DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ > 0),
+      s"nprobes must be positive, got $nprobes")
+    require(numCentroids > 0 && numCentroids <= 1024,
+      s"numCentroids must be in (0, 1024], got $numCentroids")
+    val maxNp = nprobes.max
+    val cent = withCentIdx0(selectCentroids(corpus, idCol, numCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        VectorFunctions.normSq(col(vecCol)).as("cent_norm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("n_norm"))
+    val assigned = nearestCentIdx(c, cent)
+      .join(broadcast(cent.select(
+        col("cent_idx").cast("long").as("cent_idx"), col("cent_id"))),
+        Seq("cent_idx"))
+      .join(c, Seq("n_id"))
+      .select(col("n_id"), col("n_vec"), col("n_norm"), col("cent_id"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFunctions.normSq(col(vecCol)).as("q_norm"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cent_score").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_score", VectorFunctions.cosineFrom(
+        VectorFunctions.dot(col("q_vec"), col("cent_vec")),
+        col("q_norm"), col("cent_norm")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= maxNp)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cent_id"),
+        col("crk"))
+    val scored = graft.plans.CachedPlans.cached(
+      assigned.join(broadcast(probes), Seq("cent_id"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("score", VectorFunctions.cosineFrom(
+          VectorFunctions.dot(col("n_vec"), col("q_vec")),
+          col("n_norm"), col("q_norm")))
+        .select(col("q_id"), col("n_id"), col("crk"), col("score")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id"))
+    nprobes.map { np =>
+      scored.filter(col("crk") <= np)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(np).as("nprobe"), col("q_id"), col("n_id"),
+          col("rank"), col("score"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF with one Lloyd (k-means) refinement round — the real IVF build
     * path: seed centroids are assigned, re-estimated as the mean of
     * their members, and the index is rebuilt over the refined centroids

@@ -646,6 +646,76 @@ class CdcStreamSpec extends SparkSpec {
     assert(Seq(1L, 3L, 5L, 6L).forall(v(_) === "dup_of_existing"), v)
   }
 
+  test("CDC lexical index maintenance sink: I/U/D keep BM25 exact, replay commits nothing") {
+    val dir = Files.createTempDirectory("stream_lexmaint").toString
+    val idxDir = Files.createTempDirectory("stream_lexmaint_idx").toString
+    val ckpt1 = Files.createTempDirectory("stream_lexmaint_c1").toString
+    def doc(i: Long) = s"ranked$i corpus$i shared lexical filler words " +
+      s"ranked$i tail$i"
+    def docV2(i: Long) = doc(i) + " revised second edition"
+    graft.operators.DedupIndex.writeLexical(
+      (1L to 3L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, termNgram = 2)
+
+    def writeEvents(name: String,
+        rows: Seq[(String, Long, Long, String)]): Unit =
+      rows.toDF(C.Op, "seq", "doc_id", "text")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: INSERT doc 4, UPDATE doc 1 to v2; batch 2: DELETE doc 2,
+    // insert-then-delete doc 5 inside one batch (last event wins)
+    writeEvents("b1", Seq(("I", 1L, 4L, doc(4)), ("U", 2L, 1L, docV2(1))))
+    writeEvents("b2", Seq(("D", 3L, 2L, doc(2)), ("I", 4L, 5L, doc(5)),
+      ("D", 5L, 5L, doc(5))))
+    val maxB1 = new java.io.File(s"$dir/b1").listFiles
+      .map(_.lastModified).max
+    new java.io.File(s"$dir/b2").listFiles
+      .foreach(f => f.setLastModified(maxB1 + 2000))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = CdcStream.startLexicalIndexMaintenance(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, ckpt1, col("seq"))
+    try q.processAllAvailable() finally q.stop()
+
+    // the maintained index must score exactly as a recompute over the
+    // post-stream corpus {1v2, 3, 4} — deleted/stale postings would
+    // shift df/doclen/total_len and break bit-equality
+    val live = Seq(1L -> docV2(1), 3L -> doc(3), 4L -> doc(4))
+    val queries = Seq(501L -> docV2(1), 502L -> doc(2), 503L -> doc(4))
+      .toDF("doc_id", "text")
+    val cols = Seq("q_id", "rank", "doc_id", "n_terms", "score")
+    def probe() = graft.operators.Retrieval
+      .bm25TopKIndexed(
+        graft.operators.DedupIndex.loadLexical(spark, idxDir),
+        queries, "doc_id", "text")
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sorted
+    val expected = graft.operators.Retrieval
+      .bm25TopK(live.toDF("doc_id", "text"), queries,
+        "doc_id", "text", "doc_id", "text", termNgram = 2)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sorted
+    val got = probe()
+    assert(got.nonEmpty && got === expected,
+      "maintained lexical index diverged from live-corpus recompute")
+    assert(!got.exists(_._3 == 2L), "deleted doc 2 still ranks")
+    assert(!got.exists(_._3 == 5L), "same-batch insert+delete leaked")
+
+    // checkpoint-lost replay: absorb skips matching content, retire
+    // finds no live generation — results unchanged, nothing committed
+    val ckpt2 = Files.createTempDirectory("stream_lexmaint_c2").toString
+    val q2 = CdcStream.startLexicalIndexMaintenance(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, ckpt2, col("seq"))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(probe() === expected, "replayed maintenance changed rankings")
+    val doclens = graft.operators.DedupIndex.loadLexical(spark, idxDir)
+      .doclens
+    assert(doclens.groupBy($"id").count().filter($"count" > 1).isEmpty,
+      "replay stacked duplicate live doclen rows")
+  }
+
   test("index-aware streaming embedding probe ignores retired vectors") {
     val dir = Files.createTempDirectory("stream_endret").toString
     val idxDir = Files.createTempDirectory("stream_endret_idx").toString

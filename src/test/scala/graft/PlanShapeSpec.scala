@@ -156,8 +156,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("indexed hybrid scans source tables only for the query slice") {
-    val df = graft.queries.RetrievalQueries
-      .hybridRrfIndexed(spark, "/root/testdata/sf0.001")
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.RetrievalQueries.hybridRrfIndexed(spark, sf)
     // the deliberate loops are broadcast-nested (query slice broadcast
     // against the bucketed index scan); a CartesianProduct — both sides
     // shuffled — would mean the broadcast hint was lost
@@ -166,19 +166,92 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(cart.isEmpty, "indexed hybrid plans a non-broadcast cartesian")
     // corpus text and corpus embeddings live in the persisted indexes:
-    // the ONLY source-table scans are the query slices (one each). A
-    // second scan of either table means a leg is recomputing over the
-    // corpus instead of probing its index.
+    // the ONLY source-table scan is the query slice — EXACTLY one per
+    // table, matched on the sfDir-prefixed path (a bare table-name
+    // substring could false-match an index temp path, and `<= 1` would
+    // pass vacuously on zero scans). A second scan means a leg is
+    // recomputing over the corpus instead of probing its index.
+    def srcScans(d: org.apache.spark.sql.DataFrame, table: String) =
+      plan(d).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains(s"$sf/$table")) => f
+      }
+    assert(srcScans(df, "documents").length === 1,
+      "indexed hybrid must scan corpus text exactly once (query slice)")
+    assert(srcScans(df, "embeddings").length === 1,
+      "indexed hybrid must scan embeddings exactly once (query slice)")
+    forbidSinglePartition(df, "retrieval_hybrid_rrf_indexed")
+
+    // the IVF-legged indexed form additionally must never touch the
+    // stored-vector table: its dense candidates come from the probed
+    // cent_id-bucketed inverted lists (round 11's one flagged
+    // scale-killer was a brute dense leg scanning stored vectors)
+    val ivf = graft.queries.RetrievalQueries.hybridRrfIvfIndexed(spark, sf)
+    assert(plan(ivf).collect {
+      case p: org.apache.spark.sql.execution.joins.CartesianProductExec => p
+    }.isEmpty, "ivf-indexed hybrid plans a non-broadcast cartesian")
+    assert(srcScans(ivf, "documents").length === 1,
+      "ivf-indexed hybrid must scan corpus text exactly once")
+    assert(srcScans(ivf, "embeddings").length === 1,
+      "ivf-indexed hybrid must scan embeddings exactly once")
+    val bucketScans = plan(ivf).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("/buckets")) => f
+    }
+    assert(bucketScans.isEmpty,
+      "ivf-indexed hybrid scans the stored-vector table — dense leg " +
+        "degraded to brute force")
+    val listScans = plan(ivf).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("/lists")) => f
+    }
+    assert(listScans.nonEmpty,
+      "ivf-indexed hybrid shows no inverted-list scan — vacuous guard")
+    forbidSinglePartition(ivf, "retrieval_hybrid_rrf_ivf_indexed")
+  }
+
+  test("retrieval_e2e capstone: shared curated fill, bounded scans, no funnels") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.RetrievalQueries.retrievalE2e(spark, sf)
+    // BM25's one-row corpus-stats broadcast and the query-slice
+    // broadcasts are DELIBERATE nested loops (bounded small side);
+    // what must never appear is a CartesianProduct — both sides
+    // shuffled — which would mean a broadcast hint was lost
+    assert(plan(df).collect {
+      case p: org.apache.spark.sql.execution.joins.CartesianProductExec => p
+    }.isEmpty, "retrieval_e2e plans a non-broadcast cartesian")
+    // single-partition exchanges are allowed ONLY under the scalar
+    // corpus-stats aggregate (a partial_count collapses each partition
+    // to one row before the exchange — one row per partition moves);
+    // any other funnel would serialize corpus-scale data
+    val funnels = shuffles(df).filter(_.outputPartitioning.numPartitions <= 1)
+    assert(funnels.forall(_.child.exists {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        h.groupingExpressions.isEmpty
+      case _ => false
+    }), s"retrieval_e2e funnels non-scalar data:\n${funnels.mkString("\n")}")
+    assert(shuffles(df).exists(_.outputPartitioning.numPartitions > 1),
+      "retrieval_e2e plan shows no parallel exchanges — vacuous check")
+    // the curated slice is CachedPlans-shared: downstream stages (tf,
+    // df, query slices, dense restriction) read the persisted fill
+    val memScans = plan(df).collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(memScans.nonEmpty,
+      "no InMemoryTableScan — curated-stage sharing is gone (vacuous check)")
     def srcScans(table: String) = plan(df).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.relation.location.rootPaths.exists(
-          _.toString.contains(table)) => f
+          _.toString.contains(s"$sf/$table")) => f
     }
-    assert(srcScans("documents").length <= 1,
-      "indexed hybrid re-scans corpus text — lexical leg not index-served")
+    assert(srcScans("documents").length <= 2,
+      s"retrieval_e2e scans documents ${srcScans("documents").length}× — " +
+        "a stage is recomputing instead of reading the shared fill")
     assert(srcScans("embeddings").length <= 1,
-      "indexed hybrid re-scans embeddings — dense leg not index-served")
-    forbidSinglePartition(df, "retrieval_hybrid_rrf_indexed")
+      "retrieval_e2e must restrict embeddings from one scan")
   }
 
   test("row diff joins by key — no nested-loop degradation") {

@@ -225,6 +225,88 @@ class RetrievalSpec extends SparkSpec {
       valid.exists(c => valid.contains(r._5 - c))))
   }
 
+  test("ivf-indexed hybrid: well-formed fusion, dense leg reads lists not stored vectors") {
+    val df = graft.queries.RetrievalQueries
+      .hybridRrfIvfIndexed(spark, "/root/testdata/sf0.001")
+    val out = df.select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r._3 === r._1), "self must not be retrieved")
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.sortBy(_._2).map(_._2) === (1 to rows.size),
+        s"ranks not contiguous for $q")
+    }
+    val valid = (1 to graft.queries.RetrievalQueries.LegK)
+      .map(r => 10000L / (60 + r)).toSet
+    assert(out.filter(_._4 === 1L).forall(r => valid.contains(r._5)))
+    assert(out.filter(_._4 === 2L).forall(r =>
+      valid.exists(c => valid.contains(r._5 - c))))
+    // the scale contract this form exists for: the dense leg probes the
+    // persisted IVF structure (inverted code lists + stored centroids),
+    // NEVER the full stored-vector table — the corpus-scan-per-query
+    // shape round 11 flagged
+    val files = df.inputFiles
+    assert(files.exists(_.contains("/lists/")),
+      "dense leg must probe the IVF inverted lists")
+    assert(files.exists(_.contains("/centroids/")),
+      "dense leg must broadcast the stored centroids")
+    assert(!files.exists(_.contains("/buckets/")),
+      "dense leg scans the stored-vector table — the brute-leg " +
+        "scale-killer is back")
+  }
+
+  test("hybrid fusion stays exact over a CDC-maintained lexical index") {
+    import java.nio.file.Files
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 7 + d * 3) % 11) - 5).toFloat)
+    def doc(i: Long) = s"fused$i doc$i shared hybrid filler words fused$i"
+    def docV2(i: Long) = doc(i) + " revised second edition"
+    val lexDir = Files.createTempDirectory("hyb-maint-lex").toString
+    val vecDir = Files.createTempDirectory("hyb-maint-vec").toString
+    val seed = (1L to 6L).map(i => i -> doc(i))
+    graft.operators.DedupIndex.writeLexical(
+      seed.toDF("doc_id", "text"), "doc_id", "text", lexDir, termNgram = 2)
+    graft.operators.DedupIndex.writeVectors(
+      seed.map { case (i, _) => (i, vec(i.toInt)) }
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", vecDir, planes = 2, dim = dim)
+    // CDC: refresh doc 3, retire doc 5 — the lexical leg's statistics
+    // all move; the dense leg is untouched
+    graft.operators.DedupIndex.appendLexical(
+      Seq(3L -> docV2(3)).toDF("doc_id", "text"), "doc_id", "text", lexDir)
+    graft.operators.DedupIndex.retireLexical(
+      Seq(5L).toDF("doc_id"), "doc_id", lexDir)
+    val live = Seq(1L -> doc(1), 2L -> doc(2), 3L -> docV2(3),
+      4L -> doc(4), 6L -> doc(6))
+    val queries = Seq((1L, doc(1), vec(1)), (10L, docV2(3), vec(10)))
+      .toDF("doc_id", "text", "embedding")
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    def leg(lexDf: org.apache.spark.sql.DataFrame) = lexDf
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val vecIdx = graft.operators.DedupIndex.loadVectors(spark, vecDir)
+    val den = graft.operators.Similarity.ivfSq8TopKIndexed(
+        queries, "doc_id", "embedding", vecIdx, 3, nprobe = 3)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+    def fused(lexDf: org.apache.spark.sql.DataFrame) =
+      graft.operators.Retrieval.rrfFuse(Seq(leg(lexDf), den), 3)
+        .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
+        .as[(Long, Int, Long, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2))
+    val maintained = fused(graft.operators.Retrieval.bm25TopKIndexed(
+      graft.operators.DedupIndex.loadLexical(spark, lexDir),
+      queries, "doc_id", "text", 3, 8))
+    val recompute = fused(graft.operators.Retrieval.bm25TopK(
+      live.toDF("doc_id", "text"), queries,
+      "doc_id", "text", "doc_id", "text", 3, 8, termNgram = 2))
+    assert(maintained.nonEmpty && maintained === recompute,
+      "fusion over the maintained lexical index diverged from the " +
+        "live-corpus recompute")
+  }
+
   test("indexed hybrid replays the recompute form row for row") {
     val sf = "/root/testdata/sf0.001"
     val cols = Seq("q_id", "rank", "doc_id", "n_lists", "rrf_score")
@@ -333,7 +415,10 @@ class RetrievalSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
 
     // batch reference: the same legs over ALL queries in one pass —
-    // per-query independence makes micro-batch boundaries invisible
+    // per-query independence makes micro-batch boundaries invisible.
+    // The dense leg is the INDEX-SERVED IVF∘SQ8 probe (stored
+    // centroids + inverted code lists), matching the stream's
+    // scale-safe leg — never a scan of the stored vectors.
     val allQ = (q1 ++ q2).toDF("doc_id", "text", "embedding")
     val lexIdx = graft.operators.DedupIndex.loadLexical(spark, lexDir)
     val vecIdx = graft.operators.DedupIndex.loadVectors(spark, vecDir)
@@ -344,10 +429,8 @@ class RetrievalSpec extends SparkSpec {
       .filter(col("doc_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(lexW))
       .select(col("q_id"), col("doc_id"), col("rank"))
-    val den = graft.operators.Similarity.bruteForceTopK(
-        vecIdx.buckets.select(col("id").as("hq_id"), col("vec").as("hq_vec")),
-        allQ.select(col("doc_id").as("hq_id"), col("embedding").as("hq_vec")),
-        "hq_id", "hq_vec", 3)
+    val den = graft.operators.Similarity.ivfSq8TopKIndexed(
+        allQ, "doc_id", "embedding", vecIdx, 3, nprobe = 3)
       .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
     val expected = graft.operators.Retrieval.rrfFuse(Seq(lex, den), 3)
       .select("q_id", "rank", "doc_id", "n_lists", "rrf_score")
