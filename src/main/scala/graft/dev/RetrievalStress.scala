@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *   - the indexed probe near-FLAT (candidates = rep-0 df postings; the
   *     residual growth is the tok-bucketed scan, filter-only).
   * Each measurement runs twice per factor; min reported (JVM warmup).
-  * Output: one JSON line + BENCH_RETRIEVAL_r11.json.
+  * Output: one JSON line + BENCH_RETRIEVAL_r12.json.
   */
 object RetrievalStress {
 
@@ -86,7 +86,7 @@ object RetrievalStress {
       s""""scales":{${lines.mkString(",")}}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RETRIEVAL_OUT",
-        "/root/repo/BENCH_RETRIEVAL_r11.json"))
+        "/root/repo/BENCH_RETRIEVAL_r12.json"))
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

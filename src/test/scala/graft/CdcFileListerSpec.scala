@@ -183,6 +183,73 @@ class CdcFileListerSpec extends SparkSpec {
     assert(pager.traversals === 2)
   }
 
+  test("property: Hadoop pager drains equal the ListObjectsV2 model on random key sets") {
+    // seeded randomized parity (same style as ReducerPropertySpec): for
+    // random nested key sets — segment names extending each other, so
+    // string-prefix vs path-component semantics actually differ — and
+    // random (prefix, cursor, pageSize) probes, a HadoopPageLister drain
+    // must equal both the in-memory FakePager drain and the flat
+    // ListObjectsV2 model (sorted keys, string-prefix match, strictly
+    // after the cursor), in ONE traversal per drain. Edge cases hit by
+    // construction: cursors that are proper prefixes of surviving keys,
+    // empty result sets, trailing-slash vs bare-dir prefixes, cursors
+    // past the last key.
+    val rnd = new scala.util.Random(20260814L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val segs = Vector("a", "ab", "b", "2024", "01", "LOAD")
+    val names = Vector("f", "f0", "f00", "g")
+    for (trial <- 1 to 4) {
+      val dir = Files.createTempDirectory(s"lister-prop$trial").toString
+      val keys = (1 to 30).map { i =>
+        val dirs = Seq.fill(1 + rnd.nextInt(3))(segs(rnd.nextInt(segs.size)))
+        (dirs :+ s"${names(rnd.nextInt(names.size))}$i.parquet")
+          .mkString("/")
+      }.distinct
+      keys.foreach(k => touch(dir, k, 1000L + rnd.nextInt(100000)))
+      val fullKeys = keys.map(k => s"$dir/$k").sorted.toVector
+      val fake = new FakePager(fullKeys.map(k => (k, 1L)))
+      val pager = new graft.sources.PagedLister.HadoopPageLister(fs)
+      for (_ <- 1 to 25) {
+        val k = fullKeys(rnd.nextInt(fullKeys.size))
+        val base = s"$dir/"
+        val prefix = rnd.nextInt(5) match {
+          case 0 => base
+          case 1 => // any string prefix of a real key (may split a name)
+            k.substring(0,
+              base.length + rnd.nextInt(k.length - base.length + 1))
+          case 2 => k.substring(0, k.lastIndexOf('/') + 1) // dir + slash
+          case 3 => k.substring(0, k.lastIndexOf('/'))     // bare dir
+          case 4 => k + "zzz"                              // matches nothing
+        }
+        val startAfter = rnd.nextInt(5) match {
+          case 0 => ""
+          case 1 => fullKeys(rnd.nextInt(fullKeys.size)) // exactly a key
+          case 2 => // a proper PREFIX of some key — survivors extend it
+            k.substring(0, base.length +
+              rnd.nextInt(k.length - base.length + 1))
+          case 3 => prefix // cursor == prefix (first-page shape)
+          case 4 => fullKeys.last + "z" // past everything: empty drain
+        }
+        val pageSize = 1 + rnd.nextInt(5)
+        val expected = fullKeys
+          .filter(key => key.startsWith(prefix) && key > startAfter)
+        val before = pager.traversals
+        val got = graft.sources.PagedLister
+          .listAll(pager, prefix, startAfter, pageSize)
+        assert(got.map(_.key) === expected,
+          s"hadoop drain diverged: prefix=$prefix cursor=$startAfter " +
+            s"page=$pageSize")
+        assert(pager.traversals === before + 1,
+          s"drain must cost exactly one traversal (prefix=$prefix)")
+        val viaFake = graft.sources.PagedLister
+          .listAll(fake, prefix, startAfter, pageSize)
+        assert(viaFake.map(_.key) === expected,
+          s"fake-pager drain diverged: prefix=$prefix cursor=$startAfter")
+      }
+    }
+  }
+
   test("Hadoop pager: scheme-qualified prefixes match the listed keys") {
     val dir = fixture()
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
