@@ -65,6 +65,11 @@ object Bench {
         .mkString("{", ",", "}")
     val mins = names.map(_._1).zip(times.map(_.min))
     val medians = names.map(_._1).zip(times.map(median))
+    // per-query MAX completes the noise band: [min, max] across the
+    // interleaved reps is this run's observed tenancy spread, so a
+    // round-over-round comparison can ask "is the other round's min
+    // inside this round's band?" instead of guessing at host noise
+    val maxes = names.map(_._1).zip(times.map(_.max))
     // headline value = sum of per-query MINIMA: scheduling noise on a
     // co-tenant host only ever ADDS time, so min-of-n is the stable
     // estimator for regression gating
@@ -74,7 +79,10 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$reps,""" +
         s""""stat":"min","nq":${names.length},$extra"queries":$qMin,""" +
         s""""queries_median":$qMed,"sf":"$sfDir"}"""
-    val fullLine = record(mapJson(mins), mapJson(medians), "")
+    // the FULL record alone carries the max map (band upper edge) —
+    // the stdout line stays inside the driver's capture budget
+    val fullLine = record(mapJson(mins),
+      mapJson(medians) + s""","queries_max":${mapJson(maxes)}""", "")
     // compact stdout form: slowest 10 by min stand in for the full maps
     val slow = mins.sortBy(-_._2).take(10)
     val slowSet = slow.map(_._1).toSet
