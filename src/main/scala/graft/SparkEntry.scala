@@ -185,6 +185,8 @@ object SparkEntry {
       (RetrievalQueries.hybridRrfIvfIndexed _),
     "text_bm25_indexed_retired" ->
       (RetrievalQueries.bm25TopKIndexedRetired _),
+    "text_bm25_indexed_compacted" ->
+      (RetrievalQueries.bm25TopKIndexedCompacted _),
     "text_bm25_indexed_refreshed" ->
       (RetrievalQueries.bm25TopKIndexedRefreshed _),
     "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
@@ -369,6 +371,10 @@ object SparkEntry {
     // generationally-maintained lexical index: oracles recompute over
     // the POST-CDC corpus, so stale df/postings/stats hash-mismatch
     "text_bm25_indexed_retired" -> RetrievalQueries.bm25IndexedRetiredSql,
+    // compaction is a physical rewrite, not a semantic change: the
+    // SAME live-corpus oracle gates the compacted index
+    "text_bm25_indexed_compacted" ->
+      RetrievalQueries.bm25IndexedRetiredSql,
     "text_bm25_indexed_refreshed" ->
       RetrievalQueries.bm25IndexedRefreshedSql,
     // the hybrid quality gate: integer overlap/displacement of the

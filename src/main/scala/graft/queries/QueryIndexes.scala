@@ -118,6 +118,40 @@ object QueryIndexes {
     DedupIndex.loadLexical(spark, dir)
   }
 
+  /** [[lexicalRetired]] carried one step further: after the delete
+    * batch retires, [[DedupIndex.compactLexical]] physically rewrites
+    * the components — dead postings/forward rows/ledger rows dropped,
+    * the signed df and stats delta rows collapsed to their live
+    * aggregates — and clears the tombstones. The probe then runs on the
+    * fast tombstone-free load path over compacted files, and the SAME
+    * live-corpus recompute oracle gates the rewrite itself: a dropped
+    * live posting, a kept dead one, a mis-collapsed df or stats row, or
+    * a broken bucket layout all hash-mismatch. Re-runs compact on reuse
+    * (no-op when nothing is tombstoned).
+    */
+  def lexicalCompacted(spark: SparkSession,
+      sfDir: String): DedupIndex.LexicalIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "lexical_compacted",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try DedupIndex.loadLexical(spark, dir).params.termNgram == 2
+        catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeLexical(docs, "doc_id", "text", dir, termNgram = 2)
+      DedupIndex.retireLexical(
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.compactLexical(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadLexical(spark, dir)
+  }
+
   /** Lexical index over the full documents table then fed a CDC UPDATE
     * batch: the `doc_id % 10 == 0` slice re-absorbs with CHANGED text
     * (the generational refresh — displaced postings tombstone, new

@@ -64,6 +64,24 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[bm25TopKIndexedRetired]] over the COMPACTED index
+    * ([[QueryIndexes.lexicalCompacted]]): same query slice, same
+    * live-corpus recompute oracle — what changes is the index
+    * underneath (tombstones physically reclaimed, delta rows collapsed,
+    * fast tombstone-free load path), so the oracle gates the compaction
+    * rewrite end to end.
+    */
+  def bm25TopKIndexedCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.bm25TopKIndexed(
+        QueryIndexes.lexicalCompacted(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0 &&
+          col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = Bm25K, qTerms = Bm25QTerms)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** BM25 probe of the generationally-REFRESHED lexical index
     * ([[QueryIndexes.lexicalRefreshed]]: the `% 10` slice updated, the
     * `% 6` slice replayed unchanged): queries carry the post-update

@@ -716,6 +716,54 @@ class CdcStreamSpec extends SparkSpec {
       "replay stacked duplicate live doclen rows")
   }
 
+  test("CDC lexical maintenance sink: auto-compaction reclaims tombstones, rankings stay exact") {
+    val dir = Files.createTempDirectory("stream_lexautocomp").toString
+    val idxDir = Files.createTempDirectory("stream_lexautocomp_idx").toString
+    val ckpt = Files.createTempDirectory("stream_lexautocomp_c").toString
+    def doc(i: Long) = s"compact$i lexical$i shared ranking filler " +
+      s"words compact$i"
+    graft.operators.DedupIndex.writeLexical(
+      (1L to 6L).map(i => (i, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, termNgram = 2)
+    // one batch deleting docs 2 and 4: threshold 1 retires (2
+    // tombstones) then compacts inside the same micro-batch
+    Seq(("D", 1L, 2L, doc(2)), ("D", 2L, 4L, doc(4)))
+      .toDF(C.Op, "seq", "doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = CdcStream.startLexicalIndexMaintenance(
+      spark.readStream.schema(schema).parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, ckpt, col("seq"),
+      autoCompactTombstones = Some(1L))
+    try q.processAllAvailable() finally q.stop()
+
+    // tombstones physically reclaimed (no data files left behind)
+    val tombFiles = Option(new java.io.File(s"$idxDir/tombstones")
+        .listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(tombFiles.isEmpty,
+      s"auto-compaction left tombstone files: ${tombFiles.mkString(", ")}")
+    // and the compacted index still scores exactly as the live corpus
+    val live = Seq(1L, 3L, 5L, 6L).map(i => i -> doc(i))
+    val queries = Seq(501L -> doc(1), 502L -> doc(2)).toDF("doc_id", "text")
+    val cols = Seq("q_id", "rank", "doc_id", "n_terms", "score")
+    val got = graft.operators.Retrieval
+      .bm25TopKIndexed(
+        graft.operators.DedupIndex.loadLexical(spark, idxDir),
+        queries, "doc_id", "text")
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sorted
+    val expected = graft.operators.Retrieval
+      .bm25TopK(live.toDF("doc_id", "text"), queries,
+        "doc_id", "text", "doc_id", "text", termNgram = 2)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq.sorted
+    assert(got.nonEmpty && got === expected)
+    assert(!got.exists(r => r._3 == 2L || r._3 == 4L),
+      "compacted deletes resurfaced in rankings")
+  }
+
   test("index-aware streaming embedding probe ignores retired vectors") {
     val dir = Files.createTempDirectory("stream_endret").toString
     val idxDir = Files.createTempDirectory("stream_endret_idx").toString
