@@ -75,8 +75,32 @@ object CachedPlans {
     */
   def dataFingerprint(df: DataFrame): String = snapshot(df)
 
+  /** Input files read from the ANALYZED plan's file relations, unioned
+    * with `Dataset.inputFiles`. The union matters: once ANY plan is
+    * persisted, the CacheManager substitutes InMemoryRelations into
+    * later same-shaped plans' EXECUTED form, and `Dataset.inputFiles`
+    * (which reads the post-substitution plan) comes back EMPTY — the
+    * snapshot would degrade to "" and the registry key to plan-only, at
+    * which point a same-shaped plan over files changed by a NON-Spark
+    * writer (the dedup indexes' staged FS-rename commits) silently hits
+    * a stale entry (observed: a replayed index retire double-committing
+    * its tombstones). The analyzed plan is resolved BEFORE cache
+    * substitution, so its file listing survives shadowing.
+    */
+  private def inputFileList(df: DataFrame): Seq[String] = {
+    val fromAnalyzed = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fsr: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => fsr.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    (fromAnalyzed ++ df.inputFiles).distinct
+  }
+
   private def snapshot(df: DataFrame): String = {
-    val files = df.inputFiles
+    val files = inputFileList(df)
     if (files.isEmpty) ""
     else {
       val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -114,11 +138,26 @@ object CachedPlans {
     * input snapshot); later calls with a semantically identical plan
     * over the SAME files return the SAME cached DataFrame without
     * touching the CacheManager again.
+    *
+    * A snapshot MISS against an existing same-plan entry also EVICTS
+    * that entry (unpersist + forget): Spark's CacheManager substitutes
+    * cached data into any execution whose canonical plan matches —
+    * file listing NOT consulted — so a stale twin left persisted would
+    * serve its pre-rewrite blocks to the rebuilt frame's execution and
+    * the rebuild would silently recompute nothing (bitten in practice
+    * by the dedup indexes' FS-rename staged commits, which — unlike
+    * Spark writers — never call recacheByPath).
     */
   def cached(df: DataFrame): DataFrame = {
-    val key = (df.sparkSession,
-      df.queryExecution.analyzed.canonicalized, snapshot(df))
+    val plan = df.queryExecution.analyzed.canonicalized
+    val snap = snapshot(df)
+    val key = (df.sparkSession, plan, snap)
     val holder = synchronized {
+      val stale = entries.keys
+        .filter(k => k._1 == df.sparkSession && k._2 == plan &&
+          k._3 != snap)
+        .toSeq
+      stale.foreach(k => entries.remove(k).foreach(_.peek.foreach(release)))
       entries.getOrElseUpdate(key, new Lazy(() => {
         df.persist()
         df.count() // eager: populate ONCE before branches fan out

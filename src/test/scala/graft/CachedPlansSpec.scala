@@ -87,6 +87,39 @@ class CachedPlansSpec extends SparkSpec {
     CachedPlans.clear()
   }
 
+  test("cache-shadowed plans still re-key when a NON-Spark writer changes the files") {
+    CachedPlans.clear()
+    val root = java.nio.file.Files.createTempDirectory("cp-shadow")
+    val dir = s"$root/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(dir)
+    def frame() = spark.read.parquet(dir).filter($"id" > 0)
+      .groupBy("v").agg(count(lit(1)).as("n"))
+    val c1 = CachedPlans.cached(frame())
+    assert(c1.count() === 2)
+    // the hazard's precondition: once c1 is persisted, the CacheManager
+    // substitutes an InMemoryRelation into later same-shaped plans and
+    // Dataset.inputFiles comes back EMPTY — a file-based key computed
+    // from it would degrade to plan-only
+    assert(frame().inputFiles.isEmpty,
+      "expected cache substitution to shadow inputFiles — if Spark " +
+        "stopped substituting, this test is vacuous; re-examine snapshot()")
+    // change the data the way the dedup indexes do — an FS-level file
+    // move, invisible to Spark's recacheByPath (unlike a Spark writer)
+    val extraDir = s"$root/extra"
+    Seq((3L, "c")).toDF("id", "v").write.parquet(extraDir)
+    val src = new java.io.File(extraDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(src.toPath,
+      java.nio.file.Paths.get(dir, "zz-" + src.getName))
+    // a same-shaped plan over the changed listing must MISS the stale
+    // entry: the analyzed-plan file listing survives the shadowing
+    val c2 = CachedPlans.cached(frame())
+    assert(!(c2 eq c1),
+      "stale registry hit: snapshot keying degraded under cache shadowing")
+    assert(c2.count() === 3, "re-keyed entry must see the moved-in file")
+  }
+
   test("clear releases checkpoint blocks behind memoized results") {
     CachedPlans.clear()
     val pairs = Seq((11L, 12L), (12L, 13L), (21L, 22L)).toDF("a_id", "b_id")
