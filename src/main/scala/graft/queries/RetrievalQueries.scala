@@ -296,11 +296,11 @@ object RetrievalQueries {
     * gate can instantiate it at several nprobe settings side by side.
     */
   private def ivfLegCtes(iv: String = "iv", nprobe: Int = IvfNprobe,
-      den: String = "den"): String =
+      den: String = "den", src: String = "embeddings"): String =
     s"""${iv}cent0 AS (
       |  SELECT vec_id AS cent_id, embedding AS cent_vec,
       |    ${dotSql("embedding", "embedding")} AS cent_norm
-      |  FROM embeddings
+      |  FROM $src
       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCentroids),
       |${iv}cent AS (
       |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
@@ -308,7 +308,7 @@ object RetrievalQueries {
       |${iv}c AS (
       |  SELECT vec_id AS n_id, embedding AS n_vec,
       |    ${dotSql("embedding", "embedding")} AS n_norm
-      |  FROM embeddings),
+      |  FROM $src),
       |${iv}best AS (
       |  SELECT n_id, max(coalesce(CAST(floor(
       |      ${dotSql(s"${iv}c.n_vec", s"${iv}cent.cent_vec")} / nullif(sqrt(${iv}c.n_norm) * sqrt(${iv}cent.cent_norm), 0.0)
@@ -323,7 +323,7 @@ object RetrievalQueries {
       |${iv}q AS (
       |  SELECT vec_id AS q_id, embedding AS q_vec,
       |    ${dotSql("embedding", "embedding")} AS q_norm
-      |  FROM embeddings WHERE vec_id % $QueryMod = 0),
+      |  FROM $src WHERE vec_id % $QueryMod = 0),
       |${iv}probes AS (
       |  SELECT q_id, q_vec, q_norm, cent_id FROM (
       |    SELECT ${iv}q.q_id, ${iv}q.q_vec, ${iv}q.q_norm, ${iv}cent.cent_id,
@@ -695,13 +695,19 @@ object RetrievalQueries {
       .withColumn("rank", row_number().over(lexW))
       .select(col("q_id"), col("doc_id"), col("rank"))
     // dense corpus restricted to the curated ids (vec_id == doc_id by
-    // the testdata contract); CachedPlans-shared because both the
-    // candidate side and the query slice read it — one embeddings scan
+    // the testdata contract); CachedPlans-shared because the candidate
+    // side, the centroid selection and the query slice all read it —
+    // one embeddings scan. The leg is IVF (the declared 100 TB dense
+    // path — centroids from the curated set, inverted-list-bounded
+    // probe work), not brute force: a capstone whose dense stage scans
+    // the full curated corpus per query batch would re-introduce the
+    // exact scale wart the hybrid family retired this round.
     val denCorpus = graft.plans.CachedPlans.cached(emb.join(
       curated.select(col("doc_id").as("vec_id")), Seq("vec_id")))
-    val den = graft.operators.Similarity.bruteForceTopK(
+    val den = graft.operators.Similarity.ivfTopK(
         denCorpus, denCorpus.filter(col("vec_id") % QueryMod === 0),
-        "vec_id", "embedding", LegK)
+        "vec_id", "embedding", LegK, numCentroids = IvfCentroids,
+        nprobe = IvfNprobe)
       .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
     graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = HybridK,
         rrfK = RrfK)
@@ -734,24 +740,10 @@ object RetrievalQueries {
       |      ORDER BY score DESC, doc_id) AS INT) AS rank
       |  FROM (SELECT * FROM ranked
       |        WHERE rank <= $LegK AND doc_id <> q_id)),
-      |dc AS (
-      |  SELECT e.vec_id AS n_id, e.embedding AS n_vec,
-      |    ${dotSql("e.embedding", "e.embedding")} AS n_norm
+      |dembs AS (
+      |  SELECT e.vec_id, e.embedding
       |  FROM embeddings e JOIN curated ON curated.doc_id = e.vec_id),
-      |dq AS (
-      |  SELECT n_id AS q_id, n_vec AS q_vec, n_norm AS q_norm
-      |  FROM dc WHERE n_id % $QueryMod = 0),
-      |dscored AS (
-      |  SELECT q_id, n_id,
-      |    ${dotSql("n_vec", "q_vec")} / nullif(sqrt(n_norm) * sqrt(q_norm), 0.0) AS score
-      |  FROM dc CROSS JOIN dq WHERE n_id <> q_id),
-      |den AS (
-      |  SELECT q_id, n_id AS doc_id, rank FROM (
-      |    SELECT q_id, n_id,
-      |      CAST(row_number() OVER (PARTITION BY q_id
-      |        ORDER BY score DESC, n_id) AS INT) AS rank
-      |    FROM dscored)
-      |  WHERE rank <= $LegK),
+      |${ivfLegCtes("re", IvfNprobe, "den", "dembs")},
       |contrib AS (
       |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM lex
       |  UNION ALL

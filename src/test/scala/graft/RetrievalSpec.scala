@@ -456,6 +456,48 @@ class RetrievalSpec extends SparkSpec {
     assert(got === expected, "replayed batches must not duplicate")
   }
 
+  test("ivfTopKMulti slices are bit-identical to ivfTopK at each nprobe") {
+    graft.plans.CachedPlans.clear()
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.queries.Tables.tbl(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+    val multi = graft.operators.Similarity.ivfTopKMulti(
+      emb, queries, "vec_id", "embedding", 10, numCentroids = 20,
+      nprobes = Seq(1, 2, 3))
+    for (np <- 1 to 3) {
+      val slice = multi.filter(col("nprobe") === np)
+        .select("q_id", "n_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+      val single = graft.operators.Similarity.ivfTopK(
+          emb, queries, "vec_id", "embedding", 10, numCentroids = 20,
+          nprobe = np)
+        .select("q_id", "n_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect().toSeq.sorted
+      assert(slice.nonEmpty && slice === single,
+        s"multi slice diverged from ivfTopK at nprobe=$np")
+    }
+  }
+
+  test("declared hybrid recall gate: counts bounded, overlap monotone-ish, self-consistent") {
+    val out = graft.queries.RetrievalQueries
+      .hybridRecall(spark, "/root/testdata/sf0.001")
+      .select("nprobe", "n_queries", "n_brute", "n_ivf", "overlap",
+        "displ_sum")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(out.map(_._1) === Seq(1, 2, 3))
+    out.foreach { case (np, nq, nb, ni, ov, ds) =>
+      assert(nq > 0 && nb > 0 && ni > 0, s"vacuous at nprobe=$np")
+      assert(ov <= math.min(nb, ni), s"overlap exceeds list sizes at $np")
+      assert(ds >= 0)
+      // every fused list is capped at HybridK per query
+      assert(nb <= nq * graft.queries.RetrievalQueries.HybridK)
+      assert(ni <= nq * graft.queries.RetrievalQueries.HybridK)
+    }
+    // brute-side stats are nprobe-independent by construction
+    assert(out.map(o => (o._2, o._3)).distinct.size === 1)
+  }
+
   test("lsh recall report: exact-dup bucket has recall 1.0, counts bounded") {
     // identical pair (J=1.0 -> bucket 10, sigs identical -> always hit),
     // a partial-overlap pair, and unrelated filler
