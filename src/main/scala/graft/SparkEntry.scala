@@ -215,6 +215,9 @@ object SparkEntry {
     "semantic_dedup" -> (SimilarityQueries.semanticDedup _),
     "semantic_dedup_indexed" -> (SimilarityQueries.semanticDedupIndexed _),
     "ann_ivf_sq8_indexed_topk" -> (SimilarityQueries.ivfSq8TopKIndexed _),
+    "ann_ivf_sq8_retrained_topk" ->
+      (SimilarityQueries.ivfSq8RetrainedTopK _),
+    "ann_ivf_drift" -> (SimilarityQueries.ivfDriftReport _),
     "text_utf8_profile" -> (TextQueries.utf8Profile _),
     "ngram_heavy_hitters" -> (TextQueries.ngramHeavyHitters _)
   )
@@ -407,6 +410,11 @@ object SparkEntry {
     // the persisted-IVF probe is bit-identical to the recompute form,
     // so the same oracle SQL gates both
     "ann_ivf_sq8_indexed_topk" -> SimilarityQueries.ivfSq8TopKSql,
+    // post-absorb retrain: centroids re-drawn from the absorbed corpus,
+    // ranges still the frozen build-half geometry
+    "ann_ivf_sq8_retrained_topk" ->
+      SimilarityQueries.ivfSq8RetrainedTopKSql,
+    "ann_ivf_drift" -> SimilarityQueries.ivfDriftSql,
     "text_utf8_profile" -> TextQueries.utf8ProfileSql,
     "ngram_heavy_hitters" -> TextQueries.ngramHeavyHittersSql
   )

@@ -1070,6 +1070,86 @@ object DedupIndex {
     } finally releaseLease(fs, dir, lease)
   }
 
+  /** Re-train the IVF geometry of a vector index IN PLACE: recompute
+    * the deterministic centroid selection (top-C by md5(id) — the same
+    * bounded selection [[writeVectors]] makes) over the LIVE vectors
+    * and rebuild the inverted lists under the new centroids, through
+    * the same staged replace-mode commit as [[compactVectors]].
+    *
+    * This is the drift-repair verb the generational lifecycle needs:
+    * [[appendVectors]] deliberately assigns absorbed batches under the
+    * FROZEN build-time centroids (standard IVF absorb — per-batch work
+    * stays batch-sized), so after enough absorbs the stored cell
+    * boundaries describe a corpus that no longer exists and probe
+    * recall decays (`ann_ivf_drift` measures exactly this). Retrain is
+    * the cadence operation that re-derives the cells from what is live
+    * NOW; it is O(corpus) by design — like compaction, it amortizes
+    * over many batch-sized absorbs.
+    *
+    * What retrain does NOT touch: the quantization ranges, PQ
+    * codebooks, JL signs and LSH planes stay frozen (codes stored in
+    * the rebuilt lists re-encode the stored float vectors under the
+    * UNCHANGED ranges, so they are byte-identical to the codes already
+    * stored), the `buckets` row table is untouched, and tombstones
+    * stay armed — retrain changes GEOMETRY, not liveness. Dead
+    * generations are re-assigned along with live ones (the load-time
+    * tombstone filter keeps hiding them), while the centroid SELECTION
+    * sees only live vectors — a retired id must not define a cell of
+    * the post-CDC corpus.
+    *
+    * Idempotent: the selection is deterministic over live content, so
+    * replaying a retrain rewrites the same centroids and lists.
+    * Crash-safe and single-writer via the shared lease + staged-commit
+    * protocol.
+    */
+  def retrainVectors(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val idx = loadVectorsRaw(spark, dir)
+      val p = idx.params
+      val live =
+        if (isEmptyTombstones(idx.tombstones)) idx.buckets
+        else idx.buckets.join(broadcast(idx.tombstones),
+          Seq("id", "gen"), "left_anti")
+      val batch = newBatchId()
+      stagePlain(centroidRows(live, "id", "vec", p.centroids),
+        dir, batch, "centroids")
+      // assignment joins the EXACT floats the commit will publish —
+      // re-read the staged file, as [[writeVectors]] does
+      val stagedCent = spark.read.parquet(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(stagingRoot(dir), batch),
+        "centroids").toString)
+      stageComponent(
+        listRows(idx.buckets.select(col("id"), col("vec"),
+          col("gen").as(GenCol)), "id", "vec", stagedCent, idx.ranges),
+        dir, batch, "lists", Seq("cent_id"), p.numBuckets)
+      commitStaged(spark, dir, batch, replace = true)
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** Retrain only when the geometry has actually drifted: recompute
+    * the deterministic live-corpus centroid selection (id-only — the
+    * collect is bounded by the ≤1024-centroid contract) and compare it
+    * to the STORED centroid id set; identical selection means
+    * [[retrainVectors]] would rewrite byte-identical components, so
+    * skip the O(corpus) rebuild. The check itself is a sort-limit scan
+    * of the live rows — cadence-call it like [[compactVectorsIfNeeded]],
+    * not per batch. Returns whether a retrain ran.
+    */
+  def retrainVectorsIfNeeded(spark: SparkSession, dir: String): Boolean = {
+    val idx = loadVectors(spark, dir)
+    val want = Similarity.selectCentroids(
+        idx.buckets.select(col("id"), col("vec")), "id",
+        idx.params.centroids)
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    val have = idx.centroids.select(col("cent_id"))
+      .collect().map(_.getLong(0)).toSet
+    if (want != have) { retrainVectors(spark, dir); true } else false
+  }
+
   // -------------------------------------------------------------- load
 
   /** Load a text index written by [[writeText]], re-registering the

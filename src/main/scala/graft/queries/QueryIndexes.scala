@@ -431,6 +431,45 @@ object QueryIndexes {
     DedupIndex.loadVectors(spark, dir)
   }
 
+  /** [[vectorsAbsorbed]] carried one step further: after the
+    * `vec_id % 4 == 1` batch absorbs under the FROZEN build geometry,
+    * [[DedupIndex.retrainVectors]] recomputes the deterministic
+    * centroid selection over the grown live corpus and rebuilds the
+    * inverted lists under it — so the probe this index serves runs on
+    * post-absorb cell boundaries, and the oracle (recompute with
+    * centroids drawn from the ABSORBED corpus while the quantization
+    * ranges stay trained on the original even half) gates the retrain
+    * rewrite itself: a centroid kept from the stale selection, a row
+    * left in its old cell, or a re-encoded code drifting from the
+    * stored one all hash-mismatch. Retrain re-runs on reuse (no-op
+    * rewrite — the selection is deterministic).
+    */
+  def vectorsRetrained(spark: SparkSession,
+      sfDir: String): DedupIndex.VectorIndex = {
+    val vecs = tbl(spark, sfDir, "embeddings")
+    val dir = dirFor(sfDir, "vectors_retrained",
+      graft.plans.CachedPlans.dataFingerprint(vecs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable =
+        try {
+          val p = DedupIndex.loadVectors(spark, dir).params
+          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
+            p.pqM == 8 && p.pqKsub == 16
+        } catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir, planes = 2, dim = 64)
+      DedupIndex.appendVectors(vecs.filter(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", dir)
+      DedupIndex.retrainVectors(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadVectors(spark, dir)
+  }
+
   /** [[textRetired]] carried one step further: after the delete batch
     * retires, [[DedupIndex.compactText]] physically rewrites the
     * components and clears the tombstones — so the probe this index

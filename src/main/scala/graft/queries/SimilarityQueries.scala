@@ -401,12 +401,25 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def ivfSq8TopKSql: String =
+  def ivfSq8TopKSql: String = ivfSq8TopKSqlFor("", "", "")
+
+  /** [[ivfSq8TopKSql]] with configurable membership, as WHERE bodies
+    * over `vec_id` (empty = all rows): `rangeW` bounds the rows the
+    * quantization RANGES train on (the frozen geometry), `corpusW` the
+    * encoded/assigned corpus, `centW` the centroid donor pool. The
+    * plain recompute form is all-embeddings everywhere; the
+    * retrained-index gate trains ranges on the original even half but
+    * draws centroids from (and assigns) the absorbed corpus — the
+    * exact state [[DedupIndex.retrainVectors]] must leave behind.
+    */
+  private def ivfSq8TopKSqlFor(rangeW: String, corpusW: String,
+      centW: String): String = {
+    def w(p: String) = if (p.isEmpty) "" else s"\n  WHERE $p"
     s"""WITH rng AS (
       |  SELECT CAST(t.i AS INTEGER) AS pos,
       |    CAST(min(embedding[t.i]) AS DOUBLE) AS mn,
       |    CAST(max(embedding[t.i]) AS DOUBLE) AS mx
-      |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)
+      |  FROM embeddings, UNNEST(range(1, ${Dim + 1})) t(i)${w(rangeW)}
       |  GROUP BY 1),
       |rlist AS (
       |  SELECT list(mn ORDER BY pos) AS minA,
@@ -419,11 +432,11 @@ object SimilarityQueries {
       |        ELSE greatest(0, least(255,
       |          CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
       |            / scaleA[i] + 0.5) AS INTEGER))) END) AS codes
-      |  FROM embeddings CROSS JOIN rlist),
+      |  FROM embeddings CROSS JOIN rlist${w(corpusW)}),
       |cent0 AS (
       |  SELECT vec_id AS cent_id, embedding AS cent_vec,
       |    ${normSqSql("embedding")} AS cent_norm
-      |  FROM embeddings
+      |  FROM embeddings${w(centW)}
       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $Centroids),
       |cent AS (
       |  SELECT *, row_number() OVER (ORDER BY cent_id) - 1 AS cent_idx
@@ -431,7 +444,7 @@ object SimilarityQueries {
       |c AS (
       |  SELECT vec_id AS n_id, embedding AS n_vec,
       |    ${normSqSql("embedding")} AS n_norm
-      |  FROM embeddings),
+      |  FROM embeddings${w(corpusW)}),
       |-- full-precision assignment via the engine's packed argmax key
       |best AS (
       |  SELECT n_id, max(coalesce(CAST(floor(
@@ -473,6 +486,7 @@ object SimilarityQueries {
       |  FROM scored)
       |SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= $K
       |ORDER BY q_id, rank""".stripMargin
+  }
 
   // ------------------------------------------- product quantization
 
@@ -1006,6 +1020,112 @@ object SimilarityQueries {
     Similarity.ivfSq8TopKIndexed(emb.filter(QueryPred), "vec_id",
         "embedding", QueryIndexes.vectorsFull(spark, sfDir), K, nprobe = 3)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Corpus membership of the evolved-index gates: the original even
+    * build half plus the `% 4 == 1` absorbed batch.
+    */
+  private val AbsorbedW = "vec_id % 2 = 0 OR vec_id % 4 = 1"
+  private val EvenW = "vec_id % 2 = 0"
+
+  /** The IVF∘SQ8 probe against a RETRAINED index
+    * ([[QueryIndexes.vectorsRetrained]]): the index was built on the
+    * even half, absorbed the `% 4 == 1` batch under frozen geometry,
+    * then [[DedupIndex.retrainVectors]] re-derived the centroid
+    * selection from the grown live corpus and rebuilt the inverted
+    * lists. The oracle recomputes with centroids drawn from the
+    * ABSORBED corpus while the quantization ranges stay trained on the
+    * original even half — exactly the post-retrain stored state — so a
+    * retrain that kept a stale centroid, left a row in its old cell,
+    * or re-encoded codes under the wrong ranges hash-mismatches.
+    */
+  def ivfSq8RetrainedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfSq8TopKIndexed(emb.filter(QueryPred), "vec_id",
+        "embedding", QueryIndexes.vectorsRetrained(spark, sfDir), K,
+        nprobe = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfSq8RetrainedTopKSql: String =
+    ivfSq8TopKSqlFor(EvenW, AbsorbedW, AbsorbedW)
+
+  /** Measures what FROZEN IVF geometry costs after an absorb — the
+    * quantified motivation for [[DedupIndex.retrainVectors]], in the
+    * mold of `dedup_lsh_recall` and `retrieval_hybrid_recall`: both
+    * arms probe the SAME absorbed corpus with the same nprobe, but the
+    * `frozen` arm's index ([[QueryIndexes.vectorsAbsorbed]]) kept its
+    * build-time even-half centroids while the `retrained` arm's
+    * ([[QueryIndexes.vectorsRetrained]]) re-derived them from the grown
+    * corpus. Each arm's top-k is intersected with the exact cosine
+    * top-k over the absorbed corpus; every metric is an integer count,
+    * so the report is oracle-exact, and the oracle replays both probed
+    * rankings AND the brute baseline.
+    */
+  def ivfDriftReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    val queries = emb.filter(QueryPred)
+    val corpus = emb.filter(AbsorbedW)
+    val exact = graft.plans.CachedPlans.cached(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", K)
+        .select(col("q_id"), col("n_id")))
+    def armStats(arm: String,
+        idx: graft.operators.DedupIndex.VectorIndex): DataFrame = {
+      val topk = Similarity.ivfSq8TopKIndexed(queries, "vec_id",
+          "embedding", idx, K, nprobe = 3)
+        .select(col("q_id"), col("n_id"))
+      val overlap = topk.join(exact, Seq("q_id", "n_id"), "left_semi")
+      topk.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_arm"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .crossJoin(broadcast(overlap.agg(count(lit(1)).as("overlap"))))
+        .select(lit(arm).as("arm"), col("n_queries"), col("n_arm"),
+          col("n_exact"), col("overlap"))
+    }
+    armStats("frozen", QueryIndexes.vectorsAbsorbed(spark, sfDir))
+      .unionByName(armStats("retrained",
+        QueryIndexes.vectorsRetrained(spark, sfDir)))
+      .orderBy(col("arm"))
+  }
+
+  def ivfDriftSql: String = {
+    def arm(centW: String) = ivfSq8TopKSqlFor(EvenW, AbsorbedW, centW)
+      .linesIterator.map(l => "  " + l).mkString("\n").trim
+    s"""WITH fr AS (
+      |  ${arm(EvenW)}),
+      |rt AS (
+      |  ${arm(AbsorbedW)}),
+      |exc AS (
+      |  SELECT vec_id AS n_id, embedding AS n_vec,
+      |    ${normSqSql("embedding")} AS n_norm
+      |  FROM embeddings WHERE $AbsorbedW),
+      |exq AS (
+      |  SELECT vec_id AS q_id, embedding AS q_vec,
+      |    ${normSqSql("embedding")} AS q_norm
+      |  FROM embeddings WHERE $QueryPred),
+      |exscored AS (
+      |  SELECT q_id, n_id,
+      |    ${dotSql("n_vec", "q_vec")} / nullif(sqrt(n_norm) * sqrt(q_norm), 0.0) AS score
+      |  FROM exc CROSS JOIN exq WHERE n_id <> q_id),
+      |ex AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rank
+      |    FROM exscored)
+      |  WHERE rank <= $K)
+      |SELECT arm, n_queries, n_arm, n_exact, overlap FROM (
+      |  SELECT 'frozen' AS arm,
+      |    (SELECT count(DISTINCT q_id) FROM fr) AS n_queries,
+      |    (SELECT count(*) FROM fr) AS n_arm,
+      |    (SELECT count(*) FROM ex) AS n_exact,
+      |    (SELECT count(*) FROM fr JOIN ex USING (q_id, n_id)) AS overlap
+      |  UNION ALL
+      |  SELECT 'retrained' AS arm,
+      |    (SELECT count(DISTINCT q_id) FROM rt) AS n_queries,
+      |    (SELECT count(*) FROM rt) AS n_arm,
+      |    (SELECT count(*) FROM ex) AS n_exact,
+      |    (SELECT count(*) FROM rt JOIN ex USING (q_id, n_id)) AS overlap)
+      |ORDER BY arm""".stripMargin
   }
 
   private val RecallMethods: Seq[String] =

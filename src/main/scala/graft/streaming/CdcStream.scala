@@ -1272,11 +1272,18 @@ object CdcStream {
     * a changed vector displaces its live generation), D events retire
     * through the tombstone commit. Same last-event-wins dispatch, same
     * replay idempotency, same generational resurrection semantics.
+    * With `autoRetrain` the sink also repairs IVF geometry drift after
+    * each batch via [[graft.operators.DedupIndex.retrainVectorsIfNeeded]]
+    * — centroids re-derive from the live corpus only when the
+    * deterministic selection actually changed, so a standing stream
+    * never serves cell boundaries trained on a corpus that no longer
+    * exists (`ann_ivf_drift` measures what skipping this costs).
     */
   def startVectorIndexMaintenance(changeStream: DataFrame, idCol: String,
       vecCol: String, indexDir: String, checkpointDir: String,
       seq: org.apache.spark.sql.Column,
-      autoCompactTombstones: Option[Long] = None): StreamingQuery =
+      autoCompactTombstones: Option[Long] = None,
+      autoRetrain: Boolean = false): StreamingQuery =
     changeStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1297,6 +1304,14 @@ object CdcStream {
           autoCompactTombstones.foreach { t =>
             graft.operators.DedupIndex.compactVectorsIfNeeded(
               batch.sparkSession, indexDir, t)
+          }
+          // cadence geometry repair: only rewrites when the live-corpus
+          // centroid selection actually drifted from the stored one, so
+          // a steady stream of no-op batches pays a scan, not a rebuild
+          if (autoRetrain) {
+            graft.operators.DedupIndex.retrainVectorsIfNeeded(
+              batch.sparkSession, indexDir)
+            ()
           }
         }
       }

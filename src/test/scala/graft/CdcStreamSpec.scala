@@ -829,6 +829,43 @@ class CdcStreamSpec extends SparkSpec {
     assert(pairs === Seq((1L, 101L), (3L, 101L)), pairs)
   }
 
+  test("CDC vector maintenance sink: autoRetrain keeps IVF centroids on the live selection") {
+    val dir = Files.createTempDirectory("stream_vecretrain").toString
+    val idxDir = Files.createTempDirectory("stream_vecretrain_idx").toString
+    val ckpt = Files.createTempDirectory("stream_vecretrain_c").toString
+    val dim = 8
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(
+      d => (if (i % 2 == 0) 10f else -10f) + ((i * 7 + d * 3) % 5) * 0.1f)
+    // build over 30 evens (selection = md5 top-20 of those), then stream
+    // in 30 odds and delete one even — the live selection must follow
+    graft.operators.DedupIndex.writeVectors(
+      (0L until 60L by 2).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idxDir, planes = 2, dim = dim)
+    val events =
+      (1L until 60L by 2).map(i => ("I", i + 100L, i, vec(i))) :+
+        (("D", 500L, 0L, vec(0L)))
+    events.toDF(C.Op, "seq", "vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = CdcStream.startVectorIndexMaintenance(stream, "vec_id",
+      "embedding", idxDir, ckpt, col("seq"), autoRetrain = true)
+    try q.processAllAvailable() finally q.stop()
+
+    val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)
+    val live = ((2L until 60L by 2) ++ (1L until 60L by 2))
+      .map(i => (i, vec(i)))
+    val want = graft.operators.Similarity.selectCentroids(
+        live.toDF("vec_id", "embedding"), "vec_id", 20)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val have = idx.centroids.select(col("cent_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(have === want,
+      "maintained index serves centroids trained on a dead corpus")
+    // and the maintained selection settled — nothing left to retrain
+    assert(!graft.operators.DedupIndex.retrainVectorsIfNeeded(spark, idxDir))
+  }
+
   test("streaming near-dup estimator error vs batch exact Jaccard is bounded") {
     // The stream accepts corpus candidates on the 12-hash SIGNATURE
     // AGREEMENT estimate (est = matching components / 12) while the

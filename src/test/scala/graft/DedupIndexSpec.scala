@@ -970,4 +970,131 @@ class DedupIndexSpec extends SparkSpec {
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
       "re-registered table lost its bucket metadata")
   }
+
+  // ------------------------------------------------- IVF retrain verb
+
+  private val RetrainDim = 8
+
+  /** Deterministic fixture vector: cluster center `c` plus a small
+    * id/dim-dependent jitter, always inside (-10.5, 10.5).
+    */
+  private def rVec(i: Long, c: Float): Array[Float] =
+    Array.tabulate(RetrainDim)(d => c + ((i * 7 + d * 3) % 5) * 0.1f)
+
+  private def retrainProbe(idx: DedupIndex.VectorIndex): Seq[Seq[Any]] = {
+    val q = (100L to 104L).map(i => (i, rVec(i, 5f)))
+      .toDF("vec_id", "embedding")
+    sortedRows(Similarity.ivfSq8TopKIndexed(q, "vec_id", "embedding",
+      idx, 5, nprobe = 2))
+  }
+
+  private def centIds(idx: DedupIndex.VectorIndex): Set[Long] =
+    idx.centroids.select(col("cent_id")).collect().map(_.getLong(0)).toSet
+
+  test("retrain re-derives IVF geometry from the live corpus; probes match a fresh build") {
+    CachedPlans.clear()
+    // the per-dim extremes live in the BASE corpus and are never
+    // retired, so the frozen SQ8 ranges equal the ranges a fresh build
+    // over the grown live corpus would train — making probe equality
+    // with that fresh build an exact (not approximate) expectation
+    val base = Seq(
+      (2L, Array.fill(RetrainDim)(20f)),
+      (4L, Array.fill(RetrainDim)(-20f))) ++
+      (0L until 40L).filter(i => i % 2 == 0 && i != 2 && i != 4)
+        .map(i => (i, rVec(i, if (i % 10 < 5) 10f else -10f)))
+    val absorb = (41L until 80L by 2).map(i => (i, rVec(i, 8f)))
+    val retired = Seq(10L, 20L)
+    val live = base.filterNot(t => retired.contains(t._1)) ++ absorb
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retrain").toString
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    DedupIndex.appendVectors(absorb.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    DedupIndex.retireVectors(retired.toDF("vec_id"), "vec_id", dir)
+    val frozen = centIds(DedupIndex.loadVectors(spark, dir))
+
+    DedupIndex.retrainVectors(spark, dir)
+    val idx = DedupIndex.loadVectors(spark, dir)
+
+    // centroids are EXACTLY the deterministic selection over live rows
+    val want = Similarity.selectCentroids(
+        live.toDF("vec_id", "embedding"), "vec_id", 20)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(centIds(idx) === want)
+    assert(retired.forall(i => !centIds(idx).contains(i)),
+      "a retired id survived as a centroid")
+    assert(centIds(idx) !== frozen,
+      "fixture is vacuous — absorb did not drift the selection")
+
+    // probe equality against a from-scratch build over the live corpus
+    // (same ranges by fixture construction, same deterministic
+    // centroid selection, same codes — so bit-identical top-k)
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retrain-fresh").toString
+    DedupIndex.writeVectors(live.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", freshDir, planes = 2, dim = RetrainDim)
+    val got = retrainProbe(idx)
+    assert(got.nonEmpty)
+    assert(got === retrainProbe(DedupIndex.loadVectors(spark, freshDir)))
+
+    // replayed retrain is a no-op rewrite
+    DedupIndex.retrainVectors(spark, dir)
+    val again = DedupIndex.loadVectors(spark, dir)
+    assert(centIds(again) === want)
+    assert(retrainProbe(again) === got)
+  }
+
+  test("retrainVectorsIfNeeded runs only when the live selection drifted") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retrainif").toString
+    val base = (0L until 60L by 2).map(i => (i, rVec(i, 10f)))
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    assert(!DedupIndex.retrainVectorsIfNeeded(spark, dir),
+      "a just-built index must not need retraining")
+    DedupIndex.appendVectors(
+      (1L until 60L by 2).map(i => (i, rVec(i, -8f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(DedupIndex.retrainVectorsIfNeeded(spark, dir),
+      "doubling the corpus left the md5 top-20 unchanged — fixture broke")
+    assert(!DedupIndex.retrainVectorsIfNeeded(spark, dir),
+      "retrain must settle the selection")
+  }
+
+  test("a crash mid-retrain rolls back to the pre-retrain geometry") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retrain-crash").toString
+    val base = (0L until 60L by 2).map(i => (i, rVec(i, 10f)))
+    val absorb = (1L until 60L by 2).map(i => (i, rVec(i, -8f)))
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    DedupIndex.appendVectors(absorb.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val beforeCent = centIds(DedupIndex.loadVectors(spark, dir))
+    val beforeProbe = retrainProbe(DedupIndex.loadVectors(spark, dir))
+
+    // crash after the centroids component moved live but before the
+    // lists did — the torn state a reader must never observe durably
+    DedupIndex.testCrashAfterComponentMoves = 1
+    try {
+      intercept[RuntimeException](DedupIndex.retrainVectors(spark, dir))
+    } finally DedupIndex.testCrashAfterComponentMoves = -1
+
+    // the next load recovers: old centroids and lists restored
+    val recovered = DedupIndex.loadVectors(spark, dir)
+    assert(centIds(recovered) === beforeCent)
+    assert(retrainProbe(recovered) === beforeProbe)
+
+    // and a clean retry completes the geometry repair
+    DedupIndex.retrainVectors(spark, dir)
+    val want = Similarity.selectCentroids(
+        (base ++ absorb).toDF("vec_id", "embedding"), "vec_id", 20)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(centIds(DedupIndex.loadVectors(spark, dir)) === want)
+  }
 }
