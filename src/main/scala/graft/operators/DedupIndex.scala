@@ -1114,6 +1114,11 @@ object DedupIndex {
         if (isEmptyTombstones(idx.tombstones)) idx.buckets
         else idx.buckets.join(broadcast(idx.tombstones),
           Seq("id", "gen"), "left_anti")
+      // a fully-retired corpus has nothing to train on: keep the
+      // existing geometry rather than committing an EMPTY centroid set
+      // (which would leave later absorbs assigning against zero cells
+      // and staging no list rows — invisible to every IVF probe)
+      if (live.isEmpty) return
       val batch = newBatchId()
       stagePlain(centroidRows(live, "id", "vec", p.centroids),
         dir, batch, "centroids")
@@ -1131,23 +1136,37 @@ object DedupIndex {
   }
 
   /** Retrain only when the geometry has actually drifted: recompute
-    * the deterministic live-corpus centroid selection (id-only — the
-    * collect is bounded by the ≤1024-centroid contract) and compare it
-    * to the STORED centroid id set; identical selection means
-    * [[retrainVectors]] would rewrite byte-identical components, so
-    * skip the O(corpus) rebuild. The check itself is a sort-limit scan
-    * of the live rows — cadence-call it like [[compactVectorsIfNeeded]],
-    * not per batch. Returns whether a retrain ran.
+    * the deterministic live-corpus centroid selection (bounded by the
+    * ≤1024-centroid contract, so both collects are broadcast-sized)
+    * and compare it to the STORED centroid set — ids AND floats. The
+    * float comparison matters: a CDC refresh of a vector whose id is
+    * in the selection changes the centroid's content without changing
+    * the id set, and an id-only check would skip forever while probes
+    * rank cells against the displaced generation's floats. Identical
+    * selection (ids and vectors both) means [[retrainVectors]] would
+    * rewrite byte-identical components, so skip the O(corpus) rebuild.
+    * An empty live selection (fully-retired corpus) never triggers —
+    * there is nothing to train on and [[retrainVectors]] would keep
+    * the existing geometry anyway. The check itself is a sort-limit
+    * scan of the live rows — cadence-call it like
+    * [[compactVectorsIfNeeded]], not per batch (the maintenance sink's
+    * `autoRetrainEvery` knob is that cadence). Returns whether a
+    * retrain ran.
     */
   def retrainVectorsIfNeeded(spark: SparkSession, dir: String): Boolean = {
     val idx = loadVectors(spark, dir)
     val want = Similarity.selectCentroids(
         idx.buckets.select(col("id"), col("vec")), "id",
         idx.params.centroids)
-      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
-    val have = idx.centroids.select(col("cent_id"))
-      .collect().map(_.getLong(0)).toSet
-    if (want != have) { retrainVectors(spark, dir); true } else false
+      .select(col("id").cast("long"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val have = idx.centroids.select(col("cent_id"), col("cent_vec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val drifted = want.keySet != have.keySet ||
+      want.exists { case (id, v) => have(id) != v }
+    if (want.nonEmpty && drifted) { retrainVectors(spark, dir); true }
+    else false
   }
 
   // -------------------------------------------------------------- load

@@ -130,9 +130,31 @@ object CachedPlans {
   }
 
   // key includes the session: identical plans from different sessions
-  // must not share a DataFrame (its execution is bound to its session)
-  private val entries = mutable.Map
-    .empty[(org.apache.spark.sql.SparkSession, LogicalPlan, String), Lazy]
+  // must not share a DataFrame (its execution is bound to its session).
+  // ONE live snapshot per (session, plan): a snapshot miss REPLACES the
+  // entry (the stale twin must go anyway — see [[cached]]), which keeps
+  // the lookup O(1) instead of scanning every registered plan for
+  // structural equality under the global lock.
+  private val entries = mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, LogicalPlan), (String, Lazy)]
+
+  /** Release a displaced holder OUTSIDE the registry lock. If its fill
+    * completed, unpersist directly. If a concurrent caller's fill is
+    * still IN FLIGHT, `value` blocks until that fill finishes and then
+    * releases it — evicting without waiting would leak the persist AND
+    * leave the stale blocks registered in Spark's CacheManager, where
+    * the replacement's own `persist()` would plan-match them ("already
+    * cached") and silently adopt the pre-rewrite data: the exact stale
+    * hit the snapshot key exists to prevent. The wait is bounded by the
+    * in-flight fill; the never-started case (created but not yet
+    * forced) pays one wasted fill, which only a pathological
+    * interleaving can reach.
+    */
+  private def releaseHolder(h: Lazy): Unit =
+    h.peek match {
+      case Some(d) => release(d)
+      case None => try release(h.value) catch { case _: Throwable => () }
+    }
 
   /** Persist-and-eagerly-fill `df` once per (session, canonical plan,
     * input snapshot); later calls with a semantically identical plan
@@ -151,42 +173,55 @@ object CachedPlans {
   def cached(df: DataFrame): DataFrame = {
     val plan = df.queryExecution.analyzed.canonicalized
     val snap = snapshot(df)
-    val key = (df.sparkSession, plan, snap)
-    val holder = synchronized {
-      val stale = entries.keys
-        .filter(k => k._1 == df.sparkSession && k._2 == plan &&
-          k._3 != snap)
-        .toSeq
-      stale.foreach(k => entries.remove(k).foreach(_.peek.foreach(release)))
-      entries.getOrElseUpdate(key, new Lazy(() => {
-        df.persist()
-        df.count() // eager: populate ONCE before branches fan out
-        df
-      }))
+    val key = (df.sparkSession, plan)
+    val (holder, displaced) = synchronized {
+      entries.get(key) match {
+        case Some((s, h)) if s == snap => (h, None)
+        case prior =>
+          val h = new Lazy(() => {
+            df.persist()
+            df.count() // eager: populate ONCE before branches fan out
+            df
+          })
+          entries(key) = (snap, h)
+          (h, prior.map(_._2))
+      }
     }
+    displaced.foreach(releaseHolder)
     holder.value
   }
 
   // iterative operators (connected components) materialize checkpoints,
   // so their OUTPUT plan is unique per run and [[cached]] can never
   // dedup them; memoizing on the INPUT plan + an operator tag shares one
-  // run across queries deriving the same upstream
+  // run across queries deriving the same upstream. Same one-snapshot
+  // shape as [[entries]] so a rewritten input evicts its stale memo
+  // (checkpoint blocks included) instead of orphaning it until clear().
   private val memos = mutable.Map.empty[
-    (org.apache.spark.sql.SparkSession, LogicalPlan, String, String), Lazy]
+    (org.apache.spark.sql.SparkSession, LogicalPlan, String),
+    (String, Lazy)]
 
   /** Memoize `build` once per (session, canonical plan of `key`, input
     * snapshot of `key`, `tag`). Same lifetime contract as [[cached]]:
     * entries live until [[clear]] or session end; a rewrite of the
-    * underlying files changes the snapshot and triggers a fresh build.
-    * The build runs outside the registry lock (see [[Lazy]]).
+    * underlying files changes the snapshot, EVICTS the stale build's
+    * storage, and triggers a fresh build. The build runs outside the
+    * registry lock (see [[Lazy]]).
     */
   def memo(tag: String, key: DataFrame)(build: => DataFrame): DataFrame = {
-    val holder = synchronized {
-      memos.getOrElseUpdate(
-        (key.sparkSession, key.queryExecution.analyzed.canonicalized,
-          snapshot(key), tag),
-        new Lazy(() => build))
+    val plan = key.queryExecution.analyzed.canonicalized
+    val snap = snapshot(key)
+    val mkey = (key.sparkSession, plan, tag)
+    val (holder, displaced) = synchronized {
+      memos.get(mkey) match {
+        case Some((s, h)) if s == snap => (h, None)
+        case prior =>
+          val h = new Lazy(() => build)
+          memos(mkey) = (snap, h)
+          (h, prior.map(_._2))
+      }
     }
+    displaced.foreach(releaseHolder)
     holder.value
   }
 
@@ -211,8 +246,8 @@ object CachedPlans {
     * blocks backing memoized iterative results) and forget it.
     */
   def clear(): Unit = synchronized {
-    entries.values.foreach(_.peek.foreach(release))
-    memos.values.foreach(_.peek.foreach(release))
+    entries.values.foreach(_._2.peek.foreach(release))
+    memos.values.foreach(_._2.peek.foreach(release))
     entries.clear()
     memos.clear()
   }

@@ -359,6 +359,20 @@ object QueryIndexes {
     DedupIndex.loadText(spark, dir)
   }
 
+  /** Whether `dir` holds a loadable vector index with the fixture
+    * geometry every vector builder here uses — the ONE place that
+    * contract lives (planes 2, dim 64, 20 centroids, PQ 8x16).
+    */
+  private def vectorParamsReusable(spark: SparkSession,
+      dir: String): Boolean =
+    try {
+      val p = DedupIndex.loadVectors(spark, dir).params
+      p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
+        p.pqM == 8 && p.pqKsub == 16
+    } catch {
+      case _: IllegalArgumentException | _: IllegalStateException => false
+    }
+
   /** [[textRefreshed]]'s vector twin: even vec_ids indexed, then the
     * `% 10` slice re-absorbs with its embedding NEGATED (a maximal
     * content change — the vector lands in the opposite LSH bucket) and
@@ -370,15 +384,7 @@ object QueryIndexes {
     val dir = dirFor(sfDir, "vectors_refreshed",
       graft.plans.CachedPlans.dataFingerprint(vecs))
     built.computeIfAbsent(dir, _ => {
-      val reusable =
-        try {
-          val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
-            p.pqM == 8 && p.pqKsub == 16
-        } catch {
-          case _: IllegalArgumentException | _: IllegalStateException =>
-            false
-        }
+      val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
         DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", dir, planes = 2, dim = 64)
@@ -412,15 +418,7 @@ object QueryIndexes {
     val dir = dirFor(sfDir, "vectors_absorbed",
       graft.plans.CachedPlans.dataFingerprint(vecs))
     built.computeIfAbsent(dir, _ => {
-      val reusable =
-        try {
-          val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
-            p.pqM == 8 && p.pqKsub == 16
-        } catch {
-          case _: IllegalArgumentException | _: IllegalStateException =>
-            false
-        }
+      val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
         DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", dir, planes = 2, dim = 64)
@@ -450,15 +448,7 @@ object QueryIndexes {
     val dir = dirFor(sfDir, "vectors_retrained",
       graft.plans.CachedPlans.dataFingerprint(vecs))
     built.computeIfAbsent(dir, _ => {
-      val reusable =
-        try {
-          val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
-            p.pqM == 8 && p.pqKsub == 16
-        } catch {
-          case _: IllegalArgumentException | _: IllegalStateException =>
-            false
-        }
+      val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
         DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", dir, planes = 2, dim = 64)
@@ -518,15 +508,7 @@ object QueryIndexes {
     val dir = dirFor(sfDir, "vectors_retired",
       graft.plans.CachedPlans.dataFingerprint(vecs))
     built.computeIfAbsent(dir, _ => {
-      val reusable =
-        try {
-          val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
-            p.pqM == 8 && p.pqKsub == 16
-        } catch {
-          case _: IllegalArgumentException | _: IllegalStateException =>
-            false
-        }
+      val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
         DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", dir, planes = 2, dim = 64)
@@ -552,15 +534,7 @@ object QueryIndexes {
     val dir = dirFor(sfDir, kind,
       graft.plans.CachedPlans.dataFingerprint(vecs))
     built.computeIfAbsent(dir, _ => {
-      val reusable =
-        try {
-          val p = DedupIndex.loadVectors(spark, dir).params
-          p.planes == 2 && p.dim == 64 && p.centroids == 20 &&
-            p.pqM == 8 && p.pqKsub == 16
-        } catch {
-          case _: IllegalArgumentException | _: IllegalStateException =>
-            false
-        }
+      val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
         DedupIndex.writeVectors(
           if (evenHalf) vecs.filter(col("vec_id") % 2 === 0) else vecs,

@@ -1272,18 +1272,27 @@ object CdcStream {
     * a changed vector displaces its live generation), D events retire
     * through the tombstone commit. Same last-event-wins dispatch, same
     * replay idempotency, same generational resurrection semantics.
-    * With `autoRetrain` the sink also repairs IVF geometry drift after
-    * each batch via [[graft.operators.DedupIndex.retrainVectorsIfNeeded]]
-    * — centroids re-derive from the live corpus only when the
-    * deterministic selection actually changed, so a standing stream
-    * never serves cell boundaries trained on a corpus that no longer
-    * exists (`ann_ivf_drift` measures what skipping this costs).
+    * With `autoRetrainEvery = Some(n)` the sink also repairs IVF
+    * geometry drift every n-th non-empty batch via
+    * [[graft.operators.DedupIndex.retrainVectorsIfNeeded]] — centroids
+    * re-derive from the live corpus only when the deterministic
+    * selection actually changed (ids OR floats), so a standing stream
+    * never durably serves cell boundaries trained on a corpus that no
+    * longer exists (`ann_ivf_drift` measures what skipping this
+    * costs). The knob is a CADENCE, not a flag, because even the
+    * settled check is an O(corpus) sort-limit scan — per-batch it
+    * would break the sink's batch-sized-maintenance invariant, exactly
+    * as calling compaction unconditionally would; pick n so the scan
+    * amortizes over the batches between repairs (drift between checks
+    * costs recall, never correctness — retired rows are
+    * tombstone-filtered regardless).
     */
   def startVectorIndexMaintenance(changeStream: DataFrame, idCol: String,
       vecCol: String, indexDir: String, checkpointDir: String,
       seq: org.apache.spark.sql.Column,
       autoCompactTombstones: Option[Long] = None,
-      autoRetrain: Boolean = false): StreamingQuery =
+      autoRetrainEvery: Option[Int] = None): StreamingQuery = {
+    val retrainTick = new java.util.concurrent.atomic.AtomicLong(0L)
     changeStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1305,15 +1314,18 @@ object CdcStream {
             graft.operators.DedupIndex.compactVectorsIfNeeded(
               batch.sparkSession, indexDir, t)
           }
-          // cadence geometry repair: only rewrites when the live-corpus
-          // centroid selection actually drifted from the stored one, so
-          // a steady stream of no-op batches pays a scan, not a rebuild
-          if (autoRetrain) {
-            graft.operators.DedupIndex.retrainVectorsIfNeeded(
-              batch.sparkSession, indexDir)
-            ()
+          // cadence geometry repair: every n-th non-empty batch, and
+          // even then only rewrites when the live-corpus centroid
+          // selection actually drifted from the stored one
+          autoRetrainEvery.foreach { n =>
+            if (retrainTick.incrementAndGet() % math.max(1, n) == 0) {
+              graft.operators.DedupIndex.retrainVectorsIfNeeded(
+                batch.sparkSession, indexDir)
+              ()
+            }
           }
         }
       }
       .start()
+  }
 }

@@ -849,7 +849,7 @@ class CdcStreamSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/b1").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
     val q = CdcStream.startVectorIndexMaintenance(stream, "vec_id",
-      "embedding", idxDir, ckpt, col("seq"), autoRetrain = true)
+      "embedding", idxDir, ckpt, col("seq"), autoRetrainEvery = Some(1))
     try q.processAllAvailable() finally q.stop()
 
     val idx = graft.operators.DedupIndex.loadVectors(spark, idxDir)

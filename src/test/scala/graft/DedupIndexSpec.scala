@@ -1065,6 +1065,54 @@ class DedupIndexSpec extends SparkSpec {
       "retrain must settle the selection")
   }
 
+  test("a CDC refresh of a centroid id drifts the check even though the id set is unchanged") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retrain-refresh").toString
+    val base = (0L until 60L by 2).map(i => (i, rVec(i, 10f)))
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    val centBefore = DedupIndex.loadVectors(spark, dir)
+    val victim = centIds(centBefore).min
+    // refresh the victim's CONTENT: same id, different vector — the
+    // live id selection is unchanged, so an id-only check would skip
+    // forever while probes rank cells against the displaced floats
+    DedupIndex.appendVectors(
+      Seq((victim, rVec(victim, -3f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(DedupIndex.retrainVectorsIfNeeded(spark, dir),
+      "content refresh of a centroid id must trigger a retrain")
+    val after = DedupIndex.loadVectors(spark, dir)
+    val got = after.centroids.filter(col("cent_id") === victim)
+      .select(col("cent_vec")).collect().head.getSeq[Float](0)
+    assert(got === rVec(victim, -3f).toSeq,
+      "retrain kept the displaced generation's centroid floats")
+    assert(!DedupIndex.retrainVectorsIfNeeded(spark, dir))
+  }
+
+  test("retraining a fully-retired corpus keeps the existing geometry") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-retrain-empty").toString
+    val base = (0L until 40L by 2).map(i => (i, rVec(i, 10f)))
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    val before = centIds(DedupIndex.loadVectors(spark, dir))
+    DedupIndex.retireVectors(base.map(_._1).toDF("vec_id"), "vec_id", dir)
+    // nothing live to train on: retrain must NOT commit an empty
+    // centroid set (later absorbs would assign against zero cells and
+    // stage no list rows), and the drift check must not loop on it
+    DedupIndex.retrainVectors(spark, dir)
+    assert(centIds(DedupIndex.loadVectors(spark, dir)) === before)
+    assert(!DedupIndex.retrainVectorsIfNeeded(spark, dir))
+    // a resurrecting absorb lands in REAL cells and is probe-visible
+    DedupIndex.appendVectors(
+      Seq((1001L, rVec(1001L, 10f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val idx = DedupIndex.loadVectors(spark, dir)
+    assert(idx.lists.filter(col("n_id") === 1001L).count() === 1)
+  }
+
   test("a crash mid-retrain rolls back to the pre-retrain geometry") {
     CachedPlans.clear()
     val dir = java.nio.file.Files
