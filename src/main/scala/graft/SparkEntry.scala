@@ -172,6 +172,10 @@ object SparkEntry {
     "dedup_chunks" -> (PipelineQueries.dedupChunks _),
     "dedup_chunks_incremental" -> (PipelineQueries.dedupChunksIncremental _),
     "decontaminate_clean" -> (DedupQueries.decontaminateClean _),
+    "decontaminate_semantic" ->
+      (SimilarityQueries.semanticDecontaminationReport _),
+    "decontaminate_semantic_clean" ->
+      (SimilarityQueries.semanticDecontaminationClean _),
     "pii_redact" -> (PipelineQueries.piiRedact _),
     "vocab_topk" -> (PipelineQueries.vocabTopK _),
     "chunk_documents" -> (PipelineQueries.chunkDocuments _),
@@ -352,6 +356,12 @@ object SparkEntry {
     "dedup_chunks" -> PipelineQueries.dedupChunksSql,
     "dedup_chunks_incremental" -> PipelineQueries.dedupChunksIncrementalSql,
     "decontaminate_clean" -> DedupQueries.decontaminateCleanSql,
+    // embedding-space decontamination: same % 7 split, cosine >= 0.35
+    // over LSH-blocked candidates instead of shared 5-gram shingles
+    "decontaminate_semantic" ->
+      SimilarityQueries.semanticDecontaminationReportSql,
+    "decontaminate_semantic_clean" ->
+      SimilarityQueries.semanticDecontaminationCleanSql,
     "pii_redact" -> PipelineQueries.piiRedactSql,
     "vocab_topk" -> PipelineQueries.vocabTopKSql,
     "chunk_documents" -> PipelineQueries.chunkDocumentsSql,

@@ -876,6 +876,77 @@ object SimilarityQueries {
   def incrementalCosineNearDupsSql: String =
     incrementalCosineNearDupsSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1")
 
+  /** Embedding-space decontamination REPORT — the paraphrase-robust
+    * complement of the 5-gram `decontaminate` pair (a reworded eval
+    * question shares no exact shingles with its leak but lands next to
+    * it in embedding space): a training-corpus doc is contaminated
+    * when its embedding's cosine vs ANY eval-set embedding meets the
+    * threshold, LSH-bucket-blocked so candidates are collision-bounded
+    * (never corpus × eval). Per contaminated doc: how many eval docs
+    * it leaks (`n_hits` — exact, each vector lives in exactly one
+    * bucket so a pair is emitted at most once) and the strongest leak
+    * (`top_score` — an IEEE max over the deterministic cosine folds).
+    * Same `% 7` corpus/eval split as the shingle pair, so the two
+    * reports are directly comparable on the same data.
+    */
+  def semanticDecontaminationReport(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDups(
+        emb.filter(col("vec_id") % 7 === 0),
+        emb.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("score")).as("top_score"))
+      .select(col("a_id").as("doc_id"), col("n_hits"), col("top_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def semanticDecontaminationReportSql: String = {
+    def inner = incrementalCosineNearDupsSqlFor(
+      c => s"$c % 7 <> 0", c => s"$c % 7 = 0")
+      .linesIterator.map(l => "  " + l).mkString("\n").trim
+    s"""WITH pairs AS (
+      |  $inner)
+      |SELECT a_id AS doc_id, count(*) AS n_hits,
+      |  max(score) AS top_score
+      |FROM pairs GROUP BY a_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** The semantic decontamination REMOVAL half: the training corpus
+    * minus every doc [[semanticDecontaminationReport]] flags, each
+    * survivor witnessed by its content hash (the `vec_id == doc_id`
+    * testdata contract ties the embedding verdicts to the text rows;
+    * docs with no embedding are never flagged, on both sides).
+    */
+  def semanticDecontaminationClean(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    val docs = tbl(spark, sfDir, "documents")
+    val contaminated = Similarity.incrementalCosineNearDups(
+        emb.filter(col("vec_id") % 7 === 0),
+        emb.filter(col("vec_id") % 7 =!= 0),
+        "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim)
+      .select(col("a_id").as("doc_id")).distinct()
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def semanticDecontaminationCleanSql: String = {
+    def inner = incrementalCosineNearDupsSqlFor(
+      c => s"$c % 7 <> 0", c => s"$c % 7 = 0")
+      .linesIterator.map(l => "  " + l).mkString("\n").trim
+    s"""WITH pairs AS (
+      |  $inner)
+      |SELECT d.doc_id, md5(d.text) AS content_hash
+      |FROM documents d
+      |WHERE d.doc_id % 7 <> 0
+      |  AND d.doc_id NOT IN (SELECT DISTINCT a_id FROM pairs)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** The embedding-probe oracle with configurable corpus/batch
     * membership — shared by the even/odd probe and the evolved-index
     * (absorb) probe.

@@ -523,4 +523,28 @@ class SimilaritySpec extends SparkSpec {
         s"$m sampled recall ${h.toDouble / p} vs exhaustive ${ex(m)}")
     }
   }
+
+  test("semantic decontamination: flagged + clean partition the corpus, gate non-vacuous") {
+    val sf = "/root/testdata/sf0.001"
+    val report = graft.queries.SimilarityQueries
+      .semanticDecontaminationReport(spark, sf)
+    val flagged = report.select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(flagged.nonEmpty, "no semantic contamination on testdata — " +
+      "the clean query would pass vacuously")
+    assert(flagged.forall(_ % 7 != 0), "an eval doc got flagged as corpus")
+    val clean = graft.queries.SimilarityQueries
+      .semanticDecontaminationClean(spark, sf)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val corpus = graft.queries.Tables.tbl(spark, sf, "documents")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert((clean intersect flagged).isEmpty,
+      "a flagged doc survived cleaning")
+    assert((clean union flagged) === corpus,
+      "clean + flagged must partition the training corpus")
+    // every report row is a genuine >= threshold aggregate
+    val bad = report.filter(col("n_hits") < 1 || col("top_score") < 0.35)
+    assert(bad.isEmpty, "report carries a sub-threshold row")
+  }
 }
