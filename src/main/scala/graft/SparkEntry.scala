@@ -144,6 +144,8 @@ object SparkEntry {
       (DedupQueries.incrementalLshRefreshed _),
     "embed_incremental_refreshed" ->
       (SimilarityQueries.incrementalCosineNearDupsRefreshed _),
+    "embed_sq8_saturation" ->
+      (SimilarityQueries.sq8SaturationReport _),
     "embed_incremental_sq8_refreshed" ->
       (SimilarityQueries.incrementalCosineNearDupsSq8Refreshed _),
     "dedup_incremental_resurrected" ->
@@ -303,6 +305,8 @@ object SparkEntry {
       SimilarityQueries.incrementalCosineNearDupsRefreshedSql,
     "embed_incremental_sq8_refreshed" ->
       SimilarityQueries.incrementalCosineNearDupsSq8RefreshedSql,
+    // frozen-range saturation: the rebuild-vs-retrain decision signal
+    "embed_sq8_saturation" -> SimilarityQueries.sq8SaturationReportSql,
     "dedup_incremental_resurrected" ->
       DedupQueries.incrementalExactResurrectedSql,
     "dedup_incremental_bloom" -> DedupQueries.incrementalBloomSql,

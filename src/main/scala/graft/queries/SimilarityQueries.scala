@@ -817,6 +817,84 @@ object SimilarityQueries {
     incrementalCosineNearDupsSq8IndexedSqlFor(
       QueryIndexes.refreshedVecsSql)
 
+  /** SQ8 encoder saturation under FROZEN ranges after a CDC refresh —
+    * the diagnostic separating retrain's job from a rebuild's: geometry
+    * RETRAIN ([[graft.operators.DedupIndex.retrainVectors]]) repairs
+    * cell assignment but deliberately keeps the quantization ranges, so
+    * refreshed/absorbed vectors whose components fall outside the
+    * trained per-dimension [min, max] still encode CLAMPED — silent
+    * information loss the asymmetric probes then score with. Per cohort
+    * of the post-update even corpus (the exact state
+    * `embed_incremental_sq8_refreshed` probes): vectors, components,
+    * and components whose RAW quantization index falls outside
+    * [0, 255] pre-clamp. The build cohort measures zero by construction
+    * (ranges trained on it); a rising refreshed count is the signal to
+    * REBUILD (retrain the ranges with [[graft.operators.DedupIndex
+    * .writeVectors]]) rather than retrain cells. Integer counts —
+    * oracle-exact.
+    */
+  def sq8SaturationReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    val ranges = Similarity.sq8Ranges(
+      emb.filter(col("vec_id") % 2 === 0), "embedding", Dim)
+    val minA = array(ranges.map(r => lit(r._1)): _*)
+    val scaleA = array(ranges.map(r => lit((r._2 - r._1) / 255.0)): _*)
+    val rawQ = transform(col("embedding"), (v, i) =>
+      when(element_at(scaleA, i + 1) === 0.0, lit(0.0))
+        .otherwise(floor((v.cast("double") - element_at(minA, i + 1)) /
+          element_at(scaleA, i + 1) + lit(0.5))))
+    emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 10 === 0,
+          transform(col("embedding"), v => -v))
+          .otherwise(col("embedding")).as("embedding"))
+      .withColumn("cohort",
+        when(col("vec_id") % 10 === 0, lit("refreshed"))
+          .otherwise(lit("build")))
+      .withColumn("clamped",
+        size(filter(rawQ, q => q < 0.0 || q > 255.0)))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(size(col("embedding"))).as("n_vals"),
+        sum(col("clamped")).as("n_clamped"))
+      .orderBy(col("cohort"))
+  }
+
+  def sq8SaturationReportSql: String = {
+    val r = s"range(1, ${Dim + 1})"
+    s"""WITH rng AS (
+      |  SELECT CAST(t.i AS INTEGER) AS pos,
+      |    CAST(min(embedding[t.i]) AS DOUBLE) AS mn,
+      |    CAST(max(embedding[t.i]) AS DOUBLE) AS mx
+      |  FROM embeddings, UNNEST($r) t(i)
+      |  WHERE vec_id % 2 = 0
+      |  GROUP BY 1),
+      |rlist AS (
+      |  SELECT list(mn ORDER BY pos) AS minA,
+      |    list((mx - mn) / 255.0 ORDER BY pos) AS scaleA
+      |  FROM rng),
+      |src AS (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 10 = 0
+      |      THEN list_transform(embedding, x -> -x)
+      |      ELSE embedding END AS embedding,
+      |    CASE WHEN vec_id % 10 = 0 THEN 'refreshed' ELSE 'build' END
+      |      AS cohort
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |per AS (
+      |  SELECT cohort, len(embedding) AS n,
+      |    len(list_filter(list_transform($r, i ->
+      |      CASE WHEN scaleA[i] = 0.0 THEN 0.0
+      |        ELSE floor((CAST(embedding[i] AS DOUBLE) - minA[i])
+      |          / scaleA[i] + 0.5) END),
+      |      q -> q < 0 OR q > 255)) AS clamped
+      |  FROM src CROSS JOIN rlist)
+      |SELECT cohort, count(*) AS n_vecs,
+      |  CAST(sum(n) AS BIGINT) AS n_vals,
+      |  CAST(sum(clamped) AS BIGINT) AS n_clamped
+      |FROM per GROUP BY cohort ORDER BY cohort""".stripMargin
+  }
+
   /** The SQ8 asymmetric-probe oracle with a configurable corpus SOURCE
     * for the encoded side. The quantization RANGES always train on the
     * ORIGINAL even corpus — that is the frozen geometry the index

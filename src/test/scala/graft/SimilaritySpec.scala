@@ -547,4 +547,15 @@ class SimilaritySpec extends SparkSpec {
     val bad = report.filter(col("n_hits") < 1 || col("top_score") < 0.35)
     assert(bad.isEmpty, "report carries a sub-threshold row")
   }
+
+  test("sq8 saturation gate: build cohort never clamps, refreshed cohort does") {
+    val m = graft.queries.SimilarityQueries
+      .sq8SaturationReport(spark, "/root/testdata/sf0.001")
+      .select("cohort", "n_clamped").as[(String, Long)].collect().toMap
+    assert(m("build") === 0L,
+      "ranges trained on the build cohort cannot clamp it")
+    assert(m("refreshed") > 0L,
+      "the negated refresh slice must escape the trained range — " +
+        "a zero here means the gate is vacuous")
+  }
 }
