@@ -1159,12 +1159,27 @@ object DedupIndex {
         idx.buckets.select(col("id"), col("vec")), "id",
         idx.params.centroids)
       .select(col("id").cast("long"), col("vec")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
     val have = idx.centroids.select(col("cent_id"), col("cent_vec"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    // BITWISE float comparison, not ==: a NaN component would compare
+    // unequal to itself forever, turning every cadence check into a
+    // full retrain that rewrites the same bytes and "drifts" again
+    def sameVec(a: Seq[Any], b: Seq[Any]): Boolean =
+      (a == null && b == null) ||
+        (a != null && b != null && a.length == b.length &&
+          a.indices.forall { i =>
+            (a(i), b(i)) match {
+              case (null, null) => true
+              case (x: Float, y: Float) =>
+                java.lang.Float.floatToIntBits(x) ==
+                  java.lang.Float.floatToIntBits(y)
+              case _ => false
+            }
+          })
     val drifted = want.keySet != have.keySet ||
-      want.exists { case (id, v) => have(id) != v }
+      want.exists { case (id, v) => !sameVec(v, have(id)) }
     if (want.nonEmpty && drifted) { retrainVectors(spark, dir); true }
     else false
   }

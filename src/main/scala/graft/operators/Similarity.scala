@@ -855,16 +855,28 @@ object Similarity {
     * explicit floor(x + 0.5) — not a platform `round` — so any engine
     * reproduces the codes bit-exactly.
     */
-  def sq8Encode(vec: Column, mins: Seq[Double],
+  /** Pre-clamp raw SQ8 quantization index per component:
+    * `floor((v - min) / scale + 0.5)` (0 where the dimension is
+    * degenerate). This is the ONE definition of the encoder's rounding
+    * — [[sq8Encode]] clamps it into [0, 255], and the saturation gate
+    * (`embed_sq8_saturation`) counts where the clamp actually bites,
+    * so the diagnostic can never drift from what the encoder does.
+    */
+  def sq8RawIndex(vec: Column, mins: Seq[Double],
       scales: Seq[Double]): Column = {
     val minA = array(mins.map(lit(_)): _*)
     val scaleA = array(scales.map(lit(_)): _*)
     transform(vec, (v, i) =>
-      when(element_at(scaleA, i + 1) === 0.0, lit(0))
-        .otherwise(greatest(lit(0), least(lit(255), floor(
+      when(element_at(scaleA, i + 1) === 0.0, lit(0.0))
+        .otherwise(floor(
           (v.cast(DoubleType) - element_at(minA, i + 1)) /
-            element_at(scaleA, i + 1) + lit(0.5)).cast("int")))))
+            element_at(scaleA, i + 1) + lit(0.5))))
   }
+
+  def sq8Encode(vec: Column, mins: Seq[Double],
+      scales: Seq[Double]): Column =
+    transform(sq8RawIndex(vec, mins, scales),
+      q => greatest(lit(0), least(lit(255), q.cast("int"))))
 
   /** [[ivfSq8TopK]] probing the PERSISTED IVF structure
     * ([[DedupIndex.writeVectors]]'s `centroids/` + `lists/` components)

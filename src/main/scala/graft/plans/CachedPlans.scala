@@ -138,22 +138,28 @@ object CachedPlans {
   private val entries = mutable.Map.empty[
     (org.apache.spark.sql.SparkSession, LogicalPlan), (String, Lazy)]
 
-  /** Release a displaced holder OUTSIDE the registry lock. If its fill
-    * completed, unpersist directly. If a concurrent caller's fill is
-    * still IN FLIGHT, `value` blocks until that fill finishes and then
-    * releases it — evicting without waiting would leak the persist AND
-    * leave the stale blocks registered in Spark's CacheManager, where
-    * the replacement's own `persist()` would plan-match them ("already
+  /** Release a displaced holder whose fill is (or may be) still IN
+    * FLIGHT — called OUTSIDE the registry lock, because `value` blocks
+    * until the concurrent fill finishes before unpersisting it.
+    * Evicting without waiting would leak the persist AND leave the
+    * stale blocks registered in Spark's CacheManager, where the
+    * replacement's own `persist()` would plan-match them ("already
     * cached") and silently adopt the pre-rewrite data: the exact stale
-    * hit the snapshot key exists to prevent. The wait is bounded by the
-    * in-flight fill; the never-started case (created but not yet
-    * forced) pays one wasted fill, which only a pathological
-    * interleaving can reach.
+    * hit the snapshot key exists to prevent. (A COMPLETED stale fill is
+    * instead released inside the lock, before the replacement entry
+    * becomes visible — otherwise a same-key caller could force the
+    * replacement in the release gap and adopt the not-yet-uncached
+    * stale blocks.) The wait is bounded by the in-flight fill; the
+    * never-started case (created but not yet forced) pays one wasted
+    * fill, which only a pathological interleaving can reach. Non-fatal
+    * fill failures mean there is nothing persisted to release; fatal
+    * errors propagate, and an interrupt restores the flag.
     */
   private def releaseHolder(h: Lazy): Unit =
-    h.peek match {
-      case Some(d) => release(d)
-      case None => try release(h.value) catch { case _: Throwable => () }
+    try release(h.value)
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
     }
 
   /** Persist-and-eagerly-fill `df` once per (session, canonical plan,
@@ -174,20 +180,32 @@ object CachedPlans {
     val plan = df.queryExecution.analyzed.canonicalized
     val snap = snapshot(df)
     val key = (df.sparkSession, plan)
-    val (holder, displaced) = synchronized {
+    val (holder, inFlight) = synchronized {
       entries.get(key) match {
         case Some((s, h)) if s == snap => (h, None)
         case prior =>
+          // a COMPLETED stale twin unpersists here, inside the lock:
+          // its CacheManager entry must be gone before any caller can
+          // force the replacement's persist (which would plan-match
+          // the stale blocks). An in-flight twin is handed out for the
+          // blocking release below instead — waiting on it here would
+          // hold the global lock for the length of its fill.
+          val pending = prior.map(_._2).filter { h =>
+            h.peek match {
+              case Some(d) => release(d); false
+              case None => true
+            }
+          }
           val h = new Lazy(() => {
             df.persist()
             df.count() // eager: populate ONCE before branches fan out
             df
           })
           entries(key) = (snap, h)
-          (h, prior.map(_._2))
+          (h, pending)
       }
     }
-    displaced.foreach(releaseHolder)
+    inFlight.foreach(releaseHolder)
     holder.value
   }
 
@@ -212,16 +230,23 @@ object CachedPlans {
     val plan = key.queryExecution.analyzed.canonicalized
     val snap = snapshot(key)
     val mkey = (key.sparkSession, plan, tag)
-    val (holder, displaced) = synchronized {
+    val (holder, inFlight) = synchronized {
       memos.get(mkey) match {
         case Some((s, h)) if s == snap => (h, None)
         case prior =>
+          // same completed-inside / in-flight-outside split as [[cached]]
+          val pending = prior.map(_._2).filter { h =>
+            h.peek match {
+              case Some(d) => release(d); false
+              case None => true
+            }
+          }
           val h = new Lazy(() => build)
           memos(mkey) = (snap, h)
-          (h, prior.map(_._2))
+          (h, pending)
       }
     }
-    displaced.foreach(releaseHolder)
+    inFlight.foreach(releaseHolder)
     holder.value
   }
 

@@ -837,12 +837,10 @@ object SimilarityQueries {
     val emb = tbl(spark, sfDir, "embeddings")
     val ranges = Similarity.sq8Ranges(
       emb.filter(col("vec_id") % 2 === 0), "embedding", Dim)
-    val minA = array(ranges.map(r => lit(r._1)): _*)
-    val scaleA = array(ranges.map(r => lit((r._2 - r._1) / 255.0)): _*)
-    val rawQ = transform(col("embedding"), (v, i) =>
-      when(element_at(scaleA, i + 1) === 0.0, lit(0.0))
-        .otherwise(floor((v.cast("double") - element_at(minA, i + 1)) /
-          element_at(scaleA, i + 1) + lit(0.5))))
+    // the ENCODER's own pre-clamp rounding — shared with sq8Encode, so
+    // the gate measures exactly what the stored codes lose
+    val rawQ = Similarity.sq8RawIndex(col("embedding"),
+      ranges.map(_._1), ranges.map(r => (r._2 - r._1) / 255.0))
     emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id"),
         when(col("vec_id") % 10 === 0,
@@ -967,29 +965,41 @@ object SimilarityQueries {
     * Same `% 7` corpus/eval split as the shingle pair, so the two
     * reports are directly comparable on the same data.
     */
-  def semanticDecontaminationReport(spark: SparkSession,
+  /** The shared contaminated-pairs branch: both decontamination halves
+    * read it, routed through [[graft.plans.CachedPlans.cached]] so one
+    * bench/verify pass pays the bucket join + cosine scoring once
+    * (embeddings-parquet-backed plan — safe for the registry). The
+    * threshold matches the `score >= 0.35` the shared oracle CTE pins.
+    */
+  private def semanticContaminationPairs(spark: SparkSession,
       sfDir: String): DataFrame = {
     val emb = tbl(spark, sfDir, "embeddings")
-    Similarity.incrementalCosineNearDups(
-        emb.filter(col("vec_id") % 7 === 0),
-        emb.filter(col("vec_id") % 7 =!= 0),
-        "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim)
+    graft.plans.CachedPlans.cached(Similarity.incrementalCosineNearDups(
+      emb.filter(col("vec_id") % 7 === 0),
+      emb.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim))
+  }
+
+  private def semanticPairsSqlInner: String =
+    incrementalCosineNearDupsSqlFor(
+      c => s"$c % 7 <> 0", c => s"$c % 7 = 0")
+      .linesIterator.map(l => "  " + l).mkString("\n").trim
+
+  def semanticDecontaminationReport(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    semanticContaminationPairs(spark, sfDir)
       .groupBy(col("a_id"))
       .agg(count(lit(1)).as("n_hits"), max(col("score")).as("top_score"))
       .select(col("a_id").as("doc_id"), col("n_hits"), col("top_score"))
       .orderBy(col("doc_id"))
   }
 
-  def semanticDecontaminationReportSql: String = {
-    def inner = incrementalCosineNearDupsSqlFor(
-      c => s"$c % 7 <> 0", c => s"$c % 7 = 0")
-      .linesIterator.map(l => "  " + l).mkString("\n").trim
+  def semanticDecontaminationReportSql: String =
     s"""WITH pairs AS (
-      |  $inner)
+      |  $semanticPairsSqlInner)
       |SELECT a_id AS doc_id, count(*) AS n_hits,
       |  max(score) AS top_score
       |FROM pairs GROUP BY a_id ORDER BY doc_id""".stripMargin
-  }
 
   /** The semantic decontamination REMOVAL half: the training corpus
     * minus every doc [[semanticDecontaminationReport]] flags, each
@@ -999,12 +1009,8 @@ object SimilarityQueries {
     */
   def semanticDecontaminationClean(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val emb = tbl(spark, sfDir, "embeddings")
     val docs = tbl(spark, sfDir, "documents")
-    val contaminated = Similarity.incrementalCosineNearDups(
-        emb.filter(col("vec_id") % 7 === 0),
-        emb.filter(col("vec_id") % 7 =!= 0),
-        "vec_id", "embedding", threshold = 0.35, planes = 2, dim = Dim)
+    val contaminated = semanticContaminationPairs(spark, sfDir)
       .select(col("a_id").as("doc_id")).distinct()
     docs.filter(col("doc_id") % 7 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -1012,18 +1018,14 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
-  def semanticDecontaminationCleanSql: String = {
-    def inner = incrementalCosineNearDupsSqlFor(
-      c => s"$c % 7 <> 0", c => s"$c % 7 = 0")
-      .linesIterator.map(l => "  " + l).mkString("\n").trim
+  def semanticDecontaminationCleanSql: String =
     s"""WITH pairs AS (
-      |  $inner)
+      |  $semanticPairsSqlInner)
       |SELECT d.doc_id, md5(d.text) AS content_hash
       |FROM documents d
       |WHERE d.doc_id % 7 <> 0
       |  AND d.doc_id NOT IN (SELECT DISTINCT a_id FROM pairs)
       |ORDER BY doc_id""".stripMargin
-  }
 
   /** The embedding-probe oracle with configurable corpus/batch
     * membership — shared by the even/odd probe and the evolved-index

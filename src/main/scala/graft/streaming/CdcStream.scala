@@ -1292,6 +1292,10 @@ object CdcStream {
       seq: org.apache.spark.sql.Column,
       autoCompactTombstones: Option[Long] = None,
       autoRetrainEvery: Option[Int] = None): StreamingQuery = {
+    autoRetrainEvery.foreach(n => require(n > 0,
+      s"autoRetrainEvery must be a positive cadence, got $n — " +
+        "a non-positive value would run the O(corpus) drift scan " +
+        "per batch"))
     val retrainTick = new java.util.concurrent.atomic.AtomicLong(0L)
     changeStream.writeStream
       .outputMode("append")
@@ -1318,7 +1322,7 @@ object CdcStream {
           // even then only rewrites when the live-corpus centroid
           // selection actually drifted from the stored one
           autoRetrainEvery.foreach { n =>
-            if (retrainTick.incrementAndGet() % math.max(1, n) == 0) {
+            if (retrainTick.incrementAndGet() % n == 0) {
               graft.operators.DedupIndex.retrainVectorsIfNeeded(
                 batch.sparkSession, indexDir)
               ()

@@ -864,6 +864,12 @@ class CdcStreamSpec extends SparkSpec {
       "maintained index serves centroids trained on a dead corpus")
     // and the maintained selection settled — nothing left to retrain
     assert(!graft.operators.DedupIndex.retrainVectorsIfNeeded(spark, idxDir))
+    // a non-positive cadence would run the O(corpus) scan per batch —
+    // reject it loudly instead of silently coercing
+    intercept[IllegalArgumentException] {
+      CdcStream.startVectorIndexMaintenance(stream, "vec_id",
+        "embedding", idxDir, ckpt, col("seq"), autoRetrainEvery = Some(0))
+    }
   }
 
   test("streaming near-dup estimator error vs batch exact Jaccard is bounded") {
