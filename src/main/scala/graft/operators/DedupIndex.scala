@@ -1108,31 +1108,41 @@ object DedupIndex {
     val lease = acquireLease(fs, dir)
     try {
       recover(spark, dir, Some(lease))
-      val idx = loadVectorsRaw(spark, dir)
-      val p = idx.params
-      val live =
-        if (isEmptyTombstones(idx.tombstones)) idx.buckets
-        else idx.buckets.join(broadcast(idx.tombstones),
-          Seq("id", "gen"), "left_anti")
-      // a fully-retired corpus has nothing to train on: keep the
-      // existing geometry rather than committing an EMPTY centroid set
-      // (which would leave later absorbs assigning against zero cells
-      // and staging no list rows — invisible to every IVF probe)
-      if (live.isEmpty) return
-      val batch = newBatchId()
-      stagePlain(centroidRows(live, "id", "vec", p.centroids),
-        dir, batch, "centroids")
-      // assignment joins the EXACT floats the commit will publish —
-      // re-read the staged file, as [[writeVectors]] does
-      val stagedCent = spark.read.parquet(new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(stagingRoot(dir), batch),
-        "centroids").toString)
-      stageComponent(
-        listRows(idx.buckets.select(col("id"), col("vec"),
-          col("gen").as(GenCol)), "id", "vec", stagedCent, idx.ranges),
-        dir, batch, "lists", Seq("cent_id"), p.numBuckets)
-      commitStaged(spark, dir, batch, replace = true)
+      retrainVectorsHolding(spark, dir)
     } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[retrainVectors]]' body, assuming the caller already holds the
+    * writer lease and ran recovery — so [[retrainVectorsIfNeeded]] can
+    * keep its check-then-retrain atomic under ONE lease instead of
+    * releasing between the drift read and the rewrite.
+    */
+  private def retrainVectorsHolding(spark: SparkSession, dir: String)
+      : Unit = {
+    val idx = loadVectorsRaw(spark, dir)
+    val p = idx.params
+    val live =
+      if (isEmptyTombstones(idx.tombstones)) idx.buckets
+      else idx.buckets.join(broadcast(idx.tombstones),
+        Seq("id", "gen"), "left_anti")
+    // a fully-retired corpus has nothing to train on: keep the
+    // existing geometry rather than committing an EMPTY centroid set
+    // (which would leave later absorbs assigning against zero cells
+    // and staging no list rows — invisible to every IVF probe)
+    if (live.isEmpty) return
+    val batch = newBatchId()
+    stagePlain(centroidRows(live, "id", "vec", p.centroids),
+      dir, batch, "centroids")
+    // assignment joins the EXACT floats the commit will publish —
+    // re-read the staged file, as [[writeVectors]] does
+    val stagedCent = spark.read.parquet(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stagingRoot(dir), batch),
+      "centroids").toString)
+    stageComponent(
+      listRows(idx.buckets.select(col("id"), col("vec"),
+        col("gen").as(GenCol)), "id", "vec", stagedCent, idx.ranges),
+      dir, batch, "lists", Seq("cent_id"), p.numBuckets)
+    commitStaged(spark, dir, batch, replace = true)
   }
 
   /** Retrain only when the geometry has actually drifted: recompute
@@ -1150,39 +1160,58 @@ object DedupIndex {
     * the existing geometry anyway. The check itself is a sort-limit
     * scan of the live rows — cadence-call it like
     * [[compactVectorsIfNeeded]], not per batch (the maintenance sink's
-    * `autoRetrainEvery` knob is that cadence). Returns whether a
+    * `autoRetrainEvery` knob is that cadence). Check and retrain run
+    * under ONE writer-lease acquisition, so the two collects can never
+    * read a torn mid-commit state from a concurrent writer, and the
+    * rewrite acts on exactly the state the check saw. Returns whether a
     * retrain ran.
     */
   def retrainVectorsIfNeeded(spark: SparkSession, dir: String): Boolean = {
-    val idx = loadVectors(spark, dir)
-    val want = Similarity.selectCentroids(
-        idx.buckets.select(col("id"), col("vec")), "id",
-        idx.params.centroids)
-      .select(col("id").cast("long"), col("vec")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
-    val have = idx.centroids.select(col("cent_id"), col("cent_vec"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
-    // BITWISE float comparison, not ==: a NaN component would compare
-    // unequal to itself forever, turning every cadence check into a
-    // full retrain that rewrites the same bytes and "drifts" again
-    def sameVec(a: Seq[Any], b: Seq[Any]): Boolean =
-      (a == null && b == null) ||
-        (a != null && b != null && a.length == b.length &&
-          a.indices.forall { i =>
-            (a(i), b(i)) match {
-              case (null, null) => true
-              case (x: Float, y: Float) =>
-                java.lang.Float.floatToIntBits(x) ==
-                  java.lang.Float.floatToIntBits(y)
-              case _ => false
-            }
-          })
-    val drifted = want.keySet != have.keySet ||
-      want.exists { case (id, v) => !sameVec(v, have(id)) }
-    if (want.nonEmpty && drifted) { retrainVectors(spark, dir); true }
-    else false
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val idx = loadVectors(spark, dir)
+      val want = Similarity.selectCentroids(
+          idx.buckets.select(col("id"), col("vec")), "id",
+          idx.params.centroids)
+        .select(col("id").cast("long"), col("vec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      val have = idx.centroids.select(col("cent_id"), col("cent_vec"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      val drifted = want.keySet != have.keySet ||
+        want.exists { case (id, v) => !sameVec(v, have(id)) }
+      if (want.nonEmpty && drifted) {
+        retrainVectorsHolding(spark, dir); true
+      } else false
+    } finally releaseLease(fs, dir, lease)
   }
+
+  /** BITWISE per-component vector equality for the settled checks —
+    * not ==: a NaN component would compare unequal to itself forever,
+    * turning every cadence check into a full O(corpus) rewrite that
+    * reproduces the same bytes and "drifts" again. Float AND Double
+    * components compare bitwise (the index accepts `array<double>`
+    * vector columns too — a Float-only match would report perpetual
+    * drift for them, silently defeating the settled-check optimization).
+    */
+  private def sameVec(a: Seq[Any], b: Seq[Any]): Boolean =
+    (a == null && b == null) ||
+      (a != null && b != null && a.length == b.length &&
+        a.indices.forall { i =>
+          (a(i), b(i)) match {
+            case (null, null) => true
+            case (x: Float, y: Float) =>
+              java.lang.Float.floatToIntBits(x) ==
+                java.lang.Float.floatToIntBits(y)
+            case (x: Double, y: Double) =>
+              java.lang.Double.doubleToLongBits(x) ==
+                java.lang.Double.doubleToLongBits(y)
+            case _ => false
+          }
+        })
 
   // -------------------------------------------------------------- load
 

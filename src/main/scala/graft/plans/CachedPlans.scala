@@ -42,18 +42,51 @@ import scala.collection.mutable
   */
 object CachedPlans {
 
-  // per-key lazy holder: the registry lock guards only the map insert;
+  // per-key fill holder: the registry lock guards only the map insert;
   // the (possibly minutes-long) Spark action inside `thunk` runs under
-  // the HOLDER's lock, so concurrent callers on DIFFERENT keys (e.g. the
-  // per-table validate fan-out) proceed in parallel while same-key
-  // callers still share one fill
+  // the HOLDER's own monitor, so concurrent callers on DIFFERENT keys
+  // (e.g. the per-table validate fan-out) proceed in parallel while
+  // same-key callers still share one fill. An explicit state machine
+  // rather than a `lazy val`: a lazy val whose initializer threw is not
+  // memoized, so eviction code that forces it "to release it" would
+  // RE-RUN the whole corpus-scale fill (over possibly already-rewritten
+  // files) — [[settle]] is the release-side read that never fills.
   private final class Lazy(thunk: () => DataFrame) {
-    @volatile private var result: Option[DataFrame] = None
-    lazy val value: DataFrame = { val r = thunk(); result = Some(r); r }
+    // 0 = never started, 1 = filling, 2 = completed. A FAILED fill
+    // resets to 0 (retry semantics: a transient failure heals on the
+    // next force instead of poisoning the entry forever).
+    private[this] var state = 0
+    private[this] var result: DataFrame = _
+    def value: DataFrame = {
+      synchronized {
+        while (state == 1) wait()
+        if (state == 2) return result
+        state = 1
+      }
+      val r =
+        try thunk()
+        catch {
+          case t: Throwable =>
+            synchronized { state = 0; notifyAll() }
+            throw t
+        }
+      synchronized { state = 2; result = r; notifyAll() }
+      r
+    }
     /** The built value if the fill completed — clear() must not trigger
       * a (re)build just to unpersist.
       */
-    def peek: Option[DataFrame] = result
+    def peek: Option[DataFrame] = synchronized {
+      if (state == 2) Some(result) else None
+    }
+    /** Wait out an in-flight fill (if any), then return the COMPLETED
+      * result — None when the fill never started or failed, in which
+      * case nothing is persisted and there is nothing to release.
+      */
+    def settle(): Option[DataFrame] = synchronized {
+      while (state == 1) wait()
+      if (state == 2) Some(result) else None
+    }
   }
 
   /** MD5 of the sorted input-file listing PLUS each file's length and
@@ -139,24 +172,27 @@ object CachedPlans {
     (org.apache.spark.sql.SparkSession, LogicalPlan), (String, Lazy)]
 
   /** Release a displaced holder whose fill is (or may be) still IN
-    * FLIGHT — called OUTSIDE the registry lock, because `value` blocks
-    * until the concurrent fill finishes before unpersisting it.
-    * Evicting without waiting would leak the persist AND leave the
-    * stale blocks registered in Spark's CacheManager, where the
-    * replacement's own `persist()` would plan-match them ("already
-    * cached") and silently adopt the pre-rewrite data: the exact stale
-    * hit the snapshot key exists to prevent. (A COMPLETED stale fill is
-    * instead released inside the lock, before the replacement entry
-    * becomes visible — otherwise a same-key caller could force the
-    * replacement in the release gap and adopt the not-yet-uncached
-    * stale blocks.) The wait is bounded by the in-flight fill; the
-    * never-started case (created but not yet forced) pays one wasted
-    * fill, which only a pathological interleaving can reach. Non-fatal
-    * fill failures mean there is nothing persisted to release; fatal
-    * errors propagate, and an interrupt restores the flag.
+    * FLIGHT — called from INSIDE the replacement holder's fill thunk
+    * (outside the registry lock), so the ordering is airtight: any
+    * caller forcing the replacement — the displacing caller or a
+    * concurrent same-key one — first waits out the stale fill and
+    * unpersists it, and only then runs the replacement's `persist()`.
+    * Evicting without that wait would leave the stale blocks registered
+    * in Spark's CacheManager, where the replacement's `persist()` would
+    * plan-match them ("already cached") and silently adopt the
+    * pre-rewrite data: the exact stale hit the snapshot key exists to
+    * prevent. (A COMPLETED stale fill is instead released inside the
+    * registry lock, before the replacement entry becomes visible.)
+    * [[Lazy.settle]] never forces: a fill that never started or failed
+    * has nothing persisted, so there is nothing to release — and
+    * forcing it would re-run a corpus-scale job over stale files purely
+    * for its own funeral. The wait is bounded by the in-flight fill; a
+    * stale caller that starts its fill AFTER this check leaks one
+    * persist until [[clear]], which only a pathological interleaving
+    * (forcing a holder it was handed before the displacement) reaches.
     */
   private def releaseHolder(h: Lazy): Unit =
-    try release(h.value)
+    try h.settle().foreach(release)
     catch {
       case _: InterruptedException => Thread.currentThread().interrupt()
       case scala.util.control.NonFatal(_) => ()
@@ -180,16 +216,19 @@ object CachedPlans {
     val plan = df.queryExecution.analyzed.canonicalized
     val snap = snapshot(df)
     val key = (df.sparkSession, plan)
-    val (holder, inFlight) = synchronized {
+    val holder = synchronized {
       entries.get(key) match {
-        case Some((s, h)) if s == snap => (h, None)
+        case Some((s, h)) if s == snap => h
         case prior =>
           // a COMPLETED stale twin unpersists here, inside the lock:
           // its CacheManager entry must be gone before any caller can
           // force the replacement's persist (which would plan-match
-          // the stale blocks). An in-flight twin is handed out for the
-          // blocking release below instead — waiting on it here would
-          // hold the global lock for the length of its fill.
+          // the stale blocks). An IN-FLIGHT twin is instead released
+          // from inside the replacement's own fill thunk — waiting here
+          // would hold the global lock for the length of its fill, and
+          // releasing after the insert (outside the thunk) would let a
+          // concurrent same-key caller force the replacement's persist
+          // while the stale blocks are still registered.
           val pending = prior.map(_._2).filter { h =>
             h.peek match {
               case Some(d) => release(d); false
@@ -197,15 +236,15 @@ object CachedPlans {
             }
           }
           val h = new Lazy(() => {
+            pending.foreach(releaseHolder)
             df.persist()
             df.count() // eager: populate ONCE before branches fan out
             df
           })
           entries(key) = (snap, h)
-          (h, pending)
+          h
       }
     }
-    inFlight.foreach(releaseHolder)
     holder.value
   }
 
@@ -230,23 +269,23 @@ object CachedPlans {
     val plan = key.queryExecution.analyzed.canonicalized
     val snap = snapshot(key)
     val mkey = (key.sparkSession, plan, tag)
-    val (holder, inFlight) = synchronized {
+    val holder = synchronized {
       memos.get(mkey) match {
-        case Some((s, h)) if s == snap => (h, None)
+        case Some((s, h)) if s == snap => h
         case prior =>
-          // same completed-inside / in-flight-outside split as [[cached]]
+          // same completed-inside-the-lock / in-flight-inside-the-thunk
+          // split as [[cached]]
           val pending = prior.map(_._2).filter { h =>
             h.peek match {
               case Some(d) => release(d); false
               case None => true
             }
           }
-          val h = new Lazy(() => build)
+          val h = new Lazy(() => { pending.foreach(releaseHolder); build })
           memos(mkey) = (snap, h)
-          (h, pending)
+          h
       }
     }
-    inFlight.foreach(releaseHolder)
     holder.value
   }
 
