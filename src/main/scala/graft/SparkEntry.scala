@@ -197,6 +197,7 @@ object SparkEntry {
       (RetrievalQueries.bm25TopKIndexedRefreshed _),
     "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
     "retrieval_e2e" -> (RetrievalQueries.retrievalE2e _),
+    "retrieval_e2e_indexed" -> (RetrievalQueries.retrievalE2eIndexed _),
     // mm_features keeps the deterministic byte-histogram stub (itself
     // oracle-checked); mm_decode_* exercise the REAL pure-JVM BMP/WAV
     // codecs end-to-end with exact integer stats oracle-checked from md5
@@ -223,6 +224,8 @@ object SparkEntry {
     "ann_ivf_sq8_indexed_topk" -> (SimilarityQueries.ivfSq8TopKIndexed _),
     "ann_ivf_sq8_retrained_topk" ->
       (SimilarityQueries.ivfSq8RetrainedTopK _),
+    "ann_ivf_sq8_rebuilt_topk" ->
+      (SimilarityQueries.ivfSq8RebuiltTopK _),
     "ann_ivf_drift" -> (SimilarityQueries.ivfDriftReport _),
     "text_utf8_profile" -> (TextQueries.utf8Profile _),
     "ngram_heavy_hitters" -> (TextQueries.ngramHeavyHitters _)
@@ -401,6 +404,10 @@ object SparkEntry {
     // retrieval capstone: curate -> dedup -> derive retrieval structures
     // -> serve a hybrid batch, one DAG, stage interactions hash-gated
     "retrieval_e2e" -> RetrievalQueries.retrievalE2eSql,
+    // the index-served capstone: same curation + lexical recompute
+    // oracle, dense leg recomputed as the IVF-SQ8 chain over the
+    // curated embeddings (== the rebuilt persisted index's state)
+    "retrieval_e2e_indexed" -> RetrievalQueries.retrievalE2eIndexedSql,
     "mm_features" -> TextQueries.multimodalFeaturesSql,
     "mm_frame_sample" -> TextQueries.multimodalFramesSql,
     "mm_frames_gif" -> TextQueries.multimodalFramesGifSql,
@@ -428,6 +435,11 @@ object SparkEntry {
     // ranges still the frozen build-half geometry
     "ann_ivf_sq8_retrained_topk" ->
       SimilarityQueries.ivfSq8RetrainedTopKSql,
+    // post-absorb rebuild: ranges AND centroids both re-derived from
+    // the absorbed corpus, every stored code re-encoded — the fresh-
+    // range complement of the retrained gate
+    "ann_ivf_sq8_rebuilt_topk" ->
+      SimilarityQueries.ivfSq8RebuiltTopKSql,
     "ann_ivf_drift" -> SimilarityQueries.ivfDriftSql,
     "text_utf8_profile" -> TextQueries.utf8ProfileSql,
     "ngram_heavy_hitters" -> TextQueries.ngramHeavyHittersSql

@@ -16,13 +16,23 @@ import org.apache.spark.sql.functions._
   *     the rewrite (an id-only sort-limit scan), so cadence-calling it
   *     from the maintenance sink is affordable even when it skips;
   *   - the post-retrain indexed probe stays in the AbsorbStress band
-  *     (the rebuilt lists serve identically to built-at-once ones).
+  *     (the rebuilt lists serve identically to built-at-once ones);
+  *   - REBUILD (the escalation above retrain: fresh ranges + PQ
+  *     codebooks + centroids, every stored row's codes re-encoded) is a
+  *     bounded multiple of retrain — it rewrites `buckets` on top of
+  *     retrain's `lists`, so expect roughly build-shaped cost, still
+  *     ~linear in the corpus — and the saturation CHECK that gates it
+  *     is one live scan, cheap enough for the sink cadence;
+  *   - a second saturation-gated call is a no-op (the gate self-disarms
+  *     after the rebuild re-trains the ranges).
   *
   * Per factor ×1/×10/×100: build the [[FamilyStress]] corpus's vector
   * index (cold, reported), absorb a FIXED 2000-vector batch (drifts
-  * the selection), then time retrain, the settled ifNeeded check, and
-  * a 500-query IVF∘SQ8 probe. Output: one JSON line +
-  * BENCH_IVFRETRAIN_r12.json.
+  * the selection), then time retrain, the settled ifNeeded check, a
+  * 500-query IVF∘SQ8 probe, a saturating 2000-vector absorb (values 3×
+  * outside the trained range), the saturation-gated rebuild, and the
+  * post-rebuild settled check. Output: one JSON line +
+  * BENCH_IVFRETRAIN_r13.json.
   */
 object RetrainStress {
 
@@ -80,12 +90,37 @@ object RetrainStress {
           graft.operators.DedupIndex.loadVectors(spark, idxDir),
           5, nprobe = 3).count()
       }
+      // saturate the frozen ranges: a fixed batch 3x outside the
+      // corpus value range — every component encodes clamped, arming
+      // the rebuild gate
+      val hot = (0L until 2000L).map { i =>
+        (8100000000L + i, Array.tabulate(64)(d =>
+          ((((i * 31 + d * 7) % 997).toFloat / 997f) * 2f - 1f) * 3f))
+      }.toDF("vec_id", "embedding")
+      val satAbsorb = timed(graft.operators.DedupIndex.appendVectors(
+        hot, "vec_id", "embedding", idxDir))
+      var rebuilt = false
+      val rebuild = timed {
+        rebuilt = graft.operators.DedupIndex
+          .rebuildVectorsIfSaturated(spark, idxDir, 0.0001)
+      }
+      var rebuiltAgain = false
+      val satCheck = timed {
+        rebuiltAgain = graft.operators.DedupIndex
+          .rebuildVectorsIfSaturated(spark, idxDir, 0.0001)
+      }
       println(f"x$f%-4d build $build%8.2f s  absorb $absorb%6.2f s  " +
         f"retrain $retrain%8.2f s  check $check%6.2f s " +
-        f"(reran=$reran)  probe $probe%6.2f s")
+        f"(reran=$reran)  probe $probe%6.2f s  " +
+        f"rebuild $rebuild%8.2f s (ran=$rebuilt)  " +
+        f"satcheck $satCheck%6.2f s (reran=$rebuiltAgain)")
       results(f) = Map("build" -> build, "absorb" -> absorb,
         "retrain" -> retrain, "check" -> check, "probe" -> probe,
-        "check_reran" -> (if (reran) 1.0 else 0.0))
+        "check_reran" -> (if (reran) 1.0 else 0.0),
+        "sat_absorb" -> satAbsorb, "rebuild" -> rebuild,
+        "rebuild_ran" -> (if (rebuilt) 1.0 else 0.0),
+        "sat_check" -> satCheck,
+        "sat_check_reran" -> (if (rebuiltAgain) 1.0 else 0.0))
     }
 
     val lines = results.map { case (f, m) =>
@@ -98,7 +133,7 @@ object RetrainStress {
       s""""scales":{${lines.mkString(",")}}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_RETRAIN_OUT",
-        "/root/repo/BENCH_IVFRETRAIN_r12.json"))
+        "/root/repo/BENCH_IVFRETRAIN_r13.json"))
     java.nio.file.Files.write(out,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

@@ -1189,6 +1189,162 @@ object DedupIndex {
     } finally releaseLease(fs, dir, lease)
   }
 
+  /** REBUILD the full vector-index geometry IN PLACE — the escalation
+    * above [[retrainVectors]] on the compact → retrain → rebuild
+    * maintenance ladder. Retrain re-derives only the IVF centroid
+    * selection and keeps the quantization geometry frozen; after
+    * sustained distribution drift the frozen per-dimension SQ8 ranges
+    * clamp absorbed vectors' components (silent information loss every
+    * asymmetric probe then scores with — `embed_sq8_saturation` is the
+    * measurement) and the frozen PQ codebooks describe a corpus that no
+    * longer exists. Rebuild re-derives EVERY data-dependent geometry
+    * component from the live rows:
+    *   - SQ8 ranges: per-dimension (min, max) over the live vectors;
+    *   - PQ codebooks: donor selection + one Lloyd round over the live
+    *     vectors (padded by repeating the last entry if the live donor
+    *     pool shrank below the params' frozen `pqKsub` — duplicate
+    *     entries are deterministic under [[Similarity.pqEncode]]'s
+    *     first-match tie-break, and the (m, ksub, subDim) shape the
+    *     params record is an invariant of the index format);
+    *   - IVF centroids: the same deterministic live selection retrain
+    *     makes;
+    * then re-encodes the stored float vectors under the fresh geometry:
+    * `buckets` rows get fresh SQ8 codes / reconstruction norms / PQ
+    * codes, `lists` fresh assignment AND fresh codes. The LSH planes and
+    * JL projection signs are DATA-INDEPENDENT (deterministic functions
+    * of (planes, dim) / (jlRdim, dim)), so "re-deriving" them is the
+    * identity — bucket ids and reduced projections come out unchanged,
+    * which is what keeps rebuild safe for standing bucket layouts.
+    *
+    * Like retrain, rebuild changes GEOMETRY, not liveness: geometry
+    * trains on LIVE vectors only, but dead generations are re-encoded
+    * along with live ones and tombstones stay armed. All five rewritten
+    * components (`buckets`, `lists`, `centroids`, `ranges`,
+    * `pq_codebooks`) commit in ONE staged replace-mode batch — a crash
+    * at any point rolls back to the pre-rebuild geometry, never a torn
+    * half-new-half-old state (fresh codes under stale ranges would score
+    * garbage). `_params.json` is untouched: every field it records
+    * (planes, dim, numBuckets, centroids, pqM, pqKsub, jlRdim) is a
+    * shape, not a value, and rebuild preserves shapes. Idempotent: every
+    * derivation is deterministic over live content, so a replay rewrites
+    * identical bytes. O(corpus) by design — the cadence op above
+    * retrain's, gated by [[rebuildVectorsIfSaturated]].
+    */
+  def rebuildVectors(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      rebuildVectorsHolding(spark, dir)
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[rebuildVectors]]' body under an already-held writer lease. */
+  private def rebuildVectorsHolding(spark: SparkSession, dir: String)
+      : Unit = {
+    val idx = loadVectorsRaw(spark, dir)
+    val p = idx.params
+    val live =
+      if (isEmptyTombstones(idx.tombstones)) idx.buckets
+      else idx.buckets.join(broadcast(idx.tombstones),
+        Seq("id", "gen"), "left_anti")
+    // same guard as retrain: a fully-retired corpus trains nothing —
+    // keep the existing geometry rather than committing empty ranges
+    // (scale 0 everywhere → every future absorb encodes to code 0)
+    if (live.isEmpty) return
+    val liveVecs = live.select(col("id"), col("vec"))
+    val ranges = Similarity.sq8Ranges(liveVecs, "vec", p.dim)
+    val cbs0 = Similarity.pqCodebooksRefined(liveVecs, "id", "vec",
+      m = p.pqM, ksub = p.pqKsub, dim = p.dim)
+    val cbs = cbs0.map(cb =>
+      if (cb.size >= p.pqKsub) cb
+      else cb ++ Seq.fill(p.pqKsub - cb.size)(cb.last))
+    val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
+    val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
+    val batch = newBatchId()
+    val stored = idx.buckets.select(col("id"), col("vec"),
+      col("gen").as(GenCol))
+    stageComponent(
+      vectorRows(stored, "id", "vec", signs, ranges, p.dim, cbs, jlSigns),
+      dir, batch, "buckets", Seq("bucket"), p.numBuckets)
+    stagePlain(centroidRows(liveVecs, "id", "vec", p.centroids),
+      dir, batch, "centroids")
+    // assignment joins the EXACT floats the commit will publish —
+    // re-read the staged file, as [[writeVectors]] and retrain do
+    val stagedCent = spark.read.parquet(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stagingRoot(dir), batch),
+      "centroids").toString)
+    stageComponent(
+      listRows(stored, "id", "vec", stagedCent, ranges),
+      dir, batch, "lists", Seq("cent_id"), p.numBuckets)
+    import spark.implicits._
+    stagePlain(
+      ranges.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }.toSeq
+        .toDF("pos", "mn", "mx"),
+      dir, batch, "ranges")
+    stagePlain(
+      cbs.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.flatMap { case (entry, j) =>
+          entry.zipWithIndex.map { case (v, i) => (s, j, i, v) }
+        }
+      }.toDF("s", "j", "i", "v"),
+      dir, batch, "pq_codebooks")
+    commitStaged(spark, dir, batch, replace = true)
+  }
+
+  /** Live SQ8 saturation of a vector index under its STORED ranges:
+    * (clamped components, total components) over the live rows — the
+    * measured signal [[rebuildVectorsIfSaturated]] gates on, computed
+    * with the encoder's own pre-clamp rounding ([[Similarity
+    * .sq8RawIndex]]) so it counts exactly what the stored codes lost.
+    * A fresh build measures zero by construction (ranges trained on the
+    * corpus); the count rises only as absorbed/refreshed vectors fall
+    * outside the frozen per-dimension [min, max]. One live scan with a
+    * two-long aggregate — no shuffle beyond the partial-agg reduce.
+    */
+  def sq8Saturation(spark: SparkSession, dir: String): (Long, Long) = {
+    val idx = loadVectors(spark, dir)
+    val mins = idx.ranges.map(_._1)
+    val scales = idx.ranges.map(r => (r._2 - r._1) / 255.0)
+    val rawQ = Similarity.sq8RawIndex(col("vec"), mins, scales)
+    val r = idx.buckets
+      .select(size(filter(rawQ, q => q < 0.0 || q > 255.0)).as("clamped"),
+        size(col("vec")).as("n"))
+      .agg(sum(col("clamped")).cast("long").as("clamped"),
+        sum(col("n")).cast("long").as("total"))
+      .collect()(0)
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Rebuild only when the frozen quantization geometry has measurably
+    * saturated: when the live clamped-component fraction exceeds
+    * `maxSaturation` (e.g. 0.01 = rebuild once 1% of stored components
+    * encode clamped), run [[rebuildVectors]]. The check is one live
+    * scan; cadence-call it like [[retrainVectorsIfNeeded]] (the
+    * maintenance sink's `autoRebuildEvery` knob is that cadence). Check
+    * and rebuild run under ONE writer-lease acquisition. Returns whether
+    * a rebuild ran. A rebuild resets the measured saturation to zero by
+    * construction — fresh ranges span the live corpus — so the gate
+    * self-arms only under NEW drift.
+    */
+  def rebuildVectorsIfSaturated(spark: SparkSession, dir: String,
+      maxSaturation: Double): Boolean = {
+    require(maxSaturation >= 0.0 && maxSaturation < 1.0,
+      s"maxSaturation must be a fraction in [0, 1), got $maxSaturation")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val (clamped, total) = sq8Saturation(spark, dir)
+      if (total > 0 && clamped.toDouble / total > maxSaturation) {
+        rebuildVectorsHolding(spark, dir); true
+      } else false
+    } finally releaseLease(fs, dir, lease)
+  }
+
   /** BITWISE per-component vector equality for the settled checks —
     * not ==: a NaN component would compare unequal to itself forever,
     * turning every cadence check into a full O(corpus) rewrite that

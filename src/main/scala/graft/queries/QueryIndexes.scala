@@ -460,6 +460,101 @@ object QueryIndexes {
     DedupIndex.loadVectors(spark, dir)
   }
 
+  /** The index-served capstone's LEXICAL artifact: a standing BM25
+    * index maintained to EXACTLY the curated corpus — built over the
+    * curated even half, the odd half ABSORBED through the generational
+    * CDC path ([[DedupIndex.appendLexical]], signed-df deltas in the
+    * same staged commit), so the capstone serves from an index whose
+    * construction exercised the maintained-index contract: live stats
+    * == recompute over the full curated corpus (`text_bm25_indexed*`'s
+    * standing gate), which is what lets `retrieval_e2e_indexed` share
+    * the plain recompute oracle.
+    */
+  def lexicalCurated(spark: SparkSession,
+      sfDir: String): DedupIndex.LexicalIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "lexical_curated",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      val cur = RetrievalQueries.curatedDocs(spark, sfDir)
+      val reusable =
+        try DedupIndex.loadLexical(spark, dir).params.termNgram == 2
+        catch {
+          case _: IllegalArgumentException | _: IllegalStateException =>
+            false
+        }
+      if (!reusable)
+        DedupIndex.writeLexical(cur.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dir, termNgram = 2)
+      DedupIndex.appendLexical(cur.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadLexical(spark, dir)
+  }
+
+  /** The index-served capstone's VECTOR artifact: a standing IVF∘SQ8
+    * index over exactly the curated embedding slice — built over the
+    * curated even half, the odd half absorbed under the frozen build
+    * geometry, then [[DedupIndex.rebuildVectors]] re-derives the FULL
+    * data-dependent geometry (ranges, PQ codebooks, centroids) from the
+    * curated live corpus and re-encodes every stored code. Post-rebuild
+    * the stored state is bit-identical to a fresh build over the whole
+    * curated slice, which is what lets the capstone's oracle derive the
+    * dense leg entirely from the curated relation (rangeW = corpusW =
+    * centW = curated embeddings).
+    */
+  def vectorsCurated(spark: SparkSession,
+      sfDir: String): DedupIndex.VectorIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val emb = tbl(spark, sfDir, "embeddings")
+    val dir = dirFor(sfDir, "vectors_curated",
+      graft.plans.CachedPlans.dataFingerprint(docs) + " " +
+        graft.plans.CachedPlans.dataFingerprint(emb))
+    built.computeIfAbsent(dir, _ => {
+      val cur = RetrievalQueries.curatedEmb(spark, sfDir)
+      val reusable = vectorParamsReusable(spark, dir)
+      if (!reusable)
+        DedupIndex.writeVectors(cur.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir, planes = 2, dim = 64)
+      DedupIndex.appendVectors(cur.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dir)
+      DedupIndex.rebuildVectors(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadVectors(spark, dir)
+  }
+
+  /** [[vectorsRetrained]] carried to the top of the maintenance ladder:
+    * after the `% 4 == 1` batch absorbs under the FROZEN build geometry,
+    * [[DedupIndex.rebuildVectors]] re-derives the FULL data-dependent
+    * geometry — SQ8 ranges, PQ codebooks AND the centroid selection —
+    * from the absorbed live corpus and re-encodes every stored vector
+    * under it. The oracle recomputes with ranges AND centroids both
+    * trained on the ABSORBED corpus (vs retrain's frozen even-half
+    * ranges), so a rebuild that kept a stale range row, re-encoded a
+    * code under the old scale, kept a stale centroid, or left a row in
+    * its old cell all hash-mismatch. Re-runs rebuild on reuse (no-op —
+    * every derivation is deterministic over live content).
+    */
+  def vectorsRebuilt(spark: SparkSession,
+      sfDir: String): DedupIndex.VectorIndex = {
+    val vecs = tbl(spark, sfDir, "embeddings")
+    val dir = dirFor(sfDir, "vectors_rebuilt",
+      graft.plans.CachedPlans.dataFingerprint(vecs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable = vectorParamsReusable(spark, dir)
+      if (!reusable)
+        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir, planes = 2, dim = 64)
+      DedupIndex.appendVectors(vecs.filter(col("vec_id") % 4 === 1),
+        "vec_id", "embedding", dir)
+      DedupIndex.rebuildVectors(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadVectors(spark, dir)
+  }
+
   /** [[textRetired]] carried one step further: after the delete batch
     * retires, [[DedupIndex.compactText]] physically rewrites the
     * components and clears the tombstones — so the probe this index

@@ -1201,6 +1201,31 @@ object SimilarityQueries {
   def ivfSq8RetrainedTopKSql: String =
     ivfSq8TopKSqlFor(EvenW, AbsorbedW, AbsorbedW)
 
+  /** The IVF∘SQ8 probe against a REBUILT index
+    * ([[QueryIndexes.vectorsRebuilt]]) — the complement of
+    * `ann_ivf_sq8_retrained_topk` and the top of the compact → retrain
+    * → rebuild maintenance ladder: where retrain re-derives only the
+    * centroid selection and keeps the quantization ranges frozen on the
+    * original even half, [[DedupIndex.rebuildVectors]] re-derives the
+    * FULL data-dependent geometry from the absorbed live corpus and
+    * re-encodes every stored code under it. The oracle recomputes with
+    * FRESH ranges over the absorbed corpus (rangeW = corpusW = centW),
+    * so this gate is exactly what the retrained gate cannot check: that
+    * the rebuilt codes, ranges, centroid set and assignment all reflect
+    * the post-absorb corpus — a stale range row or a code still encoded
+    * under the build-time scale hash-mismatches.
+    */
+  def ivfSq8RebuiltTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.ivfSq8TopKIndexed(emb.filter(QueryPred), "vec_id",
+        "embedding", QueryIndexes.vectorsRebuilt(spark, sfDir), K,
+        nprobe = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def ivfSq8RebuiltTopKSql: String =
+    ivfSq8TopKSqlFor(AbsorbedW, AbsorbedW, AbsorbedW)
+
   /** Measures what FROZEN IVF geometry costs after an absorb — the
     * quantified motivation for [[DedupIndex.retrainVectors]], in the
     * mold of `dedup_lsh_recall` and `retrieval_hybrid_recall`: both

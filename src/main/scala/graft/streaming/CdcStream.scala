@@ -1286,17 +1286,39 @@ object CdcStream {
     * amortizes over the batches between repairs (drift between checks
     * costs recall, never correctness — retired rows are
     * tombstone-filtered regardless).
+    *
+    * `autoRebuildEvery = Some((n, maxSaturation))` arms the NEXT rung of
+    * the maintenance ladder: every n-th non-empty batch the sink
+    * measures live SQ8 saturation under the stored ranges
+    * ([[graft.operators.DedupIndex.sq8Saturation]]) and escalates to the
+    * full geometry rebuild ([[graft.operators.DedupIndex
+    * .rebuildVectors]] — fresh ranges, PQ codebooks AND centroids, every
+    * stored code re-encoded) once the clamped-component fraction
+    * crosses `maxSaturation`. Retrain repairs cell ASSIGNMENT drift;
+    * rebuild repairs QUANTIZATION drift retrain deliberately leaves
+    * frozen — a standing stream with both knobs armed never durably
+    * serves either. Pick the rebuild cadence ≥ the retrain cadence:
+    * the check is one live scan, but the triggered rewrite is the most
+    * expensive maintenance verb.
     */
   def startVectorIndexMaintenance(changeStream: DataFrame, idCol: String,
       vecCol: String, indexDir: String, checkpointDir: String,
       seq: org.apache.spark.sql.Column,
       autoCompactTombstones: Option[Long] = None,
-      autoRetrainEvery: Option[Int] = None): StreamingQuery = {
+      autoRetrainEvery: Option[Int] = None,
+      autoRebuildEvery: Option[(Int, Double)] = None): StreamingQuery = {
     autoRetrainEvery.foreach(n => require(n > 0,
       s"autoRetrainEvery must be a positive cadence, got $n — " +
         "a non-positive value would run the O(corpus) drift scan " +
         "per batch"))
+    autoRebuildEvery.foreach { case (n, s) =>
+      require(n > 0,
+        s"autoRebuildEvery cadence must be positive, got $n")
+      require(s >= 0.0 && s < 1.0,
+        s"autoRebuildEvery saturation threshold must be in [0, 1), got $s")
+    }
     val retrainTick = new java.util.concurrent.atomic.AtomicLong(0L)
+    val rebuildTick = new java.util.concurrent.atomic.AtomicLong(0L)
     changeStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -1325,6 +1347,15 @@ object CdcStream {
             if (retrainTick.incrementAndGet() % n == 0) {
               graft.operators.DedupIndex.retrainVectorsIfNeeded(
                 batch.sparkSession, indexDir)
+              ()
+            }
+          }
+          // cadence geometry ESCALATION: saturation-gated full rebuild
+          // (fresh ranges/codebooks/centroids) — see the class doc
+          autoRebuildEvery.foreach { case (n, maxSat) =>
+            if (rebuildTick.incrementAndGet() % n == 0) {
+              graft.operators.DedupIndex.rebuildVectorsIfSaturated(
+                batch.sparkSession, indexDir, maxSat)
               ()
             }
           }

@@ -872,6 +872,58 @@ class CdcStreamSpec extends SparkSpec {
     }
   }
 
+  test("CDC vector maintenance sink: autoRebuild escalates to fresh quantization geometry on saturation") {
+    val dir = Files.createTempDirectory("stream_vecrebuild").toString
+    val idxDir = Files.createTempDirectory("stream_vecrebuild_idx").toString
+    val ckpt = Files.createTempDirectory("stream_vecrebuild_c").toString
+    val dim = 8
+    def vec(i: Long, c: Float): Array[Float] = Array.tabulate(dim)(
+      d => c + ((i * 7 + d * 3) % 5) * 0.1f)
+    graft.operators.DedupIndex.writeVectors(
+      (0L until 40L by 2).map(i => (i, vec(i, 10f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idxDir, planes = 2, dim = dim)
+    // the streamed inserts land FAR outside the trained per-dim ranges:
+    // under frozen geometry every one of their components would encode
+    // clamped — the drift retrain cannot repair
+    (1L until 40L by 2).map(i => ("I", i + 100L, i, vec(i, 60f)))
+      .toDF(C.Op, "seq", "vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = CdcStream.startVectorIndexMaintenance(stream, "vec_id",
+      "embedding", idxDir, ckpt, col("seq"),
+      autoRebuildEvery = Some((1, 0.01)))
+    try q.processAllAvailable() finally q.stop()
+
+    // the sink rebuilt: stored ranges span the absorbed corpus, so the
+    // saturation signal reads zero and the stored codes match a fresh
+    // build over the live rows
+    assert(graft.operators.DedupIndex.sq8Saturation(spark, idxDir)._1 === 0L,
+      "maintained index still serves saturated codes under stale ranges")
+    val freshDir = Files.createTempDirectory("stream_vecrebuild_f").toString
+    graft.operators.DedupIndex.writeVectors(
+      ((0L until 40L by 2).map(i => (i, vec(i, 10f))) ++
+        (1L until 40L by 2).map(i => (i, vec(i, 60f))))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", freshDir, planes = 2, dim = dim)
+    def codes(d: String) = graft.operators.DedupIndex
+      .loadVectors(spark, d).buckets.select($"id", $"codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(idxDir) === codes(freshDir))
+    // invalid knobs are rejected loudly
+    intercept[IllegalArgumentException] {
+      CdcStream.startVectorIndexMaintenance(stream, "vec_id",
+        "embedding", idxDir, ckpt, col("seq"),
+        autoRebuildEvery = Some((0, 0.01)))
+    }
+    intercept[IllegalArgumentException] {
+      CdcStream.startVectorIndexMaintenance(stream, "vec_id",
+        "embedding", idxDir, ckpt, col("seq"),
+        autoRebuildEvery = Some((1, 1.5)))
+    }
+  }
+
   test("streaming near-dup estimator error vs batch exact Jaccard is bounded") {
     // The stream accepts corpus candidates on the 12-hash SIGNATURE
     // AGREEMENT estimate (est = matching components / 12) while the

@@ -1145,4 +1145,128 @@ class DedupIndexSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(centIds(DedupIndex.loadVectors(spark, dir)) === want)
   }
+
+  // ------------------------------------------------ geometry REBUILD
+
+  /** Stored per-dimension ranges of a vector index, read raw. */
+  private def storedRanges(dir: String): Seq[(Double, Double)] =
+    spark.read.parquet(s"$dir/ranges").orderBy(col("pos")).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+
+  test("rebuild re-derives the FULL geometry; index equals a fresh build over the live corpus") {
+    CachedPlans.clear()
+    // the absorbed batch EXCEEDS the build corpus's per-dim ranges (the
+    // exact drift retrain cannot repair: its frozen ranges clamp these
+    // components), so rebuild must move the stored ranges, re-encode
+    // every stored code, and re-draw centroids — all gated below by
+    // literal equality with a from-scratch build over the live corpus
+    val base = (0L until 40L by 2).map(i => (i, rVec(i, 10f)))
+    val absorb = (41L until 80L by 2).map(i => (i, rVec(i, 40f)))
+    val retired = Seq(10L, 20L)
+    val live = base.filterNot(t => retired.contains(t._1)) ++ absorb
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-rebuild").toString
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    DedupIndex.appendVectors(absorb.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    DedupIndex.retireVectors(retired.toDF("vec_id"), "vec_id", dir)
+    val frozenRanges = storedRanges(dir)
+
+    DedupIndex.rebuildVectors(spark, dir)
+    val idx = DedupIndex.loadVectors(spark, dir)
+
+    val freshDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-rebuild-fresh").toString
+    DedupIndex.writeVectors(live.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", freshDir, planes = 2, dim = RetrainDim)
+    val fresh = DedupIndex.loadVectors(spark, freshDir)
+
+    // ranges moved (fixture is non-vacuous) and match the fresh build
+    assert(storedRanges(dir) !== frozenRanges,
+      "fixture is vacuous — absorb did not exceed the build ranges")
+    assert(storedRanges(dir) === storedRanges(freshDir))
+    // PQ codebooks and centroid selection match the fresh derivation
+    assert(idx.pqCodebooks === fresh.pqCodebooks)
+    assert(centIds(idx) === centIds(fresh))
+    assert(retired.forall(i => !centIds(idx).contains(i)),
+      "a retired id survived as a centroid")
+    // every live row's stored payload (SQ8 codes, PQ codes, bucket)
+    // equals the fresh build's — the re-encode is complete, not partial
+    def payload(i: DedupIndex.VectorIndex): Seq[Seq[Any]] =
+      sortedRows(i.buckets.select(col("id"), col("bucket"), col("codes"),
+        col("pqcodes")))
+    assert(payload(idx) === payload(fresh))
+    // and the probes agree bit-exactly
+    val got = retrainProbe(idx)
+    assert(got.nonEmpty)
+    assert(got === retrainProbe(fresh))
+
+    // replayed rebuild is a no-op rewrite
+    DedupIndex.rebuildVectors(spark, dir)
+    assert(payload(DedupIndex.loadVectors(spark, dir)) === payload(fresh))
+  }
+
+  test("rebuildVectorsIfSaturated gates on the measured clamp fraction and self-disarms") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-rebuildif").toString
+    val base = (0L until 60L by 2).map(i => (i, rVec(i, 10f)))
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    // a fresh build measures zero saturation by construction
+    assert(DedupIndex.sq8Saturation(spark, dir) === ((0L, 60L / 2 * RetrainDim)))
+    assert(!DedupIndex.rebuildVectorsIfSaturated(spark, dir, 0.01),
+      "a just-built index must not need rebuilding")
+    // absorb far outside the trained ranges: every absorbed component
+    // encodes clamped
+    DedupIndex.appendVectors(
+      (1L until 20L by 2).map(i => (i, rVec(i, 100f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val (clamped, total) = DedupIndex.sq8Saturation(spark, dir)
+    assert(clamped > 0, "fixture is vacuous — absorb did not saturate")
+    // threshold above the measured fraction: no rebuild
+    assert(!DedupIndex.rebuildVectorsIfSaturated(spark, dir,
+      clamped.toDouble / total + 0.1))
+    // threshold below it: rebuild runs, fresh ranges span the live
+    // corpus, and the gate self-disarms
+    assert(DedupIndex.rebuildVectorsIfSaturated(spark, dir, 0.01))
+    assert(DedupIndex.sq8Saturation(spark, dir)._1 === 0L)
+    assert(!DedupIndex.rebuildVectorsIfSaturated(spark, dir, 0.01),
+      "rebuild must settle the saturation signal")
+  }
+
+  test("a crash mid-rebuild rolls back the WHOLE geometry — never fresh codes under stale ranges") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-rebuild-crash").toString
+    val base = (0L until 60L by 2).map(i => (i, rVec(i, 10f)))
+    val absorb = (1L until 60L by 2).map(i => (i, rVec(i, 60f)))
+    DedupIndex.writeVectors(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, planes = 2, dim = RetrainDim)
+    DedupIndex.appendVectors(absorb.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val beforeRanges = storedRanges(dir)
+    val beforeProbe = retrainProbe(DedupIndex.loadVectors(spark, dir))
+
+    // crash after buckets + centroids moved live but before lists,
+    // ranges and pq_codebooks — rebuilt codes paired with stale ranges,
+    // the torn state the single staged commit must make unobservable
+    DedupIndex.testCrashAfterComponentMoves = 2
+    try {
+      intercept[RuntimeException](DedupIndex.rebuildVectors(spark, dir))
+    } finally DedupIndex.testCrashAfterComponentMoves = -1
+
+    val recovered = DedupIndex.loadVectors(spark, dir)
+    assert(storedRanges(dir) === beforeRanges)
+    assert(retrainProbe(recovered) === beforeProbe)
+
+    // a clean retry completes the escalation: ranges now span the
+    // absorbed corpus and the saturation signal reads zero
+    DedupIndex.rebuildVectors(spark, dir)
+    assert(storedRanges(dir) !== beforeRanges)
+    assert(DedupIndex.sq8Saturation(spark, dir)._1 === 0L)
+  }
 }

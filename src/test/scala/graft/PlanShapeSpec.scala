@@ -254,6 +254,58 @@ class PlanShapeSpec extends SparkSpec {
       "retrieval_e2e must restrict embeddings from one scan")
   }
 
+  test("retrieval_e2e_indexed capstone: both legs index-served, no stored-vector scan") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.RetrievalQueries.retrievalE2eIndexed(spark, sf)
+    assert(plan(df).collect {
+      case p: org.apache.spark.sql.execution.joins.CartesianProductExec => p
+    }.isEmpty, "retrieval_e2e_indexed plans a non-broadcast cartesian")
+    def srcScans(table: String) = plan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains(s"$sf/$table")) => f
+    }
+    // the corpus text and embeddings live in the PERSISTED indexes: the
+    // source tables feed only the curation + query slices — documents
+    // through the shared curated fill (quality judge + canon, ≤2 scans
+    // as in the batch capstone), embeddings once for the dense query
+    // slice. More means a leg is recomputing over the corpus.
+    assert(srcScans("documents").length <= 2,
+      s"retrieval_e2e_indexed scans documents ${srcScans("documents").length}× — " +
+        "a leg is recomputing instead of probing its index")
+    assert(srcScans("embeddings").length <= 1,
+      "retrieval_e2e_indexed must read embeddings at most once (query slice)")
+    // the dense leg serves from the IVF inverted lists: the
+    // stored-vector table must never be scanned, and the list scan
+    // must actually be present (no vacuous pass)
+    val bucketScans = plan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("/buckets")) => f
+    }
+    assert(bucketScans.isEmpty,
+      "retrieval_e2e_indexed scans the stored-vector table — dense leg " +
+        "degraded to brute force")
+    val listScans = plan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("/lists")) => f
+    }
+    assert(listScans.nonEmpty,
+      "retrieval_e2e_indexed shows no inverted-list scan — vacuous guard")
+    // and the lexical leg reads the persisted postings, not re-derived
+    // corpus stats: the BM25 index components are bucketed catalog
+    // tables under the index dir
+    val postingScans = plan(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("lexical_curated")) => f
+    }
+    assert(postingScans.nonEmpty,
+      "retrieval_e2e_indexed shows no lexical-index scan — vacuous guard")
+    forbidSinglePartition(df, "retrieval_e2e_indexed")
+  }
+
   test("row diff joins by key — no nested-loop degradation") {
     val a = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
     val b = (1L to 1000L).map(i => (i, if (i % 97 == 0) "X" else s"v$i"))
