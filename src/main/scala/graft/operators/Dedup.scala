@@ -783,6 +783,122 @@ object Dedup {
     simHashNearDupsReport(docs, idCol, textCol, bits, bands, maxHamming,
       maxBucket).pairs
 
+  /** Incremental SimHash near-dup probe — [[simHashNearDupsReport]]'s
+    * NEW × EXISTING form and [[incrementalMinHashNearDupsReport]]'s
+    * modality twin: candidate pairs are banded signature collisions
+    * between the new batch and the existing corpus ONLY (existing ×
+    * existing was paired when the corpus was deduped; batch-internal
+    * pairs belong to the batch-level report), Hamming-verified ≤
+    * `maxHamming`. Pigeonhole recall holds per pair exactly as in the
+    * batch form (bands > maxHamming ⇒ some band matches), and exactly
+    * as there it is EXACT only when no EXISTING-side band bucket
+    * exceeds `maxBucket` — the capped buckets come back in the report.
+    * The cap applies to the existing side because that is the side
+    * that is unbounded at scale; in a deployment the existing banded
+    * keys are the stored index ([[incrementalSimHashNearDupsReportIndexed]]),
+    * so the probe costs one equi-join per band sized by the batch.
+    * Id spaces must be disjoint, as everywhere in the incremental
+    * family. Pairs come back `(a_id existing, b_id new, hamming)`.
+    */
+  def incrementalSimHashNearDupsReport(newDocs: DataFrame,
+      existing: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): NearDupReport = {
+    require(bits % bands == 0, s"bands must divide bits: $bands, $bits")
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming, got $bands <= $maxHamming")
+    val rows = bits / bands
+    val shNew = CachedPlans.cached(simHash(newDocs, idCol, textCol, bits))
+    val shOld = CachedPlans.cached(simHash(existing, idCol, textCol, bits))
+    def blocks(sh: DataFrame) = (0 until bands).map(b => sh.select(
+        col(idCol), lit(b).as("band"),
+        substring(col("simhash"), b * rows + 1, rows).as("band_key")))
+      .reduce(_ unionByName _)
+    val bkOld = blocks(shOld)
+    val sizes = bkOld.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversized = sizes.filter(col("bucket_size") > maxBucket)
+    val okOld = bkOld.join(oversized.select("band", "band_key"),
+      Seq("band", "band_key"), "left_anti")
+    val pairs = okOld
+      .select(col("band"), col("band_key"), col(idCol).as("a_id"))
+      .join(blocks(shNew)
+        .select(col("band"), col("band_key"), col(idCol).as("b_id")),
+        Seq("band", "band_key"))
+      // disjoint-id contract backstop, as in the MinHash form
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ham = (1 to bits).map(i =>
+      when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val verified = pairs
+      .join(shOld.select(col(idCol).as("a_id"), col("simhash").as("_sa")),
+        Seq("a_id"))
+      .join(shNew.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
+        Seq("b_id"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    NearDupReport(verified, oversized)
+  }
+
+  /** Index-backed form of [[incrementalSimHashNearDupsReport]]: the
+    * existing side's signatures and banded keys come from the PERSISTED
+    * text index ([[DedupIndex]] fmt 4's `simhashes`/`simbands`
+    * components) — corpus text is never scanned, tokenized or re-hashed.
+    * The corpus-side bucket-size aggregate and the candidate join both
+    * run on the index's `bkey` bucket column (Exchange-free bucketed
+    * scans, like the MinHash probe); the Hamming verify joins the
+    * stored signatures by their `id` bucket. Signature geometry
+    * (simBits, simBands) comes from the index params so a probe can
+    * never mix banding with stored keys. Pairs are bit-identical to the
+    * recompute form.
+    */
+  def incrementalSimHashNearDupsReportIndexed(newDocs: DataFrame,
+      idCol: String, textCol: String, idx: DedupIndex.TextIndex,
+      maxHamming: Int = 3, maxBucket: Int = 1000): NearDupReport = {
+    val p = idx.params
+    require(p.simBands > maxHamming,
+      s"pigeonhole recall needs simBands > maxHamming, " +
+        s"got ${p.simBands} <= $maxHamming")
+    val rows = p.simBits / p.simBands
+    val shNew = CachedPlans.cached(
+      simHash(newDocs, idCol, textCol, p.simBits))
+    val bkNew = (0 until p.simBands).map(b => shNew.select(
+        col(idCol), lit(b).as("band"),
+        substring(col("simhash"), b * rows + 1, rows).as("band_key")))
+      .reduce(_ unionByName _)
+    val bkOld = idx.simBandKeys
+    // grouping on (bkey, band, band_key): the bucket column leads, so
+    // HashPartitioning(bkey) satisfies the clustering — no Exchange
+    val sizes = bkOld.groupBy(col("bkey"), col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversizedK = sizes.filter(col("bucket_size") > maxBucket)
+    val oversized = oversizedK.select("band", "band_key", "bucket_size")
+    val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
+      "left_anti")
+    val pairs = okOld
+      .select(col("bkey"), col("id").as("a_id"))
+      .join(bkNew.select(
+        DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
+        col(idCol).as("b_id")),
+        Seq("bkey"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val ham = (1 to p.simBits).map(i =>
+      when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    val verified = pairs
+      .join(idx.simhashes.select(col("id").as("a_id"),
+        col("simhash").as("_sa")), Seq("a_id"))
+      .join(shNew.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
+        Seq("b_id"))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+    NearDupReport(verified, oversized)
+  }
+
   /** SimHash dup groups: identical signatures clustered, canonical id =
     * min id in group.
     */

@@ -83,7 +83,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DedupIndex {
 
   final case class TextParams(shingleN: Int, numHashes: Int, bands: Int,
-      portable: Boolean, numBuckets: Int)
+      portable: Boolean, numBuckets: Int, simBits: Int = 32,
+      simBands: Int = 4)
 
   final case class VectorParams(planes: Int, dim: Int, numBuckets: Int,
       centroids: Int, pqM: Int, pqKsub: Int, jlRdim: Int)
@@ -101,7 +102,8 @@ object DedupIndex {
   final case class TextIndex(dir: String, params: TextParams,
       hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
       counts: DataFrame, sigs: DataFrame, dochashes: DataFrame,
-      tombstones: DataFrame)
+      tombstones: DataFrame,
+      simhashes: DataFrame, simBandKeys: DataFrame)
 
   /** Loaded vector index: `buckets` is a bucketed-table scan carrying
     * both the float vectors and their SQ8 codes; `lists` the IVF
@@ -121,23 +123,33 @@ object DedupIndex {
   /** Build and persist the text-dedup index of `corpus` under `dir`
     * (overwriting any previous index there): distinct content hashes for
     * the exact probe, band keys for the LSH probe, hashed shingles +
-    * per-doc counts for the Jaccard verify. One corpus scan feeds all
-    * four tables (the shingle table is computed once and reused).
+    * per-doc counts for the Jaccard verify, and SimHash signatures +
+    * banded keys for the Hamming probe — all three near-dup modalities
+    * (exact, MinHash-LSH, SimHash) maintained in ONE index. One corpus
+    * scan feeds the shingle-derived tables; the SimHash pair costs one
+    * extra token explode + partial-agg groupBy.
     */
   def writeText(corpus: DataFrame, idCol: String, textCol: String,
       dir: String, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      portable: Boolean = true, numBuckets: Int = 0): Unit = {
+      portable: Boolean = true, numBuckets: Int = 0, simBits: Int = 32,
+      simBands: Int = 4): Unit = {
+    require(simBits % simBands == 0,
+      s"simBands must divide simBits: $simBands, $simBits")
     val spark = corpus.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
       Seq("hashes", "bands", "shingles", "counts", "sigs", "dochashes",
-        "tombstones"))
+        "simhashes", "simbands", "tombstones"))
     val sh = graft.plans.CachedPlans.cached(
       Dedup.hashedShingleTable(corpus, idCol, textCol, shingleN, portable))
     // the signature table feeds both the band-key table and the stored
     // sigs component — cache so the k min-aggregates run once
     val sig = graft.plans.CachedPlans.cached(
       Dedup.minHashSignatures(sh, idCol, numHashes, portable))
+    // SimHash signatures feed their own stored table and the banded-key
+    // table — cache so the token explode runs once
+    val sim = graft.plans.CachedPlans.cached(
+      Dedup.simHash(corpus, idCol, textCol, simBits))
     writeComponent(
       corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
       dir, "hashes", Seq("content_hash"), n)
@@ -173,10 +185,34 @@ object DedupIndex {
           md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
         sh.select(col(idCol).cast("long").as("id"))),
       dir, "counts", Seq("id"), n)
+    writeComponent(
+      sim.select(col(idCol).cast("long").as("id"), col("simhash"),
+        lit(0L).as("gen")),
+      dir, "simhashes", Seq("id"), n)
+    writeComponent(
+      simBandRows(sim, idCol, simBits, simBands)
+        .withColumn("gen", lit(0L)),
+      dir, "simbands", Seq("bkey"), n)
     writeParams(spark, dir, Seq(
-      "kind" -> "text", "fmt" -> "3", "shingleN" -> shingleN.toString,
+      "kind" -> "text", "fmt" -> "4", "shingleN" -> shingleN.toString,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
-      "portable" -> portable.toString, "numBuckets" -> n.toString))
+      "portable" -> portable.toString, "numBuckets" -> n.toString,
+      "simBits" -> simBits.toString, "simBands" -> simBands.toString))
+  }
+
+  /** Banded SimHash keys of a signature table in the index's stored
+    * shape: `(id, band, band_key, bkey)` — fixed-width signature
+    * substrings per band, with the same composite [[bandedKey]] the LSH
+    * band table uses so probes join Exchange-free on the bucket column.
+    */
+  private def simBandRows(sim: DataFrame, idCol: String, simBits: Int,
+      simBands: Int): DataFrame = {
+    val rows = simBits / simBands
+    (0 until simBands).map(b => sim.select(
+        col(idCol).cast("long").as("id"), lit(b).as("band"),
+        substring(col("simhash"), b * rows + 1, rows).as("band_key")))
+      .reduce(_ unionByName _)
+      .withColumn("bkey", bandedKey(col("band"), col("band_key")))
   }
 
   final case class LexicalParams(termNgram: Int, numBuckets: Int)
@@ -814,6 +850,7 @@ object DedupIndex {
         p.portable).persist()
       val sig = Dedup.minHashSignatures(sh, "id", p.numHashes, p.portable)
         .persist()
+      val sim = Dedup.simHash(fresh, "id", "__text", p.simBits).persist()
       try {
         val genOf = fresh.select(col("id"), col("gen"))
         val batch = newBatchId()
@@ -847,10 +884,17 @@ object DedupIndex {
         stageComponent(
           fresh.select(col("id"), col("content_hash"), col("gen")),
           dir, batch, "dochashes", Seq("content_hash"), p.numBuckets)
+        stageComponent(
+          sim.select(col("id"), col("simhash")).join(genOf, Seq("id")),
+          dir, batch, "simhashes", Seq("id"), p.numBuckets)
+        stageComponent(
+          simBandRows(sim, "id", p.simBits, p.simBands)
+            .join(genOf, Seq("id")),
+          dir, batch, "simbands", Seq("bkey"), p.numBuckets)
         if (!displaced.isEmpty)
           stagePlain(displaced, dir, batch, "tombstones")
         commitStaged(spark, dir, batch)
-      } finally { sh.unpersist(); sig.unpersist(); () }
+      } finally { sh.unpersist(); sig.unpersist(); sim.unpersist(); () }
     } finally { release(); batch0.unpersist(); () }
   }
 
@@ -1014,6 +1058,10 @@ object DedupIndex {
           Seq("id"), n)
         stageComponent(live(idx.dochashes), dir, batch, "dochashes",
           Seq("content_hash"), n)
+        stageComponent(live(idx.simhashes), dir, batch, "simhashes",
+          Seq("id"), n)
+        stageComponent(live(idx.simBandKeys), dir, batch, "simbands",
+          Seq("bkey"), n)
         stageEmpty(spark, dir, batch, "tombstones")
         commitStaged(spark, dir, batch, replace = true)
       }
@@ -1386,7 +1434,9 @@ object DedupIndex {
       shingles = raw0.shingles.drop("gen"),
       counts = raw0.counts.select(col("id"), col("n_shingles")),
       sigs = raw0.sigs.drop("gen"),
-      dochashes = raw0.dochashes.drop("gen"))
+      dochashes = raw0.dochashes.drop("gen"),
+      simhashes = raw0.simhashes.drop("gen"),
+      simBandKeys = raw0.simBandKeys.drop("gen"))
     if (isEmptyTombstones(raw.tombstones)) pub(raw)
     else {
       // LIVE views: dead (id, gen) rows — CDC-retired docs and displaced
@@ -1406,7 +1456,9 @@ object DedupIndex {
         shingles = live(raw.shingles),
         counts = live(raw.counts),
         sigs = live(raw.sigs),
-        dochashes = live(raw.dochashes)))
+        dochashes = live(raw.dochashes),
+        simhashes = live(raw.simhashes),
+        simBandKeys = live(raw.simBandKeys)))
     }
   }
 
@@ -1419,14 +1471,17 @@ object DedupIndex {
     recover(spark, dir)
     val p = readParams(spark, dir, "text")
     // fmt 3 made rows generational ((id, gen)-scoped tombstones, counts
-    // as the per-id freshness ledger); an older index lacks the columns
-    // refresh/resurrection need, so it reads as corrupt and callers
-    // rebuild (same policy as the vector formats)
-    if (!p.get("fmt").contains("3"))
+    // as the per-id freshness ledger); fmt 4 adds the SimHash modality
+    // (simhashes + simbands components, simBits/simBands params) so all
+    // three near-dup modalities share one maintained index. An older
+    // index lacks the components the probes need, so it reads as
+    // corrupt and callers rebuild (same policy as the vector formats)
+    if (!p.get("fmt").contains("4"))
       corrupt(dir, s"text index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 3 (rebuild the index)")
+        "expected 4 (rebuild the index)")
     val params = TextParams(p("shingleN").toInt, p("numHashes").toInt,
-      p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt)
+      p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt,
+      p("simBits").toInt, p("simBands").toInt)
     TextIndex(dir, params,
       hashes = component(spark, dir, "hashes", Seq("content_hash"),
         params.numBuckets),
@@ -1440,7 +1495,11 @@ object DedupIndex {
         params.numBuckets),
       dochashes = component(spark, dir, "dochashes", Seq("content_hash"),
         params.numBuckets),
-      tombstones = readTombstones(spark, dir))
+      tombstones = readTombstones(spark, dir),
+      simhashes = component(spark, dir, "simhashes", Seq("id"),
+        params.numBuckets),
+      simBandKeys = component(spark, dir, "simbands", Seq("bkey"),
+        params.numBuckets))
   }
 
   /** Load a vector index written by [[writeVectors]], with the same

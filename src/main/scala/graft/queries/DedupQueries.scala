@@ -274,6 +274,112 @@ object DedupQueries {
     incrementalLshSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1",
       src = QueryIndexes.refreshedDocsSql)
 
+  /** Incremental SimHash near-dup probe as a declared op — the modality
+    * that closes the parity gap: exact and MinHash-LSH each had batch +
+    * incremental + indexed + generational forms, SimHash had batch
+    * only. Same even/odd corpus/batch split as [[incrementalLsh]];
+    * candidates only from NEW×EXISTING banded signature collisions,
+    * Hamming-verified ≤ 3 over 32-bit signatures (4 bands — pigeonhole
+    * recall, existing-side bucket cap 1000 as in the batch form).
+    */
+  def incrementalSimHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalSimHashNearDupsReport(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalSimHashSql: String =
+    incrementalSimHashSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1")
+
+  /** [[incrementalSimHash]] probing the PERSISTED signature/banded-key
+    * components ([[graft.operators.DedupIndex]] fmt 4) — same split,
+    * same oracle, bit-identical pairs; corpus text is never re-hashed.
+    */
+  def incrementalSimHashIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalSimHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.text(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[incrementalSimHashIndexed]]'s retirement twin
+    * ([[QueryIndexes.textRetired]]: the even `% 10` slice CDC-deleted):
+    * retired docs' stored signatures and banded keys are invisible to
+    * candidate generation and the Hamming verify, gated against the
+    * live-corpus recompute oracle — completing the generational
+    * treatment for the third dedup modality.
+    */
+  def incrementalSimHashRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalSimHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textRetired(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalSimHashRetiredSql: String =
+    incrementalSimHashSqlFor(c => s"($c % 2 = 0 AND $c % 10 <> 0)",
+      c => s"$c % 2 = 1")
+
+  /** [[incrementalSimHashIndexed]]'s refresh twin
+    * ([[QueryIndexes.textRefreshed]]: the even `% 10` slice updated,
+    * `% 6` replayed unchanged): the updated docs' signatures and banded
+    * keys must be the RE-DERIVED ones (and only those) — the oracle
+    * recomputes over the post-update corpus.
+    */
+  def incrementalSimHashRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalSimHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textRefreshed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalSimHashRefreshedSql: String =
+    incrementalSimHashSqlFor(c => s"$c % 2 = 0", c => s"$c % 2 = 1",
+      src = QueryIndexes.refreshedDocsSql)
+
+  /** The incremental-SimHash oracle with configurable corpus/batch
+    * membership — shared by the recompute probe and every maintained-
+    * index gate (signatures depend only on a doc's own tokens, so
+    * computing over the union and slicing equals per-side computation).
+    */
+  private def incrementalSimHashSqlFor(existingPred: String => String,
+      newPred: String => String, src: String = "documents"): String = {
+    val bandSelects = (pred: String) => (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${b * 8 + 1}, 8) AS band_key FROM sh WHERE $pred")
+      .mkString("\n  UNION ALL\n  ")
+    val ham = (1 to 32).map(i =>
+      s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${simhashSigCtes(src)},
+      |bke AS (
+      |  ${bandSelects(existingPred("doc_id"))}),
+      |bkn AS (
+      |  ${bandSelects(newPred("doc_id"))}),
+      |ok AS (
+      |  SELECT band, band_key FROM bke
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
+      |bkec AS (SELECT bke.* FROM bke JOIN ok USING (band, band_key)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bkec a JOIN bkn b ON a.band = b.band
+      |    AND a.band_key = b.band_key AND a.doc_id <> b.doc_id)
+      |SELECT p.a_id, p.b_id, $ham AS hamming
+      |FROM pairs p
+      |JOIN sh x ON x.doc_id = p.a_id
+      |JOIN sh y ON y.doc_id = p.b_id
+      |WHERE $ham <= 3
+      |ORDER BY p.a_id, p.b_id""".stripMargin
+  }
+
   /** [[incrementalExactIndexed]] against an index taken through a full
     * delete→re-insert cycle ([[QueryIndexes.textResurrected]]): the
     * even `% 10` slice retired, its `% 20` half re-absorbed with
@@ -688,9 +794,10 @@ object DedupQueries {
       .orderBy(col("doc_id"))
 
   /** DuckDB CTE chain ending in `sh(doc_id, simhash)` — must mirror
-    * operators.Dedup.simHash exactly.
+    * operators.Dedup.simHash exactly. `src` swaps in a post-CDC corpus
+    * view for the maintained-index gates.
     */
-  private def simhashSigCtes: String = {
+  private def simhashSigCtes(src: String = "documents"): String = {
     val sums = (1 to 32).map(j =>
       s"sum(CASE WHEN substr(th, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS s$j")
       .mkString(",\n    ")
@@ -699,7 +806,7 @@ object DedupQueries {
     s"""toks AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok
-      |  FROM documents),
+      |  FROM $src AS __docs),
       |hashed AS (SELECT doc_id, md5(tok) AS th FROM toks),
       |agg AS (
       |  SELECT doc_id, count(*) AS n_tok,
@@ -709,7 +816,7 @@ object DedupQueries {
   }
 
   def simHashSql: String =
-    s"""WITH $simhashSigCtes
+    s"""WITH ${simhashSigCtes()}
       |SELECT doc_id, simhash,
       |  min(doc_id) OVER (PARTITION BY simhash) AS canonical_id,
       |  count(*) OVER (PARTITION BY simhash) AS group_size,
@@ -741,7 +848,7 @@ object DedupQueries {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, substr(simhash, ${b * 8 + 1}, 8) AS band_key FROM sh")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH $simhashSigCtes,
+    s"""WITH ${simhashSigCtes()},
       |bk AS (
       |  $bandSelects)
       |SELECT band, band_key, count(*) AS bucket_size
@@ -757,7 +864,7 @@ object DedupQueries {
     val ham = (1 to 32).map(i =>
       s"CASE WHEN substr(x.simhash, $i, 1) <> substr(y.simhash, $i, 1) THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $simhashSigCtes,
+    s"""WITH ${simhashSigCtes()},
       |bk AS (
       |  $bandSelects),
       |ok AS (
