@@ -93,6 +93,17 @@ object SparkEntry {
     "dedup_simhash" -> (DedupQueries.simHash _),
     "dedup_simhash_near" -> (DedupQueries.simHashNearDups _),
     "dedup_simhash_buckets" -> (DedupQueries.simHashOversized _),
+    // SimHash modality parity: incremental + index-served + maintained
+    // lifecycle forms, each gated vs the live-corpus recompute oracle
+    "dedup_incremental_simhash" -> (DedupQueries.incrementalSimHash _),
+    "dedup_incremental_simhash_indexed" ->
+      (DedupQueries.incrementalSimHashIndexed _),
+    "dedup_incremental_simhash_absorbed" ->
+      (DedupQueries.incrementalSimHashAbsorbed _),
+    "dedup_incremental_simhash_retired" ->
+      (DedupQueries.incrementalSimHashRetired _),
+    "dedup_incremental_simhash_refreshed" ->
+      (DedupQueries.incrementalSimHashRefreshed _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_edit_distance" -> (DedupQueries.editDistance _),
     "dedup_components" -> (DedupQueries.components _),
@@ -316,6 +327,15 @@ object SparkEntry {
     "dedup_simhash" -> DedupQueries.simHashSql,
     "dedup_simhash_near" -> DedupQueries.simHashNearDupsSql,
     "dedup_simhash_buckets" -> DedupQueries.simHashOversizedSql,
+    "dedup_incremental_simhash" -> DedupQueries.incrementalSimHashSql,
+    "dedup_incremental_simhash_indexed" ->
+      DedupQueries.incrementalSimHashSql,
+    "dedup_incremental_simhash_absorbed" ->
+      DedupQueries.incrementalSimHashAbsorbedSql,
+    "dedup_incremental_simhash_retired" ->
+      DedupQueries.incrementalSimHashRetiredSql,
+    "dedup_incremental_simhash_refreshed" ->
+      DedupQueries.incrementalSimHashRefreshedSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_edit_distance" -> DedupQueries.editDistanceSql,
     "dedup_components" -> DedupQueries.componentsSql,

@@ -307,6 +307,27 @@ object DedupQueries {
       .pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[incrementalSimHashIndexed]]'s absorb twin
+    * ([[QueryIndexes.textAbsorbed]]: corpus = even docs plus the
+    * `doc_id % 4 == 1` batch absorbed through
+    * [[graft.operators.DedupIndex.appendText]]'s staged commit, probe
+    * batch = `doc_id % 4 == 3`): the absorbed docs' SimHash signatures
+    * and banded keys were derived inside the absorb and must collide
+    * and Hamming-verify exactly as a recompute over the union would.
+    */
+  def incrementalSimHashAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalSimHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", QueryIndexes.textAbsorbed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalSimHashAbsorbedSql: String =
+    incrementalSimHashSqlFor(c => s"($c % 2 = 0 OR $c % 4 = 1)",
+      c => s"$c % 4 = 3")
+
   /** [[incrementalSimHashIndexed]]'s retirement twin
     * ([[QueryIndexes.textRetired]]: the even `% 10` slice CDC-deleted):
     * retired docs' stored signatures and banded keys are invisible to

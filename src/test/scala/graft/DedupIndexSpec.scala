@@ -287,13 +287,19 @@ class DedupIndexSpec extends SparkSpec {
       batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir))
     def lshProbe() = Dedup.incrementalMinHashNearDupsReportIndexed(
       batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir)).pairs
+    def simProbe() = Dedup.incrementalSimHashNearDupsReportIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(spark, indexDir)).pairs
     val exactLive = Dedup.incrementalExact(batch, liveCorpus,
       "doc_id", "text")
     val lshLive = Dedup.incrementalMinHashNearDupsReport(
       batch, liveCorpus, "doc_id", "text").pairs
+    val simLive = Dedup.incrementalSimHashNearDupsReport(
+      batch, liveCorpus, "doc_id", "text").pairs
     assert(sortedRows(exactProbe()) === sortedRows(exactLive))
     assert(sortedRows(lshProbe()) === sortedRows(lshLive))
+    assert(sortedRows(simProbe()) === sortedRows(simLive))
     assert(lshProbe().count() > 0, "fixture must still produce pairs")
+    assert(simProbe().count() > 0, "simhash fixture must produce pairs")
     // ...and differ from the pre-retirement corpus (the gate is real:
     // some retired doc was the only holder of its hash/pairs)
     val exactStale = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
@@ -335,6 +341,7 @@ class DedupIndexSpec extends SparkSpec {
       "retired ids survived compaction in the stored rows")
     assert(sortedRows(exactProbe()) === sortedRows(exactLive))
     assert(sortedRows(lshProbe()) === sortedRows(lshLive))
+    assert(sortedRows(simProbe()) === sortedRows(simLive))
     // no stray staging/trash left behind
     assert(!new java.io.File(s"$indexDir/_staging").exists)
     assert(!new java.io.File(s"$indexDir/_trash").exists)
