@@ -1,0 +1,165 @@
+package graft.dev
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch: per-trigger latency of the COMPOSED streaming serving story
+  * — a standing hybrid search plus all three index-maintenance sinks
+  * (text dedup, BM25 lexical, IVF∘SQ8 vector) fed by one mixed I/U/D
+  * change stream — measured over many triggers at FIXED batch size.
+  *
+  * The claim under test: per-trigger cost is batch-tracked, so it stays
+  * FLAT as triggers accumulate. The failure modes it would expose are
+  * exactly the ones that killed naive maintained indexes: generational
+  * rows piling up in the probe path, the tombstone broadcast growing
+  * past delta scale, stale-relation refreshes re-listing the corpus, or
+  * the search leg's work creeping from batch-bound to corpus-bound.
+  * Deletes retire the PREVIOUS trigger's inserts, so the live corpus is
+  * size-stationary while generations and tombstones accumulate — the
+  * adversarial shape for flatness.
+  *
+  * Output: one JSON line with per-trigger (maintenance, search) seconds
+  * + BENCH_DAYINLIFE_r14.json next to the other stress artifacts.
+  */
+object DayInLifeStress {
+
+  def main(args: Array[String]): Unit = {
+    val srcSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.01")
+    val triggers = sys.env.getOrElse("SPARK_GRAFT_TRIGGERS", "12").toInt
+    // tombstone-count threshold for the sinks' auto-compaction; unset =
+    // compaction off (the drift arm of the A/B)
+    val autoCompact = sys.env.get("SPARK_GRAFT_AUTOCOMPACT").map(_.toLong)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dim = 16
+    def vecFor(id: Long): Array[Float] =
+      Array.tabulate(dim)(d => (((id * 7 + d * 3) % 11) - 5).toFloat)
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dayinlife").toString
+    val (chDir, qDir, outDir) = (s"$root/ch", s"$root/q", s"$root/out")
+    val (lexDir, vecDir, txtDir) =
+      (s"$root/lex", s"$root/vec", s"$root/txt")
+
+    val docs = spark.read.parquet(s"$srcSf/documents.parquet")
+      .select(col("doc_id"), col("text")).persist()
+    val nDocs = docs.count()
+    val seed = docs.filter(col("doc_id") % 10 =!= 0)
+    val vecOf = udf((id: Long) => vecFor(id))
+    val seedV = seed.withColumn("embedding", vecOf(col("doc_id")))
+    println(s"corpus $nDocs docs, seed ${seed.count()}")
+
+    var t0 = System.nanoTime()
+    graft.operators.DedupIndex.writeLexical(
+      seed, "doc_id", "text", lexDir, termNgram = 2)
+    graft.operators.DedupIndex.writeVectors(
+      seedV.select(col("doc_id"), col("embedding")), "doc_id",
+      "embedding", vecDir, planes = 4, dim = dim)
+    graft.operators.DedupIndex.writeText(seed, "doc_id", "text", txtDir)
+    val buildS = (System.nanoTime() - t0) / 1e9
+
+    // update targets rotate through the seed slice; queries are FIXED
+    val seedIds = seed.select(col("doc_id")).as[Long]
+      .collect().sorted
+    val queryRows = seedIds.take(25).zipWithIndex.map { case (id, i) =>
+      (900000L + i, s"probe trigger shared corpus words token$id",
+        vecFor(id))
+    }.toSeq
+
+    def writeRows(dir: String, name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.parquet(s"$dir/$name")
+    // schema seeds (no-op content: unchanged text + unchanged vector
+    // absorb as a no-op) so the file sources can start
+    writeRows(chDir, "b0", seed.limit(1)
+      .select(lit("I").as("Op"), lit(0L).as("seq"), col("doc_id"),
+        col("text"), vecOf(col("doc_id")).as("embedding")))
+    writeRows(qDir, "q0", queryRows.take(1)
+      .toDF("doc_id", "text", "embedding"))
+
+    val chSchema = spark.read.parquet(s"$chDir/b0").schema
+    val qSchema = spark.read.parquet(s"$qDir/q0").schema
+    def chStream = spark.readStream.schema(chSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$chDir/b*/")
+    def ck() = java.nio.file.Files
+      .createTempDirectory("dil-ck").toString
+    val maintTxt = graft.streaming.CdcStream.startTextIndexMaintenance(
+      chStream, "doc_id", "text", txtDir, ck(), col("seq"), autoCompact)
+    val maintLex = graft.streaming.CdcStream.startLexicalIndexMaintenance(
+      chStream, "doc_id", "text", lexDir, ck(), col("seq"), autoCompact)
+    val maintVec = graft.streaming.CdcStream.startVectorIndexMaintenance(
+      chStream, "doc_id", "embedding", vecDir, ck(), col("seq"),
+      autoCompact)
+    val search = graft.streaming.CdcStream.startHybridSearch(
+      spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$qDir/q*/"),
+      "doc_id", "text", "embedding", lexDir, vecDir, outDir, ck(),
+      k = 10, legK = 20)
+
+    var seq = 1L
+    val perTrigger = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double)]
+    for (t <- 1 to triggers) {
+      val ins = (0 until 50).map { i =>
+        val id = 10000000L + t * 50L + i
+        ("I", { seq += 1; seq }, id,
+          s"synthetic trigger$t insert doc$id shared corpus words",
+          vecFor(id))
+      }
+      val upd = (0 until 50).map { i =>
+        val id = seedIds((t * 50 + i) % seedIds.length)
+        ("U", { seq += 1; seq }, id,
+          s"updated trigger$t doc$id shared corpus words revision",
+          vecFor(id + t))
+      }
+      val del = (0 until 50).map { i =>
+        val id = if (t == 1) seedIds(seedIds.length - 1 - i)
+          else 10000000L + (t - 1) * 50L + i
+        ("D", { seq += 1; seq }, id, "", vecFor(id))
+      }
+      writeRows(chDir, s"b$t",
+        (ins ++ upd ++ del).toDF("Op", "seq", "doc_id", "text",
+          "embedding"))
+      t0 = System.nanoTime()
+      maintTxt.processAllAvailable()
+      maintLex.processAllAvailable()
+      maintVec.processAllAvailable()
+      val maintS = (System.nanoTime() - t0) / 1e9
+      writeRows(qDir, s"q$t", queryRows.toDF("doc_id", "text",
+        "embedding"))
+      t0 = System.nanoTime()
+      search.processAllAvailable()
+      val searchS = (System.nanoTime() - t0) / 1e9
+      perTrigger += ((maintS, searchS))
+      println(f"trigger $t%2d maint $maintS%6.2f s  search $searchS%5.2f s")
+    }
+    maintTxt.stop(); maintLex.stop(); maintVec.stop(); search.stop()
+
+    val served = spark.read.parquet(outDir).count()
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val trigJson = perTrigger.zipWithIndex.map { case ((m, s), i) =>
+      s"""{"t":${i + 1},"maint":${fmt(m)},"search":${fmt(s)}}"""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"dayinlife_per_trigger","unit":"sec","sf_src":"$srcSf",""" +
+      s""""docs":$nDocs,"triggers":$triggers,"batch_events":150,""" +
+      s""""queries_per_trigger":${queryRows.length},""" +
+      s""""auto_compact":${autoCompact.getOrElse(-1L)},""" +
+      s""""build_s":${fmt(buildS)},"served_rows":$served,""" +
+      s""""per_trigger":$trigJson}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_DAYINLIFE_OUT",
+        "/root/repo/BENCH_DAYINLIFE_r14.json")), json)
+    spark.stop()
+  }
+}

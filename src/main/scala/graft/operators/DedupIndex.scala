@@ -1632,6 +1632,47 @@ object DedupIndex {
   private def componentPath(dir: String, component: String) =
     new org.apache.hadoop.fs.Path(dir, component)
 
+  /** Cross-session staleness marker. Component tables are served through
+    * the session catalog, and Spark caches each resolved filesource
+    * relation — with its file listing — PER SESSION
+    * (`SessionCatalog.tableRelationCache`). A commit refreshes the
+    * committing session's cache, but a DIFFERENT long-lived session (a
+    * standing streaming-search micro-batch clone, a concurrent notebook)
+    * would keep serving the pre-commit listing forever. Every mutation
+    * therefore bumps this marker (one ~36-byte file), and [[component]]
+    * compares it to the session-local last-seen value — a reader pays
+    * one tiny FS read per component access instead of a full directory
+    * re-listing, and refreshes the catalog table only when the index
+    * actually moved.
+    */
+  private def versionPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_version")
+
+  private val seenVersions =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bumpVersion(spark: SparkSession, dir: String): Unit = {
+    val p = versionPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(java.util.UUID.randomUUID().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readVersion(spark: SparkSession, dir: String): String = {
+    val p = versionPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+  }
+
   private def dropComponents(spark: SparkSession, dir: String,
       components: Seq[String]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1907,6 +1948,7 @@ object DedupIndex {
       try if (fs.exists(r) && fs.listStatus(r).isEmpty) fs.delete(r, false)
       catch { case _: java.io.IOException => () }
     }
+    bumpVersion(spark, dir) // other sessions detect the commit
     comps.foreach { c =>
       val t = tableName(dir, c)
       if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
@@ -1933,6 +1975,7 @@ object DedupIndex {
         System.currentTimeMillis() - mtime <= leaseStaleMs
     }
     if (liveForeign) return
+    var rolledBack = false
     if (fs.exists(root)) fs.listStatus(root).filter(_.isDirectory).foreach { b =>
       val mf = new org.apache.hadoop.fs.Path(b.getPath, "MANIFEST.json")
       if (fs.exists(mf)) {
@@ -1955,6 +1998,7 @@ object DedupIndex {
           }
           val t = tableName(dir, e.getKey)
           if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+          rolledBack = true
         }
       }
       // replace-mode rollback: files the half-done commit displaced sit
@@ -1974,11 +2018,13 @@ object DedupIndex {
           }
           val t = tableName(dir, cd.getPath.getName)
           if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+          rolledBack = true
         }
         fs.delete(trash, true)
       }
       fs.delete(b.getPath, true)
     }
+    if (rolledBack) bumpVersion(spark, dir)
     // trash batches with NO staging counterpart are completed commits
     // whose final cleanup crashed — finish it (never restore from them)
     val troot = trashRoot(dir)
@@ -1996,7 +2042,15 @@ object DedupIndex {
   private def component(spark: SparkSession, dir: String, name: String,
       bucketCols: Seq[String], numBuckets: Int): DataFrame = {
     val table = tableName(dir, name)
-    if (!spark.catalog.tableExists(table)) {
+    // serve the CURRENT committed files even when another session did
+    // the committing: refresh this session's cached relation whenever
+    // the index's version marker moved since this session last looked
+    val ver = readVersion(spark, dir)
+    val verKey = System.identityHashCode(spark) + "|" + table
+    val moved = !ver.equals(seenVersions.put(verKey, ver))
+    if (spark.catalog.tableExists(table)) {
+      if (moved) spark.catalog.refreshTable(table)
+    } else {
       val path = componentPath(dir, name).toString
       val schemaDdl = spark.read.parquet(path).schema.toDDL
       val cols = bucketCols.mkString(", ")
@@ -2050,6 +2104,9 @@ object DedupIndex {
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"cannot publish $p")
+    // full builds end here — advertise the new component files to every
+    // session (absorb/retire/compact/retrain bump in [[commitStaged]])
+    bumpVersion(spark, dir)
   }
 
   private def readParams(spark: SparkSession, dir: String,

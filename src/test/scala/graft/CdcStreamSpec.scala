@@ -1358,4 +1358,168 @@ class CdcStreamSpec extends SparkSpec {
     assert(got.count(_._1 == "4") === 1 &&
       got.exists(r => r._1 == "4" && r._5 == Some(9000L) && r._6 == 0))
   }
+
+  test("day-in-the-life: standing hybrid search over all three maintenance sinks stays batch-exact after every commit") {
+    graft.plans.CachedPlans.clear()
+    val dim = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 7 + d * 3) % 11) - 5).toFloat)
+    def doc(i: Long) = s"daily$i corpus shared hybrid words token$i tail$i"
+    def docV2(i: Long) = doc(i) + " revised second edition"
+
+    val chDir = Files.createTempDirectory("dil-changes").toString
+    val qDir = Files.createTempDirectory("dil-queries").toString
+    val outDir = Files.createTempDirectory("dil-out").toString
+    val lexDir = Files.createTempDirectory("dil-lex").toString
+    val vecDir = Files.createTempDirectory("dil-vec").toString
+    val txtDir = Files.createTempDirectory("dil-txt").toString
+
+    // seed corpus 1..8, all three indexes built from it
+    var live = (1L to 8L).map(i => i -> doc(i)).toMap
+    var liveVec = (1L to 8L).map(i => i -> vec(i.toInt)).toMap
+    graft.operators.DedupIndex.writeLexical(
+      live.toSeq.toDF("doc_id", "text"), "doc_id", "text", lexDir,
+      termNgram = 2)
+    graft.operators.DedupIndex.writeVectors(
+      liveVec.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      vecDir, planes = 2, dim = dim)
+    graft.operators.DedupIndex.writeText(
+      live.toSeq.toDF("doc_id", "text"), "doc_id", "text", txtDir)
+
+    def writeChanges(name: String,
+        rows: Seq[(String, Long, Long, String, Array[Float])]): Unit =
+      rows.toDF(C.Op, "seq", "doc_id", "text", "embedding")
+        .coalesce(1).write.parquet(s"$chDir/$name")
+    def writeQueries(name: String,
+        rows: Seq[(Long, String, Array[Float])]): Unit =
+      rows.toDF("doc_id", "text", "embedding")
+        .coalesce(1).write.parquet(s"$qDir/$name")
+    // schema seeds so the file sources can start before day 1 arrives
+    writeChanges("b0", Seq(("I", 0L, 1L, doc(1), vec(1))))
+    writeQueries("q0", Seq((100L, doc(1), vec(1))))
+
+    val chSchema = spark.read.parquet(s"$chDir/b0").schema
+    val qSchema = spark.read.parquet(s"$qDir/q0").schema
+    def changeStream = spark.readStream.schema(chSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$chDir/b*/")
+    val maintTxt = CdcStream.startTextIndexMaintenance(changeStream,
+      "doc_id", "text", txtDir,
+      Files.createTempDirectory("dil-ck-txt").toString, col("seq"))
+    val maintLex = CdcStream.startLexicalIndexMaintenance(changeStream,
+      "doc_id", "text", lexDir,
+      Files.createTempDirectory("dil-ck-lex").toString, col("seq"))
+    val maintVec = CdcStream.startVectorIndexMaintenance(changeStream,
+      "doc_id", "embedding", vecDir,
+      Files.createTempDirectory("dil-ck-vec").toString, col("seq"))
+    val search = CdcStream.startHybridSearch(
+      spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$qDir/q*/"),
+      "doc_id", "text", "embedding", lexDir, vecDir, outDir,
+      Files.createTempDirectory("dil-ck-q").toString, k = 3, legK = 3)
+
+    // the staleness contract, asserted after EVERY commit: a search
+    // micro-batch fired after the maintenance sinks commit must equal
+    // the batch recompute on the live corpus — lexical leg recomputed
+    // FROM SCRATCH on the live docs (the signed-delta contract), dense
+    // leg the batch probe of the maintained index (the frozen-geometry
+    // absorb contract), fused by the same integer-rank RRF.
+    // a day's queries are written only AFTER its maintenance settles —
+    // the standing search stream polls continuously, so writing them
+    // earlier would race a search micro-batch against the commit
+    def settleMaint(): Unit = {
+      maintTxt.processAllAvailable(); maintLex.processAllAvailable()
+      maintVec.processAllAvailable()
+    }
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    def expectedFor(qs: Seq[(Long, String, Array[Float])])
+        : Seq[(Long, Int, Long)] = {
+      val queries = qs.toDF("doc_id", "text", "embedding")
+      val lex = graft.operators.Retrieval
+        .bm25TopK(live.toSeq.toDF("doc_id", "text"), queries,
+          "doc_id", "text", "doc_id", "text", 3, 8, termNgram = 2)
+        .filter(col("doc_id") =!= col("q_id"))
+        .withColumn("rank", row_number().over(lexW))
+        .select(col("q_id"), col("doc_id"), col("rank"))
+      val den = graft.operators.Similarity.ivfSq8TopKIndexed(
+          queries, "doc_id", "embedding",
+          graft.operators.DedupIndex.loadVectors(spark, vecDir), 3,
+          nprobe = 3)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, den), 3)
+        .select("q_id", "rank", "doc_id")
+        .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    }
+    def gotFor(qIds: Set[Long]): Seq[(Long, Int, Long)] =
+      spark.read.parquet(outDir).filter(col("q_id").isin(qIds.toSeq: _*))
+        .select("q_id", "rank", "doc_id")
+        .as[(Long, Int, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    def assertDay(qs: Seq[(Long, String, Array[Float])]): Unit = {
+      val exp = expectedFor(qs)
+      val got = gotFor(qs.map(_._1).toSet)
+      assert(got.nonEmpty, "day produced no search results")
+      assert(got === exp, s"stream $got\nbatch $exp")
+    }
+
+    // day 1: INSERT 9, UPDATE 2 (text and embedding both move)
+    writeChanges("b1", Seq(("I", 1L, 9L, doc(9), vec(9)),
+      ("U", 2L, 2L, docV2(2), vec(52))))
+    live += (9L -> doc(9)); live += (2L -> docV2(2))
+    liveVec += (9L -> vec(9)); liveVec += (2L -> vec(52))
+    val day1Q = Seq((101L, doc(9), vec(9)), (102L, docV2(2), vec(52)))
+    settleMaint(); writeQueries("q1", day1Q)
+    search.processAllAvailable(); assertDay(day1Q)
+
+    // day 2: DELETE 3, INSERT 10, UPDATE 9 — a doc inserted by stream
+    writeChanges("b2", Seq(("D", 3L, 3L, doc(3), vec(3)),
+      ("I", 4L, 10L, doc(10), vec(10)),
+      ("U", 5L, 9L, docV2(9), vec(59))))
+    live -= 3L; live += (10L -> doc(10)); live += (9L -> docV2(9))
+    liveVec -= 3L; liveVec += (10L -> vec(10)); liveVec += (9L -> vec(59))
+    val day2Q = Seq((201L, doc(3), vec(3)), (202L, doc(10), vec(10)))
+    settleMaint(); writeQueries("q2", day2Q)
+    search.processAllAvailable(); assertDay(day2Q)
+    assert(!gotFor(Set(201L, 202L)).exists(_._3 == 3L),
+      "deleted doc 3 still retrieved")
+
+    // day 3: DELETE the stream-inserted 9, re-INSERT 3 (resurrection)
+    writeChanges("b3", Seq(("D", 6L, 9L, docV2(9), vec(59)),
+      ("I", 7L, 3L, doc(3), vec(3))))
+    live -= 9L; live += (3L -> doc(3))
+    liveVec -= 9L; liveVec += (3L -> vec(3))
+    val day3Q = Seq((301L, docV2(9), vec(59)), (302L, doc(3), vec(3)))
+    settleMaint(); writeQueries("q3", day3Q)
+    search.processAllAvailable(); assertDay(day3Q)
+    val day3 = gotFor(Set(301L, 302L))
+    assert(!day3.exists(_._3 == 9L), "retired doc 9 still retrieved")
+    assert(day3.exists(_._3 == 3L), "resurrected doc 3 never retrieved")
+
+    // the maintained vector index serves exactly the live id set
+    val servedIds = graft.operators.DedupIndex.loadVectors(spark, vecDir)
+      .buckets.select("id").distinct().as[Long].collect().toSet
+    assert(servedIds === liveVec.keySet)
+
+    // the third sink's text index: every probe modality equals the
+    // live-corpus recompute after three days of mixed I/U/D
+    val probeBatch = Seq(401L -> doc(3), 402L -> docV2(9))
+      .toDF("doc_id", "text")
+    val liveDf = live.toSeq.toDF("doc_id", "text")
+    val exactIdx = graft.operators.Dedup.incrementalExactIndexed(
+      probeBatch, "doc_id", "text",
+      graft.operators.DedupIndex.loadText(spark, txtDir))
+    val exactRe = graft.operators.Dedup.incrementalExact(
+      probeBatch, liveDf, "doc_id", "text")
+    assert(exactIdx.orderBy("doc_id").collect().toSeq ===
+      exactRe.orderBy("doc_id").collect().toSeq)
+    val simIdx = graft.operators.Dedup
+      .incrementalSimHashNearDupsReportIndexed(probeBatch, "doc_id",
+        "text", graft.operators.DedupIndex.loadText(spark, txtDir))
+      .pairs.orderBy("a_id", "b_id").collect().toSeq
+    val simRe = graft.operators.Dedup.incrementalSimHashNearDupsReport(
+        probeBatch, liveDf, "doc_id", "text")
+      .pairs.orderBy("a_id", "b_id").collect().toSeq
+    assert(simIdx === simRe)
+
+    maintTxt.stop(); maintLex.stop(); maintVec.stop(); search.stop()
+  }
 }
