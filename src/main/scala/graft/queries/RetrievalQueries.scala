@@ -227,9 +227,15 @@ object RetrievalQueries {
     * embeddings re-scan). Same query slice, same fusion, same oracle —
     * bit-identical to the recompute form because stored floats
     * round-trip parquet exactly and the lexical index is gated
-    * bit-identical by `text_bm25_indexed`. At 100 TB this is the shape
-    * you'd run: both corpus-scale artifacts are build-once bucketed
-    * tables, so a query batch pays batch-sized work per leg.
+    * bit-identical by `text_bm25_indexed`.
+    *
+    * NOT a serving path: the dense leg deliberately brute-scans the
+    * index's stored floats, so this query exists solely as the
+    * bit-exact FIDELITY ANCHOR the approximate forms are measured
+    * against (it shares the brute-legged oracle). The declared 100 TB
+    * default is `retrieval_hybrid_rrf_ivf_indexed`, whose dense leg
+    * probes the stored centroids + inverted SQ8 code lists and never
+    * scans the stored-vector table (plan-guarded in PlanShapeSpec).
     */
   def hybridRrfIndexed(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")

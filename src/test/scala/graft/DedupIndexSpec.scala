@@ -35,6 +35,53 @@ class DedupIndexSpec extends SparkSpec {
       .map(_.toSeq).sortBy(_.mkString("|")).toSeq
   }
 
+  test("a commit in one session is visible to another session's already-warm probes") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-xsession").toString
+    val corpus = mkDocs((0L until 40L).filter(_ % 2 == 0))
+      .toDF("doc_id", "text")
+    DedupIndex.writeText(corpus, "doc_id", "text", indexDir)
+    DedupIndex.writeLexical(corpus, "doc_id", "text", indexDir + "-lex",
+      termNgram = 2)
+
+    // a SECOND session (own SessionCatalog, own filesource relation
+    // cache — the shape of a streaming micro-batch clone or concurrent
+    // notebook): warm its caches with one probe of each index
+    val s2 = spark.newSession()
+    val batch = mkDocs(Seq(101L, 103L))
+      .toDF("doc_id", "text") // session-agnostic plan over literals
+    def exactProbe() = Dedup.incrementalExactIndexed(
+      batch, "doc_id", "text", DedupIndex.loadText(s2, indexDir))
+    def bm25Probe() = graft.operators.Retrieval.bm25TopKIndexed(
+      DedupIndex.loadLexical(s2, indexDir + "-lex"),
+      batch, "doc_id", "text")
+    exactProbe().collect(); bm25Probe().collect()
+
+    // commit from the FIRST session: absorb a doc whose text duplicates
+    // batch id 101 (group 25, member 0|1 share a template)
+    val absorbed = mkDocs(Seq(100L)).toDF("doc_id", "text")
+    DedupIndex.appendText(absorbed, "doc_id", "text", indexDir)
+    DedupIndex.appendLexical(absorbed, "doc_id", "text", indexDir + "-lex")
+
+    // the second session's NEXT probes must see the commit — a stale
+    // per-session relation cache would keep serving the pre-commit
+    // file listing forever (the bug the _version marker fixes)
+    val verdicts = exactProbe()
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(verdicts(101L) === "dup_of_existing",
+      "session 2 probe did not see the absorbed duplicate")
+    // the lexical side must match a recompute over the post-commit
+    // corpus — stats (path-read, always fresh) and postings
+    // (catalog-table) would otherwise come from DIFFERENT corpus
+    // versions and mis-score silently
+    val re = graft.operators.Retrieval.bm25TopK(
+      corpus.unionByName(absorbed), batch,
+      "doc_id", "text", "doc_id", "text", termNgram = 2)
+    assert(sortedRows(bm25Probe()) === sortedRows(re),
+      "session 2 BM25 probe diverged from post-commit recompute")
+  }
+
   test("indexed text probes match recompute bit-exactly, reading only the index") {
     CachedPlans.clear()
     val corpusDir = java.nio.file.Files
