@@ -20,8 +20,11 @@ OUT = "/tmp/graft_verify_sf01"
 EXPLICIT = None
 if len(sys.argv) > 1 and not sys.argv[1].isdigit():
     EXPLICIT = sys.argv[1].split(",")
-K = int(sys.argv[1]) if len(sys.argv) > 1 and EXPLICIT is None else 20
-OFFSET = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+if EXPLICIT is None:
+    K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    OFFSET = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+else:
+    K, OFFSET = 0, 0  # second positional is ignored in explicit mode
 ARTIFACT = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
     REPO, "VERIFY_SF01.json")
 

@@ -114,8 +114,14 @@ object DayInLifeStress {
           s"synthetic trigger$t insert doc$id shared corpus words",
           vecFor(id))
       }
+      // rotate updates through a pool that excludes the fixed query
+      // anchors (first 25) and the seed tail retired at t==1 (last
+      // 50) — a wrapped walk must refresh LIVE docs, never resurrect
+      // retired ones or move the probe targets
+      val updPool = seedIds.slice(25, seedIds.length - 50)
+      require(updPool.nonEmpty, "corpus too small for the update pool")
       val upd = (0 until 50).map { i =>
-        val id = seedIds((t * 50 + i) % seedIds.length)
+        val id = updPool((t * 50 + i) % updPool.length)
         ("U", { seq += 1; seq }, id,
           s"updated trigger$t doc$id shared corpus words revision",
           vecFor(id + t))

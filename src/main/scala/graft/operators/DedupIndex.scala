@@ -1648,8 +1648,17 @@ object DedupIndex {
   private def versionPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_version")
 
-  private val seenVersions =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // weakly keyed by the session object: identity (never a hash that
+  // could collide across sessions), and a dead session's entries are
+  // pruned with it by GC
+  private val seenVersions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def seenFor(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] =
+    seenVersions.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   private def bumpVersion(spark: SparkSession, dir: String): Unit = {
     val p = versionPath(dir)
@@ -1663,13 +1672,16 @@ object DedupIndex {
   private def readVersion(spark: SparkSession, dir: String): String = {
     val p = versionPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) "absent"
-    else {
+    // open directly and treat absence as its own version value — an
+    // exists() probe first would double the metadata round-trips
+    try {
       val in = fs.open(p)
       try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => "absent"
     }
   }
 
@@ -2044,12 +2056,18 @@ object DedupIndex {
     val table = tableName(dir, name)
     // serve the CURRENT committed files even when another session did
     // the committing: refresh this session's cached relation whenever
-    // the index's version marker moved since this session last looked
+    // the index's version marker moved since this session last looked.
+    // The seen-version is recorded only AFTER a successful refresh —
+    // recording first would let a concurrent caller (or a refresh that
+    // throws) consume the transition and leave the session serving the
+    // stale listing until the NEXT commit.
     val ver = readVersion(spark, dir)
-    val verKey = System.identityHashCode(spark) + "|" + table
-    val moved = !ver.equals(seenVersions.put(verKey, ver))
+    val seen = seenFor(spark)
     if (spark.catalog.tableExists(table)) {
-      if (moved) spark.catalog.refreshTable(table)
+      if (!ver.equals(seen.get(table))) {
+        spark.catalog.refreshTable(table)
+        seen.put(table, ver)
+      }
     } else {
       val path = componentPath(dir, name).toString
       val schemaDdl = spark.read.parquet(path).schema.toDDL
@@ -2062,6 +2080,7 @@ object DedupIndex {
            |CLUSTERED BY ($cols) SORTED BY ($cols)
            |INTO $numBuckets BUCKETS
            |LOCATION '$loc'""".stripMargin)
+      seen.put(table, ver) // a fresh table has no stale cache
     }
     spark.table(table)
   }
