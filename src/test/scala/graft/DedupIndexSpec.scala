@@ -116,8 +116,16 @@ class DedupIndexSpec extends SparkSpec {
     assert(sortedRows(lshIdx) === sortedRows(lshRe))
     assert(lshIdx.count() > 0, "fixture must produce near-dup pairs")
 
-    // neither probe may scan the corpus text source
-    Seq(exactIdx, lshIdx).foreach { probe =>
+    // simhash probe: bit-identical pairs over the stored signatures
+    val simIdx = Dedup.incrementalSimHashNearDupsReportIndexed(
+      batch, "doc_id", "text", idx).pairs
+    val simRe = Dedup.incrementalSimHashNearDupsReport(
+      batch, corpus, "doc_id", "text").pairs
+    assert(sortedRows(simIdx) === sortedRows(simRe))
+    assert(simIdx.count() > 0, "fixture must produce simhash pairs")
+
+    // no probe may scan the corpus text source
+    Seq(exactIdx, lshIdx, simIdx).foreach { probe =>
       val files = probe.inputFiles
       assert(files.nonEmpty, "probe should read the index parquet")
       assert(files.forall(!_.contains(corpusDir)),
