@@ -771,6 +771,48 @@ object CdcStream {
       .unionByName(corpusPairs)
   }
 
+  /** Streaming SimHash corpus probe — the third modality's stream form,
+    * completing parity with [[nearDupStreamIndexed]] (MinHash) and
+    * [[embedNearDupStreamIndexed]] (embedding): each micro-batch of
+    * arriving docs runs the EXACT batch probe
+    * ([[graft.operators.Dedup.incrementalSimHashNearDupsReportIndexed]])
+    * against the persisted index's `simhashes`/`simbands` components,
+    * so stream pairs are bit-identical to the batch form over the same
+    * docs and micro-batch boundaries are invisible (pairs depend only
+    * on (doc, index)). foreachBatch carries it because the batch
+    * contract distinct-s candidate pairs across bands — as a pure
+    * stream transform that would be an unbounded stateful dedup; per
+    * micro-batch it is a plain shuffle. The index is re-loaded per
+    * trigger, so CDC maintenance (absorb/retire/refresh) lands in the
+    * very next probe — freshness across sessions guaranteed by the
+    * index `_version` marker. Output partitioned by batch_id with
+    * dynamic overwrite: a replayed micro-batch rewrites its own
+    * partition, exactly-once-effective like the other search sinks.
+    */
+  def startSimHashNearDup(docs: DataFrame, idCol: String,
+      textCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, maxHamming: Int = 3, maxBucket: Int = 1000)
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.operators.DedupIndex
+            .loadText(batch.sparkSession, indexDir)
+          graft.operators.Dedup
+            .incrementalSimHashNearDupsReportIndexed(batch, idCol,
+              textCol, idx, maxHamming, maxBucket)
+            .pairs
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   final case class VecRow(bucket: String, vec_id: Long, vec: Seq[Float],
       ts: java.sql.Timestamp)
   final case class BucketVec(vec_id: Long, vec: Seq[Float])

@@ -499,6 +499,72 @@ class CdcStreamSpec extends SparkSpec {
       s"retired corpus doc must not pair the stream probe: $pairs")
   }
 
+  test("streaming SimHash probe equals the batch indexed probe, sees mid-stream retires, replays clean") {
+    graft.plans.CachedPlans.clear()
+    val dir = Files.createTempDirectory("stream_shprobe").toString
+    val idxDir = Files.createTempDirectory("stream_shprobe_idx").toString
+    val outDir = Files.createTempDirectory("stream_shprobe_out").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // corpus: 100/101 share a signature-near text; 102 distinct
+    val corpus = Seq((100L, base), (101L, base + " lambda"),
+      (102L, "totally different words about other topics entirely"))
+    graft.operators.DedupIndex.writeText(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", idxDir)
+
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/$name")
+    val b1 = Seq((1L, base), (2L, "unrelated probe text nothing shared"))
+    writeBatch("b1", b1)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    def start(ck: String) = CdcStream.startSimHashNearDup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "text", idxDir, outDir,
+      Files.createTempDirectory(ck).toString)
+    val q = start("stream_shprobe_c1")
+    try {
+      q.processAllAvailable()
+      // batch reference over the same docs and the same index state
+      def expected(docs: Seq[(Long, String)]) = graft.operators.Dedup
+        .incrementalSimHashNearDupsReportIndexed(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          graft.operators.DedupIndex.loadText(spark, idxDir))
+        .pairs.select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      def got(bIds: Set[Long]) = spark.read.parquet(outDir)
+        .filter($"b_id".isin(bIds.toSeq: _*))
+        .select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val exp1 = expected(b1)
+      assert(exp1.nonEmpty, "fixture must pair the stream probe")
+      assert(got(Set(1L, 2L)) === exp1)
+
+      // mid-stream CDC retire: doc 100 leaves; the NEXT trigger's
+      // probe must no longer pair it (fresh index via _version marker)
+      graft.operators.DedupIndex.retireText(
+        Seq(100L).toDF("doc_id"), "doc_id", idxDir)
+      val b2 = Seq((3L, base))
+      writeBatch("b2", b2)
+      q.processAllAvailable()
+      val after = got(Set(3L))
+      assert(after === expected(b2))
+      assert(!after.exists(_._1 == 100L),
+        s"retired corpus doc still pairs the stream probe: $after")
+      assert(after.exists(_._1 == 101L), "live near-dup must still pair")
+
+      // checkpoint-lost replay rewrites each batch's own partition
+      // against the CURRENT index (doc 100 now retired) — results are
+      // the live probe per batch, never old rows stacked on new ones
+      val qr = start("stream_shprobe_c2")
+      try qr.processAllAvailable() finally qr.stop()
+      assert(got(Set(1L, 2L)) === expected(b1),
+        "replayed batch 1 must re-probe the live index, unduplicated")
+      assert(got(Set(3L)) === expected(b2))
+      assert(!got(Set(1L, 2L, 3L)).exists(_._1 == 100L),
+        "replay resurrected a retired pairing")
+    } finally q.stop()
+  }
+
   test("CDC index maintenance sink: stream inserts absorb, deletes retire, replay commits nothing") {
     val dir = Files.createTempDirectory("stream_idxmaint").toString
     val idxDir = Files.createTempDirectory("stream_idxmaint_idx").toString
