@@ -104,6 +104,17 @@ object SparkEntry {
       (DedupQueries.incrementalSimHashRetired _),
     "dedup_incremental_simhash_refreshed" ->
       (DedupQueries.incrementalSimHashRefreshed _),
+    // media modality parity: incremental + index-served + maintained
+    // lifecycle forms over BINARY image payloads (real decode path)
+    "mm_ahash_incremental" -> (DedupQueries.incrementalAhash _),
+    "mm_ahash_incremental_indexed" ->
+      (DedupQueries.incrementalAhashIndexed _),
+    "mm_ahash_incremental_absorbed" ->
+      (DedupQueries.incrementalAhashAbsorbed _),
+    "mm_ahash_incremental_retired" ->
+      (DedupQueries.incrementalAhashRetired _),
+    "mm_ahash_incremental_refreshed" ->
+      (DedupQueries.incrementalAhashRefreshed _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_edit_distance" -> (DedupQueries.editDistance _),
     "dedup_components" -> (DedupQueries.components _),
@@ -336,6 +347,14 @@ object SparkEntry {
       DedupQueries.incrementalSimHashRetiredSql,
     "dedup_incremental_simhash_refreshed" ->
       DedupQueries.incrementalSimHashRefreshedSql,
+    "mm_ahash_incremental" -> DedupQueries.incrementalAhashSql,
+    "mm_ahash_incremental_indexed" -> DedupQueries.incrementalAhashSql,
+    "mm_ahash_incremental_absorbed" ->
+      DedupQueries.incrementalAhashAbsorbedSql,
+    "mm_ahash_incremental_retired" ->
+      DedupQueries.incrementalAhashRetiredSql,
+    "mm_ahash_incremental_refreshed" ->
+      DedupQueries.incrementalAhashRefreshedSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_edit_distance" -> DedupQueries.editDistanceSql,
     "dedup_components" -> DedupQueries.componentsSql,

@@ -899,6 +899,145 @@ object Dedup {
     NearDupReport(verified, oversized)
   }
 
+  /** Banded keys of a 64-bit perceptual-hash code table — the media
+    * modality's analogue of the SimHash band split. `codes` carries the
+    * aHash as two non-negative 32-bit longs ([[Multimodal
+    * .averageHashCodes]]'s shape); each of the `bands` contiguous
+    * `64/bands`-bit slices becomes one `(id, band, band_key)` row, keys
+    * as LONGs (no hashing — the slice IS the key). Bands 0..bands/2-1
+    * slice `ahash_lo` (bits 0..31), the rest `ahash_hi` — matching the
+    * oracle's shift/mask arithmetic exactly. Rows with NULL codes
+    * (undecodable payloads) emit no bands: they can never become
+    * near-dup candidates.
+    */
+  def ahashBands(codes: DataFrame, idCol: String, bands: Int): DataFrame = {
+    require(bands > 0 && bands % 2 == 0 && 64 % bands == 0,
+      s"bands must be even and divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val perHalf = bands / 2
+    val bandCols = (0 until bands).map { b =>
+      val half = if (b < perHalf) col("ahash_lo") else col("ahash_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, width * (b % perHalf)).bitwiseAND(lit(mask))
+          .as("band_key"))
+    }
+    codes.filter(col("ahash_hi").isNotNull)
+      .select(col(idCol), explode(array(bandCols: _*)).as("_bk"))
+      .select(col(idCol), col("_bk.band").as("band"),
+        col("_bk.band_key").as("band_key"))
+  }
+
+  /** Incremental perceptual-hash (aHash) near-dup probe — the MEDIA
+    * modality's NEW × EXISTING form, completing the parity square
+    * (exact, MinHash-LSH, SimHash and now media each have batch +
+    * incremental forms). Both sides are raw binary media columns:
+    * payloads decode through the pure-JVM/ImageIO registry and
+    * average-hash map-side ([[Multimodal.averageHashCodes]]), candidate
+    * pairs come from NEW×EXISTING collisions on `bands` contiguous
+    * 16-bit code slices, and survivors Hamming-verify ≤ `maxHamming`
+    * over the full 64 bits (`bit_count(xor)` on each half — codegen'd,
+    * no UDF past the decode). Pigeonhole recall and the existing-side
+    * `maxBucket` cap work exactly as in
+    * [[incrementalSimHashNearDupsReport]]; undecodable payloads on
+    * either side are inert (no code → no candidates). Pairs come back
+    * `(a_id existing, b_id new, hamming)`; id spaces must be disjoint,
+    * as everywhere in the incremental family.
+    */
+  def incrementalAhashNearDupsReport(newMedia: DataFrame,
+      existing: DataFrame, idCol: String, payloadCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): NearDupReport = {
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming, got $bands <= $maxHamming")
+    val cNew = CachedPlans.cached(
+      Multimodal.averageHashCodes(newMedia, idCol, payloadCol))
+    val cOld = CachedPlans.cached(
+      Multimodal.averageHashCodes(existing, idCol, payloadCol))
+    val bkOld = ahashBands(cOld, "id", bands)
+    val sizes = bkOld.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversized = sizes.filter(col("bucket_size") > maxBucket)
+    val okOld = bkOld.join(oversized.select("band", "band_key"),
+      Seq("band", "band_key"), "left_anti")
+    val pairs = okOld
+      .select(col("band"), col("band_key"), col("id").as("a_id"))
+      .join(ahashBands(cNew, "id", bands)
+        .select(col("band"), col("band_key"), col("id").as("b_id")),
+        Seq("band", "band_key"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    NearDupReport(
+      ahashVerify(pairs, cOld,
+        cNew.select(col("id"), col("ahash_hi"), col("ahash_lo")),
+        maxHamming),
+      oversized)
+  }
+
+  /** Index-backed form of [[incrementalAhashNearDupsReport]]: the
+    * existing side's codes and banded keys come from the PERSISTED
+    * media index ([[DedupIndex.MediaIndex]]) — corpus payloads are
+    * never re-fetched or re-decoded. The corpus-side bucket-size
+    * aggregate and the candidate join run on the index's `bkey` bucket
+    * column (Exchange-free bucketed scans, like the SimHash probe);
+    * the Hamming verify joins the stored codes by their `id` bucket.
+    * Band geometry comes from the index params so a probe can never
+    * mix banding with stored keys. Pairs are bit-identical to the
+    * recompute form.
+    */
+  def incrementalAhashNearDupsReportIndexed(newMedia: DataFrame,
+      idCol: String, payloadCol: String, idx: DedupIndex.MediaIndex,
+      maxHamming: Int = 3, maxBucket: Int = 1000): NearDupReport = {
+    val bands = idx.params.bands
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming, got $bands <= $maxHamming")
+    val cNew = CachedPlans.cached(
+      Multimodal.averageHashCodes(newMedia, idCol, payloadCol))
+    val bkNew = ahashBands(cNew, "id", bands)
+    val bkOld = idx.bandKeys
+    // grouping on (bkey, band, band_key): the bucket column leads, so
+    // HashPartitioning(bkey) satisfies the clustering — no Exchange
+    val sizes = bkOld.groupBy(col("bkey"), col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val oversizedK = sizes.filter(col("bucket_size") > maxBucket)
+    val oversized = oversizedK.select("band", "band_key", "bucket_size")
+    val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
+      "left_anti")
+    val pairs = okOld
+      .select(col("bkey"), col("id").as("a_id"))
+      .join(bkNew.select(
+        DedupIndex.bandedKey(col("band"), col("band_key").cast("string"))
+          .as("bkey"),
+        col("id").as("b_id")),
+        Seq("bkey"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    NearDupReport(
+      ahashVerify(pairs, idx.codes,
+        cNew.select(col("id"), col("ahash_hi"), col("ahash_lo")),
+        maxHamming),
+      oversized)
+  }
+
+  /** The 64-bit Hamming verify both aHash probe forms share: join the
+    * candidate pairs back to each side's `(id, ahash_hi, ahash_lo)`
+    * codes and keep pairs within `maxHamming` bit flips.
+    */
+  private def ahashVerify(pairs: DataFrame, oldCodes: DataFrame,
+      newCodes: DataFrame, maxHamming: Int): DataFrame =
+    pairs
+      .join(oldCodes.select(col("id").as("a_id"),
+        col("ahash_hi").as("_ahi"), col("ahash_lo").as("_alo")),
+        Seq("a_id"))
+      .join(newCodes.select(col("id").as("b_id"),
+        col("ahash_hi").as("_bhi"), col("ahash_lo").as("_blo")),
+        Seq("b_id"))
+      .withColumn("hamming",
+        (bit_count(col("_ahi").bitwiseXOR(col("_bhi"))) +
+          bit_count(col("_alo").bitwiseXOR(col("_blo")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+
   /** SimHash dup groups: identical signatures clustered, canonical id =
     * min id in group.
     */

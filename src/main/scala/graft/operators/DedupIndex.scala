@@ -1118,6 +1118,216 @@ object DedupIndex {
     } finally releaseLease(fs, dir, lease)
   }
 
+  // ---------------------------------------------------------- media index
+
+  final case class MediaParams(bands: Int, numBuckets: Int)
+
+  /** Loaded media (perceptual-hash) dedup index: the fourth near-dup
+    * modality's persisted corpus side. `codes` is the id-bucketed
+    * `(id, ahash_hi, ahash_lo, content_hash)` table — the 64-bit aHash
+    * split across two non-negative 32-bit longs plus the md5 of the
+    * payload BYTES (the freshness ledger: a re-encode of the same image
+    * is a CONTENT change even when the perceptual code survives it, and
+    * an undecodable payload keeps a NULL-code ledger row so replayed
+    * absorbs stay no-ops). `bandKeys` is the bkey-bucketed banded-slice
+    * table ([[Dedup.ahashBands]] geometry) probes join Exchange-free,
+    * exactly like the text index's `bands`/`simbands`. Both are LIVE
+    * views — dead `(id, gen)` rows already anti-joined out.
+    *
+    * The point, as for the text/vector indexes: a probe run reads codes
+    * and band keys only — corpus media payloads are never re-fetched or
+    * re-DECODED. At 100 TB the decode (image parsing) dominates the
+    * corpus side by orders of magnitude over the hash tables, so this is
+    * the modality where the maintained index pays off hardest.
+    */
+  final case class MediaIndex(dir: String, params: MediaParams,
+      codes: DataFrame, bandKeys: DataFrame, tombstones: DataFrame)
+
+  /** Build and persist the media-dedup index of `media` under `dir`:
+    * payloads decode map-side once ([[Multimodal.averageHashCodes]] —
+    * pure-JVM/ImageIO registry, undecodable bytes → NULL codes), codes
+    * land id-bucketed, banded key slices land bkey-bucketed. Rows are
+    * generational like every other index here (fmt 1 is generational
+    * from birth).
+    */
+  def writeMedia(media: DataFrame, idCol: String, payloadCol: String,
+      dir: String, bands: Int = 4, numBuckets: Int = 0): Unit = {
+    require(bands > 0 && bands % 2 == 0 && 64 % bands == 0,
+      s"bands must be even and divide 64, got $bands")
+    val spark = media.sparkSession
+    val n = bucketsOrDefault(spark, numBuckets)
+    dropComponents(spark, dir, Seq("mcodes", "mbands", "tombstones"))
+    // one decode pass feeds both components
+    val codes = graft.plans.CachedPlans.cached(
+      Multimodal.averageHashCodes(media, idCol, payloadCol))
+    writeComponent(codes.withColumn("gen", lit(0L)),
+      dir, "mcodes", Seq("id"), n)
+    writeComponent(
+      mediaBandRows(codes, bands).withColumn("gen", lit(0L)),
+      dir, "mbands", Seq("bkey"), n)
+    writeParams(spark, dir, Seq(
+      "kind" -> "media", "fmt" -> "1", "bands" -> bands.toString,
+      "numBuckets" -> n.toString))
+  }
+
+  /** Banded aHash keys of a codes table in the index's stored shape:
+    * `(id, band, band_key, bkey)` — [[Dedup.ahashBands]]'s long slices
+    * plus the composite [[bandedKey]] bucket column (band_key rendered
+    * as a string inside bkey; probes cast the same way, so keys agree
+    * byte-for-byte). NULL-code rows emit no bands — inert by design.
+    */
+  private def mediaBandRows(codes: DataFrame, bands: Int): DataFrame =
+    Dedup.ahashBands(codes, "id", bands)
+      .withColumn("bkey",
+        bandedKey(col("band"), col("band_key").cast("string")))
+
+  /** [[appendText]]'s media twin: absorb a CDC INSERT/UPDATE batch of
+    * binary payloads into a persisted media index — decode ONCE
+    * map-side, then the same content-aware generational semantics
+    * (unchanged payload bytes = no-op, changed bytes = refresh
+    * tombstoning the live generation — even when the perceptual code
+    * happens to survive the re-encode, re-insert after retire =
+    * resurrection) under the same staged crash-atomic commit and writer
+    * lease.
+    */
+  def appendMedia(newMedia: DataFrame, idCol: String, payloadCol: String,
+      dir: String): Unit = {
+    val spark = newMedia.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try appendMediaHolding(newMedia, idCol, payloadCol, dir, lease)
+    finally releaseLease(fs, dir, lease)
+  }
+
+  private def appendMediaHolding(newMedia: DataFrame, idCol: String,
+      payloadCol: String, dir: String, lease: String): Unit = {
+    val spark = newMedia.sparkSession
+    recover(spark, dir, Some(lease))
+    val raw = loadMediaRaw(spark, dir)
+    val p = raw.params
+    // decode the batch once; call-local persists only (see
+    // [[resolveGenerations]] for why the registry cache must stay out
+    // of maintenance internals)
+    val batch0 = Multimodal.averageHashCodes(newMedia, idCol, payloadCol)
+      .select(col("id"), col("ahash_hi"), col("ahash_lo"),
+        col("content_hash").as("__content"))
+      .persist()
+    val (fresh0, displaced, release) = resolveGenerations(batch0,
+      raw.codes.select(col("id"), col("content_hash").as("__content"),
+        col("gen")),
+      raw.tombstones)
+    try {
+      val fresh = fresh0.select(col("id"), col("ahash_hi"),
+        col("ahash_lo"), col("__content").as("content_hash"),
+        col(GenCol).as("gen"))
+      if (fresh.isEmpty) return // full replay: commit nothing
+      val batch = newBatchId()
+      stageComponent(fresh, dir, batch, "mcodes", Seq("id"),
+        p.numBuckets)
+      stageComponent(
+        mediaBandRows(fresh, p.bands)
+          .join(fresh.select(col("id"), col("gen")), Seq("id")),
+        dir, batch, "mbands", Seq("bkey"), p.numBuckets)
+      if (!displaced.isEmpty)
+        stagePlain(displaced, dir, batch, "tombstones")
+      commitStaged(spark, dir, batch)
+    } finally { release(); batch0.unpersist(); () }
+  }
+
+  /** [[retireText]]'s media twin: a CDC DELETE batch tombstones each
+    * retired id's live generation; codes and band keys vanish from the
+    * live views at the next load. Idempotent — replayed deletes find no
+    * live generation and commit nothing.
+    */
+  def retireMedia(deleteIds: DataFrame, idCol: String, dir: String)
+      : Unit = {
+    val spark = deleteIds.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val raw = loadMediaRaw(spark, dir)
+      retireHolding(spark, dir, deleteIds, idCol,
+        raw.codes.select(col("id"), col("gen")), raw.tombstones)
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[compactText]]'s media twin: physically drop tombstoned rows from
+    * both components and clear the tombstone set — a REPLACE-mode
+    * staged commit with the same crash-rollback and reader-fencing
+    * caveats. Pure space/IO reclaim; probe results unchanged by
+    * construction.
+    */
+  def compactMedia(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lease = acquireLease(fs, dir)
+    try {
+      recover(spark, dir, Some(lease))
+      val raw = loadMediaRaw(spark, dir)
+      if (!isEmptyTombstones(raw.tombstones)) {
+        val tomb = broadcast(raw.tombstones)
+        def live(df: DataFrame): DataFrame =
+          df.join(tomb, Seq("id", "gen"), "left_anti")
+        val n = raw.params.numBuckets
+        val batch = newBatchId()
+        stageComponent(live(raw.codes), dir, batch, "mcodes",
+          Seq("id"), n)
+        stageComponent(live(raw.bandKeys), dir, batch, "mbands",
+          Seq("bkey"), n)
+        stageEmpty(spark, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch, replace = true)
+      }
+    } finally releaseLease(fs, dir, lease)
+  }
+
+  /** [[compactTextIfNeeded]]'s media twin. */
+  def compactMediaIfNeeded(spark: SparkSession, dir: String,
+      maxTombstones: Long): Boolean = {
+    val n = readTombstones(spark, dir).count()
+    if (n > maxTombstones) { compactMedia(spark, dir); true } else false
+  }
+
+  /** Load a media index written by [[writeMedia]] (and possibly
+    * maintained since): live views in the probe shape, same crash
+    * recovery and cross-session version tracking as every other load
+    * path here.
+    */
+  def loadMedia(spark: SparkSession, dir: String): MediaIndex = {
+    val raw = loadMediaRaw(spark, dir)
+    def pub(raw0: MediaIndex): MediaIndex = raw0.copy(
+      codes = raw0.codes.drop("gen"),
+      bandKeys = raw0.bandKeys.drop("gen"))
+    if (isEmptyTombstones(raw.tombstones)) pub(raw)
+    else {
+      val tomb = broadcast(raw.tombstones)
+      def live(df: DataFrame): DataFrame =
+        df.join(tomb, Seq("id", "gen"), "left_anti")
+      pub(raw.copy(
+        codes = live(raw.codes),
+        bandKeys = live(raw.bandKeys)))
+    }
+  }
+
+  /** [[loadTextRaw]]'s media twin: stored rows unfiltered. */
+  private def loadMediaRaw(spark: SparkSession, dir: String)
+      : MediaIndex = {
+    recover(spark, dir)
+    val p = readParams(spark, dir, "media")
+    if (!p.get("fmt").contains("1"))
+      corrupt(dir, s"media index format ${p.getOrElse("fmt", "?")}, " +
+        "expected 1 (rebuild the index)")
+    val params = MediaParams(p("bands").toInt, p("numBuckets").toInt)
+    MediaIndex(dir, params,
+      codes = component(spark, dir, "mcodes", Seq("id"),
+        params.numBuckets),
+      bandKeys = component(spark, dir, "mbands", Seq("bkey"),
+        params.numBuckets),
+      tombstones = readTombstones(spark, dir))
+  }
+
   /** Re-train the IVF geometry of a vector index IN PLACE: recompute
     * the deterministic centroid selection (top-C by md5(id) — the same
     * bounded selection [[writeVectors]] makes) over the LIVE vectors

@@ -233,6 +233,30 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Batch perceptual-hash derivation over a binary media column: one
+    * row per input row as `(id BIGINT, ahash_hi, ahash_lo, content_hash)`
+    * — the 64-bit [[averageHash]] split across two non-negative 32-bit
+    * longs (bit j < 32 in `lo`, bits 32..63 in `hi`), plus the md5 of
+    * the payload BYTES (the container-level freshness ledger a
+    * maintained media index keys its no-op detection on — a re-encode
+    * of the same image is a CONTENT change even when the perceptual
+    * code survives it). Undecodable payloads keep their ledger row with
+    * NULL codes: inert for near-dup probes (no code, no band, no
+    * candidate) but replay-idempotent for absorbs — the media twin of
+    * the text index's `n_shingles = 0` contract. Decode is a map-side
+    * per-row computation (no shuffle); the UDF wraps binary container
+    * parsing, for which no built-in expression exists.
+    */
+  def averageHashCodes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) => averageHashOf(b))
+    df.select(col(idCol).cast("long").as("id"),
+        hashUdf(col(payloadCol)).as("_ah"),
+        md5(col(payloadCol)).as("content_hash"))
+      .select(col("id"), col("_ah._1").as("ahash_hi"),
+        col("_ah._2").as("ahash_lo"), col("content_hash"))
+  }
+
   /** Total [[averageHash]] of an arbitrary payload: BMP through the
     * pure-JVM parser, any other ImageIO-decodable container through the
     * JDK codecs; null, non-image, or corrupt bytes → None instead of an

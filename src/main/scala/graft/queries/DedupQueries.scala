@@ -401,6 +401,160 @@ object DedupQueries {
       |ORDER BY p.a_id, p.b_id""".stripMargin
   }
 
+  /** Incremental perceptual-hash (aHash) near-dup probe as a declared
+    * op — the MEDIA modality joining the parity square text already
+    * has: both sides are BINARY image payloads
+    * ([[TextQueries.ahashPayloads]] — real BMP bytes through the real
+    * decode registry), candidates come from NEW×EXISTING collisions on
+    * 4 contiguous 16-bit code slices, survivors Hamming-verify ≤ 3 over
+    * the full 64 bits, with the text incrementals' existing-side
+    * bucket cap (1000); the oracle derives the codes analytically from
+    * the md5 pixel chains and replays bands, cap, and verify exactly.
+    *
+    * The corpus/batch split is `(doc_id div 20) % 2`, NOT the text
+    * family's doc_id parity — deliberately: perceptual codes are
+    * TEMPLATE-dominated (near pairs only form within a (lang, source)
+    * group), and the synthetic corpus assigns sources by `doc_id % 20`,
+    * so a plain-parity split puts every template group entirely on one
+    * side and the gate passes vacuously at 0 pairs (measured: 0
+    * cross-parity pairs at Hamming ≤ 4 vs 845 cross-side pairs under
+    * this split at sf0.01). A fixture split for a blocking-keyed
+    * modality must mix within the blocking key's groups.
+    */
+  def incrementalAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReport(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 0)),
+        "doc_id", "payload")
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAhashSql: String =
+    incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1")
+
+  /** [[incrementalAhash]] probing the PERSISTED media index
+    * ([[graft.operators.DedupIndex.MediaIndex]]) — same split, same
+    * oracle, bit-identical pairs; corpus payloads are never re-fetched
+    * or re-DECODED (at 100 TB the image decode dominates the corpus
+    * side, so this is the modality where the maintained index pays off
+    * hardest).
+    */
+  def incrementalAhashIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.media(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[incrementalAhashIndexed]]'s absorb twin
+    * ([[QueryIndexes.mediaAbsorbed]]: corpus = the k-even payloads plus
+    * the `k % 4 == 1` batch absorbed through
+    * [[graft.operators.DedupIndex.appendMedia]]'s staged commit, probe
+    * batch = `k % 4 == 3`, k = doc_id div 20): absorbed payloads' codes
+    * and banded keys were derived inside the absorb (decode-once) and
+    * must collide and Hamming-verify exactly as a recompute over the
+    * union would.
+    */
+  def incrementalAhashAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 4") === 3)),
+        "doc_id", "payload", QueryIndexes.mediaAbsorbed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAhashAbsorbedSql: String =
+    incrementalAhashSqlFor(k => s"($k % 2 = 0 OR $k % 4 = 1)",
+      k => s"$k % 4 = 3")
+
+  /** [[incrementalAhashIndexed]]'s retirement twin
+    * ([[QueryIndexes.mediaRetired]]: the `k % 10 == 0` slice
+    * CDC-deleted): retired images' stored codes and banded keys are
+    * invisible to candidate generation and the Hamming verify, gated
+    * against the live-corpus recompute oracle.
+    */
+  def incrementalAhashRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaRetired(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAhashRetiredSql: String =
+    incrementalAhashSqlFor(k => s"($k % 2 = 0 AND $k % 10 <> 0)",
+      k => s"$k % 2 = 1")
+
+  /** [[incrementalAhashIndexed]]'s refresh twin
+    * ([[QueryIndexes.mediaRefreshed]]: the `k % 10 == 0` slice
+    * re-absorbed with payloads synthesized from UPDATED text — new
+    * noise bits, new bytes, new code — the `k % 6 == 0` slice replayed
+    * byte-identical): the refreshed images' codes must be the
+    * RE-DERIVED ones (and only those); the oracle recomputes over the
+    * post-update corpus.
+    */
+  def incrementalAhashRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaRefreshed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAhashRefreshedSql: String =
+    incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1",
+      src = QueryIndexes.refreshedMediaDocsSql)
+
+  /** The incremental-aHash oracle with configurable corpus/batch
+    * membership — shared by the recompute probe and every
+    * maintained-index gate (a code depends only on its own document's
+    * pixel chains, so computing over the union and slicing equals
+    * per-side computation). Replays [[graft.operators.Dedup
+    * .ahashBands]]'s shift/mask slices, the existing-side bucket cap,
+    * the NEW×EXISTING distinct candidate join, and the 64-bit Hamming
+    * verify (≤ 3, exact-dup pairs included — cross-side exact matches
+    * ARE near-dups here, unlike the batch rep-collapsed form). The
+    * membership predicates receive the split ordinal `doc_id // 20`
+    * (see [[incrementalAhash]] for why the media split must mix within
+    * template groups).
+    */
+  private def incrementalAhashSqlFor(existingPred: String => String,
+      newPred: String => String, src: String = "documents"): String = {
+    val bandSelect = (pred: String) =>
+      s"""SELECT doc_id, CAST(t.b AS INTEGER) AS band,
+         |    CASE WHEN t.b < 2 THEN (ahash_lo >> CAST(16 * t.b AS INTEGER)) & 65535
+         |         ELSE (ahash_hi >> CAST(16 * (t.b - 2) AS INTEGER)) & 65535 END AS band_key
+         |  FROM code, UNNEST(range(0, 4)) AS t(b)
+         |  WHERE $pred""".stripMargin
+    val ham = "bit_count(xor(x.ahash_hi, y.ahash_hi)) " +
+      "+ bit_count(xor(x.ahash_lo, y.ahash_lo))"
+    s"""WITH ${TextQueries.ahashCodeCtes(src)},
+      |bke AS (
+      |  ${bandSelect(existingPred("(doc_id // 20)"))}),
+      |bkn AS (
+      |  ${bandSelect(newPred("(doc_id // 20)"))}),
+      |ok AS (
+      |  SELECT band, band_key FROM bke
+      |  GROUP BY band, band_key HAVING count(*) <= 1000),
+      |bkec AS (SELECT bke.* FROM bke JOIN ok USING (band, band_key)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bkec a JOIN bkn b ON a.band = b.band
+      |    AND a.band_key = b.band_key AND a.doc_id <> b.doc_id)
+      |SELECT p.a_id, p.b_id, CAST($ham AS INTEGER) AS hamming
+      |FROM pairs p
+      |JOIN code x ON x.doc_id = p.a_id
+      |JOIN code y ON y.doc_id = p.b_id
+      |WHERE $ham <= 3
+      |ORDER BY p.a_id, p.b_id""".stripMargin
+  }
+
   /** [[incrementalExactIndexed]] against an index taken through a full
     * delete→re-insert cycle ([[QueryIndexes.textResurrected]]): the
     * even `% 10` slice retired, its `% 20` half re-absorbed with

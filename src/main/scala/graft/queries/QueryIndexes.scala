@@ -359,6 +359,132 @@ object QueryIndexes {
     DedupIndex.loadText(spark, dir)
   }
 
+  /** Whether `dir` holds a loadable media index with the fixture
+    * geometry (4 × 16-bit bands — the `mm_ahash_incremental*` contract).
+    */
+  private def mediaParamsReusable(spark: SparkSession,
+      dir: String): Boolean =
+    try DedupIndex.loadMedia(spark, dir).params.bands == 4
+    catch {
+      case _: IllegalArgumentException | _: IllegalStateException => false
+    }
+
+  /** Media (perceptual-hash) index over the k-even half of the
+    * synthesized BMP corpus (k = doc_id div 20 — see
+    * [[DedupQueries.incrementalAhash]] for why the media split must mix
+    * within (lang, source) template groups) via
+    * [[TextQueries.ahashPayloads]] — the corpus side of
+    * `mm_ahash_incremental_indexed`. The build decodes each payload
+    * exactly once; probes never touch corpus payloads again.
+    */
+  def media(spark: SparkSession, sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir))
+        DedupIndex.writeMedia(
+          TextQueries.ahashPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[textAbsorbed]]'s media twin: k-even payloads indexed, the
+    * `k % 4 == 1` batch absorbed through [[DedupIndex.appendMedia]]'s
+    * staged commit (decode-once, replayed on reuse — content-aware
+    * idempotent).
+    */
+  def mediaAbsorbed(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_absorbed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir))
+        DedupIndex.writeMedia(
+          TextQueries.ahashPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir)
+      DedupIndex.appendMedia(
+        TextQueries.ahashPayloads(
+          docs.filter(expr("(doc_id div 20) % 4") === 1)),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[textRetired]]'s media twin: k-even payloads indexed, then the
+    * `k % 10 == 0` slice CDC-deleted through
+    * [[DedupIndex.retireMedia]]'s staged tombstone commit (replayed on
+    * reuse — idempotent by contract).
+    */
+  def mediaRetired(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_retired",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir))
+        DedupIndex.writeMedia(
+          TextQueries.ahashPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir)
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[textRefreshed]]'s media twin: k-even payloads indexed, then a
+    * CDC UPDATE batch re-absorbs — the `k % 10 == 0` slice with
+    * payloads synthesized from CHANGED text (new noise bits → new
+    * bytes, usually a new code: the generational refresh) and the
+    * `k % 6 == 0` slice byte-identical (the no-op rows). Replayed on
+    * reuse.
+    */
+  def mediaRefreshed(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_refreshed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir))
+        DedupIndex.writeMedia(
+          TextQueries.ahashPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir)
+      DedupIndex.appendMedia(
+        TextQueries.ahashPayloads(
+          docs.filter(expr("(doc_id div 20) % 10") === 0 ||
+              (expr("(doc_id div 20) % 6") === 0 &&
+                expr("(doc_id div 20) % 2") === 0))
+            .select(col("doc_id"), col("lang"), col("source"),
+              when(expr("(doc_id div 20) % 10") === 0,
+                concat(col("text"), lit(RefreshSuffix)))
+                .otherwise(col("text")).as("text"))),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** DuckDB view of the documents table AFTER the CDC update batch
+    * [[mediaRefreshed]] absorbed — [[refreshedDocsSql]] widened to the
+    * (doc_id, lang, source, text) shape the aHash pixel chains read,
+    * on the media family's `doc_id // 20` split ordinal.
+    */
+  def refreshedMediaDocsSql: String =
+    "(SELECT doc_id, lang, source, CASE WHEN (doc_id // 20) % 10 = 0 " +
+      s"THEN text || '$RefreshSuffix' ELSE text END " +
+      "AS text FROM documents)"
+
   /** Whether `dir` holds a loadable vector index with the fixture
     * geometry every vector builder here uses — the ONE place that
     * contract lives (planes 2, dim 64, 20 centroids, PQ 8x16).

@@ -1077,6 +1077,74 @@ object TextQueries {
     (0 until 8).map(j => if (j == 0) "md5(%s)" else s"md5(%s || 'x$j')")
       .mkString(" || ")
 
+  /** The DuckDB CTE chain deriving each document's 64-bit aHash code
+    * analytically from the md5 pixel chains — `code AS (doc_id,
+    * ahash_hi, ahash_lo)` plus its feeder CTEs. Shared by the batch
+    * aHash oracles here and the incremental-media oracles in
+    * [[DedupQueries]]; `src` must provide (doc_id, lang, source, text)
+    * — parameterized so the refreshed-index oracle can replay the CDC
+    * update batch.
+    */
+  private[queries] def ahashCodeCtes(src: String = "documents"): String = {
+    val th = AhashChainSql.replaceAll("%s", "g")
+    val dh = AhashChainSql.replaceAll("%s", "text")
+    s"""b AS (
+      |  SELECT doc_id, lang || '|' || source AS g, text FROM $src),
+      |hx AS (SELECT doc_id, $th AS thex, $dh AS dhex FROM b),
+      |px AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+      |    (('0x' || substr(thex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 248) |
+      |    (('0x' || substr(dhex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 7) AS v
+      |  FROM hx, UNNEST(range(0, 64)) AS t(i)),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      |bits AS (
+      |  SELECT px.doc_id, i, CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS bit
+      |  FROM px JOIN s USING (doc_id)),
+      |code AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The synthesized BINARY image corpus backing the media-index query
+    * family (`mm_ahash_incremental*`): one 16×8 grayscale BMP per
+    * document — 5 high bits of each pixel from the (lang, source)
+    * template md5 chain, 3 low bits of per-document noise (the same
+    * pixel math [[ahashCodes]] hashes inline) — but emitted as PAYLOAD
+    * BYTES, so the incremental/indexed probes exercise the real
+    * decode-then-hash path ([[graft.operators.Multimodal
+    * .averageHashCodes]]) while the oracle derives the identical codes
+    * analytically via [[ahashCodeCtes]]. `docs` must carry (doc_id,
+    * lang, source, text) — parameterized so the refreshed-index fixture
+    * can synthesize payloads from CDC-updated text.
+    */
+  private[queries] def ahashPayloads(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.MediaCodecs
+    val base = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val t = chainBytes(r.getString(1))
+        val d = chainBytes(r.getString(2))
+        val rgb = new Array[Byte](16 * 8 * 3)
+        var i = 0
+        while (i < 128) {
+          val v = ((t(i) & 0xf8) | (d(i) & 0x07)).toByte
+          rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+          i += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0),
+          MediaCodecs.encodeBmp(16, 8, rgb))
+      }
+    }(enc)
+  }
+
   /** Per-doc 64-bit average hash through the REAL image path: a 16×8
     * grayscale BMP is synthesized per document — 5 high bits of each
     * pixel from the (lang, source) template hash, 3 low bits of
@@ -1143,25 +1211,7 @@ object TextQueries {
     * threshold (gray = 3v cancels exactly), and the bit packing.
     */
   def multimodalAhashDedupSql: String = {
-    val th = AhashChainSql.replaceAll("%s", "g")
-    val dh = AhashChainSql.replaceAll("%s", "text")
-    s"""WITH b AS (
-      |  SELECT doc_id, lang || '|' || source AS g, text FROM documents),
-      |hx AS (SELECT doc_id, $th AS thex, $dh AS dhex FROM b),
-      |px AS (
-      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
-      |    (('0x' || substr(thex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 248)
-      |    | (('0x' || substr(dhex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 7) AS v
-      |  FROM hx, UNNEST(range(0, 64)) AS t(i)),
-      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
-      |bits AS (
-      |  SELECT px.doc_id, i, CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS bit
-      |  FROM px JOIN s USING (doc_id)),
-      |code AS (
-      |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
-      |    CAST(sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS ahash_lo
-      |  FROM bits GROUP BY doc_id),
+    s"""WITH ${ahashCodeCtes()},
       |grp AS (
       |  SELECT ahash_hi, ahash_lo, min(doc_id) AS canonical_id,
       |    CAST(count(*) AS BIGINT) AS group_size
@@ -1209,25 +1259,7 @@ object TextQueries {
   }
 
   def multimodalAhashNearSql: String = {
-    val th = AhashChainSql.replaceAll("%s", "g")
-    val dh = AhashChainSql.replaceAll("%s", "text")
-    s"""WITH b AS (
-      |  SELECT doc_id, lang || '|' || source AS g, text FROM documents),
-      |hx AS (SELECT doc_id, $th AS thex, $dh AS dhex FROM b),
-      |px AS (
-      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
-      |    (('0x' || substr(thex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 248)
-      |    | (('0x' || substr(dhex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 7) AS v
-      |  FROM hx, UNNEST(range(0, 64)) AS t(i)),
-      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
-      |bits AS (
-      |  SELECT px.doc_id, i, CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS bit
-      |  FROM px JOIN s USING (doc_id)),
-      |code AS (
-      |  SELECT doc_id,
-      |    CAST(sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
-      |    CAST(sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS ahash_lo
-      |  FROM bits GROUP BY doc_id),
+    s"""WITH ${ahashCodeCtes()},
       |reps AS (
       |  SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id
       |  FROM code GROUP BY 1, 2)
