@@ -813,6 +813,45 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming perceptual-hash (aHash) corpus probe — the MEDIA
+    * modality's stream form, completing parity with
+    * [[startSimHashNearDup]] (SimHash), [[nearDupStreamIndexed]]
+    * (MinHash) and [[embedNearDupStreamIndexed]] (embedding): each
+    * micro-batch of arriving binary payloads decodes ONCE map-side and
+    * runs the exact batch probe ([[graft.operators.Dedup
+    * .incrementalAhashNearDupsReportIndexed]]) against the persisted
+    * media index's codes/band-key components — corpus payloads are
+    * never re-fetched or re-decoded, which at 100 TB is the whole cost
+    * of media dedup. Pairs are bit-identical to the batch form over the
+    * same docs; micro-batch boundaries are invisible (pairs depend only
+    * on (doc, index)). Same foreachBatch rationale, per-trigger index
+    * reload (CDC maintenance lands in the next probe) and batch_id
+    * dynamic-overwrite replay safety as the SimHash probe.
+    */
+  def startAhashNearDup(media: DataFrame, idCol: String,
+      payloadCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, maxHamming: Int = 3, maxBucket: Int = 1000)
+      : StreamingQuery =
+    media.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.operators.DedupIndex
+            .loadMedia(batch.sparkSession, indexDir)
+          graft.operators.Dedup
+            .incrementalAhashNearDupsReportIndexed(batch, idCol,
+              payloadCol, idx, maxHamming, maxBucket)
+            .pairs
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   final case class VecRow(bucket: String, vec_id: Long, vec: Seq[Float],
       ts: java.sql.Timestamp)
   final case class BucketVec(vec_id: Long, vec: Seq[Float])
@@ -1303,6 +1342,46 @@ object CdcStream {
           // next batch that still sees the oversized set.
           autoCompactTombstones.foreach { t =>
             graft.operators.DedupIndex.compactTextIfNeeded(
+              batch.sparkSession, indexDir, t)
+          }
+        }
+      }
+      .start()
+
+  /** [[startTextIndexMaintenance]]'s media twin: the change stream
+    * carries binary payloads; I/U events absorb into the persisted
+    * media index ([[graft.operators.DedupIndex.appendMedia]] — decode
+    * once map-side, byte-identical payloads no-op, re-encodes refresh
+    * by content hash even when the perceptual code survives) and D
+    * events retire through the tombstone commit. Same last-event-wins
+    * dispatch, replay idempotency, generational resurrection semantics
+    * and `autoCompactTombstones` reclaim cadence as the text sink. A
+    * standing [[startAhashNearDup]] probe sees each commit at its next
+    * trigger via the index version marker.
+    */
+  def startMediaIndexMaintenance(changeStream: DataFrame, idCol: String,
+      payloadCol: String, indexDir: String, checkpointDir: String,
+      seq: org.apache.spark.sql.Column,
+      autoCompactTombstones: Option[Long] = None): StreamingQuery =
+    changeStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val last = ChangeLogReducer
+            .reduceKeepOp(batch, Seq(idCol), seq).persist()
+          try {
+            val ups = last.filter(!(col(C.Op) <=> lit(C.OpDelete)))
+            if (!ups.isEmpty)
+              graft.operators.DedupIndex.appendMedia(ups, idCol,
+                payloadCol, indexDir)
+            val dels = last.filter(col(C.Op) <=> lit(C.OpDelete))
+            if (!dels.isEmpty)
+              graft.operators.DedupIndex.retireMedia(
+                dels.select(col(idCol)), idCol, indexDir)
+          } finally last.unpersist()
+          autoCompactTombstones.foreach { t =>
+            graft.operators.DedupIndex.compactMediaIfNeeded(
               batch.sparkSession, indexDir, t)
           }
         }

@@ -565,6 +565,106 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media probe equals the batch indexed probe; the maintenance sink's commits land at the next trigger") {
+    graft.plans.CachedPlans.clear()
+    import MediaFixture.{bmpOf, mediaDf, mkMedia}
+    val dir = Files.createTempDirectory("stream_mmprobe").toString
+    val evDir = Files.createTempDirectory("stream_mmmaint").toString
+    val idxDir = Files.createTempDirectory("stream_mmprobe_idx").toString
+    val outDir = Files.createTempDirectory("stream_mmprobe_out").toString
+    // corpus: ids 0..15 — groups of 4 (0/1 byte-identical, 2 near,
+    // 3 distinct)
+    val corpus = mkMedia(0L until 16L)
+    graft.operators.DedupIndex.writeMedia(
+      mediaDf(spark, corpus), "doc_id", "payload", idxDir)
+
+    def writeBatch(base: String, name: String,
+        rows: Seq[(Long, Array[Byte])]): Unit =
+      mediaDf(spark, rows).coalesce(1).write.parquet(s"$base/$name")
+    // probe batch 1: 1000 is byte-identical to corpus 0/1 (Hamming 0),
+    // 1001 shares group1's template (near), 1002 is its own template
+    val b1 = Seq((1000L, bmpOf("group0", "common0")),
+      (1001L, bmpOf("group1", "nearZ")),
+      (1002L, bmpOf("nothing-like-it", "x")))
+    writeBatch(dir, "b1", b1)
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    def start(ck: String) = CdcStream.startAhashNearDup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "payload", idxDir, outDir,
+      Files.createTempDirectory(ck).toString)
+    val q = start("stream_mmprobe_c1")
+    try {
+      q.processAllAvailable()
+      def expected(docs: Seq[(Long, Array[Byte])]) = graft.operators.Dedup
+        .incrementalAhashNearDupsReportIndexed(
+          mediaDf(spark, docs), "doc_id", "payload",
+          graft.operators.DedupIndex.loadMedia(spark, idxDir))
+        .pairs.select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      def got(bIds: Set[Long]) = spark.read.parquet(outDir)
+        .filter($"b_id".isin(bIds.toSeq: _*))
+        .select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val exp1 = expected(b1)
+      assert(exp1.nonEmpty, "fixture must pair the stream probe")
+      assert(got(Set(1000L, 1001L, 1002L)) === exp1)
+
+      // mid-stream CDC through the MAINTENANCE SINK: insert 200 (another
+      // byte-identical group0 copy), delete corpus id 0
+      mediaDf(spark, Seq((200L, bmpOf("group0", "common0"))))
+        .select(lit("I").as(C.Op), lit(1L).as("seq"), col("doc_id"),
+          col("payload"))
+        .unionByName(mediaDf(spark, Seq((0L, corpus.head._2)))
+          .select(lit("D").as(C.Op), lit(2L).as("seq"), col("doc_id"),
+            col("payload")))
+        .coalesce(1).write.parquet(s"$evDir/e1")
+      val evSchema = spark.read.parquet(s"$evDir/e1").schema
+      val m = CdcStream.startMediaIndexMaintenance(
+        spark.readStream.schema(evSchema).parquet(s"$evDir/e*/"),
+        "doc_id", "payload", idxDir,
+        Files.createTempDirectory("stream_mmmaint_c1").toString,
+        col("seq"))
+      try m.processAllAvailable() finally m.stop()
+
+      // the NEXT probe trigger sees the commit (index version marker):
+      // 0 no longer pairs, 200 does
+      val b2 = Seq((2000L, bmpOf("group0", "common0")))
+      writeBatch(dir, "b2", b2)
+      q.processAllAvailable()
+      val after = got(Set(2000L))
+      assert(after === expected(b2))
+      assert(!after.exists(_._1 == 0L),
+        s"retired corpus image still pairs the stream probe: $after")
+      assert(after.exists(_._1 == 200L),
+        s"absorbed image must pair the next trigger: $after")
+      assert(after.exists(_._1 == 1L), "surviving dup copy must pair")
+
+      // checkpoint-lost replay rewrites each batch's own partition
+      // against the CURRENT index — no stacking, no resurrection
+      val qr = start("stream_mmprobe_c2")
+      try qr.processAllAvailable() finally qr.stop()
+      assert(got(Set(1000L, 1001L, 1002L)) === expected(b1),
+        "replayed batch 1 must re-probe the live index, unduplicated")
+      assert(!got(Set(1000L, 2000L)).exists(_._1 == 0L),
+        "replay resurrected a retired pairing")
+
+      // replayed MAINTENANCE from a fresh checkpoint: absorb and retire
+      // both no-op — no duplicate ledger rows
+      val m2 = CdcStream.startMediaIndexMaintenance(
+        spark.readStream.schema(evSchema).parquet(s"$evDir/e*/"),
+        "doc_id", "payload", idxDir,
+        Files.createTempDirectory("stream_mmmaint_c2").toString,
+        col("seq"))
+      try m2.processAllAvailable() finally m2.stop()
+      val codes = graft.operators.DedupIndex.loadMedia(spark, idxDir).codes
+      assert(codes.groupBy($"id").count().filter($"count" > 1).isEmpty,
+        "replayed maintenance stacked duplicate ledger rows")
+      assert(got(Set(2000L)) === expected(b2),
+        "replayed maintenance changed probe results")
+    } finally q.stop()
+  }
+
   test("CDC index maintenance sink: stream inserts absorb, deletes retire, replay commits nothing") {
     val dir = Files.createTempDirectory("stream_idxmaint").toString
     val idxDir = Files.createTempDirectory("stream_idxmaint_idx").toString

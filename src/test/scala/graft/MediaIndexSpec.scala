@@ -15,14 +15,15 @@ import org.apache.spark.sql.types._
   * resurrect/compact) with crash-atomic staged commits, exactly like
   * the text/vector/lexical indexes.
   */
-class MediaIndexSpec extends SparkSpec {
-  import spark.implicits._
-
-  /** 8 chained md5 digests as 128 deterministic bytes (the query
-    * fixture's pixel source, replicated locally — see
-    * TextQueries.ahashPayloads).
-    */
-  private def chain(s: String): Array[Byte] = {
+/** Deterministic binary-image fixture shared by the media-index and
+  * streaming specs: a 16×8 grayscale BMP per id — 5 high bits of each
+  * pixel from the template md5 chain, 3 low bits from the noise chain
+  * — so same-template images are perceptually near, different
+  * templates distinct (the query fixture's pixel math, replicated —
+  * see TextQueries.ahashPayloads).
+  */
+object MediaFixture {
+  def chain(s: String): Array[Byte] = {
     val out = new Array[Byte](128)
     var j = 0
     while (j < 8) {
@@ -35,11 +36,7 @@ class MediaIndexSpec extends SparkSpec {
     out
   }
 
-  /** A 16×8 grayscale BMP: 5 high bits per pixel from the template
-    * chain, 3 low bits from the noise chain — same-template images are
-    * perceptually near, different templates distinct.
-    */
-  private def bmpOf(template: String, noise: String): Array[Byte] = {
+  def bmpOf(template: String, noise: String): Array[Byte] = {
     val t = chain(template)
     val n = chain(noise)
     val rgb = new Array[Byte](16 * 8 * 3)
@@ -57,7 +54,7 @@ class MediaIndexSpec extends SparkSpec {
     * fresh noise (perceptually near), member 3 its own template
     * (distinct).
     */
-  private def mkMedia(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
+  def mkMedia(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
     ids.map { i =>
       val g = i / 4
       i % 4 match {
@@ -67,7 +64,8 @@ class MediaIndexSpec extends SparkSpec {
       }
     }
 
-  private def mediaDf(rows: Seq[(Long, Array[Byte])]): DataFrame = {
+  def mediaDf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Array[Byte])]): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
@@ -76,6 +74,14 @@ class MediaIndexSpec extends SparkSpec {
         rows.map { case (i, b) => org.apache.spark.sql.Row(i, b) }, 4),
       schema)
   }
+}
+
+class MediaIndexSpec extends SparkSpec {
+  import spark.implicits._
+  import MediaFixture.{bmpOf, mkMedia}
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]): DataFrame =
+    MediaFixture.mediaDf(spark, rows)
 
   private def sortedRows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted.toSeq
