@@ -217,6 +217,13 @@ object SparkEntry {
       (RetrievalQueries.bm25TopKIndexedCompacted _),
     "text_bm25_indexed_refreshed" ->
       (RetrievalQueries.bm25TopKIndexedRefreshed _),
+    // exact-phrase search over positional postings (word ORDER, which
+    // bag-of-terms BM25 cannot express) — recompute, index-served, and
+    // the maintained-positions CDC gate
+    "text_phrase_topk" -> (RetrievalQueries.phraseTopK _),
+    "text_phrase_indexed" -> (RetrievalQueries.phraseTopKIndexed _),
+    "text_phrase_indexed_refreshed" ->
+      (RetrievalQueries.phraseTopKIndexedRefreshed _),
     "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
     "retrieval_e2e" -> (RetrievalQueries.retrievalE2e _),
     "retrieval_e2e_indexed" -> (RetrievalQueries.retrievalE2eIndexed _),
@@ -436,6 +443,13 @@ object SparkEntry {
       RetrievalQueries.bm25IndexedRetiredSql,
     "text_bm25_indexed_refreshed" ->
       RetrievalQueries.bm25IndexedRefreshedSql,
+    // phrase search: positional intersection replayed analytically;
+    // the indexed form shares the recompute oracle, the refreshed form
+    // recomputes over the post-update corpus
+    "text_phrase_topk" -> RetrievalQueries.phraseTopKSql,
+    "text_phrase_indexed" -> RetrievalQueries.phraseTopKSql,
+    "text_phrase_indexed_refreshed" ->
+      RetrievalQueries.phraseIndexedRefreshedSql,
     // the hybrid quality gate: integer overlap/displacement of the
     // IVF-legged fusion vs the brute-legged fusion per nprobe —
     // oracle-exact measurement of an approximation, like dedup_lsh_recall

@@ -239,7 +239,7 @@ object DedupIndex {
     */
   final case class LexicalIndex(dir: String, params: LexicalParams,
       postings: DataFrame, doclens: DataFrame, termdf: DataFrame,
-      nDocs: Long, totalLen: Long)
+      nDocs: Long, totalLen: Long, positions: DataFrame)
 
   /** The stored lexical index unfiltered — maintenance internals' view:
     * `doclens` keeps its ledger columns (content_hash, gen — the
@@ -252,7 +252,7 @@ object DedupIndex {
     */
   private final case class LexicalRaw(dir: String, params: LexicalParams,
       postings: DataFrame, docterms: DataFrame, doclens: DataFrame,
-      termdf: DataFrame, tombstones: DataFrame)
+      termdf: DataFrame, tombstones: DataFrame, positions: DataFrame)
 
   /** Build and persist the BM25 inverted index of `corpus` under `dir`:
     * per-(doc, term) frequencies (inverted by token AND forward by id),
@@ -266,7 +266,7 @@ object DedupIndex {
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
       Seq("postings", "docterms", "doclens", "termdf", "stats",
-        "tombstones"))
+        "positions", "tombstones"))
     val base = graft.plans.CachedPlans.cached(
       corpus.select(col(idCol).cast("long").as("id"),
         col(textCol).as("__text"), md5(col(textCol)).as("content_hash")))
@@ -292,13 +292,22 @@ object DedupIndex {
       dir, "doclens", Seq("id"), n)
     writeComponent(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
       dir, "termdf", Seq("tok"), n)
+    // positional postings (fmt 3): UNIGRAM word positions, independent
+    // of the BM25 term n-gram — the phrase/proximity probe's corpus
+    // side, tok-bucketed so a broadcast query-phrase join never
+    // shuffles the corpus
+    writeComponent(
+      Retrieval.tokenPositions(base, "id", "__text")
+        .select(col("doc_id").as("id"), col("tok"), col("pos"),
+          lit(0L).as("gen")),
+      dir, "positions", Seq("tok"), n)
     corpus.select(count(lit(1)).as("n_docs"))
       .crossJoin(tf.select(coalesce(sum(col("tf")), lit(0L))
         .as("total_len")))
       .coalesce(1).write.mode("overwrite")
       .parquet(componentPath(dir, "stats").toString)
     writeParams(spark, dir, Seq(
-      "kind" -> "lexical", "fmt" -> "2",
+      "kind" -> "lexical", "fmt" -> "3",
       "termNgram" -> termNgram.toString, "numBuckets" -> n.toString))
   }
 
@@ -312,13 +321,14 @@ object DedupIndex {
     */
   def loadLexical(spark: SparkSession, dir: String): LexicalIndex = {
     val raw = loadLexicalRaw(spark, dir)
-    val (postings, doclens) =
+    val (postings, doclens, positions) =
       if (isEmptyTombstones(raw.tombstones))
-        (raw.postings, raw.doclens)
+        (raw.postings, raw.doclens, raw.positions)
       else {
         val tomb = broadcast(raw.tombstones)
         (raw.postings.join(tomb, Seq("id", "gen"), "left_anti"),
-          raw.doclens.join(tomb, Seq("id", "gen"), "left_anti"))
+          raw.doclens.join(tomb, Seq("id", "gen"), "left_anti"),
+          raw.positions.join(tomb, Seq("id", "gen"), "left_anti"))
       }
     val st = spark.read.parquet(componentPath(dir, "stats").toString)
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
@@ -329,20 +339,22 @@ object DedupIndex {
       doclens = doclens.select(col("id"), col("dl")),
       termdf = raw.termdf.groupBy(col("tok"))
         .agg(sum(col("df")).as("df")).filter(col("df") > 0),
-      nDocs = st.getLong(0), totalLen = st.getLong(1))
+      nDocs = st.getLong(0), totalLen = st.getLong(1),
+      positions = positions.select(col("id"), col("tok"), col("pos")))
   }
 
   private def loadLexicalRaw(spark: SparkSession, dir: String)
       : LexicalRaw = {
     recover(spark, dir)
     val p = readParams(spark, dir, "lexical")
-    // fmt 2 made rows generational and df/stats delta-maintained; a
-    // fmt-1 index lacks the forward index and ledger columns the
-    // maintenance verbs need, so it reads as corrupt and callers
-    // rebuild (the same policy as the text/vector formats)
-    if (!p.get("fmt").contains("2"))
+    // fmt 2 made rows generational and df/stats delta-maintained; fmt 3
+    // adds the unigram positional postings (`positions/`) the
+    // phrase/proximity probes read. An older index lacks components
+    // this code needs, so it reads as corrupt and callers rebuild (the
+    // same policy as the text/vector formats)
+    if (!p.get("fmt").contains("3"))
       corrupt(dir, s"lexical index format ${p.getOrElse("fmt", "?")}, " +
-        "expected 2 (rebuild the index)")
+        "expected 3 (rebuild the index)")
     val params = LexicalParams(p("termNgram").toInt, p("numBuckets").toInt)
     LexicalRaw(dir, params,
       postings = component(spark, dir, "postings", Seq("tok"),
@@ -353,7 +365,9 @@ object DedupIndex {
         params.numBuckets),
       termdf = component(spark, dir, "termdf", Seq("tok"),
         params.numBuckets),
-      tombstones = readTombstones(spark, dir))
+      tombstones = readTombstones(spark, dir),
+      positions = component(spark, dir, "positions", Seq("tok"),
+        params.numBuckets))
   }
 
   /** [[appendText]]'s lexical twin: absorb a CDC INSERT/UPDATE batch
@@ -438,6 +452,14 @@ object DedupIndex {
           p.numBuckets)
         stageComponent(dfDelta, dir, batch, "termdf", Seq("tok"),
           p.numBuckets)
+        // fresh docs' unigram word positions land in the same staged
+        // commit; displaced generations' position rows die through the
+        // shared (id, gen) tombstones — no positional-specific reversal
+        stageComponent(
+          Retrieval.tokenPositions(fresh, "id", "__text")
+            .select(col("doc_id").as("id"), col("tok"), col("pos"))
+            .join(fresh.select(col("id"), col("gen")), Seq("id")),
+          dir, batch, "positions", Seq("tok"), p.numBuckets)
         stagePlain(statsDelta, dir, batch, "stats")
         if (!displaced.isEmpty)
           stagePlain(displaced, dir, batch, "tombstones")
@@ -524,6 +546,8 @@ object DedupIndex {
           live(raw.postings).groupBy(col("tok"))
             .agg(count(lit(1)).as("df")),
           dir, batch, "termdf", Seq("tok"), n)
+        stageComponent(live(raw.positions), dir, batch, "positions",
+          Seq("tok"), n)
         stagePlain(
           live(raw.doclens).agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl")), lit(0L)).as("total_len")),

@@ -123,6 +123,82 @@ object Retrieval {
       .replace("\n", " "))
 
   /** Per-doc sum + per-query top-k tail shared by both BM25 forms. */
+  /** Per-document unigram word positions, `(doc_id, tok, pos)` —
+    * 0-based offsets over the whitespace token stream. The positional
+    * table phrase/proximity search intersects; also what
+    * [[DedupIndex.writeLexical]] persists as the fmt-3 `positions`
+    * component.
+    */
+  private[graft] def tokenPositions(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .select(col("doc_id"), col("col").as("tok"), col("pos"))
+
+  /** Exact-phrase top-k: for each query row, the `k` documents with the
+    * most occurrences of the query's leading `phraseLen`-token phrase
+    * (ties by doc_id; queries shorter than the phrase match nothing).
+    * Emits (q_id, rank, doc_id, phrase_freq).
+    *
+    * This is classic positional-postings intersection, shuffled once:
+    * each corpus position row matching ANY query-phrase token aligns to
+    * its implied phrase START (`pos - offset`), and a start where every
+    * phrase offset is matched is one occurrence — duplicate tokens
+    * inside the phrase work because the count is over DISTINCT offsets.
+    * 100 TB shape: the query-phrase table (≤ |Q|·phraseLen rows) is
+    * broadcast into the positional scan, so only candidate positions
+    * (rows whose token appears in some phrase) reach the
+    * (q_id, doc, start) aggregate; the inherent cost of a stop-wordy
+    * phrase is its posting length, exactly as in any positional search
+    * engine. Nothing global is sorted; top-k is a per-query window over
+    * matched docs only.
+    */
+  def phraseTopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      phraseLen: Int = 3): DataFrame =
+    phraseRank(
+      tokenPositions(docs, idCol, textCol),
+      queries, qIdCol, qTextCol, k, phraseLen)
+
+  /** [[phraseTopK]] probing the PERSISTED positional postings
+    * ([[DedupIndex.LexicalIndex.positions]], fmt 3) — corpus text is
+    * never re-tokenized, and the tok-bucketed component serves the
+    * broadcast phrase join without exchanging the corpus side.
+    */
+  def phraseTopKIndexed(index: DedupIndex.LexicalIndex,
+      queries: DataFrame, qIdCol: String, qTextCol: String, k: Int = 10,
+      phraseLen: Int = 3): DataFrame =
+    phraseRank(
+      index.positions.select(col("id").as("doc_id"), col("tok"),
+        col("pos")),
+      queries, qIdCol, qTextCol, k, phraseLen)
+
+  private def phraseRank(positions: DataFrame, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int,
+      phraseLen: Int): DataFrame = {
+    require(phraseLen >= 1, s"phraseLen must be >= 1, got $phraseLen")
+    val qPhrase = tokenPositions(queries, qIdCol, qTextCol)
+      .filter(col("pos") < phraseLen)
+      .select(col("doc_id").as("q_id"), col("tok"),
+        col("pos").as("off"))
+    val hits = positions
+      .join(broadcast(qPhrase), Seq("tok"))
+      .select(col("q_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("off"))
+    val occurrences = hits
+      .groupBy(col("q_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .filter(col("n_off") === phraseLen)
+    val freq = occurrences.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("phrase_freq"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("phrase_freq").desc, col("doc_id"))
+    freq.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        col("phrase_freq"))
+  }
+
   private def rankTopK(hits: DataFrame, k: Int): DataFrame = {
     val perDoc = hits.groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("score_q")).as("score"))

@@ -186,6 +186,106 @@ object RetrievalQueries {
       |      ORDER BY score DESC, doc_id) AS INT) AS rank
       |  FROM agg)""".stripMargin
 
+  val PhraseK = 10
+  val PhraseLen = 3
+
+  /** Exact-phrase top-k as a declared op: each `% $QueryMod` document's
+    * leading 3-token phrase searched against the corpus, ranked by
+    * occurrence count (ties by doc_id). Positional-postings
+    * intersection — the retrieval feature BM25's bag-of-terms scoring
+    * cannot express (word ORDER matters).
+    */
+  def phraseTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.phraseTopK(
+        docs, docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", "doc_id", "text", k = PhraseK,
+        phraseLen = PhraseLen)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[phraseTopK]] probing the persisted positional postings
+    * ([[QueryIndexes.lexical]], fmt 3) — same oracle, bit-identical
+    * ranking; corpus text is never re-tokenized.
+    */
+  def phraseTopKIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.phraseTopKIndexed(
+        QueryIndexes.lexical(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", k = PhraseK, phraseLen = PhraseLen)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Phrase probe of the CDC-refreshed lexical index
+    * ([[QueryIndexes.lexicalRefreshed]]: the `% 10` slice re-absorbed
+    * with changed text): the refreshed docs must answer phrase queries
+    * with their RE-DERIVED positions only — queries drawn from the
+    * post-update corpus, oracle a from-scratch recompute over it. This
+    * is the gate that the fmt-3 positional component is maintained by
+    * the same staged commit as the postings (displaced generations'
+    * position rows die through the shared tombstones).
+    */
+  def phraseTopKIndexedRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val updated = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(QueryIndexes.RefreshSuffix)))
+        .otherwise(col("text")).as("text"))
+    graft.operators.Retrieval.phraseTopKIndexed(
+        QueryIndexes.lexicalRefreshed(spark, sfDir),
+        updated.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", k = PhraseK, phraseLen = PhraseLen)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def phraseTopKSql: String =
+    s"""WITH ${phraseCtes()}
+      |SELECT q_id, rank, doc_id, phrase_freq
+      |FROM ranked WHERE rank <= $PhraseK
+      |ORDER BY q_id, rank""".stripMargin
+
+  def phraseIndexedRefreshedSql: String =
+    s"""WITH ${phraseCtes(QueryIndexes.refreshedAllDocsSql)}
+      |SELECT q_id, rank, doc_id, phrase_freq
+      |FROM ranked WHERE rank <= $PhraseK
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** The phrase-search CTE chain up to `ranked`: 0-based unigram word
+    * positions, the per-query leading-$PhraseLen phrase table, aligned
+    * starts (pos − offset), occurrences = starts where every DISTINCT
+    * offset matched, frequency ranking with doc_id ties.
+    */
+  private def phraseCtes(docsSrc: String = "documents"): String =
+    s"""toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM $docsSrc AS __docs),
+      |pos AS (
+      |  SELECT doc_id, t[CAST(i AS INTEGER)] AS tok,
+      |    CAST(i - 1 AS INTEGER) AS pos
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      |        FROM toks)),
+      |qp AS (
+      |  SELECT doc_id AS q_id, tok, pos AS off FROM pos
+      |  WHERE doc_id % $QueryMod = 0 AND pos < $PhraseLen),
+      |hits AS (
+      |  SELECT qp.q_id, pos.doc_id, pos.pos - qp.off AS start, qp.off
+      |  FROM pos JOIN qp USING (tok)),
+      |occ AS (
+      |  SELECT q_id, doc_id, start FROM hits
+      |  GROUP BY q_id, doc_id, start
+      |  HAVING count(DISTINCT off) = $PhraseLen),
+      |freq AS (
+      |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS phrase_freq
+      |  FROM occ GROUP BY q_id, doc_id),
+      |ranked AS (
+      |  SELECT q_id, doc_id, phrase_freq,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY phrase_freq DESC, doc_id) AS INT) AS rank
+      |  FROM freq)""".stripMargin
+
   val HybridK = 10
   val LegK = 20
   val RrfK = 60

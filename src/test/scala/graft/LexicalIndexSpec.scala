@@ -47,6 +47,22 @@ class LexicalIndexSpec extends SparkSpec {
     assert(probe.nonEmpty, "vacuous: probe returned nothing")
     assert(probe === recompute,
       s"maintained index diverged from live recompute over $live")
+    // the fmt-3 positional component rides the same staged commits:
+    // the phrase probe over the maintained positions must equal the
+    // recompute over live text through every verb this helper gates
+    val pcols = Seq("q_id", "rank", "doc_id", "phrase_freq")
+    val phraseProbe = graft.operators.Retrieval
+      .phraseTopKIndexed(idx, df(queries), "doc_id", "text")
+      .select(pcols.head, pcols.tail: _*)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val phraseRecompute = graft.operators.Retrieval
+      .phraseTopK(df(live), df(queries), "doc_id", "text",
+        "doc_id", "text")
+      .select(pcols.head, pcols.tail: _*)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(phraseProbe.nonEmpty, "vacuous: phrase probe returned nothing")
+    assert(phraseProbe === phraseRecompute,
+      s"maintained positions diverged from live recompute over $live")
     // the collected corpus stats must equal the live corpus exactly —
     // they feed every idf/length normalization
     assert(idx.nDocs === live.size.toLong)
