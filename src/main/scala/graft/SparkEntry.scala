@@ -115,6 +115,10 @@ object SparkEntry {
       (DedupQueries.incrementalAhashRetired _),
     "mm_ahash_incremental_refreshed" ->
       (DedupQueries.incrementalAhashRefreshed _),
+    "mm_ahash_incremental_compacted" ->
+      (DedupQueries.incrementalAhashCompacted _),
+    "mm_ahash_incremental_resurrected" ->
+      (DedupQueries.incrementalAhashResurrected _),
     "dedup_ngram_jaccard" -> (DedupQueries.ngramJaccard _),
     "dedup_edit_distance" -> (DedupQueries.editDistance _),
     "dedup_components" -> (DedupQueries.components _),
@@ -224,6 +228,10 @@ object SparkEntry {
     "text_phrase_indexed" -> (RetrievalQueries.phraseTopKIndexed _),
     "text_phrase_indexed_refreshed" ->
       (RetrievalQueries.phraseTopKIndexedRefreshed _),
+    "text_phrase_indexed_retired" ->
+      (RetrievalQueries.phraseTopKIndexedRetired _),
+    "text_phrase_indexed_compacted" ->
+      (RetrievalQueries.phraseTopKIndexedCompacted _),
     "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
     "retrieval_e2e" -> (RetrievalQueries.retrievalE2e _),
     "retrieval_e2e_indexed" -> (RetrievalQueries.retrievalE2eIndexed _),
@@ -362,6 +370,12 @@ object SparkEntry {
       DedupQueries.incrementalAhashRetiredSql,
     "mm_ahash_incremental_refreshed" ->
       DedupQueries.incrementalAhashRefreshedSql,
+    // compaction is a physical rewrite, not a semantic change: the
+    // SAME live-corpus oracle gates the compacted media index
+    "mm_ahash_incremental_compacted" ->
+      DedupQueries.incrementalAhashRetiredSql,
+    "mm_ahash_incremental_resurrected" ->
+      DedupQueries.incrementalAhashResurrectedSql,
     "dedup_ngram_jaccard" -> DedupQueries.ngramJaccardSql,
     "dedup_edit_distance" -> DedupQueries.editDistanceSql,
     "dedup_components" -> DedupQueries.componentsSql,
@@ -450,6 +464,10 @@ object SparkEntry {
     "text_phrase_indexed" -> RetrievalQueries.phraseTopKSql,
     "text_phrase_indexed_refreshed" ->
       RetrievalQueries.phraseIndexedRefreshedSql,
+    "text_phrase_indexed_retired" ->
+      RetrievalQueries.phraseIndexedRetiredSql,
+    "text_phrase_indexed_compacted" ->
+      RetrievalQueries.phraseIndexedRetiredSql,
     // the hybrid quality gate: integer overlap/displacement of the
     // IVF-legged fusion vs the brute-legged fusion per nprobe —
     // oracle-exact measurement of an approximation, like dedup_lsh_recall

@@ -490,6 +490,40 @@ object DedupQueries {
     incrementalAhashSqlFor(k => s"($k % 2 = 0 AND $k % 10 <> 0)",
       k => s"$k % 2 = 1")
 
+  /** [[incrementalAhashRetired]] over the COMPACTED media index
+    * ([[QueryIndexes.mediaCompacted]]): same live-corpus oracle; the
+    * compaction rewrite underneath must keep exactly the live codes and
+    * band keys on the fast tombstone-free load path.
+    */
+  def incrementalAhashCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaCompacted(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[incrementalAhashRetired]] after the `k % 20 == 0` half of the
+    * deleted slice re-absorbs with its ORIGINAL bytes
+    * ([[QueryIndexes.mediaResurrected]]): generation-scoped tombstones
+    * must let the resurrected images pair again while the still-dead
+    * half stays invisible.
+    */
+  def incrementalAhashResurrected(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.ahashPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaResurrected(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAhashResurrectedSql: String =
+    incrementalAhashSqlFor(
+      k => s"($k % 2 = 0 AND ($k % 10 <> 0 OR $k % 20 = 0))",
+      k => s"$k % 2 = 1")
+
   /** [[incrementalAhashIndexed]]'s refresh twin
     * ([[QueryIndexes.mediaRefreshed]]: the `k % 10 == 0` slice
     * re-absorbed with payloads synthesized from UPDATED text — new

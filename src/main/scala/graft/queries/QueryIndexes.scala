@@ -442,6 +442,65 @@ object QueryIndexes {
     DedupIndex.loadMedia(spark, dir)
   }
 
+  /** [[mediaRetired]] carried one step further: after the delete batch
+    * retires, [[DedupIndex.compactMedia]] physically rewrites both
+    * components and clears the tombstones — the probe runs on the fast
+    * tombstone-free load path over compacted files, and the SAME
+    * live-corpus oracle gates the rewrite (a dropped live row, a kept
+    * dead one, or a broken bucket layout hash-mismatches). Re-runs
+    * compact on reuse (no-op when nothing is tombstoned).
+    */
+  def mediaCompacted(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_compacted",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir))
+        DedupIndex.writeMedia(
+          TextQueries.ahashPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir)
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.compactMedia(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** Media index taken through a full delete→re-insert cycle: the
+    * `k % 10 == 0` slice retires, then its `k % 20 == 0` HALF
+    * re-absorbs with ORIGINAL payload bytes — generational
+    * resurrection, no compaction in between (id-keyed tombstones would
+    * have kept the re-absorb dead). Re-runs the cycle on reuse.
+    */
+  def mediaResurrected(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_resurrected",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir))
+        DedupIndex.writeMedia(
+          TextQueries.ahashPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir)
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.appendMedia(
+        TextQueries.ahashPayloads(
+          docs.filter(expr("(doc_id div 20) % 20") === 0)),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
   /** [[textRefreshed]]'s media twin: k-even payloads indexed, then a
     * CDC UPDATE batch re-absorbs — the `k % 10 == 0` slice with
     * payloads synthesized from CHANGED text (new noise bits → new

@@ -240,8 +240,54 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Phrase probe of the generationally-RETIRED lexical index
+    * ([[QueryIndexes.lexicalRetired]]: the `% 10` slice CDC-deleted):
+    * retired docs' position rows are invisible to the intersection —
+    * they neither rank nor contribute occurrences — gated against a
+    * recompute over the surviving corpus (queries from the same live
+    * slice).
+    */
+  def phraseTopKIndexedRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.phraseTopKIndexed(
+        QueryIndexes.lexicalRetired(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0 &&
+          col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = PhraseK, phraseLen = PhraseLen)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[phraseTopKIndexedRetired]] over the COMPACTED index
+    * ([[QueryIndexes.lexicalCompacted]]): same live-corpus oracle; what
+    * changes is the index underneath — the compaction rewrite must keep
+    * exactly the live position rows (a dropped live row or kept dead
+    * one hash-mismatches).
+    */
+  def phraseTopKIndexedCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.phraseTopKIndexed(
+        QueryIndexes.lexicalCompacted(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0 &&
+          col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = PhraseK, phraseLen = PhraseLen)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def phraseTopKSql: String =
     s"""WITH ${phraseCtes()}
+      |SELECT q_id, rank, doc_id, phrase_freq
+      |FROM ranked WHERE rank <= $PhraseK
+      |ORDER BY q_id, rank""".stripMargin
+
+  /** The phrase oracle over the LIVE post-delete corpus — queries are
+    * the `% $QueryMod` slice OF the surviving docs, exactly as the
+    * retired/compacted probes draw them.
+    */
+  def phraseIndexedRetiredSql: String =
+    s"""WITH ${phraseCtes(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0)")}
       |SELECT q_id, rank, doc_id, phrase_freq
       |FROM ranked WHERE rank <= $PhraseK
       |ORDER BY q_id, rank""".stripMargin
