@@ -232,6 +232,9 @@ object SparkEntry {
       (RetrievalQueries.phraseTopKIndexedRetired _),
     "text_phrase_indexed_compacted" ->
       (RetrievalQueries.phraseTopKIndexedCompacted _),
+    "text_proximity_topk" -> (RetrievalQueries.proximityTopK _),
+    "text_proximity_indexed" ->
+      (RetrievalQueries.proximityTopKIndexed _),
     "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
     "retrieval_e2e" -> (RetrievalQueries.retrievalE2e _),
     "retrieval_e2e_indexed" -> (RetrievalQueries.retrievalE2eIndexed _),
@@ -468,6 +471,8 @@ object SparkEntry {
       RetrievalQueries.phraseIndexedRetiredSql,
     "text_phrase_indexed_compacted" ->
       RetrievalQueries.phraseIndexedRetiredSql,
+    "text_proximity_topk" -> RetrievalQueries.proximityTopKSql,
+    "text_proximity_indexed" -> RetrievalQueries.proximityTopKSql,
     // the hybrid quality gate: integer overlap/displacement of the
     // IVF-legged fusion vs the brute-legged fusion per nprobe —
     // oracle-exact measurement of an approximation, like dedup_lsh_recall

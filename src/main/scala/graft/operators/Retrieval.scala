@@ -173,6 +173,74 @@ object Retrieval {
         col("pos")),
       queries, qIdCol, qTextCol, k, phraseLen)
 
+  /** Proximity (slop) top-k: like [[phraseTopK]] but each adjacent
+    * phrase-term pair may be separated by up to `slop` extra words —
+    * an occurrence is an IN-ORDER chain p₀ < p₁ < … with every step
+    * in [1, slop+1], counted by DISTINCT anchor position (one anchor
+    * chaining through several continuations is one occurrence). slop=0
+    * degenerates to the exact phrase. Emits
+    * (q_id, rank, doc_id, prox_freq).
+    *
+    * Plan shape: one broadcast of the (q_id, tok, offset) phrase table
+    * into the positional scan as in phrase search, then `phraseLen−1`
+    * (q_id, doc_id)-keyed range self-joins over CANDIDATE positions
+    * only — per-pair work is the product of that doc's postings for
+    * the two terms, the inherent cost of proximity in any positional
+    * engine.
+    */
+  def proximityTopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, qIdCol: String, qTextCol: String, k: Int = 10,
+      phraseLen: Int = 3, slop: Int = 2): DataFrame =
+    proximityRank(tokenPositions(docs, idCol, textCol),
+      queries, qIdCol, qTextCol, k, phraseLen, slop)
+
+  /** [[proximityTopK]] probing the persisted fmt-3 positional postings
+    * — same component the phrase probe reads; corpus text is never
+    * re-tokenized.
+    */
+  def proximityTopKIndexed(index: DedupIndex.LexicalIndex,
+      queries: DataFrame, qIdCol: String, qTextCol: String, k: Int = 10,
+      phraseLen: Int = 3, slop: Int = 2): DataFrame =
+    proximityRank(
+      index.positions.select(col("id").as("doc_id"), col("tok"),
+        col("pos")),
+      queries, qIdCol, qTextCol, k, phraseLen, slop)
+
+  private def proximityRank(positions: DataFrame, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int, phraseLen: Int,
+      slop: Int): DataFrame = {
+    require(phraseLen >= 1, s"phraseLen must be >= 1, got $phraseLen")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val qPhrase = tokenPositions(queries, qIdCol, qTextCol)
+      .filter(col("pos") < phraseLen)
+      .select(col("doc_id").as("q_id"), col("tok"),
+        col("pos").as("off"))
+    // candidate positions for ANY phrase offset, once; the chain joins
+    // below slice this by offset
+    val hits = positions.join(broadcast(qPhrase), Seq("tok"))
+      .select(col("q_id"), col("doc_id"), col("pos"), col("off"))
+    def step(i: Int): DataFrame = hits.filter(col("off") === i)
+      .select(col("q_id"), col("doc_id"), col("pos").as(s"p$i"))
+    val chained = (1 until phraseLen).foldLeft(
+      step(0).select(col("q_id"), col("doc_id"), col("p0"),
+        col("p0").as("pPrev"))) { (acc, i) =>
+      acc.join(step(i), Seq("q_id", "doc_id"))
+        .filter(col(s"p$i") - col("pPrev") >= 1 &&
+          col(s"p$i") - col("pPrev") <= slop + 1)
+        .select(col("q_id"), col("doc_id"), col("p0"),
+          col(s"p$i").as("pPrev"))
+    }
+    val freq = chained.select(col("q_id"), col("doc_id"), col("p0"))
+      .distinct()
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("prox_freq"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("prox_freq").desc, col("doc_id"))
+    freq.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("prox_freq"))
+  }
+
   private def phraseRank(positions: DataFrame, queries: DataFrame,
       qIdCol: String, qTextCol: String, k: Int,
       phraseLen: Int): DataFrame = {

@@ -275,6 +275,85 @@ object RetrievalQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  val ProxSlop = 2
+
+  /** Proximity (slop) top-k as a declared op: the phrase family's
+    * relaxation — each adjacent pair of the leading-3-token query
+    * phrase may be separated by up to $ProxSlop extra words, occurrence
+    * = distinct in-order anchor. Ranks docs the exact phrase misses
+    * (reordered-free insertions) while staying analytic for the oracle.
+    */
+  def proximityTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.proximityTopK(
+        docs, docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", "doc_id", "text", k = PhraseK,
+        phraseLen = PhraseLen, slop = ProxSlop)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[proximityTopK]] probing the persisted fmt-3 positional postings
+    * ([[QueryIndexes.lexical]]) — same oracle, bit-identical ranking.
+    */
+  def proximityTopKIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Retrieval.proximityTopKIndexed(
+        QueryIndexes.lexical(spark, sfDir),
+        docs.filter(col("doc_id") % QueryMod === 0),
+        "doc_id", "text", k = PhraseK, phraseLen = PhraseLen,
+        slop = ProxSlop)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def proximityTopKSql: String = {
+    val maxGap = ProxSlop + 1
+    val hCtes = (0 until PhraseLen).map(i =>
+      s"""h$i AS (
+         |  SELECT qp.q_id, pos.doc_id, pos.pos AS p
+         |  FROM pos JOIN qp USING (tok) WHERE qp.off = $i)""".stripMargin)
+      .mkString(",\n")
+    val chainJoins = (1 until PhraseLen).map { i =>
+      s"""  JOIN h$i ON h$i.q_id = h0.q_id AND h$i.doc_id = h0.doc_id
+         |    AND h$i.p - h${i - 1}.p BETWEEN 1 AND $maxGap""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${phrasePosCtes()},
+      |$hCtes,
+      |chain AS (
+      |  SELECT h0.q_id, h0.doc_id, h0.p AS p0
+      |  FROM h0
+      |$chainJoins),
+      |freq AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(count(DISTINCT p0) AS BIGINT) AS prox_freq
+      |  FROM chain GROUP BY q_id, doc_id),
+      |ranked AS (
+      |  SELECT q_id, doc_id, prox_freq,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY prox_freq DESC, doc_id) AS INT) AS rank
+      |  FROM freq)
+      |SELECT q_id, rank, doc_id, prox_freq
+      |FROM ranked WHERE rank <= $PhraseK
+      |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The shared positional CTE prefix (toks → pos → qp) — phrase and
+    * proximity both start here.
+    */
+  private def phrasePosCtes(docsSrc: String = "documents"): String =
+    s"""toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      |  FROM $docsSrc AS __docs),
+      |pos AS (
+      |  SELECT doc_id, t[CAST(i AS INTEGER)] AS tok,
+      |    CAST(i - 1 AS INTEGER) AS pos
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      |        FROM toks)),
+      |qp AS (
+      |  SELECT doc_id AS q_id, tok, pos AS off FROM pos
+      |  WHERE doc_id % $QueryMod = 0 AND pos < $PhraseLen)""".stripMargin
+
   def phraseTopKSql: String =
     s"""WITH ${phraseCtes()}
       |SELECT q_id, rank, doc_id, phrase_freq
@@ -304,18 +383,7 @@ object RetrievalQueries {
     * offset matched, frequency ranking with doc_id ties.
     */
   private def phraseCtes(docsSrc: String = "documents"): String =
-    s"""toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-      |  FROM $docsSrc AS __docs),
-      |pos AS (
-      |  SELECT doc_id, t[CAST(i AS INTEGER)] AS tok,
-      |    CAST(i - 1 AS INTEGER) AS pos
-      |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-      |        FROM toks)),
-      |qp AS (
-      |  SELECT doc_id AS q_id, tok, pos AS off FROM pos
-      |  WHERE doc_id % $QueryMod = 0 AND pos < $PhraseLen),
+    s"""${phrasePosCtes(docsSrc)},
       |hits AS (
       |  SELECT qp.q_id, pos.doc_id, pos.pos - qp.off AS start, qp.off
       |  FROM pos JOIN qp USING (tok)),
