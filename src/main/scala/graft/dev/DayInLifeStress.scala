@@ -4,9 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch: per-trigger latency of the COMPOSED streaming serving story
-  * — a standing hybrid search plus all three index-maintenance sinks
-  * (text dedup, BM25 lexical, IVF∘SQ8 vector) fed by one mixed I/U/D
-  * change stream — measured over many triggers at FIXED batch size.
+  * — a standing hybrid search AND a standing media near-dup probe plus
+  * all four index-maintenance sinks (text dedup, BM25 lexical, IVF∘SQ8
+  * vector, perceptual-hash media) fed by one mixed I/U/D change stream
+  * — measured over many triggers at FIXED batch size. The media arm
+  * renders each doc's payload from its CURRENT text (an update is a
+  * real image change) and probes with exact copies of the 25 fixed
+  * query anchors, so every trigger must serve Hamming-0 pairs.
   *
   * The claim under test: per-trigger cost is batch-tracked, so it stays
   * FLAT as triggers accumulate. The failure modes it would expose are
@@ -49,12 +53,20 @@ object DayInLifeStress {
     val (chDir, qDir, outDir) = (s"$root/ch", s"$root/q", s"$root/out")
     val (lexDir, vecDir, txtDir) =
       (s"$root/lex", s"$root/vec", s"$root/txt")
+    val (mediaDir, mqDir, mOutDir) =
+      (s"$root/media", s"$root/mq", s"$root/mout")
 
     val docs = spark.read.parquet(s"$srcSf/documents.parquet")
       .select(col("doc_id"), col("text")).persist()
     val nDocs = docs.count()
     val seed = docs.filter(col("doc_id") % 10 =!= 0)
     val vecOf = udf((id: Long) => vecFor(id))
+    // the media arm: every doc renders to a fixture BMP — 97 templates
+    // keyed by id so near-dup structure exists without saturating the
+    // bucket cap; the payload derives from the CURRENT text, so a CDC
+    // update is a real image change
+    val payOf = udf((id: Long, text: String) =>
+      MediaStress.bmpPayload(s"dil-t${id % 97}", text))
     val seedV = seed.withColumn("embedding", vecOf(col("doc_id")))
     println(s"corpus $nDocs docs, seed ${seed.count()}")
 
@@ -65,6 +77,10 @@ object DayInLifeStress {
       seedV.select(col("doc_id"), col("embedding")), "doc_id",
       "embedding", vecDir, planes = 4, dim = dim)
     graft.operators.DedupIndex.writeText(seed, "doc_id", "text", txtDir)
+    graft.operators.DedupIndex.writeMedia(
+      seed.select(col("doc_id"),
+        payOf(col("doc_id"), col("text")).as("payload")),
+      "doc_id", "payload", mediaDir)
     val buildS = (System.nanoTime() - t0) / 1e9
 
     // update targets rotate through the seed slice; queries are FIXED
@@ -81,12 +97,29 @@ object DayInLifeStress {
     // absorb as a no-op) so the file sources can start
     writeRows(chDir, "b0", seed.limit(1)
       .select(lit("I").as("Op"), lit(0L).as("seq"), col("doc_id"),
-        col("text"), vecOf(col("doc_id")).as("embedding")))
+        col("text"), vecOf(col("doc_id")).as("embedding"),
+        payOf(col("doc_id"), col("text")).as("payload")))
     writeRows(qDir, "q0", queryRows.take(1)
       .toDF("doc_id", "text", "embedding"))
+    // media probe batch: EXACT image copies of the 25 query-anchor seed
+    // docs (never updated, never retired) — guaranteed Hamming-0 pairs
+    // every trigger, plus whatever template neighbors are live
+    val mediaProbe = seed.orderBy(col("doc_id")).limit(25)
+      .select((col("doc_id") + 950000L).as("doc_id"),
+        payOf(col("doc_id"), col("text")).as("payload"))
+      .collect().toSeq
+    val mediaProbeDf = () => spark.createDataFrame(
+      spark.sparkContext.parallelize(mediaProbe, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    writeRows(mqDir, "mq0", mediaProbeDf().limit(1))
 
     val chSchema = spark.read.parquet(s"$chDir/b0").schema
     val qSchema = spark.read.parquet(s"$qDir/q0").schema
+    val mqSchema = spark.read.parquet(s"$mqDir/mq0").schema
     def chStream = spark.readStream.schema(chSchema)
       .option("maxFilesPerTrigger", 1).parquet(s"$chDir/b*/")
     def ck() = java.nio.file.Files
@@ -98,15 +131,22 @@ object DayInLifeStress {
     val maintVec = graft.streaming.CdcStream.startVectorIndexMaintenance(
       chStream, "doc_id", "embedding", vecDir, ck(), col("seq"),
       autoCompact)
+    val maintMedia = graft.streaming.CdcStream.startMediaIndexMaintenance(
+      chStream, "doc_id", "payload", mediaDir, ck(), col("seq"),
+      autoCompact)
     val search = graft.streaming.CdcStream.startHybridSearch(
       spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$qDir/q*/"),
       "doc_id", "text", "embedding", lexDir, vecDir, outDir, ck(),
       k = 10, legK = 20)
+    val mediaSearch = graft.streaming.CdcStream.startAhashNearDup(
+      spark.readStream.schema(mqSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$mqDir/mq*/"),
+      "doc_id", "payload", mediaDir, mOutDir, ck())
 
     var seq = 1L
     val perTrigger = scala.collection.mutable.ArrayBuffer
-      .empty[(Double, Double)]
+      .empty[(Double, Double, Double)]
     for (t <- 1 to triggers) {
       val ins = (0 until 50).map { i =>
         val id = 10000000L + t * 50L + i
@@ -133,34 +173,46 @@ object DayInLifeStress {
       }
       writeRows(chDir, s"b$t",
         (ins ++ upd ++ del).toDF("Op", "seq", "doc_id", "text",
-          "embedding"))
+          "embedding")
+          .withColumn("payload", payOf(col("doc_id"), col("text"))))
       t0 = System.nanoTime()
       maintTxt.processAllAvailable()
       maintLex.processAllAvailable()
       maintVec.processAllAvailable()
+      maintMedia.processAllAvailable()
       val maintS = (System.nanoTime() - t0) / 1e9
       writeRows(qDir, s"q$t", queryRows.toDF("doc_id", "text",
         "embedding"))
       t0 = System.nanoTime()
       search.processAllAvailable()
       val searchS = (System.nanoTime() - t0) / 1e9
-      perTrigger += ((maintS, searchS))
-      println(f"trigger $t%2d maint $maintS%6.2f s  search $searchS%5.2f s")
+      writeRows(mqDir, s"mq$t", mediaProbeDf())
+      t0 = System.nanoTime()
+      mediaSearch.processAllAvailable()
+      val mediaS = (System.nanoTime() - t0) / 1e9
+      perTrigger += ((maintS, searchS, mediaS))
+      println(f"trigger $t%2d maint $maintS%6.2f s  " +
+        f"search $searchS%5.2f s  media $mediaS%5.2f s")
     }
-    maintTxt.stop(); maintLex.stop(); maintVec.stop(); search.stop()
+    maintTxt.stop(); maintLex.stop(); maintVec.stop()
+    maintMedia.stop(); search.stop(); mediaSearch.stop()
 
     val served = spark.read.parquet(outDir).count()
+    val servedMedia = spark.read.parquet(mOutDir).count()
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val trigJson = perTrigger.zipWithIndex.map { case ((m, s), i) =>
-      s"""{"t":${i + 1},"maint":${fmt(m)},"search":${fmt(s)}}"""
+    val trigJson = perTrigger.zipWithIndex.map { case ((m, s, ms), i) =>
+      s"""{"t":${i + 1},"maint":${fmt(m)},"search":${fmt(s)},""" +
+        s""""search_media":${fmt(ms)}}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"dayinlife_per_trigger","unit":"sec","sf_src":"$srcSf",""" +
       s""""docs":$nDocs,"triggers":$triggers,"batch_events":150,""" +
       s""""queries_per_trigger":${queryRows.length},""" +
+      s""""media_probe_rows":${mediaProbe.length},""" +
       s""""auto_compact":${autoCompact.getOrElse(-1L)},""" +
       s""""build_s":${fmt(buildS)},"served_rows":$served,""" +
+      s""""served_media_pairs":$servedMedia,""" +
       s""""per_trigger":$trigJson}"""
     println(json)
     java.nio.file.Files.writeString(

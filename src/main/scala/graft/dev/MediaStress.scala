@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object MediaStress {
 
+  /** One 16×8 fixture BMP — the small flavor [[DayInLifeStress]] uses
+    * for its media arm (latency shape, not decode bytes).
+    */
+  private[dev] def bmpPayload(template: String,
+      noise: String): Array[Byte] = {
+    val t = chain(template)
+    val d = chain(noise)
+    val rgb = new Array[Byte](16 * 8 * 3)
+    var i = 0
+    while (i < 128) {
+      val v = ((t(i) & 0xf8) | (d(i) & 0x07)).toByte
+      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+      i += 1
+    }
+    graft.operators.MediaCodecs.encodeBmp(16, 8, rgb)
+  }
+
   private def chain(s: String): Array[Byte] = {
     val out = new Array[Byte](128)
     var j = 0
