@@ -166,6 +166,48 @@ class RetrievalSpec extends SparkSpec {
     assert(idxOut.nonEmpty && idxOut === reOut)
   }
 
+  test("phrase and proximity: slop 0 degenerates to the phrase, slop finds stretched matches, indexed == recompute") {
+    graft.plans.CachedPlans.clear()
+    val docs = Seq(
+      0L -> "the quick brown fox jumps",          // exact occurrence
+      1L -> "the quick xx brown fox",             // stretched by 1 word
+      2L -> "the quick xx yy zz brown",           // stretched by 3 — past slop 2
+      3L -> "brown quick the order matters not",  // reordered — never matches
+      4L -> "the quick brown the quick brown"     // two occurrences
+    ).toDF("doc_id", "text")
+    val q = Seq(100L -> "the quick brown extra words ignored")
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame,
+        freqCol: String): Seq[(Long, Long, Long)] =
+      df.select(col("doc_id"), col("rank").cast("long"), col(freqCol))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val phrase = rows(graft.operators.Retrieval.phraseTopK(
+      docs, q, "doc_id", "text", "doc_id", "text"), "phrase_freq")
+    // exact matches: doc 4 (two starts) ranks first, doc 0 second
+    assert(phrase === Seq((0L, 2L, 1L), (4L, 1L, 2L)))
+    // slop 0 IS the phrase — same docs, same frequencies, same ranks
+    val prox0 = rows(graft.operators.Retrieval.proximityTopK(
+      docs, q, "doc_id", "text", "doc_id", "text", slop = 0), "prox_freq")
+    assert(prox0 === phrase)
+    // slop 2 additionally admits the 1-word stretch (gap 2 ≤ slop+1)
+    // but not the 3-word stretch (gap 4), never the reordered doc; the
+    // double occurrence still counts 2 distinct anchors
+    val prox2 = rows(graft.operators.Retrieval.proximityTopK(
+      docs, q, "doc_id", "text", "doc_id", "text", slop = 2), "prox_freq")
+    assert(prox2 === Seq((0L, 2L, 1L), (1L, 3L, 1L), (4L, 1L, 2L)))
+    // the indexed forms replay both bit-for-bit from the positions
+    // component
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-phrase-idx").toString
+    graft.operators.DedupIndex.writeLexical(docs, "doc_id", "text",
+      idxDir, termNgram = 2)
+    val idx = graft.operators.DedupIndex.loadLexical(spark, idxDir)
+    assert(rows(graft.operators.Retrieval.phraseTopKIndexed(
+      idx, q, "doc_id", "text"), "phrase_freq") === phrase)
+    assert(rows(graft.operators.Retrieval.proximityTopKIndexed(
+      idx, q, "doc_id", "text", slop = 2), "prox_freq") === prox2)
+  }
+
   test("rrf fusion: both-list docs outrank single-list, exact quantized sums") {
     val a = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3), (1L, 200L, 5))
       .toDF("q_id", "doc_id", "rank")
