@@ -215,10 +215,15 @@ object Retrieval {
       .filter(col("pos") < phraseLen)
       .select(col("doc_id").as("q_id"), col("tok"),
         col("pos").as("off"))
-    // candidate positions for ANY phrase offset, once; the chain joins
-    // below slice this by offset
-    val hits = positions.join(broadcast(qPhrase), Seq("tok"))
-      .select(col("q_id"), col("doc_id"), col("pos"), col("off"))
+    // candidate positions for ANY phrase offset, computed ONCE and
+    // cached: the chain joins below reference it phraseLen times, and
+    // without the cache each reference re-expands the whole subplan —
+    // phraseLen corpus-scale positional scans instead of one. The
+    // cached set is query-bounded (positions of phrase tokens only),
+    // the cheap side of the asymmetry
+    val hits = graft.plans.CachedPlans.cached(
+      positions.join(broadcast(qPhrase), Seq("tok"))
+        .select(col("q_id"), col("doc_id"), col("pos"), col("off")))
     def step(i: Int): DataFrame = hits.filter(col("off") === i)
       .select(col("q_id"), col("doc_id"), col("pos").as(s"p$i"))
     val chained = (1 until phraseLen).foldLeft(

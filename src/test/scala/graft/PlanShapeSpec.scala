@@ -306,6 +306,54 @@ class PlanShapeSpec extends SparkSpec {
     forbidSinglePartition(df, "retrieval_e2e_indexed")
   }
 
+  test("indexed media and phrase probes: corpus served from index components only") {
+    val sf = "/root/testdata/sf0.001"
+    def srcScans(d: DataFrame, table: String) = plan(d).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains(s"$sf/$table")) => f
+    }
+    def idxScans(d: DataFrame, component: String) = plan(d).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains(component)) => f
+    }
+    // the media probe's decode-once property at the DECLARED surface:
+    // documents feeds only the probe-batch payload synthesis — AT MOST
+    // one scan (zero when the probe fill is served from the CachedPlans
+    // registry as an InMemoryRelation); the corpus side comes from the
+    // persisted codes + band keys. More documents scans would mean
+    // corpus payloads are being re-synthesized and re-DECODED per
+    // probe, the cost the index exists to amortize
+    val mm = graft.queries.DedupQueries.incrementalAhashIndexed(spark, sf)
+    assert(srcScans(mm, "documents").length <= 1,
+      "media indexed probe must scan documents at most once (probe batch)")
+    assert(idxScans(mm, "mcodes").nonEmpty && idxScans(mm, "mbands").nonEmpty,
+      "media indexed probe shows no index-component scan — vacuous guard")
+    forbidLoops(mm, "mm_ahash_incremental_indexed")
+    // same shape for the positional probes: documents feeds the query
+    // slice only, positions come from the fmt-3 component
+    val ph = graft.queries.RetrievalQueries.phraseTopKIndexed(spark, sf)
+    assert(srcScans(ph, "documents").length === 1,
+      "phrase indexed probe must scan documents exactly once (query slice)")
+    assert(idxScans(ph, "positions").nonEmpty,
+      "phrase indexed probe shows no positions scan — vacuous guard")
+    forbidLoops(ph, "text_phrase_indexed")
+    // proximity references its candidate-hit set once per phrase
+    // offset; the set is CachedPlans-shared so the positional scan runs
+    // once (it shows as the InMemoryTableScan fill, not a per-offset
+    // re-scan — 3 documents scans at round 14 before the cache)
+    val px = graft.queries.RetrievalQueries.proximityTopKIndexed(spark, sf)
+    assert(srcScans(px, "documents").length <= 1,
+      "proximity indexed probe must scan documents at most once")
+    val pxMem = plan(px).collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(pxMem.nonEmpty,
+      "proximity probe shows no shared candidate fill — vacuous guard")
+    forbidLoops(px, "text_proximity_indexed")
+  }
+
   test("row diff joins by key — no nested-loop degradation") {
     val a = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
     val b = (1L to 1000L).map(i => (i, if (i % 97 == 0) "X" else s"v$i"))
