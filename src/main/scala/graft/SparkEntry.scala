@@ -235,6 +235,8 @@ object SparkEntry {
     "text_proximity_topk" -> (RetrievalQueries.proximityTopK _),
     "text_proximity_indexed" ->
       (RetrievalQueries.proximityTopKIndexed _),
+    "retrieval_hybrid_rrf_phrase" ->
+      (RetrievalQueries.hybridRrfPhrase _),
     "retrieval_hybrid_recall" -> (RetrievalQueries.hybridRecall _),
     "retrieval_e2e" -> (RetrievalQueries.retrievalE2e _),
     "retrieval_e2e_indexed" -> (RetrievalQueries.retrievalE2eIndexed _),
@@ -473,6 +475,10 @@ object SparkEntry {
       RetrievalQueries.phraseIndexedRetiredSql,
     "text_proximity_topk" -> RetrievalQueries.proximityTopKSql,
     "text_proximity_indexed" -> RetrievalQueries.proximityTopKSql,
+    // exact-match boost: BM25 + phrase legs fused by RRF, BOTH legs
+    // served by the ONE maintained lexical index (postings + positions)
+    "retrieval_hybrid_rrf_phrase" ->
+      RetrievalQueries.hybridRrfPhraseSql,
     // the hybrid quality gate: integer overlap/displacement of the
     // IVF-legged fusion vs the brute-legged fusion per nprobe —
     // oracle-exact measurement of an approximation, like dedup_lsh_recall

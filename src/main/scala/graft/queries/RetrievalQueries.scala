@@ -338,20 +338,23 @@ object RetrievalQueries {
   }
 
   /** The shared positional CTE prefix (toks → pos → qp) — phrase and
-    * proximity both start here.
+    * proximity both start here. `p` prefixes every CTE name so the
+    * chain can coexist with the bm25 chain (colliding names) inside one
+    * WITH — the phrase-boosted hybrid oracle needs both.
     */
-  private def phrasePosCtes(docsSrc: String = "documents"): String =
-    s"""toks AS (
+  private def phrasePosCtes(docsSrc: String = "documents",
+      p: String = ""): String =
+    s"""${p}toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
       |  FROM $docsSrc AS __docs),
-      |pos AS (
+      |${p}pos AS (
       |  SELECT doc_id, t[CAST(i AS INTEGER)] AS tok,
       |    CAST(i - 1 AS INTEGER) AS pos
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-      |        FROM toks)),
-      |qp AS (
-      |  SELECT doc_id AS q_id, tok, pos AS off FROM pos
+      |        FROM ${p}toks)),
+      |${p}qp AS (
+      |  SELECT doc_id AS q_id, tok, pos AS off FROM ${p}pos
       |  WHERE doc_id % $QueryMod = 0 AND pos < $PhraseLen)""".stripMargin
 
   def phraseTopKSql: String =
@@ -382,23 +385,25 @@ object RetrievalQueries {
     * starts (pos − offset), occurrences = starts where every DISTINCT
     * offset matched, frequency ranking with doc_id ties.
     */
-  private def phraseCtes(docsSrc: String = "documents"): String =
-    s"""${phrasePosCtes(docsSrc)},
-      |hits AS (
-      |  SELECT qp.q_id, pos.doc_id, pos.pos - qp.off AS start, qp.off
-      |  FROM pos JOIN qp USING (tok)),
-      |occ AS (
-      |  SELECT q_id, doc_id, start FROM hits
+  private def phraseCtes(docsSrc: String = "documents",
+      p: String = ""): String =
+    s"""${phrasePosCtes(docsSrc, p)},
+      |${p}hits AS (
+      |  SELECT ${p}qp.q_id, ${p}pos.doc_id,
+      |    ${p}pos.pos - ${p}qp.off AS start, ${p}qp.off
+      |  FROM ${p}pos JOIN ${p}qp USING (tok)),
+      |${p}occ AS (
+      |  SELECT q_id, doc_id, start FROM ${p}hits
       |  GROUP BY q_id, doc_id, start
       |  HAVING count(DISTINCT off) = $PhraseLen),
-      |freq AS (
+      |${p}freq AS (
       |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS phrase_freq
-      |  FROM occ GROUP BY q_id, doc_id),
-      |ranked AS (
+      |  FROM ${p}occ GROUP BY q_id, doc_id),
+      |${p}ranked AS (
       |  SELECT q_id, doc_id, phrase_freq,
       |    CAST(row_number() OVER (PARTITION BY q_id
       |      ORDER BY phrase_freq DESC, doc_id) AS INT) AS rank
-      |  FROM freq)""".stripMargin
+      |  FROM ${p}freq)""".stripMargin
 
   val HybridK = 10
   val LegK = 20
@@ -1103,6 +1108,74 @@ object RetrievalQueries {
 
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Phrase-boosted hybrid: BM25 top-`LegK` fused with the exact-phrase
+    * occurrence ranking by RRF — the classic "exact-match boost" over
+    * bag-of-terms relevance, and the composition that shows ONE
+    * maintained lexical index serving two different probe semantics:
+    * the BM25 leg reads the tok-bucketed postings, the phrase leg the
+    * fmt-3 positional component, both from [[QueryIndexes.lexical]].
+    * Each leg drops the query's own document and re-ranks; only integer
+    * ranks cross the fusion boundary, so the fused ranking is
+    * oracle-exact. Queries whose phrase matches nothing simply fuse
+    * from the BM25 leg alone.
+    */
+  def hybridRrfPhrase(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    val idx = QueryIndexes.lexical(spark, sfDir)
+    val queries = docs.filter(col("doc_id") % QueryMod === 0)
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    val lex = graft.operators.Retrieval.bm25TopKIndexed(
+        idx, queries, "doc_id", "text", k = LegK, qTerms = Bm25QTerms)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(lexW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val phW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("phrase_freq").desc, col("doc_id"))
+    val ph = graft.operators.Retrieval.phraseTopKIndexed(
+        idx, queries, "doc_id", "text", k = LegK,
+        phraseLen = PhraseLen)
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(phW))
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, ph), k = HybridK,
+        rrfK = RrfK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def hybridRrfPhraseSql: String =
+    s"""WITH ${bm25Ctes()},
+      |${phraseCtes(p = "ph")},
+      |lex AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank
+      |  FROM (SELECT * FROM ranked
+      |        WHERE rank <= $LegK AND doc_id <> q_id)),
+      |phleg AS (
+      |  SELECT q_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY phrase_freq DESC, doc_id) AS INT) AS rank
+      |  FROM (SELECT * FROM phranked
+      |        WHERE rank <= $LegK AND doc_id <> q_id)),
+      |contrib AS (
+      |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM lex
+      |  UNION ALL
+      |  SELECT q_id, doc_id, 10000 // ($RrfK + rank) AS contrib FROM phleg),
+      |fused AS (
+      |  SELECT q_id, doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+      |    CAST(sum(contrib) AS BIGINT) AS rrf_score
+      |  FROM contrib GROUP BY q_id, doc_id),
+      |franked AS (
+      |  SELECT q_id, doc_id, n_lists, rrf_score,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      |  FROM fused)
+      |SELECT q_id, rank, doc_id, n_lists, rrf_score
+      |FROM franked WHERE rank <= $HybridK
+      |ORDER BY q_id, rank""".stripMargin
 
   def hybridRrfSql: String =
     s"""WITH ${bm25Ctes()},
