@@ -1180,6 +1180,40 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming exact-phrase search — [[startBm25Search]]'s positional
+    * twin: each micro-batch of query docs probes the lexical index's
+    * fmt-3 positional component ([[graft.operators.Retrieval
+    * .phraseTopKIndexed]]) for its leading-phrase occurrences. Corpus
+    * text is never re-tokenized; the index reloads per trigger so CDC
+    * maintenance of the positions (absorb/retire/refresh through the
+    * shared staged commits) lands at the next probe. Per-query
+    * independence makes micro-batch boundaries invisible — stream
+    * results are bit-identical to the batch form over the same queries.
+    * batch_id dynamic-overwrite replay safety as everywhere.
+    */
+  def startPhraseSearch(queries: DataFrame, qIdCol: String,
+      qTextCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, k: Int = 10, phraseLen: Int = 3)
+      : StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.operators.DedupIndex
+            .loadLexical(batch.sparkSession, indexDir)
+          graft.operators.Retrieval
+            .phraseTopKIndexed(idx, batch, qIdCol, qTextCol, k,
+              phraseLen)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   /** Streaming hybrid retrieval — [[startBm25Search]]'s fusion twin and
     * the stream form of the batch `retrieval_hybrid_rrf_ivf_indexed`
     * query: each micro-batch of (id, text, embedding) queries probes

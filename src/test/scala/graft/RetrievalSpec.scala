@@ -420,6 +420,72 @@ class RetrievalSpec extends SparkSpec {
     assert(rebuilt != expected, "rebuilt index must serve refreshed rankings")
   }
 
+  test("streaming phrase search serves the positions per micro-batch, sees CDC refreshes, replays clean") {
+    import java.nio.file.Files
+    graft.plans.CachedPlans.clear()
+    val idxDir = Files.createTempDirectory("ph-stream-idx").toString
+    val qDir = Files.createTempDirectory("ph-stream-q").toString
+    val outDir = Files.createTempDirectory("ph-stream-out").toString
+    val pdocs = Seq(
+      0L -> "the quick brown fox jumps",
+      1L -> "the quick xx brown fox",
+      4L -> "the quick brown the quick brown")
+    graft.operators.DedupIndex.writeLexical(
+      pdocs.toDF("doc_id", "text"), "doc_id", "text", idxDir,
+      termNgram = 2)
+    Seq(100L -> "the quick brown anything after")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$qDir/b1")
+    val schema = spark.read.parquet(s"$qDir/b1").schema
+    def queryStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$qDir/b*/")
+    def start(ck: String) = graft.streaming.CdcStream.startPhraseSearch(
+      queryStream, "doc_id", "text", idxDir, outDir,
+      Files.createTempDirectory(ck).toString)
+    val cols = Seq("q_id", "rank", "doc_id", "phrase_freq")
+    def got(qIds: Set[Long]) = spark.read.parquet(outDir)
+      .filter($"q_id".isin(qIds.toSeq: _*))
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    def expected(queries: Seq[(Long, String)]) = graft.operators.Retrieval
+      .phraseTopKIndexed(
+        graft.operators.DedupIndex.loadLexical(spark, idxDir),
+        queries.toDF("doc_id", "text"), "doc_id", "text")
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val q = start("ph-stream-ck1")
+    try {
+      q.processAllAvailable()
+      val exp1 = expected(Seq(100L -> "the quick brown anything after"))
+      assert(exp1.nonEmpty && exp1.exists(_._3 == 4L),
+        s"fixture must rank the double-occurrence doc: $exp1")
+      assert(got(Set(100L)) === exp1)
+
+      // CDC refresh through the MAINTAINED positions: doc 4 loses its
+      // phrases — the NEXT trigger must stop ranking it
+      graft.operators.DedupIndex.appendLexical(
+        Seq(4L -> "totally different words now without it")
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idxDir)
+      Seq(200L -> "the quick brown probe two")
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$qDir/b2")
+      q.processAllAvailable()
+      val after = got(Set(200L))
+      assert(after === expected(Seq(200L -> "the quick brown probe two")))
+      assert(!after.exists(_._3 == 4L),
+        s"refreshed-away phrase still ranks: $after")
+      assert(after.exists(_._3 == 0L), "surviving phrase doc must rank")
+
+      // lost checkpoint: replayed batches rewrite their own partitions
+      // against the CURRENT index — no stacking, no resurrection
+      val q2 = start("ph-stream-ck2")
+      try q2.processAllAvailable() finally q2.stop()
+      assert(got(Set(100L)) ===
+        expected(Seq(100L -> "the quick brown anything after")),
+        "replayed batch must re-probe the live positions, unduplicated")
+      assert(!got(Set(100L, 200L)).exists(_._3 == 4L))
+    } finally q.stop()
+  }
+
   test("streaming hybrid search fuses both persisted indexes per micro-batch, batch-equal") {
     import java.nio.file.Files
     val dim = 8
