@@ -977,13 +977,17 @@ object Dedup {
   /** Index-backed form of [[incrementalAhashNearDupsReport]]: the
     * existing side's codes and banded keys come from the PERSISTED
     * media index ([[DedupIndex.MediaIndex]]) — corpus payloads are
-    * never re-fetched or re-decoded. The corpus-side bucket-size
-    * aggregate and the candidate join run on the index's `bkey` bucket
-    * column (Exchange-free bucketed scans, like the SimHash probe);
-    * the Hamming verify joins the stored codes by their `id` bucket.
-    * Band geometry comes from the index params so a probe can never
-    * mix banding with stored keys. Pairs are bit-identical to the
-    * recompute form.
+    * never re-fetched or re-decoded, and the bucket-cap statistic is
+    * served from the index's DELTA-MAINTAINED live sizes
+    * ([[DedupIndex.MediaIndex.bucketSizes]]) instead of an
+    * O(stored-bands) per-probe recount — the candidate join runs on
+    * the index's `bkey` bucket column (Exchange-free bucketed scans,
+    * like the SimHash probe); the Hamming verify joins the stored
+    * codes by their `id` bucket. Band geometry comes from the index
+    * params so a probe can never mix banding with stored keys. Pairs
+    * are bit-identical to the recompute form — the lifecycle oracle
+    * gates double as the delta-bookkeeping gates, since a drifted size
+    * flips a bucket across the cap and changes the pair set.
     */
   def incrementalAhashNearDupsReportIndexed(newMedia: DataFrame,
       idCol: String, payloadCol: String, idx: DedupIndex.MediaIndex,
@@ -995,12 +999,14 @@ object Dedup {
       Multimodal.averageHashCodes(newMedia, idCol, payloadCol))
     val bkNew = ahashBands(cNew, "id", bands)
     val bkOld = idx.bandKeys
-    // grouping on (bkey, band, band_key): the bucket column leads, so
-    // HashPartitioning(bkey) satisfies the clustering — no Exchange
-    val sizes = bkOld.groupBy(col("bkey"), col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_size"))
-    val oversizedK = sizes.filter(col("bucket_size") > maxBucket)
-    val oversized = oversizedK.select("band", "band_key", "bucket_size")
+    val oversizedK = idx.bucketSizes.filter(col("n") > maxBucket)
+    // the report keeps the recompute form's (band, band_key) shape —
+    // both recover from the composite key (band is the integer before
+    // the first '|', the key the remainder)
+    val oversized = oversizedK.select(
+      split(col("bkey"), "\\|", 2).getItem(0).cast("int").as("band"),
+      split(col("bkey"), "\\|", 2).getItem(1).cast("long").as("band_key"),
+      col("n").as("bucket_size"))
     val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
       "left_anti")
     val pairs = okOld

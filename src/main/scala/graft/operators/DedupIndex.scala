@@ -1158,6 +1158,18 @@ object DedupIndex {
     * exactly like the text index's `bands`/`simbands`. Both are LIVE
     * views — dead `(id, gen)` rows already anti-joined out.
     *
+    * `bucketSizes` is the fmt-2 addition: LIVE per-bucket row counts
+    * `(bkey, n)` served from SIGNED DELTAS maintained in the same
+    * staged commits as the band rows (absorb +count per fresh bucket
+    * row, refresh/retire −count per displaced/dead one, read
+    * batch-sized from the id-bucketed forward band table; compaction
+    * collapses the deltas) — `termdf`'s pattern applied to the
+    * bucket-cap statistic, so the oversized-bucket guard every probe
+    * runs costs a DELTA-scale sum instead of an O(stored-bands)
+    * aggregate. That was the one corpus-tracked term left in the probe
+    * path (measured 1.6 → 3.3 s across a ×100 corpus in
+    * BENCH_MEDIA_r14).
+    *
     * The point, as for the text/vector indexes: a probe run reads codes
     * and band keys only — corpus media payloads are never re-fetched or
     * re-DECODED. At 100 TB the decode (image parsing) dominates the
@@ -1165,7 +1177,19 @@ object DedupIndex {
     * the modality where the maintained index pays off hardest.
     */
   final case class MediaIndex(dir: String, params: MediaParams,
-      codes: DataFrame, bandKeys: DataFrame, tombstones: DataFrame)
+      codes: DataFrame, bandKeys: DataFrame, tombstones: DataFrame,
+      bucketSizes: DataFrame)
+
+  /** The stored media index unfiltered — maintenance internals' view:
+    * `bandsFwd` is the id-bucketed FORWARD copy of the band table whose
+    * sole job is making size-delta reversal batch-sized (a retire or
+    * refresh must reverse its victims' bucket contributions BY ID,
+    * which the bkey-bucketed `mbands` cannot serve without a corpus
+    * shuffle — the same reason the lexical index carries `docterms`).
+    */
+  private final case class MediaRaw(dir: String, params: MediaParams,
+      codes: DataFrame, bandKeys: DataFrame, bandsFwd: DataFrame,
+      sizeDeltas: DataFrame, tombstones: DataFrame)
 
   /** Build and persist the media-dedup index of `media` under `dir`:
     * payloads decode map-side once ([[Multimodal.averageHashCodes]] —
@@ -1180,17 +1204,22 @@ object DedupIndex {
       s"bands must be even and divide 64, got $bands")
     val spark = media.sparkSession
     val n = bucketsOrDefault(spark, numBuckets)
-    dropComponents(spark, dir, Seq("mcodes", "mbands", "tombstones"))
-    // one decode pass feeds both components
+    dropComponents(spark, dir,
+      Seq("mcodes", "mbands", "mbandsfwd", "msizes", "tombstones"))
+    // one decode pass feeds every component
     val codes = graft.plans.CachedPlans.cached(
       Multimodal.averageHashCodes(media, idCol, payloadCol))
+    val bandRows = graft.plans.CachedPlans.cached(
+      mediaBandRows(codes, bands).withColumn("gen", lit(0L)))
     writeComponent(codes.withColumn("gen", lit(0L)),
       dir, "mcodes", Seq("id"), n)
+    writeComponent(bandRows, dir, "mbands", Seq("bkey"), n)
+    writeComponent(bandRows, dir, "mbandsfwd", Seq("id"), n)
     writeComponent(
-      mediaBandRows(codes, bands).withColumn("gen", lit(0L)),
-      dir, "mbands", Seq("bkey"), n)
+      bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+      dir, "msizes", Seq("bkey"), n)
     writeParams(spark, dir, Seq(
-      "kind" -> "media", "fmt" -> "1", "bands" -> bands.toString,
+      "kind" -> "media", "fmt" -> "2", "bands" -> bands.toString,
       "numBuckets" -> n.toString))
   }
 
@@ -1237,7 +1266,7 @@ object DedupIndex {
       .select(col("id"), col("ahash_hi"), col("ahash_lo"),
         col("content_hash").as("__content"))
       .persist()
-    val (fresh0, displaced, release) = resolveGenerations(batch0,
+    val (fresh0, displaced0, release) = resolveGenerations(batch0,
       raw.codes.select(col("id"), col("content_hash").as("__content"),
         col("gen")),
       raw.tombstones)
@@ -1246,23 +1275,45 @@ object DedupIndex {
         col("ahash_lo"), col("__content").as("content_hash"),
         col(GenCol).as("gen"))
       if (fresh.isEmpty) return // full replay: commit nothing
-      val batch = newBatchId()
-      stageComponent(fresh, dir, batch, "mcodes", Seq("id"),
-        p.numBuckets)
-      stageComponent(
-        mediaBandRows(fresh, p.bands)
-          .join(fresh.select(col("id"), col("gen")), Seq("id")),
-        dir, batch, "mbands", Seq("bkey"), p.numBuckets)
-      if (!displaced.isEmpty)
-        stagePlain(displaced, dir, batch, "tombstones")
-      commitStaged(spark, dir, batch)
+      val displaced = displaced0.persist()
+      val bandRows = mediaBandRows(fresh, p.bands)
+        .join(fresh.select(col("id"), col("gen")), Seq("id"))
+        .persist()
+      try {
+        // signed bucket-size deltas commit in the SAME staged batch as
+        // the rows they count: +1 per fresh band row, −1 per band row
+        // of a displaced (refreshed-away) generation — read batch-sized
+        // from the id-bucketed forward band table
+        val negSizes = raw.bandsFwd
+          .join(broadcast(displaced), Seq("id", "gen"), "left_semi")
+          .groupBy(col("bkey")).agg((lit(0L) - count(lit(1))).as("n"))
+        val sizeDelta = bandRows.groupBy(col("bkey"))
+          .agg(count(lit(1)).as("n"))
+          .unionByName(negSizes)
+        val batch = newBatchId()
+        stageComponent(fresh, dir, batch, "mcodes", Seq("id"),
+          p.numBuckets)
+        stageComponent(bandRows, dir, batch, "mbands", Seq("bkey"),
+          p.numBuckets)
+        stageComponent(bandRows, dir, batch, "mbandsfwd", Seq("id"),
+          p.numBuckets)
+        stageComponent(sizeDelta, dir, batch, "msizes", Seq("bkey"),
+          p.numBuckets)
+        if (!displaced.isEmpty)
+          stagePlain(displaced, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch)
+      } finally { bandRows.unpersist(); displaced.unpersist(); () }
     } finally { release(); batch0.unpersist(); () }
   }
 
-  /** [[retireText]]'s media twin: a CDC DELETE batch tombstones each
-    * retired id's live generation; codes and band keys vanish from the
-    * live views at the next load. Idempotent — replayed deletes find no
-    * live generation and commit nothing.
+  /** [[retireText]]'s media twin with [[retireLexical]]'s statistics
+    * duty: a CDC DELETE batch tombstones each retired id's live
+    * generation AND reverses its bucket-size contributions (signed
+    * −deltas read batch-sized from the id-bucketed forward band table)
+    * in one staged commit — codes and band keys vanish from the live
+    * views at the next load, and the bucket-cap statistic stays live
+    * without any corpus aggregate. Idempotent — replayed deletes find
+    * no live generation and commit nothing.
     */
   def retireMedia(deleteIds: DataFrame, idCol: String, dir: String)
       : Unit = {
@@ -1273,8 +1324,23 @@ object DedupIndex {
     try {
       recover(spark, dir, Some(lease))
       val raw = loadMediaRaw(spark, dir)
-      retireHolding(spark, dir, deleteIds, idCol,
-        raw.codes.select(col("id"), col("gen")), raw.tombstones)
+      // call-LOCAL persist (see retireLexical for why never the registry)
+      val victims = raw.codes.select(col("id"), col("gen"))
+        .join(deleteIds.select(col(idCol).cast("long").as("id"))
+          .distinct(), Seq("id"), "left_semi")
+        .join(broadcast(raw.tombstones), Seq("id", "gen"), "left_anti")
+        .persist()
+      try {
+        if (victims.isEmpty) return
+        val negSizes = raw.bandsFwd
+          .join(broadcast(victims), Seq("id", "gen"), "left_semi")
+          .groupBy(col("bkey")).agg((lit(0L) - count(lit(1))).as("n"))
+        val batch = newBatchId()
+        stageComponent(negSizes, dir, batch, "msizes", Seq("bkey"),
+          raw.params.numBuckets)
+        stagePlain(victims, dir, batch, "tombstones")
+        commitStaged(spark, dir, batch)
+      } finally { victims.unpersist(); () }
     } finally releaseLease(fs, dir, lease)
   }
 
@@ -1301,6 +1367,13 @@ object DedupIndex {
           Seq("id"), n)
         stageComponent(live(raw.bandKeys), dir, batch, "mbands",
           Seq("bkey"), n)
+        stageComponent(live(raw.bandsFwd), dir, batch, "mbandsfwd",
+          Seq("id"), n)
+        // collapse the signed deltas back to live counts
+        stageComponent(
+          live(raw.bandKeys).groupBy(col("bkey"))
+            .agg(count(lit(1)).as("n")),
+          dir, batch, "msizes", Seq("bkey"), n)
         stageEmpty(spark, dir, batch, "tombstones")
         commitStaged(spark, dir, batch, replace = true)
       }
@@ -1321,33 +1394,49 @@ object DedupIndex {
     */
   def loadMedia(spark: SparkSession, dir: String): MediaIndex = {
     val raw = loadMediaRaw(spark, dir)
-    def pub(raw0: MediaIndex): MediaIndex = raw0.copy(
-      codes = raw0.codes.drop("gen"),
-      bandKeys = raw0.bandKeys.drop("gen"))
-    if (isEmptyTombstones(raw.tombstones)) pub(raw)
-    else {
-      val tomb = broadcast(raw.tombstones)
-      def live(df: DataFrame): DataFrame =
-        df.join(tomb, Seq("id", "gen"), "left_anti")
-      pub(raw.copy(
-        codes = live(raw.codes),
-        bandKeys = live(raw.bandKeys)))
-    }
+    // the signed deltas sum to the LIVE per-bucket counts by
+    // construction (absorb/refresh/retire all commit their ± rows in
+    // the same staged batch as the rows they count) — a delta-scale,
+    // Exchange-free aggregate on the bkey-bucketed scan, never an
+    // O(stored-bands) recount
+    val sizes = raw.sizeDeltas.groupBy(col("bkey"))
+      .agg(sum(col("n")).as("n")).filter(col("n") > 0)
+    val (codes, bandKeys) =
+      if (isEmptyTombstones(raw.tombstones))
+        (raw.codes, raw.bandKeys)
+      else {
+        val tomb = broadcast(raw.tombstones)
+        (raw.codes.join(tomb, Seq("id", "gen"), "left_anti"),
+          raw.bandKeys.join(tomb, Seq("id", "gen"), "left_anti"))
+      }
+    MediaIndex(dir, raw.params,
+      codes = codes.drop("gen"),
+      bandKeys = bandKeys.drop("gen"),
+      tombstones = raw.tombstones,
+      bucketSizes = sizes)
   }
 
   /** [[loadTextRaw]]'s media twin: stored rows unfiltered. */
   private def loadMediaRaw(spark: SparkSession, dir: String)
-      : MediaIndex = {
+      : MediaRaw = {
     recover(spark, dir)
     val p = readParams(spark, dir, "media")
-    if (!p.get("fmt").contains("1"))
+    // fmt 2 adds the id-bucketed forward band table and the signed
+    // bucket-size deltas; a fmt-1 index lacks what the maintenance
+    // verbs and the delta-served cap need, so it reads as corrupt and
+    // callers rebuild (the standing format policy)
+    if (!p.get("fmt").contains("2"))
       corrupt(dir, s"media index format ${p.getOrElse("fmt", "?")}, " +
-        "expected 1 (rebuild the index)")
+        "expected 2 (rebuild the index)")
     val params = MediaParams(p("bands").toInt, p("numBuckets").toInt)
-    MediaIndex(dir, params,
+    MediaRaw(dir, params,
       codes = component(spark, dir, "mcodes", Seq("id"),
         params.numBuckets),
       bandKeys = component(spark, dir, "mbands", Seq("bkey"),
+        params.numBuckets),
+      bandsFwd = component(spark, dir, "mbandsfwd", Seq("id"),
+        params.numBuckets),
+      sizeDeltas = component(spark, dir, "msizes", Seq("bkey"),
         params.numBuckets),
       tombstones = readTombstones(spark, dir))
   }

@@ -258,6 +258,53 @@ class MediaIndexSpec extends SparkSpec {
     assert(sortedRows(probe) === sortedRows(re))
   }
 
+  test("delta-maintained bucket sizes equal live band counts through every verb") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-midx-sizes").toString
+    val even = mkMedia((0L until 60L).filter(_ % 2 == 0))
+    DedupIndex.writeMedia(mediaDf(even), "doc_id", "payload", indexDir)
+
+    def check(when: String): Unit = {
+      val idx = DedupIndex.loadMedia(spark, indexDir)
+      val fromDeltas = sortedRows(idx.bucketSizes)
+      val fromRows = sortedRows(idx.bandKeys.groupBy(col("bkey"))
+        .agg(count(lit(1)).as("n")))
+      assert(fromDeltas === fromRows,
+        s"$when: delta-served sizes diverged from live band counts")
+      assert(fromDeltas.nonEmpty, s"$when: vacuous (no buckets)")
+    }
+    check("fresh build")
+    DedupIndex.appendMedia(mediaDf(mkMedia(Seq(200L, 201L, 202L))),
+      "doc_id", "payload", indexDir)
+    check("after absorb")
+    // refresh: id 0 changes bytes — its old generation's contributions
+    // must reverse while the new ones land
+    DedupIndex.appendMedia(mediaDf(Seq((0L, bmpOf("group0", "nearQ")))),
+      "doc_id", "payload", indexDir)
+    check("after refresh")
+    DedupIndex.retireMedia((0L until 20L by 2).toDF("doc_id"),
+      "doc_id", indexDir)
+    check("after retire")
+    // replayed retire commits nothing — sizes must not double-reverse
+    DedupIndex.retireMedia((0L until 20L by 2).toDF("doc_id"),
+      "doc_id", indexDir)
+    check("after replayed retire")
+    DedupIndex.appendMedia(mediaDf(even.filter(_._1 == 2L)),
+      "doc_id", "payload", indexDir)
+    check("after resurrect")
+    DedupIndex.compactMedia(spark, indexDir)
+    check("after compact")
+    // and the probe actually serves the cap from the deltas: its input
+    // includes the msizes component, and NO (bkey, band, band_key)
+    // aggregate over the full band table remains in its plan
+    val probe = Dedup.incrementalAhashNearDupsReportIndexed(
+      mediaDf(mkMedia(Seq(301L, 303L))), "doc_id", "payload",
+      DedupIndex.loadMedia(spark, indexDir)).pairs
+    assert(probe.inputFiles.exists(_.contains("msizes")),
+      "probe does not read the delta-maintained sizes — vacuous switch")
+  }
+
   test("undecodable payloads are inert ledger rows: no candidates, replay-idempotent") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
