@@ -615,6 +615,38 @@ object Dedup {
       oversized)
   }
 
+  /** Ceiling on the touched-bucket-key set a banded indexed probe will
+    * collect to the driver for scan pruning: batches under it (every
+    * daily/micro-batch probe — keys ≤ batch rows × bands) get their
+    * existing-side band scan pruned to the touched keys; a
+    * backfill-scale batch above it falls back to the full bucketed-scan
+    * equi-join, which is the cheaper plan at that size anyway.
+    */
+  private val MaxTouchedBkeys = 100000
+
+  /** The existing-side band component restricted to the bucket keys a
+    * probe batch actually touches: collect the batch's distinct `bkey`s
+    * (a driver materialization BOUNDED by batch rows × bands — the same
+    * micro-batch-sized touched-set contract as the streaming sinks'
+    * bucket routing) and In-filter the stored scan on its bucket
+    * column, which engages BOTH bucket-file pruning (only touched
+    * bucket files are listed) and parquet row-group pushdown. This
+    * removes the last corpus-scale input from the banded probes'
+    * candidate stage: at 1e9 stored docs the candidate join's stored
+    * side now reads rows proportional to the BATCH's key collisions,
+    * not the corpus (the cap statistic is already delta-served). Rows
+    * dropped by the filter could never join — the candidate join is an
+    * equi-join on `bkey` — so pair sets are unchanged by construction.
+    */
+  private def pruneToBatchKeys(stored: DataFrame, batchKeys: DataFrame)
+      : DataFrame = {
+    val touched = batchKeys.select(col("bkey")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) stored.filter(lit(false))
+    else if (touched.size > MaxTouchedBkeys) stored
+    else stored.filter(col("bkey").isin(touched: _*))
+  }
+
   /** Index-backed form of [[incrementalExact]]: the corpus side is the
     * PERSISTED distinct content-hash table ([[DedupIndex.writeText]]) —
     * the probe reads only the index, never corpus text, so a new batch
@@ -652,6 +684,13 @@ object Dedup {
     * Probe parameters (shingleN, numHashes, bands, hash flavor) come from
     * the index's params file — a probe can't accidentally mix hash
     * geometries with the stored tables.
+    *
+    * Scale shape (fmt 5): the bucket-cap guard reads the index's
+    * delta-maintained live sizes (never an O(stored-bands) recount),
+    * and the candidate stage's stored-side scan is PRUNED to the
+    * batch's touched bucket keys ([[pruneToBatchKeys]]) — so the
+    * candidate work tracks the batch's band collisions, not the stored
+    * corpus.
     */
   def incrementalMinHashNearDupsReportIndexed(newDocs: DataFrame,
       idCol: String, textCol: String, idx: DedupIndex.TextIndex,
@@ -663,21 +702,26 @@ object Dedup {
       minHashSignatures(shNew, idCol, p.numHashes, p.portable),
       idCol, p.bands, p.numHashes / p.bands, p.portable)
     val bkOld = idx.bandKeys
-    // grouping on (bkey, band, band_key): the bucket column leads, so
-    // HashPartitioning(bkey) satisfies the clustering — no Exchange —
-    // while band/band_key ride along for the report schema
-    val sizes = bkOld.groupBy(col("bkey"), col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_size"))
-    val oversizedK = sizes.filter(col("bucket_size") > maxBucket)
-    val oversized = oversizedK.select("band", "band_key", "bucket_size")
-    val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
-      "left_anti")
+    // the bucket-cap statistic comes from the index's DELTA-MAINTAINED
+    // live sizes ([[DedupIndex.TextIndex.bucketSizes]]) instead of an
+    // O(stored-bands) per-probe recount — the report keeps the
+    // recompute form's (band, band_key) shape, both recovered from the
+    // composite key (band is the integer before the first '|', the
+    // md5-hex key the remainder)
+    val oversizedK = idx.bucketSizes.filter(col("n") > maxBucket)
+    val oversized = oversizedK.select(
+      split(col("bkey"), "\\|", 2).getItem(0).cast("int").as("band"),
+      split(col("bkey"), "\\|", 2).getItem(1).as("band_key"),
+      col("n").as("bucket_size"))
+    // the batch's banded keys feed the touched-key prune AND the join
+    val bkNewK = CachedPlans.cached(bkNew.select(
+      DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
+      col(idCol).as("b_id")))
+    val okOld = pruneToBatchKeys(bkOld, bkNewK)
+      .join(oversizedK.select("bkey"), Seq("bkey"), "left_anti")
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
-      .join(bkNew.select(
-        DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
-        col(idCol).as("b_id")),
-        Seq("bkey"))
+      .join(bkNewK, Seq("bkey"))
       // disjoint-id contract backstop, as in the recompute form
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -869,20 +913,23 @@ object Dedup {
         substring(col("simhash"), b * rows + 1, rows).as("band_key")))
       .reduce(_ unionByName _)
     val bkOld = idx.simBandKeys
-    // grouping on (bkey, band, band_key): the bucket column leads, so
-    // HashPartitioning(bkey) satisfies the clustering — no Exchange
-    val sizes = bkOld.groupBy(col("bkey"), col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bucket_size"))
-    val oversizedK = sizes.filter(col("bucket_size") > maxBucket)
-    val oversized = oversizedK.select("band", "band_key", "bucket_size")
-    val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
-      "left_anti")
+    // cap served from the delta-maintained live sizes, exactly as in
+    // the MinHash probe — the (band, band_key) report shape recovers
+    // from the composite key (the signature-substring key holds no '|')
+    val oversizedK = idx.simBucketSizes.filter(col("n") > maxBucket)
+    val oversized = oversizedK.select(
+      split(col("bkey"), "\\|", 2).getItem(0).cast("int").as("band"),
+      split(col("bkey"), "\\|", 2).getItem(1).as("band_key"),
+      col("n").as("bucket_size"))
+    // the batch's banded keys feed the touched-key prune AND the join
+    val bkNewK = CachedPlans.cached(bkNew.select(
+      DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
+      col(idCol).as("b_id")))
+    val okOld = pruneToBatchKeys(bkOld, bkNewK)
+      .join(oversizedK.select("bkey"), Seq("bkey"), "left_anti")
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
-      .join(bkNew.select(
-        DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
-        col(idCol).as("b_id")),
-        Seq("bkey"))
+      .join(bkNewK, Seq("bkey"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     val ham = (1 to p.simBits).map(i =>
@@ -987,7 +1034,10 @@ object Dedup {
     * params so a probe can never mix banding with stored keys. Pairs
     * are bit-identical to the recompute form — the lifecycle oracle
     * gates double as the delta-bookkeeping gates, since a drifted size
-    * flips a bucket across the cap and changes the pair set.
+    * flips a bucket across the cap and changes the pair set. The
+    * candidate stage's stored-side scan is pruned to the batch's
+    * touched bucket keys ([[pruneToBatchKeys]]), so no corpus-scale
+    * input remains in the candidate path.
     */
   def incrementalAhashNearDupsReportIndexed(newMedia: DataFrame,
       idCol: String, payloadCol: String, idx: DedupIndex.MediaIndex,
@@ -1007,15 +1057,16 @@ object Dedup {
       split(col("bkey"), "\\|", 2).getItem(0).cast("int").as("band"),
       split(col("bkey"), "\\|", 2).getItem(1).cast("long").as("band_key"),
       col("n").as("bucket_size"))
-    val okOld = bkOld.join(oversizedK.select("bkey"), Seq("bkey"),
-      "left_anti")
+    // the batch's banded keys feed the touched-key prune AND the join
+    val bkNewK = CachedPlans.cached(bkNew.select(
+      DedupIndex.bandedKey(col("band"), col("band_key").cast("string"))
+        .as("bkey"),
+      col("id").as("b_id")))
+    val okOld = pruneToBatchKeys(bkOld, bkNewK)
+      .join(oversizedK.select("bkey"), Seq("bkey"), "left_anti")
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
-      .join(bkNew.select(
-        DedupIndex.bandedKey(col("band"), col("band_key").cast("string"))
-          .as("bkey"),
-        col("id").as("b_id")),
-        Seq("bkey"))
+      .join(bkNewK, Seq("bkey"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     NearDupReport(

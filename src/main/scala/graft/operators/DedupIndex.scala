@@ -98,12 +98,28 @@ object DedupIndex {
     * `dochashes` rows so a content hash whose every copy retired stops
     * matching while a hash with any surviving copy keeps matching.
     * Probes need no tombstone or generation awareness.
+    *
+    * `bucketSizes`/`simBucketSizes` are the fmt-5 addition — the media
+    * index's signed-delta bucket-cap pattern rolled onto the text
+    * modalities: LIVE per-band-bucket row counts `(bkey, n)` for the
+    * LSH and SimHash band tables, served from SIGNED DELTAS maintained
+    * in the same staged commits as the band rows themselves (absorb
+    * +count per fresh band row, refresh/retire −count per displaced or
+    * dead generation's rows — re-derived batch-sized from the
+    * id-bucketed `sigs`/`simhashes` ledgers, which determine the band
+    * keys exactly; compaction collapses the deltas). The indexed probes'
+    * oversized-bucket guard therefore costs a DELTA-scale sum on the
+    * bkey-bucketed scan instead of recounting O(stored bands) per probe
+    * — the last corpus-tracked term in any text probe path
+    * (BENCH_MEDIA_r14b measured the media twin of this fix at 3.3 →
+    * 2.26 s across a ×100 corpus).
     */
   final case class TextIndex(dir: String, params: TextParams,
       hashes: DataFrame, bandKeys: DataFrame, shingles: DataFrame,
       counts: DataFrame, sigs: DataFrame, dochashes: DataFrame,
       tombstones: DataFrame,
-      simhashes: DataFrame, simBandKeys: DataFrame)
+      simhashes: DataFrame, simBandKeys: DataFrame,
+      bucketSizes: DataFrame, simBucketSizes: DataFrame)
 
   /** Loaded vector index: `buckets` is a bucketed-table scan carrying
     * both the float vectors and their SQ8 codes; `lists` the IVF
@@ -139,7 +155,7 @@ object DedupIndex {
     val n = bucketsOrDefault(spark, numBuckets)
     dropComponents(spark, dir,
       Seq("hashes", "bands", "shingles", "counts", "sigs", "dochashes",
-        "simhashes", "simbands", "tombstones"))
+        "simhashes", "simbands", "sizes", "simsizes", "tombstones"))
     val sh = graft.plans.CachedPlans.cached(
       Dedup.hashedShingleTable(corpus, idCol, textCol, shingleN, portable))
     // the signature table feeds both the band-key table and the stored
@@ -160,13 +176,16 @@ object DedupIndex {
       corpus.select(col(idCol).cast("long").as("id"),
         md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
       dir, "dochashes", Seq("content_hash"), n)
+    val bandRows = Dedup.lshBandKeys(sig, idCol, bands,
+        numHashes / bands, portable)
+      .select(col(idCol).cast("long").as("id"), col("band"),
+        col("band_key"),
+        bandedKey(col("band"), col("band_key")).as("bkey"),
+        lit(0L).as("gen"))
+    writeComponent(bandRows, dir, "bands", Seq("bkey"), n)
     writeComponent(
-      Dedup.lshBandKeys(sig, idCol, bands, numHashes / bands, portable)
-        .select(col(idCol).cast("long").as("id"), col("band"),
-          col("band_key"),
-          bandedKey(col("band"), col("band_key")).as("bkey"),
-          lit(0L).as("gen")),
-      dir, "bands", Seq("bkey"), n)
+      bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+      dir, "sizes", Seq("bkey"), n)
     writeComponent(
       sig.select(col(idCol).cast("long").as("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
@@ -189,12 +208,14 @@ object DedupIndex {
       sim.select(col(idCol).cast("long").as("id"), col("simhash"),
         lit(0L).as("gen")),
       dir, "simhashes", Seq("id"), n)
+    val simRows = simBandRows(sim, idCol, simBits, simBands)
+      .withColumn("gen", lit(0L))
+    writeComponent(simRows, dir, "simbands", Seq("bkey"), n)
     writeComponent(
-      simBandRows(sim, idCol, simBits, simBands)
-        .withColumn("gen", lit(0L)),
-      dir, "simbands", Seq("bkey"), n)
+      simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+      dir, "simsizes", Seq("bkey"), n)
     writeParams(spark, dir, Seq(
-      "kind" -> "text", "fmt" -> "4", "shingleN" -> shingleN.toString,
+      "kind" -> "text", "fmt" -> "5", "shingleN" -> shingleN.toString,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
       "portable" -> portable.toString, "numBuckets" -> n.toString,
       "simBits" -> simBits.toString, "simBands" -> simBands.toString))
@@ -214,6 +235,55 @@ object DedupIndex {
       .reduce(_ unionByName _)
       .withColumn("bkey", bandedKey(col("band"), col("band_key")))
   }
+
+  /** Composite band-bucket keys re-derived from STORED minhash
+    * signature rows — the text index's substitute for a forward band
+    * table: `sigs` is id-bucketed and band keys are a deterministic
+    * function of the signature ([[Dedup.lshBandKeys]]'s exact slice
+    * hash over the stored array), so reversing a displaced or retired
+    * generation's bucket-size contributions needs only a batch-sized
+    * semi-join against `sigs` — never a scan of the bkey-bucketed band
+    * table (which cannot serve an id lookup without a corpus shuffle).
+    * Input must carry `sig`; one output row per (input row × band).
+    */
+  private def lshBkeysFromSigs(sigs: DataFrame, p: TextParams)
+      : DataFrame = {
+    val rowsPerBand = p.numHashes / p.bands
+    val bandCols = (0 until p.bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r =>
+        col("sig").getItem(b * rowsPerBand + r))
+      val key =
+        if (p.portable) md5(concat_ws("|", slice.map(_.cast("string")): _*))
+        else xxhash64(slice: _*).cast("string")
+      bandedKey(lit(b), key).as(s"_b$b")
+    }
+    sigs.select(explode(array(bandCols: _*)).as("bkey"))
+  }
+
+  /** [[lshBkeysFromSigs]]'s SimHash twin: band-bucket keys re-derived
+    * from stored `simhashes` rows (fixed-width signature substrings —
+    * [[simBandRows]]'s exact slicing). Input must carry `simhash`.
+    */
+  private def simBkeysFromHashes(simhashes: DataFrame, p: TextParams)
+      : DataFrame = {
+    val rows = p.simBits / p.simBands
+    val bandCols = (0 until p.simBands).map(b =>
+      bandedKey(lit(b), substring(col("simhash"), b * rows + 1, rows))
+        .as(s"_b$b"))
+    simhashes.select(explode(array(bandCols: _*)).as("bkey"))
+  }
+
+  /** Signed negative bucket-size deltas for a set of dead `(id, gen)`
+    * band-table generations — one `(bkey, n)` row per touched bucket,
+    * n = −(dead rows in it). `dead` must be broadcast-sized (a CDC
+    * batch's displaced or retired generations); the ledger side is an
+    * id-bucketed component scan restricted FIRST, so everything
+    * downstream is batch-sized.
+    */
+  private def negSizeDeltas(ledger: DataFrame, dead: DataFrame,
+      bkeysOf: DataFrame => DataFrame): DataFrame =
+    bkeysOf(ledger.join(broadcast(dead), Seq("id", "gen"), "left_semi"))
+      .groupBy(col("bkey")).agg((lit(0L) - count(lit(1))).as("n"))
 
   final case class LexicalParams(termNgram: Int, numBuckets: Int)
 
@@ -863,13 +933,14 @@ object DedupIndex {
     val batch0 = newDocs.select(col(idCol).cast("long").as("id"),
       col(textCol).as("__text"), md5(col(textCol)).as("__content"))
       .persist()
-    val (fresh0, displaced, release) = resolveGenerations(batch0,
+    val (fresh0, displaced0, release) = resolveGenerations(batch0,
       idx.counts.select(col("id"), col("content_hash").as("__content"),
         col("gen")),
       idx.tombstones)
     try {
       val fresh = fresh0.select(col("id"), col("__text"),
         col("__content").as("content_hash"), col(GenCol).as("gen"))
+      val displaced = displaced0.persist()
       val sh = Dedup.hashedShingleTable(fresh, "id", "__text", p.shingleN,
         p.portable).persist()
       val sig = Dedup.minHashSignatures(sh, "id", p.numHashes, p.portable)
@@ -877,19 +948,31 @@ object DedupIndex {
       val sim = Dedup.simHash(fresh, "id", "__text", p.simBits).persist()
       try {
         val genOf = fresh.select(col("id"), col("gen"))
+        val hasDisplaced = !displaced.isEmpty
         val batch = newBatchId()
         stageComponent(
           fresh.select(col("content_hash")).distinct()
             .join(idx.hashes, Seq("content_hash"), "left_anti"),
           dir, batch, "hashes", Seq("content_hash"), p.numBuckets)
+        val bandRows = Dedup.lshBandKeys(sig, "id", p.bands,
+            p.numHashes / p.bands, p.portable)
+          .select(col("id").cast("long").as("id"), col("band"),
+            col("band_key"),
+            bandedKey(col("band"), col("band_key")).as("bkey"))
+          .join(genOf, Seq("id"))
+        stageComponent(bandRows, dir, batch, "bands", Seq("bkey"),
+          p.numBuckets)
+        // signed bucket-size deltas commit in the SAME staged batch as
+        // the band rows they count: +1 per fresh band row, −1 per band
+        // row of a displaced (refreshed-away) generation — re-derived
+        // batch-sized from the id-bucketed signature ledger
         stageComponent(
-          Dedup.lshBandKeys(sig, "id", p.bands, p.numHashes / p.bands,
-              p.portable)
-            .select(col("id").cast("long").as("id"), col("band"),
-              col("band_key"),
-              bandedKey(col("band"), col("band_key")).as("bkey"))
-            .join(genOf, Seq("id")),
-          dir, batch, "bands", Seq("bkey"), p.numBuckets)
+          if (hasDisplaced)
+            bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+              .unionByName(negSizeDeltas(idx.sigs, displaced,
+                lshBkeysFromSigs(_, p)))
+          else bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+          dir, batch, "sizes", Seq("bkey"), p.numBuckets)
         stageComponent(
           sig.select(col("id").cast("long").as("id"),
             array((0 until p.numHashes).map(i => col(s"h$i")): _*)
@@ -911,14 +994,24 @@ object DedupIndex {
         stageComponent(
           sim.select(col("id"), col("simhash")).join(genOf, Seq("id")),
           dir, batch, "simhashes", Seq("id"), p.numBuckets)
+        val simRows = simBandRows(sim, "id", p.simBits, p.simBands)
+          .join(genOf, Seq("id"))
+        stageComponent(simRows, dir, batch, "simbands", Seq("bkey"),
+          p.numBuckets)
         stageComponent(
-          simBandRows(sim, "id", p.simBits, p.simBands)
-            .join(genOf, Seq("id")),
-          dir, batch, "simbands", Seq("bkey"), p.numBuckets)
-        if (!displaced.isEmpty)
+          if (hasDisplaced)
+            simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+              .unionByName(negSizeDeltas(idx.simhashes, displaced,
+                simBkeysFromHashes(_, p)))
+          else simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+          dir, batch, "simsizes", Seq("bkey"), p.numBuckets)
+        if (hasDisplaced)
           stagePlain(displaced, dir, batch, "tombstones")
         commitStaged(spark, dir, batch)
-      } finally { sh.unpersist(); sig.unpersist(); sim.unpersist(); () }
+      } finally {
+        sh.unpersist(); sig.unpersist(); sim.unpersist()
+        displaced.unpersist(); ()
+      }
     } finally { release(); batch0.unpersist(); () }
   }
 
@@ -1002,8 +1095,23 @@ object DedupIndex {
     try {
       recover(spark, dir, Some(lease))
       val idx = loadTextRaw(spark, dir)
+      val p = idx.params
+      // retirement reverses the victims' bucket-size contributions in
+      // the SAME staged commit as the tombstones (signed −deltas,
+      // re-derived batch-sized from the id-bucketed sigs/simhashes
+      // ledgers), keeping both modalities' cap statistics live without
+      // any corpus aggregate — [[retireMedia]]'s pattern
       retireHolding(spark, dir, deleteIds, idCol,
-        idx.counts.select(col("id"), col("gen")), idx.tombstones)
+        idx.counts.select(col("id"), col("gen")), idx.tombstones,
+        stageExtras = (victims, batch) => {
+          stageComponent(
+            negSizeDeltas(idx.sigs, victims, lshBkeysFromSigs(_, p)),
+            dir, batch, "sizes", Seq("bkey"), p.numBuckets)
+          stageComponent(
+            negSizeDeltas(idx.simhashes, victims,
+              simBkeysFromHashes(_, p)),
+            dir, batch, "simsizes", Seq("bkey"), p.numBuckets)
+        })
     } finally releaseLease(fs, dir, lease)
   }
 
@@ -1027,16 +1135,21 @@ object DedupIndex {
 
   private def retireHolding(spark: SparkSession, dir: String,
       deleteIds: DataFrame, idCol: String, indexedIdGens: DataFrame,
-      existingTomb: DataFrame): Unit = {
+      existingTomb: DataFrame,
+      stageExtras: (DataFrame, String) => Unit = (_, _) => ()): Unit = {
     val victims = indexedIdGens
       .join(deleteIds.select(col(idCol).cast("long").as("id")).distinct(),
         Seq("id"), "left_semi") // unknown ids: nothing to do
       .join(broadcast(existingTomb), Seq("id", "gen"),
         "left_anti") // replay, or already-dead generations: no-op
-    if (victims.isEmpty) return // truly no-op — no new files to commit
-    val batch = newBatchId()
-    stagePlain(victims, dir, batch, "tombstones")
-    commitStaged(spark, dir, batch)
+      .persist() // feeds the tombstone staging AND any extras
+    try {
+      if (victims.isEmpty) return // truly no-op — no new files to commit
+      val batch = newBatchId()
+      stagePlain(victims, dir, batch, "tombstones")
+      stageExtras(victims, batch)
+      commitStaged(spark, dir, batch)
+    } finally { victims.unpersist(); () }
   }
 
   /** Physically remove every tombstoned document from a text index:
@@ -1086,6 +1199,16 @@ object DedupIndex {
           Seq("id"), n)
         stageComponent(live(idx.simBandKeys), dir, batch, "simbands",
           Seq("bkey"), n)
+        // collapse the signed size deltas back to live counts (the
+        // band tables are live-only after this rewrite)
+        stageComponent(
+          live(idx.bandKeys).groupBy(col("bkey"))
+            .agg(count(lit(1)).as("n")),
+          dir, batch, "sizes", Seq("bkey"), n)
+        stageComponent(
+          live(idx.simBandKeys).groupBy(col("bkey"))
+            .agg(count(lit(1)).as("n")),
+          dir, batch, "simsizes", Seq("bkey"), n)
         stageEmpty(spark, dir, batch, "tombstones")
         commitStaged(spark, dir, batch, replace = true)
       }
@@ -1752,6 +1875,15 @@ object DedupIndex {
     // the public views always project back to the classic gen-free
     // probe shape (a pure Project — bucketed output partitioning is
     // preserved, so probe joins stay Exchange-free)
+    // the signed deltas sum to the LIVE per-bucket counts by
+    // construction (absorb/refresh/retire all commit their ± rows in
+    // the same staged batch as the band rows they count), so the
+    // public size views need no tombstone filtering — a delta-scale,
+    // Exchange-free aggregate on each bkey-bucketed scan, never an
+    // O(stored-bands) recount
+    def liveSizes(deltas: DataFrame): DataFrame =
+      deltas.groupBy(col("bkey")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
     def pub(raw0: TextIndex): TextIndex = raw0.copy(
       bandKeys = raw0.bandKeys.drop("gen"),
       shingles = raw0.shingles.drop("gen"),
@@ -1759,7 +1891,9 @@ object DedupIndex {
       sigs = raw0.sigs.drop("gen"),
       dochashes = raw0.dochashes.drop("gen"),
       simhashes = raw0.simhashes.drop("gen"),
-      simBandKeys = raw0.simBandKeys.drop("gen"))
+      simBandKeys = raw0.simBandKeys.drop("gen"),
+      bucketSizes = liveSizes(raw0.bucketSizes),
+      simBucketSizes = liveSizes(raw0.simBucketSizes))
     if (isEmptyTombstones(raw.tombstones)) pub(raw)
     else {
       // LIVE views: dead (id, gen) rows — CDC-retired docs and displaced
@@ -1794,14 +1928,21 @@ object DedupIndex {
     recover(spark, dir)
     val p = readParams(spark, dir, "text")
     // fmt 3 made rows generational ((id, gen)-scoped tombstones, counts
-    // as the per-id freshness ledger); fmt 4 adds the SimHash modality
+    // as the per-id freshness ledger); fmt 4 added the SimHash modality
     // (simhashes + simbands components, simBits/simBands params) so all
-    // three near-dup modalities share one maintained index. An older
-    // index lacks the components the probes need, so it reads as
-    // corrupt and callers rebuild (same policy as the vector formats)
-    if (!p.get("fmt").contains("4"))
+    // three near-dup modalities share one maintained index; fmt 5 adds
+    // the signed bucket-size delta components (sizes/simsizes) the
+    // indexed probes' cap guard is served from. An older index lacks
+    // components this code needs, so it reads as corrupt and callers
+    // rebuild (same policy as the vector/media formats). OPERATIONAL
+    // NOTE for standing services: QueryIndexes callers self-heal by
+    // rebuilding, but a long-running maintenance sink (e.g.
+    // CdcStream.startNearDupIndexMaintenance) pointed at a pre-bump
+    // index will throw this until the index is rebuilt — rebuild
+    // during the upgrade window.
+    if (!p.get("fmt").contains("5"))
       corrupt(dir, s"text index format ${p.getOrElse("fmt", "1")}, " +
-        "expected 4 (rebuild the index)")
+        "expected 5 (rebuild the index)")
     val params = TextParams(p("shingleN").toInt, p("numHashes").toInt,
       p("bands").toInt, p("portable").toBoolean, p("numBuckets").toInt,
       p("simBits").toInt, p("simBands").toInt)
@@ -1822,6 +1963,11 @@ object DedupIndex {
       simhashes = component(spark, dir, "simhashes", Seq("id"),
         params.numBuckets),
       simBandKeys = component(spark, dir, "simbands", Seq("bkey"),
+        params.numBuckets),
+      // RAW signed deltas — [[loadText]] sums them into the live views
+      bucketSizes = component(spark, dir, "sizes", Seq("bkey"),
+        params.numBuckets),
+      simBucketSizes = component(spark, dir, "simsizes", Seq("bkey"),
         params.numBuckets))
   }
 

@@ -1214,6 +1214,43 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming proximity (slop) search — [[startPhraseSearch]]'s
+    * relaxation, completing stream parity for the positional family:
+    * each micro-batch of query docs probes the lexical index's fmt-3
+    * positional component for in-order near-matches of its leading
+    * phrase ([[graft.operators.Retrieval.proximityTopKIndexed]] —
+    * adjacent terms up to `slop` words apart; slop=0 degenerates to the
+    * exact phrase, pinned by the batch specs). Same serving contract as
+    * the phrase sink: the index reloads per trigger so CDC maintenance
+    * of the positions (absorb/refresh/RETIRE through the shared staged
+    * commits) lands at the next probe, per-query independence makes
+    * micro-batch boundaries invisible (stream results are bit-identical
+    * to the batch form over the same queries), and batch_id
+    * dynamic-overwrite gives exactly-once-effective replay.
+    */
+  def startProximitySearch(queries: DataFrame, qIdCol: String,
+      qTextCol: String, indexDir: String, outDir: String,
+      checkpointDir: String, k: Int = 10, phraseLen: Int = 3,
+      slop: Int = 2): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idx = graft.operators.DedupIndex
+            .loadLexical(batch.sparkSession, indexDir)
+          graft.operators.Retrieval
+            .proximityTopKIndexed(idx, batch, qIdCol, qTextCol, k,
+              phraseLen, slop)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+      }
+      .start()
+
   /** Streaming hybrid retrieval — [[startBm25Search]]'s fusion twin and
     * the stream form of the batch `retrieval_hybrid_rrf_ivf_indexed`
     * query: each micro-batch of (id, text, embedding) queries probes

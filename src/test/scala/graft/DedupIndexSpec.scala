@@ -1033,6 +1033,80 @@ class DedupIndexSpec extends SparkSpec {
       "re-registered table lost its bucket metadata")
   }
 
+  test("delta-maintained LSH and SimHash bucket sizes equal live band counts through every verb") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-idx-sizes").toString
+    val even = mkDocs((0L until 60L).filter(_ % 2 == 0))
+    DedupIndex.writeText(even.toDF("doc_id", "text"), "doc_id", "text",
+      indexDir)
+
+    def check(when: String): Unit = {
+      val idx = DedupIndex.loadText(spark, indexDir)
+      for ((label, deltas, rows) <- Seq(
+          ("lsh", idx.bucketSizes, idx.bandKeys),
+          ("simhash", idx.simBucketSizes, idx.simBandKeys))) {
+        val fromDeltas = sortedRows(deltas)
+        val fromRows = sortedRows(rows.groupBy(col("bkey"))
+          .agg(count(lit(1)).as("n")))
+        assert(fromDeltas === fromRows,
+          s"$when/$label: delta-served sizes diverged from live band counts")
+        assert(fromDeltas.nonEmpty, s"$when/$label: vacuous (no buckets)")
+      }
+    }
+    check("fresh build")
+    // absorb new ids + replay part of the original corpus (no-op rows
+    // must contribute no deltas)
+    DedupIndex.appendText(
+      (mkDocs(Seq(200L, 201L, 202L)) ++ even.take(5))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    check("after absorb")
+    // refresh: id 0 changes text — its displaced generation's
+    // contributions must reverse while the re-derived ones land
+    DedupIndex.appendText(
+      Seq((0L, "completely replaced text for the zeroth document " +
+        "with a wholly different shape and vocabulary"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    check("after refresh")
+    DedupIndex.retireText((0L until 20L by 2).toDF("doc_id"), "doc_id",
+      indexDir)
+    check("after retire")
+    // replayed retire commits nothing — sizes must not double-reverse
+    DedupIndex.retireText((0L until 20L by 2).toDF("doc_id"), "doc_id",
+      indexDir)
+    check("after replayed retire")
+    DedupIndex.appendText(even.filter(_._1 == 2L).toDF("doc_id", "text"),
+      "doc_id", "text", indexDir)
+    check("after resurrect")
+    DedupIndex.compactText(spark, indexDir)
+    check("after compact")
+    // and the probes actually serve the cap from the deltas: each
+    // probe's input includes its sizes component ("/sizes/" — distinct
+    // from "/simsizes/"), so the O(stored-bands) recount is gone
+    val batch = mkDocs(Seq(301L, 303L)).toDF("doc_id", "text")
+    val idx = DedupIndex.loadText(spark, indexDir)
+    val lshProbe = Dedup.incrementalMinHashNearDupsReportIndexed(
+      batch, "doc_id", "text", idx).pairs
+    assert(lshProbe.inputFiles.exists(_.contains("/sizes/")),
+      "LSH probe does not read the delta-maintained sizes — vacuous switch")
+    val simProbe = Dedup.incrementalSimHashNearDupsReportIndexed(
+      batch, "doc_id", "text", idx).pairs
+    assert(simProbe.inputFiles.exists(_.contains("/simsizes/")),
+      "SimHash probe does not read the delta-maintained sizes — vacuous switch")
+    // and the candidate stage's stored-side scan is PRUNED to the
+    // batch's touched bucket keys: the band-component scan must carry a
+    // bucket-pruning set (SelectedBucketsCount), so the probe's stored
+    // side reads touched bucket files only — batch-tracked, not
+    // corpus-tracked
+    for ((label, probe) <- Seq(("lsh", lshProbe), ("simhash", simProbe))) {
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"$label probe's stored band scan is not bucket-pruned:\n$plan")
+    }
+  }
+
   // ------------------------------------------------- IVF retrain verb
 
   private val RetrainDim = 8

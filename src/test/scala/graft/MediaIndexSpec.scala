@@ -303,6 +303,12 @@ class MediaIndexSpec extends SparkSpec {
       DedupIndex.loadMedia(spark, indexDir)).pairs
     assert(probe.inputFiles.exists(_.contains("msizes")),
       "probe does not read the delta-maintained sizes — vacuous switch")
+    // and the candidate stage's stored-side scan is PRUNED to the
+    // batch's touched bucket keys (SelectedBucketsCount in the scan) —
+    // the term BENCH_MEDIA_r14b measured still growing at ×100
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"probe's stored band scan is not bucket-pruned:\n$plan")
   }
 
   test("undecodable payloads are inert ledger rows: no candidates, replay-idempotent") {

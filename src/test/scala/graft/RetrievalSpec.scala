@@ -486,6 +486,77 @@ class RetrievalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming proximity search serves the positions per micro-batch, sees CDC retires, replays clean") {
+    import java.nio.file.Files
+    graft.plans.CachedPlans.clear()
+    val idxDir = Files.createTempDirectory("px-stream-idx").toString
+    val qDir = Files.createTempDirectory("px-stream-q").toString
+    val outDir = Files.createTempDirectory("px-stream-out").toString
+    // doc 0 exact phrase, doc 1 one-word gap (in slop), doc 2 in-order
+    // but out of slop, doc 4 two stretched occurrences
+    val pdocs = Seq(
+      0L -> "the quick brown fox jumps",
+      1L -> "the quick xx brown fox",
+      2L -> "the quick xx yy zz brown fox",
+      4L -> "the xx quick yy brown and the quick zz brown")
+    graft.operators.DedupIndex.writeLexical(
+      pdocs.toDF("doc_id", "text"), "doc_id", "text", idxDir,
+      termNgram = 2)
+    Seq(100L -> "the quick brown anything after")
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$qDir/b1")
+    val schema = spark.read.parquet(s"$qDir/b1").schema
+    def queryStream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$qDir/b*/")
+    def start(ck: String) = graft.streaming.CdcStream
+      .startProximitySearch(queryStream, "doc_id", "text", idxDir,
+        outDir, Files.createTempDirectory(ck).toString, slop = 2)
+    val cols = Seq("q_id", "rank", "doc_id", "prox_freq")
+    def got(qIds: Set[Long]) = spark.read.parquet(outDir)
+      .filter($"q_id".isin(qIds.toSeq: _*))
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    def expected(queries: Seq[(Long, String)]) = graft.operators.Retrieval
+      .proximityTopKIndexed(
+        graft.operators.DedupIndex.loadLexical(spark, idxDir),
+        queries.toDF("doc_id", "text"), "doc_id", "text", slop = 2)
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val q = start("px-stream-ck1")
+    try {
+      q.processAllAvailable()
+      val exp1 = expected(Seq(100L -> "the quick brown anything after"))
+      assert(exp1.exists(_._3 == 1L),
+        s"fixture must rank the in-slop stretched match: $exp1")
+      assert(exp1.exists(_._3 == 4L) && !exp1.exists(_._3 == 2L),
+        s"slop=2 must admit doc 4 and reject doc 2: $exp1")
+      assert(got(Set(100L)) === exp1)
+
+      // CDC RETIRE through the maintained positions: the top stretched
+      // doc is deleted mid-stream — the NEXT trigger must stop ranking
+      // it without any rebuild
+      graft.operators.DedupIndex.retireLexical(
+        Seq(4L).toDF("doc_id"), "doc_id", idxDir)
+      Seq(200L -> "the quick brown probe two")
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$qDir/b2")
+      q.processAllAvailable()
+      val after = got(Set(200L))
+      assert(after === expected(Seq(200L -> "the quick brown probe two")))
+      assert(!after.exists(_._3 == 4L),
+        s"retired doc still ranks in the proximity probe: $after")
+      assert(after.exists(_._3 == 1L), "surviving in-slop doc must rank")
+
+      // lost checkpoint: replayed batches rewrite their own partitions
+      // against the CURRENT (post-retire) index — no stacking, no
+      // resurrection of the retired doc
+      val q2 = start("px-stream-ck2")
+      try q2.processAllAvailable() finally q2.stop()
+      assert(got(Set(100L)) ===
+        expected(Seq(100L -> "the quick brown anything after")),
+        "replayed batch must re-probe the live positions, unduplicated")
+      assert(!got(Set(100L, 200L)).exists(_._3 == 4L))
+    } finally q.stop()
+  }
+
   test("streaming hybrid search fuses both persisted indexes per micro-batch, batch-equal") {
     import java.nio.file.Files
     val dim = 8
