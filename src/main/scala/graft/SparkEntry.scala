@@ -174,6 +174,10 @@ object SparkEntry {
       (SimilarityQueries.sq8SaturationReport _),
     "embed_incremental_sq8_refreshed" ->
       (SimilarityQueries.incrementalCosineNearDupsSq8Refreshed _),
+    "embed_incremental_sq8_absorbed" ->
+      (SimilarityQueries.incrementalCosineNearDupsSq8Absorbed _),
+    "embed_incremental_sq8_retired" ->
+      (SimilarityQueries.incrementalCosineNearDupsSq8Retired _),
     "dedup_incremental_resurrected" ->
       (DedupQueries.incrementalExactResurrected _),
     // text analysis
@@ -350,6 +354,10 @@ object SparkEntry {
       SimilarityQueries.incrementalCosineNearDupsRefreshedSql,
     "embed_incremental_sq8_refreshed" ->
       SimilarityQueries.incrementalCosineNearDupsSq8RefreshedSql,
+    "embed_incremental_sq8_absorbed" ->
+      SimilarityQueries.incrementalCosineNearDupsSq8AbsorbedSql,
+    "embed_incremental_sq8_retired" ->
+      SimilarityQueries.incrementalCosineNearDupsSq8RetiredSql,
     // frozen-range saturation: the rebuild-vs-retrain decision signal
     "embed_sq8_saturation" -> SimilarityQueries.sq8SaturationReportSql,
     "dedup_incremental_resurrected" ->

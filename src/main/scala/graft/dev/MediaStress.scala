@@ -28,70 +28,32 @@ import org.apache.spark.sql.functions._
 object MediaStress {
 
   /** One 16×8 fixture BMP — the small flavor [[DayInLifeStress]] uses
-    * for its media arm (latency shape, not decode bytes).
+    * for its media arm (latency shape, not decode bytes). Delegates to
+    * the one shared synthesis ([[graft.operators.SyntheticMedia]]) so
+    * the stress, the spec fixture and the oracle-gated query fixture
+    * cannot drift apart byte-wise.
     */
   private[dev] def bmpPayload(template: String,
-      noise: String): Array[Byte] = {
-    val t = chain(template)
-    val d = chain(noise)
-    val rgb = new Array[Byte](16 * 8 * 3)
-    var i = 0
-    while (i < 128) {
-      val v = ((t(i) & 0xf8) | (d(i) & 0x07)).toByte
-      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-      i += 1
-    }
-    graft.operators.MediaCodecs.encodeBmp(16, 8, rgb)
-  }
+      noise: String): Array[Byte] =
+    graft.operators.SyntheticMedia.bmp(template, noise)
 
-  private def chain(s: String): Array[Byte] = {
-    val out = new Array[Byte](128)
-    var j = 0
-    while (j < 8) {
-      val key = if (j == 0) s else s + "x" + j
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.arraycopy(d, 0, out, 16 * j, 16)
-      j += 1
-    }
-    out
-  }
-
-  /** Render (doc_id, g, text) rows to (doc_id, payload) BMPs — the
-    * query fixture's pixel math (5 template bits, 3 noise bits) on a
-    * 16×8 logical grid, nearest-UPSCALED to `w`×`h` so the payload
-    * carries a realistic byte weight: the 440-byte query-fixture BMPs
-    * decode in microseconds and would hide the decode cost this stress
-    * exists to measure. Upscaling replicates pixels, so the 8×8
-    * downscale inside the aHash samples the same logical grid and
-    * near-dup structure is preserved.
+  /** Render (doc_id, g, text) rows to (doc_id, payload) BMPs —
+    * [[graft.operators.SyntheticMedia.bmp]] nearest-UPSCALED to
+    * `w`×`h` so the payload carries a realistic byte weight: the
+    * 440-byte query-fixture BMPs decode in microseconds and would hide
+    * the decode cost this stress exists to measure.
     */
   private def payloads(df: DataFrame, w: Int = 64, h: Int = 32)
       : DataFrame = {
     import org.apache.spark.sql.types._
-    require(w % 16 == 0 && h % 8 == 0, s"scale 16x8 evenly, got ${w}x$h")
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false))))
     df.mapPartitions { rows =>
       rows.map { r =>
-        val t = chain(r.getString(1))
-        val d = chain(r.getString(2))
-        val rgb = new Array[Byte](w * h * 3)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val base = (y * 8 / h) * 16 + (x * 16 / w)
-            val v = ((t(base) & 0xf8) | (d(base) & 0x07)).toByte
-            val o = 3 * (y * w + x)
-            rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
-            x += 1
-          }
-          y += 1
-        }
         org.apache.spark.sql.Row(r.getLong(0),
-          graft.operators.MediaCodecs.encodeBmp(w, h, rgb))
+          graft.operators.SyntheticMedia.bmp(r.getString(1),
+            r.getString(2), w, h))
       }
     }(enc)
   }
@@ -196,15 +158,22 @@ object MediaStress {
         // settled cost (min of 2), what a standing service sees
         val probeIdx = math.min(runProbe(), runProbe())
         // the contrast arm: recompute re-decodes the WHOLE corpus per
-        // run. Clear the plan registry first — writeMedia cached the
-        // corpus codes under the same registry key, and a warm entry
-        // would hand the "recompute" a persisted decode and void the
-        // measurement
-        graft.plans.CachedPlans.clear()
-        val probeRe = timed {
-          graft.operators.Dedup.incrementalAhashNearDupsReport(
-            probeBatch, media, "doc_id", "payload").pairs.count()
+        // run. SYMMETRIC method: min of 2 runs like the indexed arm —
+        // but with the plan registry cleared before EACH run, both so
+        // writeMedia's cached corpus codes can't hand the "recompute" a
+        // persisted decode, and so the second run re-decodes rather
+        // than reusing the first run's cached codes (a warm cache would
+        // void the re-decode semantics the arm exists to measure; the
+        // min-of-2 still strips the one-time JIT warmup the indexed arm
+        // gets stripped of)
+        def runRecompute(): Double = {
+          graft.plans.CachedPlans.clear()
+          timed {
+            graft.operators.Dedup.incrementalAhashNearDupsReport(
+              probeBatch, media, "doc_id", "payload").pairs.count()
+          }
         }
+        val probeRe = math.min(runRecompute(), runRecompute())
         graft.plans.CachedPlans.clear()
         val m = Map("build" -> build, "absorb" -> absorb,
           "refresh" -> refresh, "retire" -> retire,
@@ -229,6 +198,9 @@ object MediaStress {
     }
     val json = s"""{"metric":"media_stress","src":"$srcSf",""" +
       s""""factors":[${factors.mkString(",")}],""" +
+      s""""method":{"probe_indexed":"min of 2 warm runs",""" +
+      s""""probe_recompute":"min of 2 runs, plan registry cleared """ +
+      s"""before each (every run re-decodes the corpus)"},""" +
       s""""batch":{$batchJson},""" +
       s""""scales":{${lines.mkString(",")}}}"""
     val out = java.nio.file.Paths.get(

@@ -1,0 +1,64 @@
+package graft.operators
+
+/** The ONE source of truth for the deterministic binary-image fixture
+  * every media-path surface shares: the declared `mm_ahash_*` query
+  * fixtures ([[graft.queries.TextQueries]]), the media-index and
+  * streaming specs (`MediaFixture`), and the ×1/×10/×100 stress harness
+  * (`graft.dev.MediaStress`). The DuckDB oracle derives each image's
+  * aHash code ANALYTICALLY from these exact md5 chains
+  * (`TextQueries.ahashCodeCtes`), so all consumers must synthesize
+  * byte-identical payloads — which is why the synthesis lives here once
+  * instead of in three drift-prone copies.
+  *
+  * Pixel math: a 16×8 logical grayscale grid where pixel i takes its 5
+  * high bits from byte i of the TEMPLATE md5 chain and its 3 low bits
+  * from byte i of the NOISE chain — same-template images are
+  * perceptually near (re-encodes/crops of one photo), different
+  * templates distinct. Optional nearest-neighbor upscaling replicates
+  * pixels, so the 8×8 downscale inside the aHash samples the same
+  * logical grid and near-dup structure survives any `w`×`h`.
+  */
+object SyntheticMedia {
+
+  /** 128 deterministic bytes of `s`: md5(s) ++ md5(s+"x1") ++ … ++
+    * md5(s+"x7") — one byte per logical pixel.
+    */
+  def chain(s: String): Array[Byte] = {
+    val out = new Array[Byte](128)
+    var j = 0
+    while (j < 8) {
+      val key = if (j == 0) s else s + "x" + j
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.arraycopy(d, 0, out, 16 * j, 16)
+      j += 1
+    }
+    out
+  }
+
+  /** The fixture image as a `w`×`h` BMP (spec-level encoder —
+    * [[MediaCodecs.encodeBmp]]). Dimensions must upscale the 16×8
+    * logical grid evenly; the 16×8 default is the query/spec fixture,
+    * larger sizes give the stress harness realistic decode bytes.
+    */
+  def bmp(template: String, noise: String, w: Int = 16,
+      h: Int = 8): Array[Byte] = {
+    require(w % 16 == 0 && h % 8 == 0, s"scale 16x8 evenly, got ${w}x$h")
+    val t = chain(template)
+    val n = chain(noise)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (y * 8 / h) * 16 + (x * 16 / w)
+        val v = ((t(base) & 0xf8) | (n(base) & 0x07)).toByte
+        val o = 3 * (y * w + x)
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodecs.encodeBmp(w, h, rgb)
+  }
+}

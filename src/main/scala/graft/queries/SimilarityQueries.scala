@@ -817,6 +817,51 @@ object SimilarityQueries {
     incrementalCosineNearDupsSq8IndexedSqlFor(
       QueryIndexes.refreshedVecsSql)
 
+  /** The SQ8 asymmetric probe against the ABSORBED index
+    * ([[QueryIndexes.vectorsAbsorbed]]: even corpus + the
+    * `vec_id % 4 == 1` batch absorbed under the FROZEN build geometry),
+    * completing the SQ8-served lifecycle square the float-served family
+    * already has: absorbed vectors' stored codes were encoded AT ABSORB
+    * under the original even-corpus ranges ([[graft.operators
+    * .DedupIndex.appendVectors]] reuses `idx.ranges`), and the oracle
+    * replays exactly that — ranges from the even half, encoding over
+    * the grown corpus.
+    */
+  def incrementalCosineNearDupsSq8Absorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsSq8Indexed(
+        emb.filter("vec_id % 4 = 3"), "vec_id", "embedding",
+        QueryIndexes.vectorsAbsorbed(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsSq8AbsorbedSql: String =
+    incrementalCosineNearDupsSq8IndexedSqlFor("embeddings",
+      c => s"($c % 2 = 0 OR $c % 4 = 1)", c => s"$c % 4 = 3")
+
+  /** The SQ8 asymmetric probe against the RETIRED index
+    * ([[QueryIndexes.vectorsRetired]]: the even `% 10` slice
+    * CDC-deleted): retired vectors' stored codes must be invisible to
+    * the asymmetric scoring — the oracle recomputes over the live
+    * corpus only, with the ranges still trained on the FULL original
+    * even corpus (retirement does not retrain the frozen geometry, so
+    * a retired extreme keeps defining the quantization grid — exactly
+    * what the stored index serves).
+    */
+  def incrementalCosineNearDupsSq8Retired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsSq8Indexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectorsRetired(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalCosineNearDupsSq8RetiredSql: String =
+    incrementalCosineNearDupsSq8IndexedSqlFor("embeddings",
+      c => s"($c % 2 = 0 AND $c % 10 <> 0)", c => s"$c % 2 = 1")
+
   /** SQ8 encoder saturation under FROZEN ranges after a CDC refresh —
     * the diagnostic separating retrain's job from a rebuild's: geometry
     * RETRAIN ([[graft.operators.DedupIndex.retrainVectors]]) repairs
@@ -894,14 +939,18 @@ object SimilarityQueries {
   }
 
   /** The SQ8 asymmetric-probe oracle with a configurable corpus SOURCE
-    * for the encoded side. The quantization RANGES always train on the
-    * ORIGINAL even corpus — that is the frozen geometry the index
-    * stores — while `srcA` decides which vectors get encoded under
-    * them (the plain indexed probe encodes the original corpus, the
-    * refreshed probe the post-update one).
+    * for the encoded side and configurable corpus/batch membership.
+    * The quantization RANGES always train on the ORIGINAL even corpus —
+    * that is the frozen geometry the index stores (neither absorb,
+    * retire nor refresh retrains it) — while `srcA` decides which
+    * vectors get encoded under them and the predicates which ids play
+    * corpus vs batch (the plain indexed probe encodes the original
+    * even/odd split, the lifecycle probes their grown/shrunk corpora).
     */
   private def incrementalCosineNearDupsSq8IndexedSqlFor(
-      srcA: String): String = {
+      srcA: String,
+      existingPred: String => String = c => s"$c % 2 = 0",
+      newPred: String => String = c => s"$c % 2 = 1"): String = {
     val r = s"range(1, ${Dim + 1})"
     s"""WITH rng AS (
       |  SELECT CAST(t.i AS INTEGER) AS pos,
@@ -922,7 +971,7 @@ object SimilarityQueries {
       |        ELSE greatest(0, least(255,
       |          CAST(floor((CAST(embedding[i] AS DOUBLE) - minA[i])
       |            / scaleA[i] + 0.5) AS INTEGER))) END) AS codes
-      |  FROM $srcA CROSS JOIN rlist WHERE vec_id % 2 = 0),
+      |  FROM $srcA CROSS JOIN rlist WHERE ${existingPred("vec_id")}),
       |ar AS (
       |  SELECT a_id, bucket,
       |    list_transform($r, i ->
@@ -937,7 +986,7 @@ object SimilarityQueries {
       |  SELECT vec_id AS b_id, embedding AS b_vec,
       |    ${normSqSql("embedding")} AS b_norm,
       |    ${bucketSql("embedding", 2)} AS bucket
-      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |  FROM embeddings WHERE ${newPred("vec_id")}),
       |pairs AS (
       |  SELECT a_id, b_id,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

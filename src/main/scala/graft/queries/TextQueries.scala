@@ -1060,19 +1060,6 @@ object TextQueries {
     * bytes — the deterministic pixel source for the perceptual-hash
     * queries. Matches `md5(s) || md5(s||'x1') || …` in any engine.
     */
-  private def chainBytes(s: String): Array[Byte] = {
-    val out = new Array[Byte](128)
-    var j = 0
-    while (j < 8) {
-      val key = if (j == 0) s else s + "x" + j
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.arraycopy(d, 0, out, 16 * j, 16)
-      j += 1
-    }
-    out
-  }
-
   private val AhashChainSql =
     (0 until 8).map(j => if (j == 0) "md5(%s)" else s"md5(%s || 'x$j')")
       .mkString(" || ")
@@ -1121,7 +1108,6 @@ object TextQueries {
     */
   private[queries] def ahashPayloads(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
-    import graft.operators.MediaCodecs
     val base = docs.select(col("doc_id"),
       concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
     val outSchema = StructType(Seq(
@@ -1130,17 +1116,9 @@ object TextQueries {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     base.mapPartitions { rows =>
       rows.map { r =>
-        val t = chainBytes(r.getString(1))
-        val d = chainBytes(r.getString(2))
-        val rgb = new Array[Byte](16 * 8 * 3)
-        var i = 0
-        while (i < 128) {
-          val v = ((t(i) & 0xf8) | (d(i) & 0x07)).toByte
-          rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-          i += 1
-        }
         org.apache.spark.sql.Row(r.getLong(0),
-          MediaCodecs.encodeBmp(16, 8, rgb))
+          graft.operators.SyntheticMedia.bmp(r.getString(1),
+            r.getString(2)))
       }
     }(enc)
   }
@@ -1170,16 +1148,8 @@ object TextQueries {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     base.mapPartitions { rows =>
       rows.map { r =>
-        val t = chainBytes(r.getString(1))
-        val d = chainBytes(r.getString(2))
-        val rgb = new Array[Byte](16 * 8 * 3)
-        var i = 0
-        while (i < 128) {
-          val v = ((t(i) & 0xf8) | (d(i) & 0x07)).toByte
-          rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-          i += 1
-        }
-        val bmp = MediaCodecs.encodeBmp(16, 8, rgb)
+        val bmp = graft.operators.SyntheticMedia.bmp(r.getString(1),
+          r.getString(2))
         val (w, h, px) = MediaCodecs.BmpDecoder.decodePixels(bmp)
         val (hi, lo) = Multimodal.averageHash(w, h, px)
         org.apache.spark.sql.Row(r.getLong(0), hi, lo)

@@ -16,38 +16,15 @@ import org.apache.spark.sql.types._
   * the text/vector/lexical indexes.
   */
 /** Deterministic binary-image fixture shared by the media-index and
-  * streaming specs: a 16×8 grayscale BMP per id — 5 high bits of each
-  * pixel from the template md5 chain, 3 low bits from the noise chain
-  * — so same-template images are perceptually near, different
-  * templates distinct (the query fixture's pixel math, replicated —
-  * see TextQueries.ahashPayloads).
+  * streaming specs: a 16×8 grayscale BMP per id — the ONE shared
+  * synthesis ([[graft.operators.SyntheticMedia]], which the
+  * oracle-gated query fixture and the stress harness also call, so the
+  * oracle's analytic code derivation can never drift from what the
+  * specs feed the real decode path).
   */
 object MediaFixture {
-  def chain(s: String): Array[Byte] = {
-    val out = new Array[Byte](128)
-    var j = 0
-    while (j < 8) {
-      val key = if (j == 0) s else s + "x" + j
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.arraycopy(d, 0, out, 16 * j, 16)
-      j += 1
-    }
-    out
-  }
-
-  def bmpOf(template: String, noise: String): Array[Byte] = {
-    val t = chain(template)
-    val n = chain(noise)
-    val rgb = new Array[Byte](16 * 8 * 3)
-    var i = 0
-    while (i < 128) {
-      val v = ((t(i) & 0xf8) | (n(i) & 0x07)).toByte
-      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-      i += 1
-    }
-    MediaCodecs.encodeBmp(16, 8, rgb)
-  }
+  def bmpOf(template: String, noise: String): Array[Byte] =
+    graft.operators.SyntheticMedia.bmp(template, noise)
 
   /** Groups of 4: members 0/1 byte-identical payloads (exact dups —
     * Hamming 0 and equal content hashes), member 2 same template with
