@@ -34,6 +34,20 @@ object DayInLifeStress {
     // tombstone-count threshold for the sinks' auto-compaction; unset =
     // compaction off (the drift arm of the A/B)
     val autoCompact = sys.env.get("SPARK_GRAFT_AUTOCOMPACT").map(_.toLong)
+    // geometry-cadence knobs for the VECTOR sink (unset = off, the
+    // 4-sink baseline): retrain the IVF cells every n-th batch when the
+    // live centroid selection drifted; rebuild the FULL geometry every
+    // n-th batch when the stored SQ8 saturation exceeds the fraction
+    val retrainEvery = sys.env.get("SPARK_GRAFT_RETRAIN_EVERY").map(_.toInt)
+    val rebuildEvery = sys.env.get("SPARK_GRAFT_REBUILD_EVERY").map(n =>
+      (n.toInt, sys.env.getOrElse("SPARK_GRAFT_REBUILD_SAT", "0.01")
+        .toDouble))
+    // from this trigger ON (exclusive), inserted/updated embeddings come
+    // from a SHIFTED distribution (scaled + offset — components land far
+    // outside the seed-trained quantization ranges), so the stored SQ8
+    // codes clamp and the centroid selection walks: the real-drift
+    // scenario the retrain/rebuild cadence exists for
+    val driftAfter = sys.env.get("SPARK_GRAFT_DRIFT_AFTER").map(_.toInt)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -47,6 +61,11 @@ object DayInLifeStress {
     val dim = 16
     def vecFor(id: Long): Array[Float] =
       Array.tabulate(dim)(d => (((id * 7 + d * 3) % 11) - 5).toFloat)
+    // the post-shift generator: 3× scale + 7 offset maps the seed range
+    // [-5, 5] to [-8, 22] — most components clamp under the frozen
+    // seed-trained ranges, and the cluster structure moves
+    def driftVecFor(id: Long): Array[Float] =
+      vecFor(id).map(v => v * 3f + 7f)
 
     val root = java.nio.file.Files
       .createTempDirectory("graft_dayinlife").toString
@@ -130,7 +149,8 @@ object DayInLifeStress {
       chStream, "doc_id", "text", lexDir, ck(), col("seq"), autoCompact)
     val maintVec = graft.streaming.CdcStream.startVectorIndexMaintenance(
       chStream, "doc_id", "embedding", vecDir, ck(), col("seq"),
-      autoCompact)
+      autoCompact, autoRetrainEvery = retrainEvery,
+      autoRebuildEvery = rebuildEvery)
     val maintMedia = graft.streaming.CdcStream.startMediaIndexMaintenance(
       chStream, "doc_id", "payload", mediaDir, ck(), col("seq"),
       autoCompact)
@@ -147,12 +167,35 @@ object DayInLifeStress {
     var seq = 1L
     val perTrigger = scala.collection.mutable.ArrayBuffer
       .empty[(Double, Double, Double)]
+    // drift-scenario state readers: the stored SQ8 saturation fraction
+    // (what the rebuild gate measures) and fingerprints of the stored
+    // geometry — centroid set changes on RETRAIN (and rebuild), ranges
+    // change ONLY on REBUILD — so the artifact shows exactly which
+    // trigger each cadence verb fired on, from the index itself
+    def geometryState(): (Double, String, String) =
+      if (retrainEvery.isEmpty && rebuildEvery.isEmpty && driftAfter.isEmpty)
+        (0.0, "", "") // baseline run: skip the extra per-trigger scans
+      else {
+        val (clamped, total) = graft.operators.DedupIndex
+          .sq8Saturation(spark, vecDir)
+        val idx = graft.operators.DedupIndex.loadVectors(spark, vecDir)
+        val centFp = idx.centroids.select(col("cent_id"))
+          .collect().map(_.getLong(0)).sorted.mkString(",").hashCode
+          .toHexString
+        val rangeFp = idx.ranges.map(r => s"${r._1}:${r._2}")
+          .mkString(",").hashCode.toHexString
+        (if (total == 0) 0.0 else clamped.toDouble / total, centFp, rangeFp)
+      }
+    val geoTrail = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, String, String)]
     for (t <- 1 to triggers) {
+      val mkVec: Long => Array[Float] =
+        if (driftAfter.exists(t > _)) driftVecFor else vecFor
       val ins = (0 until 50).map { i =>
         val id = 10000000L + t * 50L + i
         ("I", { seq += 1; seq }, id,
           s"synthetic trigger$t insert doc$id shared corpus words",
-          vecFor(id))
+          mkVec(id))
       }
       // rotate updates through a pool that excludes the fixed query
       // anchors (first 25) and the seed tail retired at t==1 (last
@@ -164,7 +207,7 @@ object DayInLifeStress {
         val id = updPool((t * 50 + i) % updPool.length)
         ("U", { seq += 1; seq }, id,
           s"updated trigger$t doc$id shared corpus words revision",
-          vecFor(id + t))
+          mkVec(id + t))
       }
       val del = (0 until 50).map { i =>
         val id = if (t == 1) seedIds(seedIds.length - 1 - i)
@@ -191,8 +234,13 @@ object DayInLifeStress {
       mediaSearch.processAllAvailable()
       val mediaS = (System.nanoTime() - t0) / 1e9
       perTrigger += ((maintS, searchS, mediaS))
+      val g = geometryState()
+      geoTrail += g
       println(f"trigger $t%2d maint $maintS%6.2f s  " +
-        f"search $searchS%5.2f s  media $mediaS%5.2f s")
+        f"search $searchS%5.2f s  media $mediaS%5.2f s" +
+        (if (g._2.nonEmpty)
+          f"  sat ${g._1 * 100}%5.2f%%  cent ${g._2}%s  ranges ${g._3}%s"
+        else ""))
     }
     maintTxt.stop(); maintLex.stop(); maintVec.stop()
     maintMedia.stop(); search.stop(); mediaSearch.stop()
@@ -202,8 +250,17 @@ object DayInLifeStress {
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val trigJson = perTrigger.zipWithIndex.map { case ((m, s, ms), i) =>
+      val geo =
+        if (geoTrail(i)._2.isEmpty) ""
+        else {
+          val (sat, cf, rf) = geoTrail(i)
+          val retrained = i > 0 && geoTrail(i - 1)._2 != cf
+          val rebuilt = i > 0 && geoTrail(i - 1)._3 != rf
+          s""","sat":${fmt(sat)},"cent_fp":"$cf","ranges_fp":"$rf",""" +
+            s""""retrained":$retrained,"rebuilt":$rebuilt"""
+        }
       s"""{"t":${i + 1},"maint":${fmt(m)},"search":${fmt(s)},""" +
-        s""""search_media":${fmt(ms)}}"""
+        s""""search_media":${fmt(ms)}$geo}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"dayinlife_per_trigger","unit":"sec","sf_src":"$srcSf",""" +
@@ -211,6 +268,10 @@ object DayInLifeStress {
       s""""queries_per_trigger":${queryRows.length},""" +
       s""""media_probe_rows":${mediaProbe.length},""" +
       s""""auto_compact":${autoCompact.getOrElse(-1L)},""" +
+      s""""retrain_every":${retrainEvery.getOrElse(-1)},""" +
+      s""""rebuild_every":${rebuildEvery.map(_._1).getOrElse(-1)},""" +
+      s""""rebuild_sat":${rebuildEvery.map(r => fmt(r._2)).getOrElse(-1)},""" +
+      s""""drift_after":${driftAfter.getOrElse(-1)},""" +
       s""""build_s":${fmt(buildS)},"served_rows":$served,""" +
       s""""served_media_pairs":$servedMedia,""" +
       s""""per_trigger":$trigJson}"""

@@ -421,7 +421,12 @@ object DedupIndex {
     // adds the unigram positional postings (`positions/`) the
     // phrase/proximity probes read. An older index lacks components
     // this code needs, so it reads as corrupt and callers rebuild (the
-    // same policy as the text/vector formats)
+    // same policy as the text/vector formats). OPERATIONAL NOTE for
+    // standing services: QueryIndexes callers self-heal by rebuilding,
+    // but a long-running maintenance or search sink (e.g.
+    // CdcStream.startLexicalIndexMaintenance, startBm25Search) pointed
+    // at a pre-bump index will throw this until the index is rebuilt —
+    // rebuild during the upgrade window, before restarting the sinks
     if (!p.get("fmt").contains("3"))
       corrupt(dir, s"lexical index format ${p.getOrElse("fmt", "?")}, " +
         "expected 3 (rebuild the index)")

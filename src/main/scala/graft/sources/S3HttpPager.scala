@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.sources.PagedLister.{PageEntry, PageLister}
+
+/** [[PagedLister.PageLister]] over a REAL ListObjectsV2 HTTP endpoint —
+  * the wire form of the listing protocol the reference speaks
+  * (/root/reference/src/s3/s3_operator.rs:208-275 issues exactly these
+  * requests through the AWS SDK). Each [[page]] call is one
+  * `GET {endpoint}/?list-type=2&prefix=…&start-after=…&max-keys=…`
+  * and parses the XML `ListBucketResult` (`Contents/Key`,
+  * `Contents/LastModified` ISO-8601, `Contents/Size`).
+  *
+  * The stateless `start-after` form is used on every request (valid
+  * ListObjectsV2: a request without a continuation token starts a fresh
+  * listing strictly after that key), because [[PagedLister.listAll]]
+  * owns the cursor — it advances to the last key of each full page, so
+  * no server-side token state is needed and a retried page is
+  * idempotent. Anonymous requests only: S3-compatible endpoints with
+  * public/anonymous listing (test emulators, local object stores) work
+  * as-is; SigV4-signed access belongs to an SDK integration this
+  * sandbox cannot exercise. JDK-only client (HttpURLConnection + the
+  * built-in DocumentBuilder) — no added dependencies.
+  */
+final class S3HttpPager(endpoint: String,
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000)
+    extends PageLister {
+
+  private val base = endpoint.stripSuffix("/")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  def page(prefix: String, startAfter: String, pageSize: Int)
+      : Seq[PageEntry] = {
+    val url = new java.net.URI(
+      s"$base/?list-type=2&max-keys=$pageSize&prefix=${enc(prefix)}" +
+        (if (startAfter.nonEmpty) s"&start-after=${enc(startAfter)}"
+         else "")).toURL
+    val conn = url.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("GET")
+    try {
+      val code = conn.getResponseCode
+      require(code == 200, s"ListObjectsV2 GET $url returned HTTP $code")
+      val in = conn.getInputStream
+      try parseListing(in)
+      finally in.close()
+    } finally conn.disconnect()
+  }
+
+  /** Parse a `ListBucketResult` document into page entries, in document
+    * order (the server contract says ascending key order — [[PagedLister
+    * .listAll]] asserts it, so a misbehaving server fails loudly rather
+    * than silently skipping keys).
+    */
+  private def parseListing(in: java.io.InputStream): Seq[PageEntry] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // untrusted XML: no DTDs, no external entities
+    dbf.setFeature(
+      "http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc = dbf.newDocumentBuilder().parse(in)
+    val contents = doc.getElementsByTagName("Contents")
+    (0 until contents.getLength).map { i =>
+      val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
+      def text(tag: String): String = {
+        val ns = el.getElementsByTagName(tag)
+        require(ns.getLength == 1,
+          s"Contents entry $i: expected one <$tag>, got ${ns.getLength}")
+        ns.item(0).getTextContent
+      }
+      PageEntry(
+        key = text("Key"),
+        mtimeMillis = java.time.Instant.parse(text("LastModified"))
+          .toEpochMilli,
+        size = text("Size").toLong)
+    }
+  }
+}

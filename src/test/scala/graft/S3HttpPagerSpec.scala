@@ -1,0 +1,166 @@
+package graft
+
+import graft.sources.{PagedLister, S3HttpPager}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.net.InetSocketAddress
+
+/** The paged listing protocol against an ACTUAL paginating HTTP server —
+  * the integration the page-level [[PagedLister]] specs can't give:
+  * every page is a real `GET ?list-type=2&prefix&start-after&max-keys`
+  * over a socket, the server truncates at max-keys like S3 does, and a
+  * request log lets the tests assert the cursor discipline (what the
+  * client ASKED for, not just what it got). The emulator implements the
+  * ListObjectsV2 response shape — `ListBucketResult` with
+  * `Contents/{Key,LastModified,Size}`, `IsTruncated`,
+  * `NextContinuationToken` — over an in-memory sorted key set.
+  */
+class S3HttpPagerSpec extends AnyFunSuite {
+
+  private final case class Obj(key: String, mtimeMillis: Long, size: Long)
+
+  /** One logged request: (prefix, startAfter, maxKeys). */
+  private final case class Req(prefix: String, startAfter: String,
+      maxKeys: Int)
+
+  /** Minimal ListObjectsV2 emulator over `objs` (kept sorted by key).
+    * `reverse = true` serves keys in DESCENDING order — the
+    * broken-server arm. Returns (server, baseUrl, requestLog).
+    */
+  private def startEmulator(objs: Seq[Obj], reverse: Boolean = false) = {
+    val sorted = objs.sortBy(_.key)
+    val log = new java.util.concurrent.CopyOnWriteArrayList[Req]()
+    val server = com.sun.net.httpserver.HttpServer
+      .create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          val k = java.net.URLDecoder.decode(kv.take(i), "UTF-8")
+          val v = java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+          k -> v
+        }.toMap
+      val prefix = params.getOrElse("prefix", "")
+      val after = params.getOrElse("start-after", "")
+      val maxKeys = math.min(params.getOrElse("max-keys", "1000").toInt,
+        1000)
+      log.add(Req(prefix, after, maxKeys))
+      val matching = sorted
+        .filter(o => o.key.startsWith(prefix) && o.key > after)
+      val pageRows = matching.take(maxKeys)
+      val page = if (reverse) pageRows.reverse else pageRows
+      val truncated = matching.size > maxKeys
+      def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+      val xml = new StringBuilder
+      xml ++= """<?xml version="1.0" encoding="UTF-8"?>"""
+      xml ++= "<ListBucketResult><Name>test-bucket</Name>"
+      xml ++= s"<Prefix>${esc(prefix)}</Prefix>"
+      xml ++= s"<KeyCount>${page.size}</KeyCount>"
+      xml ++= s"<MaxKeys>$maxKeys</MaxKeys>"
+      xml ++= s"<IsTruncated>$truncated</IsTruncated>"
+      if (truncated)
+        xml ++= s"<NextContinuationToken>tok-${esc(page.last.key)}" +
+          "</NextContinuationToken>"
+      page.foreach { o =>
+        xml ++= "<Contents>"
+        xml ++= s"<Key>${esc(o.key)}</Key>"
+        xml ++= s"<LastModified>${java.time.Instant
+          .ofEpochMilli(o.mtimeMillis)}</LastModified>"
+        xml ++= s"<Size>${o.size}</Size>"
+        xml ++= "<StorageClass>STANDARD</StorageClass></Contents>"
+      }
+      xml ++= "</ListBucketResult>"
+      val bytes = xml.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/xml")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}", log)
+  }
+
+  private def withEmulator[A](objs: Seq[Obj], reverse: Boolean = false)(
+      body: (S3HttpPager, java.util.List[Req]) => A): A = {
+    val (server, url, log) = startEmulator(objs, reverse)
+    try body(new S3HttpPager(url), log)
+    finally server.stop(0)
+  }
+
+  test("multi-page drain over a real socket: every key, in order, with the cursor advancing to each page's last key") {
+    val objs = (0 until 2537).map(i =>
+      Obj(f"t/2024/01/02/f$i%06d.parquet", 10000L + i, 10L + i))
+    withEmulator(objs) { (pager, log) =>
+      val got = PagedLister.listAll(pager, "t/", pageSize = 1000)
+      assert(got.map(_.key) === objs.map(_.key))
+      // entries carry the server's mtime/size through the XML round-trip
+      assert(got.head.mtimeMillis === 10000L && got.head.size === 10L)
+      assert(got.last.mtimeMillis === 10000L + 2536)
+      // 2537 keys at 1000/page = 3 requests (the last page is short, so
+      // the truncation loop stops without a 4th)
+      assert(log.size === 3)
+      assert(log.get(0) === Req("t/", "", 1000))
+      assert(log.get(1) === Req("t/", objs(999).key, 1000))
+      assert(log.get(2) === Req("t/", objs(1999).key, 1000))
+    }
+  }
+
+  test("a drain whose total is an exact page multiple pays one extra empty page — and no more") {
+    val objs = (0 until 2000).map(i =>
+      Obj(f"t/k$i%05d.parquet", 1L, 1L))
+    withEmulator(objs) { (pager, log) =>
+      val got = PagedLister.listAll(pager, "t/", pageSize = 1000)
+      assert(got.size === 2000)
+      // full page → maybe-truncated → one extra request that comes back
+      // empty; a fourth would mean the loop ignored the empty signal
+      assert(log.size === 3)
+      assert(log.get(2).startAfter === objs.last.key)
+    }
+  }
+
+  test("date-aware listing over HTTP prunes earlier days SERVER-side: no request ever lists them") {
+    def ts(s: String): Long = java.time.Instant.parse(s).toEpochMilli
+    val objs = Seq(
+      Obj("t/LOAD00000001.parquet", ts("2023-12-01T00:00:00Z"), 5L),
+      Obj("t/2024/01/01/a.parquet", // before the start day
+        ts("2024-01-01T12:00:00Z"), 5L),
+      Obj("t/2024/01/02/b.parquet", // inside the window
+        ts("2024-01-02T10:00:00Z"), 5L),
+      Obj("t/2024/01/02/b2.parquet", // day ok, mtime before start
+        ts("2024-01-02T08:00:00Z"), 5L),
+      Obj("t/2024/01/03/c.parquet", // inside
+        ts("2024-01-03T10:00:00Z"), 5L),
+      Obj("t/2024/01/04/d.parquet", // after stop
+        ts("2024-01-04T10:00:00Z"), 5L),
+      Obj("t/2024/01/03/junk.txt", // non-parquet
+        ts("2024-01-03T10:00:00Z"), 5L))
+    withEmulator(objs) { (pager, log) =>
+      val got = PagedLister.listDateAware(pager, "t",
+        startMillis = ts("2024-01-02T09:00:00Z"),
+        stopMillis = Some(ts("2024-01-04T00:00:00Z")))
+      // LOAD always kept (and first); CDC files window on mtime
+      assert(got.map(_.path) === Seq("t/LOAD00000001.parquet",
+        "t/2024/01/02/b.parquet", "t/2024/01/03/c.parquet"))
+      assert(got.head.isLoad && got.tail.forall(!_.isLoad))
+      // the protocol's pruning promise: the date pass STARTS its cursor
+      // at the start day's directory, so 2024/01/01 keys are never
+      // transferred — verified on the server's own request log
+      val datePass = log.asInstanceOf[java.util.List[Req]]
+      assert(datePass.stream().anyMatch(r =>
+        r.prefix == "t/" && r.startAfter == "t/2024/01/02/"))
+      assert(datePass.stream().anyMatch(r => r.prefix == "t/LOAD"))
+    }
+  }
+
+  test("a server answering out of order fails the drain loudly instead of skipping keys") {
+    val objs = (0 until 20).map(i => Obj(f"t/k$i%03d.parquet", 1L, 1L))
+    withEmulator(objs, reverse = true) { (pager, _) =>
+      val e = intercept[IllegalArgumentException] {
+        PagedLister.listAll(pager, "t/", pageSize = 10)
+      }
+      assert(e.getMessage.contains("ascending keys"))
+    }
+  }
+}
