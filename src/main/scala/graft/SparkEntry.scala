@@ -164,6 +164,12 @@ object SparkEntry {
       (SimilarityQueries.incrementalCosineNearDupsRetired _),
     "dedup_incremental_compacted" ->
       (DedupQueries.incrementalExactCompacted _),
+    "dedup_incremental_lsh_compacted" ->
+      (DedupQueries.incrementalLshCompacted _),
+    "dedup_incremental_simhash_compacted" ->
+      (DedupQueries.incrementalSimHashCompacted _),
+    "embed_incremental_compacted" ->
+      (SimilarityQueries.incrementalCosineNearDupsCompacted _),
     "dedup_incremental_refreshed" ->
       (DedupQueries.incrementalExactRefreshed _),
     "dedup_incremental_lsh_refreshed" ->
@@ -340,10 +346,17 @@ object SparkEntry {
       DedupQueries.incrementalLshRetiredSql,
     "embed_incremental_retired" ->
       SimilarityQueries.incrementalCosineNearDupsRetiredSql,
-    // compacted form shares the retired oracle: compaction must be
-    // probe-invisible (live rows only, physically rewritten)
+    // compacted forms share the retired oracles: compaction must be
+    // probe-invisible (live rows only, physically rewritten — incl. the
+    // fmt-5 size deltas collapsed back to live counts)
     "dedup_incremental_compacted" ->
       DedupQueries.incrementalExactRetiredSql,
+    "dedup_incremental_lsh_compacted" ->
+      DedupQueries.incrementalLshRetiredSql,
+    "dedup_incremental_simhash_compacted" ->
+      DedupQueries.incrementalSimHashRetiredSql,
+    "embed_incremental_compacted" ->
+      SimilarityQueries.incrementalCosineNearDupsRetiredSql,
     // refresh/resurrection oracles recompute over the POST-UPDATE (or
     // post-cycle) corpus — the generational index must answer for it
     "dedup_incremental_refreshed" ->

@@ -62,6 +62,12 @@ object MediaStress {
     val srcSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTORS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
+    // index bucket count (0 = session default, 32). The touched-key
+    // prune turns the probe's stored-side scan into ~touched/numBuckets
+    // of the band files, so a corpus sized at B buckets per ~10× the
+    // probe batch's keys keeps the probe flat — this knob measures that
+    // sizing claim at fixture scale
+    val buckets = sys.env.getOrElse("SPARK_GRAFT_MEDIA_BUCKETS", "0").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -140,7 +146,7 @@ object MediaStress {
           .createTempDirectory(s"graft-media-x$f-r$rep").toString
         // cold build: the one O(corpus) decode pass
         val build = timed(graft.operators.DedupIndex.writeMedia(
-          media, "doc_id", "payload", idxDir))
+          media, "doc_id", "payload", idxDir, numBuckets = buckets))
         val absorb = timed(graft.operators.DedupIndex.appendMedia(
           freshBatch, "doc_id", "payload", idxDir))
         val refresh = timed(graft.operators.DedupIndex.appendMedia(

@@ -233,6 +233,36 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[incrementalLshRetired]] after [[graft.operators.DedupIndex
+    * .compactText]] ran ([[QueryIndexes.textCompacted]]): same live
+    * corpus, same oracle, but the probe reads physically rewritten
+    * components — including the fmt-5 `sizes` deltas COLLAPSED back to
+    * live counts, so the compaction's size-collapse leg is itself
+    * oracle-gated (a drifted collapsed count would flip a bucket across
+    * the cap and change the pair set).
+    */
+  def incrementalLshCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalMinHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textCompacted(spark, sfDir),
+        threshold = 0.5)
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[incrementalSimHashRetired]]'s compacted twin — the `simsizes`
+    * collapse gate, mirroring [[incrementalLshCompacted]].
+    */
+  def incrementalSimHashCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalSimHashNearDupsReportIndexed(
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", QueryIndexes.textCompacted(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[incrementalExactIndexed]] against an index that absorbed a CDC
     * UPDATE batch ([[QueryIndexes.textRefreshed]]): the even `% 10`
     * slice re-indexed with changed text, the `% 6` slice replayed with

@@ -801,6 +801,33 @@ object QueryIndexes {
     DedupIndex.loadVectors(spark, dir)
   }
 
+  /** [[textCompacted]]'s vector twin: [[vectorsRetired]] carried
+    * through [[DedupIndex.compactVectors]]'s REPLACE-mode rewrite, so
+    * the probe reads physically tombstone-free `buckets`/`lists`
+    * components — oracle-gating the vector compaction rewrite itself
+    * (a dead row kept, a live row dropped, or a broken bucket layout
+    * would all flip pairs). Replay-safe on reuse like the text form.
+    */
+  def vectorsCompacted(spark: SparkSession,
+      sfDir: String): DedupIndex.VectorIndex = {
+    val vecs = tbl(spark, sfDir, "embeddings")
+    val dir = dirFor(sfDir, "vectors_compacted",
+      graft.plans.CachedPlans.dataFingerprint(vecs))
+    built.computeIfAbsent(dir, _ => {
+      val reusable = vectorParamsReusable(spark, dir)
+      if (!reusable)
+        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir, planes = 2, dim = 64)
+      DedupIndex.retireVectors(
+        vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
+          .select(col("vec_id")),
+        "vec_id", dir)
+      DedupIndex.compactVectors(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadVectors(spark, dir)
+  }
+
   /** Full-corpus vector index (every vec_id — the `ann_*` top-k
     * family's corpus) backing the persisted-IVF top-k.
     */

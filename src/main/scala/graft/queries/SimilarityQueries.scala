@@ -1136,6 +1136,22 @@ object SimilarityQueries {
     incrementalCosineNearDupsSqlFor(
       c => s"($c % 2 = 0 AND $c % 10 <> 0)", c => s"$c % 2 = 1")
 
+  /** [[incrementalCosineNearDupsRetired]] after [[graft.operators
+    * .DedupIndex.compactVectors]] ran ([[QueryIndexes
+    * .vectorsCompacted]]): same live corpus, same oracle, but the probe
+    * reads the physically rewritten tombstone-free `buckets` component
+    * — the vector twin of `dedup_incremental_compacted`, closing the
+    * compacted-form symmetry across modalities.
+    */
+  def incrementalCosineNearDupsCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val emb = tbl(spark, sfDir, "embeddings")
+    Similarity.incrementalCosineNearDupsIndexed(
+        emb.filter("vec_id % 2 = 1"), "vec_id", "embedding",
+        QueryIndexes.vectorsCompacted(spark, sfDir), threshold = 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[incrementalCosineNearDupsIndexed]] against an index that absorbed
     * a CDC UPDATE batch ([[QueryIndexes.vectorsRefreshed]]): the even
     * `% 10` slice re-absorbed with its embedding negated (landing in the

@@ -8,9 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    // 8 threads / 8 shuffle partitions: the host has 32 cores and the
+    // suite is Spark-job-bound, so local[4] left most of the wall time
+    // on the table (the round-14 suite ran 658 s; the budget asks
+    // < 600). Specs that depend on the partitioning read it from the
+    // conf, so bucket counts track this value rather than assuming 4.
+    .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "8")}]")
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "8"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
