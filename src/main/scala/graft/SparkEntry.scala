@@ -109,6 +109,12 @@ object SparkEntry {
     "mm_ahash_incremental" -> (DedupQueries.incrementalAhash _),
     "mm_ahash_incremental_indexed" ->
       (DedupQueries.incrementalAhashIndexed _),
+    // the AUDIO modality over BINARY WAV payloads (real RIFF parse +
+    // energy hash; the media index serves it via its pinned coder)
+    "mm_audiohash_incremental" ->
+      (DedupQueries.incrementalAudioHash _),
+    "mm_audiohash_incremental_indexed" ->
+      (DedupQueries.incrementalAudioHashIndexed _),
     "mm_ahash_incremental_absorbed" ->
       (DedupQueries.incrementalAhashAbsorbed _),
     "mm_ahash_incremental_retired" ->
@@ -390,6 +396,9 @@ object SparkEntry {
       DedupQueries.incrementalSimHashRefreshedSql,
     "mm_ahash_incremental" -> DedupQueries.incrementalAhashSql,
     "mm_ahash_incremental_indexed" -> DedupQueries.incrementalAhashSql,
+    "mm_audiohash_incremental" -> DedupQueries.incrementalAudioHashSql,
+    "mm_audiohash_incremental_indexed" ->
+      DedupQueries.incrementalAudioHashSql,
     "mm_ahash_incremental_absorbed" ->
       DedupQueries.incrementalAhashAbsorbedSql,
     "mm_ahash_incremental_retired" ->

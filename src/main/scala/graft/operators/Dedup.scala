@@ -616,13 +616,18 @@ object Dedup {
   }
 
   /** Ceiling on the touched-bucket-key set a banded indexed probe will
-    * collect to the driver for scan pruning: batches under it (every
-    * daily/micro-batch probe — keys ≤ batch rows × bands) get their
-    * existing-side band scan pruned to the touched keys; a
-    * backfill-scale batch above it falls back to the full bucketed-scan
-    * equi-join, which is the cheaper plan at that size anyway.
+    * In-filter the stored scan with. MEASURED, not guessed: at ~2000
+    * keys the prune beat the plain bucketed-scan join on a ×100 corpus
+    * (BENCH_MEDIA_r15), but at ~10k keys the giant literal list poisons
+    * PLANNING — Catalyst re-canonicalizes and constraint-propagates the
+    * In predicate across every join in the probe, measured at +7 s per
+    * execution on a 10k-row index (dev.LshProbeDebug) — so batches
+    * above the ceiling fall back to the full bucketed-scan equi-join,
+    * which filters keys exactly as well (the candidate join IS a bkey
+    * equi-join; the In-filter's only extra value is file/row-group
+    * skipping before it).
     */
-  private val MaxTouchedBkeys = 100000
+  private val MaxTouchedBkeys = 2048
 
   /** The existing-side band component restricted to the bucket keys a
     * probe batch actually touches: collect the batch's distinct `bkey`s
@@ -640,7 +645,10 @@ object Dedup {
     */
   private def pruneToBatchKeys(stored: DataFrame, batchKeys: DataFrame)
       : DataFrame = {
+    // limit caps the driver transfer at ceiling+1 rows: a key set past
+    // the ceiling only needs to be KNOWN too big, never shipped
     val touched = batchKeys.select(col("bkey")).distinct()
+      .limit(MaxTouchedBkeys + 1)
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty) stored.filter(lit(false))
     else if (touched.size > MaxTouchedBkeys) stored
@@ -994,13 +1002,35 @@ object Dedup {
   def incrementalAhashNearDupsReport(newMedia: DataFrame,
       existing: DataFrame, idCol: String, payloadCol: String,
       bands: Int = 4, maxHamming: Int = 3,
-      maxBucket: Int = 1000): NearDupReport = {
+      maxBucket: Int = 1000): NearDupReport =
+    incrementalMediaNearDupsReport(newMedia, existing, idCol, payloadCol,
+      "image_ahash", bands, maxHamming, maxBucket)
+
+  /** The AUDIO modality's incremental near-dup probe: WAV payloads on
+    * both sides decode through the pure-JVM RIFF parser and hash to the
+    * 64-bit energy-envelope code ([[Multimodal.energyHash]] —
+    * [[Multimodal.averageHash]]'s audio twin), then the identical
+    * banded-slice candidate + Hamming-verify machinery runs: the code
+    * SPACE differs, the near-dup algebra does not. Undecodable payloads
+    * are inert on either side; id spaces must be disjoint.
+    */
+  def incrementalAudioHashNearDupsReport(newMedia: DataFrame,
+      existing: DataFrame, idCol: String, payloadCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): NearDupReport =
+    incrementalMediaNearDupsReport(newMedia, existing, idCol, payloadCol,
+      "audio_energy", bands, maxHamming, maxBucket)
+
+  private def incrementalMediaNearDupsReport(newMedia: DataFrame,
+      existing: DataFrame, idCol: String, payloadCol: String,
+      coder: String, bands: Int, maxHamming: Int,
+      maxBucket: Int): NearDupReport = {
     require(bands > maxHamming,
       s"pigeonhole recall needs bands > maxHamming, got $bands <= $maxHamming")
     val cNew = CachedPlans.cached(
-      Multimodal.averageHashCodes(newMedia, idCol, payloadCol))
+      Multimodal.codesFor(coder)(newMedia, idCol, payloadCol))
     val cOld = CachedPlans.cached(
-      Multimodal.averageHashCodes(existing, idCol, payloadCol))
+      Multimodal.codesFor(coder)(existing, idCol, payloadCol))
     val bkOld = ahashBands(cOld, "id", bands)
     val sizes = bkOld.groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_size"))
@@ -1045,8 +1075,10 @@ object Dedup {
     val bands = idx.params.bands
     require(bands > maxHamming,
       s"pigeonhole recall needs bands > maxHamming, got $bands <= $maxHamming")
+    // the batch decodes under the index's PINNED coder (image or
+    // audio), so a probe can never mix code spaces with stored keys
     val cNew = CachedPlans.cached(
-      Multimodal.averageHashCodes(newMedia, idCol, payloadCol))
+      Multimodal.codesFor(idx.params.coder)(newMedia, idCol, payloadCol))
     val bkNew = ahashBands(cNew, "id", bands)
     val bkOld = idx.bandKeys
     val oversizedK = idx.bucketSizes.filter(col("n") > maxBucket)

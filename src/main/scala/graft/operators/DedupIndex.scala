@@ -1272,7 +1272,14 @@ object DedupIndex {
 
   // ---------------------------------------------------------- media index
 
-  final case class MediaParams(bands: Int, numBuckets: Int)
+  /** `coder` names the modality's code derivation
+    * ([[Multimodal.codesFor]]: `image_ahash` | `audio_energy`) — pinned
+    * at build time so maintenance verbs and indexed probes can never
+    * mix code spaces; indexes written before the key existed read as
+    * the original `image_ahash`.
+    */
+  final case class MediaParams(bands: Int, numBuckets: Int,
+      coder: String = "image_ahash")
 
   /** Loaded media (perceptual-hash) dedup index: the fourth near-dup
     * modality's persisted corpus side. `codes` is the id-bucketed
@@ -1327,7 +1334,8 @@ object DedupIndex {
     * from birth).
     */
   def writeMedia(media: DataFrame, idCol: String, payloadCol: String,
-      dir: String, bands: Int = 4, numBuckets: Int = 0): Unit = {
+      dir: String, bands: Int = 4, numBuckets: Int = 0,
+      coder: String = "image_ahash"): Unit = {
     require(bands > 0 && bands % 2 == 0 && 64 % bands == 0,
       s"bands must be even and divide 64, got $bands")
     val spark = media.sparkSession
@@ -1336,7 +1344,7 @@ object DedupIndex {
       Seq("mcodes", "mbands", "mbandsfwd", "msizes", "tombstones"))
     // one decode pass feeds every component
     val codes = graft.plans.CachedPlans.cached(
-      Multimodal.averageHashCodes(media, idCol, payloadCol))
+      Multimodal.codesFor(coder)(media, idCol, payloadCol))
     val bandRows = graft.plans.CachedPlans.cached(
       mediaBandRows(codes, bands).withColumn("gen", lit(0L)))
     writeComponent(codes.withColumn("gen", lit(0L)),
@@ -1348,7 +1356,7 @@ object DedupIndex {
       dir, "msizes", Seq("bkey"), n)
     writeParams(spark, dir, Seq(
       "kind" -> "media", "fmt" -> "2", "bands" -> bands.toString,
-      "numBuckets" -> n.toString))
+      "numBuckets" -> n.toString, "coder" -> coder))
   }
 
   /** Banded aHash keys of a codes table in the index's stored shape:
@@ -1387,10 +1395,10 @@ object DedupIndex {
     recover(spark, dir, Some(lease))
     val raw = loadMediaRaw(spark, dir)
     val p = raw.params
-    // decode the batch once; call-local persists only (see
-    // [[resolveGenerations]] for why the registry cache must stay out
-    // of maintenance internals)
-    val batch0 = Multimodal.averageHashCodes(newMedia, idCol, payloadCol)
+    // decode the batch once UNDER THE INDEX'S PINNED CODER; call-local
+    // persists only (see [[resolveGenerations]] for why the registry
+    // cache must stay out of maintenance internals)
+    val batch0 = Multimodal.codesFor(p.coder)(newMedia, idCol, payloadCol)
       .select(col("id"), col("ahash_hi"), col("ahash_lo"),
         col("content_hash").as("__content"))
       .persist()
@@ -1556,7 +1564,8 @@ object DedupIndex {
     if (!p.get("fmt").contains("2"))
       corrupt(dir, s"media index format ${p.getOrElse("fmt", "?")}, " +
         "expected 2 (rebuild the index)")
-    val params = MediaParams(p("bands").toInt, p("numBuckets").toInt)
+    val params = MediaParams(p("bands").toInt, p("numBuckets").toInt,
+      coder = p.getOrElse("coder", "image_ahash"))
     MediaRaw(dir, params,
       codes = component(spark, dir, "mcodes", Seq("id"),
         params.numBuckets),

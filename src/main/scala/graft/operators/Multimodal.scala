@@ -273,4 +273,85 @@ object Multimodal {
           else MediaCodecs.imageIoRgb(bytes)
         Some(averageHash(w, h, px))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit ENERGY hash of a PCM sample array — [[averageHash]]'s audio
+    * twin (the near-dup code of the AUDIO modality): the samples split
+    * into 64 contiguous windows by the same floor-boundary rule the
+    * image hash uses for its 8×8 grid (window i covers sample indices
+    * [i·n/64, (i+1)·n/64) — exact partition at any length, possibly
+    * empty windows for very short clips), E_i = Σ|s| over the window,
+    * and bit i is 1 iff E_i·64 > ΣE (energy strictly above the mean —
+    * the aHash decision applied to the energy envelope, so re-encodes
+    * and small-amplitude noise keep the code while different material
+    * flips it). Packing matches [[averageHash]]: bit i < 32 in `lo`,
+    * 32..63 in `hi`, both non-negative. Integer arithmetic end to end —
+    * an oracle derives every bit from the raw samples.
+    */
+  def energyHash(samples: Array[Short]): (Long, Long) = {
+    val n = samples.length
+    val e = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      var j = i * n / 64
+      val end = (i + 1) * n / 64
+      var s = 0L
+      while (j < end) { s += math.abs(samples(j).toInt); j += 1 }
+      e(i) = s; total += s
+      i += 1
+    }
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (e(i) * 64 > total) {
+        if (i < 32) lo |= (1L << i) else hi |= (1L << (i - 32))
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Total [[energyHash]] of an arbitrary payload: RIFF/WAVE PCM through
+    * the pure-JVM [[MediaCodecs.WavDecoder]]; null, non-audio, or
+    * corrupt bytes → None — [[averageHashOf]]'s contract for the audio
+    * modality.
+    */
+  def energyHashOf(bytes: Array[Byte]): Option[(Long, Long)] =
+    if (bytes == null || bytes.length < 4) None
+    else
+      try {
+        val (_, _, samples) = MediaCodecs.WavDecoder.decodeSamples(bytes)
+        Some(energyHash(samples))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[averageHashCodes]]' audio twin: `(id, ahash_hi, ahash_lo,
+    * content_hash)` per row — the SAME output shape (the code columns
+    * keep the shared names so the banded candidate/verify machinery and
+    * the persisted media index serve both modalities unchanged), with
+    * the codes from [[energyHash]] over the decoded WAV samples and the
+    * ledger hash over the payload bytes. Undecodable payloads keep
+    * NULL-code ledger rows, exactly as for images.
+    */
+  def audioEnergyHashCodes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) => energyHashOf(b))
+    df.select(col(idCol).cast("long").as("id"),
+        hashUdf(col(payloadCol)).as("_ah"),
+        md5(col(payloadCol)).as("content_hash"))
+      .select(col("id"), col("_ah._1").as("ahash_hi"),
+        col("_ah._2").as("ahash_lo"), col("content_hash"))
+  }
+
+  /** The media-modality coder registry: a persisted media index pins the
+    * coder NAME in its params, and every maintenance verb and indexed
+    * probe derives batch codes through this dispatch — so an index can
+    * never mix image and audio code spaces.
+    */
+  def codesFor(coder: String): (DataFrame, String, String) => DataFrame =
+    coder match {
+      case "image_ahash"  => averageHashCodes
+      case "audio_energy" => audioEnergyHashCodes
+      case other => throw new IllegalArgumentException(
+        s"unknown media coder '$other' (image_ahash | audio_energy)")
+    }
 }

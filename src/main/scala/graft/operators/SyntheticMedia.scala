@@ -61,4 +61,20 @@ object SyntheticMedia {
     }
     MediaCodecs.encodeBmp(w, h, rgb)
   }
+
+  /** The fixture's AUDIO twin: a 128-sample 16 kHz mono PCM16 WAV whose
+    * sample j takes 5 magnitude bits from the TEMPLATE chain and 3 from
+    * the NOISE chain — ((t(j)&0xf8)|(n(j)&0x07)) << 4, always
+    * non-negative — so same-template clips are energy-envelope-near the
+    * way re-encodes/trims of one recording are, and the energy-hash
+    * oracle derives every bit analytically from the same md5 chains the
+    * image fixture uses.
+    */
+  def wav(template: String, noise: String): Array[Byte] = {
+    val t = chain(template)
+    val n = chain(noise)
+    val samples = Array.tabulate[Short](128)(j =>
+      (((t(j) & 0xf8) | (n(j) & 0x07)) << 4).toShort)
+    MediaCodecs.encodeWavPcm16(16000, 1, samples)
+  }
 }

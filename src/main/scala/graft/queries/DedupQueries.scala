@@ -463,6 +463,46 @@ object DedupQueries {
   def incrementalAhashSql: String =
     incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1")
 
+  /** The AUDIO modality's incremental near-dup probe as a declared op:
+    * same `(doc_id div 20) % 2` corpus/batch split as the image family
+    * (near-dups form within (lang, source) template groups, which the
+    * synthetic corpus assigns by `doc_id % 20`), but the payloads are
+    * 128-sample PCM16 WAVs and the 64-bit code is the ENERGY hash over
+    * the real RIFF decode — the oracle replays the energy windows, the
+    * mean-threshold bits, the banded candidates and the Hamming verify
+    * analytically from the md5 sample chains.
+    */
+  def incrementalAudioHash(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAudioHashNearDupsReport(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 0)),
+        "doc_id", "payload")
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAudioHashSql: String =
+    incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1",
+      codeCtes = TextQueries.energyHashCodeCtes)
+
+  /** [[incrementalAudioHash]] probing a PERSISTED media index built
+    * with the `audio_energy` coder ([[QueryIndexes.mediaAudio]]) — the
+    * whole maintained-media-index machinery (bucketed codes + band
+    * keys, delta-served bucket cap, generational lifecycle) serves the
+    * audio modality unchanged, because the coder is pinned in the index
+    * params and only the code DERIVATION differs. Same oracle as the
+    * recompute form; corpus WAVs are never re-parsed at probe time.
+    */
+  def incrementalAudioHashIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaAudio(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[incrementalAhash]] probing the PERSISTED media index
     * ([[graft.operators.DedupIndex.MediaIndex]]) — same split, same
     * oracle, bit-identical pairs; corpus payloads are never re-fetched
@@ -589,7 +629,8 @@ object DedupQueries {
     * template groups).
     */
   private def incrementalAhashSqlFor(existingPred: String => String,
-      newPred: String => String, src: String = "documents"): String = {
+      newPred: String => String, src: String = "documents",
+      codeCtes: String => String = TextQueries.ahashCodeCtes): String = {
     val bandSelect = (pred: String) =>
       s"""SELECT doc_id, CAST(t.b AS INTEGER) AS band,
          |    CASE WHEN t.b < 2 THEN (ahash_lo >> CAST(16 * t.b AS INTEGER)) & 65535
@@ -598,7 +639,7 @@ object DedupQueries {
          |  WHERE $pred""".stripMargin
     val ham = "bit_count(xor(x.ahash_hi, y.ahash_hi)) " +
       "+ bit_count(xor(x.ahash_lo, y.ahash_lo))"
-    s"""WITH ${TextQueries.ahashCodeCtes(src)},
+    s"""WITH ${codeCtes(src)},
       |bke AS (
       |  ${bandSelect(existingPred("(doc_id // 20)"))}),
       |bkn AS (

@@ -363,9 +363,11 @@ object QueryIndexes {
     * geometry (4 × 16-bit bands — the `mm_ahash_incremental*` contract).
     */
   private def mediaParamsReusable(spark: SparkSession,
-      dir: String): Boolean =
-    try DedupIndex.loadMedia(spark, dir).params.bands == 4
-    catch {
+      dir: String, coder: String = "image_ahash"): Boolean =
+    try {
+      val p = DedupIndex.loadMedia(spark, dir).params
+      p.bands == 4 && p.coder == coder
+    } catch {
       case _: IllegalArgumentException | _: IllegalStateException => false
     }
 
@@ -387,6 +389,29 @@ object QueryIndexes {
           TextQueries.ahashPayloads(
             docs.filter(expr("(doc_id div 20) % 2") === 0)),
           "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[media]]'s AUDIO twin: the same k-even corpus split rendered to
+    * 128-sample WAVs ([[TextQueries.audioPayloads]]) and indexed with
+    * the `audio_energy` coder pinned in the params — the corpus side of
+    * `mm_audiohash_incremental_indexed`. The build parses each RIFF
+    * container exactly once; probes serve the energy codes and band
+    * keys from the bucketed components.
+    */
+  def mediaAudio(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_audio",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
+        DedupIndex.writeMedia(
+          TextQueries.audioPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "audio_energy")
       java.lang.Boolean.TRUE
     })
     DedupIndex.loadMedia(spark, dir)

@@ -1123,6 +1123,64 @@ object TextQueries {
     }(enc)
   }
 
+  /** [[ahashPayloads]]' AUDIO twin: one 128-sample PCM16 WAV per
+    * document from the same (lang, source) template / per-doc noise md5
+    * chains ([[graft.operators.SyntheticMedia.wav]]) — emitted as
+    * payload BYTES so the audio near-dup probes exercise the real
+    * RIFF-parse-then-energy-hash path while the oracle derives the
+    * identical codes analytically ([[energyHashCodeCtes]]).
+    */
+  private[queries] def audioPayloads(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        org.apache.spark.sql.Row(r.getLong(0),
+          graft.operators.SyntheticMedia.wav(r.getString(1),
+            r.getString(2)))
+      }
+    }(enc)
+  }
+
+  /** [[ahashCodeCtes]]' audio twin: the CTE chain deriving each
+    * document's 64-bit ENERGY hash analytically from the md5 sample
+    * chains — sample j = ((t(j)&248)|(d(j)&7))·16 (always
+    * non-negative, so |s| = s), window i = samples 2i..2i+1 of the
+    * 128-sample clip, bit i = E_i·64 > ΣE, packed exactly like the
+    * image code (`code AS (doc_id, ahash_hi, ahash_lo)` so the banded
+    * candidate/verify SQL is shared verbatim).
+    */
+  private[queries] def energyHashCodeCtes(
+      src: String = "documents"): String = {
+    val th = AhashChainSql.replaceAll("%s", "g")
+    val dh = AhashChainSql.replaceAll("%s", "text")
+    s"""b AS (
+      |  SELECT doc_id, lang || '|' || source AS g, text FROM $src),
+      |hx AS (SELECT doc_id, $th AS thex, $dh AS dhex FROM b),
+      |sm AS (
+      |  SELECT doc_id, CAST(t.j AS INTEGER) AS j,
+      |    ((('0x' || substr(thex, CAST(2*(t.j) + 1 AS INTEGER), 2))::BIGINT & 248) |
+      |     (('0x' || substr(dhex, CAST(2*(t.j) + 1 AS INTEGER), 2))::BIGINT & 7)) * 16 AS v
+      |  FROM hx, UNNEST(range(0, 128)) AS t(j)),
+      |e AS (
+      |  SELECT doc_id, CAST(j // 2 AS INTEGER) AS w, sum(v) AS ev
+      |  FROM sm GROUP BY doc_id, j // 2),
+      |s AS (SELECT doc_id, sum(ev) AS te FROM e GROUP BY doc_id),
+      |bits AS (
+      |  SELECT e.doc_id, w, CASE WHEN ev * 64 > te THEN 1 ELSE 0 END AS bit
+      |  FROM e JOIN s USING (doc_id)),
+      |code AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN w >= 32 THEN CAST(bit AS BIGINT) << (w - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN w < 32 THEN CAST(bit AS BIGINT) << w ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
   /** Per-doc 64-bit average hash through the REAL image path: a 16×8
     * grayscale BMP is synthesized per document — 5 high bits of each
     * pixel from the (lang, source) template hash, 3 low bits of

@@ -288,6 +288,60 @@ class MediaIndexSpec extends SparkSpec {
       s"probe's stored band scan is not bucket-pruned:\n$plan")
   }
 
+  test("audio-energy media index: probe == recompute through lifecycle verbs; coder pinned") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-midx-audio").toString
+    // audio twin of mkMedia: members 0/1 byte-identical, member 2 same
+    // template fresh noise (energy-envelope-near), member 3 distinct
+    def wavOf(t: String, n: String): Array[Byte] =
+      graft.operators.SyntheticMedia.wav(t, n)
+    def mkAudio(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
+      ids.map { i =>
+        val g = i / 4
+        i % 4 match {
+          case 0 | 1 => (i, wavOf(s"agrp$g", s"acom$g"))
+          case 2     => (i, wavOf(s"agrp$g", s"anear$i"))
+          case _     => (i, wavOf(s"asolo${i * 37}", s"an$i"))
+        }
+      }
+    val even = mkAudio((0L until 80L).filter(_ % 2 == 0))
+    val batch = mediaDf(mkAudio((0L until 80L).filter(_ % 2 == 1)))
+    DedupIndex.writeMedia(mediaDf(even), "doc_id", "payload", indexDir,
+      coder = "audio_energy")
+    assert(DedupIndex.loadMedia(spark, indexDir).params.coder ===
+      "audio_energy")
+
+    def probe(): DataFrame = Dedup.incrementalAhashNearDupsReportIndexed(
+      batch, "doc_id", "payload",
+      DedupIndex.loadMedia(spark, indexDir)).pairs
+    def recompute(live: Seq[(Long, Array[Byte])]): DataFrame =
+      Dedup.incrementalAudioHashNearDupsReport(
+        batch, mediaDf(live), "doc_id", "payload").pairs
+    assert(sortedRows(probe()) === sortedRows(recompute(even)))
+    assert(probe().count() > 0, "audio fixture must produce near-dup pairs")
+
+    // absorb + retire keep the probe equal to the live-set recompute —
+    // the shared generational machinery serves the audio coder unchanged
+    val grown = mkAudio(Seq(200L, 201L, 202L, 203L))
+    DedupIndex.appendMedia(mediaDf(grown), "doc_id", "payload", indexDir)
+    assert(sortedRows(probe()) === sortedRows(recompute(even ++ grown)))
+    val dead = (0L until 20L by 2).toSeq
+    DedupIndex.retireMedia(dead.toDF("doc_id"), "doc_id", indexDir)
+    assert(sortedRows(probe()) === sortedRows(recompute(
+      (even ++ grown).filterNot(r => dead.contains(r._1)))))
+
+    // coder pinning: a batch of IMAGE payloads against the audio index
+    // fails the RIFF parse (NULL codes — inert), never cross-matching
+    // code spaces
+    val imgBatch = mediaDf(Seq((301L, bmpOf("agrp0", "acom0"))))
+    val crossed = Dedup.incrementalAhashNearDupsReportIndexed(
+      imgBatch, "doc_id", "payload",
+      DedupIndex.loadMedia(spark, indexDir)).pairs
+    assert(crossed.count() === 0,
+      "image payloads must be inert against an audio-coder index")
+  }
+
   test("undecodable payloads are inert ledger rows: no candidates, replay-idempotent") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files
