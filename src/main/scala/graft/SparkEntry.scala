@@ -115,6 +115,10 @@ object SparkEntry {
       (DedupQueries.incrementalAudioHash _),
     "mm_audiohash_incremental_indexed" ->
       (DedupQueries.incrementalAudioHashIndexed _),
+    "mm_audiohash_incremental_absorbed" ->
+      (DedupQueries.incrementalAudioHashAbsorbed _),
+    "mm_audiohash_incremental_retired" ->
+      (DedupQueries.incrementalAudioHashRetired _),
     "mm_ahash_incremental_absorbed" ->
       (DedupQueries.incrementalAhashAbsorbed _),
     "mm_ahash_incremental_retired" ->
@@ -399,6 +403,10 @@ object SparkEntry {
     "mm_audiohash_incremental" -> DedupQueries.incrementalAudioHashSql,
     "mm_audiohash_incremental_indexed" ->
       DedupQueries.incrementalAudioHashSql,
+    "mm_audiohash_incremental_absorbed" ->
+      DedupQueries.incrementalAudioHashAbsorbedSql,
+    "mm_audiohash_incremental_retired" ->
+      DedupQueries.incrementalAudioHashRetiredSql,
     "mm_ahash_incremental_absorbed" ->
       DedupQueries.incrementalAhashAbsorbedSql,
     "mm_ahash_incremental_retired" ->

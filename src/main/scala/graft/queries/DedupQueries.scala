@@ -503,6 +503,43 @@ object DedupQueries {
       .pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[incrementalAudioHashIndexed]]'s absorb twin
+    * ([[QueryIndexes.mediaAudioAbsorbed]]): the absorbed WAV batch's
+    * energy codes were derived INSIDE the absorb via the index's pinned
+    * coder — the oracle recomputes over the unioned corpus, gating the
+    * coder-dispatched absorb path end to end.
+    */
+  def incrementalAudioHashAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 4") === 3)),
+        "doc_id", "payload", QueryIndexes.mediaAudioAbsorbed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAudioHashAbsorbedSql: String =
+    incrementalAhashSqlFor(k => s"($k % 2 = 0 OR $k % 4 = 1)",
+      k => s"$k % 4 = 3", codeCtes = TextQueries.energyHashCodeCtes)
+
+  /** [[incrementalAudioHashIndexed]]'s retirement twin
+    * ([[QueryIndexes.mediaAudioRetired]]): retired clips' stored energy
+    * codes and band keys are invisible to candidates and verify, gated
+    * against the live-corpus recompute oracle.
+    */
+  def incrementalAudioHashRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaAudioRetired(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAudioHashRetiredSql: String =
+    incrementalAhashSqlFor(k => s"($k % 2 = 0 AND $k % 10 <> 0)",
+      k => s"$k % 2 = 1", codeCtes = TextQueries.energyHashCodeCtes)
+
   /** [[incrementalAhash]] probing the PERSISTED media index
     * ([[graft.operators.DedupIndex.MediaIndex]]) — same split, same
     * oracle, bit-identical pairs; corpus payloads are never re-fetched

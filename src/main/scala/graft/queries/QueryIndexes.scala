@@ -417,6 +417,54 @@ object QueryIndexes {
     DedupIndex.loadMedia(spark, dir)
   }
 
+  /** [[mediaAbsorbed]]'s audio twin: the `k % 4 == 1` WAV batch absorbs
+    * through the SAME [[DedupIndex.appendMedia]] staged commit — which
+    * derives its codes via the index's pinned `audio_energy` coder, so
+    * the absorb path's coder dispatch is itself oracle-gated.
+    */
+  def mediaAudioAbsorbed(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_audio_absorbed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
+        DedupIndex.writeMedia(
+          TextQueries.audioPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "audio_energy")
+      DedupIndex.appendMedia(
+        TextQueries.audioPayloads(
+          docs.filter(expr("(doc_id div 20) % 4") === 1)),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[mediaRetired]]'s audio twin: the `k % 10 == 0` slice CDC-deletes
+    * from the audio-coder index (replayed on reuse — idempotent).
+    */
+  def mediaAudioRetired(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_audio_retired",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
+        DedupIndex.writeMedia(
+          TextQueries.audioPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "audio_energy")
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
   /** [[textAbsorbed]]'s media twin: k-even payloads indexed, the
     * `k % 4 == 1` batch absorbed through [[DedupIndex.appendMedia]]'s
     * staged commit (decode-once, replayed on reuse — content-aware
