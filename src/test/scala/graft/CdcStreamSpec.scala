@@ -565,6 +565,89 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio probe + maintenance serve the audio-coder media index via the pinned dispatch") {
+    graft.plans.CachedPlans.clear()
+    import MediaFixture.mediaDf
+    def wavOf(t: String, n: String): Array[Byte] =
+      graft.operators.SyntheticMedia.wav(t, n)
+    // groups of 4, audio twin: 0/1 byte-identical, 2 template-near,
+    // 3 distinct
+    def mkAudio(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
+      ids.map { i =>
+        val g = i / 4
+        i % 4 match {
+          case 0 | 1 => (i, wavOf(s"sgrp$g", s"scom$g"))
+          case 2     => (i, wavOf(s"sgrp$g", s"snear$i"))
+          case _     => (i, wavOf(s"ssolo${i * 37}", s"sn$i"))
+        }
+      }
+    val dir = Files.createTempDirectory("stream_auprobe").toString
+    val evDir = Files.createTempDirectory("stream_aumaint").toString
+    val idxDir = Files.createTempDirectory("stream_auprobe_idx").toString
+    val outDir = Files.createTempDirectory("stream_auprobe_out").toString
+    val corpus = mkAudio(0L until 16L)
+    graft.operators.DedupIndex.writeMedia(
+      mediaDf(spark, corpus), "doc_id", "payload", idxDir,
+      coder = "audio_energy")
+
+    val b1 = Seq((1000L, wavOf("sgrp0", "scom0")),
+      (1001L, wavOf("sgrp1", "snearZ")),
+      (1002L, wavOf("nothing-like-it", "x")))
+    mediaDf(spark, b1).coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    // the generic media stream probe serves the AUDIO index because the
+    // coder rides the index params — no audio-specific sink exists or
+    // is needed
+    val q = CdcStream.startAhashNearDup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "payload", idxDir, outDir,
+      Files.createTempDirectory("stream_auprobe_c1").toString)
+    try {
+      q.processAllAvailable()
+      def expected(docs: Seq[(Long, Array[Byte])]) = graft.operators.Dedup
+        .incrementalAhashNearDupsReportIndexed(
+          mediaDf(spark, docs), "doc_id", "payload",
+          graft.operators.DedupIndex.loadMedia(spark, idxDir))
+        .pairs.select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      def got(bIds: Set[Long]) = spark.read.parquet(outDir)
+        .filter($"b_id".isin(bIds.toSeq: _*))
+        .select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val exp1 = expected(b1)
+      assert(exp1.exists(_._3 == 0), "byte-identical clip must pair at Hamming 0")
+      assert(got(Set(1000L, 1001L, 1002L)) === exp1)
+
+      // mid-stream CDC through the maintenance sink: the absorb must
+      // derive ENERGY codes (coder dispatch) — a new identical clip
+      // pairs, a retired one stops
+      mediaDf(spark, Seq((200L, wavOf("sgrp0", "scom0"))))
+        .select(lit("I").as(C.Op), lit(1L).as("seq"), col("doc_id"),
+          col("payload"))
+        .unionByName(mediaDf(spark, Seq((0L, corpus.head._2)))
+          .select(lit("D").as(C.Op), lit(2L).as("seq"), col("doc_id"),
+            col("payload")))
+        .coalesce(1).write.parquet(s"$evDir/e1")
+      val m = CdcStream.startMediaIndexMaintenance(
+        spark.readStream.schema(
+          spark.read.parquet(s"$evDir/e1").schema).parquet(s"$evDir/e*/"),
+        "doc_id", "payload", idxDir,
+        Files.createTempDirectory("stream_aumaint_c1").toString,
+        col("seq"))
+      try m.processAllAvailable() finally m.stop()
+      val b2 = Seq((2000L, wavOf("sgrp0", "scom0")))
+      mediaDf(spark, b2).coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val after = got(Set(2000L))
+      assert(after === expected(b2))
+      assert(!after.exists(_._1 == 0L),
+        s"retired clip still pairs the stream probe: $after")
+      assert(after.exists(_._1 == 200L),
+        s"absorbed clip must pair the next trigger: $after")
+    } finally q.stop()
+  }
+
   test("streaming media probe equals the batch indexed probe; the maintenance sink's commits land at the next trigger") {
     graft.plans.CachedPlans.clear()
     import MediaFixture.{bmpOf, mediaDf, mkMedia}
