@@ -74,6 +74,8 @@ object DayInLifeStress {
       (s"$root/lex", s"$root/vec", s"$root/txt")
     val (mediaDir, mqDir, mOutDir) =
       (s"$root/media", s"$root/mq", s"$root/mout")
+    val (audioDir, aqDir, aOutDir) =
+      (s"$root/audio", s"$root/aq", s"$root/aout")
 
     val docs = spark.read.parquet(s"$srcSf/documents.parquet")
       .select(col("doc_id"), col("text")).persist()
@@ -86,6 +88,10 @@ object DayInLifeStress {
     // update is a real image change
     val payOf = udf((id: Long, text: String) =>
       MediaStress.bmpPayload(s"dil-t${id % 97}", text))
+    // the AUDIO arm — the FIFTH sink: every doc also renders to a
+    // fixture WAV from its current text, indexed under the audio coder
+    val apayOf = udf((id: Long, text: String) =>
+      graft.operators.SyntheticMedia.wav(s"dil-a${id % 97}", text))
     val seedV = seed.withColumn("embedding", vecOf(col("doc_id")))
     println(s"corpus $nDocs docs, seed ${seed.count()}")
 
@@ -100,6 +106,10 @@ object DayInLifeStress {
       seed.select(col("doc_id"),
         payOf(col("doc_id"), col("text")).as("payload")),
       "doc_id", "payload", mediaDir)
+    graft.operators.DedupIndex.writeMedia(
+      seed.select(col("doc_id"),
+        apayOf(col("doc_id"), col("text")).as("payload")),
+      "doc_id", "payload", audioDir, coder = "audio_energy")
     val buildS = (System.nanoTime() - t0) / 1e9
 
     // update targets rotate through the seed slice; queries are FIXED
@@ -117,7 +127,8 @@ object DayInLifeStress {
     writeRows(chDir, "b0", seed.limit(1)
       .select(lit("I").as("Op"), lit(0L).as("seq"), col("doc_id"),
         col("text"), vecOf(col("doc_id")).as("embedding"),
-        payOf(col("doc_id"), col("text")).as("payload")))
+        payOf(col("doc_id"), col("text")).as("payload"),
+        apayOf(col("doc_id"), col("text")).as("apayload")))
     writeRows(qDir, "q0", queryRows.take(1)
       .toDF("doc_id", "text", "embedding"))
     // media probe batch: EXACT image copies of the 25 query-anchor seed
@@ -135,6 +146,19 @@ object DayInLifeStress {
         org.apache.spark.sql.types.StructField("payload",
           org.apache.spark.sql.types.BinaryType, nullable = true))))
     writeRows(mqDir, "mq0", mediaProbeDf().limit(1))
+    // audio probe batch: exact WAV copies of the same 25 anchors
+    val audioProbe = seed.orderBy(col("doc_id")).limit(25)
+      .select((col("doc_id") + 960000L).as("doc_id"),
+        apayOf(col("doc_id"), col("text")).as("payload"))
+      .collect().toSeq
+    val audioProbeDf = () => spark.createDataFrame(
+      spark.sparkContext.parallelize(audioProbe, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    writeRows(aqDir, "aq0", audioProbeDf().limit(1))
 
     val chSchema = spark.read.parquet(s"$chDir/b0").schema
     val qSchema = spark.read.parquet(s"$qDir/q0").schema
@@ -154,6 +178,9 @@ object DayInLifeStress {
     val maintMedia = graft.streaming.CdcStream.startMediaIndexMaintenance(
       chStream, "doc_id", "payload", mediaDir, ck(), col("seq"),
       autoCompact)
+    val maintAudio = graft.streaming.CdcStream.startMediaIndexMaintenance(
+      chStream, "doc_id", "apayload", audioDir, ck(), col("seq"),
+      autoCompact)
     val search = graft.streaming.CdcStream.startHybridSearch(
       spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$qDir/q*/"),
@@ -163,10 +190,15 @@ object DayInLifeStress {
       spark.readStream.schema(mqSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$mqDir/mq*/"),
       "doc_id", "payload", mediaDir, mOutDir, ck())
+    val aqSchema = spark.read.parquet(s"$aqDir/aq0").schema
+    val audioSearch = graft.streaming.CdcStream.startAhashNearDup(
+      spark.readStream.schema(aqSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$aqDir/aq*/"),
+      "doc_id", "payload", audioDir, aOutDir, ck())
 
     var seq = 1L
     val perTrigger = scala.collection.mutable.ArrayBuffer
-      .empty[(Double, Double, Double)]
+      .empty[(Double, Double, Double, Double)]
     // drift-scenario state readers: the stored SQ8 saturation fraction
     // (what the rebuild gate measures) and fingerprints of the stored
     // geometry — centroid set changes on RETRAIN (and rebuild), ranges
@@ -217,12 +249,14 @@ object DayInLifeStress {
       writeRows(chDir, s"b$t",
         (ins ++ upd ++ del).toDF("Op", "seq", "doc_id", "text",
           "embedding")
-          .withColumn("payload", payOf(col("doc_id"), col("text"))))
+          .withColumn("payload", payOf(col("doc_id"), col("text")))
+          .withColumn("apayload", apayOf(col("doc_id"), col("text"))))
       t0 = System.nanoTime()
       maintTxt.processAllAvailable()
       maintLex.processAllAvailable()
       maintVec.processAllAvailable()
       maintMedia.processAllAvailable()
+      maintAudio.processAllAvailable()
       val maintS = (System.nanoTime() - t0) / 1e9
       writeRows(qDir, s"q$t", queryRows.toDF("doc_id", "text",
         "embedding"))
@@ -233,23 +267,30 @@ object DayInLifeStress {
       t0 = System.nanoTime()
       mediaSearch.processAllAvailable()
       val mediaS = (System.nanoTime() - t0) / 1e9
-      perTrigger += ((maintS, searchS, mediaS))
+      writeRows(aqDir, s"aq$t", audioProbeDf())
+      t0 = System.nanoTime()
+      audioSearch.processAllAvailable()
+      val audioS = (System.nanoTime() - t0) / 1e9
+      perTrigger += ((maintS, searchS, mediaS, audioS))
       val g = geometryState()
       geoTrail += g
       println(f"trigger $t%2d maint $maintS%6.2f s  " +
-        f"search $searchS%5.2f s  media $mediaS%5.2f s" +
+        f"search $searchS%5.2f s  media $mediaS%5.2f s  " +
+        f"audio $audioS%5.2f s" +
         (if (g._2.nonEmpty)
           f"  sat ${g._1 * 100}%5.2f%%  cent ${g._2}%s  ranges ${g._3}%s"
         else ""))
     }
     maintTxt.stop(); maintLex.stop(); maintVec.stop()
-    maintMedia.stop(); search.stop(); mediaSearch.stop()
+    maintMedia.stop(); maintAudio.stop()
+    search.stop(); mediaSearch.stop(); audioSearch.stop()
 
     val served = spark.read.parquet(outDir).count()
     val servedMedia = spark.read.parquet(mOutDir).count()
+    val servedAudio = spark.read.parquet(aOutDir).count()
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val trigJson = perTrigger.zipWithIndex.map { case ((m, s, ms), i) =>
+    val trigJson = perTrigger.zipWithIndex.map { case ((m, s, ms, as_), i) =>
       val geo =
         if (geoTrail(i)._2.isEmpty) ""
         else {
@@ -260,7 +301,7 @@ object DayInLifeStress {
             s""""retrained":$retrained,"rebuilt":$rebuilt"""
         }
       s"""{"t":${i + 1},"maint":${fmt(m)},"search":${fmt(s)},""" +
-        s""""search_media":${fmt(ms)}$geo}"""
+        s""""search_media":${fmt(ms)},"search_audio":${fmt(as_)}$geo}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"dayinlife_per_trigger","unit":"sec","sf_src":"$srcSf",""" +
@@ -274,6 +315,7 @@ object DayInLifeStress {
       s""""drift_after":${driftAfter.getOrElse(-1)},""" +
       s""""build_s":${fmt(buildS)},"served_rows":$served,""" +
       s""""served_media_pairs":$servedMedia,""" +
+      s""""served_audio_pairs":$servedAudio,""" +
       s""""per_trigger":$trigJson}"""
     println(json)
     java.nio.file.Files.writeString(
