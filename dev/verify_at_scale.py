@@ -31,17 +31,18 @@ ARTIFACT = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
 bench = json.load(open(os.path.join(REPO, "BENCH_FULL_LATEST.json")))
 min_map = bench["queries"]  # stat:"min" per-query seconds at sf0.1
 
-# the oracle-backed declared set = whatever the last full verify dumped;
-# fall back to asking RunQueries to fail fast on unknown names
-oracle_src = None
-for cand in ("/tmp/graft_verify01/oracle_sql.json",
-             "/tmp/graft_verify/oracle_sql.json"):
-    if os.path.exists(cand):
-        oracle_src = json.load(open(cand))
-        break
-if oracle_src is None:
+# the oracle-backed declared set = the NEWEST full-verify dump on this
+# host (any /tmp/graft_verify*/oracle_sql.json — fixed-path candidates
+# silently served a stale r14-era set once verify outputs moved to
+# suffixed dirs, which dropped every same-round query addition from the
+# rotating gate)
+import glob
+cands = sorted(glob.glob("/tmp/graft_verify*/oracle_sql.json"),
+               key=os.path.getmtime, reverse=True)
+if not cands:
     sys.exit("run dev/verify.sh once first (need oracle_sql.json "
              "to know the declared oracle-backed set)")
+oracle_src = json.load(open(cands[0]))
 
 ranked = [q for q, _ in sorted(min_map.items(), key=lambda kv: kv[1])
           if q in oracle_src]

@@ -274,6 +274,8 @@ object SparkEntry {
     "mm_resize" -> (TextQueries.multimodalResize _),
     "mm_ahash_dedup" -> (TextQueries.multimodalAhashDedup _),
     "mm_ahash_near" -> (TextQueries.multimodalAhashNear _),
+    "mm_audiohash_dedup" -> (TextQueries.multimodalAudioHashDedup _),
+    "mm_audiohash_near" -> (TextQueries.multimodalAudioHashNear _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
     "ann_pq_topk" -> (SimilarityQueries.pqTopK _),
@@ -539,6 +541,8 @@ object SparkEntry {
     "mm_resize" -> TextQueries.multimodalResizeSql,
     "mm_ahash_dedup" -> TextQueries.multimodalAhashDedupSql,
     "mm_ahash_near" -> TextQueries.multimodalAhashNearSql,
+    "mm_audiohash_dedup" -> TextQueries.multimodalAudioHashDedupSql,
+    "mm_audiohash_near" -> TextQueries.multimodalAudioHashNearSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
     "ann_pq_topk" -> SimilarityQueries.pqTopKSql,

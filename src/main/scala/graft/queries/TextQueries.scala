@@ -1300,6 +1300,109 @@ object TextQueries {
       |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** [[ahashCodes]]' audio twin through the REAL pipeline: WAV
+    * synthesized per document ([[graft.operators.SyntheticMedia.wav]]),
+    * parsed back by the pure-JVM RIFF decoder, energy-hashed
+    * ([[graft.operators.Multimodal.energyHash]]). Integer arithmetic
+    * end to end — the oracle derives identical codes analytically
+    * ([[energyHashCodeCtes]]).
+    */
+  private def energyCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.{MediaCodecs, Multimodal, SyntheticMedia}
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val wav = SyntheticMedia.wav(r.getString(1), r.getString(2))
+        val (_, _, samples) = MediaCodecs.WavDecoder.decodeSamples(wav)
+        val (hi, lo) = Multimodal.energyHash(samples)
+        org.apache.spark.sql.Row(r.getLong(0), hi, lo)
+      }
+    }(enc)
+  }
+
+  /** [[multimodalAhashDedup]]'s audio twin: exact energy-code dup
+    * groups over the WAV corpus — canonical holder, group size, keep
+    * flag; one shuffle on the 64-bit code.
+    */
+  def multimodalAudioHashDedup(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val codes = energyCodes(spark, sfDir)
+    val grp = codes.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    codes.join(grp, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("canonical_id"), col("group_size"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  def multimodalAudioHashDedupSql: String =
+    s"""WITH ${energyHashCodeCtes()},
+      |grp AS (
+      |  SELECT ahash_hi, ahash_lo, min(doc_id) AS canonical_id,
+      |    CAST(count(*) AS BIGINT) AS group_size
+      |  FROM code GROUP BY 1, 2)
+      |SELECT doc_id, ahash_hi, ahash_lo, canonical_id, group_size,
+      |  doc_id = canonical_id AS is_canonical
+      |FROM code JOIN grp USING (ahash_hi, ahash_lo)
+      |ORDER BY doc_id""".stripMargin
+
+  /** [[multimodalAhashNear]]'s audio twin: Hamming 1..3 pairs between
+    * DISTINCT energy codes, banded candidates (pigeonhole-lossless at
+    * ≤ 3 flips over 4 bands), quadratic verify in the oracle over
+    * representatives only.
+    */
+  def multimodalAudioHashNear(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val reps = energyCodes(spark, sfDir)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val bandCols = (0 until 4).map { b =>
+      val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, 16 * (b % 2)).bitwiseAND(lit(0xffffL)).as("bkey"))
+    }
+    val bands = reps.select(col("rep_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("rep_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = bands.select(col("band"), col("bkey"), col("rep_id").as("a_id"),
+      col("ahash_hi").as("a_hi"), col("ahash_lo").as("a_lo"))
+    val bb = bands.select(col("band"), col("bkey"), col("rep_id").as("b_id"),
+      col("ahash_hi").as("b_hi"), col("ahash_lo").as("b_lo"))
+    a.join(bb, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming").between(1, 3))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def multimodalAudioHashNearSql: String =
+    s"""WITH ${energyHashCodeCtes()},
+      |reps AS (
+      |  SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id
+      |  FROM code GROUP BY 1, 2)
+      |SELECT a.rep_id AS a_id, r.rep_id AS b_id,
+      |  CAST(bit_count(xor(a.ahash_hi, r.ahash_hi))
+      |    + bit_count(xor(a.ahash_lo, r.ahash_lo)) AS INTEGER) AS hamming
+      |FROM reps a JOIN reps r ON a.rep_id < r.rep_id
+      |WHERE bit_count(xor(a.ahash_hi, r.ahash_hi))
+      |  + bit_count(xor(a.ahash_lo, r.ahash_lo)) BETWEEN 1 AND 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
