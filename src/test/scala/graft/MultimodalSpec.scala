@@ -390,6 +390,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("energyHash: threshold packing, container invariance, degenerate clips") {
+    import graft.operators.MediaCodecs
+    // second half loud (1000), first half quiet (0): loud windows sit
+    // above the mean → bits 32..63 set → hi = 0xFFFFFFFF, lo = 0
+    val halfLoud = Array.tabulate[Short](128)(j =>
+      if (j >= 64) 1000.toShort else 0.toShort)
+    val (hi, lo) = Multimodal.energyHash(halfLoud)
+    assert(hi === 0xffffffffL && lo === 0L)
+
+    // the hash is a property of the SAMPLES, not the container: the
+    // real RIFF encode→decode round trip hashes identically
+    val viaWav = MediaCodecs.WavDecoder
+      .decodeSamples(MediaCodecs.encodeWavPcm16(16000, 1, halfLoud))._3
+    assert(Multimodal.energyHash(viaWav) === ((hi, lo)))
+
+    // |s| drives the energy: a sign flip changes nothing
+    assert(Multimodal.energyHash(halfLoud.map(s => (-s).toShort))
+      === ((hi, lo)))
+
+    // silence: total energy 0, no window is STRICTLY above the mean —
+    // all bits 0 (not an exception, not all-ones)
+    assert(Multimodal.energyHash(new Array[Short](128)) === ((0L, 0L)))
+
+    // a clip shorter than 64 samples still partitions totally: the
+    // floor-boundary windows leave some windows empty (E = 0) and the
+    // occupied loud ones clear the mean — deterministic, total
+    val short = Array.tabulate[Short](10)(j =>
+      if (j >= 5) 800.toShort else 0.toShort)
+    val (sh, sl) = Multimodal.energyHash(short)
+    assert(java.lang.Long.bitCount(sh) + java.lang.Long.bitCount(sl) === 5,
+      "exactly the 5 loud samples' windows should clear the mean")
+    // and the undecodable contract matches the image path
+    assert(Multimodal.energyHashOf(null) === None)
+    assert(Multimodal.energyHashOf(Array[Byte](1, 2, 3)) === None)
+  }
+
   test("averageHash: threshold packing, container invariance, noise robustness") {
     import graft.operators.MediaCodecs
     // left half dark (0), right half bright (200): bright pixels sit
