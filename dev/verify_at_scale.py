@@ -43,6 +43,19 @@ if not cands:
     sys.exit("run dev/verify.sh once first (need oracle_sql.json "
              "to know the declared oracle-backed set)")
 oracle_src = json.load(open(cands[0]))
+# guard against a PARTIAL dump (a targeted RunQueries re-run writes a
+# subset oracle_sql.json — picking it by mtime would silently shrink the
+# gate's universe): prefer the largest dump among candidates whose set
+# covers at least the bench map's oracle-backed portion, warn otherwise
+covered = sum(1 for q in min_map if q in oracle_src)
+best = max(cands, key=lambda p: len(json.load(open(p))))
+best_src = json.load(open(best))
+if len(best_src) > len(oracle_src):
+    print(f"note: newest dump {cands[0]} has {len(oracle_src)} queries but "
+          f"{best} has {len(best_src)} — using the larger (fuller) dump")
+    oracle_src = best_src
+    covered = sum(1 for q in min_map if q in oracle_src)
+print(f"oracle set: {len(oracle_src)} declared, {covered} also in bench map")
 
 ranked = [q for q, _ in sorted(min_map.items(), key=lambda kv: kv[1])
           if q in oracle_src]

@@ -2188,7 +2188,6 @@ object DedupIndex {
   private def writeComponent(df: DataFrame, dir: String, component: String,
       bucketCols: Seq[String], numBuckets: Int): Unit =
     ScaleOps.writeBucketedAt(df,
-      tableName(dir, component),
       componentPath(dir, component).toString,
       bucketCols, numBuckets)
 
@@ -2299,19 +2298,18 @@ object DedupIndex {
     if (readLease(fs, dir).exists(_._1 == owner))
       fs.delete(leasePath(dir), false)
 
-  /** Write one component's append as a bucketed table under the batch's
-    * staging directory. Bucketed writes must go through the catalog, so
-    * a throwaway external table carries the bucket spec and is dropped
-    * right after (external: the staged files stay put).
+  /** Write one component's append as bucketed files under the batch's
+    * staging directory, through [[ScaleOps.writeBucketedAt]]'s pooled
+    * scratch tables — zero per-write metastore DDL (the saveAsTable +
+    * DROP TABLE per component this path once paid was the dominant
+    * catalog-latency term of every staged micro-batch commit).
     */
   private def stageComponent(df: DataFrame, dir: String, batch: String,
       component: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
-    val table = s"graft_stg_${batch}_$component"
     val path = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(stagingRoot(dir), batch), component)
-    ScaleOps.writeBucketedAt(df, table, path.toString, bucketCols,
-      numBuckets)
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    ScaleOps.writeBucketedAt(df, path.toString, bucketCols, numBuckets,
+      emptyMarker = false)
     // per-component heartbeat: a multi-hour absorb stays live as long
     // as each single component write fits inside leaseStaleMs
     heartbeatLease(path.getFileSystem(

@@ -293,8 +293,11 @@ object Multimodal {
     var total = 0L
     var i = 0
     while (i < 64) {
-      var j = i * n / 64
-      val end = (i + 1) * n / 64
+      // Long boundaries: i*n overflows Int past ~33.5M samples (a valid
+      // ~35-minute 16 kHz WAV), which would turn long clips into silent
+      // None codes through energyHashOf's NonFatal catch
+      var j = (i.toLong * n / 64).toInt
+      val end = ((i + 1).toLong * n / 64).toInt
       var s = 0L
       while (j < end) { s += math.abs(samples(j).toInt); j += 1 }
       e(i) = s; total += s

@@ -24,33 +24,189 @@ object ScaleOps {
       .saveAsTable(table)
   }
 
-  /** [[writeBucketed]] at an EXPLICIT directory (external table): the
-    * data outlives the session catalog, so another session can re-attach
-    * to the same bucketed layout — the persistence contract behind
-    * [[DedupIndex]].
+  /** [[writeBucketed]] at an EXPLICIT directory: the data outlives the
+    * session catalog, so another session can re-attach to the same
+    * bucketed layout — the persistence contract behind [[DedupIndex]].
     *
-    * The write REPARTITIONS on the bucket columns with numPartitions ==
-    * numBuckets first: Spark's bucket assignment and
-    * `repartition(n, cols)` share the same partition-id expression
-    * (Murmur3 hash pmod n), so after the exchange each task holds
-    * exactly one bucket and the component lands exactly ≤ numBuckets
-    * files — WITHOUT it, a bucketed write emits up to
-    * tasks × buckets-per-task files (measured: a 16384-bucket component
-    * written by 32 tasks headed for ~500k files), which at
-    * 1000-executor scale is the classic bucketed-write file explosion
-    * that melts the namenode/list calls. One extra hash exchange per
-    * component write is the standard price of file-count control; for
-    * the staged CDC absorbs the exchanged data is batch-sized anyway.
+    * Spark only exposes bucketed writes through the catalog, and a
+    * naive `saveAsTable` + `DROP TABLE` per write costs two metastore
+    * DDL round-trips (~0.3–0.5 s each against a Derby/Hive metastore) —
+    * a latency term every staged CDC micro-batch commit pays per
+    * component, hundreds of times per standing pipeline run. This path
+    * pays the DDL ONCE per (schema, bucket-spec) signature per JVM: a
+    * session-lifetime pool of scratch bucketed tables is kept, each
+    * write borrows one, `INSERT OVERWRITE`s it (a plain write command —
+    * zero metastore DDL), and MOVES the produced files into `path`.
+    * Bucket ids are embedded in the file names (Spark's reader resolves
+    * buckets from names alone), so the files stay valid bucket members
+    * after the rename — the same property the staged-commit protocol in
+    * [[DedupIndex]] already relies on to move staged files live.
+    *
+    * The insert REPARTITIONS on the bucket columns first. Bucket
+    * assignment and `repartition(p, cols)` share the same partition-id
+    * expression (Murmur3 hash pmod p), so every bucket's rows land
+    * wholly in ONE task at ANY partition count, and the bucketed writer
+    * (which splits by bucket id within a task) emits ≤ 1 file per
+    * bucket — without the exchange, arbitrarily-partitioned input emits
+    * up to tasks × buckets files (measured: a 16384-bucket component
+    * written by 32 tasks headed for ~500k files), the classic
+    * file explosion that melts the namenode at 1000-executor scale.
+    * The partition count is capped at `spark.sql.shuffle.partitions`
+    * (cluster-sized by configuration) instead of always `numBuckets`:
+    * a large-bucket index absorbed in small micro-batches would
+    * otherwise pay a 16k-empty-task exchange per component write.
+    *
+    * Scratch tables live under `spark.graft.scratch.dir` when set (at
+    * cluster scale, point it at a directory on the SAME filesystem as
+    * the indexes so the per-file move is an O(1) rename; a cross-FS
+    * scratch falls back to copy+delete), else a JVM-local temp dir.
     */
-  def writeBucketedAt(df: DataFrame, table: String, path: String,
-      bucketCols: Seq[String], numBuckets: Int): Unit = {
-    df.repartition(numBuckets, bucketCols.map(col): _*)
-      .write
-      .mode("overwrite")
-      .option("path", path)
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(table)
+  /** @param emptyMarker when the insert produces ZERO files (empty
+    *        input), write one zero-row bucket-0 parquet file so the
+    *        directory's schema stays inferable — wanted for LIVE
+    *        component writes (a fresh session re-attaches by reading
+    *        footers), NOT for staged micro-batch appends (an empty
+    *        append must stage zero files so a replayed no-op commit
+    *        moves nothing live — the exactly-once file-set contract)
+    */
+  def writeBucketedAt(df: DataFrame, path: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      emptyMarker: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val shufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val p = math.max(1, math.min(numBuckets, shufflePartitions))
+    val scratch = borrowScratch(spark, df.schema, bucketCols, numBuckets)
+    try {
+      df.repartition(p, bucketCols.map(col): _*)
+        .write
+        .mode("overwrite")
+        .insertInto(scratch.table)
+      val moved = moveDataFiles(spark, scratch.location, path)
+      if (moved == 0 && emptyMarker) writeEmptyBucketFile(df, path)
+    } finally returnScratch(scratch)
+  }
+
+  /** One zero-row parquet file carrying `df`'s schema, named as a valid
+    * bucket-0 member (Spark resolves bucket ids from file names).
+    */
+  private def writeEmptyBucketFile(df: DataFrame, destDir: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = new org.apache.hadoop.fs.Path(scratchRoot(spark),
+      s"empty_${java.util.UUID.randomUUID.toString.take(8)}").toString
+    df.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = src.getFileSystem(conf)
+    val file = fs.listStatus(src).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).head.getPath
+    val n = file.getName
+    val i = n.indexOf('.')
+    val bucketed = // inject the bucket-id part Spark's reader parses
+      if (i < 0) n + "_00000" else n.substring(0, i) + "_00000" + n.substring(i)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val dfs = dest.getFileSystem(conf)
+    if (!dfs.exists(dest)) dfs.mkdirs(dest)
+    val to = new org.apache.hadoop.fs.Path(dest, bucketed)
+    if (fs.getUri == dfs.getUri) {
+      if (!fs.rename(file, to))
+        throw new java.io.IOException(s"cannot move $file to $to")
+    } else if (!org.apache.hadoop.fs.FileUtil.copy(fs, file, dfs, to, true,
+        conf))
+      throw new java.io.IOException(s"cannot copy $file to $to")
+    fs.delete(src, true)
+  }
+
+  // ---- session-lifetime scratch-table pool (bucketed-write DDL, paid
+  //      once per signature per JVM instead of twice per write) --------
+
+  private final case class Scratch(signature: String, table: String,
+      location: String)
+
+  private val jvmTag =
+    java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicInteger
+  private val scratchPool = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[Scratch]]()
+
+  private def scratchQueue(sig: String) =
+    scratchPool.computeIfAbsent(sig,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Scratch]())
+
+  private def scratchRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_scratch_$jvmTag").toString)
+
+  /** Borrow a scratch table matching (schema, bucketCols, numBuckets),
+    * creating one (the only DDL in the write path, amortized across the
+    * JVM) when the pool has no free match. The queue discipline makes
+    * concurrent writers of the same signature use DISTINCT tables —
+    * two inserts never interleave one scratch location.
+    */
+  private def borrowScratch(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketCols: Seq[String], numBuckets: Int): Scratch = {
+    val sig = schema.toDDL + "|" + bucketCols.mkString(",") + "|" + numBuckets
+    val q = scratchQueue(sig)
+    var s = q.poll()
+    // a pooled entry could outlive its catalog row only if something
+    // external dropped it — re-create rather than fail the write
+    while (s != null && !spark.catalog.tableExists(s.table)) s = q.poll()
+    if (s != null) s
+    else {
+      val table = s"graft_scratch_${jvmTag}_${scratchSeq.incrementAndGet()}"
+      val location = new org.apache.hadoop.fs.Path(
+        scratchRoot(spark), table).toString
+      val cols = bucketCols.mkString(", ")
+      val loc = location.replace("'", "''")
+      spark.sql(
+        s"""CREATE TABLE $table (${schema.toDDL}) USING parquet
+           |CLUSTERED BY ($cols) SORTED BY ($cols)
+           |INTO $numBuckets BUCKETS
+           |LOCATION '$loc'""".stripMargin)
+      Scratch(sig, table, location)
+    }
+  }
+
+  private def returnScratch(s: Scratch): Unit = scratchQueue(s.signature).add(s)
+
+  /** Move the non-hidden data files of `srcDir` into `destDir`,
+    * replacing `destDir`'s previous contents (saveAsTable-overwrite
+    * semantics). Same-filesystem moves are O(1) renames; a cross-FS
+    * scratch dir degrades to copy+delete.
+    */
+  private def moveDataFiles(spark: SparkSession, srcDir: String,
+      destDir: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val sfs = src.getFileSystem(conf)
+    val dfs = dest.getFileSystem(conf)
+    if (dfs.exists(dest) && !dfs.delete(dest, true))
+      throw new java.io.IOException(s"cannot clear $dest for overwrite")
+    if (!dfs.mkdirs(dest))
+      throw new java.io.IOException(s"cannot create $dest")
+    val sameFs = sfs.getUri == dfs.getUri
+    val files =
+      if (!sfs.exists(src)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else sfs.listStatus(src).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    files.foreach { st =>
+      val to = new org.apache.hadoop.fs.Path(dest, st.getPath.getName)
+      if (sameFs) {
+        if (!sfs.rename(st.getPath, to))
+          throw new java.io.IOException(s"cannot move ${st.getPath} to $to")
+      } else if (!org.apache.hadoop.fs.FileUtil.copy(
+          sfs, st.getPath, dfs, to, true, conf))
+        throw new java.io.IOException(s"cannot copy ${st.getPath} to $to")
+    }
+    files.length
   }
 
   /** Equi-join with explicit key salting: the skewed LEFT side gets a

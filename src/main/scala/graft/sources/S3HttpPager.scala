@@ -32,6 +32,12 @@ final class S3HttpPager(endpoint: String,
 
   def page(prefix: String, startAfter: String, pageSize: Int)
       : Seq[PageEntry] = {
+    // S3 hard-caps max-keys at 1000: a larger request comes back with
+    // 1000 keys + IsTruncated=true, which listAll's "short page = done"
+    // inference would read as end-of-listing — silently dropping every
+    // remaining key. Fail loudly here instead of listing incompletely.
+    require(pageSize <= 1000,
+      s"ListObjectsV2 max-keys is capped at 1000 by S3; got $pageSize")
     val url = new java.net.URI(
       s"$base/?list-type=2&max-keys=$pageSize&prefix=${enc(prefix)}" +
         (if (startAfter.nonEmpty) s"&start-after=${enc(startAfter)}"
@@ -45,17 +51,28 @@ final class S3HttpPager(endpoint: String,
       val code = conn.getResponseCode
       require(code == 200, s"ListObjectsV2 GET $url returned HTTP $code")
       val in = conn.getInputStream
-      try parseListing(in)
-      finally in.close()
+      val (entries, truncated) =
+        try parseListing(in)
+        finally in.close()
+      // consistency guard: a server that truncates BELOW our max-keys
+      // (a stricter emulator cap, a quota) would hand listAll a short
+      // page it reads as end-of-listing — surface the mismatch instead
+      require(!truncated.contains(true) || entries.size >= pageSize,
+        s"server truncated the listing at ${entries.size} keys but " +
+          s"max-keys was $pageSize — its page cap is smaller than " +
+          "requested; lower pageSize to its cap or keys will be dropped")
+      entries
     } finally conn.disconnect()
   }
 
   /** Parse a `ListBucketResult` document into page entries, in document
     * order (the server contract says ascending key order — [[PagedLister
     * .listAll]] asserts it, so a misbehaving server fails loudly rather
-    * than silently skipping keys).
+    * than silently skipping keys), plus the document's `IsTruncated`
+    * flag when present (None for servers that omit it).
     */
-  private def parseListing(in: java.io.InputStream): Seq[PageEntry] = {
+  private def parseListing(in: java.io.InputStream)
+      : (Seq[PageEntry], Option[Boolean]) = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     // untrusted XML: no DTDs, no external entities
     dbf.setFeature(
@@ -63,8 +80,13 @@ final class S3HttpPager(endpoint: String,
     dbf.setXIncludeAware(false)
     dbf.setExpandEntityReferences(false)
     val doc = dbf.newDocumentBuilder().parse(in)
+    val truncated = {
+      val ns = doc.getElementsByTagName("IsTruncated")
+      if (ns.getLength == 0) None
+      else Some(ns.item(0).getTextContent.trim.equalsIgnoreCase("true"))
+    }
     val contents = doc.getElementsByTagName("Contents")
-    (0 until contents.getLength).map { i =>
+    val entries = (0 until contents.getLength).map { i =>
       val el = contents.item(i).asInstanceOf[org.w3c.dom.Element]
       def text(tag: String): String = {
         val ns = el.getElementsByTagName(tag)
@@ -78,5 +100,6 @@ final class S3HttpPager(endpoint: String,
           .toEpochMilli,
         size = text("Size").toLong)
     }
+    (entries, truncated)
   }
 }

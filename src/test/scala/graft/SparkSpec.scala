@@ -29,6 +29,14 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = TestSpark.spark
     s.sparkContext.setLogLevel("WARN")
+    // empty INSERT OVERWRITEs into pooled scratch tables leave the
+    // scratch location deleted; these two loggers then WARN with a full
+    // stack trace on the next listing — benign, and noisy enough to
+    // drown real warnings in the suite output
+    Seq("org.apache.spark.util.HadoopFSUtils",
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink")
+      .foreach(n => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(n, org.apache.logging.log4j.Level.ERROR))
     s
   }
 }
