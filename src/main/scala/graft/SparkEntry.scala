@@ -119,6 +119,19 @@ object SparkEntry {
       (DedupQueries.incrementalAudioHashAbsorbed _),
     "mm_audiohash_incremental_retired" ->
       (DedupQueries.incrementalAudioHashRetired _),
+    "mm_audiohash_incremental_refreshed" ->
+      (DedupQueries.incrementalAudioHashRefreshed _),
+    "mm_audiohash_incremental_compacted" ->
+      (DedupQueries.incrementalAudioHashCompacted _),
+    "mm_audiohash_incremental_resurrected" ->
+      (DedupQueries.incrementalAudioHashResurrected _),
+    // the VIDEO modality over multi-frame GIF clip payloads (real
+    // frame decode + temporally-pooled frame-sampled hash; the media
+    // index serves it via its third pinned coder)
+    "mm_framehash_incremental" ->
+      (DedupQueries.incrementalFrameHash _),
+    "mm_framehash_incremental_indexed" ->
+      (DedupQueries.incrementalFrameHashIndexed _),
     "mm_ahash_incremental_absorbed" ->
       (DedupQueries.incrementalAhashAbsorbed _),
     "mm_ahash_incremental_retired" ->
@@ -276,6 +289,8 @@ object SparkEntry {
     "mm_ahash_near" -> (TextQueries.multimodalAhashNear _),
     "mm_audiohash_dedup" -> (TextQueries.multimodalAudioHashDedup _),
     "mm_audiohash_near" -> (TextQueries.multimodalAudioHashNear _),
+    "mm_framehash_dedup" -> (TextQueries.multimodalFrameHashDedup _),
+    "mm_framehash_near" -> (TextQueries.multimodalFrameHashNear _),
     "ann_sq8_topk" -> (SimilarityQueries.sq8TopK _),
     "ann_ivf_sq8_topk" -> (SimilarityQueries.ivfSq8TopK _),
     "ann_pq_topk" -> (SimilarityQueries.pqTopK _),
@@ -409,6 +424,17 @@ object SparkEntry {
       DedupQueries.incrementalAudioHashAbsorbedSql,
     "mm_audiohash_incremental_retired" ->
       DedupQueries.incrementalAudioHashRetiredSql,
+    "mm_audiohash_incremental_refreshed" ->
+      DedupQueries.incrementalAudioHashRefreshedSql,
+    // compaction is a physical rewrite, not a semantic change: the
+    // retired live-corpus oracle gates the compacted audio index too
+    "mm_audiohash_incremental_compacted" ->
+      DedupQueries.incrementalAudioHashRetiredSql,
+    "mm_audiohash_incremental_resurrected" ->
+      DedupQueries.incrementalAudioHashResurrectedSql,
+    "mm_framehash_incremental" -> DedupQueries.incrementalFrameHashSql,
+    "mm_framehash_incremental_indexed" ->
+      DedupQueries.incrementalFrameHashSql,
     "mm_ahash_incremental_absorbed" ->
       DedupQueries.incrementalAhashAbsorbedSql,
     "mm_ahash_incremental_retired" ->
@@ -543,6 +569,8 @@ object SparkEntry {
     "mm_ahash_near" -> TextQueries.multimodalAhashNearSql,
     "mm_audiohash_dedup" -> TextQueries.multimodalAudioHashDedupSql,
     "mm_audiohash_near" -> TextQueries.multimodalAudioHashNearSql,
+    "mm_framehash_dedup" -> TextQueries.multimodalFrameHashDedupSql,
+    "mm_framehash_near" -> TextQueries.multimodalFrameHashNearSql,
     "ann_sq8_topk" -> SimilarityQueries.sq8TopKSql,
     "ann_ivf_sq8_topk" -> SimilarityQueries.ivfSq8TopKSql,
     "ann_pq_topk" -> SimilarityQueries.pqTopKSql,

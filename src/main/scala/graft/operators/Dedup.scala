@@ -1021,6 +1021,19 @@ object Dedup {
     incrementalMediaNearDupsReport(newMedia, existing, idCol, payloadCol,
       "audio_energy", bands, maxHamming, maxBucket)
 
+  /** [[incrementalAhashNearDupsReport]]'s VIDEO twin: codes are the
+    * frame-sampled temporally-pooled clip hashes
+    * ([[Multimodal.frameSampleHash]]) over real multi-frame GIF
+    * decodes; banding, cap, and Hamming verify are the shared media
+    * machinery.
+    */
+  def incrementalFrameHashNearDupsReport(newMedia: DataFrame,
+      existing: DataFrame, idCol: String, payloadCol: String,
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): NearDupReport =
+    incrementalMediaNearDupsReport(newMedia, existing, idCol, payloadCol,
+      "video_framehash", bands, maxHamming, maxBucket)
+
   private def incrementalMediaNearDupsReport(newMedia: DataFrame,
       existing: DataFrame, idCol: String, payloadCol: String,
       coder: String, bands: Int, maxHamming: Int,

@@ -517,27 +517,31 @@ object DedupIndex {
           .select((col("__fn") - col("__dn")).as("n_docs"),
             (col("__flen") - col("__dlen")).as("total_len"))
         val batch = newBatchId()
-        stageComponent(
+        val hasDisplaced = !displaced.isEmpty
+        withStager(spark) { st =>
+        st.submit(stageComponent(
           tf.select(col("id"), col("tok"), col("tf"), col("gen")),
-          dir, batch, "postings", Seq("tok"), p.numBuckets)
-        stageComponent(
+          dir, batch, "postings", Seq("tok"), p.numBuckets))
+        st.submit(stageComponent(
           tf.select(col("id"), col("tok"), col("tf"), col("gen")),
-          dir, batch, "docterms", Seq("id"), p.numBuckets)
-        stageComponent(dlOf, dir, batch, "doclens", Seq("id"),
-          p.numBuckets)
-        stageComponent(dfDelta, dir, batch, "termdf", Seq("tok"),
-          p.numBuckets)
+          dir, batch, "docterms", Seq("id"), p.numBuckets))
+        st.submit(stageComponent(dlOf, dir, batch, "doclens", Seq("id"),
+          p.numBuckets))
+        st.submit(stageComponent(dfDelta, dir, batch, "termdf", Seq("tok"),
+          p.numBuckets))
         // fresh docs' unigram word positions land in the same staged
         // commit; displaced generations' position rows die through the
         // shared (id, gen) tombstones — no positional-specific reversal
-        stageComponent(
+        st.submit(stageComponent(
           Retrieval.tokenPositions(fresh, "id", "__text")
             .select(col("doc_id").as("id"), col("tok"), col("pos"))
             .join(fresh.select(col("id"), col("gen")), Seq("id")),
-          dir, batch, "positions", Seq("tok"), p.numBuckets)
-        stagePlain(statsDelta, dir, batch, "stats")
-        if (!displaced.isEmpty)
-          stagePlain(displaced, dir, batch, "tombstones")
+          dir, batch, "positions", Seq("tok"), p.numBuckets))
+        st.submit(stagePlain(statsDelta, dir, batch, "stats"))
+        if (hasDisplaced)
+          st.submit(stagePlain(displaced, dir, batch, "tombstones"))
+        st.drain()
+        }
         commitStaged(spark, dir, batch)
       } finally { tf.unpersist(); displaced.unpersist(); () }
     } finally { release(); batch0.unpersist(); () }
@@ -611,23 +615,26 @@ object DedupIndex {
           df.join(tomb, Seq("id", "gen"), "left_anti")
         val n = raw.params.numBuckets
         val batch = newBatchId()
-        stageComponent(live(raw.postings), dir, batch, "postings",
-          Seq("tok"), n)
-        stageComponent(live(raw.docterms), dir, batch, "docterms",
-          Seq("id"), n)
-        stageComponent(live(raw.doclens), dir, batch, "doclens",
-          Seq("id"), n)
-        stageComponent(
+        withStager(spark) { st =>
+        st.submit(stageComponent(live(raw.postings), dir, batch, "postings",
+          Seq("tok"), n))
+        st.submit(stageComponent(live(raw.docterms), dir, batch, "docterms",
+          Seq("id"), n))
+        st.submit(stageComponent(live(raw.doclens), dir, batch, "doclens",
+          Seq("id"), n))
+        st.submit(stageComponent(
           live(raw.postings).groupBy(col("tok"))
             .agg(count(lit(1)).as("df")),
-          dir, batch, "termdf", Seq("tok"), n)
-        stageComponent(live(raw.positions), dir, batch, "positions",
-          Seq("tok"), n)
-        stagePlain(
+          dir, batch, "termdf", Seq("tok"), n))
+        st.submit(stageComponent(live(raw.positions), dir, batch,
+          "positions", Seq("tok"), n))
+        st.submit(stagePlain(
           live(raw.doclens).agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl")), lit(0L)).as("total_len")),
-          dir, batch, "stats")
+          dir, batch, "stats"))
         stageEmpty(spark, dir, batch, "tombstones")
+        st.drain()
+        }
         commitStaged(spark, dir, batch, replace = true)
       }
     } finally releaseLease(fs, dir, lease)
@@ -955,63 +962,66 @@ object DedupIndex {
         val genOf = fresh.select(col("id"), col("gen"))
         val hasDisplaced = !displaced.isEmpty
         val batch = newBatchId()
-        stageComponent(
+        withStager(spark) { st =>
+        st.submit(stageComponent(
           fresh.select(col("content_hash")).distinct()
             .join(idx.hashes, Seq("content_hash"), "left_anti"),
-          dir, batch, "hashes", Seq("content_hash"), p.numBuckets)
+          dir, batch, "hashes", Seq("content_hash"), p.numBuckets))
         val bandRows = Dedup.lshBandKeys(sig, "id", p.bands,
             p.numHashes / p.bands, p.portable)
           .select(col("id").cast("long").as("id"), col("band"),
             col("band_key"),
             bandedKey(col("band"), col("band_key")).as("bkey"))
           .join(genOf, Seq("id"))
-        stageComponent(bandRows, dir, batch, "bands", Seq("bkey"),
-          p.numBuckets)
+        st.submit(stageComponent(bandRows, dir, batch, "bands", Seq("bkey"),
+          p.numBuckets))
         // signed bucket-size deltas commit in the SAME staged batch as
         // the band rows they count: +1 per fresh band row, −1 per band
         // row of a displaced (refreshed-away) generation — re-derived
         // batch-sized from the id-bucketed signature ledger
-        stageComponent(
+        st.submit(stageComponent(
           if (hasDisplaced)
             bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
               .unionByName(negSizeDeltas(idx.sigs, displaced,
                 lshBkeysFromSigs(_, p)))
           else bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-          dir, batch, "sizes", Seq("bkey"), p.numBuckets)
-        stageComponent(
+          dir, batch, "sizes", Seq("bkey"), p.numBuckets))
+        st.submit(stageComponent(
           sig.select(col("id").cast("long").as("id"),
             array((0 until p.numHashes).map(i => col(s"h$i")): _*)
               .as("sig"))
             .join(genOf, Seq("id")),
-          dir, batch, "sigs", Seq("id"), p.numBuckets)
-        stageComponent(
+          dir, batch, "sigs", Seq("id"), p.numBuckets))
+        st.submit(stageComponent(
           sh.select(col("id").cast("long").as("id"), col("shingle"))
             .join(genOf, Seq("id")),
-          dir, batch, "shingles", Seq("id"), p.numBuckets)
-        stageComponent(
+          dir, batch, "shingles", Seq("id"), p.numBuckets))
+        st.submit(stageComponent(
           countRows(fresh.select(col("id"), col("content_hash"),
               col("gen")),
             sh.select(col("id"))),
-          dir, batch, "counts", Seq("id"), p.numBuckets)
-        stageComponent(
+          dir, batch, "counts", Seq("id"), p.numBuckets))
+        st.submit(stageComponent(
           fresh.select(col("id"), col("content_hash"), col("gen")),
-          dir, batch, "dochashes", Seq("content_hash"), p.numBuckets)
-        stageComponent(
+          dir, batch, "dochashes", Seq("content_hash"), p.numBuckets))
+        st.submit(stageComponent(
           sim.select(col("id"), col("simhash")).join(genOf, Seq("id")),
-          dir, batch, "simhashes", Seq("id"), p.numBuckets)
+          dir, batch, "simhashes", Seq("id"), p.numBuckets))
         val simRows = simBandRows(sim, "id", p.simBits, p.simBands)
           .join(genOf, Seq("id"))
-        stageComponent(simRows, dir, batch, "simbands", Seq("bkey"),
-          p.numBuckets)
-        stageComponent(
+        st.submit(stageComponent(simRows, dir, batch, "simbands",
+          Seq("bkey"), p.numBuckets))
+        st.submit(stageComponent(
           if (hasDisplaced)
             simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
               .unionByName(negSizeDeltas(idx.simhashes, displaced,
                 simBkeysFromHashes(_, p)))
           else simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-          dir, batch, "simsizes", Seq("bkey"), p.numBuckets)
+          dir, batch, "simsizes", Seq("bkey"), p.numBuckets))
         if (hasDisplaced)
-          stagePlain(displaced, dir, batch, "tombstones")
+          st.submit(stagePlain(displaced, dir, batch, "tombstones"))
+        st.drain()
+        }
         commitStaged(spark, dir, batch)
       } finally {
         sh.unpersist(); sig.unpersist(); sim.unpersist()
@@ -1059,18 +1069,22 @@ object DedupIndex {
       val signs = Similarity.hyperplaneSigns(p.planes, p.dim)
       val jlSigns = Similarity.hyperplaneSigns(p.jlRdim, p.dim)
       val batch = newBatchId()
-      stageComponent(
+      val hasDisplaced = !displaced.isEmpty
+      withStager(spark) { st =>
+      st.submit(stageComponent(
         vectorRows(fresh, "id", "__vec", signs, idx.ranges, p.dim,
           idx.pqCodebooks, jlSigns),
-        dir, batch, "buckets", Seq("bucket"), p.numBuckets)
+        dir, batch, "buckets", Seq("bucket"), p.numBuckets))
       // absorbed vectors join the inverted lists under the STORED
       // centroids (frozen, like the ranges — standard IVF absorb); both
       // components commit in the one staged batch
-      stageComponent(
+      st.submit(stageComponent(
         listRows(fresh, "id", "__vec", idx.centroids, idx.ranges),
-        dir, batch, "lists", Seq("cent_id"), p.numBuckets)
-      if (!displaced.isEmpty)
-        stagePlain(displaced, dir, batch, "tombstones")
+        dir, batch, "lists", Seq("cent_id"), p.numBuckets))
+      if (hasDisplaced)
+        st.submit(stagePlain(displaced, dir, batch, "tombstones"))
+      st.drain()
+      }
       commitStaged(spark, dir, batch)
     } finally { release(); batch0.unpersist(); () }
   }
@@ -1188,33 +1202,37 @@ object DedupIndex {
           df.join(tomb, Seq("id", "gen"), "left_anti")
         val n = idx.params.numBuckets
         val batch = newBatchId()
-        stageComponent(
+        withStager(spark) { st =>
+        st.submit(stageComponent(
           live(idx.dochashes).select(col("content_hash")).distinct(),
-          dir, batch, "hashes", Seq("content_hash"), n)
-        stageComponent(live(idx.bandKeys), dir, batch, "bands",
-          Seq("bkey"), n)
-        stageComponent(live(idx.sigs), dir, batch, "sigs", Seq("id"), n)
-        stageComponent(live(idx.shingles), dir, batch, "shingles",
-          Seq("id"), n)
-        stageComponent(live(idx.counts), dir, batch, "counts",
-          Seq("id"), n)
-        stageComponent(live(idx.dochashes), dir, batch, "dochashes",
-          Seq("content_hash"), n)
-        stageComponent(live(idx.simhashes), dir, batch, "simhashes",
-          Seq("id"), n)
-        stageComponent(live(idx.simBandKeys), dir, batch, "simbands",
-          Seq("bkey"), n)
+          dir, batch, "hashes", Seq("content_hash"), n))
+        st.submit(stageComponent(live(idx.bandKeys), dir, batch, "bands",
+          Seq("bkey"), n))
+        st.submit(stageComponent(live(idx.sigs), dir, batch, "sigs",
+          Seq("id"), n))
+        st.submit(stageComponent(live(idx.shingles), dir, batch, "shingles",
+          Seq("id"), n))
+        st.submit(stageComponent(live(idx.counts), dir, batch, "counts",
+          Seq("id"), n))
+        st.submit(stageComponent(live(idx.dochashes), dir, batch,
+          "dochashes", Seq("content_hash"), n))
+        st.submit(stageComponent(live(idx.simhashes), dir, batch,
+          "simhashes", Seq("id"), n))
+        st.submit(stageComponent(live(idx.simBandKeys), dir, batch,
+          "simbands", Seq("bkey"), n))
         // collapse the signed size deltas back to live counts (the
         // band tables are live-only after this rewrite)
-        stageComponent(
+        st.submit(stageComponent(
           live(idx.bandKeys).groupBy(col("bkey"))
             .agg(count(lit(1)).as("n")),
-          dir, batch, "sizes", Seq("bkey"), n)
-        stageComponent(
+          dir, batch, "sizes", Seq("bkey"), n))
+        st.submit(stageComponent(
           live(idx.simBandKeys).groupBy(col("bkey"))
             .agg(count(lit(1)).as("n")),
-          dir, batch, "simsizes", Seq("bkey"), n)
+          dir, batch, "simsizes", Seq("bkey"), n))
         stageEmpty(spark, dir, batch, "tombstones")
+        st.drain()
+        }
         commitStaged(spark, dir, batch, replace = true)
       }
     } finally releaseLease(fs, dir, lease)
@@ -1427,16 +1445,20 @@ object DedupIndex {
           .agg(count(lit(1)).as("n"))
           .unionByName(negSizes)
         val batch = newBatchId()
-        stageComponent(fresh, dir, batch, "mcodes", Seq("id"),
-          p.numBuckets)
-        stageComponent(bandRows, dir, batch, "mbands", Seq("bkey"),
-          p.numBuckets)
-        stageComponent(bandRows, dir, batch, "mbandsfwd", Seq("id"),
-          p.numBuckets)
-        stageComponent(sizeDelta, dir, batch, "msizes", Seq("bkey"),
-          p.numBuckets)
-        if (!displaced.isEmpty)
-          stagePlain(displaced, dir, batch, "tombstones")
+        val hasDisplaced = !displaced.isEmpty
+        withStager(spark) { st =>
+        st.submit(stageComponent(fresh, dir, batch, "mcodes", Seq("id"),
+          p.numBuckets))
+        st.submit(stageComponent(bandRows, dir, batch, "mbands",
+          Seq("bkey"), p.numBuckets))
+        st.submit(stageComponent(bandRows, dir, batch, "mbandsfwd",
+          Seq("id"), p.numBuckets))
+        st.submit(stageComponent(sizeDelta, dir, batch, "msizes",
+          Seq("bkey"), p.numBuckets))
+        if (hasDisplaced)
+          st.submit(stagePlain(displaced, dir, batch, "tombstones"))
+        st.drain()
+        }
         commitStaged(spark, dir, batch)
       } finally { bandRows.unpersist(); displaced.unpersist(); () }
     } finally { release(); batch0.unpersist(); () }
@@ -1499,18 +1521,21 @@ object DedupIndex {
           df.join(tomb, Seq("id", "gen"), "left_anti")
         val n = raw.params.numBuckets
         val batch = newBatchId()
-        stageComponent(live(raw.codes), dir, batch, "mcodes",
-          Seq("id"), n)
-        stageComponent(live(raw.bandKeys), dir, batch, "mbands",
-          Seq("bkey"), n)
-        stageComponent(live(raw.bandsFwd), dir, batch, "mbandsfwd",
-          Seq("id"), n)
+        withStager(spark) { st =>
+        st.submit(stageComponent(live(raw.codes), dir, batch, "mcodes",
+          Seq("id"), n))
+        st.submit(stageComponent(live(raw.bandKeys), dir, batch, "mbands",
+          Seq("bkey"), n))
+        st.submit(stageComponent(live(raw.bandsFwd), dir, batch,
+          "mbandsfwd", Seq("id"), n))
         // collapse the signed deltas back to live counts
-        stageComponent(
+        st.submit(stageComponent(
           live(raw.bandKeys).groupBy(col("bkey"))
             .agg(count(lit(1)).as("n")),
-          dir, batch, "msizes", Seq("bkey"), n)
+          dir, batch, "msizes", Seq("bkey"), n))
         stageEmpty(spark, dir, batch, "tombstones")
+        st.drain()
+        }
         commitStaged(spark, dir, batch, replace = true)
       }
     } finally releaseLease(fs, dir, lease)
@@ -2298,6 +2323,58 @@ object DedupIndex {
     if (readLease(fs, dir).exists(_._1 == owner))
       fs.delete(leasePath(dir), false)
 
+  /** Concurrent runner for one staged batch's independent component
+    * writes. Each component write is a small Spark job whose wall time
+    * is dominated by fixed per-job latency (planning, a batch-sized
+    * exchange, the parquet commit protocol), and one absorb stages up
+    * to ~11 components — run sequentially that fixed latency is the
+    * absorb's critical path. The writes are independent by construction
+    * (distinct component directories, distinct pooled scratch tables),
+    * so they run on a small driver-side pool; Spark schedules
+    * concurrent jobs from multiple threads natively.
+    *
+    * Failure contract: [[drain]] rethrows the first failure AFTER all
+    * submitted writes finished — no write is still mutating the staging
+    * directory when the caller's rollback/release path runs (a write
+    * racing a rollback could resurrect staged files). Callers drain
+    * (quietly, via [[close]]) on ALL paths.
+    */
+  private final class Stager(spark: SparkSession) {
+    private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      spark.conf.getOption("spark.graft.stage.parallelism")
+        .map(_.toInt).getOrElse(4))
+    private val fs =
+      scala.collection.mutable.Buffer[java.util.concurrent.Future[Unit]]()
+    def submit(work: => Unit): Unit =
+      fs += pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = work
+      })
+    def drain(): Unit = {
+      var first: Throwable = null
+      fs.foreach { f =>
+        try { f.get(); () } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (first == null) first = e.getCause
+        }
+      }
+      fs.clear()
+      if (first != null) throw first
+    }
+    /** Idempotent finisher for every exit path: awaits stragglers
+      * (swallowing their failures — the primary error is already in
+      * flight) and retires the pool.
+      */
+    def close(): Unit = {
+      try drain() catch { case scala.util.control.NonFatal(_) => () }
+      pool.shutdown()
+    }
+  }
+
+  private def withStager[A](spark: SparkSession)(body: Stager => A): A = {
+    val st = new Stager(spark)
+    try body(st) finally st.close()
+  }
+
   /** Write one component's append as bucketed files under the batch's
     * staging directory, through [[ScaleOps.writeBucketedAt]]'s pooled
     * scratch tables — zero per-write metastore DDL (the saveAsTable +
@@ -2556,12 +2633,19 @@ object DedupIndex {
       // SQL-escape the interpolated LOCATION (a quote in the directory
       // name must not truncate the DDL statement)
       val loc = path.replace("'", "''")
+      // IF NOT EXISTS: with component tables registered lazily at first
+      // read, two concurrent readers (a streaming micro-batch clone and
+      // a probe session share one catalog) can both pass the existence
+      // check — both CREATEs carry identical DDL, so the loser tolerates
+      // the winner instead of throwing TableAlreadyExists
       spark.sql(
-        s"""CREATE TABLE $table ($schemaDdl) USING parquet
+        s"""CREATE TABLE IF NOT EXISTS $table ($schemaDdl) USING parquet
            |CLUSTERED BY ($cols) SORTED BY ($cols)
            |INTO $numBuckets BUCKETS
            |LOCATION '$loc'""".stripMargin)
-      seen.put(table, ver) // a fresh table has no stale cache
+      // if we lost the race the winner may hold an older listing cache
+      spark.catalog.refreshTable(table)
+      seen.put(table, ver)
     }
     spark.table(table)
   }

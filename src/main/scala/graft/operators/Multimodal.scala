@@ -345,16 +345,94 @@ object Multimodal {
         col("_ah._2").as("ahash_lo"), col("content_hash"))
   }
 
+  /** 64-bit FRAME-SAMPLED clip hash — the VIDEO modality's near-dup
+    * code: sample up to [[FrameSampleCount]] frames evenly (frame
+    * `⌊k·F/S⌋` for k < S, duplicates dropped — short clips contribute
+    * every frame once), downscale each sampled frame to the aHash's 8×8
+    * grid (same nearest-neighbor integer math), pool TEMPORALLY by
+    * summing the per-cell gray (r+g+b, [[averageHash]]'s channel sum)
+    * across sampled frames, and apply the aHash decision to the pooled
+    * grid: bit i = cell_i·64 > Σcells. Re-encodes, frame-rate changes
+    * that keep the sampled content, and light per-frame noise keep the
+    * code; different footage flips it. Integer arithmetic end to end —
+    * an oracle derives every bit analytically from the frame rasters.
+    * Packing matches [[averageHash]] (bit < 32 in `lo`).
+    */
+  val FrameSampleCount = 4
+
+  def frameSampleHash(frames: Seq[MediaCodecs.GifFrame]): (Long, Long) = {
+    val f = frames.size
+    val s = math.min(FrameSampleCount, f)
+    val sampled = (0 until s)
+      .map(k => (k.toLong * f / s).toInt).distinct.map(frames)
+    val cells = new Array[Long](64)
+    sampled.foreach { fr =>
+      val px =
+        if (fr.width == 8 && fr.height == 8) fr.rgb
+        else MediaCodecs.resizeNearest(fr.width, fr.height, fr.rgb, 8, 8)
+      var i = 0
+      while (i < 64) {
+        cells(i) += (px(3 * i) & 0xff) + (px(3 * i + 1) & 0xff) +
+          (px(3 * i + 2) & 0xff)
+        i += 1
+      }
+    }
+    var total = 0L
+    cells.foreach(total += _)
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) * 64 > total) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Total [[frameSampleHash]] of an arbitrary payload: GIF containers
+    * through [[MediaCodecs.decodeGifFrames]] ONLY (the magic gate keeps
+    * the video code space inert against BMP/WAV payloads); null,
+    * non-GIF, or corrupt bytes → None — [[averageHashOf]]'s contract
+    * for the clip modality.
+    */
+  def frameSampleHashOf(bytes: Array[Byte]): Option[(Long, Long)] =
+    if (bytes == null || bytes.length < 6 ||
+        !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+          bytes(3) == '8')) None
+    else
+      try Some(frameSampleHash(MediaCodecs.decodeGifFrames(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[averageHashCodes]]' video twin: `(id, ahash_hi, ahash_lo,
+    * content_hash)` per row — the SAME output shape (shared code
+    * columns keep the banded candidate/verify machinery and the
+    * persisted media index serving all three modalities unchanged),
+    * with codes from [[frameSampleHash]] over the decoded GIF frames
+    * and the ledger hash over the payload bytes.
+    */
+  def frameSampleHashCodes(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val hashUdf = udf((b: Array[Byte]) => frameSampleHashOf(b))
+    df.select(col(idCol).cast("long").as("id"),
+        hashUdf(col(payloadCol)).as("_ah"),
+        md5(col(payloadCol)).as("content_hash"))
+      .select(col("id"), col("_ah._1").as("ahash_hi"),
+        col("_ah._2").as("ahash_lo"), col("content_hash"))
+  }
+
   /** The media-modality coder registry: a persisted media index pins the
     * coder NAME in its params, and every maintenance verb and indexed
     * probe derives batch codes through this dispatch — so an index can
-    * never mix image and audio code spaces.
+    * never mix image, audio, and video-clip code spaces.
     */
   def codesFor(coder: String): (DataFrame, String, String) => DataFrame =
     coder match {
-      case "image_ahash"  => averageHashCodes
-      case "audio_energy" => audioEnergyHashCodes
+      case "image_ahash"     => averageHashCodes
+      case "audio_energy"    => audioEnergyHashCodes
+      case "video_framehash" => frameSampleHashCodes
       case other => throw new IllegalArgumentException(
-        s"unknown media coder '$other' (image_ahash | audio_energy)")
+        s"unknown media coder '$other' " +
+          "(image_ahash | audio_energy | video_framehash)")
     }
 }

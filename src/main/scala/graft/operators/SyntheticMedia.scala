@@ -77,4 +77,23 @@ object SyntheticMedia {
       (((t(j) & 0xf8) | (n(j) & 0x07)) << 4).toShort)
     MediaCodecs.encodeWavPcm16(16000, 1, samples)
   }
+
+  /** The fixture's VIDEO twin: a 4-frame 16×8 GIF89a clip whose frame
+    * `f` pixel `i` is the PALETTE INDEX ((t(i)&0xf8)|(n_f(i)&0x07)) —
+    * template structure shared across frames, per-frame noise from the
+    * chain of `noise + "f" + f` — so same-template clips are
+    * temporally-pooled-near the way re-encodes/frame-rate changes of
+    * one clip are. [[MediaCodecs.encodeGif]]'s analytic palette maps
+    * index v to RGB (v, 255−v, (7v) mod 256), so the frame-hash oracle
+    * derives each pooled gray cell as 255 + (7v mod 256) straight from
+    * the md5 chains.
+    */
+  def gif(template: String, noise: String, frames: Int = 4): Array[Byte] = {
+    val t = chain(template)
+    val rasters = (0 until frames).map { f =>
+      val n = chain(noise + "f" + f)
+      Array.tabulate[Byte](128)(i => ((t(i) & 0xf8) | (n(i) & 0x07)).toByte)
+    }
+    MediaCodecs.encodeGif(16, 8, rasters)
+  }
 }

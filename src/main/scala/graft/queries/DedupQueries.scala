@@ -540,6 +540,101 @@ object DedupQueries {
     incrementalAhashSqlFor(k => s"($k % 2 = 0 AND $k % 10 <> 0)",
       k => s"$k % 2 = 1", codeCtes = TextQueries.energyHashCodeCtes)
 
+  /** [[incrementalAudioHashRetired]] over the COMPACTED audio-coder
+    * index ([[QueryIndexes.mediaAudioCompacted]]): same live-corpus
+    * oracle; the physical rewrite must keep exactly the live energy
+    * codes and band keys on the tombstone-free load path.
+    */
+  def incrementalAudioHashCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaAudioCompacted(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[incrementalAudioHashRetired]] after the `k % 20 == 0` half of
+    * the deleted slice re-absorbs with its ORIGINAL WAV bytes
+    * ([[QueryIndexes.mediaAudioResurrected]]): generation-scoped
+    * tombstones must let the resurrected clips pair again while the
+    * still-dead half stays invisible.
+    */
+  def incrementalAudioHashResurrected(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload",
+        QueryIndexes.mediaAudioResurrected(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAudioHashResurrectedSql: String =
+    incrementalAhashSqlFor(
+      k => s"($k % 2 = 0 AND ($k % 10 <> 0 OR $k % 20 = 0))",
+      k => s"$k % 2 = 1", codeCtes = TextQueries.energyHashCodeCtes)
+
+  /** [[incrementalAudioHashIndexed]]'s refresh twin
+    * ([[QueryIndexes.mediaAudioRefreshed]]: the `k % 10 == 0` slice
+    * re-absorbed with WAVs rendered from UPDATED text — new noise
+    * samples, new bytes, new energy code — the `k % 6 == 0` slice
+    * replayed byte-identical): the refreshed clips' codes must be the
+    * RE-DERIVED ones (and only those); the oracle recomputes over the
+    * post-update corpus.
+    */
+  def incrementalAudioHashRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.audioPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload",
+        QueryIndexes.mediaAudioRefreshed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalAudioHashRefreshedSql: String =
+    incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1",
+      src = QueryIndexes.refreshedMediaDocsSql,
+      codeCtes = TextQueries.energyHashCodeCtes)
+
+  /** The VIDEO modality's incremental near-dup probe as a declared op:
+    * same `(doc_id div 20) % 2` corpus/batch split as the image and
+    * audio families, but the payloads are 4-frame GIF clips and the
+    * 64-bit code is the FRAME-SAMPLED temporally-pooled hash over the
+    * real multi-frame decode — the oracle replays the palette gray,
+    * the 8×8 sampling, the temporal pooling, the banded candidates and
+    * the Hamming verify analytically from the md5 frame chains.
+    */
+  def incrementalFrameHash(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalFrameHashNearDupsReport(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 0)),
+        "doc_id", "payload")
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalFrameHashSql: String =
+    incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1",
+      codeCtes = TextQueries.frameHashCodeCtes)
+
+  /** [[incrementalFrameHash]] probing a PERSISTED media index built
+    * with the `video_framehash` coder ([[QueryIndexes.mediaVideo]]) —
+    * the third modality served by the SAME maintained-media-index
+    * machinery via its pinned coder; corpus clips are decoded once at
+    * index time and never re-parsed at probe time.
+    */
+  def incrementalFrameHashIndexed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload", QueryIndexes.mediaVideo(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[incrementalAhash]] probing the PERSISTED media index
     * ([[graft.operators.DedupIndex.MediaIndex]]) — same split, same
     * oracle, bit-identical pairs; corpus payloads are never re-fetched

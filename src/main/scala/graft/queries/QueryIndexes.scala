@@ -417,6 +417,28 @@ object QueryIndexes {
     DedupIndex.loadMedia(spark, dir)
   }
 
+  /** [[media]]'s VIDEO twin: the k-even corpus rendered to 4-frame GIF
+    * clips ([[TextQueries.videoPayloads]]) and indexed with the
+    * `video_framehash` coder pinned in the params — the corpus side of
+    * `mm_framehash_incremental_indexed`. Every clip's frames decode
+    * exactly once at build time.
+    */
+  def mediaVideo(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_video",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "video_framehash"))
+        DedupIndex.writeMedia(
+          TextQueries.videoPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "video_framehash")
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
   /** [[mediaAbsorbed]]'s audio twin: the `k % 4 == 1` WAV batch absorbs
     * through the SAME [[DedupIndex.appendMedia]] staged commit — which
     * derives its codes via the index's pinned `audio_energy` coder, so
@@ -460,6 +482,95 @@ object QueryIndexes {
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
         "doc_id", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[mediaCompacted]]'s audio twin: the `k % 10 == 0` slice retires
+    * from the audio-coder index, then [[DedupIndex.compactMedia]]
+    * physically rewrites the components and clears the tombstones — the
+    * coder-agnostic compaction verbs proven on the image family, gated
+    * here over energy codes. Re-runs compact on reuse (no-op when
+    * nothing is tombstoned).
+    */
+  def mediaAudioCompacted(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_audio_compacted",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
+        DedupIndex.writeMedia(
+          TextQueries.audioPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "audio_energy")
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.compactMedia(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[mediaResurrected]]'s audio twin: the `k % 10 == 0` slice
+    * retires, then its `k % 20 == 0` half re-absorbs with ORIGINAL
+    * WAV bytes — generation-scoped tombstones must revive exactly the
+    * re-absorbed clips. Re-runs the cycle on reuse.
+    */
+  def mediaAudioResurrected(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_audio_resurrected",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
+        DedupIndex.writeMedia(
+          TextQueries.audioPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "audio_energy")
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.appendMedia(
+        TextQueries.audioPayloads(
+          docs.filter(expr("(doc_id div 20) % 20") === 0)),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** [[mediaRefreshed]]'s audio twin: a CDC UPDATE batch re-absorbs
+    * into the audio-coder index — the `k % 10 == 0` slice with WAVs
+    * rendered from CHANGED text (new noise samples → new bytes, usually
+    * a new energy code) and the `k % 6 == 0` slice byte-identical (the
+    * no-op rows). Replayed on reuse.
+    */
+  def mediaAudioRefreshed(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_audio_refreshed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
+        DedupIndex.writeMedia(
+          TextQueries.audioPayloads(
+            docs.filter(expr("(doc_id div 20) % 2") === 0)),
+          "doc_id", "payload", dir, coder = "audio_energy")
+      DedupIndex.appendMedia(
+        TextQueries.audioPayloads(
+          docs.filter(expr("(doc_id div 20) % 10") === 0 ||
+              (expr("(doc_id div 20) % 6") === 0 &&
+                expr("(doc_id div 20) % 2") === 0))
+            .select(col("doc_id"), col("lang"), col("source"),
+              when(expr("(doc_id div 20) % 10") === 0,
+                concat(col("text"), lit(RefreshSuffix)))
+                .otherwise(col("text")).as("text"))),
+        "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
     DedupIndex.loadMedia(spark, dir)

@@ -1403,6 +1403,173 @@ object TextQueries {
       |  + bit_count(xor(a.ahash_lo, r.ahash_lo)) BETWEEN 1 AND 3
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** [[ahashPayloads]]' VIDEO twin: one 4-frame 16×8 GIF clip per
+    * document ([[graft.operators.SyntheticMedia.gif]] — template
+    * structure shared across frames, per-frame noise chains) — emitted
+    * as payload BYTES so the clip near-dup probes exercise the real
+    * GIF-decode-then-pool-then-hash path while the oracle derives the
+    * identical codes analytically ([[frameHashCodeCtes]]).
+    */
+  private[queries] def videoPayloads(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        org.apache.spark.sql.Row(r.getLong(0),
+          graft.operators.SyntheticMedia.gif(r.getString(1),
+            r.getString(2)))
+      }
+    }(enc)
+  }
+
+  /** [[ahashCodeCtes]]' video twin: the CTE chain deriving each clip's
+    * 64-bit FRAME-SAMPLED hash analytically — frame f pixel i is
+    * palette index v = (t(i)&248)|(n_f(i)&7) (n_f the chain of
+    * `text || 'f' || f`), the analytic GIF palette maps v to gray
+    * r+g+b = 255 + (7v mod 256), the 8×8 grid samples source pixel
+    * (i//8)·16 + 2·(i%8), the 4 sampled frames POOL by summing cell
+    * gray, and bit i = cell·64 > Σcells — packed exactly like the
+    * image code (`code AS (doc_id, ahash_hi, ahash_lo)` so the banded
+    * candidate/verify SQL is shared verbatim).
+    */
+  private[queries] def frameHashCodeCtes(
+      src: String = "documents"): String = {
+    val th = AhashChainSql.replaceAll("%s", "g")
+    val dhs = (0 until 4).map(f =>
+      AhashChainSql.replaceAll("%s", s"(text || 'f$f')"))
+    def vExpr(dcol: String) =
+      s"((('0x' || substr(thex, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 248) | " +
+        s"(('0x' || substr($dcol, CAST(2*((t.i // 8) * 16 + 2*(t.i % 8)) + 1 AS INTEGER), 2))::BIGINT & 7))"
+    val cellExpr = (0 until 4)
+      .map(f => s"(255 + ((7 * ${vExpr(s"d${f}hex")}) % 256))")
+      .mkString(" + ")
+    s"""b AS (
+      |  SELECT doc_id, lang || '|' || source AS g, text FROM $src),
+      |hx AS (SELECT doc_id, $th AS thex,
+      |  ${dhs.zipWithIndex.map { case (d, f) => s"$d AS d${f}hex" }
+           .mkString(",\n  ")} FROM b),
+      |px AS (
+      |  SELECT doc_id, CAST(t.i AS INTEGER) AS i, $cellExpr AS v
+      |  FROM hx, UNNEST(range(0, 64)) AS t(i)),
+      |s AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY doc_id),
+      |bits AS (
+      |  SELECT px.doc_id, i, CASE WHEN v * 64 > sv THEN 1 ELSE 0 END AS bit
+      |  FROM px JOIN s USING (doc_id)),
+      |code AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN i >= 32 THEN CAST(bit AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN i < 32 THEN CAST(bit AS BIGINT) << i ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
+  /** [[ahashCodes]]' video twin through the REAL pipeline: GIF clip
+    * synthesized per document, every frame decoded back by the
+    * multi-image reader, frame-sampled and temporally pooled
+    * ([[graft.operators.Multimodal.frameSampleHash]]). Integer
+    * arithmetic end to end — the oracle derives identical codes
+    * analytically ([[frameHashCodeCtes]]).
+    */
+  private def frameCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.{MediaCodecs, Multimodal, SyntheticMedia}
+    val docs = tbl(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+      concat_ws("|", col("lang"), col("source")).as("g"), col("text"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    base.mapPartitions { rows =>
+      rows.map { r =>
+        val gif = SyntheticMedia.gif(r.getString(1), r.getString(2))
+        val (hi, lo) = Multimodal.frameSampleHash(
+          MediaCodecs.decodeGifFrames(gif))
+        org.apache.spark.sql.Row(r.getLong(0), hi, lo)
+      }
+    }(enc)
+  }
+
+  /** [[multimodalAhashDedup]]'s video twin: exact frame-hash dup
+    * groups over the GIF clip corpus — canonical holder, group size,
+    * keep flag; one shuffle on the 64-bit code.
+    */
+  def multimodalFrameHashDedup(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val codes = frameCodes(spark, sfDir)
+    val grp = codes.groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+    codes.join(grp, Seq("ahash_hi", "ahash_lo"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("canonical_id"), col("group_size"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  def multimodalFrameHashDedupSql: String =
+    s"""WITH ${frameHashCodeCtes()},
+      |grp AS (
+      |  SELECT ahash_hi, ahash_lo, min(doc_id) AS canonical_id,
+      |    CAST(count(*) AS BIGINT) AS group_size
+      |  FROM code GROUP BY 1, 2)
+      |SELECT doc_id, ahash_hi, ahash_lo, canonical_id, group_size,
+      |  doc_id = canonical_id AS is_canonical
+      |FROM code JOIN grp USING (ahash_hi, ahash_lo)
+      |ORDER BY doc_id""".stripMargin
+
+  /** [[multimodalAhashNear]]'s video twin: Hamming 1..3 pairs between
+    * DISTINCT frame-sampled clip codes, banded candidates (pigeonhole-
+    * lossless at ≤ 3 flips over 4 bands), quadratic verify in the
+    * oracle over representatives only.
+    */
+  def multimodalFrameHashNear(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val reps = frameCodes(spark, sfDir)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val bandCols = (0 until 4).map { b =>
+      val half = if (b < 2) col("ahash_lo") else col("ahash_hi")
+      struct(lit(b).as("band"),
+        shiftright(half, 16 * (b % 2)).bitwiseAND(lit(0xffffL)).as("bkey"))
+    }
+    val bands = reps.select(col("rep_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("rep_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = bands.select(col("band"), col("bkey"), col("rep_id").as("a_id"),
+      col("ahash_hi").as("a_hi"), col("ahash_lo").as("a_lo"))
+    val bb = bands.select(col("band"), col("bkey"), col("rep_id").as("b_id"),
+      col("ahash_hi").as("b_hi"), col("ahash_lo").as("b_lo"))
+    a.join(bb, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming").between(1, 3))
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  def multimodalFrameHashNearSql: String =
+    s"""WITH ${frameHashCodeCtes()},
+      |reps AS (
+      |  SELECT ahash_hi, ahash_lo, min(doc_id) AS rep_id
+      |  FROM code GROUP BY 1, 2)
+      |SELECT a.rep_id AS a_id, r.rep_id AS b_id,
+      |  CAST(bit_count(xor(a.ahash_hi, r.ahash_hi))
+      |    + bit_count(xor(a.ahash_lo, r.ahash_lo)) AS INTEGER) AS hamming
+      |FROM reps a JOIN reps r ON a.rep_id < r.rep_id
+      |WHERE bit_count(xor(a.ahash_hi, r.ahash_hi))
+      |  + bit_count(xor(a.ahash_lo, r.ahash_lo)) BETWEEN 1 AND 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Aggregate language distribution (declared-vs-predicted contingency). */
   def langDist(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")

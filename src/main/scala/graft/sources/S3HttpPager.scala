@@ -15,17 +15,25 @@ import graft.sources.PagedLister.{PageEntry, PageLister}
   * listing strictly after that key), because [[PagedLister.listAll]]
   * owns the cursor — it advances to the last key of each full page, so
   * no server-side token state is needed and a retried page is
-  * idempotent. Anonymous requests only: S3-compatible endpoints with
-  * public/anonymous listing (test emulators, local object stores) work
-  * as-is; SigV4-signed access belongs to an SDK integration this
-  * sandbox cannot exercise. JDK-only client (HttpURLConnection + the
-  * built-in DocumentBuilder) — no added dependencies.
+  * idempotent. With `credentials` set, every request carries AWS
+  * SigV4 headers ([[S3SigV4.signedHeaders]] — the signing the
+  * reference gets from the AWS SDK's credential chain); without them,
+  * requests go anonymous (public buckets, test emulators, local object
+  * stores). JDK-only client (HttpURLConnection + the built-in
+  * DocumentBuilder) — no added dependencies.
+  *
+  * @param clock injectable `x-amz-date` supplier (specs pin it to the
+  *        published signing vectors' timestamp)
   */
 final class S3HttpPager(endpoint: String,
-    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000)
+    connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 30000,
+    credentials: Option[S3SigV4.Credentials] = None,
+    region: String = "us-east-1",
+    clock: () => String = S3SigV4.nowAmzDate _)
     extends PageLister {
 
   private val base = endpoint.stripSuffix("/")
+  private val baseUri = new java.net.URI(base)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -38,15 +46,27 @@ final class S3HttpPager(endpoint: String,
     // remaining key. Fail loudly here instead of listing incompletely.
     require(pageSize <= 1000,
       s"ListObjectsV2 max-keys is capped at 1000 by S3; got $pageSize")
-    val url = new java.net.URI(
-      s"$base/?list-type=2&max-keys=$pageSize&prefix=${enc(prefix)}" +
-        (if (startAfter.nonEmpty) s"&start-after=${enc(startAfter)}"
-         else "")).toURL
+    val params = Seq("list-type" -> "2", "max-keys" -> pageSize.toString,
+      "prefix" -> prefix) ++
+      (if (startAfter.nonEmpty) Seq("start-after" -> startAfter) else Nil)
+    val url = new java.net.URI(s"$base/?" + params.map { case (k, v) =>
+      s"$k=${enc(v)}" }.mkString("&")).toURL
     val conn = url.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
+    credentials.foreach { creds =>
+      val host = baseUri.getHost +
+        (if (baseUri.getPort > 0) s":${baseUri.getPort}" else "")
+      val path = Option(baseUri.getPath).getOrElse("")
+        .stripSuffix("/") + "/"
+      S3SigV4.signedHeaders("GET", host, path, params, creds, region,
+          "s3", clock())
+        .foreach { case (k, v) =>
+          if (k != "host") conn.setRequestProperty(k, v)
+        } // host is set by the HTTP stack from the URL itself
+    }
     try {
       val code = conn.getResponseCode
       require(code == 200, s"ListObjectsV2 GET $url returned HTTP $code")

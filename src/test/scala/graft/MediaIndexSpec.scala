@@ -342,6 +342,71 @@ class MediaIndexSpec extends SparkSpec {
       "image payloads must be inert against an audio-coder index")
   }
 
+  test("video-framehash media index: probe == recompute through lifecycle verbs; all three code spaces inert") {
+    CachedPlans.clear()
+    val indexDir = java.nio.file.Files
+      .createTempDirectory("graft-midx-video").toString
+    // video twin of mkMedia: members 0/1 byte-identical clips, member 2
+    // same template fresh per-frame noise (pooled-gray-near), member 3
+    // distinct footage
+    def gifOf(t: String, n: String): Array[Byte] =
+      graft.operators.SyntheticMedia.gif(t, n)
+    def mkVideo(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
+      ids.map { i =>
+        val g = i / 4
+        i % 4 match {
+          case 0 | 1 => (i, gifOf(s"vgrp$g", s"vcom$g"))
+          case 2     => (i, gifOf(s"vgrp$g", s"vnear$i"))
+          case _     => (i, gifOf(s"vsolo${i * 37}", s"vn$i"))
+        }
+      }
+    val even = mkVideo((0L until 80L).filter(_ % 2 == 0))
+    val batch = mediaDf(mkVideo((0L until 80L).filter(_ % 2 == 1)))
+    DedupIndex.writeMedia(mediaDf(even), "doc_id", "payload", indexDir,
+      coder = "video_framehash")
+    assert(DedupIndex.loadMedia(spark, indexDir).params.coder ===
+      "video_framehash")
+
+    def probe(): DataFrame = Dedup.incrementalAhashNearDupsReportIndexed(
+      batch, "doc_id", "payload",
+      DedupIndex.loadMedia(spark, indexDir)).pairs
+    def recompute(live: Seq[(Long, Array[Byte])]): DataFrame =
+      Dedup.incrementalFrameHashNearDupsReport(
+        batch, mediaDf(live), "doc_id", "payload").pairs
+    assert(sortedRows(probe()) === sortedRows(recompute(even)))
+    assert(probe().count() > 0, "video fixture must produce near-dup pairs")
+
+    // absorb + retire keep the probe equal to the live-set recompute —
+    // the shared generational machinery serves the third coder unchanged
+    val grown = mkVideo(Seq(200L, 201L, 202L, 203L))
+    DedupIndex.appendMedia(mediaDf(grown), "doc_id", "payload", indexDir)
+    assert(sortedRows(probe()) === sortedRows(recompute(even ++ grown)))
+    val dead = (0L until 20L by 2).toSeq
+    DedupIndex.retireMedia(dead.toDF("doc_id"), "doc_id", indexDir)
+    assert(sortedRows(probe()) === sortedRows(recompute(
+      (even ++ grown).filterNot(r => dead.contains(r._1)))))
+
+    // coder pinning, all three spaces: WAV and BMP payloads against the
+    // video index fail the GIF magic gate (NULL codes — inert), and GIF
+    // payloads are equally inert against the audio coder's RIFF parse
+    val wavBatch = mediaDf(Seq(
+      (301L, graft.operators.SyntheticMedia.wav("vgrp0", "vcom0"))))
+    val imgBatch = mediaDf(Seq((302L, bmpOf("vgrp0", "vcom0"))))
+    Seq(wavBatch, imgBatch).foreach { foreign =>
+      assert(Dedup.incrementalAhashNearDupsReportIndexed(
+        foreign, "doc_id", "payload",
+        DedupIndex.loadMedia(spark, indexDir)).pairs.count() === 0,
+        "non-GIF payloads must be inert against a video-coder index")
+    }
+    assert(graft.operators.Multimodal.energyHashOf(
+      gifOf("vgrp0", "vcom0")) === None,
+      "GIF payloads must be inert in the audio code space")
+    assert(graft.operators.Multimodal.frameSampleHashOf(
+      graft.operators.SyntheticMedia.wav("vgrp0", "vcom0")) === None)
+    assert(graft.operators.Multimodal.frameSampleHashOf(
+      bmpOf("vgrp0", "vcom0")) === None)
+  }
+
   test("undecodable payloads are inert ledger rows: no candidates, replay-idempotent") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files

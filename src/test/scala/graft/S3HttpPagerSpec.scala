@@ -27,7 +27,18 @@ class S3HttpPagerSpec extends AnyFunSuite {
     * `reverse = true` serves keys in DESCENDING order — the
     * broken-server arm. Returns (server, baseUrl, requestLog).
     */
-  private def startEmulator(objs: Seq[Obj], reverse: Boolean = false) = {
+  /** When `auth` is set, the emulator VERIFIES each request's SigV4
+    * `Authorization` header the way S3 does — it re-derives the
+    * signature from the RAW request (method, path, decoded query, the
+    * actual transmitted header values named in SignedHeaders) with the
+    * shared secret and rejects any mismatch with 403. A client that
+    * signs different parameters than it sends, drops a signed header,
+    * or derives the key wrongly fails here even though S3SigV4Spec's
+    * vectors pass.
+    */
+  private def startEmulator(objs: Seq[Obj], reverse: Boolean = false,
+      auth: Option[graft.sources.S3SigV4.Credentials] = None,
+      authRegion: String = "us-east-1") = {
     val sorted = objs.sortBy(_.key)
     val log = new java.util.concurrent.CopyOnWriteArrayList[Req]()
     val server = com.sun.net.httpserver.HttpServer
@@ -40,6 +51,40 @@ class S3HttpPagerSpec extends AnyFunSuite {
           val v = java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
           k -> v
         }.toMap
+      val authorized = auth.forall { creds =>
+        import graft.sources.S3SigV4
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .exists { hdr =>
+            val sigRe = ".*Signature=([0-9a-f]{64})$".r
+            val signedRe = ".*SignedHeaders=([^,]+),.*".r
+            (hdr, hdr) match {
+              case (sigRe(sig), signedRe(names)) =>
+                val hdrs = names.split(";").toSeq.map(n =>
+                  n -> Option(ex.getRequestHeaders.getFirst(n)).getOrElse(""))
+                val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
+                val payload = ex.getRequestHeaders
+                  .getFirst("x-amz-content-sha256")
+                val cr = S3SigV4.canonicalRequest("GET",
+                  ex.getRequestURI.getPath,
+                  params.toSeq, hdrs, payload)
+                val scope = s"${amzDate.take(8)}/$authRegion/s3/aws4_request"
+                val want = S3SigV4.signatureHex(
+                  S3SigV4.signingKey(creds.secretKey, amzDate.take(8),
+                    authRegion, "s3"),
+                  S3SigV4.stringToSign(amzDate, scope, cr))
+                hdr.contains(s"Credential=${creds.accessKey}/$scope") &&
+                  want == sig
+              case _ => false
+            }
+          }
+      }
+      if (!authorized) {
+        val body = "<Error><Code>SignatureDoesNotMatch</Code></Error>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(403, body.length.toLong)
+        ex.getResponseBody.write(body)
+        ex.close()
+      } else {
       val prefix = params.getOrElse("prefix", "")
       val after = params.getOrElse("start-after", "")
       val maxKeys = math.min(params.getOrElse("max-keys", "1000").toInt,
@@ -77,6 +122,7 @@ class S3HttpPagerSpec extends AnyFunSuite {
       ex.sendResponseHeaders(200, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
       ex.close()
+      }
     })
     server.start()
     (server, s"http://127.0.0.1:${server.getAddress.getPort}", log)
@@ -152,6 +198,52 @@ class S3HttpPagerSpec extends AnyFunSuite {
         r.prefix == "t/" && r.startAfter == "t/2024/01/02/"))
       assert(datePass.stream().anyMatch(r => r.prefix == "t/LOAD"))
     }
+  }
+
+  test("SigV4-signed drain: the server verifies every request's signature (incl. session token)") {
+    import graft.sources.S3SigV4
+    val creds = S3SigV4.Credentials("AKIDEXAMPLE",
+      "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY", Some("SESSIONTOKEN"))
+    val objs = (0 until 1537).map(i =>
+      Obj(f"t/2024/01/02/f$i%06d.parquet", 10000L + i, 10L + i))
+    val (server, url, log) = startEmulator(objs, auth = Some(creds))
+    try {
+      val pager = new S3HttpPager(url, credentials = Some(creds),
+        clock = () => "20240102T000000Z")
+      val got = PagedLister.listAll(pager, "t/", pageSize = 1000)
+      assert(got.map(_.key) === objs.map(_.key))
+      // both pages travelled signed (the 403 arm below proves the
+      // server actually checks)
+      assert(log.size === 2)
+    } finally server.stop(0)
+  }
+
+  test("an unsigned request against a verifying endpoint fails loudly with 403") {
+    import graft.sources.S3SigV4
+    val creds = S3SigV4.Credentials("AKIDEXAMPLE", "topsecret")
+    val (server, url, _) = startEmulator(
+      Seq(Obj("t/a.parquet", 1L, 1L)), auth = Some(creds))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        PagedLister.listAll(new S3HttpPager(url), "t/", pageSize = 1000)
+      }
+      assert(e.getMessage.contains("403"))
+    } finally server.stop(0)
+  }
+
+  test("a signature derived from the wrong secret is rejected — the server re-derives, not just parses") {
+    import graft.sources.S3SigV4
+    val (server, url, _) = startEmulator(
+      Seq(Obj("t/a.parquet", 1L, 1L)),
+      auth = Some(S3SigV4.Credentials("AKIDEXAMPLE", "the-real-secret")))
+    try {
+      val wrong = new S3HttpPager(url, credentials =
+        Some(S3SigV4.Credentials("AKIDEXAMPLE", "a-guessed-secret")))
+      val e = intercept[IllegalArgumentException] {
+        PagedLister.listAll(wrong, "t/", pageSize = 1000)
+      }
+      assert(e.getMessage.contains("403"))
+    } finally server.stop(0)
   }
 
   test("a server answering out of order fails the drain loudly instead of skipping keys") {

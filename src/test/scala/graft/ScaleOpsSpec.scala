@@ -55,22 +55,26 @@ class ScaleOpsSpec extends SparkSpec {
   test("writeBucketedAt: pooled-scratch writes are valid bucketed " +
       "components and pay no per-write DDL") {
     val root = java.nio.file.Files.createTempDirectory("graft-wba").toString
+    // column names unique to this test: the scratch pool is shared
+    // session-wide, so the assertions below count the DELTA of tables
+    // created for THESE signatures, not a global total
     val a = spark.range(0, 5000).select($"id",
-      concat(lit("a"), $"id").as("va"))
+      concat(lit("a"), $"id").as("wba_va"))
     val b = spark.range(0, 5000).select($"id",
-      concat(lit("b"), $"id").as("vb"))
+      concat(lit("b"), $"id").as("wba_vb"))
+    val before = scratchTables()
     ScaleOps.writeBucketedAt(a, s"$root/a", Seq("id"), 8)
     val afterFirst = scratchTables()
     ScaleOps.writeBucketedAt(b, s"$root/b", Seq("id"), 8)
     // second write of a DIFFERENT schema signature creates its own
     // scratch table; a REPEAT of the same signature must reuse
     ScaleOps.writeBucketedAt(
-      a.withColumn("va", concat($"va", lit("x"))), s"$root/a2",
+      a.withColumn("wba_va", concat($"wba_va", lit("x"))), s"$root/a2",
       Seq("id"), 8)
     val afterRepeat = scratchTables()
-    assert(afterRepeat.size === 2,
-      s"expected exactly 2 pooled scratch tables (one per signature), " +
-        s"got $afterRepeat")
+    assert((afterRepeat -- before).size === 2,
+      s"expected exactly 2 new pooled scratch tables (one per " +
+        s"signature), got ${afterRepeat -- before}")
     assert(afterFirst.subsetOf(afterRepeat))
     // files are parseable bucket members: a bucketed-table read works
     // and a bucketed join needs NO exchange on either side
@@ -84,7 +88,7 @@ class ScaleOpsSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"moved bucket files lost their layout:\n${plan.take(3000)}")
       assert(joined.count() === 5000)
-      assert(spark.table("wba_a").select("va").as[String].collect().toSet
+      assert(spark.table("wba_a").select("wba_va").as[String].collect().toSet
         === (0 until 5000).map(i => s"a$i").toSet)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
