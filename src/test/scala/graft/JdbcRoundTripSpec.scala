@@ -92,6 +92,79 @@ class JdbcRoundTripSpec extends SparkSpec {
     assert(after(6L) === "back")
   }
 
+  test("extended wire protocol: upsert and delete shapes travel the socket as Parse/Bind/Execute framing") {
+    // The sink's K5/K6 statements as the JDBC driver would actually
+    // transmit them: `?` SQL rewritten to `$n`, PREPAREd once over a
+    // real socket ('P'), every row a Bind+Execute frame pair, Sync at
+    // batch end — against MiniPgWire's v3-protocol backend over the
+    // same ON CONFLICT engine the in-process branch uses.
+    MiniPg.register
+    MiniPg.clear()
+    MiniPg.createTable("wiredb", "graft.t_wire", Seq("id", "v"), Seq("id"))
+    val wire = new MiniPgWire("wiredb")
+    try {
+      val cl = new MiniPgWire.Client(wire.port)
+      def dollar(sql: String): String = {
+        var i = 0
+        sql.map(c => c.toString).map { c =>
+          if (c == "?") { i += 1; s"$$$i" } else c
+        }.mkString
+      }
+      val upsert = dollar(graft.sinks.PgDdl.upsert("graft", "t_wire",
+        Seq("id", "v"), Seq("id")))
+      assert(upsert.contains("VALUES ($1, $2)"),
+        s"driver-style placeholder rewrite failed: $upsert")
+      // PREPARE once, then one Bind/Execute frame pair per row — the
+      // driver's batch flow
+      cl.parse("ups", upsert)
+      Seq("1" -> "a", "2" -> "b", "1" -> "a2").foreach { case (id, v) =>
+        cl.bind("", "ups", Seq(id, v))
+        cl.execute("")
+      }
+      cl.sync()
+      val (tags, texts) = cl.drainToReady()
+      assert(tags === "1" + "2C" * 3 + "Z", s"got $tags / $texts")
+      assert(texts === Seq("INSERT 0 1", "INSERT 0 1", "INSERT 0 1"))
+      val afterUpsert = MiniPg.tableRows("wiredb", "graft.t_wire")
+        .map(r => r("id") -> r("v")).toMap
+      assert(afterUpsert === Map("1" -> "a2", "2" -> "b"),
+        "conflict row must take the DO UPDATE arm through the wire")
+
+      // the delete shape through the same framing
+      cl.parse("del", dollar(graft.sinks.PgDdl.deleteByPk("graft",
+        "t_wire", Seq("id"))))
+      cl.bind("", "del", Seq("2"))
+      cl.execute("")
+      cl.bind("", "del", Seq("99")) // absent key: DELETE 0, no error
+      cl.execute("")
+      cl.sync()
+      val (dTags, dTexts) = cl.drainToReady()
+      assert(dTags === "1" + "2C" * 2 + "Z")
+      assert(dTexts === Seq("DELETE 1", "DELETE 0"))
+      assert(MiniPg.tableRows("wiredb", "graft.t_wire")
+        .map(_("id")) === Seq("1"))
+
+      // protocol error handling: a bad Parse raises ErrorResponse with
+      // a SQLSTATE, the connection skips messages until Sync, and the
+      // NEXT batch on the same socket works — the aborted-state rule
+      cl.parse("bad", "FROBNICATE $1")
+      cl.bind("", "bad", Seq("x")) // must be skipped (aborted)
+      cl.execute("")
+      cl.sync()
+      val (eTags, eTexts) = cl.drainToReady()
+      assert(eTags === "EZ", s"got $eTags / $eTexts")
+      assert(eTexts.head.contains("C:42601"), eTexts.head)
+      cl.bind("", "ups", Seq("7", "late"))
+      cl.execute("")
+      cl.sync()
+      val (rTags, _) = cl.drainToReady()
+      assert(rTags === "2CZ", "socket must recover after Sync")
+      assert(MiniPg.tableRows("wiredb", "graft.t_wire")
+        .map(_("id")).toSet === Set("1", "7"))
+      cl.terminate()
+    } finally wire.close()
+  }
+
   test("PK-only table takes ON CONFLICT DO NOTHING on the pg branch") {
     MiniPg.register
     val pgUrl = "jdbc:postgresql://minipg/itdb"
