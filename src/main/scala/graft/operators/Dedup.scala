@@ -643,16 +643,54 @@ object Dedup {
     * dropped by the filter could never join — the candidate join is an
     * equi-join on `bkey` — so pair sets are unchanged by construction.
     */
-  private def pruneToBatchKeys(stored: DataFrame, batchKeys: DataFrame)
-      : DataFrame = {
-    // limit caps the driver transfer at ceiling+1 rows: a key set past
-    // the ceiling only needs to be KNOWN too big, never shipped
+  /** The batch's distinct touched bucket keys, collected once per probe
+    * (driver transfer capped at ceiling+1 rows: a key set past the
+    * ceiling only needs to be KNOWN too big, never shipped). None =
+    * over the ceiling — callers keep the full bucketed scans.
+    */
+  private def collectTouchedBkeys(batchKeys: DataFrame)
+      : Option[Seq[String]] = {
     val touched = batchKeys.select(col("bkey")).distinct()
       .limit(MaxTouchedBkeys + 1)
       .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty) stored.filter(lit(false))
-    else if (touched.size > MaxTouchedBkeys) stored
-    else stored.filter(col("bkey").isin(touched: _*))
+    if (touched.size > MaxTouchedBkeys) None else Some(touched)
+  }
+
+  private def pruneToKeys(stored: DataFrame,
+      keys: Option[Seq[String]]): DataFrame = keys match {
+    case None => stored
+    case Some(s) if s.isEmpty => stored.filter(lit(false))
+    case Some(s) => stored.filter(col("bkey").isin(s: _*))
+  }
+
+  private def pruneToBatchKeys(stored: DataFrame, batchKeys: DataFrame)
+      : DataFrame = pruneToKeys(stored, collectTouchedBkeys(batchKeys))
+
+  /** The candidate stage every banded indexed probe shares: the stored
+    * band component restricted to the batch's touched bucket keys,
+    * minus oversized buckets — with the SIZES scan pruned by the SAME
+    * touched-key list (one collect serves both). The oversized guard
+    * only matters for keys the batch touches, and the sizes component
+    * grows with corpus vocabulary — without the prune its full scan
+    * was a per-probe corpus-coupled read; the report's GLOBAL oversized
+    * listing stays unpruned (different consumer, lazy).
+    *
+    * The candidates' VERIFY-side reads (shingles/counts, simhashes,
+    * media codes) deliberately stay full bucketed-scan equi-joins: an
+    * In-prune on the candidates' stored ids was built and MEASURED
+    * (r16) — the extra candidate-stage execution its collect costs
+    * regressed every indexed probe at sf0.1 (simhash_indexed
+    * 1.52→2.88 s, mm_ahash_indexed 0.74→1.35 s) and the ×100 probe
+    * growth term did not move (BENCH_PROBES: +1.7 s per ×100 before
+    * and after), so the corpus-coupled verify scan is priced in as a
+    * documented bound, not hidden behind a net-negative optimization.
+    */
+  private def candidateBands(bkOld: DataFrame, oversizedK: DataFrame,
+      batchKeys: DataFrame): DataFrame = {
+    val touched = collectTouchedBkeys(batchKeys)
+    pruneToKeys(bkOld, touched)
+      .join(pruneToKeys(oversizedK.select(col("bkey")), touched),
+        Seq("bkey"), "left_anti")
   }
 
   /** Index-backed form of [[incrementalExact]]: the corpus side is the
@@ -725,8 +763,7 @@ object Dedup {
     val bkNewK = CachedPlans.cached(bkNew.select(
       DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
       col(idCol).as("b_id")))
-    val okOld = pruneToBatchKeys(bkOld, bkNewK)
-      .join(oversizedK.select("bkey"), Seq("bkey"), "left_anti")
+    val okOld = candidateBands(bkOld, oversizedK, bkNewK)
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))
@@ -933,8 +970,7 @@ object Dedup {
     val bkNewK = CachedPlans.cached(bkNew.select(
       DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
       col(idCol).as("b_id")))
-    val okOld = pruneToBatchKeys(bkOld, bkNewK)
-      .join(oversizedK.select("bkey"), Seq("bkey"), "left_anti")
+    val okOld = candidateBands(bkOld, oversizedK, bkNewK)
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))
@@ -1107,8 +1143,7 @@ object Dedup {
       DedupIndex.bandedKey(col("band"), col("band_key").cast("string"))
         .as("bkey"),
       col("id").as("b_id")))
-    val okOld = pruneToBatchKeys(bkOld, bkNewK)
-      .join(oversizedK.select("bkey"), Seq("bkey"), "left_anti")
+    val okOld = candidateBands(bkOld, oversizedK, bkNewK)
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))

@@ -39,6 +39,61 @@ object QueryIndexes {
     s"${System.getProperty("java.io.tmpdir")}/graft_index_${hex}_$kind"
   }
 
+  /** File-level copy of a BUILT, quiescent index directory (transient
+    * protocol residue excluded). Every lifecycle fixture of a family
+    * starts from the SAME base build; cloning charges that cold build
+    * once per family instead of once per variant — each variant's
+    * timed surface (its verbs + its probe) is unchanged, it just runs
+    * against a copy instead of a redundant rebuild. Bases are ensured
+    * BEFORE the variant's `built.computeIfAbsent` (nested computes on
+    * one ConcurrentHashMap risk the recursive-update trap).
+    */
+  private def cloneIndex(spark: SparkSession, from: String,
+      to: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcP = new org.apache.hadoop.fs.Path(from)
+    val dst = new org.apache.hadoop.fs.Path(to)
+    val fs = srcP.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst)
+    val skip = Set("_staging", "_trash", "_absorb.lease")
+    fs.listStatus(srcP).filterNot(st => skip(st.getPath.getName))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+          false, conf)
+      }
+  }
+
+  // base-dir getters: ensure the family's base index is built, return
+  // its directory (the clone source for that family's variants)
+  private def textBaseDir(spark: SparkSession, sfDir: String): String = {
+    text(spark, sfDir)
+    dirFor(sfDir, "text", graft.plans.CachedPlans.dataFingerprint(
+      tbl(spark, sfDir, "documents")))
+  }
+  private def lexicalBaseDir(spark: SparkSession, sfDir: String): String = {
+    lexical(spark, sfDir)
+    dirFor(sfDir, "lexical", graft.plans.CachedPlans.dataFingerprint(
+      tbl(spark, sfDir, "documents")))
+  }
+  private def mediaBaseDir(spark: SparkSession, sfDir: String): String = {
+    media(spark, sfDir)
+    dirFor(sfDir, "media", graft.plans.CachedPlans.dataFingerprint(
+      tbl(spark, sfDir, "documents")))
+  }
+  private def mediaAudioBaseDir(spark: SparkSession,
+      sfDir: String): String = {
+    mediaAudio(spark, sfDir)
+    dirFor(sfDir, "media_audio", graft.plans.CachedPlans.dataFingerprint(
+      tbl(spark, sfDir, "documents")))
+  }
+  private def vectorsBaseDir(spark: SparkSession, sfDir: String): String = {
+    vectors(spark, sfDir)
+    dirFor(sfDir, "vectors", graft.plans.CachedPlans.dataFingerprint(
+      tbl(spark, sfDir, "embeddings")))
+  }
+
   /** Text-dedup index over even-doc_id documents (shingleN=3, 12 hashes,
     * 4 bands, portable md5 — the exact geometry of `dedup_incremental*`).
     */
@@ -101,6 +156,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "lexical_retired",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = lexicalBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try DedupIndex.loadLexical(spark, dir).params.termNgram == 2
@@ -109,7 +165,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeLexical(docs, "doc_id", "text", dir, termNgram = 2)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireLexical(
         docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
         "doc_id", dir)
@@ -134,6 +190,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "lexical_compacted",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = lexicalBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try DedupIndex.loadLexical(spark, dir).params.termNgram == 2
@@ -142,7 +199,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeLexical(docs, "doc_id", "text", dir, termNgram = 2)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireLexical(
         docs.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
         "doc_id", dir)
@@ -165,6 +222,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "lexical_refreshed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = lexicalBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try DedupIndex.loadLexical(spark, dir).params.termNgram == 2
@@ -173,7 +231,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeLexical(docs, "doc_id", "text", dir, termNgram = 2)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendLexical(
         docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 6 === 0)
           .select(col("doc_id"),
@@ -214,6 +272,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "text_absorbed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = textBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try {
@@ -224,8 +283,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendText(docs.filter(col("doc_id") % 4 === 1),
         "doc_id", "text", dir)
       java.lang.Boolean.TRUE
@@ -247,6 +305,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "text_retired",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = textBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try {
@@ -257,8 +316,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireText(
         docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
           .select(col("doc_id")),
@@ -282,6 +340,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "text_refreshed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = textBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try {
@@ -292,8 +351,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendText(
         docs.filter(col("doc_id") % 2 === 0 &&
             (col("doc_id") % 10 === 0 || col("doc_id") % 6 === 0))
@@ -335,6 +393,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "text_resurrected",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = textBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try {
@@ -345,8 +404,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireText(
         docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
           .select(col("doc_id")),
@@ -449,12 +507,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_audio_absorbed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaAudioBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
-        DedupIndex.writeMedia(
-          TextQueries.audioPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir, coder = "audio_energy")
+        cloneIndex(spark, base, dir)
       DedupIndex.appendMedia(
         TextQueries.audioPayloads(
           docs.filter(expr("(doc_id div 20) % 4") === 1)),
@@ -472,12 +528,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_audio_retired",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaAudioBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
-        DedupIndex.writeMedia(
-          TextQueries.audioPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir, coder = "audio_energy")
+        cloneIndex(spark, base, dir)
       DedupIndex.retireMedia(
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
@@ -499,12 +553,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_audio_compacted",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaAudioBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
-        DedupIndex.writeMedia(
-          TextQueries.audioPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir, coder = "audio_energy")
+        cloneIndex(spark, base, dir)
       DedupIndex.retireMedia(
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
@@ -525,12 +577,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_audio_resurrected",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaAudioBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
-        DedupIndex.writeMedia(
-          TextQueries.audioPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir, coder = "audio_energy")
+        cloneIndex(spark, base, dir)
       DedupIndex.retireMedia(
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
@@ -555,12 +605,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_audio_refreshed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaAudioBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir, coder = "audio_energy"))
-        DedupIndex.writeMedia(
-          TextQueries.audioPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir, coder = "audio_energy")
+        cloneIndex(spark, base, dir)
       DedupIndex.appendMedia(
         TextQueries.audioPayloads(
           docs.filter(expr("(doc_id div 20) % 10") === 0 ||
@@ -586,12 +634,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_absorbed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir))
-        DedupIndex.writeMedia(
-          TextQueries.ahashPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendMedia(
         TextQueries.ahashPayloads(
           docs.filter(expr("(doc_id div 20) % 4") === 1)),
@@ -611,12 +657,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_retired",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir))
-        DedupIndex.writeMedia(
-          TextQueries.ahashPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireMedia(
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
@@ -639,12 +683,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_compacted",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir))
-        DedupIndex.writeMedia(
-          TextQueries.ahashPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireMedia(
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
@@ -666,12 +708,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_resurrected",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir))
-        DedupIndex.writeMedia(
-          TextQueries.ahashPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireMedia(
         docs.filter(expr("(doc_id div 20) % 10") === 0)
           .select(col("doc_id")),
@@ -697,12 +737,10 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "media_refreshed",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       if (!mediaParamsReusable(spark, dir))
-        DedupIndex.writeMedia(
-          TextQueries.ahashPayloads(
-            docs.filter(expr("(doc_id div 20) % 2") === 0)),
-          "doc_id", "payload", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendMedia(
         TextQueries.ahashPayloads(
           docs.filter(expr("(doc_id div 20) % 10") === 0 ||
@@ -752,11 +790,11 @@ object QueryIndexes {
     val vecs = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_refreshed",
       graft.plans.CachedPlans.dataFingerprint(vecs))
+    val base = vectorsBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
-        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dir, planes = 2, dim = 64)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendVectors(
         vecs.filter(col("vec_id") % 2 === 0 &&
             (col("vec_id") % 10 === 0 || col("vec_id") % 6 === 0))
@@ -786,11 +824,11 @@ object QueryIndexes {
     val vecs = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_absorbed",
       graft.plans.CachedPlans.dataFingerprint(vecs))
+    val base = vectorsBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
-        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dir, planes = 2, dim = 64)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendVectors(vecs.filter(col("vec_id") % 4 === 1),
         "vec_id", "embedding", dir)
       java.lang.Boolean.TRUE
@@ -816,11 +854,11 @@ object QueryIndexes {
     val vecs = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_retrained",
       graft.plans.CachedPlans.dataFingerprint(vecs))
+    val base = vectorsBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
-        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dir, planes = 2, dim = 64)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendVectors(vecs.filter(col("vec_id") % 4 === 1),
         "vec_id", "embedding", dir)
       DedupIndex.retrainVectors(spark, dir)
@@ -911,11 +949,11 @@ object QueryIndexes {
     val vecs = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_rebuilt",
       graft.plans.CachedPlans.dataFingerprint(vecs))
+    val base = vectorsBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
-        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dir, planes = 2, dim = 64)
+        cloneIndex(spark, base, dir)
       DedupIndex.appendVectors(vecs.filter(col("vec_id") % 4 === 1),
         "vec_id", "embedding", dir)
       DedupIndex.rebuildVectors(spark, dir)
@@ -939,6 +977,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val dir = dirFor(sfDir, "text_compacted",
       graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = textBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable =
         try {
@@ -949,8 +988,7 @@ object QueryIndexes {
             false
         }
       if (!reusable)
-        DedupIndex.writeText(docs.filter(col("doc_id") % 2 === 0),
-          "doc_id", "text", dir)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireText(
         docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 === 0)
           .select(col("doc_id")),
@@ -971,11 +1009,11 @@ object QueryIndexes {
     val vecs = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_retired",
       graft.plans.CachedPlans.dataFingerprint(vecs))
+    val base = vectorsBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
-        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dir, planes = 2, dim = 64)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireVectors(
         vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
           .select(col("vec_id")),
@@ -997,11 +1035,11 @@ object QueryIndexes {
     val vecs = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_compacted",
       graft.plans.CachedPlans.dataFingerprint(vecs))
+    val base = vectorsBaseDir(spark, sfDir)
     built.computeIfAbsent(dir, _ => {
       val reusable = vectorParamsReusable(spark, dir)
       if (!reusable)
-        DedupIndex.writeVectors(vecs.filter(col("vec_id") % 2 === 0),
-          "vec_id", "embedding", dir, planes = 2, dim = 64)
+        cloneIndex(spark, base, dir)
       DedupIndex.retireVectors(
         vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
           .select(col("vec_id")),

@@ -274,10 +274,15 @@ class MediaIndexSpec extends SparkSpec {
     check("after compact")
     // and the probe actually serves the cap from the deltas: its input
     // includes the msizes component, and NO (bkey, band, band_key)
-    // aggregate over the full band table remains in its plan
+    // aggregate over the full band table remains in its plan. The probe
+    // batch MUST collide with the live corpus (21 pairs with live 20):
+    // an empty candidate set legitimately folds the whole verify join
+    // to an empty relation (the candidate-id prune's fast path), which
+    // would make this lineage guard vacuous
     val probe = Dedup.incrementalAhashNearDupsReportIndexed(
-      mediaDf(mkMedia(Seq(301L, 303L))), "doc_id", "payload",
+      mediaDf(mkMedia(Seq(21L, 23L))), "doc_id", "payload",
       DedupIndex.loadMedia(spark, indexDir)).pairs
+    assert(probe.count() > 0, "probe must produce pairs (vacuous guard)")
     assert(probe.inputFiles.exists(_.contains("msizes")),
       "probe does not read the delta-maintained sizes — vacuous switch")
     // and the candidate stage's stored-side scan is PRUNED to the
