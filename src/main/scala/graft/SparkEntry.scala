@@ -132,6 +132,16 @@ object SparkEntry {
       (DedupQueries.incrementalFrameHash _),
     "mm_framehash_incremental_indexed" ->
       (DedupQueries.incrementalFrameHashIndexed _),
+    "mm_framehash_incremental_absorbed" ->
+      (DedupQueries.incrementalFrameHashAbsorbed _),
+    "mm_framehash_incremental_retired" ->
+      (DedupQueries.incrementalFrameHashRetired _),
+    "mm_framehash_incremental_refreshed" ->
+      (DedupQueries.incrementalFrameHashRefreshed _),
+    "mm_framehash_incremental_compacted" ->
+      (DedupQueries.incrementalFrameHashCompacted _),
+    "mm_framehash_incremental_resurrected" ->
+      (DedupQueries.incrementalFrameHashResurrected _),
     "mm_ahash_incremental_absorbed" ->
       (DedupQueries.incrementalAhashAbsorbed _),
     "mm_ahash_incremental_retired" ->
@@ -435,6 +445,18 @@ object SparkEntry {
     "mm_framehash_incremental" -> DedupQueries.incrementalFrameHashSql,
     "mm_framehash_incremental_indexed" ->
       DedupQueries.incrementalFrameHashSql,
+    "mm_framehash_incremental_absorbed" ->
+      DedupQueries.incrementalFrameHashAbsorbedSql,
+    "mm_framehash_incremental_retired" ->
+      DedupQueries.incrementalFrameHashRetiredSql,
+    "mm_framehash_incremental_refreshed" ->
+      DedupQueries.incrementalFrameHashRefreshedSql,
+    // compaction is a physical rewrite, not a semantic change: the
+    // retired live-corpus oracle gates the compacted video index too
+    "mm_framehash_incremental_compacted" ->
+      DedupQueries.incrementalFrameHashRetiredSql,
+    "mm_framehash_incremental_resurrected" ->
+      DedupQueries.incrementalFrameHashResurrectedSql,
     "mm_ahash_incremental_absorbed" ->
       DedupQueries.incrementalAhashAbsorbedSql,
     "mm_ahash_incremental_retired" ->

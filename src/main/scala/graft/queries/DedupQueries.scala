@@ -635,6 +635,80 @@ object DedupQueries {
       .pairs.orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The video modality's full lifecycle square — the audio family's
+    * five maintained forms with GIF clips and frame-hash codes (verbs
+    * coder-agnostic, splits identical; oracles recompute analytically
+    * over the unioned / live / post-update corpus via
+    * [[TextQueries.frameHashCodeCtes]]).
+    */
+  def incrementalFrameHashAbsorbed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 4") === 3)),
+        "doc_id", "payload",
+        QueryIndexes.mediaVideoAbsorbed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalFrameHashAbsorbedSql: String =
+    incrementalAhashSqlFor(k => s"($k % 2 = 0 OR $k % 4 = 1)",
+      k => s"$k % 4 = 3", codeCtes = TextQueries.frameHashCodeCtes)
+
+  def incrementalFrameHashRetired(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload",
+        QueryIndexes.mediaVideoRetired(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalFrameHashRetiredSql: String =
+    incrementalAhashSqlFor(k => s"($k % 2 = 0 AND $k % 10 <> 0)",
+      k => s"$k % 2 = 1", codeCtes = TextQueries.frameHashCodeCtes)
+
+  def incrementalFrameHashCompacted(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload",
+        QueryIndexes.mediaVideoCompacted(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalFrameHashResurrected(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload",
+        QueryIndexes.mediaVideoResurrected(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalFrameHashResurrectedSql: String =
+    incrementalAhashSqlFor(
+      k => s"($k % 2 = 0 AND ($k % 10 <> 0 OR $k % 20 = 0))",
+      k => s"$k % 2 = 1", codeCtes = TextQueries.frameHashCodeCtes)
+
+  def incrementalFrameHashRefreshed(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = tbl(spark, sfDir, "documents")
+    graft.operators.Dedup.incrementalAhashNearDupsReportIndexed(
+        TextQueries.videoPayloads(docs.filter(expr("(doc_id div 20) % 2") === 1)),
+        "doc_id", "payload",
+        QueryIndexes.mediaVideoRefreshed(spark, sfDir))
+      .pairs.orderBy(col("a_id"), col("b_id"))
+  }
+
+  def incrementalFrameHashRefreshedSql: String =
+    incrementalAhashSqlFor(k => s"$k % 2 = 0", k => s"$k % 2 = 1",
+      src = QueryIndexes.refreshedMediaDocsSql,
+      codeCtes = TextQueries.frameHashCodeCtes)
+
   /** [[incrementalAhash]] probing the PERSISTED media index
     * ([[graft.operators.DedupIndex.MediaIndex]]) — same split, same
     * oracle, bit-identical pairs; corpus payloads are never re-fetched

@@ -88,6 +88,12 @@ object QueryIndexes {
     dirFor(sfDir, "media_audio", graft.plans.CachedPlans.dataFingerprint(
       tbl(spark, sfDir, "documents")))
   }
+  private def mediaVideoBaseDir(spark: SparkSession,
+      sfDir: String): String = {
+    mediaVideo(spark, sfDir)
+    dirFor(sfDir, "media_video", graft.plans.CachedPlans.dataFingerprint(
+      tbl(spark, sfDir, "documents")))
+  }
   private def vectorsBaseDir(spark: SparkSession, sfDir: String): String = {
     vectors(spark, sfDir)
     dirFor(sfDir, "vectors", graft.plans.CachedPlans.dataFingerprint(
@@ -492,6 +498,114 @@ object QueryIndexes {
           TextQueries.videoPayloads(
             docs.filter(expr("(doc_id div 20) % 2") === 0)),
           "doc_id", "payload", dir, coder = "video_framehash")
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  /** The audio lifecycle square's VIDEO twins: the same coder-agnostic
+    * verbs against the `video_framehash` index, clips rendered by
+    * [[TextQueries.videoPayloads]] — absorb of the `k % 4 == 1` batch,
+    * retire of the `k % 10 == 0` slice, compaction, generational
+    * resurrection of the `k % 20 == 0` half, and the CDC-update refresh
+    * (WAV→GIF difference only; splits and verbs identical).
+    */
+  def mediaVideoAbsorbed(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_video_absorbed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaVideoBaseDir(spark, sfDir)
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "video_framehash"))
+        cloneIndex(spark, base, dir)
+      DedupIndex.appendMedia(
+        TextQueries.videoPayloads(
+          docs.filter(expr("(doc_id div 20) % 4") === 1)),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  def mediaVideoRetired(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_video_retired",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaVideoBaseDir(spark, sfDir)
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "video_framehash"))
+        cloneIndex(spark, base, dir)
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  def mediaVideoCompacted(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_video_compacted",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaVideoBaseDir(spark, sfDir)
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "video_framehash"))
+        cloneIndex(spark, base, dir)
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.compactMedia(spark, dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  def mediaVideoResurrected(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_video_resurrected",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaVideoBaseDir(spark, sfDir)
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "video_framehash"))
+        cloneIndex(spark, base, dir)
+      DedupIndex.retireMedia(
+        docs.filter(expr("(doc_id div 20) % 10") === 0)
+          .select(col("doc_id")),
+        "doc_id", dir)
+      DedupIndex.appendMedia(
+        TextQueries.videoPayloads(
+          docs.filter(expr("(doc_id div 20) % 20") === 0)),
+        "doc_id", "payload", dir)
+      java.lang.Boolean.TRUE
+    })
+    DedupIndex.loadMedia(spark, dir)
+  }
+
+  def mediaVideoRefreshed(spark: SparkSession,
+      sfDir: String): DedupIndex.MediaIndex = {
+    val docs = tbl(spark, sfDir, "documents")
+    val dir = dirFor(sfDir, "media_video_refreshed",
+      graft.plans.CachedPlans.dataFingerprint(docs))
+    val base = mediaVideoBaseDir(spark, sfDir)
+    built.computeIfAbsent(dir, _ => {
+      if (!mediaParamsReusable(spark, dir, coder = "video_framehash"))
+        cloneIndex(spark, base, dir)
+      DedupIndex.appendMedia(
+        TextQueries.videoPayloads(
+          docs.filter(expr("(doc_id div 20) % 10") === 0 ||
+              (expr("(doc_id div 20) % 6") === 0 &&
+                expr("(doc_id div 20) % 2") === 0))
+            .select(col("doc_id"), col("lang"), col("source"),
+              when(expr("(doc_id div 20) % 10") === 0,
+                concat(col("text"), lit(RefreshSuffix)))
+                .otherwise(col("text")).as("text"))),
+        "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
     DedupIndex.loadMedia(spark, dir)

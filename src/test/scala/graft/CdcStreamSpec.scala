@@ -648,6 +648,89 @@ class CdcStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming video probe + maintenance serve the framehash media index via the pinned dispatch") {
+    graft.plans.CachedPlans.clear()
+    import MediaFixture.mediaDf
+    def gifOf(t: String, n: String): Array[Byte] =
+      graft.operators.SyntheticMedia.gif(t, n)
+    // groups of 4, video twin: 0/1 byte-identical clips, 2
+    // template-near (fresh per-frame noise), 3 distinct footage
+    def mkVideo(ids: Seq[Long]): Seq[(Long, Array[Byte])] =
+      ids.map { i =>
+        val g = i / 4
+        i % 4 match {
+          case 0 | 1 => (i, gifOf(s"tgrp$g", s"tcom$g"))
+          case 2     => (i, gifOf(s"tgrp$g", s"tnear$i"))
+          case _     => (i, gifOf(s"tsolo${i * 37}", s"tn$i"))
+        }
+      }
+    val dir = Files.createTempDirectory("stream_viprobe").toString
+    val evDir = Files.createTempDirectory("stream_vimaint").toString
+    val idxDir = Files.createTempDirectory("stream_viprobe_idx").toString
+    val outDir = Files.createTempDirectory("stream_viprobe_out").toString
+    val corpus = mkVideo(0L until 16L)
+    graft.operators.DedupIndex.writeMedia(
+      mediaDf(spark, corpus), "doc_id", "payload", idxDir,
+      coder = "video_framehash")
+
+    val b1 = Seq((1000L, gifOf("tgrp0", "tcom0")),
+      (1001L, gifOf("tgrp1", "tnearZ")),
+      (1002L, gifOf("nothing-like-it", "x")))
+    mediaDf(spark, b1).coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    // the generic media stream probe serves the VIDEO index because the
+    // coder rides the index params — the third modality through the
+    // same sinks, zero video-specific streaming code
+    val q = CdcStream.startAhashNearDup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/b*/"),
+      "doc_id", "payload", idxDir, outDir,
+      Files.createTempDirectory("stream_viprobe_c1").toString)
+    try {
+      q.processAllAvailable()
+      def expected(docs: Seq[(Long, Array[Byte])]) = graft.operators.Dedup
+        .incrementalAhashNearDupsReportIndexed(
+          mediaDf(spark, docs), "doc_id", "payload",
+          graft.operators.DedupIndex.loadMedia(spark, idxDir))
+        .pairs.select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      def got(bIds: Set[Long]) = spark.read.parquet(outDir)
+        .filter($"b_id".isin(bIds.toSeq: _*))
+        .select("a_id", "b_id", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val exp1 = expected(b1)
+      assert(exp1.exists(_._3 == 0), "byte-identical clip must pair at Hamming 0")
+      assert(got(Set(1000L, 1001L, 1002L)) === exp1)
+
+      // mid-stream CDC through the maintenance sink: the absorb must
+      // derive FRAME-SAMPLED codes (coder dispatch) — a new identical
+      // clip pairs, a retired one stops
+      mediaDf(spark, Seq((200L, gifOf("tgrp0", "tcom0"))))
+        .select(lit("I").as(C.Op), lit(1L).as("seq"), col("doc_id"),
+          col("payload"))
+        .unionByName(mediaDf(spark, Seq((0L, corpus.head._2)))
+          .select(lit("D").as(C.Op), lit(2L).as("seq"), col("doc_id"),
+            col("payload")))
+        .coalesce(1).write.parquet(s"$evDir/e1")
+      val m = CdcStream.startMediaIndexMaintenance(
+        spark.readStream.schema(
+          spark.read.parquet(s"$evDir/e1").schema).parquet(s"$evDir/e*/"),
+        "doc_id", "payload", idxDir,
+        Files.createTempDirectory("stream_vimaint_c1").toString,
+        col("seq"))
+      try m.processAllAvailable() finally m.stop()
+      val b2 = Seq((2000L, gifOf("tgrp0", "tcom0")))
+      mediaDf(spark, b2).coalesce(1).write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val after = got(Set(2000L))
+      assert(after === expected(b2))
+      assert(!after.exists(_._1 == 0L),
+        s"retired clip still pairs the stream probe: $after")
+      assert(after.exists(_._1 == 200L),
+        s"absorbed clip must pair the next trigger: $after")
+    } finally q.stop()
+  }
+
   test("streaming media probe equals the batch indexed probe; the maintenance sink's commits land at the next trigger") {
     graft.plans.CachedPlans.clear()
     import MediaFixture.{bmpOf, mediaDf, mkMedia}
