@@ -48,14 +48,42 @@ object Bench {
       .toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
     // interleaved rounds (all queries rep 1, then rep 2, …) so a noise
-    // spike hits one rep of many queries, not every rep of one query
+    // spike hits one rep of many queries, not every rep of one query.
+    // A failed rep is RECORDED (query, rep, exception) and EXCLUDED
+    // from min/median/max — r16's driver bench hit a transient staged-
+    // write failure that the old `catch Throwable => -1L` absorbed as a
+    // normal rep with no trace; a record that can silently contain a
+    // fast-failing rep as its min is not a trustworthy record.
     val times = Array.fill(names.length)(List.empty[Double])
-    for (_ <- 1 to reps; i <- names.indices) {
-      val (_, fn) = names(i)
+    val failures = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Throwable)]
+    // dev knob proving the failure path end-to-end:
+    // SPARK_GRAFT_FAIL_INJECT=query:rep[,query:rep…] throws inside the
+    // named rep — the record must carry it and exclude it from stats
+    val inject: Set[(String, Int)] = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+        val Array(q, r) = s.split(":"); (q, r.toInt)
+      }.toSet).getOrElse(Set.empty)
+    for (rep <- 1 to reps; i <- names.indices) {
+      val (name, fn) = names(i)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      times(i) ::= (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          if (inject((name, rep)))
+            throw new RuntimeException(s"injected bench fault $name:$rep")
+          fn(spark, sfDir).count(); true
+        }
+        catch { case t: Throwable =>
+          failures += ((name, rep, t))
+          System.err.println(s"[bench] FAILED rep $rep of $name: $t")
+          false
+        }
+      if (ok) times(i) ::= (System.nanoTime() - t0) / 1e9
     }
+    // a query with ZERO clean reps poisons the record — fail the run
+    // visibly instead of publishing a hole
+    val deadQueries = names.indices
+      .filter(times(_).isEmpty).map(names(_)._1)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -68,32 +96,62 @@ object Bench {
     def mapJson(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val mins = names.map(_._1).zip(times.map(_.min))
-    val medians = names.map(_._1).zip(times.map(median))
+    // dead queries (zero clean reps) are EXCLUDED from the stat maps —
+    // they are named in "failed_queries" and fail the run's exit code
+    val alive = names.indices.filter(times(_).nonEmpty)
+    val mins = alive.map(i => names(i)._1 -> times(i).min)
+    val medians = alive.map(i => names(i)._1 -> median(times(i)))
     // per-query MAX completes the noise band: [min, max] across the
     // interleaved reps is this run's observed tenancy spread, so a
     // round-over-round comparison can ask "is the other round's min
     // inside this round's band?" instead of guessing at host noise
-    val maxes = names.map(_._1).zip(times.map(_.max))
+    val maxes = alive.map(i => names(i)._1 -> times(i).max)
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // failures land in BOTH records: query → [[rep, exception class,
+    // message], …]; plus the dead-query list and a clean-run boolean the
+    // driver can gate on without parsing the failure details
+    val failJson = failures.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (q, fs) =>
+        jstr(q) + ":[" + fs.map { case (_, rep, t) =>
+          s"""[$rep,${jstr(t.getClass.getName)},${
+            jstr(Option(t.getMessage).getOrElse("").take(300))}]"""
+        }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    // the compact stdout line lives inside the driver's ~2 KB tail
+    // capture — it carries only the counts; the full record carries the
+    // whole failure map
+    val failShort =
+      s""""failed_reps":${failures.size},""" +
+        s""""failed_queries":[${deadQueries.map(jstr).mkString(",")}],""" +
+        s""""clean":${failures.isEmpty},"""
+    val failPart = s""""failures":$failJson,""" + failShort
     // headline value = sum of per-query MINIMA: scheduling noise on a
     // co-tenant host only ever ADDS time, so min-of-n is the stable
     // estimator for regression gating
     val total = mins.map(_._2).sum
     val fullFile = "BENCH_FULL_LATEST.json"
-    def record(qMin: String, qMed: String, extra: String) =
+    def record(qMin: String, qMed: String, fail: String, extra: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$reps,""" +
-        s""""stat":"min","nq":${names.length},$extra"queries":$qMin,""" +
+        s""""stat":"min","nq":${names.length},$fail$extra""" +
+        s""""queries":$qMin,""" +
         s""""queries_median":$qMed,"sf":"$sfDir"}"""
     // the FULL record alone carries the max map (band upper edge) —
     // the stdout line stays inside the driver's capture budget
     val fullLine = record(mapJson(mins),
-      mapJson(medians) + s""","queries_max":${mapJson(maxes)}""", "")
+      mapJson(medians) + s""","queries_max":${mapJson(maxes)}""",
+      failPart, "")
     // compact stdout form: slowest 10 by min stand in for the full maps
     val slow = mins.sortBy(-_._2).take(10)
     val slowSet = slow.map(_._1).toSet
     val compactLine = record(
       mapJson(slow),
       mapJson(medians.filter(kv => slowSet(kv._1))),
+      failShort,
       s""""queries_truncated":"slowest 10 of ${names.length}; full maps in $fullFile","full":"$fullFile",""")
     spark.stop()
     def writeAtomic(path: java.nio.file.Path, text: String): Unit =
@@ -148,5 +206,8 @@ object Bench {
     // JSON line inside the tail-limited capture
     println(compactLine)
     System.out.flush()
+    // a query with no clean rep = the record has a hole → nonzero exit
+    // so the driver's rc check catches it even if the JSON isn't parsed
+    if (deadQueries.nonEmpty) sys.exit(1)
   }
 }

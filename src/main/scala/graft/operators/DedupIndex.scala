@@ -2351,22 +2351,48 @@ object DedupIndex {
       })
     def drain(): Unit = {
       var first: Throwable = null
+      var interrupted = false
+      // catch Throwable PER FUTURE, not just ExecutionException: an
+      // InterruptedException from f.get() must not abort the loop with
+      // later futures still running — every submitted write is awaited
+      // regardless of failure kind, so no write can still be mutating
+      // the staging directory when the caller's rollback path runs.
+      // An interrupt is NOTED (not re-asserted mid-loop, which would
+      // make every remaining get() throw instantly) and the flag is
+      // restored after the last future has genuinely finished.
       fs.foreach { f =>
-        try { f.get(); () } catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (first == null) first = e.getCause
+        var done = false
+        while (!done) {
+          try { f.get(); done = true } catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (first == null) first = e.getCause
+              done = true
+            case _: InterruptedException =>
+              interrupted = true // flag cleared by the throw; re-await
+            case t: Throwable =>
+              if (first == null) first = t
+              done = true
+          }
         }
       }
       fs.clear()
+      if (interrupted) Thread.currentThread().interrupt()
       if (first != null) throw first
     }
     /** Idempotent finisher for every exit path: awaits stragglers
       * (swallowing their failures — the primary error is already in
-      * flight) and retires the pool.
+      * flight) and retires the pool. Catches Throwable (not just
+      * NonFatal): even on interrupt the pool must come down hard so no
+      * staged write outlives the caller's rollback/release path.
       */
     def close(): Unit = {
-      try drain() catch { case scala.util.control.NonFatal(_) => () }
-      pool.shutdown()
+      try drain() catch { case _: Throwable => () }
+      pool.shutdownNow()
+      try pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+      }
+      ()
     }
   }
 

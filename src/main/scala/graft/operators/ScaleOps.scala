@@ -75,7 +75,17 @@ object ScaleOps {
     val spark = df.sparkSession
     val shufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val p = math.max(1, math.min(numBuckets, shufflePartitions))
+    // p must DIVIDE numBuckets for the ≤1-file-per-bucket bound: bucket
+    // id is hash pmod numBuckets, task id is hash pmod p, and the two
+    // agree per-bucket only when p | numBuckets (16384 buckets written
+    // through the default 200 shuffle partitions — gcd 8 — would spread
+    // each bucket over up to 25 tasks: the very file explosion this
+    // exchange exists to prevent). Round the cap DOWN to the largest
+    // divisor; bucket counts here are powers of two, so this is the
+    // largest power of two ≤ the cap in practice.
+    val cap = math.max(1, math.min(numBuckets, shufflePartitions))
+    val p = Iterator.iterate(cap)(_ - 1).find(numBuckets % _ == 0).get
+    assert(numBuckets % p == 0)
     val scratch = borrowScratch(spark, df.schema, bucketCols, numBuckets)
     try {
       df.repartition(p, bucketCols.map(col): _*)
@@ -163,6 +173,18 @@ object ScaleOps {
         scratchRoot(spark), table).toString
       val cols = bucketCols.mkString(", ")
       val loc = location.replace("'", "''")
+      // pre-create the EXTERNAL location dir BEFORE the DDL: both the
+      // CREATE TABLE (existing-data check) and the first insertInto's
+      // relation resolution probe the path, and on a nonexistent dir
+      // FileStreamSink logs its FileNotFoundException at WARN with the
+      // caller's full stack while HadoopFSUtils adds a "deleted very
+      // recently?" listing WARN. Those benign first-use traces read
+      // exactly like a staged-write crash in a captured log tail (they
+      // derailed the r16 bench review); an existing empty dir silences
+      // both probes.
+      val locPath = new org.apache.hadoop.fs.Path(location)
+      locPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .mkdirs(locPath)
       spark.sql(
         s"""CREATE TABLE $table (${schema.toDDL}) USING parquet
            |CLUSTERED BY ($cols) SORTED BY ($cols)

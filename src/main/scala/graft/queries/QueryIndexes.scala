@@ -1030,7 +1030,7 @@ object QueryIndexes {
     val docs = tbl(spark, sfDir, "documents")
     val emb = tbl(spark, sfDir, "embeddings")
     val dir = dirFor(sfDir, "vectors_curated",
-      graft.plans.CachedPlans.dataFingerprint(docs) + " " +
+      graft.plans.CachedPlans.dataFingerprint(docs) + "\u0000" +
         graft.plans.CachedPlans.dataFingerprint(emb))
     built.computeIfAbsent(dir, _ => {
       val cur = RetrievalQueries.curatedEmb(spark, sfDir)

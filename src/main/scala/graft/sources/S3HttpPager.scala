@@ -57,8 +57,15 @@ final class S3HttpPager(endpoint: String,
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
     credentials.foreach { creds =>
+      // HttpURLConnection omits SCHEME-DEFAULT ports from the Host
+      // header it transmits, so an endpoint written http://host:80/
+      // must sign plain "host" (signing "host:80" while the server
+      // sees "host" fails verification on every request with 403)
+      val defaultPort =
+        if (baseUri.getScheme == "https") 443 else 80
       val host = baseUri.getHost +
-        (if (baseUri.getPort > 0) s":${baseUri.getPort}" else "")
+        (if (baseUri.getPort > 0 && baseUri.getPort != defaultPort)
+          s":${baseUri.getPort}" else "")
       val path = Option(baseUri.getPath).getOrElse("")
         .stripSuffix("/") + "/"
       S3SigV4.signedHeaders("GET", host, path, params, creds, region,

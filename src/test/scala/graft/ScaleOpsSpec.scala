@@ -106,6 +106,30 @@ class ScaleOpsSpec extends SparkSpec {
       s"unparseable bucket file names: ${files.map(_.getName).toSeq}")
   }
 
+  test("writeBucketedAt: ≤1 file per bucket when shuffle.partitions " +
+      "does NOT divide numBuckets") {
+    // bucket id is hash pmod numBuckets, task id is hash pmod p: with
+    // p=6 over 8 buckets (gcd 2) a naive cap would spread each bucket
+    // over 3 tasks (up to 24 files); the divisor rounding must pick
+    // p=4 and keep the ≤1-file-per-bucket bound
+    val root = java.nio.file.Files.createTempDirectory("graft-wband")
+      .toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "6")
+      val df = spark.range(0, 5000).select($"id",
+        concat(lit("n"), $"id").as("wband_v"))
+      ScaleOps.writeBucketedAt(df, s"$root/d", Seq("id"), 8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val files = new java.io.File(s"$root/d").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(files.length <= 8,
+      s"file explosion with non-divisor partition count: " +
+        s"${files.length} files")
+    assert(spark.read.parquet(s"$root/d").count() === 5000)
+  }
+
   test("writeBucketedAt: overwrite replaces, empty write stays readable") {
     val root = java.nio.file.Files.createTempDirectory("graft-wbae").toString
     val a = spark.range(0, 100).select($"id",
