@@ -58,6 +58,26 @@ object MediaStress {
     }(enc)
   }
 
+  /** [[payloads]]' VIDEO twin: (doc_id, g, text) rows rendered to
+    * 4-frame 16×8 GIF clips exactly like the oracle fixture
+    * ([[graft.queries.TextQueries.videoPayloads]] — template g, noise
+    * text), so the ×100 gate measures the same decode path the gated
+    * `mm_framehash_*` queries run.
+    */
+  private def gifPayloads(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        org.apache.spark.sql.Row(r.getLong(0),
+          graft.operators.SyntheticMedia.gif(r.getString(1),
+            r.getString(2)))
+      }
+    }(enc)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTORS", "1,10,100")
@@ -68,6 +88,14 @@ object MediaStress {
     // probe batch's keys keeps the probe flat — this knob measures that
     // sizing claim at fixture scale
     val buckets = sys.env.getOrElse("SPARK_GRAFT_MEDIA_BUCKETS", "0").toInt
+    // modality switch (r17: the video square's ×100 gate): image_ahash
+    // renders BMP stills, video_framehash renders 4-frame GIF clips —
+    // same index machinery, same probe entry point, pinned coder
+    val coder = sys.env.getOrElse("SPARK_GRAFT_MEDIA_CODER", "image_ahash")
+    val video = coder == "video_framehash"
+    require(video || coder == "image_ahash", s"unknown coder $coder")
+    val render: DataFrame => DataFrame =
+      if (video) gifPayloads else (df => payloads(df))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

@@ -675,15 +675,12 @@ object Dedup {
     * was a per-probe corpus-coupled read; the report's GLOBAL oversized
     * listing stays unpruned (different consumer, lazy).
     *
-    * The candidates' VERIFY-side reads (shingles/counts, simhashes,
-    * media codes) deliberately stay full bucketed-scan equi-joins: an
-    * In-prune on the candidates' stored ids was built and MEASURED
-    * (r16) — the extra candidate-stage execution its collect costs
-    * regressed every indexed probe at sf0.1 (simhash_indexed
-    * 1.52→2.88 s, mm_ahash_indexed 0.74→1.35 s) and the ×100 probe
-    * growth term did not move (BENCH_PROBES: +1.7 s per ×100 before
-    * and after), so the corpus-coupled verify scan is priced in as a
-    * documented bound, not hidden behind a net-negative optimization.
+    * The candidates' VERIFY-side reads (shingles/counts, simhashes)
+    * are In-pruned to the candidate ids via [[verifyIds]] since r17:
+    * the r16 attempt was net-negative only because its collect
+    * re-executed the candidate stage (persisting the pair set first
+    * removes that; see [[verifyIds]]). dev.ProbeDissect r17 located
+    * the probes' entire ×100 growth in these verify scans.
     */
   private def candidateBands(bkOld: DataFrame, oversizedK: DataFrame,
       batchKeys: DataFrame): DataFrame = {
@@ -691,6 +688,47 @@ object Dedup {
     pruneToKeys(bkOld, touched)
       .join(pruneToKeys(oversizedK.select(col("bkey")), touched),
         Seq("bkey"), "left_anti")
+  }
+
+  /** Ceiling on the candidate-id set the VERIFY stage will In-filter
+    * its stored scans with — the same planning-poison bound as
+    * [[MaxTouchedBkeys]] (a giant literal list costs more in Catalyst
+    * re-canonicalization than it saves in scan rows).
+    */
+  private val MaxVerifyIds = 2048
+
+  /** The candidate pairs PERSISTED plus their distinct stored-side ids
+    * for verify-scan pruning. r17 dissection (dev.ProbeDissect) showed
+    * the banded probes' ×100 growth lives ENTIRELY in the verify
+    * stage's corpus-sized stored scans (shingles/counts/simhashes) —
+    * the candidate band scan was already flat under the touched-bkey
+    * prune, contrary to the r16 attribution. r16's attempt at this
+    * prune was net-negative because the id collect re-executed the
+    * whole candidate stage per probe; persisting the (tiny,
+    * batch-bounded) pair set first makes the collect's execution the
+    * SAME one the verify joins reuse. Over-ceiling id sets return None
+    * — callers keep the full bucketed scans (the candidate join
+    * filters ids exactly as well; the In-filter's only extra value is
+    * scan-time row skipping before the join).
+    */
+  private def verifyIds(pairs: DataFrame): (DataFrame, Option[Seq[Long]]) = {
+    val cachedPairs = CachedPlans.cached(pairs)
+    val ids = cachedPairs.select(col("a_id")).distinct()
+      .limit(MaxVerifyIds + 1)
+      .collect().map(_.getLong(0)).toSeq
+    (cachedPairs, if (ids.size > MaxVerifyIds) None else Some(ids))
+  }
+
+  /** An id-bucketed stored component restricted to the verify ids —
+    * rows dropped could never join (every verify join is an equi-join
+    * on the stored id), so verified pair sets are unchanged by
+    * construction.
+    */
+  private def pruneToIds(stored: DataFrame, ids: Option[Seq[Long]])
+      : DataFrame = ids match {
+    case None => stored
+    case Some(s) if s.isEmpty => stored.filter(lit(false))
+    case Some(s) => stored.filter(col("id").isin(s: _*))
   }
 
   /** Index-backed form of [[incrementalExact]]: the corpus side is the
@@ -764,22 +802,23 @@ object Dedup {
       DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
       col(idCol).as("b_id")))
     val okOld = candidateBands(bkOld, oversizedK, bkNewK)
-    val pairs = okOld
+    val pairs0 = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))
       // disjoint-id contract backstop, as in the recompute form
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
+    val (pairs, vIds) = verifyIds(pairs0)
     val common = pairs
-      .join(idx.shingles.select(col("id").as("a_id"), col("shingle")),
-        Seq("a_id"))
+      .join(pruneToIds(idx.shingles, vIds)
+        .select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(shNew.select(col(idCol).as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
     val countsNew = shNew.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"))
     val verified = common
-      .join(idx.counts.select(col("id").as("a_id"),
+      .join(pruneToIds(idx.counts, vIds).select(col("id").as("a_id"),
         col("n_shingles").as("na")), Seq("a_id"))
       .join(countsNew.select(col(idCol).as("b_id"),
         col("n_shingles").as("nb")), Seq("b_id"))
@@ -971,16 +1010,17 @@ object Dedup {
       DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
       col(idCol).as("b_id")))
     val okOld = candidateBands(bkOld, oversizedK, bkNewK)
-    val pairs = okOld
+    val pairs0 = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
+    val (pairs, vIds) = verifyIds(pairs0)
     val ham = (1 to p.simBits).map(i =>
       when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)
     val verified = pairs
-      .join(idx.simhashes.select(col("id").as("a_id"),
+      .join(pruneToIds(idx.simhashes, vIds).select(col("id").as("a_id"),
         col("simhash").as("_sa")), Seq("a_id"))
       .join(shNew.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
         Seq("b_id"))

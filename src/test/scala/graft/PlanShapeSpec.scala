@@ -354,6 +354,37 @@ class PlanShapeSpec extends SparkSpec {
     forbidLoops(px, "text_proximity_indexed")
   }
 
+  test("banded probes' verify scans are In-pruned to the candidate ids") {
+    // r17: dev.ProbeDissect located the banded probes' ×100 growth in
+    // the VERIFY stage's corpus-sized stored scans; Dedup.verifyIds now
+    // In-filters those scans with the (persisted) candidate id set.
+    // Guard the PUSHED filter so a refactor that silently re-widens the
+    // scans fails here. The sf0.001 probe batches COLLIDE by fixture
+    // design (non-empty pairs) — required, or PropagateEmptyRelation
+    // folds the scans away and the guard goes vacuous.
+    val sf = "/root/testdata/sf0.001"
+    def idxScans(d: DataFrame, component: String) = plan(d).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains(component)) => f
+    }
+    def assertIdPruned(scans: Seq[
+        org.apache.spark.sql.execution.FileSourceScanExec],
+        what: String): Unit = {
+      assert(scans.nonEmpty, s"$what shows no component scan — vacuous")
+      scans.foreach { f =>
+        val pushed = f.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("In(id") || pushed.contains("EqualTo(id"),
+          s"$what scan is not id-pruned; PushedFilters=$pushed")
+      }
+    }
+    val lsh = graft.queries.DedupQueries.incrementalLshIndexed(spark, sf)
+    assertIdPruned(idxScans(lsh, "shingles"), "LSH verify shingles")
+    assertIdPruned(idxScans(lsh, "counts"), "LSH verify counts")
+    val sim = graft.queries.DedupQueries.incrementalSimHashIndexed(spark, sf)
+    assertIdPruned(idxScans(sim, "simhashes"), "SimHash verify simhashes")
+  }
+
   test("row diff joins by key — no nested-loop degradation") {
     val a = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
     val b = (1L to 1000L).map(i => (i, if (i % 97 == 0) "X" else s"v$i"))
