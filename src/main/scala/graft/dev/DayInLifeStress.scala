@@ -53,6 +53,11 @@ object DayInLifeStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A/B knob for the staged-write fan-out width (r17 ask: the
+      // trigger band is staged-write-job dominated; ≤11 independent
+      // component writes per absorb vs the default pool of 4)
+      .config("spark.graft.stage.parallelism",
+        sys.env.getOrElse("SPARK_GRAFT_STAGE_PAR", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

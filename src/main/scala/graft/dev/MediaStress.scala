@@ -113,13 +113,15 @@ object MediaStress {
 
     // media corpus per factor: replicate docs, vary the template by rep
     def mediaCorpus(dir: String, factor: Int): String = {
-      val out = s"$dir/media_wide.parquet"
+      val out =
+        if (video) s"$dir/media_video.parquet"
+        else s"$dir/media_wide.parquet"
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(out))) {
         FamilyStress.buildCorpus(spark, srcSf, dir, factor)
         val docs = spark.read.parquet(s"$dir/documents.parquet")
-        payloads(docs.select(col("doc_id"),
+        render(docs.select(col("doc_id"),
             concat_ws("|", col("lang"), col("source"),
               (col("doc_id") / 1000000000L).cast("long")).as("g"),
             col("text")))
@@ -135,16 +137,16 @@ object MediaStress {
     val src0 = spark.read.parquet(s"$srcSf/documents.parquet")
       .select(col("doc_id"), concat_ws("|", col("lang"), col("source"),
         lit(0L)).as("g"), col("text"))
-    val freshBatch = payloads(src0.limit(2000)
+    val freshBatch = render(src0.limit(2000)
       .select((col("doc_id") + 8000000000L).as("doc_id"),
         concat(lit("fresh-"), col("g")).as("g"), col("text")))
-    val updateBatch = payloads(src0.filter(col("doc_id") < 2000).limit(2000)
+    val updateBatch = render(src0.filter(col("doc_id") < 2000).limit(2000)
       .select(col("doc_id"), col("g"),
         when(col("doc_id") % 2 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")).as("text")))
     val deleteIds = src0.filter(col("doc_id") >= 2000 &&
       col("doc_id") < 4000).select(col("doc_id")).limit(1000)
-    val probeBatch = payloads(src0.filter(col("doc_id") % 10 === 7)
+    val probeBatch = render(src0.filter(col("doc_id") % 10 === 7)
       .limit(500)
       .select((col("doc_id") + 9000000000L).as("doc_id"), col("g"),
         concat(col("text"), lit(" probe-noise")).as("text")))
@@ -174,7 +176,8 @@ object MediaStress {
           .createTempDirectory(s"graft-media-x$f-r$rep").toString
         // cold build: the one O(corpus) decode pass
         val build = timed(graft.operators.DedupIndex.writeMedia(
-          media, "doc_id", "payload", idxDir, numBuckets = buckets))
+          media, "doc_id", "payload", idxDir, numBuckets = buckets,
+          coder = coder))
         val absorb = timed(graft.operators.DedupIndex.appendMedia(
           freshBatch, "doc_id", "payload", idxDir))
         val refresh = timed(graft.operators.DedupIndex.appendMedia(
@@ -203,8 +206,12 @@ object MediaStress {
         def runRecompute(): Double = {
           graft.plans.CachedPlans.clear()
           timed {
-            graft.operators.Dedup.incrementalAhashNearDupsReport(
-              probeBatch, media, "doc_id", "payload").pairs.count()
+            (if (video)
+              graft.operators.Dedup.incrementalFrameHashNearDupsReport(
+                probeBatch, media, "doc_id", "payload")
+            else
+              graft.operators.Dedup.incrementalAhashNearDupsReport(
+                probeBatch, media, "doc_id", "payload")).pairs.count()
           }
         }
         val probeRe = math.min(runRecompute(), runRecompute())
@@ -231,6 +238,7 @@ object MediaStress {
         .mkString(",")}}"""
     }
     val json = s"""{"metric":"media_stress","src":"$srcSf",""" +
+      s""""coder":"$coder",""" +
       s""""factors":[${factors.mkString(",")}],""" +
       s""""method":{"probe_indexed":"min of 2 warm runs",""" +
       s""""probe_recompute":"min of 2 runs, plan registry cleared """ +
