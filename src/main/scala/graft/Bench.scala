@@ -47,6 +47,25 @@ object Bench {
     val names = (SparkEntry.queries ++ SparkEntry.benchExtras)
       .toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
+    // cold fixture builds run CONCURRENTLY and OUTSIDE the timed region:
+    // r16's wall carried ~200 s of one-time family-base/variant builds,
+    // triggered serially as rep-1 queries first touched their fixture —
+    // which both inflated the wall and polluted rep-1 maxes with build
+    // time. The timed surface per rep is unchanged (the *_indexed
+    // queries' contract is probe-vs-LOADED-index; reps 2–5 always ran
+    // that way). Skipped for SPARK_GRAFT_ONLY dev runs (their one
+    // fixture warms lazily and stays cached in /tmp) and by
+    // SPARK_GRAFT_PREWARM=0. Prewarm failures are non-fatal here — the
+    // timed loop re-hits the build and records the failure per-rep with
+    // full attribution.
+    if (only.isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1") != "0") {
+      val t0 = System.nanoTime()
+      graft.queries.QueryIndexes.prewarmAll(spark, sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_PREWARM_PAR", "6").toInt)
+      System.err.println(f"[bench] prewarm wall ${
+        (System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     // interleaved rounds (all queries rep 1, then rep 2, …) so a noise
     // spike hits one rep of many queries, not every rep of one query.
     // A failed rep is RECORDED (query, rep, exception) and EXCLUDED

@@ -21,6 +21,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // one-time corpus-index fixtures build CONCURRENTLY up front instead
+    // of serially as each query first touches its family (same contract
+    // as Bench's prewarm: the per-query work is unchanged — *_indexed
+    // queries probe a LOADED index by design; failures surface on the
+    // query itself below, with full attribution)
+    if (sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1") != "0")
+      graft.queries.QueryIndexes.prewarmAll(spark, sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_PREWARM_PAR", "6").toInt)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

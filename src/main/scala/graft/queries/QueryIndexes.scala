@@ -26,8 +26,14 @@ import Tables._
   */
 object QueryIndexes {
 
+  // sized well past the fixture count: computeIfAbsent holds the BIN
+  // lock for the whole build, so with the default 16 bins two
+  // unrelated 30 s fixture builds landing in one bin would serialize —
+  // at 256 bins the concurrent prewarm's builds almost surely don't
+  // collide
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean](
+      256)
 
   private def dirFor(sfDir: String, kind: String, fingerprint: String)
       : String = {
@@ -1170,6 +1176,98 @@ object QueryIndexes {
   def vectorsFull(spark: SparkSession,
       sfDir: String): DedupIndex.VectorIndex =
     vectorIndex(spark, sfDir, "vectors_full", evenHalf = false)
+
+  /** Build EVERY fixture the declared + bench queries serve from, in a
+    * bounded driver-thread pool, so a cold-`/tmp` bench run pays the
+    * one-time builds CONCURRENTLY and OUTSIDE the timed region instead
+    * of serially inside rep 1 (r16: ~200 s of the 936 s bench wall was
+    * exactly these builds, triggered one by one as rep-1 queries first
+    * touched their fixture — and rep-1 times carried the build, so the
+    * per-query max map was build-polluted, not a tenancy band).
+    * Concurrency safety is the Stager's, already stress-proven
+    * (graft.dev.StagerStress): fixture dirs are independent,
+    * [[built]]'s computeIfAbsent serializes same-key racers, bases are
+    * ensured before each variant's compute, and CachedPlans fills are
+    * lazy-outside-the-lock. Per-family ordering (base before variants)
+    * is preserved by the getters themselves. Failures are returned, not
+    * thrown — the timed loop will surface them per-rep with full
+    * attribution; prewarm must never kill a bench that could still
+    * produce a mostly-clean record.
+    */
+  def prewarmAll(spark: SparkSession, sfDir: String,
+      parallelism: Int = 6): Seq[(String, Throwable)] = {
+    val fixtures: Seq[(String, (SparkSession, String) => Any)] = Seq(
+      // bases first: the pool is FIFO, so the six family bases start
+      // on the first free threads and every variant clones, not builds
+      "text" -> (text(_, _)),
+      "lexical" -> (lexical(_, _)),
+      "media" -> (media(_, _)),
+      "media_audio" -> (mediaAudio(_, _)),
+      "media_video" -> (mediaVideo(_, _)),
+      "vectors" -> (vectors(_, _)),
+      "vectors_full" -> (vectorsFull(_, _)),
+      "text_absorbed" -> (textAbsorbed(_, _)),
+      "text_retired" -> (textRetired(_, _)),
+      "text_refreshed" -> (textRefreshed(_, _)),
+      "text_resurrected" -> (textResurrected(_, _)),
+      "text_compacted" -> (textCompacted(_, _)),
+      "lexical_retired" -> (lexicalRetired(_, _)),
+      "lexical_compacted" -> (lexicalCompacted(_, _)),
+      "lexical_refreshed" -> (lexicalRefreshed(_, _)),
+      "lexical_curated" -> (lexicalCurated(_, _)),
+      "media_absorbed" -> (mediaAbsorbed(_, _)),
+      "media_retired" -> (mediaRetired(_, _)),
+      "media_refreshed" -> (mediaRefreshed(_, _)),
+      "media_resurrected" -> (mediaResurrected(_, _)),
+      "media_compacted" -> (mediaCompacted(_, _)),
+      "media_audio_absorbed" -> (mediaAudioAbsorbed(_, _)),
+      "media_audio_retired" -> (mediaAudioRetired(_, _)),
+      "media_audio_refreshed" -> (mediaAudioRefreshed(_, _)),
+      "media_audio_resurrected" -> (mediaAudioResurrected(_, _)),
+      "media_audio_compacted" -> (mediaAudioCompacted(_, _)),
+      "media_video_absorbed" -> (mediaVideoAbsorbed(_, _)),
+      "media_video_retired" -> (mediaVideoRetired(_, _)),
+      "media_video_refreshed" -> (mediaVideoRefreshed(_, _)),
+      "media_video_resurrected" -> (mediaVideoResurrected(_, _)),
+      "media_video_compacted" -> (mediaVideoCompacted(_, _)),
+      "vectors_absorbed" -> (vectorsAbsorbed(_, _)),
+      "vectors_retired" -> (vectorsRetired(_, _)),
+      "vectors_refreshed" -> (vectorsRefreshed(_, _)),
+      "vectors_retrained" -> (vectorsRetrained(_, _)),
+      "vectors_rebuilt" -> (vectorsRebuilt(_, _)),
+      "vectors_compacted" -> (vectorsCompacted(_, _)),
+      "vectors_curated" -> (vectorsCurated(_, _)))
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(1, parallelism))
+    val failures = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Throwable)]
+    try {
+      val futs = fixtures.map { case (name, fn) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir)
+            System.err.println(f"[prewarm] $name%-24s ${
+              (System.nanoTime() - t0) / 1e9}%7.2f s")
+          }
+        })
+      }
+      futs.foreach { case (name, f) =>
+        try f.get() catch {
+          case e: java.util.concurrent.ExecutionException =>
+            failures += ((name, e.getCause))
+            System.err.println(s"[prewarm] FAILED $name: ${e.getCause}")
+          case t: Throwable =>
+            failures += ((name, t))
+            System.err.println(s"[prewarm] FAILED $name: $t")
+        }
+      }
+    } finally {
+      pool.shutdownNow()
+      ()
+    }
+    failures.toSeq
+  }
 
   private def vectorIndex(spark: SparkSession, sfDir: String,
       kind: String, evenHalf: Boolean): DedupIndex.VectorIndex = {

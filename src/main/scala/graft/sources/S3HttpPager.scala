@@ -57,15 +57,7 @@ final class S3HttpPager(endpoint: String,
     conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("GET")
     credentials.foreach { creds =>
-      // HttpURLConnection omits SCHEME-DEFAULT ports from the Host
-      // header it transmits, so an endpoint written http://host:80/
-      // must sign plain "host" (signing "host:80" while the server
-      // sees "host" fails verification on every request with 403)
-      val defaultPort =
-        if (baseUri.getScheme == "https") 443 else 80
-      val host = baseUri.getHost +
-        (if (baseUri.getPort > 0 && baseUri.getPort != defaultPort)
-          s":${baseUri.getPort}" else "")
+      val host = S3HttpPager.signedHostFor(baseUri)
       val path = Option(baseUri.getPath).getOrElse("")
         .stripSuffix("/") + "/"
       S3SigV4.signedHeaders("GET", host, path, params, creds, region,
@@ -128,5 +120,23 @@ final class S3HttpPager(endpoint: String,
         size = text("Size").toLong)
     }
     (entries, truncated)
+  }
+}
+
+object S3HttpPager {
+  /** The host string that goes into the SigV4 canonical request.
+    * HttpURLConnection omits SCHEME-DEFAULT ports from the Host header
+    * it transmits, so an endpoint written `http://host:80/` (or
+    * `https://host:443/`) must sign plain `host` — signing `host:80`
+    * while the server sees `host` fails verification on every request
+    * with 403. Non-default ports (the usual emulator/test shape) are
+    * kept, matching the transmitted header.
+    */
+  private[graft] def signedHostFor(baseUri: java.net.URI): String = {
+    val defaultPort =
+      if (baseUri.getScheme == "https") 443 else 80
+    baseUri.getHost +
+      (if (baseUri.getPort > 0 && baseUri.getPort != defaultPort)
+        s":${baseUri.getPort}" else "")
   }
 }

@@ -255,4 +255,23 @@ class S3HttpPagerSpec extends AnyFunSuite {
       assert(e.getMessage.contains("ascending keys"))
     }
   }
+
+  test("signed host omits scheme-default ports, keeps explicit non-default ones") {
+    // HttpURLConnection drops :80/:443 from the transmitted Host header,
+    // so the SIGNED host must match what the server will see — an
+    // endpoint written http://host:80/ signing "host:80" would 403 on
+    // every request (the live emulator above always binds an ephemeral
+    // port, so the default-port branch needs this unit pin)
+    def hostOf(endpoint: String): String =
+      S3HttpPager.signedHostFor(new java.net.URI(endpoint))
+    assert(hostOf("http://s3.example.com:80") === "s3.example.com")
+    assert(hostOf("https://s3.example.com:443") === "s3.example.com")
+    assert(hostOf("http://s3.example.com") === "s3.example.com")
+    assert(hostOf("https://s3.example.com") === "s3.example.com")
+    // non-default stays, matching the transmitted header (emulators)
+    assert(hostOf("http://127.0.0.1:9444") === "127.0.0.1:9444")
+    // the CROSS-scheme defaults are NOT default for that scheme
+    assert(hostOf("http://s3.example.com:443") === "s3.example.com:443")
+    assert(hostOf("https://s3.example.com:80") === "s3.example.com:80")
+  }
 }
