@@ -34,6 +34,19 @@ object DayInLifeStress {
     // tombstone-count threshold for the sinks' auto-compaction; unset =
     // compaction off (the drift arm of the A/B)
     val autoCompact = sys.env.get("SPARK_GRAFT_AUTOCOMPACT").map(_.toLong)
+    // per-sink threshold STAGGER (r17 ask: the trigger band's spikes are
+    // all five indexes compacting on the SAME trigger — they ingest the
+    // same stream, so their tombstone counts cross a shared threshold
+    // together). Real fleets de-synchronize maintenance across stores
+    // (staggered LSM compaction is the standard shape); sink i gets
+    // threshold base + i*stagger, spreading the ticks across triggers at
+    // unchanged total work and (compaction being result-neutral by
+    // construction) bit-identical served results. 0 = synchronized, the
+    // r16 baseline shape.
+    val stagger = sys.env.getOrElse("SPARK_GRAFT_AUTOCOMPACT_STAGGER", "0")
+      .toLong
+    def compactAt(sink: Int): Option[Long] =
+      autoCompact.map(_ + sink * stagger)
     // geometry-cadence knobs for the VECTOR sink (unset = off, the
     // 4-sink baseline): retrain the IVF cells every n-th batch when the
     // live centroid selection drifted; rebuild the FULL geometry every
@@ -173,19 +186,19 @@ object DayInLifeStress {
     def ck() = java.nio.file.Files
       .createTempDirectory("dil-ck").toString
     val maintTxt = graft.streaming.CdcStream.startTextIndexMaintenance(
-      chStream, "doc_id", "text", txtDir, ck(), col("seq"), autoCompact)
+      chStream, "doc_id", "text", txtDir, ck(), col("seq"), compactAt(0))
     val maintLex = graft.streaming.CdcStream.startLexicalIndexMaintenance(
-      chStream, "doc_id", "text", lexDir, ck(), col("seq"), autoCompact)
+      chStream, "doc_id", "text", lexDir, ck(), col("seq"), compactAt(1))
     val maintVec = graft.streaming.CdcStream.startVectorIndexMaintenance(
       chStream, "doc_id", "embedding", vecDir, ck(), col("seq"),
-      autoCompact, autoRetrainEvery = retrainEvery,
+      compactAt(2), autoRetrainEvery = retrainEvery,
       autoRebuildEvery = rebuildEvery)
     val maintMedia = graft.streaming.CdcStream.startMediaIndexMaintenance(
       chStream, "doc_id", "payload", mediaDir, ck(), col("seq"),
-      autoCompact)
+      compactAt(3))
     val maintAudio = graft.streaming.CdcStream.startMediaIndexMaintenance(
       chStream, "doc_id", "apayload", audioDir, ck(), col("seq"),
-      autoCompact)
+      compactAt(4))
     val search = graft.streaming.CdcStream.startHybridSearch(
       spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$qDir/q*/"),
@@ -314,6 +327,7 @@ object DayInLifeStress {
       s""""queries_per_trigger":${queryRows.length},""" +
       s""""media_probe_rows":${mediaProbe.length},""" +
       s""""auto_compact":${autoCompact.getOrElse(-1L)},""" +
+      s""""auto_compact_stagger":$stagger,""" +
       s""""retrain_every":${retrainEvery.getOrElse(-1)},""" +
       s""""rebuild_every":${rebuildEvery.map(_._1).getOrElse(-1)},""" +
       s""""rebuild_sat":${rebuildEvery.map(r => fmt(r._2)).getOrElse(-1)},""" +

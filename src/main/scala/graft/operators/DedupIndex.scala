@@ -643,7 +643,7 @@ object DedupIndex {
   /** [[compactTextIfNeeded]]'s lexical twin. */
   def compactLexicalIfNeeded(spark: SparkSession, dir: String,
       maxTombstones: Long): Boolean = {
-    val n = readTombstones(spark, dir).count()
+    val n = tombstoneRowCount(spark, dir)
     if (n > maxTombstones) { compactLexical(spark, dir); true } else false
   }
 
@@ -1248,14 +1248,14 @@ object DedupIndex {
     */
   def compactTextIfNeeded(spark: SparkSession, dir: String,
       maxTombstones: Long): Boolean = {
-    val n = readTombstones(spark, dir).count()
+    val n = tombstoneRowCount(spark, dir)
     if (n > maxTombstones) { compactText(spark, dir); true } else false
   }
 
   /** [[compactTextIfNeeded]]'s vector twin. */
   def compactVectorsIfNeeded(spark: SparkSession, dir: String,
       maxTombstones: Long): Boolean = {
-    val n = readTombstones(spark, dir).count()
+    val n = tombstoneRowCount(spark, dir)
     if (n > maxTombstones) { compactVectors(spark, dir); true } else false
   }
 
@@ -1544,7 +1544,7 @@ object DedupIndex {
   /** [[compactTextIfNeeded]]'s media twin. */
   def compactMediaIfNeeded(spark: SparkSession, dir: String,
       maxTombstones: Long): Boolean = {
-    val n = readTombstones(spark, dir).count()
+    val n = tombstoneRowCount(spark, dir)
     if (n > maxTombstones) { compactMedia(spark, dir); true } else false
   }
 
@@ -2109,6 +2109,28 @@ object DedupIndex {
     */
   private def isEmptyTombstones(tomb: DataFrame): Boolean =
     tomb.isEmpty
+
+  /** Driver-side tombstone row count from parquet FOOTERS — no Spark
+    * job. The auto-compaction threshold check runs once per micro-batch
+    * per index, and a full count() job per trigger per sink was a
+    * measurable slice of the five-sink day-in-the-life flat band;
+    * footers carry exact row counts, and the tombstone component is
+    * micro-batch-scale, so listing + footer reads are milliseconds.
+    * Counting files the manifest protocol considers live is safe here:
+    * the check runs from the index's single writer (the sink thread,
+    * after its own commits), so no concurrent move can tear the listing.
+    */
+  private def tombstoneRowCount(spark: SparkSession, dir: String): Long = {
+    val p = componentPath(dir, "tombstones")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    listDataFiles(fs, p).map { name =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p, name), conf))
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
 
   /** The single-column band-scoped join key probes must use against the
     * `bands` table (see class doc for why a composite beats joining on

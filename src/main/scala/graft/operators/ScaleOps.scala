@@ -86,12 +86,29 @@ object ScaleOps {
     val cap = math.max(1, math.min(numBuckets, shufflePartitions))
     val p = Iterator.iterate(cap)(_ - 1).find(numBuckets % _ == 0).get
     assert(numBuckets % p == 0)
-    val scratch = borrowScratch(spark, df.schema, bucketCols, numBuckets)
+    var scratch = borrowScratch(spark, df.schema, bucketCols, numBuckets)
     try {
-      df.repartition(p, bucketCols.map(col): _*)
-        .write
-        .mode("overwrite")
-        .insertInto(scratch.table)
+      def insert(): Unit =
+        df.repartition(p, bucketCols.map(col): _*)
+          .write
+          .mode("overwrite")
+          .insertInto(scratch.table)
+      try insert()
+      catch {
+        // a pooled entry whose catalog row vanished (something EXTERNAL
+        // dropped it — we never drop pool tables). Borrowing used to pay
+        // a tableExists round-trip per write to pre-check this, but that
+        // serialized every concurrent staged write on the shared
+        // metastore client (the embedded-catalog lock is global) for a
+        // case that never happens in normal operation — so trust the
+        // pool, and recover here by discarding the corpse and retrying
+        // once on a freshly created table
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              e.getMessage.contains(scratch.table) =>
+          scratch = createScratch(spark, df.schema, bucketCols, numBuckets)
+          insert()
+      }
       val moved = moveDataFiles(spark, scratch.location, path)
       if (moved == 0 && emptyMarker) writeEmptyBucketFile(df, path)
     } finally returnScratch(scratch)
@@ -161,37 +178,46 @@ object ScaleOps {
       schema: org.apache.spark.sql.types.StructType,
       bucketCols: Seq[String], numBuckets: Int): Scratch = {
     val sig = schema.toDDL + "|" + bucketCols.mkString(",") + "|" + numBuckets
-    val q = scratchQueue(sig)
-    var s = q.poll()
-    // a pooled entry could outlive its catalog row only if something
-    // external dropped it — re-create rather than fail the write
-    while (s != null && !spark.catalog.tableExists(s.table)) s = q.poll()
+    val s = scratchQueue(sig).poll()
+    // pooled entries are trusted as-is: the old per-borrow tableExists
+    // pre-check (guarding against an EXTERNAL drop of a pool table)
+    // cost one globally-serialized metastore round-trip per component
+    // write — writeBucketedAt instead recovers in-line if the insert
+    // finds the table gone
     if (s != null) s
-    else {
-      val table = s"graft_scratch_${jvmTag}_${scratchSeq.incrementAndGet()}"
-      val location = new org.apache.hadoop.fs.Path(
-        scratchRoot(spark), table).toString
-      val cols = bucketCols.mkString(", ")
-      val loc = location.replace("'", "''")
-      // pre-create the EXTERNAL location dir BEFORE the DDL: both the
-      // CREATE TABLE (existing-data check) and the first insertInto's
-      // relation resolution probe the path, and on a nonexistent dir
-      // FileStreamSink logs its FileNotFoundException at WARN with the
-      // caller's full stack while HadoopFSUtils adds a "deleted very
-      // recently?" listing WARN. Those benign first-use traces read
-      // exactly like a staged-write crash in a captured log tail (they
-      // derailed the r16 bench review); an existing empty dir silences
-      // both probes.
-      val locPath = new org.apache.hadoop.fs.Path(location)
-      locPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .mkdirs(locPath)
-      spark.sql(
-        s"""CREATE TABLE $table (${schema.toDDL}) USING parquet
-           |CLUSTERED BY ($cols) SORTED BY ($cols)
-           |INTO $numBuckets BUCKETS
-           |LOCATION '$loc'""".stripMargin)
-      Scratch(sig, table, location)
-    }
+    else createScratch(spark, schema, bucketCols, numBuckets)
+  }
+
+  /** Create a fresh pool table (the only DDL in the write path,
+    * amortized across the JVM).
+    */
+  private def createScratch(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      bucketCols: Seq[String], numBuckets: Int): Scratch = {
+    val sig = schema.toDDL + "|" + bucketCols.mkString(",") + "|" + numBuckets
+    val table = s"graft_scratch_${jvmTag}_${scratchSeq.incrementAndGet()}"
+    val location = new org.apache.hadoop.fs.Path(
+      scratchRoot(spark), table).toString
+    val cols = bucketCols.mkString(", ")
+    val loc = location.replace("'", "''")
+    // pre-create the EXTERNAL location dir BEFORE the DDL: both the
+    // CREATE TABLE (existing-data check) and the first insertInto's
+    // relation resolution probe the path, and on a nonexistent dir
+    // FileStreamSink logs its FileNotFoundException at WARN with the
+    // caller's full stack while HadoopFSUtils adds a "deleted very
+    // recently?" listing WARN. Those benign first-use traces read
+    // exactly like a staged-write crash in a captured log tail (they
+    // derailed the r16 bench review); an existing empty dir silences
+    // both probes.
+    val locPath = new org.apache.hadoop.fs.Path(location)
+    locPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .mkdirs(locPath)
+    spark.sql(
+      s"""CREATE TABLE $table (${schema.toDDL}) USING parquet
+         |CLUSTERED BY ($cols) SORTED BY ($cols)
+         |INTO $numBuckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    Scratch(sig, table, location)
   }
 
   private def returnScratch(s: Scratch): Unit = scratchQueue(s.signature).add(s)

@@ -1033,6 +1033,27 @@ class DedupIndexSpec extends SparkSpec {
       "re-registered table lost its bucket metadata")
   }
 
+  test("auto-compaction threshold counts tombstones exactly (footer count == row count)") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-tombcount").toString
+    val corpus = mkDocs((0L until 40L).filter(_ % 2 == 0))
+      .toDF("doc_id", "text")
+    DedupIndex.writeText(corpus, "doc_id", "text", dir)
+    // retire 3 live docs → exactly 3 (id, gen) tombstone rows. The
+    // IfNeeded check now counts them from parquet FOOTERS (no Spark
+    // job); the boundary pins the count value exactly: fires only
+    // strictly ABOVE the threshold.
+    DedupIndex.retireText(
+      Seq(0L, 2L, 4L).toDF("doc_id"), "doc_id", dir)
+    assert(!DedupIndex.compactTextIfNeeded(spark, dir, maxTombstones = 3),
+      "threshold == count must not fire")
+    assert(DedupIndex.compactTextIfNeeded(spark, dir, maxTombstones = 2),
+      "count above threshold must fire")
+    // compaction cleared the set: even threshold 0 stays quiet
+    assert(!DedupIndex.compactTextIfNeeded(spark, dir, maxTombstones = 0))
+  }
+
   test("delta-maintained LSH and SimHash bucket sizes equal live band counts through every verb") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files

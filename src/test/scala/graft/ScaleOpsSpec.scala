@@ -151,6 +151,27 @@ class ScaleOpsSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS wba_empty")
   }
 
+  test("writeBucketedAt recovers when a pooled scratch table was dropped externally") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wbad").toString
+    val a = spark.range(0, 60).select($"id",
+      concat(lit("x"), $"id").as("va"))
+    // first write creates and pools the scratch table for this signature
+    ScaleOps.writeBucketedAt(a, s"$root/one", Seq("id"), 8)
+    // drop EVERY pooled table of this JVM behind the pool's back — the
+    // write path no longer pre-checks existence per borrow (that
+    // round-trip serialized concurrent staged writes on the global
+    // metastore lock), so the recovery now lives in the insert itself
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_scratch_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    ScaleOps.writeBucketedAt(a, s"$root/two", Seq("id"), 8)
+    assert(spark.read.parquet(s"$root/two").count() === 60)
+    // and the freshly recreated table is pooled again: a third write
+    // succeeds without external interference
+    ScaleOps.writeBucketedAt(a, s"$root/three", Seq("id"), 8)
+    assert(spark.read.parquet(s"$root/three").count() === 60)
+  }
+
   test("salted join equals plain join (incl. skewed hot key)") {
     // 90% of left rows share one hot key
     val left = spark.range(0, 20000).select(
