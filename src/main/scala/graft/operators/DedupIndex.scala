@@ -166,54 +166,65 @@ object DedupIndex {
     // table — cache so the token explode runs once
     val sim = graft.plans.CachedPlans.cached(
       Dedup.simHash(corpus, idCol, textCol, simBits))
-    writeComponent(
-      corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
-      dir, "hashes", Seq("content_hash"), n)
-    // id → content_hash, bucketed by HASH: tombstone retirement needs to
-    // know whether a hash has any live copy left, and hash-keyed
-    // aggregates over this table run Exchange-free on the bucketed scan
-    writeComponent(
-      corpus.select(col(idCol).cast("long").as("id"),
-        md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
-      dir, "dochashes", Seq("content_hash"), n)
     val bandRows = Dedup.lshBandKeys(sig, idCol, bands,
         numHashes / bands, portable)
       .select(col(idCol).cast("long").as("id"), col("band"),
         col("band_key"),
         bandedKey(col("band"), col("band_key")).as("bkey"),
         lit(0L).as("gen"))
-    writeComponent(bandRows, dir, "bands", Seq("bkey"), n)
-    writeComponent(
-      bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-      dir, "sizes", Seq("bkey"), n)
-    writeComponent(
-      sig.select(col(idCol).cast("long").as("id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
-        lit(0L).as("gen")),
-      dir, "sigs", Seq("id"), n)
-    writeComponent(
-      sh.select(col(idCol).cast("long").as("id"), col("shingle"),
-        lit(0L).as("gen")),
-      dir, "shingles", Seq("id"), n)
-    // counts is the freshness ledger, so EVERY indexed doc gets a row —
-    // a doc too short to shingle carries n_shingles = 0 (inert for
-    // probes: it can never become a candidate) rather than no row (which
-    // would make absorb re-index it on every replay)
-    writeComponent(
-      countRows(corpus.select(col(idCol).cast("long").as("id"),
-          md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
-        sh.select(col(idCol).cast("long").as("id"))),
-      dir, "counts", Seq("id"), n)
-    writeComponent(
-      sim.select(col(idCol).cast("long").as("id"), col("simhash"),
-        lit(0L).as("gen")),
-      dir, "simhashes", Seq("id"), n)
     val simRows = simBandRows(sim, idCol, simBits, simBands)
       .withColumn("gen", lit(0L))
-    writeComponent(simRows, dir, "simbands", Seq("bkey"), n)
-    writeComponent(
-      simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-      dir, "simsizes", Seq("bkey"), n)
+    // the ten component writes are independent (distinct dirs, shared
+    // upstreams persisted above — CachedPlans' Lazy serializes the one
+    // fill under concurrent forcing) and a fresh build writes LIVE
+    // directly, so they pool through the same Stager the staged absorbs
+    // use: the build's cost was ten SEQUENTIAL latency-bound write jobs.
+    // writeParams stays AFTER the drain — it is the load-path existence
+    // gate, so a crash mid-build still reads as "no index" (rebuild),
+    // never a torn one.
+    withStager(spark) { st =>
+      st.submit(writeComponent(
+        corpus.select(md5(col(textCol)).as("content_hash")).distinct(),
+        dir, "hashes", Seq("content_hash"), n))
+      // id → content_hash, bucketed by HASH: tombstone retirement needs
+      // to know whether a hash has any live copy left, and hash-keyed
+      // aggregates over this table run Exchange-free on the bucketed scan
+      st.submit(writeComponent(
+        corpus.select(col(idCol).cast("long").as("id"),
+          md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
+        dir, "dochashes", Seq("content_hash"), n))
+      st.submit(writeComponent(bandRows, dir, "bands", Seq("bkey"), n))
+      st.submit(writeComponent(
+        bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+        dir, "sizes", Seq("bkey"), n))
+      st.submit(writeComponent(
+        sig.select(col(idCol).cast("long").as("id"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"),
+          lit(0L).as("gen")),
+        dir, "sigs", Seq("id"), n))
+      st.submit(writeComponent(
+        sh.select(col(idCol).cast("long").as("id"), col("shingle"),
+          lit(0L).as("gen")),
+        dir, "shingles", Seq("id"), n))
+      // counts is the freshness ledger, so EVERY indexed doc gets a row —
+      // a doc too short to shingle carries n_shingles = 0 (inert for
+      // probes: it can never become a candidate) rather than no row
+      // (which would make absorb re-index it on every replay)
+      st.submit(writeComponent(
+        countRows(corpus.select(col(idCol).cast("long").as("id"),
+            md5(col(textCol)).as("content_hash"), lit(0L).as("gen")),
+          sh.select(col(idCol).cast("long").as("id"))),
+        dir, "counts", Seq("id"), n))
+      st.submit(writeComponent(
+        sim.select(col(idCol).cast("long").as("id"), col("simhash"),
+          lit(0L).as("gen")),
+        dir, "simhashes", Seq("id"), n))
+      st.submit(writeComponent(simRows, dir, "simbands", Seq("bkey"), n))
+      st.submit(writeComponent(
+        simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+        dir, "simsizes", Seq("bkey"), n))
+      st.drain()
+    }
     writeParams(spark, dir, Seq(
       "kind" -> "text", "fmt" -> "5", "shingleN" -> shingleN.toString,
       "numHashes" -> numHashes.toString, "bands" -> bands.toString,
@@ -346,36 +357,47 @@ object DedupIndex {
         .groupBy(col("id"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .withColumn("gen", lit(0L)))
-    writeComponent(tf.select(col("id"), col("tok"), col("tf"), col("gen")),
-      dir, "postings", Seq("tok"), n)
-    writeComponent(tf.select(col("id"), col("tok"), col("tf"), col("gen")),
-      dir, "docterms", Seq("id"), n)
-    // doclens is the freshness ledger: EVERY corpus doc gets a row —
-    // termless docs carry dl = 0 (they still dilute idf via n_docs,
-    // as in any IR engine) rather than no row (which would make a
-    // replayed absorb re-index them)
-    writeComponent(
-      base.join(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("dl"), lit(0L)).as("dl"),
-          col("content_hash"), lit(0L).as("gen")),
-      dir, "doclens", Seq("id"), n)
-    writeComponent(tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
-      dir, "termdf", Seq("tok"), n)
-    // positional postings (fmt 3): UNIGRAM word positions, independent
-    // of the BM25 term n-gram — the phrase/proximity probe's corpus
-    // side, tok-bucketed so a broadcast query-phrase join never
-    // shuffles the corpus
-    writeComponent(
-      Retrieval.tokenPositions(base, "id", "__text")
-        .select(col("doc_id").as("id"), col("tok"), col("pos"),
-          lit(0L).as("gen")),
-      dir, "positions", Seq("tok"), n)
-    corpus.select(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.select(coalesce(sum(col("tf")), lit(0L))
-        .as("total_len")))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(componentPath(dir, "stats").toString)
+    // independent component writes pooled like [[writeText]]'s (shared
+    // upstreams persisted above; params after the drain = the existence
+    // gate, so a crash mid-build reads as "no index")
+    withStager(spark) { st =>
+      st.submit(writeComponent(
+        tf.select(col("id"), col("tok"), col("tf"), col("gen")),
+        dir, "postings", Seq("tok"), n))
+      st.submit(writeComponent(
+        tf.select(col("id"), col("tok"), col("tf"), col("gen")),
+        dir, "docterms", Seq("id"), n))
+      // doclens is the freshness ledger: EVERY corpus doc gets a row —
+      // termless docs carry dl = 0 (they still dilute idf via n_docs,
+      // as in any IR engine) rather than no row (which would make a
+      // replayed absorb re-index them)
+      st.submit(writeComponent(
+        base.join(tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("dl"), lit(0L)).as("dl"),
+            col("content_hash"), lit(0L).as("gen")),
+        dir, "doclens", Seq("id"), n))
+      st.submit(writeComponent(
+        tf.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+        dir, "termdf", Seq("tok"), n))
+      // positional postings (fmt 3): UNIGRAM word positions, independent
+      // of the BM25 term n-gram — the phrase/proximity probe's corpus
+      // side, tok-bucketed so a broadcast query-phrase join never
+      // shuffles the corpus
+      st.submit(writeComponent(
+        Retrieval.tokenPositions(base, "id", "__text")
+          .select(col("doc_id").as("id"), col("tok"), col("pos"),
+            lit(0L).as("gen")),
+        dir, "positions", Seq("tok"), n))
+      st.submit {
+        corpus.select(count(lit(1)).as("n_docs"))
+          .crossJoin(tf.select(coalesce(sum(col("tf")), lit(0L))
+            .as("total_len")))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(componentPath(dir, "stats").toString)
+      }
+      st.drain()
+    }
     writeParams(spark, dir, Seq(
       "kind" -> "lexical", "fmt" -> "3",
       "termNgram" -> termNgram.toString, "numBuckets" -> n.toString))
@@ -392,7 +414,7 @@ object DedupIndex {
   def loadLexical(spark: SparkSession, dir: String): LexicalIndex = {
     val raw = loadLexicalRaw(spark, dir)
     val (postings, doclens, positions) =
-      if (isEmptyTombstones(raw.tombstones))
+      if (tombstonesEmpty(spark, dir))
         (raw.postings, raw.doclens, raw.positions)
       else {
         val tomb = broadcast(raw.tombstones)
@@ -609,7 +631,7 @@ object DedupIndex {
     try {
       recover(spark, dir, Some(lease))
       val raw = loadLexicalRaw(spark, dir)
-      if (!isEmptyTombstones(raw.tombstones)) {
+      if (!tombstonesEmpty(spark, dir)) {
         val tomb = broadcast(raw.tombstones)
         def live(df: DataFrame): DataFrame =
           df.join(tomb, Seq("id", "gen"), "left_anti")
@@ -699,12 +721,41 @@ object DedupIndex {
     val cbs = Similarity.pqCodebooksRefined(corpus, idCol, vecCol,
       m = pqM, ksub = pqKsub, dim = dim)
     val ksubEff = cbs.head.size
-    writeComponent(
-      vectorRows(corpus0, idCol, vecCol, signs, ranges, dim, cbs, jlSigns),
-      dir, "buckets", Seq("bucket"), n)
-    val cent = centroidRows(corpus, idCol, vecCol, numCentroids)
-    cent.coalesce(1).write.mode("overwrite")
-      .parquet(componentPath(dir, "centroids").toString)
+    import spark.implicits._
+    // buckets + the tiny driver-derived centroids/ranges/codebooks
+    // writes are independent — pooled like [[writeText]]'s; `lists`
+    // alone must wait for the STORED centroids (the assignment joins
+    // the exact floats the probe will broadcast later), so it stays
+    // after the drain. writeParams last = the existence gate.
+    withStager(spark) { st =>
+      st.submit(writeComponent(
+        vectorRows(corpus0, idCol, vecCol, signs, ranges, dim, cbs,
+          jlSigns),
+        dir, "buckets", Seq("bucket"), n))
+      st.submit {
+        centroidRows(corpus, idCol, vecCol, numCentroids)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(componentPath(dir, "centroids").toString)
+      }
+      st.submit {
+        ranges.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }.toSeq
+          .toDF("pos", "mn", "mx")
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(componentPath(dir, "ranges").toString)
+      }
+      st.submit {
+        cbs.zipWithIndex.flatMap { case (cb, s) =>
+          cb.zipWithIndex.flatMap { case (entry, j) =>
+            entry.zipWithIndex.map { case (v, i) => (s, j, i, v) }
+          }
+        }.toDF("s", "j", "i", "v")
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(componentPath(dir, "pq_codebooks").toString)
+      }
+      st.drain()
+    }
     // re-read so the list assignment joins the EXACT stored centroid
     // rows (same floats the probe will broadcast later)
     val storedCent = spark.read
@@ -712,20 +763,6 @@ object DedupIndex {
     writeComponent(
       listRows(corpus0, idCol, vecCol, storedCent, ranges),
       dir, "lists", Seq("cent_id"), n)
-    import spark.implicits._
-    ranges.zipWithIndex.map { case ((mn, mx), i) => (i, mn, mx) }.toSeq
-      .toDF("pos", "mn", "mx")
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(componentPath(dir, "ranges").toString)
-    cbs.zipWithIndex.flatMap { case (cb, s) =>
-      cb.zipWithIndex.flatMap { case (entry, j) =>
-        entry.zipWithIndex.map { case (v, i) => (s, j, i, v) }
-      }
-    }.toDF("s", "j", "i", "v")
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(componentPath(dir, "pq_codebooks").toString)
     writeParams(spark, dir, Seq(
       "kind" -> "vector", "fmt" -> "8", "planes" -> planes.toString,
       "dim" -> dim.toString, "numBuckets" -> n.toString,
@@ -1196,7 +1233,7 @@ object DedupIndex {
     try {
       recover(spark, dir, Some(lease))
       val idx = loadTextRaw(spark, dir)
-      if (!isEmptyTombstones(idx.tombstones)) {
+      if (!tombstonesEmpty(spark, dir)) {
         val tomb = broadcast(idx.tombstones)
         def live(df: DataFrame): DataFrame =
           df.join(tomb, Seq("id", "gen"), "left_anti")
@@ -1270,7 +1307,7 @@ object DedupIndex {
     try {
       recover(spark, dir, Some(lease))
       val idx = loadVectorsRaw(spark, dir)
-      if (!isEmptyTombstones(idx.tombstones)) {
+      if (!tombstonesEmpty(spark, dir)) {
         val tomb = broadcast(idx.tombstones)
         val n = idx.params.numBuckets
         val batch = newBatchId()
@@ -1365,13 +1402,18 @@ object DedupIndex {
       Multimodal.codesFor(coder)(media, idCol, payloadCol))
     val bandRows = graft.plans.CachedPlans.cached(
       mediaBandRows(codes, bands).withColumn("gen", lit(0L)))
-    writeComponent(codes.withColumn("gen", lit(0L)),
-      dir, "mcodes", Seq("id"), n)
-    writeComponent(bandRows, dir, "mbands", Seq("bkey"), n)
-    writeComponent(bandRows, dir, "mbandsfwd", Seq("id"), n)
-    writeComponent(
-      bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-      dir, "msizes", Seq("bkey"), n)
+    // pooled like [[writeText]]'s build writes (the persisted decode
+    // pass is the shared upstream; params after the drain)
+    withStager(spark) { st =>
+      st.submit(writeComponent(codes.withColumn("gen", lit(0L)),
+        dir, "mcodes", Seq("id"), n))
+      st.submit(writeComponent(bandRows, dir, "mbands", Seq("bkey"), n))
+      st.submit(writeComponent(bandRows, dir, "mbandsfwd", Seq("id"), n))
+      st.submit(writeComponent(
+        bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
+        dir, "msizes", Seq("bkey"), n))
+      st.drain()
+    }
     writeParams(spark, dir, Seq(
       "kind" -> "media", "fmt" -> "2", "bands" -> bands.toString,
       "numBuckets" -> n.toString, "coder" -> coder))
@@ -1515,7 +1557,7 @@ object DedupIndex {
     try {
       recover(spark, dir, Some(lease))
       val raw = loadMediaRaw(spark, dir)
-      if (!isEmptyTombstones(raw.tombstones)) {
+      if (!tombstonesEmpty(spark, dir)) {
         val tomb = broadcast(raw.tombstones)
         def live(df: DataFrame): DataFrame =
           df.join(tomb, Seq("id", "gen"), "left_anti")
@@ -1563,7 +1605,7 @@ object DedupIndex {
     val sizes = raw.sizeDeltas.groupBy(col("bkey"))
       .agg(sum(col("n")).as("n")).filter(col("n") > 0)
     val (codes, bandKeys) =
-      if (isEmptyTombstones(raw.tombstones))
+      if (tombstonesEmpty(spark, dir))
         (raw.codes, raw.bandKeys)
       else {
         val tomb = broadcast(raw.tombstones)
@@ -1655,7 +1697,7 @@ object DedupIndex {
     val idx = loadVectorsRaw(spark, dir)
     val p = idx.params
     val live =
-      if (isEmptyTombstones(idx.tombstones)) idx.buckets
+      if (tombstonesEmpty(spark, dir)) idx.buckets
       else idx.buckets.join(broadcast(idx.tombstones),
         Seq("id", "gen"), "left_anti")
     // a fully-retired corpus has nothing to train on: keep the
@@ -1779,7 +1821,7 @@ object DedupIndex {
     val idx = loadVectorsRaw(spark, dir)
     val p = idx.params
     val live =
-      if (isEmptyTombstones(idx.tombstones)) idx.buckets
+      if (tombstonesEmpty(spark, dir)) idx.buckets
       else idx.buckets.join(broadcast(idx.tombstones),
         Seq("id", "gen"), "left_anti")
     // same guard as retrain: a fully-retired corpus trains nothing —
@@ -1933,7 +1975,7 @@ object DedupIndex {
       simBandKeys = raw0.simBandKeys.drop("gen"),
       bucketSizes = liveSizes(raw0.bucketSizes),
       simBucketSizes = liveSizes(raw0.simBucketSizes))
-    if (isEmptyTombstones(raw.tombstones)) pub(raw)
+    if (tombstonesEmpty(spark, dir)) pub(raw)
     else {
       // LIVE views: dead (id, gen) rows — CDC-retired docs and displaced
       // generations of refreshed docs — vanish from every id-carrying
@@ -2020,7 +2062,7 @@ object DedupIndex {
     def pub(raw0: VectorIndex): VectorIndex = raw0.copy(
       buckets = raw0.buckets.drop("gen", "vhash"),
       lists = raw0.lists.drop("gen"))
-    if (isEmptyTombstones(raw.tombstones)) pub(raw)
+    if (tombstonesEmpty(spark, dir)) pub(raw)
     else {
       // LIVE views, as in [[loadText]]: dead (id, gen) rows — retired
       // vectors and displaced generations of refreshed ones — drop out
@@ -2104,11 +2146,14 @@ object DedupIndex {
 
   /** True when the tombstone set holds no rows — the common case, where
     * load skips the live-view filtering entirely and every probe plan is
-    * byte-identical to the tombstone-free engine. The check is one
-    * metadata listing plus (only when files exist) a single-file scan.
+    * byte-identical to the tombstone-free engine. Answered from parquet
+    * FOOTERS, not a Spark job: every index LOAD runs this check, and a
+    * compacted index keeps a zero-row schema-marker file in the
+    * component dir, so the old `DataFrame.isEmpty` form paid one real
+    * scan job per load forever after the first compaction.
     */
-  private def isEmptyTombstones(tomb: DataFrame): Boolean =
-    tomb.isEmpty
+  private def tombstonesEmpty(spark: SparkSession, dir: String): Boolean =
+    tombstoneRowCount(spark, dir) == 0L
 
   /** Driver-side tombstone row count from parquet FOOTERS — no Spark
     * job. The auto-compaction threshold check runs once per micro-batch
@@ -2118,7 +2163,9 @@ object DedupIndex {
     * micro-batch-scale, so listing + footer reads are milliseconds.
     * Counting files the manifest protocol considers live is safe here:
     * the check runs from the index's single writer (the sink thread,
-    * after its own commits), so no concurrent move can tear the listing.
+    * after its own commits) or after a load-path recover, so no
+    * concurrent move can tear the listing — and the probe-side race
+    * window is identical to the old lazy-DataFrame form's.
     */
   private def tombstoneRowCount(spark: SparkSession, dir: String): Long = {
     val p = componentPath(dir, "tombstones")

@@ -1110,10 +1110,19 @@ class DedupIndexSpec extends SparkSpec {
     val idx = DedupIndex.loadText(spark, indexDir)
     val lshProbe = Dedup.incrementalMinHashNearDupsReportIndexed(
       batch, "doc_id", "text", idx).pairs
-    assert(lshProbe.inputFiles.exists(_.contains("/sizes/")),
-      "LSH probe does not read the delta-maintained sizes — vacuous switch")
     val simProbe = Dedup.incrementalSimHashNearDupsReportIndexed(
       batch, "doc_id", "text", idx).pairs
+    // probe CONSTRUCTION persists the candidate pair set (the r17
+    // verify-scan In-prune collects its ids from it), and the
+    // CacheManager then substitutes an InMemoryRelation into these
+    // probes' post-substitution plans — hiding the candidate stage's
+    // file scans from Dataset.inputFiles. Clear the registry so the
+    // assertions below inspect the substitution-free plan shape (what
+    // a fresh execution reads); the serving-time cache reuse is the
+    // separately-gated CachedPlans contract, not what this test pins.
+    CachedPlans.clear()
+    assert(lshProbe.inputFiles.exists(_.contains("/sizes/")),
+      "LSH probe does not read the delta-maintained sizes — vacuous switch")
     assert(simProbe.inputFiles.exists(_.contains("/simsizes/")),
       "SimHash probe does not read the delta-maintained sizes — vacuous switch")
     // and the candidate stage's stored-side scan is PRUNED to the

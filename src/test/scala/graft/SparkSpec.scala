@@ -18,6 +18,17 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4"))
+    // staged-commit fan-out width (the Stager pool). Distinct from the
+    // session-thread knob above: component writes are LATENCY-bound
+    // small jobs, so a wider stager overlaps their fixed per-job cost
+    // even on 4 session cores — A/B'd per round like the CPU knob.
+    .config("spark.graft.stage.parallelism",
+      sys.env.getOrElse("SPARK_GRAFT_TEST_STAGE_PAR", "4"))
+    // A/B knob: whole-stage fusion compile cost vs the suite's many
+    // small distinct plans (expression-level codegen — incl. the custom
+    // doGenCode expressions — still runs with fusion off)
+    .config("spark.sql.codegen.wholeStage",
+      sys.env.getOrElse("SPARK_GRAFT_TEST_WSCG", "true"))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
