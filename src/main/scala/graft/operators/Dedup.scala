@@ -683,12 +683,10 @@ object Dedup {
     * the probes' entire ×100 growth in these verify scans.
     */
   private def candidateBands(bkOld: DataFrame, oversizedK: DataFrame,
-      batchKeys: DataFrame): DataFrame = {
-    val touched = collectTouchedBkeys(batchKeys)
+      touched: Option[Seq[String]]): DataFrame =
     pruneToKeys(bkOld, touched)
       .join(pruneToKeys(oversizedK.select(col("bkey")), touched),
         Seq("bkey"), "left_anti")
-  }
 
   /** Ceiling on the candidate-id set the VERIFY stage will In-filter
     * its stored scans with — the same planning-poison bound as
@@ -711,7 +709,33 @@ object Dedup {
     * filters ids exactly as well; the In-filter's only extra value is
     * scan-time row skipping before the join).
     */
-  private def verifyIds(pairs: DataFrame): (DataFrame, Option[Seq[Long]]) = {
+  /** Floor on the verify-side STORED component's row count below which
+    * the In-prune is a net LOSS: the prune exists to spare a
+    * corpus-sized verify scan, so when the stored side is fixture-scale
+    * the scan is already cheap and the persist+collect pass is pure
+    * overhead — measured DOUBLING the sf0.1 lifecycle probes
+    * (dedup_incremental_simhash_retired 1.85 → 3.73 s, r17) while the
+    * ×100 stress probes (stored side ≥ 500k rows) need the prune to
+    * stay flat (BENCH_PROBES_r17). The stored count comes from parquet
+    * footers (driver-side, ms — [[DedupIndex.componentRowCount]]), so
+    * the decision itself is free.
+    */
+  private def minVerifyPruneStored(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.verifyprune.minstored")
+      .map(_.toLong).getOrElse(32768L)
+
+  /** @param worthPruning whether the verify-scan In-prune can pay for
+    *        its persist+collect pass: the candidate stage ran under an
+    *        ACTIVE touched-bkey prune (pair set tiny by construction)
+    *        AND the stored component the verify reads is corpus-scale
+    *        (≥ [[minVerifyPruneStored]] rows — session-tunable via
+    *        spark.graft.verifyprune.minstored). Otherwise the old direct
+    *        pipeline is strictly cheaper.
+    */
+  private def verifyIds(pairs: DataFrame, worthPruning: Boolean)
+      : (DataFrame, Option[Seq[Long]]) = {
+    if (!worthPruning) return (pairs, None)
     val cachedPairs = CachedPlans.cached(pairs)
     val ids = cachedPairs.select(col("a_id")).distinct()
       .limit(MaxVerifyIds + 1)
@@ -801,14 +825,18 @@ object Dedup {
     val bkNewK = CachedPlans.cached(bkNew.select(
       DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
       col(idCol).as("b_id")))
-    val okOld = candidateBands(bkOld, oversizedK, bkNewK)
+    val touched = collectTouchedBkeys(bkNewK)
+    val okOld = candidateBands(bkOld, oversizedK, touched)
     val pairs0 = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))
       // disjoint-id contract backstop, as in the recompute form
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
-    val (pairs, vIds) = verifyIds(pairs0)
+    // this probe's verify scans read shingles (+ the id-scale counts)
+    val (pairs, vIds) = verifyIds(pairs0, touched.isDefined &&
+      DedupIndex.componentRowCount(newDocs.sparkSession, idx.dir,
+        "shingles") >= minVerifyPruneStored(newDocs.sparkSession))
     val common = pairs
       .join(pruneToIds(idx.shingles, vIds)
         .select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
@@ -1009,13 +1037,17 @@ object Dedup {
     val bkNewK = CachedPlans.cached(bkNew.select(
       DedupIndex.bandedKey(col("band"), col("band_key")).as("bkey"),
       col(idCol).as("b_id")))
-    val okOld = candidateBands(bkOld, oversizedK, bkNewK)
+    val touched = collectTouchedBkeys(bkNewK)
+    val okOld = candidateBands(bkOld, oversizedK, touched)
     val pairs0 = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
-    val (pairs, vIds) = verifyIds(pairs0)
+    // this probe's verify scan reads the one-row-per-doc simhashes
+    val (pairs, vIds) = verifyIds(pairs0, touched.isDefined &&
+      DedupIndex.componentRowCount(newDocs.sparkSession, idx.dir,
+        "simhashes") >= minVerifyPruneStored(newDocs.sparkSession))
     val ham = (1 to p.simBits).map(i =>
       when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)
@@ -1183,7 +1215,8 @@ object Dedup {
       DedupIndex.bandedKey(col("band"), col("band_key").cast("string"))
         .as("bkey"),
       col("id").as("b_id")))
-    val okOld = candidateBands(bkOld, oversizedK, bkNewK)
+    val okOld = candidateBands(bkOld, oversizedK,
+      collectTouchedBkeys(bkNewK))
     val pairs = okOld
       .select(col("bkey"), col("id").as("a_id"))
       .join(bkNewK, Seq("bkey"))

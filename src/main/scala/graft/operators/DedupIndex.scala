@@ -2167,14 +2167,26 @@ object DedupIndex {
     * concurrent move can tear the listing — and the probe-side race
     * window is identical to the old lazy-DataFrame form's.
     */
-  private def tombstoneRowCount(spark: SparkSession, dir: String): Long = {
-    val p = componentPath(dir, "tombstones")
+  private def tombstoneRowCount(spark: SparkSession, dir: String): Long =
+    componentRowCount(spark, dir, "tombstones")
+
+  /** Driver-side STORED row count of any component directory from
+    * parquet footers — no Spark job, milliseconds at any corpus size
+    * (row counts live in the footer metadata). Callers use it for
+    * cost-model decisions (is this index corpus-scale or fixture-scale?)
+    * where launching a count() job would cost more than the decision
+    * saves. Counts stored rows incl. tombstoned generations — a bound,
+    * not a live count.
+    */
+  private[operators] def componentRowCount(spark: SparkSession,
+      dir: String, name: String): Long = {
+    val p = componentPath(dir, name)
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
-    listDataFiles(fs, p).map { name =>
+    listDataFiles(fs, p).map { fname =>
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p, name), conf))
+          new org.apache.hadoop.fs.Path(p, fname), conf))
       try rd.getRecordCount finally rd.close()
     }.sum
   }

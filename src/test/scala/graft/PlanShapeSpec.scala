@@ -378,11 +378,19 @@ class PlanShapeSpec extends SparkSpec {
           s"$what scan is not id-pruned; PushedFilters=$pushed")
       }
     }
-    val lsh = graft.queries.DedupQueries.incrementalLshIndexed(spark, sf)
-    assertIdPruned(idxScans(lsh, "shingles"), "LSH verify shingles")
-    assertIdPruned(idxScans(lsh, "counts"), "LSH verify counts")
-    val sim = graft.queries.DedupQueries.incrementalSimHashIndexed(spark, sf)
-    assertIdPruned(idxScans(sim, "simhashes"), "SimHash verify simhashes")
+    // the prune is cost-modeled OFF for fixture-scale stored sides
+    // (r17: the persist pass doubled the sf0.1 lifecycle probes while a
+    // ×100 corpus needs the prune to stay flat) — force it ON here so
+    // the SHAPE stays guarded at spec scale
+    spark.conf.set("spark.graft.verifyprune.minstored", "0")
+    try {
+      val lsh = graft.queries.DedupQueries.incrementalLshIndexed(spark, sf)
+      assertIdPruned(idxScans(lsh, "shingles"), "LSH verify shingles")
+      assertIdPruned(idxScans(lsh, "counts"), "LSH verify counts")
+      val sim = graft.queries.DedupQueries
+        .incrementalSimHashIndexed(spark, sf)
+      assertIdPruned(idxScans(sim, "simhashes"), "SimHash verify simhashes")
+    } finally spark.conf.unset("spark.graft.verifyprune.minstored")
   }
 
   test("row diff joins by key — no nested-loop degradation") {
