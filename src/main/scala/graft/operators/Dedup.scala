@@ -717,8 +717,24 @@ object Dedup {
     * (dedup_incremental_simhash_retired 1.85 → 3.73 s, r17) while the
     * ×100 stress probes (stored side ≥ 500k rows) need the prune to
     * stay flat (BENCH_PROBES_r17). The stored count comes from parquet
-    * footers (driver-side, ms — [[DedupIndex.componentRowCount]]), so
-    * the decision itself is free.
+    * footers (driver-side, ms — [[DedupIndex.componentRowCountAtLeast]],
+    * which early-exits at the threshold and memoizes per-file counts),
+    * so the decision itself is free.
+    *
+    * PORTABILITY: the 32768 default is a MEASURED break-even for this
+    * sandbox (local[32], NVMe-backed /tmp, sf0.1 fixtures) — it is the
+    * stored size at which one corpus-component scan costs about as much
+    * as the pair-set persist + id collect the prune pays. The break-even
+    * moves with scan bandwidth: on an object store a stored scan is far
+    * slower, so the threshold should DROP (prune earlier); on a
+    * RAM-cached warehouse it should rise. To re-derive it on a new
+    * substrate, run the `dev.ProbeDissect` recipe (stage-by-stage
+    * timing of one banded probe at ×1/×10/×100 corpus scale) with
+    * `spark.graft.verifyprune.minstored` forced to 0 and to 2^63-1 and
+    * set the threshold where the two curves cross. Wherever it lands,
+    * correctness is unaffected — both sides of the gate produce
+    * identical pairs (the spec pins the boundary: prune OFF below the
+    * threshold, ON at it).
     */
   private def minVerifyPruneStored(
       spark: org.apache.spark.sql.SparkSession): Long =
@@ -835,8 +851,8 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     // this probe's verify scans read shingles (+ the id-scale counts)
     val (pairs, vIds) = verifyIds(pairs0, touched.isDefined &&
-      DedupIndex.componentRowCount(newDocs.sparkSession, idx.dir,
-        "shingles") >= minVerifyPruneStored(newDocs.sparkSession))
+      DedupIndex.componentRowCountAtLeast(newDocs.sparkSession, idx.dir,
+        "shingles", minVerifyPruneStored(newDocs.sparkSession)))
     val common = pairs
       .join(pruneToIds(idx.shingles, vIds)
         .select(col("id").as("a_id"), col("shingle")), Seq("a_id"))
@@ -1046,8 +1062,8 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     // this probe's verify scan reads the one-row-per-doc simhashes
     val (pairs, vIds) = verifyIds(pairs0, touched.isDefined &&
-      DedupIndex.componentRowCount(newDocs.sparkSession, idx.dir,
-        "simhashes") >= minVerifyPruneStored(newDocs.sparkSession))
+      DedupIndex.componentRowCountAtLeast(newDocs.sparkSession, idx.dir,
+        "simhashes", minVerifyPruneStored(newDocs.sparkSession)))
     val ham = (1 to p.simBits).map(i =>
       when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
         .otherwise(0)).reduce(_ + _)

@@ -2178,18 +2178,68 @@ object DedupIndex {
     * saves. Counts stored rows incl. tombstoned generations — a bound,
     * not a live count.
     */
-  private[operators] def componentRowCount(spark: SparkSession,
+  private[graft] def componentRowCount(spark: SparkSession,
       dir: String, name: String): Long = {
     val p = componentPath(dir, name)
     val conf = spark.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
-    listDataFiles(fs, p).map { fname =>
+    dataFileStatuses(fs, p).map(cachedFooterCount(_, conf)).sum
+  }
+
+  /** True when the component's stored row count reaches `threshold` —
+    * the shape the verify-prune cost gate actually needs. Unlike
+    * [[componentRowCount]] it stops opening footers as soon as the
+    * running sum crosses the threshold: the gate runs on EVERY
+    * indexed-probe construction, and against an object store each
+    * footer open is a network round-trip, so walking all numBuckets
+    * files of a corpus-scale component to answer "is it big?" would
+    * make the cost decision itself a per-probe latency term.
+    */
+  private[graft] def componentRowCountAtLeast(spark: SparkSession,
+      dir: String, name: String, threshold: Long): Boolean = {
+    if (threshold <= 0L) return true
+    val p = componentPath(dir, name)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    var sum = 0L
+    val it = dataFileStatuses(fs, p).iterator
+    while (it.hasNext && sum < threshold) sum += cachedFooterCount(it.next(), conf)
+    sum >= threshold
+  }
+
+  /** Per-file footer row counts, memoized for the JVM keyed by
+    * (path, length, mtime) — a published parquet data file is immutable
+    * (compaction and retirement REPLACE files under new names; vanished
+    * files simply stop being listed), so a count can never change under
+    * an unchanged key. Probes re-run against unchanged indexes, so
+    * without this the cost gate re-reads the same footers every
+    * construction. Cleared wholesale past a size cap rather than
+    * LRU-tracked: entries are ~100 bytes and re-deriving one is a
+    * single footer read.
+    */
+  private val footerCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def cachedFooterCount(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    if (footerCountCache.size > 65536) footerCountCache.clear()
+    val key = s"${st.getPath}#${st.getLen}#${st.getModificationTime}"
+    footerCountCache.computeIfAbsent(key, _ => {
       val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p, fname), conf))
+          st.getPath, conf))
       try rd.getRecordCount finally rd.close()
-    }.sum
+    })
   }
+
+  private def dataFileStatuses(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.filter(st => st.isFile && {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
 
   /** The single-column band-scoped join key probes must use against the
     * `bands` table (see class doc for why a composite beats joining on

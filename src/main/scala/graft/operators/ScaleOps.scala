@@ -103,9 +103,18 @@ object ScaleOps {
         // case that never happens in normal operation — so trust the
         // pool, and recover here by discarding the corpse and retrying
         // once on a freshly created table
+        // Matched on the error CONDITION, not the message: any analysis
+        // failure quoting the target table (a schema mismatch, say)
+        // would otherwise trigger a pointless re-create + retry and
+        // surface the SECOND failure instead of the original. Message
+        // matching only remains for conditions Spark didn't classify.
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage != null &&
-              e.getMessage.contains(scratch.table) =>
+            if {
+              val cond = e.getCondition
+              if (cond != null) cond == "TABLE_OR_VIEW_NOT_FOUND"
+              else e.getMessage != null &&
+                e.getMessage.contains(scratch.table)
+            } =>
           scratch = createScratch(spark, df.schema, bucketCols, numBuckets)
           insert()
       }

@@ -1177,26 +1177,15 @@ object QueryIndexes {
       sfDir: String): DedupIndex.VectorIndex =
     vectorIndex(spark, sfDir, "vectors_full", evenHalf = false)
 
-  /** Build EVERY fixture the declared + bench queries serve from, in a
-    * bounded driver-thread pool, so a cold-`/tmp` bench run pays the
-    * one-time builds CONCURRENTLY and OUTSIDE the timed region instead
-    * of serially inside rep 1 (r16: ~200 s of the 936 s bench wall was
-    * exactly these builds, triggered one by one as rep-1 queries first
-    * touched their fixture — and rep-1 times carried the build, so the
-    * per-query max map was build-polluted, not a tenancy band).
-    * Concurrency safety is the Stager's, already stress-proven
-    * (graft.dev.StagerStress): fixture dirs are independent,
-    * [[built]]'s computeIfAbsent serializes same-key racers, bases are
-    * ensured before each variant's compute, and CachedPlans fills are
-    * lazy-outside-the-lock. Per-family ordering (base before variants)
-    * is preserved by the getters themselves. Failures are returned, not
-    * thrown — the timed loop will surface them per-rep with full
-    * attribution; prewarm must never kill a bench that could still
-    * produce a mostly-clean record.
+  /** The one registry both [[prewarmAll]] and the coverage spec
+    * iterate: every public fixture getter of this object MUST appear
+    * here (QueryIndexesSpec asserts it by reflection — a new getter
+    * added to the query set but not to this list would silently revert
+    * to the serial in-rep-1 build prewarm exists to eliminate, with no
+    * warning).
     */
-  def prewarmAll(spark: SparkSession, sfDir: String,
-      parallelism: Int = 6): Seq[(String, Throwable)] = {
-    val fixtures: Seq[(String, (SparkSession, String) => Any)] = Seq(
+  private[graft] val prewarmFixtures
+      : Seq[(String, (SparkSession, String) => Any)] = Seq(
       // bases first: the pool is FIFO, so the six family bases start
       // on the first free threads and every variant clones, not builds
       "text" -> (text(_, _)),
@@ -1237,6 +1226,30 @@ object QueryIndexes {
       "vectors_rebuilt" -> (vectorsRebuilt(_, _)),
       "vectors_compacted" -> (vectorsCompacted(_, _)),
       "vectors_curated" -> (vectorsCurated(_, _)))
+
+  /** Build EVERY fixture the declared + bench queries serve from, in a
+    * bounded driver-thread pool, so a cold-`/tmp` bench run pays the
+    * one-time builds CONCURRENTLY and OUTSIDE the timed region instead
+    * of serially inside rep 1 (r16: ~200 s of the 936 s bench wall was
+    * exactly these builds, triggered one by one as rep-1 queries first
+    * touched their fixture — and rep-1 times carried the build, so the
+    * per-query max map was build-polluted, not a tenancy band).
+    * Concurrency safety is the Stager's, already stress-proven
+    * (graft.dev.StagerStress): fixture dirs are independent,
+    * [[built]]'s computeIfAbsent serializes same-key racers, bases are
+    * ensured before each variant's compute, and CachedPlans fills are
+    * lazy-outside-the-lock. Per-family ordering (base before variants)
+    * is preserved by the getters themselves. Failures are returned, not
+    * thrown — the timed loop will surface them per-rep with full
+    * attribution; prewarm must never kill a bench that could still
+    * produce a mostly-clean record.
+    *
+    * The fixture set is [[prewarmFixtures]] — the one registry both
+    * this method and the coverage spec iterate.
+    */
+  def prewarmAll(spark: SparkSession, sfDir: String,
+      parallelism: Int = 6): Seq[(String, Throwable)] = {
+    val fixtures = prewarmFixtures
     val pool = java.util.concurrent.Executors
       .newFixedThreadPool(math.max(1, parallelism))
     val failures = scala.collection.mutable.ArrayBuffer
