@@ -33,3 +33,72 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ---- forked-test-group parallelism -----------------------------------
+// The suites are independent and the host has 32 CPUs, but one test JVM
+// ran them serially (~750 s wall, dominated by two ~210 s suites). Fork
+// the suites into GRAFT_TEST_GROUPS JVMs (default 4) balanced by the
+// measured per-suite wall times below (from a full -oD run; an unlisted
+// suite defaults to 5 s — close enough for LPT). Each group gets its own
+// java.io.tmpdir / warehouse / derby home: QueryIndexes fixture dirs and
+// Spark scratch live under the JVM tmpdir, and two JVMs building the
+// same fixture path would race (the in-JVM computeIfAbsent can't
+// serialize across processes). Group dirs are STABLE across runs so
+// fingerprint-keyed fixtures are reused, not rebuilt. They live under
+// /tmp, NOT target/: PgLiveSpec's initdb runs as the postgres user,
+// which cannot traverse into /root, and plan-string assertions got
+// fragile when longer paths pushed scan metadata past its render
+// truncation (run-1 failure post-mortem).
+val suiteWeightsSec: Map[String, Double] = Map(
+  "graft.DedupIndexSpec" -> 221, "graft.CdcStreamSpec" -> 208,
+  "graft.RetrievalSpec" -> 73, "graft.StagerStressSpec" -> 45,
+  "graft.LexicalIndexSpec" -> 41, "graft.MediaIndexSpec" -> 37,
+  "graft.SimilaritySpec" -> 37, "graft.PlanShapeSpec" -> 30,
+  "graft.DedupSpec" -> 17, "graft.BpeSpec" -> 10,
+  "graft.CdcFileListerSpec" -> 10, "graft.TopKAggregatorSpec" -> 10,
+  "graft.JdbcRoundTripSpec" -> 6, "graft.ReducerPropertySpec" -> 6,
+  "graft.CurationQueriesSpec" -> 6, "graft.T1SmokeSpec" -> 6,
+  "graft.PackingSpec" -> 6, "graft.ScaleOpsSpec" -> 6,
+  "graft.TemporalSpec" -> 6, "graft.CdcJobsSpec" -> 5,
+  "graft.ApproxDistinctSpec" -> 5, "graft.DiffEngineSpec" -> 4,
+)
+val graftTestGroups =
+  sys.env.get("GRAFT_TEST_GROUPS").map(_.toInt).getOrElse(4)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val base = file("/tmp/gtw")
+  if (graftTestGroups <= 1)
+    Seq(Tests.Group("all", tests, Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(opts))))
+  else {
+    // LPT greedy: heaviest suite to the least-loaded group
+    val loads = Array.fill(graftTestGroups)(0.0)
+    val members =
+      Array.fill(graftTestGroups)(Vector.newBuilder[TestDefinition])
+    tests.sortBy(t => -suiteWeightsSec.getOrElse(t.name, 5.0)).foreach {
+      t =>
+        val i = loads.indexOf(loads.min)
+        loads(i) += suiteWeightsSec.getOrElse(t.name, 5.0)
+        members(i) += t
+    }
+    (0 until graftTestGroups).map { i =>
+      val dir = base / s"g$i"
+      IO.createDirectory(dir)
+      IO.createDirectory(dir / "tmp")
+      Tests.Group(s"g$i", members(i).result(), Tests.SubProcess(
+        ForkOptions().withRunJVMOptions(opts ++ Vector(
+          s"-Djava.io.tmpdir=${dir / "tmp"}",
+          s"-Dspark.sql.warehouse.dir=${dir / "warehouse"}",
+          s"-Dspark.local.dir=${dir / "tmp"}",
+          s"-Dderby.system.home=$dir",
+          s"-Dderby.stream.error.file=${dir / "derby.log"}"))))
+    }
+  }
+}
+// sbt's default restrictions cap ForkedTestGroup at 1 — lift it to the
+// group count (each group JVM uses ~4 session cores of the 32)
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(math.max(graftTestGroups, 8)),
+  Tags.limit(Tags.ForkedTestGroup, graftTestGroups),
+)

@@ -1010,19 +1010,45 @@ object DedupIndex {
             col("band_key"),
             bandedKey(col("band"), col("band_key")).as("bkey"))
           .join(genOf, Seq("id"))
-        st.submit(stageComponent(bandRows, dir, batch, "bands", Seq("bkey"),
-          p.numBuckets))
+        val simRows = simBandRows(sim, "id", p.simBits, p.simBands)
+          .join(genOf, Seq("id"))
         // signed bucket-size deltas commit in the SAME staged batch as
         // the band rows they count: +1 per fresh band row, −1 per band
         // row of a displaced (refreshed-away) generation — re-derived
         // batch-sized from the id-bucketed signature ledger
-        st.submit(stageComponent(
+        val sizeRows =
           if (hasDisplaced)
             bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
               .unionByName(negSizeDeltas(idx.sigs, displaced,
                 lshBkeysFromSigs(_, p)))
-          else bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-          dir, batch, "sizes", Seq("bkey"), p.numBuckets))
+          else bandRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+        val simSizeRows =
+          if (hasDisplaced)
+            simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+              .unionByName(negSizeDeltas(idx.simhashes, displaced,
+                simBkeysFromHashes(_, p)))
+          else simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+        // the four bkey-bucketed components pair up schema-identically
+        // (bands/simbands, sizes/simsizes) — each pair rides ONE
+        // shuffle + ONE insert when union writes are opted in
+        // (measured net-negative here; see [[stageComponentsUnion]])
+        if (unionWritesEnabled(spark)) {
+          st.submit(stageComponentsUnion(spark,
+            Seq(bandRows -> "bands", simRows -> "simbands"),
+            dir, batch, Seq("bkey"), p.numBuckets))
+          st.submit(stageComponentsUnion(spark,
+            Seq(sizeRows -> "sizes", simSizeRows -> "simsizes"),
+            dir, batch, Seq("bkey"), p.numBuckets))
+        } else {
+          st.submit(stageComponent(bandRows, dir, batch, "bands",
+            Seq("bkey"), p.numBuckets))
+          st.submit(stageComponent(sizeRows, dir, batch, "sizes",
+            Seq("bkey"), p.numBuckets))
+          st.submit(stageComponent(simRows, dir, batch, "simbands",
+            Seq("bkey"), p.numBuckets))
+          st.submit(stageComponent(simSizeRows, dir, batch, "simsizes",
+            Seq("bkey"), p.numBuckets))
+        }
         st.submit(stageComponent(
           sig.select(col("id").cast("long").as("id"),
             array((0 until p.numHashes).map(i => col(s"h$i")): _*)
@@ -1044,17 +1070,6 @@ object DedupIndex {
         st.submit(stageComponent(
           sim.select(col("id"), col("simhash")).join(genOf, Seq("id")),
           dir, batch, "simhashes", Seq("id"), p.numBuckets))
-        val simRows = simBandRows(sim, "id", p.simBits, p.simBands)
-          .join(genOf, Seq("id"))
-        st.submit(stageComponent(simRows, dir, batch, "simbands",
-          Seq("bkey"), p.numBuckets))
-        st.submit(stageComponent(
-          if (hasDisplaced)
-            simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n"))
-              .unionByName(negSizeDeltas(idx.simhashes, displaced,
-                simBkeysFromHashes(_, p)))
-          else simRows.groupBy(col("bkey")).agg(count(lit(1)).as("n")),
-          dir, batch, "simsizes", Seq("bkey"), p.numBuckets))
         if (hasDisplaced)
           st.submit(stagePlain(displaced, dir, batch, "tombstones"))
         st.drain()
@@ -2549,6 +2564,40 @@ object DedupIndex {
     heartbeatLease(path.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf()), dir)
   }
+
+  /** [[stageComponent]] for SEVERAL same-bucket-spec, same-schema
+    * components of one staged batch in ONE shuffle + ONE insert
+    * ([[ScaleOps.writeBucketedUnionAt]]): a text absorb stages four
+    * bkey-bucketed components (bands/sizes and simbands/simsizes pair
+    * up schema-identically), and each separate write pays a fixed
+    * per-job latency. MEASURED NET-NEGATIVE on this host
+    * (dev.UnionWriteProbe, r18): the union cuts ~2 jobs per absorb
+    * (455→433 over 8 absorbs) but the partitioned+bucketed insert pays
+    * a per-task sort over (partition, bucket) keys and coarsens the
+    * Stager's overlap units, and warm absorb wall ROSE 14–40% at both
+    * 150- and 400-doc batches. Default is therefore OFF
+    * (`spark.graft.stage.unionwrites=true` opts in — the trade can
+    * invert on substrates where per-job commit latency dominates, e.g.
+    * object-store warehouses with slow rename-based commits). Both
+    * paths produce the same staged file-set semantics (per-component
+    * dirs, ≤1 file per bucket, empty part stages zero files) — pinned
+    * byte-equal by DedupIndexSpec's union A/B.
+    */
+  private def stageComponentsUnion(spark: SparkSession,
+      parts: Seq[(DataFrame, String)], dir: String, batch: String,
+      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stagingRoot(dir), batch)
+    ScaleOps.writeBucketedUnionAt(
+      parts.map { case (df, name) =>
+        (df, new org.apache.hadoop.fs.Path(root, name).toString)
+      }, bucketCols, numBuckets)
+    heartbeatLease(root.getFileSystem(
+      spark.sessionState.newHadoopConf()), dir)
+  }
+
+  private def unionWritesEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.stage.unionwrites")
+      .exists(_.toBoolean)
 
   /** [[stageComponent]] for a component with no bucket layout (the
     * tombstone set — always broadcast, never joined on): a plain

@@ -494,6 +494,54 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("union staged writes commit the same index as per-component writes") {
+    // r18: the four bkey-bucketed components of a text absorb ride two
+    // union inserts (bands+simbands, sizes+simsizes) when
+    // spark.graft.stage.unionwrites is on (default). Same base + same
+    // absorb sequence (including a refresh, which adds negative size
+    // deltas and tombstones) must commit byte-equal component CONTENTS
+    // either way.
+    CachedPlans.clear()
+    val dirU = java.nio.file.Files
+      .createTempDirectory("graft-idx-union").toString
+    val dirS = java.nio.file.Files
+      .createTempDirectory("graft-idx-serial").toString
+    val corpusIds = (0L until 80L).filter(_ % 2 == 0)
+    val docOf = mkDocs(corpusIds).toMap
+    val corpus = corpusIds.map(i => (i, docOf(i))).toDF("doc_id", "text")
+    // absorb: new docs + a refresh of the %10 slice
+    val absorb = (corpusIds.filter(_ % 10 == 0)
+        .map(i => (i, docOf(i) + " v2")) ++
+      mkDocs((100L until 130L))).toDF("doc_id", "text")
+    def build(dir: String, union: Boolean): DedupIndex.TextIndex = {
+      spark.conf.set("spark.graft.stage.unionwrites", union.toString)
+      try {
+        DedupIndex.writeText(corpus, "doc_id", "text", dir)
+        DedupIndex.appendText(absorb, "doc_id", "text", dir)
+      } finally spark.conf.unset("spark.graft.stage.unionwrites")
+      DedupIndex.loadText(spark, dir)
+    }
+    val u = build(dirU, union = true)
+    val s = build(dirS, union = false)
+    def eq(name: String, a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.schema.map(f => (f.name, f.dataType)) ===
+        b.schema.map(f => (f.name, f.dataType)), s"$name schema drift")
+      assert(sortedRows(a) === sortedRows(b), s"$name content drift")
+    }
+    eq("bands", u.bandKeys, s.bandKeys)
+    eq("simbands", u.simBandKeys, s.simBandKeys)
+    eq("sizes", u.bucketSizes, s.bucketSizes)
+    eq("simsizes", u.simBucketSizes, s.simBucketSizes)
+    eq("sigs", u.sigs, s.sigs)
+    eq("shingles", u.shingles, s.shingles)
+    eq("counts", u.counts, s.counts)
+    eq("dochashes", u.dochashes, s.dochashes)
+    eq("hashes", u.hashes, s.hashes)
+    eq("simhashes", u.simhashes, s.simhashes)
+    assert(u.bandKeys.count() > 0)
+  }
+
   test("CDC update: re-absorbing changed content refreshes in place; unchanged content is a no-op; retire-then-absorb resurrects") {
     CachedPlans.clear()
     val indexDir = java.nio.file.Files

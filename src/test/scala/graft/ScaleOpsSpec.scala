@@ -151,6 +151,57 @@ class ScaleOpsSpec extends SparkSpec {
     finally spark.sql("DROP TABLE IF EXISTS wba_empty")
   }
 
+  test("writeBucketedUnionAt: one insert fans same-schema parts to their dirs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wbu").toString
+    val a = spark.range(0, 500).select($"id",
+      concat(lit("a"), $"id").as("wbu_v"))
+    val b = spark.range(500, 800).select($"id",
+      concat(lit("b"), $"id").as("wbu_v"))
+    val empty = a.limit(0)
+    ScaleOps.writeBucketedUnionAt(
+      Seq(a -> s"$root/pa", b -> s"$root/pb", empty -> s"$root/pe"),
+      Seq("id"), 8)
+    // each destination holds exactly its part's rows, nothing tagged
+    val ra = spark.read.parquet(s"$root/pa")
+    assert(ra.schema.fieldNames.toSeq === Seq("id", "wbu_v"),
+      "partition tag leaked into the data files")
+    assert(ra.count() === 500)
+    assert(spark.read.parquet(s"$root/pb").count() === 300)
+    assert(ra.select("wbu_v").as[String].collect().forall(_.startsWith("a")))
+    // staged-append semantics: an empty part stages ZERO files
+    val pe = new java.io.File(s"$root/pe")
+    assert(!pe.exists() || pe.listFiles().forall(f =>
+      f.getName.startsWith("_") || f.getName.startsWith(".")),
+      "empty part must stage no data files")
+    // bucket layout holds per destination: ≤1 file per bucket,
+    // bucket-parseable names, and a bucketed attach joins exchange-free
+    Seq("pa", "pb").foreach { d =>
+      val files = new java.io.File(s"$root/$d").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_")
+          && !f.getName.startsWith("."))
+      assert(files.length <= 8, s"$d file explosion: ${files.length}")
+      assert(files.forall(_.getName.matches(""".*_(\d+)(\..*)?$""")),
+        s"$d unparseable bucket names: ${files.map(_.getName).toSeq}")
+    }
+    attachBucketed("wbu_a", s"$root/pa", Seq("id"), 8)
+    attachBucketed("wbu_b", s"$root/pb", Seq("id"), 8)
+    try {
+      val j = spark.table("wbu_a").join(spark.table("wbu_b"), "id")
+      val exchanges = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        "bucketed join over union-written components must not exchange")
+    } finally Seq("wbu_a", "wbu_b").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // unlike shapes are refused loudly, not silently superset-unioned
+    val odd = spark.range(0, 10).select($"id", $"id".as("other"))
+    intercept[IllegalArgumentException] {
+      ScaleOps.writeBucketedUnionAt(
+        Seq(a -> s"$root/x1", odd -> s"$root/x2"), Seq("id"), 8)
+    }
+  }
+
   test("writeBucketedAt recovers when a pooled scratch table was dropped externally") {
     val root = java.nio.file.Files.createTempDirectory("graft-wbad").toString
     val a = spark.range(0, 60).select($"id",

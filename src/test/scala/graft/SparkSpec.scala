@@ -29,6 +29,11 @@ object TestSpark {
     // doGenCode expressions — still runs with fusion off)
     .config("spark.sql.codegen.wholeStage",
       sys.env.getOrElse("SPARK_GRAFT_TEST_WSCG", "true"))
+    // plan-shape tests read scan metadata (ReadSchema, Location) from
+    // rendered plan strings; the default 100-char truncation made those
+    // assertions silently depend on how long the tmpdir path is (forked
+    // test groups relocate java.io.tmpdir). Render enough to never clip.
+    .config("spark.sql.maxMetadataStringLength", "1000")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
