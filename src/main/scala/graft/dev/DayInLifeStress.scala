@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scratch: per-trigger latency of the COMPOSED streaming serving story
-  * — a standing hybrid search AND a standing media near-dup probe plus
-  * all four index-maintenance sinks (text dedup, BM25 lexical, IVF∘SQ8
-  * vector, perceptual-hash media) fed by one mixed I/U/D change stream
+  * — standing hybrid search plus standing image/audio/video near-dup
+  * probes plus all SIX index-maintenance sinks (text dedup, BM25
+  * lexical, IVF∘SQ8 vector, image ahash, audio energy-hash, video
+  * frame-sample-hash) fed by one mixed I/U/D change stream
   * — measured over many triggers at FIXED batch size. The media arm
   * renders each doc's payload from its CURRENT text (an update is a
   * real image change) and probes with exact copies of the 25 fixed
@@ -94,6 +95,8 @@ object DayInLifeStress {
       (s"$root/media", s"$root/mq", s"$root/mout")
     val (audioDir, aqDir, aOutDir) =
       (s"$root/audio", s"$root/aq", s"$root/aout")
+    val (vidDir, vqDir, vOutDir) =
+      (s"$root/vid", s"$root/vq", s"$root/vout")
 
     val docs = spark.read.parquet(s"$srcSf/documents.parquet")
       .select(col("doc_id"), col("text")).persist()
@@ -110,6 +113,12 @@ object DayInLifeStress {
     // fixture WAV from its current text, indexed under the audio coder
     val apayOf = udf((id: Long, text: String) =>
       graft.operators.SyntheticMedia.wav(s"dil-a${id % 97}", text))
+    // the VIDEO arm — the SIXTH sink (r17 ask #7: video had a full
+    // lifecycle square but no standing-stream serving artifact): every
+    // doc also renders to a 4-frame GIF clip from its current text,
+    // indexed under the frame-sample-hash coder
+    val vpayOf = udf((id: Long, text: String) =>
+      graft.operators.SyntheticMedia.gif(s"dil-v${id % 97}", text))
     val seedV = seed.withColumn("embedding", vecOf(col("doc_id")))
     println(s"corpus $nDocs docs, seed ${seed.count()}")
 
@@ -128,6 +137,10 @@ object DayInLifeStress {
       seed.select(col("doc_id"),
         apayOf(col("doc_id"), col("text")).as("payload")),
       "doc_id", "payload", audioDir, coder = "audio_energy")
+    graft.operators.DedupIndex.writeMedia(
+      seed.select(col("doc_id"),
+        vpayOf(col("doc_id"), col("text")).as("payload")),
+      "doc_id", "payload", vidDir, coder = "video_framehash")
     val buildS = (System.nanoTime() - t0) / 1e9
 
     // update targets rotate through the seed slice; queries are FIXED
@@ -146,7 +159,8 @@ object DayInLifeStress {
       .select(lit("I").as("Op"), lit(0L).as("seq"), col("doc_id"),
         col("text"), vecOf(col("doc_id")).as("embedding"),
         payOf(col("doc_id"), col("text")).as("payload"),
-        apayOf(col("doc_id"), col("text")).as("apayload")))
+        apayOf(col("doc_id"), col("text")).as("apayload"),
+        vpayOf(col("doc_id"), col("text")).as("vpayload")))
     writeRows(qDir, "q0", queryRows.take(1)
       .toDF("doc_id", "text", "embedding"))
     // media probe batch: EXACT image copies of the 25 query-anchor seed
@@ -177,6 +191,19 @@ object DayInLifeStress {
         org.apache.spark.sql.types.StructField("payload",
           org.apache.spark.sql.types.BinaryType, nullable = true))))
     writeRows(aqDir, "aq0", audioProbeDf().limit(1))
+    // video probe batch: exact clip copies of the same 25 anchors
+    val videoProbe = seed.orderBy(col("doc_id")).limit(25)
+      .select((col("doc_id") + 970000L).as("doc_id"),
+        vpayOf(col("doc_id"), col("text")).as("payload"))
+      .collect().toSeq
+    val videoProbeDf = () => spark.createDataFrame(
+      spark.sparkContext.parallelize(videoProbe, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = true))))
+    writeRows(vqDir, "vq0", videoProbeDf().limit(1))
 
     val chSchema = spark.read.parquet(s"$chDir/b0").schema
     val qSchema = spark.read.parquet(s"$qDir/q0").schema
@@ -199,6 +226,9 @@ object DayInLifeStress {
     val maintAudio = graft.streaming.CdcStream.startMediaIndexMaintenance(
       chStream, "doc_id", "apayload", audioDir, ck(), col("seq"),
       compactAt(4))
+    val maintVideo = graft.streaming.CdcStream.startMediaIndexMaintenance(
+      chStream, "doc_id", "vpayload", vidDir, ck(), col("seq"),
+      compactAt(5))
     val search = graft.streaming.CdcStream.startHybridSearch(
       spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$qDir/q*/"),
@@ -213,10 +243,21 @@ object DayInLifeStress {
       spark.readStream.schema(aqSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$aqDir/aq*/"),
       "doc_id", "payload", audioDir, aOutDir, ck())
+    val vqSchema = spark.read.parquet(s"$vqDir/vq0").schema
+    val videoSearch = graft.streaming.CdcStream.startAhashNearDup(
+      spark.readStream.schema(vqSchema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$vqDir/vq*/"),
+      "doc_id", "payload", vidDir, vOutDir, ck())
 
     var seq = 1L
     val perTrigger = scala.collection.mutable.ArrayBuffer
-      .empty[(Double, Double, Double, Double)]
+      .empty[(Double, Double, Double, Double, Double)]
+    // tenancy sentinel (r17 ask #1): one fixed CPU-bound calibration
+    // measurement per trigger, so the committed record self-qualifies
+    // as quiet-host (in-record max/min ≤ ~1.10) or tenancy-taxed. Two
+    // unrecorded warmups absorb JIT before trigger 1.
+    graft.Sentinel.measure(spark); graft.Sentinel.measure(spark)
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // drift-scenario state readers: the stored SQ8 saturation fraction
     // (what the rebuild gate measures) and fingerprints of the stored
     // geometry — centroid set changes on RETRAIN (and rebuild), ranges
@@ -239,6 +280,7 @@ object DayInLifeStress {
     val geoTrail = scala.collection.mutable.ArrayBuffer
       .empty[(Double, String, String)]
     for (t <- 1 to triggers) {
+      sentinels += graft.Sentinel.measure(spark)
       val mkVec: Long => Array[Float] =
         if (driftAfter.exists(t > _)) driftVecFor else vecFor
       val ins = (0 until 50).map { i =>
@@ -268,13 +310,15 @@ object DayInLifeStress {
         (ins ++ upd ++ del).toDF("Op", "seq", "doc_id", "text",
           "embedding")
           .withColumn("payload", payOf(col("doc_id"), col("text")))
-          .withColumn("apayload", apayOf(col("doc_id"), col("text"))))
+          .withColumn("apayload", apayOf(col("doc_id"), col("text")))
+          .withColumn("vpayload", vpayOf(col("doc_id"), col("text"))))
       t0 = System.nanoTime()
       maintTxt.processAllAvailable()
       maintLex.processAllAvailable()
       maintVec.processAllAvailable()
       maintMedia.processAllAvailable()
       maintAudio.processAllAvailable()
+      maintVideo.processAllAvailable()
       val maintS = (System.nanoTime() - t0) / 1e9
       writeRows(qDir, s"q$t", queryRows.toDF("doc_id", "text",
         "embedding"))
@@ -289,26 +333,34 @@ object DayInLifeStress {
       t0 = System.nanoTime()
       audioSearch.processAllAvailable()
       val audioS = (System.nanoTime() - t0) / 1e9
-      perTrigger += ((maintS, searchS, mediaS, audioS))
+      writeRows(vqDir, s"vq$t", videoProbeDf())
+      t0 = System.nanoTime()
+      videoSearch.processAllAvailable()
+      val videoS = (System.nanoTime() - t0) / 1e9
+      perTrigger += ((maintS, searchS, mediaS, audioS, videoS))
       val g = geometryState()
       geoTrail += g
       println(f"trigger $t%2d maint $maintS%6.2f s  " +
         f"search $searchS%5.2f s  media $mediaS%5.2f s  " +
-        f"audio $audioS%5.2f s" +
+        f"audio $audioS%5.2f s  video $videoS%5.2f s  " +
+        f"sentinel ${sentinels.last}%5.2f s" +
         (if (g._2.nonEmpty)
           f"  sat ${g._1 * 100}%5.2f%%  cent ${g._2}%s  ranges ${g._3}%s"
         else ""))
     }
     maintTxt.stop(); maintLex.stop(); maintVec.stop()
-    maintMedia.stop(); maintAudio.stop()
+    maintMedia.stop(); maintAudio.stop(); maintVideo.stop()
     search.stop(); mediaSearch.stop(); audioSearch.stop()
+    videoSearch.stop()
 
     val served = spark.read.parquet(outDir).count()
     val servedMedia = spark.read.parquet(mOutDir).count()
     val servedAudio = spark.read.parquet(aOutDir).count()
+    val servedVideo = spark.read.parquet(vOutDir).count()
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val trigJson = perTrigger.zipWithIndex.map { case ((m, s, ms, as_), i) =>
+    val trigJson = perTrigger.zipWithIndex.map {
+      case ((m, s, ms, as_, vs), i) =>
       val geo =
         if (geoTrail(i)._2.isEmpty) ""
         else {
@@ -319,7 +371,9 @@ object DayInLifeStress {
             s""""retrained":$retrained,"rebuilt":$rebuilt"""
         }
       s"""{"t":${i + 1},"maint":${fmt(m)},"search":${fmt(s)},""" +
-        s""""search_media":${fmt(ms)},"search_audio":${fmt(as_)}$geo}"""
+        s""""search_media":${fmt(ms)},"search_audio":${fmt(as_)},""" +
+        s""""search_video":${fmt(vs)},""" +
+        s""""sentinel":${fmt(sentinels(i))}$geo}"""
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"dayinlife_per_trigger","unit":"sec","sf_src":"$srcSf",""" +
@@ -335,6 +389,8 @@ object DayInLifeStress {
       s""""build_s":${fmt(buildS)},"served_rows":$served,""" +
       s""""served_media_pairs":$servedMedia,""" +
       s""""served_audio_pairs":$servedAudio,""" +
+      s""""served_video_pairs":$servedVideo,""" +
+      s""""sentinel":${graft.Sentinel.statsJson(sentinels.toSeq)},""" +
       s""""per_trigger":$trigJson}"""
     println(json)
     java.nio.file.Files.writeString(
