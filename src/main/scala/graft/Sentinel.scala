@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
 
 /** Fixed-work tenancy sentinel (r17 judge ask #1): a pinned, constant
   * CPU-bound calibration measurement recorded alongside every bench rep
@@ -22,13 +22,25 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   */
 object Sentinel {
 
-  /** ~0.5 s of deterministic hashing on a quiet 4-core session. */
+  /** Sized so per-row COMPUTE dominates the job's fixed overhead — the
+    * sentinel's own jitter must sit well under the 10% quiet-host
+    * criterion. Calibration on an idle 8-core session: 2e8 plain-hash
+    * rows ran 0.2 s with ratio ~1.10 (overhead-dominated, too twitchy);
+    * 2e8 rows × a 12-deep hash chain runs ~1 s with the fixed overhead
+    * amortized to a few percent.
+    */
   val Rows = 200000000L
+  val HashDepth = 12
 
   def measure(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
+    val chained = (1 until HashDepth).foldLeft(xxhash64(col("id")))(
+      (e, _) => xxhash64(e))
+    // hashes masked to 32 bits before the sum: 2e8 × (2^32−1) < 2^63,
+    // so the aggregate can't trip ANSI-mode long overflow
     spark.range(0L, Rows, 1L, spark.sparkContext.defaultParallelism)
-      .select(sum(xxhash64(col("id")))).collect()
+      .select(sum(chained.bitwiseAND(lit(4294967295L))))
+      .collect()
     (System.nanoTime() - t0) / 1e9
   }
 

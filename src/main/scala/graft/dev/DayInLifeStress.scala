@@ -116,7 +116,10 @@ object DayInLifeStress {
     // the VIDEO arm — the SIXTH sink (r17 ask #7: video had a full
     // lifecycle square but no standing-stream serving artifact): every
     // doc also renders to a 4-frame GIF clip from its current text,
-    // indexed under the frame-sample-hash coder
+    // indexed under the frame-sample-hash coder. SPARK_GRAFT_VIDEO=0
+    // reverts to the five-sink composition (the r16/r17 band's shape)
+    // so the video arm's cost is A/B-able against the same binary.
+    val videoOn = sys.env.getOrElse("SPARK_GRAFT_VIDEO", "1") != "0"
     val vpayOf = udf((id: Long, text: String) =>
       graft.operators.SyntheticMedia.gif(s"dil-v${id % 97}", text))
     val seedV = seed.withColumn("embedding", vecOf(col("doc_id")))
@@ -137,7 +140,7 @@ object DayInLifeStress {
       seed.select(col("doc_id"),
         apayOf(col("doc_id"), col("text")).as("payload")),
       "doc_id", "payload", audioDir, coder = "audio_energy")
-    graft.operators.DedupIndex.writeMedia(
+    if (videoOn) graft.operators.DedupIndex.writeMedia(
       seed.select(col("doc_id"),
         vpayOf(col("doc_id"), col("text")).as("payload")),
       "doc_id", "payload", vidDir, coder = "video_framehash")
@@ -192,7 +195,9 @@ object DayInLifeStress {
           org.apache.spark.sql.types.BinaryType, nullable = true))))
     writeRows(aqDir, "aq0", audioProbeDf().limit(1))
     // video probe batch: exact clip copies of the same 25 anchors
-    val videoProbe = seed.orderBy(col("doc_id")).limit(25)
+    val videoProbe: Seq[org.apache.spark.sql.Row] =
+      if (!videoOn) Seq.empty else
+      seed.orderBy(col("doc_id")).limit(25)
       .select((col("doc_id") + 970000L).as("doc_id"),
         vpayOf(col("doc_id"), col("text")).as("payload"))
       .collect().toSeq
@@ -203,7 +208,7 @@ object DayInLifeStress {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("payload",
           org.apache.spark.sql.types.BinaryType, nullable = true))))
-    writeRows(vqDir, "vq0", videoProbeDf().limit(1))
+    if (videoOn) writeRows(vqDir, "vq0", videoProbeDf().limit(1))
 
     val chSchema = spark.read.parquet(s"$chDir/b0").schema
     val qSchema = spark.read.parquet(s"$qDir/q0").schema
@@ -226,9 +231,10 @@ object DayInLifeStress {
     val maintAudio = graft.streaming.CdcStream.startMediaIndexMaintenance(
       chStream, "doc_id", "apayload", audioDir, ck(), col("seq"),
       compactAt(4))
-    val maintVideo = graft.streaming.CdcStream.startMediaIndexMaintenance(
-      chStream, "doc_id", "vpayload", vidDir, ck(), col("seq"),
-      compactAt(5))
+    val maintVideo = if (!videoOn) None else Some(
+      graft.streaming.CdcStream.startMediaIndexMaintenance(
+        chStream, "doc_id", "vpayload", vidDir, ck(), col("seq"),
+        compactAt(5)))
     val search = graft.streaming.CdcStream.startHybridSearch(
       spark.readStream.schema(qSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$qDir/q*/"),
@@ -243,11 +249,13 @@ object DayInLifeStress {
       spark.readStream.schema(aqSchema).option("maxFilesPerTrigger", 1)
         .parquet(s"$aqDir/aq*/"),
       "doc_id", "payload", audioDir, aOutDir, ck())
-    val vqSchema = spark.read.parquet(s"$vqDir/vq0").schema
-    val videoSearch = graft.streaming.CdcStream.startAhashNearDup(
-      spark.readStream.schema(vqSchema).option("maxFilesPerTrigger", 1)
-        .parquet(s"$vqDir/vq*/"),
-      "doc_id", "payload", vidDir, vOutDir, ck())
+    val videoSearch = if (!videoOn) None else Some {
+      val vqSchema = spark.read.parquet(s"$vqDir/vq0").schema
+      graft.streaming.CdcStream.startAhashNearDup(
+        spark.readStream.schema(vqSchema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$vqDir/vq*/"),
+        "doc_id", "payload", vidDir, vOutDir, ck())
+    }
 
     var seq = 1L
     val perTrigger = scala.collection.mutable.ArrayBuffer
@@ -318,7 +326,7 @@ object DayInLifeStress {
       maintVec.processAllAvailable()
       maintMedia.processAllAvailable()
       maintAudio.processAllAvailable()
-      maintVideo.processAllAvailable()
+      maintVideo.foreach(_.processAllAvailable())
       val maintS = (System.nanoTime() - t0) / 1e9
       writeRows(qDir, s"q$t", queryRows.toDF("doc_id", "text",
         "embedding"))
@@ -333,10 +341,12 @@ object DayInLifeStress {
       t0 = System.nanoTime()
       audioSearch.processAllAvailable()
       val audioS = (System.nanoTime() - t0) / 1e9
-      writeRows(vqDir, s"vq$t", videoProbeDf())
-      t0 = System.nanoTime()
-      videoSearch.processAllAvailable()
-      val videoS = (System.nanoTime() - t0) / 1e9
+      val videoS = videoSearch.fold(0.0) { vs =>
+        writeRows(vqDir, s"vq$t", videoProbeDf())
+        t0 = System.nanoTime()
+        vs.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
       perTrigger += ((maintS, searchS, mediaS, audioS, videoS))
       val g = geometryState()
       geoTrail += g
@@ -349,14 +359,15 @@ object DayInLifeStress {
         else ""))
     }
     maintTxt.stop(); maintLex.stop(); maintVec.stop()
-    maintMedia.stop(); maintAudio.stop(); maintVideo.stop()
+    maintMedia.stop(); maintAudio.stop(); maintVideo.foreach(_.stop())
     search.stop(); mediaSearch.stop(); audioSearch.stop()
-    videoSearch.stop()
+    videoSearch.foreach(_.stop())
 
     val served = spark.read.parquet(outDir).count()
     val servedMedia = spark.read.parquet(mOutDir).count()
     val servedAudio = spark.read.parquet(aOutDir).count()
-    val servedVideo = spark.read.parquet(vOutDir).count()
+    val servedVideo =
+      if (videoOn) spark.read.parquet(vOutDir).count() else -1L
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val trigJson = perTrigger.zipWithIndex.map {
@@ -389,6 +400,7 @@ object DayInLifeStress {
       s""""build_s":${fmt(buildS)},"served_rows":$served,""" +
       s""""served_media_pairs":$servedMedia,""" +
       s""""served_audio_pairs":$servedAudio,""" +
+      s""""video_arm":$videoOn,""" +
       s""""served_video_pairs":$servedVideo,""" +
       s""""sentinel":${graft.Sentinel.statsJson(sentinels.toSeq)},""" +
       s""""per_trigger":$trigJson}"""
