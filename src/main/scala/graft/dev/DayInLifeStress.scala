@@ -122,6 +122,15 @@ object DayInLifeStress {
     val videoOn = sys.env.getOrElse("SPARK_GRAFT_VIDEO", "1") != "0"
     val vpayOf = udf((id: Long, text: String) =>
       graft.operators.SyntheticMedia.gif(s"dil-v${id % 97}", text))
+    // change batches carry the vpayload column either way (schema
+    // stability for the file source), but with the video arm OFF they
+    // must not pay per-row GIF rendering — a null binary restores the
+    // true five-sink (r16/r17) shape so the A/B is pure
+    val vpayCol: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column =
+      if (videoOn) (id, text) => vpayOf(id, text)
+      else (_, _) => lit(null)
+        .cast(org.apache.spark.sql.types.BinaryType)
     val seedV = seed.withColumn("embedding", vecOf(col("doc_id")))
     println(s"corpus $nDocs docs, seed ${seed.count()}")
 
@@ -163,7 +172,7 @@ object DayInLifeStress {
         col("text"), vecOf(col("doc_id")).as("embedding"),
         payOf(col("doc_id"), col("text")).as("payload"),
         apayOf(col("doc_id"), col("text")).as("apayload"),
-        vpayOf(col("doc_id"), col("text")).as("vpayload")))
+        vpayCol(col("doc_id"), col("text")).as("vpayload")))
     writeRows(qDir, "q0", queryRows.take(1)
       .toDF("doc_id", "text", "embedding"))
     // media probe batch: EXACT image copies of the 25 query-anchor seed
@@ -319,7 +328,7 @@ object DayInLifeStress {
           "embedding")
           .withColumn("payload", payOf(col("doc_id"), col("text")))
           .withColumn("apayload", apayOf(col("doc_id"), col("text")))
-          .withColumn("vpayload", vpayOf(col("doc_id"), col("text"))))
+          .withColumn("vpayload", vpayCol(col("doc_id"), col("text"))))
       t0 = System.nanoTime()
       maintTxt.processAllAvailable()
       maintLex.processAllAvailable()

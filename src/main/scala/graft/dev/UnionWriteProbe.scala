@@ -68,7 +68,11 @@ object UnionWriteProbe {
     val u1 = run(union = true)
     val u2 = run(union = true)
     val s2 = run(union = false)
-    def f(d: Double) = f"$d%.2f".toDouble
+    // Locale.ROOT, as Bench.fmt/Sentinel.statsJson do: the f
+    // interpolator honors the JVM default locale, and a comma-decimal
+    // locale would emit "1,23" (invalid JSON, and toDouble would throw)
+    def f(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     println(s"""{"metric":"union_write_ab","absorbs":$absorbs,""" +
       s""""batch":$batch,""" +
       s""""serial_wall_sec":[${f(s1._1)},${f(s2._1)}],""" +

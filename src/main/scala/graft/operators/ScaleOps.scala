@@ -179,11 +179,34 @@ object ScaleOps {
     var scratch = borrowScratch(spark, schema, bucketCols, numBuckets,
       partitioned = true)
     try {
-      def insert(): Unit =
+      def insert(): Unit = {
+        // Pooled scratch reuse + dynamic partition overwrite is a
+        // correctness trap: dynamic mode only replaces partitions
+        // PRESENT in the incoming batch, so any __graft_part=i files a
+        // previous borrow left behind (a borrow that failed between its
+        // insert and its move returns the table to the pool with files
+        // still staged; a narrower union then never overwrites the high
+        // part indexes) would survive the insert, and moveDataFiles
+        // would publish those stale rows into the new component. Static
+        // mode (the default) truncates the whole table, so only dynamic
+        // needs an explicit file-level clear; writer options are not
+        // reliably propagated through insertInto and flipping the
+        // session conf would race concurrent user queries, hence the
+        // direct delete.
+        if (spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+            "static").equalsIgnoreCase("dynamic")) {
+          val loc = new org.apache.hadoop.fs.Path(scratch.location)
+          val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(loc))
+            fs.listStatus(loc).filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith(s"$UnionTag="))
+              .foreach(st => fs.delete(st.getPath, true))
+        }
         tagged.repartition(p, bucketCols.map(col): _*)
           .write
           .mode("overwrite")
           .insertInto(scratch.table)
+      }
       try insert()
       catch {
         case e: org.apache.spark.sql.AnalysisException

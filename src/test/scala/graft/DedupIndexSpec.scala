@@ -495,12 +495,14 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("union staged writes commit the same index as per-component writes") {
-    // r18: the four bkey-bucketed components of a text absorb ride two
-    // union inserts (bands+simbands, sizes+simsizes) when
-    // spark.graft.stage.unionwrites is on (default). Same base + same
-    // absorb sequence (including a refresh, which adds negative size
-    // deltas and tombstones) must commit byte-equal component CONTENTS
-    // either way.
+    // r18: union staged writes are OPT-IN (spark.graft.stage.unionwrites,
+    // default OFF — measured net-negative on this host, see DedupIndex
+    // scaladoc). When enabled, the four bkey-bucketed components of a
+    // text absorb ride two union inserts (bands+simbands,
+    // sizes+simsizes). This spec pins the opt-in path byte-equal to the
+    // default per-component path: same base + same absorb sequence
+    // (including a refresh, which adds negative size deltas and
+    // tombstones) must commit byte-equal component CONTENTS either way.
     CachedPlans.clear()
     val dirU = java.nio.file.Files
       .createTempDirectory("graft-idx-union").toString

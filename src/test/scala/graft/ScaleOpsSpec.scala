@@ -202,6 +202,54 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketedUnionAt under dynamic partitionOverwriteMode clears stale pooled partitions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wbud").toString
+    // dynamic overwrite only replaces partitions PRESENT in the incoming
+    // batch — without the explicit clear, a pooled scratch table reused
+    // by a NARROWER union (or one with an empty part) would republish the
+    // previous borrow's __graft_part rows into the new component
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val a = spark.range(0, 200).select($"id",
+        concat(lit("a"), $"id").as("dyn_v"))
+      val b = spark.range(200, 300).select($"id",
+        concat(lit("b"), $"id").as("dyn_v"))
+      val c = spark.range(300, 350).select($"id",
+        concat(lit("c"), $"id").as("dyn_v"))
+      ScaleOps.writeBucketedUnionAt(
+        Seq(a -> s"$root/p0", b -> s"$root/p1", c -> s"$root/p2"),
+        Seq("id"), 8)
+      assert(spark.read.parquet(s"$root/p1").count() === 100)
+      // simulate a prior borrow that FAILED between its insert and its
+      // move: the table went back to the pool with files still staged
+      // in a partition dir (the normal path leaves dirs empty — every
+      // move drains them — so this is the window dynamic mode exposes)
+      val scratchTbls = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_scratch_"))
+        .filter(t => spark.table(t).schema.fieldNames.toSeq ===
+          Seq("id", "dyn_v", "__graft_part"))
+      assert(scratchTbls.nonEmpty, "pooled partitioned scratch not found")
+      scratchTbls.foreach(t => spark.sql(
+        s"INSERT INTO $t PARTITION(__graft_part=1) " +
+          "SELECT id, concat('stale', id) FROM range(100)"))
+      // second borrow of the SAME pooled signature: two parts, the
+      // second empty — part index 1 must NOT publish the leftover rows
+      val d = spark.range(400, 450).select($"id",
+        concat(lit("d"), $"id").as("dyn_v"))
+      ScaleOps.writeBucketedUnionAt(
+        Seq(d -> s"$root/q0", a.limit(0) -> s"$root/q1"), Seq("id"), 8)
+      val q0 = spark.read.parquet(s"$root/q0")
+      assert(q0.count() === 50)
+      assert(q0.select("dyn_v").as[String].collect()
+        .forall(_.startsWith("d")))
+      val q1 = new java.io.File(s"$root/q1")
+      assert(!q1.exists() || q1.listFiles().forall(f =>
+        f.getName.startsWith("_") || f.getName.startsWith(".")),
+        "stale pooled partition files republished into the empty part")
+    } finally
+      spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+  }
+
   test("writeBucketedAt recovers when a pooled scratch table was dropped externally") {
     val root = java.nio.file.Files.createTempDirectory("graft-wbad").toString
     val a = spark.range(0, 60).select($"id",
