@@ -411,6 +411,8 @@ object DayInLifeStress {
       s""""served_audio_pairs":$servedAudio,""" +
       s""""video_arm":$videoOn,""" +
       s""""served_video_pairs":$servedVideo,""" +
+      (if (sentinels.nonEmpty) s""""sentinel_quiet_ref":${
+        fmt(graft.Sentinel.quietRef(sentinels.min, 32))},""" else "") +
       s""""sentinel":${graft.Sentinel.statsJson(sentinels.toSeq)},""" +
       s""""per_trigger":$trigJson}"""
     println(json)

@@ -1,0 +1,38 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot tenancy probe for the sentinel-gated bench cadence (r18
+  * judge ask #1): spin a session, take two unrecorded sentinel warmups
+  * plus five measurements, print the stats JSON with the persisted
+  * quiet floor, and exit 0 iff the median is under the gate threshold
+  * (SPARK_GRAFT_PROBE_GATE, default 0.60 s at 32 cores — the wall
+  * target only lands near the idle floor, so the gate sits just above
+  * it rather than at r18's looser 0.72). Cheap enough (~20 s) to run
+  * between work items all round; fire the full bench only on exit 0.
+  */
+object SentinelProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val gate = sys.env.getOrElse("SPARK_GRAFT_PROBE_GATE", "0.60").toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Sentinel.measure(spark); graft.Sentinel.measure(spark)
+    val series = (1 to 5).map(_ => graft.Sentinel.measure(spark))
+    val quiet = graft.Sentinel.quietRef(series.min, cpus.toInt)
+    spark.stop()
+    val s = series.sorted
+    val med = s(s.size / 2)
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"metric":"sentinel_probe","gate":${fmt(gate)},""" +
+      s""""median":${fmt(med)},"quiet":${med < gate},""" +
+      s""""sentinel_quiet_ref":${fmt(quiet)},""" +
+      s""""sentinel":${graft.Sentinel.statsJson(series)}}""")
+    sys.exit(if (med < gate) 0 else 1)
+  }
+}
