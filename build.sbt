@@ -49,21 +49,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // which cannot traverse into /root, and plan-string assertions got
 // fragile when longer paths pushed scan metadata past its render
 // truncation (run-1 failure post-mortem).
+// One consistent source: the per-suite sums from a single full run's
+// target/test-reports XMLs (r19, after the two ~220-260 s anchor
+// suites — DedupIndexSpec and CdcStreamSpec — were split four and five
+// ways along their modality seams so no single suite anchors the
+// wall; largest piece is now ~122 s). LPT only needs the ratios, so
+// one run's tax level cancels out.
 val suiteWeightsSec: Map[String, Double] = Map(
-  "graft.DedupIndexSpec" -> 221, "graft.CdcStreamSpec" -> 208,
-  "graft.RetrievalSpec" -> 73, "graft.StagerStressSpec" -> 45,
-  "graft.LexicalIndexSpec" -> 41, "graft.MediaIndexSpec" -> 37,
-  "graft.SimilaritySpec" -> 37, "graft.PlanShapeSpec" -> 30,
-  "graft.DedupSpec" -> 17, "graft.BpeSpec" -> 10,
-  "graft.CdcFileListerSpec" -> 10, "graft.TopKAggregatorSpec" -> 10,
-  "graft.JdbcRoundTripSpec" -> 6, "graft.ReducerPropertySpec" -> 6,
-  "graft.CurationQueriesSpec" -> 6, "graft.T1SmokeSpec" -> 6,
-  "graft.PackingSpec" -> 6, "graft.ScaleOpsSpec" -> 6,
-  "graft.TemporalSpec" -> 6, "graft.CdcJobsSpec" -> 5,
-  "graft.ApproxDistinctSpec" -> 5, "graft.DiffEngineSpec" -> 4,
+  "graft.RetrievalSpec" -> 122, "graft.DedupIndexVectorSpec" -> 122,
+  "graft.DedupIndexCommitSpec" -> 105, "graft.CdcStreamMediaSpec" -> 72,
+  "graft.CdcStreamMaintSpec" -> 70, "graft.DedupIndexSpec" -> 64,
+  "graft.DedupIndexLifecycleSpec" -> 54, "graft.MediaIndexSpec" -> 47,
+  "graft.SimilaritySpec" -> 46, "graft.LexicalIndexSpec" -> 41,
+  "graft.CdcStreamSpec" -> 40, "graft.CdcStreamNearDupSpec" -> 39,
+  "graft.CdcStreamVectorMaintSpec" -> 37, "graft.PlanShapeSpec" -> 23,
+  "graft.DedupSpec" -> 20, "graft.BpeSpec" -> 15,
+  "graft.StagerStressSpec" -> 14, "graft.CdcFileListerSpec" -> 12,
+  "graft.CurationQueriesSpec" -> 10, "graft.ScaleOpsSpec" -> 9,
+  "graft.ReducerPropertySpec" -> 7, "graft.JdbcRoundTripSpec" -> 7,
+  "graft.CdcJobsSpec" -> 7, "graft.TemporalSpec" -> 5,
+  "graft.DiffEngineSpec" -> 5, "graft.PackingSpec" -> 5,
 )
+// Default rose 4 → 6 with the anchor splits: LPT's ideal wall is
+// ~1015/6 ≈ 170 s of suite time per group, each group JVM's session
+// runs local[4], and 6 groups fit the 32 CPUs with headroom.
 val graftTestGroups =
-  sys.env.get("GRAFT_TEST_GROUPS").map(_.toInt).getOrElse(4)
+  sys.env.get("GRAFT_TEST_GROUPS").map(_.toInt).getOrElse(6)
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
@@ -102,3 +113,24 @@ Global / concurrentRestrictions := Seq(
   Tags.limitAll(math.max(graftTestGroups, 8)),
   Tags.limit(Tags.ForkedTestGroup, graftTestGroups),
 )
+
+// ---- canceled-test guard (r18 judge ask #4) ---------------------------
+// The forked-group migration silently CANCELED 6 PgLiveSpec tests while
+// `sbt test` exited green — a canceled test is a test that did NOT run,
+// and a green exit must not hide that. Re-run the default summary
+// logger, then fail the build when any test canceled. (An ABORTED suite
+// already surfaces as an Error event → overall Failed → the default
+// logger throws, so canceled was the one silent mode left. Guard is on
+// `test`, the gate the driver and round-close run; `testOnly` is a dev
+// loop and stays unguarded.) Demonstrated by CanceledGuardSpec:
+// GRAFT_FORCE_CANCEL=1 sbt test must FAIL with the message below.
+Test / test := {
+  val out = (Test / executeTests).value
+  (Test / testResultLogger).value.run(streams.value.log, out, "graft:test")
+  val canceled = out.events.values.map(_.canceledCount).sum
+  if (canceled > 0)
+    throw new MessageOnlyException(
+      s"canceled-test guard: $canceled canceled test(s) — canceled " +
+        "means 'did not run'; fix the cancellation cause (see the " +
+        "suite summaries above) instead of shipping a green exit")
+}
