@@ -410,6 +410,7 @@ object DayInLifeStress {
       s""""served_media_pairs":$servedMedia,""" +
       s""""served_audio_pairs":$servedAudio,""" +
       s""""video_arm":$videoOn,""" +
+      s""""stage_par":${spark.conf.get("spark.graft.stage.parallelism")},""" +
       s""""served_video_pairs":$servedVideo,""" +
       (if (sentinels.nonEmpty) s""""sentinel_quiet_ref":${
         fmt(graft.Sentinel.quietRef(sentinels.min, 32))},""" else "") +
