@@ -90,7 +90,9 @@ object Sentinel {
     * floor); on a new substrate the file starts from the first run's
     * own minimum and re-converges downward.
     */
-  def quietRef(runMin: Double, cores: Int): Double = repoRoot.map { repo =>
+  def quietRef(runMin: Double, cores: Int,
+      rootOverride: Option[java.nio.file.Path] = None): Double =
+    rootOverride.orElse(repoRoot).map { repo =>
     val p = repo.resolve("dev").resolve(s"sentinel_quiet_ref_c$cores.txt")
     val prior =
       try {
