@@ -260,8 +260,10 @@ object Bench {
     // BENCH_r{N}.json (this run feeds the upcoming round's record);
     // re-runs within a round just overwrite the same file. SKIPPED for
     // SPARK_GRAFT_ONLY-filtered dev runs — a partial query map must
-    // never masquerade as the round's full record.
-    if (only.isEmpty) try {
+    // never masquerade as the round's full record — and for runs whose
+    // output was redirected via SPARK_GRAFT_BENCH_OUT (a dev A/B that
+    // asked to land elsewhere must not also clobber the round record).
+    if (only.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_OUT").isEmpty) try {
       repoRoot.foreach { repo =>
       if (java.nio.file.Files.isDirectory(repo)) {
         val rx = "BENCH_r(\\d+)\\.json".r
