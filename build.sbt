@@ -124,13 +124,35 @@ Global / concurrentRestrictions := Seq(
 // `test`, the gate the driver and round-close run; `testOnly` is a dev
 // loop and stays unguarded.) Demonstrated by CanceledGuardSpec:
 // GRAFT_FORCE_CANCEL=1 sbt test must FAIL with the message below.
+//
+// Hosts that GENUINELY lack a test's environment (e.g. no Postgres
+// binaries for PgLiveSpec's designed skip) opt out per suite with
+// GRAFT_ALLOW_CANCELED=graft.PgLiveSpec[,...]: cancels in the named
+// suites log a loud warning instead of failing. Deliberately NOT the
+// default — the r18 incident was PgLiveSpec's own designed skip firing
+// for the wrong reason (unreadable group dirs, not missing Postgres),
+// so an always-on allowlist would re-hide exactly that.
 Test / test := {
   val out = (Test / executeTests).value
-  (Test / testResultLogger).value.run(streams.value.log, out, "graft:test")
-  val canceled = out.events.values.map(_.canceledCount).sum
-  if (canceled > 0)
+  val log = streams.value.log
+  (Test / testResultLogger).value.run(log, out, "graft:test")
+  val allowed = sys.env.get("GRAFT_ALLOW_CANCELED")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    .getOrElse(Set.empty[String])
+  val (tolerated, fatal) = out.events.toSeq
+    .filter(_._2.canceledCount > 0)
+    .partition { case (suite, _) => allowed(suite) }
+  tolerated.foreach { case (suite, r) =>
+    log.warn(s"canceled-test guard: tolerating ${r.canceledCount} " +
+      s"canceled test(s) in $suite (GRAFT_ALLOW_CANCELED)")
+  }
+  if (fatal.nonEmpty) {
+    val detail = fatal.map { case (s, r) => s"$s=${r.canceledCount}" }
+      .mkString(", ")
     throw new MessageOnlyException(
-      s"canceled-test guard: $canceled canceled test(s) — canceled " +
+      s"canceled-test guard: canceled test(s) in [$detail] — canceled " +
         "means 'did not run'; fix the cancellation cause (see the " +
-        "suite summaries above) instead of shipping a green exit")
+        "suite summaries above), or if this host genuinely lacks the " +
+        "suite's environment set GRAFT_ALLOW_CANCELED=<suite,...>")
+  }
 }

@@ -413,7 +413,8 @@ object DayInLifeStress {
       s""""stage_par":${spark.conf.get("spark.graft.stage.parallelism")},""" +
       s""""served_video_pairs":$servedVideo,""" +
       (if (sentinels.nonEmpty) s""""sentinel_quiet_ref":${
-        fmt(graft.Sentinel.quietRef(sentinels.min, 32))},""" else "") +
+        fmt(graft.Sentinel.quietRef(sentinels.min,
+          spark.sparkContext.defaultParallelism))},""" else "") +
       s""""sentinel":${graft.Sentinel.statsJson(sentinels.toSeq)},""" +
       s""""per_trigger":$trigJson}"""
     println(json)

@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
 object SentinelProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val gate = sys.env.getOrElse("SPARK_GRAFT_PROBE_GATE", "0.60").toDouble
+    // the sentinel is fixed TOTAL work, so its idle wall scales roughly
+    // inversely with cores — the default gate is calibrated at 32 cores
+    // and scales with the session size so an 8-core host isn't reported
+    // permanently "not quiet" (override always wins)
+    val gate = sys.env.get("SPARK_GRAFT_PROBE_GATE").map(_.toDouble)
+      .getOrElse(0.60 * 32.0 / cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
