@@ -208,10 +208,16 @@ object Bench {
     // record is quiet-normalizable standalone (r18 judge ask #5)
     val quietRef =
       if (sentinels.nonEmpty)
-        Some(Sentinel.quietRef(sentinels.min, cpus.toInt))
+        Some(Sentinel.quietRef(sentinels.min, cpus.toInt, tag = "bench"))
       else None
+    // attempt tag (r19 judge ask #3): every record names itself with a
+    // start-of-write timestamp so BENCH_NOTES can reference the EXACT
+    // attempt a committed record came from — r19's canonical record
+    // matched none of the attempts its notes described
+    val attempt = java.time.Instant.now().toString
     def record(qMin: String, qMed: String, fail: String, extra: String) =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":$reps,""" +
+        s""""attempt":"$attempt",""" +
         s""""stat":"min","nq":${names.length},$fail$extra""" +
         quietRef.map(r =>
           s""""sentinel_quiet_ref":${fmt(r)},""").getOrElse("") +

@@ -91,35 +91,67 @@ object Sentinel {
     * own minimum and re-converges downward.
     */
   def quietRef(runMin: Double, cores: Int,
-      rootOverride: Option[java.nio.file.Path] = None): Double =
+      rootOverride: Option[java.nio.file.Path] = None,
+      tag: String = ""): Double =
     rootOverride.orElse(repoRoot).map { repo =>
     val p = repo.resolve("dev").resolve(s"sentinel_quiet_ref_c$cores.txt")
-    val prior =
+    // The floor is a MONOTONE minimum — "never raises" is the invariant
+    // every record's quiet normalization leans on. So the seed-from-this-
+    // run path is reserved for states where no lower floor can exist:
+    // the file is absent (first run on this substrate) or its content is
+    // durably unparsable. A TRANSIENT read failure (permissions hiccup,
+    // IO error) means a lower floor may exist but is unreadable — writing
+    // this run's min could silently RAISE it, so those return the run min
+    // without persisting anything.
+    val prior: Option[Double] =
       try {
         val s = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s.isEmpty) Double.MaxValue else s.toDouble
-      } catch { case _: Exception => Double.MaxValue }
-    val ref = math.min(prior, runMin)
-    // Persisted at millisecond granularity (%.3f, round-to-nearest): the
-    // invariant "stored = all-time minimum" holds to ±0.0005 s — 0.1% of
-    // a 0.55 s floor, far inside the 10% quiet band the ref anchors.
-    // Tmp name is per-writer (concurrent bench + day-in-the-life runs
-    // must not truncate each other's staging file mid-publish); the
-    // remaining publish race between two simultaneous new minima can
-    // keep the slightly higher one, which the next calm run re-lowers.
-    if (ref < prior)
-      try {
-        java.nio.file.Files.createDirectories(p.getParent)
-        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp." +
-          java.util.UUID.randomUUID.toString.take(8))
-        java.nio.file.Files.write(tmp, String.format(
-          java.util.Locale.ROOT, "%.3f%n", Double.box(ref))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch { case _: Exception => () }
-    ref
+        Some(try { if (s.isEmpty) Double.MaxValue else s.toDouble }
+          catch { case _: NumberFormatException => Double.MaxValue })
+      } catch {
+        case _: java.nio.file.NoSuchFileException => Some(Double.MaxValue)
+        case _: Exception => None
+      }
+    prior match {
+      case None => runMin
+      case Some(pr) =>
+        val ref = math.min(pr, runMin)
+        // Persisted at millisecond granularity (%.3f, round-to-nearest):
+        // the invariant "stored = all-time minimum" holds to ±0.0005 s —
+        // 0.1% of a 0.55 s floor, far inside the 10% quiet band the ref
+        // anchors. Tmp name is per-writer (concurrent bench +
+        // day-in-the-life runs must not truncate each other's staging
+        // file mid-publish); the remaining publish race between two
+        // simultaneous new minima can keep the slightly higher one,
+        // which the next calm run re-lowers.
+        if (ref < pr)
+          try {
+            java.nio.file.Files.createDirectories(p.getParent)
+            val tmp = p.resolveSibling(p.getFileName.toString + ".tmp." +
+              java.util.UUID.randomUUID.toString.take(8))
+            java.nio.file.Files.write(tmp, String.format(
+              java.util.Locale.ROOT, "%.3f%n", Double.box(ref))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            // provenance ledger: every lowering appends one line
+            // (new floor, who set it, when), so a record's
+            // normalization anchor is traceable to the run that set it
+            // instead of being an anonymous lifetime extreme
+            java.nio.file.Files.write(
+              p.resolveSibling(
+                s"sentinel_quiet_ref_c$cores.provenance.txt"),
+              String.format(java.util.Locale.ROOT, "%.3f set_by=%s at=%s%n",
+                Double.box(ref),
+                if (tag.isEmpty) "unnamed" else tag,
+                java.time.Instant.now().toString)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.APPEND)
+          } catch { case _: Exception => () }
+        ref
+    }
   }.getOrElse(runMin)
 }

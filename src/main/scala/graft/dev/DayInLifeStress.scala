@@ -69,9 +69,11 @@ object DayInLifeStress {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // A/B knob for the staged-write fan-out width (r17 ask: the
       // trigger band is staged-write-job dominated; ≤11 independent
-      // component writes per absorb vs the default pool of 4)
+      // component writes per absorb vs the default pool of 4). Parsed
+      // to Int at session build — a non-numeric value must fail HERE,
+      // not surface an hour later as an invalid-JSON record line.
       .config("spark.graft.stage.parallelism",
-        sys.env.getOrElse("SPARK_GRAFT_STAGE_PAR", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_STAGE_PAR", "4").toInt.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -410,11 +412,14 @@ object DayInLifeStress {
       s""""served_media_pairs":$servedMedia,""" +
       s""""served_audio_pairs":$servedAudio,""" +
       s""""video_arm":$videoOn,""" +
-      s""""stage_par":${spark.conf.get("spark.graft.stage.parallelism")},""" +
+      s""""stage_par":${
+        spark.conf.get("spark.graft.stage.parallelism").toInt},""" +
+      s""""attempt":"${java.time.Instant.now().toString}",""" +
       s""""served_video_pairs":$servedVideo,""" +
       (if (sentinels.nonEmpty) s""""sentinel_quiet_ref":${
         fmt(graft.Sentinel.quietRef(sentinels.min,
-          spark.sparkContext.defaultParallelism))},""" else "") +
+          spark.sparkContext.defaultParallelism,
+          tag = "dayinlife"))},""" else "") +
       s""""sentinel":${graft.Sentinel.statsJson(sentinels.toSeq)},""" +
       s""""per_trigger":$trigJson}"""
     println(json)

@@ -17,9 +17,15 @@ object SentinelProbe {
     // the sentinel is fixed TOTAL work, so its idle wall scales roughly
     // inversely with cores — the default gate is calibrated at 32 cores
     // and scales with the session size so an 8-core host isn't reported
-    // permanently "not quiet" (override always wins)
+    // permanently "not quiet" (override always wins). The scaling term
+    // is clamped to the host's PHYSICAL cores: local[N] with N above
+    // availableProcessors oversubscribes threads without speeding the
+    // sentinel up, so an unclamped gate would read permanently not-quiet
+    // on smaller hosts.
+    val scaleCores = math.min(cpus.toInt,
+      Runtime.getRuntime.availableProcessors)
     val gate = sys.env.get("SPARK_GRAFT_PROBE_GATE").map(_.toDouble)
-      .getOrElse(0.60 * 32.0 / cpus.toInt)
+      .getOrElse(0.60 * 32.0 / scaleCores)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +34,8 @@ object SentinelProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.Sentinel.measure(spark); graft.Sentinel.measure(spark)
     val series = (1 to 5).map(_ => graft.Sentinel.measure(spark))
-    val quiet = graft.Sentinel.quietRef(series.min, cpus.toInt)
+    val quiet = graft.Sentinel.quietRef(series.min, cpus.toInt,
+      tag = "sentinel_probe")
     spark.stop()
     val s = series.sorted
     val med = s(s.size / 2)

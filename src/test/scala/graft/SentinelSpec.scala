@@ -51,6 +51,36 @@ class SentinelSpec extends AnyFunSuite {
     assert(stored(root, 32) === "0.640")
   }
 
+  test("quietRef does NOT persist on a transient read failure — a run min above the stored floor must never replace it") {
+    val root = tmpRoot()
+    val dir = root.resolve("dev")
+    java.nio.file.Files.createDirectories(dir)
+    // a DIRECTORY at the floor path makes readAllBytes throw IOException
+    // (not NoSuchFileException) — the stand-in for a permissions hiccup
+    // or transient IO error: the floor may exist but is unreadable
+    val p = dir.resolve("sentinel_quiet_ref_c32.txt")
+    java.nio.file.Files.createDirectory(p)
+    assert(Sentinel.quietRef(0.900, 32, Some(root)) === 0.900)
+    // nothing was written over it: the path is still the directory
+    assert(java.nio.file.Files.isDirectory(p))
+  }
+
+  test("lowering the floor appends a provenance line naming the run that set it") {
+    val root = tmpRoot()
+    assert(Sentinel.quietRef(0.700, 32, Some(root), tag = "bench") === 0.700)
+    assert(Sentinel.quietRef(0.600, 32, Some(root), tag = "probe") === 0.600)
+    // a non-lowering run leaves the ledger alone
+    assert(Sentinel.quietRef(0.800, 32, Some(root), tag = "taxed") === 0.600)
+    val prov = new String(java.nio.file.Files.readAllBytes(
+      root.resolve("dev").resolve("sentinel_quiet_ref_c32.provenance.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val lines = prov.trim.split("\\R").toSeq
+    assert(lines.size === 2)
+    assert(lines(0).startsWith("0.700 set_by=bench at="))
+    assert(lines(1).startsWith("0.600 set_by=probe at="))
+    assert(!prov.contains("taxed"))
+  }
+
   test("statsJson and seriesJson are locale-proof and carry the band") {
     val s = Seq(0.70, 0.55, 0.61)
     val json = Sentinel.statsJson(s)
