@@ -78,6 +78,26 @@ object MediaStress {
     }(enc)
   }
 
+  /** [[payloads]]' AUDIO twin: (doc_id, g, text) rows rendered to
+    * 128-sample PCM16 WAV clips exactly like the oracle fixture
+    * ([[graft.queries.TextQueries.audioPayloads]] shape — template g,
+    * noise text), so the ×100 gate measures the RIFF-decode + energy-
+    * hash path the gated `mm_audiohash_*` queries run.
+    */
+  private def wavPayloads(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false))))
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        org.apache.spark.sql.Row(r.getLong(0),
+          graft.operators.SyntheticMedia.wav(r.getString(1),
+            r.getString(2)))
+      }
+    }(enc)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTORS", "1,10,100")
@@ -93,9 +113,13 @@ object MediaStress {
     // same index machinery, same probe entry point, pinned coder
     val coder = sys.env.getOrElse("SPARK_GRAFT_MEDIA_CODER", "image_ahash")
     val video = coder == "video_framehash"
-    require(video || coder == "image_ahash", s"unknown coder $coder")
+    val audio = coder == "audio_energy"
+    require(video || audio || coder == "image_ahash",
+      s"unknown coder $coder")
     val render: DataFrame => DataFrame =
-      if (video) gifPayloads else (df => payloads(df))
+      if (video) gifPayloads
+      else if (audio) wavPayloads
+      else (df => payloads(df))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -115,6 +139,7 @@ object MediaStress {
     def mediaCorpus(dir: String, factor: Int): String = {
       val out =
         if (video) s"$dir/media_video.parquet"
+        else if (audio) s"$dir/media_audio.parquet"
         else s"$dir/media_wide.parquet"
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -208,6 +233,9 @@ object MediaStress {
           timed {
             (if (video)
               graft.operators.Dedup.incrementalFrameHashNearDupsReport(
+                probeBatch, media, "doc_id", "payload")
+            else if (audio)
+              graft.operators.Dedup.incrementalAudioHashNearDupsReport(
                 probeBatch, media, "doc_id", "payload")
             else
               graft.operators.Dedup.incrementalAhashNearDupsReport(
