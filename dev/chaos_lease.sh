@@ -29,7 +29,7 @@ torn=0; committed=0; rolled=0
 for i in $(seq 1 "$N"); do
   OFF=$((i * 100000000))
   : > "$OUT/absorb_$i.log"
-  SPARK_GRAFT_CHAOS_PROBE_SECS=22 \
+  SPARK_GRAFT_CHAOS_PROBE_SECS=40 \
     $J graft.dev.ChaosProbe > "$OUT/probe_$i.log" 2>&1 &
   PROBE_PID=$!
   SPARK_GRAFT_CHAOS_OFFSET=$OFF \
@@ -41,8 +41,13 @@ for i in $(seq 1 "$N"); do
     kill -0 $ABSORB_PID 2>/dev/null || break
     sleep 0.1
   done
+  # random 0-25 s after ABSORB_START: an uninterrupted 10k-doc absorb
+  # runs ~15-20 s on the local[8] session (the first 8 probe iterations
+  # at a 0-9 s ceiling ALL rolled back), so this ceiling lands kills on
+  # both sides of the publish — mid-staging rollbacks and post-commit
+  # survivals both occur across the run
   sleep 0.$((RANDOM % 10))$((RANDOM % 10))
-  sleep $((RANDOM % 3))
+  sleep $((RANDOM % 25))
   if kill -9 $ABSORB_PID 2>/dev/null; then killed=yes; else killed=no; fi
   wait $ABSORB_PID 2>/dev/null
   wait $PROBE_PID; PROBE_RC=$?

@@ -45,24 +45,34 @@ object ChaosLease {
     spark
   }
 
-  private[dev] def docs(spark: SparkSession): DataFrame =
-    spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+  /** Corpus/batch rows: the sf documents table replicated REP times
+    * (default 20 → 10k rows from sf0.01's 500) so one absorb's staged
+    * commit spans several seconds — a kill window wide enough that the
+    * random kill lands at genuinely different staged-commit points
+    * across iterations. Ids stay disjoint across reps; text varies per
+    * rep so content hashes differ.
+    */
+  private[dev] def docs(spark: SparkSession): DataFrame = {
+    val rep = sys.env.getOrElse("SPARK_GRAFT_CHAOS_REP", "20").toInt
+    val base = spark.read.parquet(sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.01") + "/documents.parquet")
       .select(col("doc_id"), col("text"))
+    base.crossJoin(spark.range(rep).select(col("id").as("r")))
+      .select((col("doc_id") * rep + col("r")).as("doc_id"),
+        concat(col("text"), lit(" rep-"), col("r")).as("text"))
+  }
 
   private[dev] def indexDir: String =
     sys.env.getOrElse("SPARK_GRAFT_CHAOS_DIR", "/tmp/graft_chaos/idx")
 
-  /** Distinct live ids of one generational component: latest surviving
-    * (id, gen) rows after the tombstone anti-join — the same ledger
-    * restriction the probes apply, computed here component-by-component
-    * so a partially-published absorb (some components carrying the new
-    * batch, others not) cannot agree.
+  /** Distinct live ids of one public component view ([[graft.operators
+    * .DedupIndex.loadText]] already applies the tombstone restriction
+    * and drops gen). Computed component-by-component so a partially-
+    * published absorb (some components carrying the new batch, others
+    * not) cannot agree.
     */
-  private[dev] def liveIds(c: DataFrame, tombs: DataFrame): Long =
-    c.select("id", "gen").distinct()
-      .join(tombs, Seq("id", "gen"), "left_anti")
-      .select("id").distinct().count()
+  private[dev] def liveIds(c: DataFrame): Long =
+    c.select("id").distinct().count()
 }
 
 /** Builds the seed index (arg `seed`) or absorbs one fresh batch whose
@@ -118,7 +128,7 @@ object ChaosProbe {
         graft.operators.Dedup.incrementalMinHashNearDupsReportIndexed(
           probeBatch, "doc_id", "text", idx, threshold = 0.5)
           .pairs.count()
-        seen += ChaosLease.liveIds(idx.sigs, idx.tombstones)
+        seen += ChaosLease.liveIds(idx.sigs)
         loops += 1
       } catch { case t: Throwable => failure = Some(t) }
     }
@@ -148,8 +158,7 @@ object ChaosCheck {
       ChaosLease.indexDir)
     val comps = Seq("sigs" -> idx.sigs, "dochashes" -> idx.dochashes,
       "counts" -> idx.counts, "simhashes" -> idx.simhashes)
-    val ns = comps.map { case (n, c) =>
-      n -> ChaosLease.liveIds(c, idx.tombstones) }
+    val ns = comps.map { case (n, c) => n -> ChaosLease.liveIds(c) }
     spark.stop()
     val consistent = ns.map(_._2).distinct.size == 1
     println(s"""{"metric":"chaos_check","live":${ns.head._2},""" +
