@@ -57,6 +57,21 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
+  /** `dotFold` as a native codegen'd expression over array<double>
+    * operands (see plans.DotProductD) — bit-identical to the HOF fold:
+    * both sides are cast to array<double> first (a no-op for doubles,
+    * exact widening for floats — the same cast the fold's lambda
+    * applies per element), then accumulated left-to-right from 0.0.
+    * Use for per-PAIR scoring of double-array vectors (JL reductions,
+    * PQ reconstructions), where the interpreted HOF lambda dominates.
+    */
+  def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.plans.DotProductD(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
+  }
+
   /** Σ a_i^2 (squared L2 norm). */
   def normSq(a: Column): Column = dot(a, a)
 

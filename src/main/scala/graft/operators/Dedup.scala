@@ -884,11 +884,18 @@ object Dedup {
     val toks = balanced(docs).select(col(idCol),
       explode(array_distinct(TextFunctions.tokens(lower(col(textCol)))))
         .as("tok"))
-    val hashed = toks.withColumn("th", md5(col("tok")))
+    // hex digit j's high bit (digit >= 8), extracted for ALL bits in one
+    // pass: translate maps each hex digit to '0'/'1' and conv packs the
+    // leading `bits` of them into one long, so the per-bit sums below are
+    // shift/mask ALU ops instead of `bits` substring+isin string compares
+    // per token (the dominant per-row cost of the old form). Bit values
+    // are unchanged: bit j == high bit of md5 hex digit j, as before.
+    val hashed = toks.withColumn("tv",
+      conv(substring(translate(md5(col("tok")),
+        "0123456789abcdef", "0000000011111111"), 1, bits), 2, 10)
+        .cast("long"))
     val bitSums = (1 to bits).map { j =>
-      sum(when(substring(col("th"), j, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0))
-        .as(s"s$j")
+      sum(shiftright(col("tv"), bits - j).bitwiseAND(lit(1L))).as(s"s$j")
     }
     val agg = hashed.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"), bitSums: _*)
@@ -929,15 +936,21 @@ object Dedup {
         substring(col("simhash"), b * rows + 1, rows).as("band_key")))
       .reduce(_ unionByName _)
     val (pairs, oversized) = candidatePairs(blocks, idCol, maxBucket)
-    val ham = (1 to bits).map(i =>
-      when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // signatures pack to longs ONCE PER DOC before the pair join, so the
+    // per-PAIR Hamming distance is one codegen bit_count(xor) instead of
+    // 2·bits substring compares — candidate pairs outnumber docs by
+    // orders of magnitude, so the verify cost moves from pair-scale
+    // string work to pair-scale ALU work. Distances are unchanged:
+    // differing bit chars == differing bits of the packed longs.
+    val shL = sh.select(col(idCol),
+      conv(col("simhash"), 2, 10).cast("long").as("_sl"))
     val verified = pairs
-      .join(sh.select(col(idCol).as("a_id"), col("simhash").as("_sa")),
+      .join(shL.select(col(idCol).as("a_id"), col("_sl").as("_sa")),
         Seq("a_id"))
-      .join(sh.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
+      .join(shL.select(col(idCol).as("b_id"), col("_sl").as("_sb")),
         Seq("b_id"))
-      .withColumn("hamming", ham)
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
     NearDupReport(verified, oversized)
@@ -1000,15 +1013,17 @@ object Dedup {
       // disjoint-id contract backstop, as in the MinHash form
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
-    val ham = (1 to bits).map(i =>
-      when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // pack-to-long-then-bit_count(xor) verify, as in the batch form:
+    // per-doc conv, per-pair ALU — identical distances
+    def packed(sh: DataFrame) = sh.select(col(idCol),
+      conv(col("simhash"), 2, 10).cast("long").as("_sl"))
     val verified = pairs
-      .join(shOld.select(col(idCol).as("a_id"), col("simhash").as("_sa")),
-        Seq("a_id"))
-      .join(shNew.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
-        Seq("b_id"))
-      .withColumn("hamming", ham)
+      .join(packed(shOld).select(col(idCol).as("a_id"),
+        col("_sl").as("_sa")), Seq("a_id"))
+      .join(packed(shNew).select(col(idCol).as("b_id"),
+        col("_sl").as("_sb")), Seq("b_id"))
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
     NearDupReport(verified, oversized)
@@ -1064,15 +1079,16 @@ object Dedup {
     val (pairs, vIds) = verifyIds(pairs0, touched.isDefined &&
       DedupIndex.componentRowCountAtLeast(newDocs.sparkSession, idx.dir,
         "simhashes", minVerifyPruneStored(newDocs.sparkSession)))
-    val ham = (1 to p.simBits).map(i =>
-      when(substring(col("_sa"), i, 1) =!= substring(col("_sb"), i, 1), 1)
-        .otherwise(0)).reduce(_ + _)
+    // pack-to-long-then-bit_count(xor) verify, as in the recompute forms:
+    // the stored side packs on its (pruned) one-row-per-doc scan, the
+    // batch side on its signature table — per-pair cost is one ALU op
     val verified = pairs
       .join(pruneToIds(idx.simhashes, vIds).select(col("id").as("a_id"),
-        col("simhash").as("_sa")), Seq("a_id"))
-      .join(shNew.select(col(idCol).as("b_id"), col("simhash").as("_sb")),
-        Seq("b_id"))
-      .withColumn("hamming", ham)
+        conv(col("simhash"), 2, 10).cast("long").as("_sa")), Seq("a_id"))
+      .join(shNew.select(col(idCol).as("b_id"),
+        conv(col("simhash"), 2, 10).cast("long").as("_sb")), Seq("b_id"))
+      .withColumn("hamming",
+        bit_count(col("_sa").bitwiseXOR(col("_sb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
     NearDupReport(verified, oversized)

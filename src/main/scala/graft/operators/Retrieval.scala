@@ -42,6 +42,40 @@ object Retrieval {
 
   val Scale = 10000L
 
+  /** Ceiling on the query-token In-list the indexed probes prune their
+    * tok-bucketed component scans with — same measured planning cliff
+    * as the banded probes' `MaxTouchedBkeys` (a ~10k-literal In
+    * predicate poisons Catalyst planning; ~2k measured net-positive,
+    * see dev/BENCH_NOTES.md r15). Probes whose query vocabulary exceeds
+    * it keep the full bucketed scans, which the tok equi-join filters
+    * exactly as well — the In-list's extra value is bucket-file pruning
+    * and parquet row-group skipping before the join.
+    */
+  private val MaxTouchedToks = 2048
+
+  /** The probe batch's distinct tokens, collected once (driver transfer
+    * capped at ceiling+1 rows — an over-ceiling vocabulary only needs
+    * to be KNOWN too big, never shipped). None = over the ceiling.
+    */
+  private def collectedToks(df: DataFrame): Option[Seq[String]] = {
+    val t = df.select(col("tok")).distinct().limit(MaxTouchedToks + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (t.size > MaxTouchedToks) None else Some(t)
+  }
+
+  /** The stored tok-keyed component restricted to the batch's tokens:
+    * rows the filter drops could never equi-join on `tok`, so results
+    * are unchanged by construction — the filter exists to engage
+    * bucket-file pruning + parquet pushdown on the corpus-scale scan,
+    * exactly the [[Dedup]] banded probes' touched-key contract.
+    */
+  private def pruneToks(stored: DataFrame,
+      toks: Option[Seq[String]]): DataFrame = toks match {
+    case None => stored
+    case Some(s) if s.isEmpty => stored.filter(lit(false))
+    case Some(s) => stored.filter(col("tok").isin(s: _*))
+  }
+
   /** BM25 top-k: for each query row, the `k` highest-scoring documents
     * among those sharing at least one of the query's `qTerms` RAREST
     * distinct tokens (df ascending — the discriminative ones; template
@@ -301,11 +335,20 @@ object Retrieval {
         explode(termList(col(qTextCol), index.params.termNgram)).as("tok"))
       .distinct()
     val qw = Window.partitionBy(col("q_id")).orderBy(col("df"), col("tok"))
-    val qt = index.termdf.join(broadcast(qtok), Seq("tok"))
-      .withColumn("rn", row_number().over(qw))
-      .filter(col("rn") <= qTerms)
-      .select(col("q_id"), col("tok"), col("df"))
-    val hits = index.postings
+    // qt is cached: the SELECTED-term token set (≤ |Q|·qTerms rows)
+    // feeds both the postings-scan prune below (one bounded collect)
+    // and the broadcast join — without the cache the collect would
+    // re-execute the termdf rank subplan
+    val qt = graft.plans.CachedPlans.cached(
+      index.termdf.join(broadcast(qtok), Seq("tok"))
+        .withColumn("rn", row_number().over(qw))
+        .filter(col("rn") <= qTerms)
+        .select(col("q_id"), col("tok"), col("df")))
+    // the CORPUS-scale postings scan pruned to the selected query terms
+    // (bucket-file pruning + parquet pushdown on the tok-bucketed
+    // component) — at stored-corpus scale the probe now reads postings
+    // proportional to the query vocabulary, never the corpus vocabulary
+    val hits = pruneToks(index.postings, collectedToks(qt))
       .join(broadcast(qt), Seq("tok"))
       .withColumnRenamed("id", "doc_id")
       .join(index.doclens.withColumnRenamed("id", "doc_id"), Seq("doc_id"))

@@ -132,21 +132,25 @@ object Similarity {
       s"JL projection must reduce: 0 < rdim=$rdim < dim=$dim")
     val signs = hyperplaneSigns(rdim, dim)
     def reduced(v: Column) = jlProject(v, signs)
+    // reduced-space dots via the codegen'd double expression (dotD ==
+    // dotFold bit-for-bit over doubles): the stage-1 dot runs per
+    // CANDIDATE PAIR, where the interpreted HOF lambda was the dominant
+    // per-pair term
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       VectorFunctions.normSq(col(vecCol)).as("n_norm"),
       reduced(col(vecCol)).as("n_red"))
-      .withColumn("n_rnorm", VectorFunctions.dotFold(col("n_red"), col("n_red")))
+      .withColumn("n_rnorm", VectorFunctions.dotD(col("n_red"), col("n_red")))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"),
       reduced(col(vecCol)).as("q_red"))
-      .withColumn("q_rnorm", VectorFunctions.dotFold(col("q_red"), col("q_red")))
+      .withColumn("q_rnorm", VectorFunctions.dotD(col("q_red"), col("q_red")))
     // stage 1 shuffles only (q_id, n_id, rscore) into the candidate cut
     val red = c.select(col("n_id"), col("n_red"), col("n_rnorm"))
       .crossJoin(broadcast(q.select(col("q_id"), col("q_red"),
         col("q_rnorm"))))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), VectorFunctions.cosineFrom(
-        VectorFunctions.dotFold(col("n_red"), col("q_red")),
+        VectorFunctions.dotD(col("n_red"), col("q_red")),
         col("n_rnorm"), col("q_rnorm")).as("rscore"))
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("rscore").desc, col("n_id"))
@@ -309,7 +313,7 @@ object Similarity {
       col(vecCol).as("q_vec"),
       VectorFunctions.normSq(col(vecCol)).as("q_norm"),
       qRed.as("q_red"),
-      VectorFunctions.dotFold(qRed, qRed).as("q_rnorm"))
+      VectorFunctions.dotD(qRed, qRed).as("q_rnorm"))
     // a zero-norm vector makes cosineFrom NULL; the window form ranks
     // those NULLS LAST (desc ordering) with the same n_id tie-break, so
     // coalescing to -inf inside the aggregator — where a nullable Double
@@ -322,7 +326,7 @@ object Similarity {
         col("q_rnorm"))))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), coalesce(VectorFunctions.cosineFrom(
-        VectorFunctions.dotFold(col("rvec"), col("q_red")),
+        VectorFunctions.dotD(col("rvec"), col("q_red")),
         col("rnormjl"), col("q_rnorm")),
         lit(Double.NegativeInfinity)).as("rscore"))
     val topCand = new graft.functions.TopKAggregator(cand).toColumn
@@ -1100,18 +1104,20 @@ object Similarity {
     * the representation web-scale ANN actually holds in memory.
     */
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val subDim = codebooks.head.head.size
-    val codes = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(vec, s * subDim + 1, subDim)
-      val cbLit = array(cb.map(cj => array(cj.map(lit(_)): _*)): _*)
-      val dists = transform(cbLit, cj =>
-        aggregate(
-          zip_with(sub, cj, (a, b) =>
-            (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
-          lit(0.0), (acc, x) => acc + x))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    array(codes: _*)
+    // native codegen encoder (plans.PqEncodeF): same per-(s, j) left
+    // fold from 0.0 of (double(v_i) − c_i)² and the same first-match
+    // argmin as the HOF form it replaces (transform/aggregate/zip_with
+    // ran interpreted at m·ksub·subDim lambda evals per row — the PQ
+    // family's dominant corpus-side cost), so codes are bit-identical
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    val flat = codebooks.flatten.flatten
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.plans.PqEncodeF(
+      ColumnBridge.expression(vec.cast("array<float>")),
+      ColumnBridge.expression(
+        array(flat.map(lit(_)): _*).cast("array<double>")),
+      m, ksub))
   }
 
   /** Reconstruction of PQ codes as a dim-length DOUBLE array: the
@@ -1167,10 +1173,16 @@ object Similarity {
         col("pqcodes").as("pcodes"))
       .withColumn("recon", pqRecon(col("pcodes"), cbs))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val scored = c.crossJoin(broadcast(q))
+    // asymmetric dot via the codegen'd double expression: q_vec widens
+    // to double per QUERY row (exact, same cast the HOF lambda applied
+    // per element), the per-PAIR fold is one tight loop — bit-identical
+    // scores, none of the interpreted-lambda per-pair cost
+    val scored = c.crossJoin(broadcast(
+        q.withColumn("q_vec_d", col("q_vec").cast("array<double>"))))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", VectorFunctions.dotFold(col("q_vec"),
+      .withColumn("score", VectorFunctions.dotD(col("q_vec_d"),
         col("recon")))
+      .drop("q_vec_d")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1185,10 +1197,13 @@ object Similarity {
       pqEncode(col(vecCol), cbs).as("codes"))
       .withColumn("recon", pqRecon(col("codes"), cbs))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val scored = c.crossJoin(broadcast(q))
+    // codegen'd per-pair asymmetric dot, as in pqTopKIndexed
+    val scored = c.crossJoin(broadcast(
+        q.withColumn("q_vec_d", col("q_vec").cast("array<double>"))))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", VectorFunctions.dotFold(col("q_vec"),
+      .withColumn("score", VectorFunctions.dotD(col("q_vec_d"),
         col("recon")))
+      .drop("q_vec_d")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1235,10 +1250,13 @@ object Similarity {
         col("q_norm"), col("cent_norm")))
       .withColumn("crk", row_number().over(probeW))
       .filter(col("crk") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cent_id"))
+      .select(col("q_id"),
+        col("q_vec").cast("array<double>").as("q_vec_d"), col("cent_id"))
+    // codegen'd per-pair asymmetric dot (see pqTopKWith): query widened
+    // to double on the broadcast side, bit-identical scores
     val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", VectorFunctions.dotFold(col("q_vec"),
+      .withColumn("score", VectorFunctions.dotD(col("q_vec_d"),
         col("recon")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("n_id"))

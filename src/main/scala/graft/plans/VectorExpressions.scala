@@ -96,6 +96,217 @@ case class DotProductF(left: Expression, right: Expression)
       newRight: Expression): DotProductF = copy(newLeft, newRight)
 }
 
+/** Native PQ encoder: per subspace `s` of `m`, the 0-based index of the
+  * codebook entry with the smallest squared L2 distance to the
+  * sub-vector — [[graft.operators.Similarity.pqEncode]]'s semantics as
+  * one tight codegen loop instead of `m·ksub·subDim` interpreted HOF
+  * lambda evaluations per row (transform/aggregate/zip_with), which
+  * dominated the PQ family's corpus-side encode.
+  *
+  * Numeric contract (bit-identical to the HOF form): per (s, j) the
+  * distance is a LEFT fold from 0.0 of `(double(v_i) − c_i)²` over the
+  * subspace's elements, and the winning code is the FIRST j attaining
+  * the minimum (strict `<` scan ≡ `array_position(dists,
+  * array_min(dists))` first-match over finite doubles). `cb` is the
+  * flattened codebook literal (m·ksub·subDim doubles, entry (s, j)
+  * element i at `(s·ksub + j)·subDim + i`). A null element, a vector
+  * whose length isn't m·subDim, or a malformed codebook → NULL, like
+  * the HOF form's null poisoning.
+  */
+case class PqEncodeF(vec: Expression, cb: Expression, m: Int, ksub: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cb
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    (vec.dataType, cb.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _))
+        if m > 0 && ksub > 0 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>) and " +
+          s"positive m/ksub, got ${vec.dataType.catalogString}, " +
+          s"${cb.dataType.catalogString}, m=$m, ksub=$ksub")
+    }
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "pq_encode_f"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = {
+    val vecA = v.asInstanceOf[ArrayData]
+    val cbA = c.asInstanceOf[ArrayData]
+    val dim = vecA.numElements()
+    if (dim % m != 0) return null
+    val subDim = dim / m
+    if (cbA.numElements() != m * ksub * subDim) return null
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) {
+          val vi = s * subDim + i
+          if (vecA.isNullAt(vi)) return null
+          val ci = (s * ksub + j) * subDim + i
+          if (cbA.isNullAt(ci)) return null
+          val d = vecA.getFloat(vi).toDouble - cbA.getDouble(ci)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val arrayDataCls =
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val dim = ctx.freshName("dim")
+      val subDim = ctx.freshName("subDim")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val vi = ctx.freshName("vi")
+      val ci = ctx.freshName("ci")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val bestJ = ctx.freshName("bestJ")
+      val bestD = ctx.freshName("bestD")
+      val done = ctx.freshName("done")
+      s"""
+         |int $dim = $v.numElements();
+         |boolean $done = false;
+         |if ($dim % $m != 0) { ${ev.isNull} = true; $done = true; }
+         |int $subDim = $dim / $m;
+         |if (!$done && $c.numElements() != $m * $ksub * $subDim) {
+         |  ${ev.isNull} = true; $done = true;
+         |}
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; !$done && $s < $m; $s++) {
+         |  int $bestJ = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; !$done && $j < $ksub; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      int $vi = $s * $subDim + $i;
+         |      int $ci = ($s * $ksub + $j) * $subDim + $i;
+         |      if ($v.isNullAt($vi) || $c.isNullAt($ci)) {
+         |        ${ev.isNull} = true; $done = true; break;
+         |      }
+         |      double $d = (double) $v.getFloat($vi) - $c.getDouble($ci);
+         |      $acc += $d * $d;
+         |    }
+         |    if (!$done && $acc < $bestD) { $bestD = $acc; $bestJ = $j; }
+         |  }
+         |  $codes[$s] = $bestJ;
+         |}
+         |${ev.value} = $done ? null : $arrayDataCls.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqEncodeF =
+    copy(vec = newLeft, cb = newRight)
+}
+
+/** [[DotProductF]]'s array<double> sibling — the same tight codegen
+  * loop over DOUBLE elements, for the scorers whose operands are double
+  * arrays (JL-reduced vectors, PQ codebook reconstructions): there the
+  * HOF fold (`aggregate(zip_with(...))`) runs interpreted PER CANDIDATE
+  * PAIR, and a float-flavored cast through [[DotProductF]] would change
+  * the IEEE values. Numeric contract: left-to-right accumulation from
+  * 0.0 of `a_i * b_i` over doubles — bit-identical to
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, +)` when elements are
+  * already doubles, and to the fold over `cast(x as double)` when a
+  * caller widens a float array first (float→double widening is exact).
+  * Mismatched lengths or a null element → NULL, like the fold's null
+  * poisoning.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> inputs, got " +
+        bad.map(_.catalogString).mkString(", "))
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "dot_product_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    if (arrA.numElements() != arrB.numElements()) return null
+    val n = arrA.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
+      acc += arrA.getDouble(i) * arrB.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double $acc = 0.0;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductD = copy(newLeft, newRight)
+}
+
 /** Fused SQ8 asymmetric score: `Σ q_i · (min_i + code_i · scale_i)` —
   * full-precision query against the uint8-quantized corpus WITHOUT
   * materializing the reconstruction.

@@ -1204,7 +1204,12 @@ object TextQueries {
       StructField("ahash_hi", LongType, nullable = false),
       StructField("ahash_lo", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    base.mapPartitions { rows =>
+    // cached: every consumer joins this table against its own aggregate
+    // (groups, band sides), and mapPartitions is opaque to Catalyst —
+    // without the persist the synthesize+decode pipeline (the expensive
+    // part) re-runs once per join branch. Same discipline as the
+    // operator-level media probes' CachedPlans.cached code tables.
+    graft.plans.CachedPlans.cached(base.mapPartitions { rows =>
       rows.map { r =>
         val bmp = graft.operators.SyntheticMedia.bmp(r.getString(1),
           r.getString(2))
@@ -1212,7 +1217,7 @@ object TextQueries {
         val (hi, lo) = Multimodal.averageHash(w, h, px)
         org.apache.spark.sql.Row(r.getLong(0), hi, lo)
       }
-    }(enc)
+    }(enc))
   }
 
   /** Perceptual-hash image dedup verdicts: every document's aHash code
@@ -1318,14 +1323,15 @@ object TextQueries {
       StructField("ahash_hi", LongType, nullable = false),
       StructField("ahash_lo", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    base.mapPartitions { rows =>
+    // cached for the same branch-sharing reason as ahashCodes
+    graft.plans.CachedPlans.cached(base.mapPartitions { rows =>
       rows.map { r =>
         val wav = SyntheticMedia.wav(r.getString(1), r.getString(2))
         val (_, _, samples) = MediaCodecs.WavDecoder.decodeSamples(wav)
         val (hi, lo) = Multimodal.energyHash(samples)
         org.apache.spark.sql.Row(r.getLong(0), hi, lo)
       }
-    }(enc)
+    }(enc))
   }
 
   /** [[multimodalAhashDedup]]'s audio twin: exact energy-code dup
@@ -1485,14 +1491,16 @@ object TextQueries {
       StructField("ahash_hi", LongType, nullable = false),
       StructField("ahash_lo", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    base.mapPartitions { rows =>
+    // cached for the same branch-sharing reason as ahashCodes — the
+    // multi-frame GIF decode is the costliest of the three modalities
+    graft.plans.CachedPlans.cached(base.mapPartitions { rows =>
       rows.map { r =>
         val gif = SyntheticMedia.gif(r.getString(1), r.getString(2))
         val (hi, lo) = Multimodal.frameSampleHash(
           MediaCodecs.decodeGifFrames(gif))
         org.apache.spark.sql.Row(r.getLong(0), hi, lo)
       }
-    }(enc)
+    }(enc))
   }
 
   /** [[multimodalAhashDedup]]'s video twin: exact frame-hash dup

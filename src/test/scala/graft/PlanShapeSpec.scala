@@ -171,12 +171,27 @@ class PlanShapeSpec extends SparkSpec {
     // substring could false-match an index temp path, and `<= 1` would
     // pass vacuously on zero scans). A second scan means a leg is
     // recomputing over the corpus instead of probing its index.
-    def srcScans(d: org.apache.spark.sql.DataFrame, table: String) =
-      plan(d).collect {
+    // Counted TRANSITIVELY through InMemoryTableScan cached relations:
+    // the r20 bm25 probe caches its selected-term table (qt feeds both
+    // the postings-scan prune collect and the broadcast join), which
+    // moves the query slice's documents scan inside the cached plan —
+    // still exactly one scan, just one level down.
+    def srcScans(d: org.apache.spark.sql.DataFrame, table: String) = {
+      def scansIn(p: SparkPlan): Seq[SparkPlan] = p.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(
-            _.toString.contains(s"$sf/$table")) => f
-      }
+            _.toString.contains(s"$sf/$table")) => Seq(f)
+        case m: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => scansIn(m.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scansIn(a.executedPlan)
+        // executed AQE plans (e.g. an already-filled cached relation)
+        // hide their subtrees behind QueryStage leaves
+        case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scansIn(q.plan)
+      }.flatten
+      scansIn(plan(d))
+    }
     assert(srcScans(df, "documents").length === 1,
       "indexed hybrid must scan corpus text exactly once (query slice)")
     assert(srcScans(df, "embeddings").length === 1,
