@@ -183,10 +183,12 @@ object Similarity {
   def binaryCode(vec: Column, dim: Int): Column = {
     require(dim > 0 && dim <= 64,
       s"binaryCode packs into one long, dim <= 64, got $dim")
-    val pows = array((0 until dim).map(i => lit(1L << i)): _*)
-    aggregate(
-      zip_with(vec, pows, (v, p) => when(v > lit(0f), p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    // native codegen packer (plans.BinaryCodeF): same distinct-powers
+    // integer sum as the HOF fold it replaces (which ran interpreted
+    // per row), bit-identical codes
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.plans.BinaryCodeF(
+      ColumnBridge.expression(vec.cast("array<float>"))))
   }
 
   /** Binary-quantized top-k: Hamming distance over packed sign codes
@@ -878,9 +880,20 @@ object Similarity {
   }
 
   def sq8Encode(vec: Column, mins: Seq[Double],
-      scales: Seq[Double]): Column =
-    transform(sq8RawIndex(vec, mins, scales),
-      q => greatest(lit(0), least(lit(255), q.cast("int"))))
+      scales: Seq[Double]): Column = {
+    // native codegen encoder (plans.Sq8EncodeF): identical rounding +
+    // cast-then-clamp sequence as the HOF form (two nested interpreted
+    // transforms with per-element literal-array element_at), codes
+    // bit-identical; sq8RawIndex stays the rounding's single SOURCE
+    // definition for the saturation diagnostic
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.plans.Sq8EncodeF(
+      ColumnBridge.expression(vec.cast("array<float>")),
+      ColumnBridge.expression(
+        array(mins.map(lit(_)): _*).cast("array<double>")),
+      ColumnBridge.expression(
+        array(scales.map(lit(_)): _*).cast("array<double>"))))
+  }
 
   /** [[ivfSq8TopK]] probing the PERSISTED IVF structure
     * ([[DedupIndex.writeVectors]]'s `centroids/` + `lists/` components)

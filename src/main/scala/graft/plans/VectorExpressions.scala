@@ -96,6 +96,181 @@ case class DotProductF(left: Expression, right: Expression)
       newRight: Expression): DotProductF = copy(newLeft, newRight)
 }
 
+/** Native sign-bit binary code: bit i set iff `vec[i] > 0f`, packed
+  * into one LONG — [[graft.operators.Similarity.binaryCode]]'s
+  * semantics as one tight codegen loop instead of the interpreted
+  * `aggregate(zip_with(vec, pows, ...))` per row. Exact integer
+  * arithmetic (distinct powers of two cannot carry), so the packed
+  * value is identical to the HOF fold's sum; a null element → NULL,
+  * matching the fold's null poisoning. dim must be ≤ 64 (enforced by
+  * the caller, as before).
+  */
+case class BinaryCodeF(vec: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = vec
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    vec.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${t.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "binary_code_f"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      if (arr.getFloat(i) > 0f) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $acc = 0L;
+         |int $n = $v.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  if ($v.getFloat($i) > 0f) $acc |= (1L << $i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BinaryCodeF = copy(vec = newChild)
+}
+
+/** Native SQ8 encoder: per component,
+  * `clamp(floor((double(v_i) − min_i) / scale_i + 0.5), 0, 255)` as an
+  * int (0 where scale_i == 0) — [[graft.operators.Similarity.sq8Encode]]
+  * as one codegen loop instead of two nested interpreted `transform`s
+  * with per-element `element_at` on the range literals. The double
+  * arithmetic and the cast-then-clamp order replicate the HOF form
+  * exactly, so codes are bit-identical. A null element or a ranges/vec
+  * length mismatch → NULL (the HOF form kept a null ELEMENT instead;
+  * the corpus contract has none, and a NULL result is the conservative
+  * poison).
+  */
+case class Sq8EncodeF(vec: Expression, mins: Expression,
+    scales: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = mins
+  override def third: Expression = scales
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    (vec.dataType, mins.dataType, scales.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _),
+        ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>, " +
+          "array<double>), got " +
+          Seq(vec, mins, scales).map(_.dataType.catalogString)
+            .mkString(", "))
+    }
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "sq8_encode_f"
+
+  override protected def nullSafeEval(v: Any, m: Any, s: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val minA = m.asInstanceOf[ArrayData]
+    val scaleA = s.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (minA.numElements() < n || scaleA.numElements() < n) return null
+    val codes = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i) || minA.isNullAt(i) || scaleA.isNullAt(i))
+        return null
+      val sc = scaleA.getDouble(i)
+      codes(i) =
+        if (sc == 0.0) 0
+        else {
+          val q = math.floor(
+            (arr.getFloat(i).toDouble - minA.getDouble(i)) / sc + 0.5)
+          math.max(0, math.min(255, q.toInt))
+        }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val unsafeArr =
+      "org.apache.spark.sql.catalyst.expressions.UnsafeArrayData"
+    nullSafeCodeGen(ctx, ev, (v, m, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val codes = ctx.freshName("codes")
+      val sc = ctx.freshName("sc")
+      val q = ctx.freshName("q")
+      val qi = ctx.freshName("qi")
+      val done = ctx.freshName("done")
+      s"""
+         |int $n = $v.numElements();
+         |boolean $done = false;
+         |if ($m.numElements() < $n || $s.numElements() < $n) {
+         |  ${ev.isNull} = true; $done = true;
+         |}
+         |int[] $codes = new int[$n];
+         |for (int $i = 0; !$done && $i < $n; $i++) {
+         |  if ($v.isNullAt($i) || $m.isNullAt($i) || $s.isNullAt($i)) {
+         |    ${ev.isNull} = true; $done = true; break;
+         |  }
+         |  double $sc = $s.getDouble($i);
+         |  if ($sc == 0.0) { $codes[$i] = 0; }
+         |  else {
+         |    double $q = java.lang.Math.floor(
+         |      ((double) $v.getFloat($i) - $m.getDouble($i)) / $sc + 0.5);
+         |    int $qi = (int) $q;
+         |    $codes[$i] = java.lang.Math.max(0, java.lang.Math.min(255, $qi));
+         |  }
+         |}
+         |${ev.value} = $done ? null : $unsafeArr.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Sq8EncodeF =
+    copy(vec = newFirst, mins = newSecond, scales = newThird)
+}
+
 /** Native PQ encoder: per subspace `s` of `m`, the 0-based index of the
   * codebook entry with the smallest squared L2 distance to the
   * sub-vector — [[graft.operators.Similarity.pqEncode]]'s semantics as
