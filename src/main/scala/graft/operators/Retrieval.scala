@@ -328,27 +328,39 @@ object Retrieval {
     * the recompute form (same [[scoreQ]], same stored integers), so both
     * share one oracle.
     */
+  /** @param pruneToQueryToks when true (batch default), the selected-
+    *        term table is CachedPlans-shared, its tokens collected once
+    *        (bounded), and the corpus-scale postings scan is In-pruned
+    *        to them (bucket-file pruning + parquet pushdown — at
+    *        stored-corpus scale the probe reads postings proportional
+    *        to the query vocabulary, never the corpus vocabulary).
+    *        STREAMING callers pass false: a maintained index mutates
+    *        every trigger, so the qt cache MISSES per micro-batch and
+    *        the per-probe fill + collect became a measured +0.6 s per
+    *        trigger on the day-in-the-life search (sentinel-adjusted) —
+    *        there the plain broadcast-join plan is the right shape.
+    */
   def bm25TopKIndexed(index: DedupIndex.LexicalIndex, queries: DataFrame,
       qIdCol: String, qTextCol: String, k: Int = 10,
-      qTerms: Int = 8): DataFrame = {
+      qTerms: Int = 8, pruneToQueryToks: Boolean = true): DataFrame = {
     val qtok = queries.select(col(qIdCol).as("q_id"),
         explode(termList(col(qTextCol), index.params.termNgram)).as("tok"))
       .distinct()
     val qw = Window.partitionBy(col("q_id")).orderBy(col("df"), col("tok"))
-    // qt is cached: the SELECTED-term token set (≤ |Q|·qTerms rows)
-    // feeds both the postings-scan prune below (one bounded collect)
-    // and the broadcast join — without the cache the collect would
-    // re-execute the termdf rank subplan
-    val qt = graft.plans.CachedPlans.cached(
-      index.termdf.join(broadcast(qtok), Seq("tok"))
-        .withColumn("rn", row_number().over(qw))
-        .filter(col("rn") <= qTerms)
-        .select(col("q_id"), col("tok"), col("df")))
-    // the CORPUS-scale postings scan pruned to the selected query terms
-    // (bucket-file pruning + parquet pushdown on the tok-bucketed
-    // component) — at stored-corpus scale the probe now reads postings
-    // proportional to the query vocabulary, never the corpus vocabulary
-    val hits = pruneToks(index.postings, collectedToks(qt))
+    val qtRaw = index.termdf.join(broadcast(qtok), Seq("tok"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= qTerms)
+      .select(col("q_id"), col("tok"), col("df"))
+    // qt is cached only on the pruning path: the SELECTED-term token
+    // set (≤ |Q|·qTerms rows) feeds both the postings-scan prune (one
+    // bounded collect) and the broadcast join — without the cache the
+    // collect would re-execute the termdf rank subplan
+    val (qt, postingsSrc) =
+      if (pruneToQueryToks) {
+        val c = graft.plans.CachedPlans.cached(qtRaw)
+        (c, pruneToks(index.postings, collectedToks(c)))
+      } else (qtRaw, index.postings)
+    val hits = postingsSrc
       .join(broadcast(qt), Seq("tok"))
       .withColumnRenamed("id", "doc_id")
       .join(index.doclens.withColumnRenamed("id", "doc_id"), Seq("doc_id"))

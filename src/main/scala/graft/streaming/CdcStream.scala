@@ -1169,8 +1169,13 @@ object CdcStream {
         if (!batch.isEmpty) {
           val idx = graft.operators.DedupIndex
             .loadLexical(batch.sparkSession, indexDir)
+          // pruneToQueryToks=false: per-micro-batch probes against a
+          // MUTATING index never hit the qt cache (snapshot key moves
+          // every commit), so the prune's fill+collect is pure per-
+          // trigger overhead here — measured on the day-in-the-life
           graft.operators.Retrieval
-            .bm25TopKIndexed(idx, batch, qIdCol, qTextCol, k, qTerms)
+            .bm25TopKIndexed(idx, batch, qIdCol, qTextCol, k, qTerms,
+              pruneToQueryToks = false)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1292,8 +1297,11 @@ object CdcStream {
             val lexW = org.apache.spark.sql.expressions.Window
               .partitionBy(col("q_id"))
               .orderBy(col("score").desc, col("doc_id"))
+            // pruneToQueryToks=false — same mutating-index rationale as
+            // startBm25Search above
             val lex = graft.operators.Retrieval
-              .bm25TopKIndexed(lexIdx, b, qIdCol, qTextCol, legK, qTerms)
+              .bm25TopKIndexed(lexIdx, b, qIdCol, qTextCol, legK, qTerms,
+                pruneToQueryToks = false)
               .filter(col("doc_id") =!= col("q_id"))
               .withColumn("rank", row_number().over(lexW))
               .select(col("q_id"), col("doc_id"), col("rank"))
