@@ -74,8 +74,19 @@ object TextFunctions {
   /** Ratio of stopword tokens to all tokens. */
   def stopwordRatio(text: Column,
       stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
+        "to", "in", "is", "it")): Column =
+    stopwordRatioOfToks(tokens(lower(text)), stopwords)
+
+  /** [[stopwordRatio]] from a pre-tokenized LOWERCASED token array —
+    * the body references its token input three times (the filter and
+    * two size guards), and a Column-level inline duplicates the whole
+    * tokenize per reference (interpreted HOFs get no common-
+    * subexpression elimination), so multi-metric scans materialize the
+    * array once in a child projection and pass the column here.
+    */
+  def stopwordRatioOfToks(toks: Column,
+      stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of",
         "to", "in", "is", "it")): Column = {
-    val toks = tokens(lower(text))
     val stops = size(filter(toks,
       t => stopwords.map(s => t === lit(s)).reduce(_ || _)))
     when(size(toks) === 0, lit(0.0))
@@ -83,21 +94,32 @@ object TextFunctions {
   }
 
   /** Mean token length (0 for empty docs). */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOfToks(tokens(text))
+
+  /** [[meanTokenLen]] from a pre-tokenized array — same sharing
+    * rationale as [[stopwordRatioOfToks]] (three references).
+    */
+  def meanTokenLenOfToks(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
         .cast(DoubleType) / size(toks).cast(DoubleType))
-  }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with low
     * punctuation noise and a healthy stopword rate. Deterministic double
     * arithmetic; weights are part of the contract.
     */
-  def qualityScore(text: Column, nChars: Column): Column = {
+  def qualityScore(text: Column, nChars: Column): Column =
+    qualityScoreOfToks(text, nChars, tokens(lower(text)))
+
+  /** [[qualityScore]] with the lowercased token array passed in — the
+    * stopword term is the only tokenizing component; the punctuation
+    * term stays on the raw text.
+    */
+  def qualityScoreOfToks(text: Column, nChars: Column,
+      lowerToks: Column): Column = {
     val lenScore = least(nChars.cast(DoubleType) / lit(400.0), lit(1.0))
     val punct = punctRatio(text)
-    val stop = stopwordRatio(text)
+    val stop = stopwordRatioOfToks(lowerToks)
     val punctScore = lit(1.0) - least(punct * lit(10.0), lit(1.0))
     val stopScore = least(stop * lit(4.0), lit(1.0))
     lit(0.4) * lenScore + lit(0.3) * punctScore + lit(0.3) * stopScore

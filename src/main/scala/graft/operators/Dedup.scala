@@ -74,11 +74,27 @@ object Dedup {
   /** Distinct (id, shingle) pairs — the shared primitive. wordShingles
     * already array_distinct-s per document, and id rides along, so the
     * exploded rows ARE globally distinct — no extra shuffle needed.
+    *
+    * The token array is materialized in its OWN projection before the
+    * shingle explode: `shinglesOfTokens` references its input 4 times
+    * (two size guards, the short-doc branch, the slice window), and a
+    * Column-level inline duplicates the whole `filter(split(lower))`
+    * tokenize per reference — interpreted HOF evaluation has no common-
+    * subexpression elimination, so the corpus-scale shingle build paid
+    * 4 tokenizes per document (visible in the r21 before-plans'
+    * Generate arguments). Two selects make the tokenize a named column
+    * computed once per row; CollapseProject leaves it alone because the
+    * alias is non-cheap and multiply-referenced. Same values by
+    * construction — only the expression sharing changes.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame =
-    balanced(docs).select(col(idCol),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+    balanced(docs)
+      .select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol),
+        explode(TextFunctions.shinglesOfTokens(col("_toks"), n))
+          .as("shingle"))
 
   /** Shingle table with each shingle hashed ONCE to a portable 60-bit
     * long. Every downstream consumer wins: the k seeded min-hashes run

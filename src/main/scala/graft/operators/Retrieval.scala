@@ -194,18 +194,49 @@ object Retrieval {
       tokenPositions(docs, idCol, textCol),
       queries, qIdCol, qTextCol, k, phraseLen)
 
+  /** The query batch's distinct leading-phrase tokens, collected once
+    * per (plan, snapshot) — the r20 attempt at this prune paid the
+    * collect per EXECUTION (+24-40% locally) and was reverted; the
+    * memoized form pays it once per session per query batch, which is
+    * what makes the positions prune net-viable at local scale while
+    * keeping its at-scale value (In-pushdown on the tok-bucketed
+    * positions component — read bytes proportional to the query
+    * phrases' vocabulary, not the corpus token stream).
+    */
+  private def phraseQToks(queries: DataFrame, qIdCol: String,
+      qTextCol: String, phraseLen: Int): Option[Seq[String]] = {
+    val qp = tokenPositions(queries, qIdCol, qTextCol)
+      .filter(col("pos") < phraseLen)
+      .select(col("tok"))
+    graft.plans.CachedPlans.memoValue("phrase_qtoks", qp) {
+      collectedToks(qp)
+    }
+  }
+
   /** [[phraseTopK]] probing the PERSISTED positional postings
     * ([[DedupIndex.LexicalIndex.positions]], fmt 3) — corpus text is
     * never re-tokenized, and the tok-bucketed component serves the
     * broadcast phrase join without exchanging the corpus side.
+    *
+    * @param pruneToQueryToks when true (batch default), the positions
+    *        scan is In-pruned to the query phrases' tokens (memoized
+    *        bounded collect — see [[phraseQToks]]); dropped rows could
+    *        never equi-join on `tok`, so results are unchanged by
+    *        construction. STREAMING callers pass false: a per-micro-
+    *        batch query set never re-keys the memo, so the collect
+    *        would be pure per-trigger overhead (the bm25 rationale).
     */
   def phraseTopKIndexed(index: DedupIndex.LexicalIndex,
       queries: DataFrame, qIdCol: String, qTextCol: String, k: Int = 10,
-      phraseLen: Int = 3): DataFrame =
-    phraseRank(
-      index.positions.select(col("id").as("doc_id"), col("tok"),
-        col("pos")),
-      queries, qIdCol, qTextCol, k, phraseLen)
+      phraseLen: Int = 3, pruneToQueryToks: Boolean = true): DataFrame = {
+    val pos = index.positions.select(col("id").as("doc_id"), col("tok"),
+      col("pos"))
+    val src =
+      if (pruneToQueryToks)
+        pruneToks(pos, phraseQToks(queries, qIdCol, qTextCol, phraseLen))
+      else pos
+    phraseRank(src, queries, qIdCol, qTextCol, k, phraseLen)
+  }
 
   /** Proximity (slop) top-k: like [[phraseTopK]] but each adjacent
     * phrase-term pair may be separated by up to `slop` extra words —
@@ -230,15 +261,22 @@ object Retrieval {
 
   /** [[proximityTopK]] probing the persisted fmt-3 positional postings
     * — same component the phrase probe reads; corpus text is never
-    * re-tokenized.
+    * re-tokenized. Same memoized positions prune (and streaming
+    * opt-out) as [[phraseTopKIndexed]] — the two probes share one memo
+    * entry when their query batch and phraseLen agree.
     */
   def proximityTopKIndexed(index: DedupIndex.LexicalIndex,
       queries: DataFrame, qIdCol: String, qTextCol: String, k: Int = 10,
-      phraseLen: Int = 3, slop: Int = 2): DataFrame =
-    proximityRank(
-      index.positions.select(col("id").as("doc_id"), col("tok"),
-        col("pos")),
-      queries, qIdCol, qTextCol, k, phraseLen, slop)
+      phraseLen: Int = 3, slop: Int = 2,
+      pruneToQueryToks: Boolean = true): DataFrame = {
+    val pos = index.positions.select(col("id").as("doc_id"), col("tok"),
+      col("pos"))
+    val src =
+      if (pruneToQueryToks)
+        pruneToks(pos, phraseQToks(queries, qIdCol, qTextCol, phraseLen))
+      else pos
+    proximityRank(src, queries, qIdCol, qTextCol, k, phraseLen, slop)
+  }
 
   private def proximityRank(positions: DataFrame, queries: DataFrame,
       qIdCol: String, qTextCol: String, k: Int, phraseLen: Int,
@@ -354,11 +392,19 @@ object Retrieval {
     // qt is cached only on the pruning path: the SELECTED-term token
     // set (≤ |Q|·qTerms rows) feeds both the postings-scan prune (one
     // bounded collect) and the broadcast join — without the cache the
-    // collect would re-execute the termdf rank subplan
+    // collect would re-execute the termdf rank subplan. The COLLECT
+    // itself is memoized per (qt plan, index+queries snapshot): r20's
+    // driver bench measured the per-EXECUTION collect at +22% on
+    // retrieval_hybrid_rrf_phrase and +17% on retrieval_e2e — a fixed
+    // driver job the composed batch callers paid on every run, while
+    // the token list it produces is a pure function of the cached qt.
     val (qt, postingsSrc) =
       if (pruneToQueryToks) {
         val c = graft.plans.CachedPlans.cached(qtRaw)
-        (c, pruneToks(index.postings, collectedToks(c)))
+        val toks = graft.plans.CachedPlans.memoValue("bm25_qtoks", qtRaw) {
+          collectedToks(c)
+        }
+        (c, pruneToks(index.postings, toks))
       } else (qtRaw, index.postings)
     val hits = postingsSrc
       .join(broadcast(qt), Seq("tok"))

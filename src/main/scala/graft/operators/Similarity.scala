@@ -629,20 +629,28 @@ object Similarity {
     * lit(0))` window does NOT silence it: Catalyst folds the literal
     * key out and WindowExec still sees an empty partition spec.)
     */
-  private[graft] def withCentIdx0(cent: DataFrame): DataFrame = {
-    val spark = cent.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      cent.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "cent_idx", org.apache.spark.sql.types.IntegerType,
-        nullable = false))
-    val rows = cent.orderBy(col("cent_id")).collect()
-    val renumbered: Seq[org.apache.spark.sql.Row] =
-      rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(renumbered.asJava, schema)
-  }
+  /** Memoized per (centroid plan, input snapshot): the collect EXECUTES
+    * the bounded TakeOrdered over the corpus, and every construction of
+    * every ivf* recompute query re-paid that job before its own work —
+    * a pure per-execution fixed cost (the r20 verdict's c8-beats-c32
+    * diagnosis); the renumbered LocalRelation is a pure function of the
+    * centroid plan + its input files.
+    */
+  private[graft] def withCentIdx0(cent: DataFrame): DataFrame =
+    graft.plans.CachedPlans.memoValue("cent_idx0", cent) {
+      val spark = cent.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(
+        cent.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "cent_idx", org.apache.spark.sql.types.IntegerType,
+          nullable = false))
+      val rows = cent.orderBy(col("cent_id")).collect()
+      val renumbered: Seq[org.apache.spark.sql.Row] =
+        rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(renumbered.asJava, schema)
+    }
 
   /** `cosineNearDupPairs` with the plane count DERIVED from the corpus
     * size (one count job + planesFor) — the production entry point, so
@@ -839,17 +847,22 @@ object Similarity {
     * IVF centroid set).
     */
   def sq8Ranges(corpus: DataFrame, vecCol: String,
-      dim: Int): Seq[(Double, Double)] = {
-    val rows = corpus
-      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("pos")
-      .agg(min(col("v").cast(DoubleType)).as("mn"),
-        max(col("v").cast(DoubleType)).as("mx"))
-      .collect()
-    val byPos = rows.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    (0 until dim).map(i => byPos.getOrElse(i, (0.0, 0.0)))
-  }
+      dim: Int): Seq[(Double, Double)] =
+    // memoized per (corpus plan, input snapshot, vecCol, dim): the
+    // stats pass is corpus-scale and every construction of the sq8
+    // recompute queries re-ran it — the values are a pure function of
+    // the corpus files
+    graft.plans.CachedPlans.memoValue(s"sq8_ranges|$vecCol|$dim", corpus) {
+      val rows = corpus
+        .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(min(col("v").cast(DoubleType)).as("mn"),
+          max(col("v").cast(DoubleType)).as("mx"))
+        .collect()
+      val byPos = rows.map(r =>
+        r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      (0 until dim).map(i => byPos.getOrElse(i, (0.0, 0.0)))
+    }
 
   /** Encode a float vector to uint8 codes against per-dim ranges:
     * `code_d = floor((v_d - min_d) / scale_d + 0.5)` clamped to
@@ -1047,15 +1060,20 @@ object Similarity {
       s"dim ($dim) must divide into m ($m) subspaces")
     require(ksub > 0 && ksub <= 256,
       s"ksub must be in (0, 256] (codes are one byte), got $ksub")
-    val subDim = dim / m
-    val donors = selectCentroids(corpus, idCol, ksub)
-      .select(col(idCol).as("cent_id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .orderBy(col("cent_id"))
-      .collect()
-      .map(_.getSeq[Double](1))
-    (0 until m).map { s =>
-      donors.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim))
+    // memoized per (corpus plan, input snapshot, params): the donor
+    // TakeOrdered ran per construction of every pq recompute query
+    graft.plans.CachedPlans.memoValue(
+      s"pq_codebooks|$idCol|$vecCol|$m|$ksub|$dim", corpus) {
+      val subDim = dim / m
+      val donors = selectCentroids(corpus, idCol, ksub)
+        .select(col(idCol).as("cent_id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .orderBy(col("cent_id"))
+        .collect()
+        .map(_.getSeq[Double](1))
+      (0 until m).map { s =>
+        donors.toSeq.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      }
     }
   }
 
@@ -1076,7 +1094,18 @@ object Similarity {
     * stats.
     */
   def pqCodebooksRefined(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+      m: Int, ksub: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    // memoized per (corpus plan, input snapshot, params): the Lloyd
+    // stats pass is a FULL corpus pqEncode + aggregate, and every
+    // construction of ann_pq_refined re-paid it — the dominant term of
+    // that query's per-rep cost at sf0.1
+    graft.plans.CachedPlans.memoValue(
+      s"pq_codebooks_refined|$idCol|$vecCol|$m|$ksub|$dim", corpus) {
+      pqCodebooksRefinedRun(corpus, idCol, vecCol, m, ksub, dim)
+    }
+
+  private def pqCodebooksRefinedRun(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     val cbs0 = pqCodebooks(corpus, idCol, vecCol, m, ksub, dim)
     val subDim = dim / m
     val pow20 = 1048576.0 // 2^20

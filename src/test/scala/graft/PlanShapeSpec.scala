@@ -353,6 +353,14 @@ class PlanShapeSpec extends SparkSpec {
       "phrase indexed probe must scan documents exactly once (query slice)")
     assert(idxScans(ph, "positions").nonEmpty,
       "phrase indexed probe shows no positions scan — vacuous guard")
+    // r21: the positions scan is In-pruned to the query phrases' tokens
+    // (memoized bounded collect) — guard the PUSHED filter so a refactor
+    // that silently re-widens the corpus-scale component scan fails here
+    idxScans(ph, "positions").foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(tok"),
+        s"phrase positions scan is not tok-pruned; PushedFilters=$pushed")
+    }
     forbidLoops(ph, "text_phrase_indexed")
     // proximity references its candidate-hit set once per phrase
     // offset; the set is CachedPlans-shared so the positional scan runs
@@ -361,6 +369,12 @@ class PlanShapeSpec extends SparkSpec {
     val px = graft.queries.RetrievalQueries.proximityTopKIndexed(spark, sf)
     assert(srcScans(px, "documents").length <= 1,
       "proximity indexed probe must scan documents at most once")
+    // same tok-prune guard as the phrase probe (shared memoized collect)
+    idxScans(px, "positions").foreach { f =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(tok"),
+        s"proximity positions scan is not tok-pruned; PushedFilters=$pushed")
+    }
     val pxMem = plan(px).collect {
       case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
     }
